@@ -1,0 +1,120 @@
+package graft.indexes
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.storage.TableStore
+
+/** Key→value derived view with observable-style reads and a persisted
+  * resume cursor — the reference's index layer
+  * (indexes/index.go:27-70) as an upsert table.
+  *
+  * Physical form: an append-only `(addr, value, tombstone)` change
+  * table; `current` resolves last-write-wins per addr using the commit
+  * version (`_ver`) plus intra-batch arrival order, and filters
+  * tombstones — so `Set`, `Delete`, `Set` again replay to the right
+  * state, and replayed batches (same version ordering) are idempotent:
+  * exactly-once where the reference is only as good as its user funcs
+  * (indexes/sinkindex.go:39-50).
+  *
+  * The resume cursor (`SetSeq`/`GetSeq`, indexes/index.go:63-70) is a
+  * sidecar file committed AFTER the data batch, mirroring the
+  * reference's cursor-after-apply = at-least-once, made exactly-once
+  * by the idempotent upsert.
+  */
+final class KVIndex(val spark: SparkSession, val dir: String) {
+
+  private val store = TableStore.open(spark, dir, KVIndex.schema)
+  private val seqPath = Paths.get(dir, "cursor.seq")
+
+  /** Apply a batch of upserts: DataFrame with columns
+    * (addr STRING, value STRING, tombstone BOOLEAN). */
+  def applyBatch(df: DataFrame): Unit = {
+    val cols = df.columns
+    val withTomb =
+      if (cols.contains("tombstone")) df
+      else df.withColumn("tombstone", lit(false))
+    store.append(
+      withTomb.select(
+        col(cols(0)).cast(StringType).as("addr"),
+        col(cols(1)).cast(StringType).as("value"),
+        col("tombstone").cast(BooleanType)
+      ).where(col("addr").isNotNull) // null key = "don't index"
+    )
+  }
+
+  def set(addr: String, value: String): Unit = {
+    import spark.implicits._
+    applyBatch(Seq((addr, value, false)).toDF("addr", "value", "tombstone"))
+  }
+
+  /** Tombstone: observable returns to "unset" (indexes/index.go:49-53). */
+  def delete(addr: String): Unit = {
+    import spark.implicits._
+    applyBatch(
+      Seq((addr, null.asInstanceOf[String], true))
+        .toDF("addr", "value", "tombstone")
+    )
+  }
+
+  /** Materialized current state: last write per addr, tombstones
+    * dropped. One shuffle on addr; at scale this is the standard
+    * change-table → snapshot compaction and can be checkpointed via
+    * `compact()`. */
+  def current: DataFrame = {
+    val w = Window
+      .partitionBy("addr")
+      .orderBy(col("_ver").desc, monotonically_increasing_id().desc)
+    store.readVersioned
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && !col("tombstone"))
+      .select("addr", "value")
+  }
+
+  /** Point read; None = unset (the reference's `UnsetValue`). */
+  def get(addr: String): Option[String] = {
+    val rows = current.where(col("addr") === addr).collect()
+    rows.headOption.map(_.getString(1))
+  }
+
+  /** Fold the change log into a single compacted snapshot segment. */
+  def compact(): Unit = {
+    val snap = current
+      .withColumn("tombstone", lit(false))
+      .select("addr", "value", "tombstone")
+    store.rewrite(_ => snap)
+  }
+
+  /** Persisted resume cursor (SetSeq/GetSeq, indexes/index.go:63-70). */
+  def setSeq(seq: Long): Unit = {
+    val tmp = Paths.get(dir, "cursor.seq.tmp")
+    Files.writeString(tmp, seq.toString)
+    Files.move(
+      tmp,
+      seqPath,
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING
+    )
+  }
+
+  def getSeq: Long =
+    if (Files.exists(seqPath)) Files.readString(seqPath).trim.toLong
+    else graft.core.Seqs.SeqEmpty
+}
+
+object KVIndex {
+  val schema: StructType = StructType(
+    Seq(
+      StructField("addr", StringType, nullable = false),
+      StructField("value", StringType, nullable = true),
+      StructField("tombstone", BooleanType, nullable = false)
+    )
+  )
+
+  def open(spark: SparkSession, dir: String): KVIndex =
+    new KVIndex(spark, dir)
+}

@@ -1,0 +1,156 @@
+package graft.multilog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.storage.TableStore
+
+/** Virtual sublogs — the reference's roaring-bitmap multilog
+  * (multilog/multilog.go:21-31, multilog/roaring/) re-expressed as an
+  * index TABLE `(addr STRING, seq BIGINT)`:
+  *
+  *   - `Sublog.Append(parentSeq)` = append an `(addr, seq)` row; bitmap
+  *     `Set` idempotence = dedup on (addr, seq)
+  *   - `Sublog.Get(rank)` (bitmap Select, roaring/sublog.go:55) =
+  *     `row_number() over (partition by addr order by seq)`
+  *   - `List()` = `select distinct addr`; cardinality = `count(*)`
+  *   - `Delete(addr)` = copy-on-write rewrite dropping the addr;
+  *     open handles are poisoned (ErrSublogDeleted, matching
+  *     multilog/roaring/multilog.go:166-178)
+  *
+  * Scale: the table is partition-friendly (hash on addr); a sublog read
+  * is a pushed `addr = X` predicate; sublog→parent-value resolution is
+  * `idx.join(log, "seq")` and broadcasts when the sublog is small.
+  * Roaring-bitmap compressed storage is an optional fidelity path
+  * (RoaringBitmap ships in Spark's jars) deferred to a later round —
+  * plain parquet columns already encode sorted seq runs efficiently.
+  */
+final class MultiLog(val spark: SparkSession, val dir: String) {
+
+  private val store = TableStore.open(spark, dir, MultiLog.schema)
+
+  // Poisoned handles: addrs deleted while a Sublog handle was open.
+  private val deletedEpoch =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  @volatile private var epoch: Long = 0L
+
+  /** The deduplicated index table `(addr, seq)`. */
+  def table: DataFrame = store.read.dropDuplicates("addr", "seq")
+
+  /** Fan a batch of `(addr, seq)` rows into the index. Idempotent by
+    * construction (dedup on read), so replays from a resumed sink are
+    * harmless — strictly stronger than the reference's at-most-once
+    * cursor-first discipline (multilog/sink.go:50-57). */
+  def appendBatch(df: DataFrame): Unit = {
+    store.append(
+      df.select(
+        col(df.columns(0)).cast(StringType).as("addr"),
+        col(df.columns(1)).cast(LongType).as("seq")
+      ).where(col("addr").isNotNull) // null route = "don't index"
+        .dropDuplicates("addr", "seq")
+    )
+    epoch += 1
+  }
+
+  def append(addr: String, parentSeq: Long): Unit = {
+    import spark.implicits._
+    appendBatch(Seq((addr, parentSeq)).toDF("addr", "seq"))
+  }
+
+  /** Open a sublog handle (creates-on-write semantics like the
+    * reference's `Get`, multilog/roaring/multilog.go:98-140). */
+  def sublog(addr: String): Sublog = new Sublog(this, addr, epoch)
+
+  /** Non-empty sublog addresses (multilog/roaring/multilog.go:181-216). */
+  def list(): DataFrame = table.select("addr").distinct()
+
+  def has(addr: String): Boolean =
+    table.where(col("addr") === addr).limit(1).count() > 0
+
+  /** Drop a sublog and poison open handles
+    * (multilog/roaring/multilog.go:166-178). */
+  def delete(addr: String): Unit = {
+    store.rewrite(df => df.where(col("addr") =!= addr))
+    deletedEpoch.put(addr, epoch)
+    epoch += 1
+  }
+
+  private[multilog] def isPoisoned(addr: String, handleEpoch: Long): Boolean =
+    deletedEpoch.get(addr).exists(_ >= handleEpoch)
+
+  /** Flush is a no-op: every append commits its manifest (the
+    * reference's 13-second dirty-bitmap flush cadence,
+    * multilog/roaring/multilog.go:44-57, is subsumed by per-batch
+    * atomic commits). */
+  def flush(): Unit = ()
+}
+
+object MultiLog {
+  val schema: StructType = StructType(
+    Seq(
+      StructField("addr", StringType, nullable = false),
+      StructField("seq", LongType, nullable = false)
+    )
+  )
+
+  def open(spark: SparkSession, dir: String): MultiLog =
+    new MultiLog(spark, dir)
+}
+
+/** A rank-addressed view of one sublog: entry `rank` holds the parent
+  * log seq (bitmap `Select(rank)` in the reference,
+  * multilog/roaring/sublog.go:40-60). Implements the same QuerySpec
+  * algebra where "seq" means rank within the sublog.
+  */
+final class Sublog(
+    parent: MultiLog,
+    val addr: String,
+    handleEpoch: Long
+) {
+
+  private def guard(): Unit =
+    if (parent.isPoisoned(addr, handleEpoch))
+      throw GraftErrors.ErrSublogDeleted(addr)
+
+  /** `(seq, value)` rows where seq = rank (0-based) and value = parent
+    * log seq. The window is per-addr after a pushed addr filter, so
+    * the shuffle is one narrow partition at scale. */
+  def toDF: DataFrame = {
+    guard()
+    val w = Window.partitionBy("addr").orderBy(col("seq").asc)
+    parent.table
+      .where(col("addr") === addr)
+      .withColumn("rank", row_number().over(w) - 1)
+      .select(
+        col("rank").cast(LongType).as("seq"),
+        col("seq").as("value"),
+        lit(false).as("nulled")
+      )
+  }
+
+  /** Cardinality - 1, or SeqEmpty (-1) for an empty/unknown sublog. */
+  def seq: Long = {
+    guard()
+    toDF.count() - 1
+  }
+
+  /** Rank → parent seq (bitmap Select). */
+  def get(rank: Long): Long = {
+    guard()
+    val rows = toDF.where(col("seq") === rank).collect()
+    if (rows.isEmpty) throw GraftErrors.ErrOutOfBounds(rank)
+    rows.head.getLong(1)
+  }
+
+  /** QuerySpec query over ranks. Live sublog tailing goes through the
+    * streaming layer (filtered stream on addr). */
+  def query(specs: QuerySpec*): DataFrame = {
+    guard()
+    val plan = QueryPlan.of(specs: _*)
+    require(!plan.live, "live sublog queries go through LiveTail")
+    graft.query.QueryBuilder.build(toDF, plan)
+  }
+}

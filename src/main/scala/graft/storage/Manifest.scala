@@ -1,0 +1,59 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** One committed data segment: a single parquet file holding a dense,
+  * contiguous seq range [minSeq, maxSeq].
+  */
+final case class Segment(path: String, minSeq: Long, maxSeq: Long, rows: Long)
+
+/** The log's transaction manifest — the Spark-world analogue of the
+  * reference's `jrnl` file (offset2/journal.go:20-66): a single small
+  * record that makes a set of immutable data files atomically visible
+  * and carries the committed max sequence number.
+  *
+  * Commit protocol: write `manifest.json.tmp` then atomically rename to
+  * `manifest.json`. Readers only trust files listed here; a crash
+  * mid-append leaves orphan parquet files that are invisible (and are
+  * swept by checkConsistency), giving the same recovery semantics as
+  * the reference's journal cross-check (offset2/log.go:217-302).
+  *
+  * At cluster scale this is one tiny JSON object on shared storage
+  * maintained by the single committer — the one honest serialization
+  * point a dense-seq append-only log requires (same discipline as the
+  * reference's per-log mutex, offset2/log.go:46).
+  */
+final case class Manifest(
+    version: Long,
+    maxSeq: Long, // == Seqs.SeqEmpty (-1) when empty
+    valueSchemaJson: String, // Spark DataType JSON of the value column
+    segments: List[Segment]
+)
+
+object Manifest {
+  private implicit val fmts: Formats = DefaultFormats
+
+  def manifestPath(dir: String): Path = Paths.get(dir, "manifest.json")
+
+  def load(dir: String): Option[Manifest] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) None
+    else Some(JsonMethods.parse(Files.readString(p)).extract[Manifest])
+  }
+
+  def commit(dir: String, m: Manifest): Unit = {
+    val p = manifestPath(dir)
+    val tmp = Paths.get(dir, s"manifest.json.tmp")
+    Files.createDirectories(p.getParent)
+    Files.writeString(tmp, Serialization.writePretty(m))
+    Files.move(
+      tmp,
+      p,
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING
+    )
+  }
+}

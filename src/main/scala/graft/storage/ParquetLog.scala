@@ -1,0 +1,324 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** A durable, append-only, dense-sequence log backed by immutable
+  * parquet segments plus a tiny atomic [[Manifest]].
+  *
+  * Capability parity with the reference's offset2 log
+  * (reference: offset2/log.go) re-expressed for Spark:
+  *
+  *   - `append` — single-committer write that stamps dense seqs
+  *     (`maxSeq+1 …`) exactly like the journal bump discipline
+  *     (offset2/log.go:425-462). Appends from many sources funnel
+  *     through one committer; readers scale out unboundedly because
+  *     segments are immutable parquet.
+  *   - `get(seq)` — manifest maps seq → one segment file (driver-side
+  *     O(log #segments)), then a single-file parquet read with a pushed
+  *     `seq = n` predicate: the 2-seek point read of
+  *     offset2/offset.go:20-32 becomes footer + one row-group.
+  *   - `query(specs…)` — the QuerySpec algebra lowered to a DataFrame
+  *     pipeline (see [[graft.query.QueryBuilder]]).
+  *   - `nullAt`/`replace` — copy-on-write rewrite of the one affected
+  *     segment (offset2/log.go:91-160 semantics: reads then surface
+  *     `ErrNulled` / the replacement value; neighbors keep their seqs).
+  *   - `checkConsistency` — manifest-vs-files fsck with recovery, the
+  *     analogue of offset2/log.go:217-344.
+  *
+  * Storage layout under `dir/`:
+  * {{{
+  *   manifest.json          // atomic commit point (see Manifest)
+  *   data/seg-<seq>-<uuid>.parquet
+  * }}}
+  *
+  * Rows have schema `(seq BIGINT, value <T>, nulled BOOLEAN)`; segments
+  * are sorted by seq so parquet row-group min/max stats prune both
+  * point and range reads.
+  */
+final class ParquetLog private (
+    val spark: SparkSession,
+    val dir: String,
+    @volatile private var manifest: Manifest
+) {
+  import ParquetLog._
+
+  private def dataDir: Path = Paths.get(dir, "data")
+
+  def valueType: DataType = DataType.fromJson(manifest.valueSchemaJson)
+
+  private def rowSchema: StructType = StructType(
+    Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("value", valueType, nullable = true),
+      StructField("nulled", BooleanType, nullable = false)
+    )
+  )
+
+  /** Current max sequence number; Seqs.SeqEmpty (-1) when empty.
+    * Constant-time — read from the manifest, never a table scan
+    * (reference: Seq(), offset2/log.go:346-350). */
+  def seq: Long = manifest.maxSeq
+
+  /** The committed log as a DataFrame `(seq, value, nulled)`.
+    * Batch visibility is manifest-scoped: only committed segments. */
+  def toDF: DataFrame =
+    if (manifest.segments.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        rowSchema
+      )
+    else
+      spark.read.schema(rowSchema).parquet(segmentPaths: _*)
+
+  private def segmentPaths: Seq[String] =
+    manifest.segments.map(s => Paths.get(dir, s.path).toString)
+
+  /** Append a batch of values (single `value` column) and return the
+    * first assigned sequence number.
+    *
+    * Dense-seq assignment: `monotonically_increasing_id` is NOT
+    * contiguous, so we use the two-pass zipWithIndex discipline (count
+    * partition sizes, then stamp `base + partitionOffset + i`). The
+    * extra pass is the price of dense seqs; it parallelizes across the
+    * cluster and only the manifest commit is serialized.
+    */
+  def append(values: DataFrame): Long = synchronized {
+    val base = manifest.maxSeq + 1
+    val vCol = values.columns.head
+    val vType = values.schema.head.dataType
+    require(
+      manifest.segments.isEmpty || vType == valueType,
+      s"value type $vType does not match log's $valueType"
+    )
+    val schema = StructType(
+      Seq(
+        StructField("seq", LongType, nullable = false),
+        StructField("value", vType, nullable = true),
+        StructField("nulled", BooleanType, nullable = false)
+      )
+    )
+    val rdd = values
+      .select(col(vCol))
+      .rdd
+      .zipWithIndex()
+      .map { case (r, i) => Row(base + i, r.get(0), false) }
+    val df = spark.createDataFrame(rdd, schema)
+    val segs = writeSegments(df)
+    if (segs.isEmpty) return base // empty batch: nothing to commit
+    val newMax = segs.map(_.maxSeq).max
+    manifest = manifest.copy(
+      version = manifest.version + 1,
+      maxSeq = newMax,
+      valueSchemaJson =
+        if (manifest.segments.isEmpty) vType.json
+        else manifest.valueSchemaJson,
+      segments = manifest.segments ++ segs
+    )
+    Manifest.commit(dir, manifest)
+    base
+  }
+
+  /** Typed convenience append. */
+  def appendValues[T: Encoder](values: Seq[T]): Long = {
+    import spark.implicits._
+    val df = spark.createDataset(values).toDF("value")
+    append(df)
+  }
+
+  /** Write `(seq,value,nulled)` rows into new segment files under
+    * data/, sorted by seq, and return their manifest entries. */
+  private def writeSegments(df: DataFrame): List[Segment] = {
+    val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
+    df.sortWithinPartitions("seq")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    // Per-file seq stats via one small job over the just-written files.
+    val stats = spark.read
+      .parquet(tmp.toString)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min("seq").as("minSeq"),
+        max("seq").as("maxSeq"),
+        count(lit(1)).as("rows")
+      )
+      .collect()
+    Files.createDirectories(dataDir)
+    val segs = stats.toList.map { r =>
+      val src = Paths.get(new java.net.URI(r.getString(0)))
+      val minSeq = r.getLong(1)
+      val name = f"seg-$minSeq%012d-${UUID.randomUUID().toString.take(8)}.parquet"
+      Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      Segment(s"data/$name", minSeq, r.getLong(2), r.getLong(3))
+    }
+    deleteRecursively(tmp)
+    segs.sortBy(_.minSeq)
+  }
+
+  /** Point read. Throws ErrOutOfBounds past the end, ErrNulled for
+    * redacted entries (reference: offset2/log.go:356-371). */
+  def get(seqNo: Long): Row = {
+    if (seqNo < 0 || seqNo > manifest.maxSeq)
+      throw GraftErrors.ErrOutOfBounds(seqNo)
+    val seg = manifest.segments
+      .find(s => s.minSeq <= seqNo && seqNo <= s.maxSeq)
+      .getOrElse(throw GraftErrors.ErrOutOfBounds(seqNo))
+    val rows = spark.read
+      .schema(rowSchema)
+      .parquet(Paths.get(dir, seg.path).toString)
+      .where(col("seq") === seqNo)
+      .collect()
+    if (rows.isEmpty) throw GraftErrors.ErrOutOfBounds(seqNo)
+    val r = rows.head
+    if (r.getBoolean(2)) throw GraftErrors.ErrNulled(seqNo)
+    r
+  }
+
+  /** Build a batch query per the QuerySpec algebra. Live specs must go
+    * through [[liveQuery]] (Structured Streaming). */
+  def query(specs: QuerySpec*): DataFrame = {
+    val plan = QueryPlan.of(specs: _*)
+    require(!plan.live, "use liveQuery for Live specs")
+    graft.query.QueryBuilder.build(toDF, plan)
+  }
+
+  /** Streaming tail of the log (reference: Live(true) queries,
+    * offset2/qry.go:124-158). Catch-up = the initial micro-batches over
+    * the backlog; live = subsequent file discoveries. Reverse+Live is
+    * rejected by plan validation. */
+  def liveQuery(specs: QuerySpec*): DataFrame = {
+    val plan = QueryPlan.of(specs: _*)
+    require(plan.live, "liveQuery requires Live(true)")
+    val stream = spark.readStream
+      .schema(rowSchema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(s"$dir/data")
+    graft.query.QueryBuilder.buildStreaming(stream, plan)
+  }
+
+  /** Redact an entry in place: value → null, nulled → true. Idempotent.
+    * Copy-on-write of the single containing segment; neighbors keep
+    * their seqs (reference: Null, offset2/log.go:91-128). */
+  def nullAt(seqNo: Long): Unit =
+    rewriteSegmentOf(seqNo) { df =>
+      df.withColumn(
+        "value",
+        when(col("seq") === seqNo, lit(null).cast(valueType))
+          .otherwise(col("value"))
+      ).withColumn(
+        "nulled",
+        when(col("seq") === seqNo, lit(true)).otherwise(col("nulled"))
+      )
+    }
+
+  /** Overwrite an entry's value in place (reference: Replace,
+    * offset2/log.go:132-160 — parquet removes its same-size
+    * restriction). The replacement row keeps its seq and clears any
+    * nulled flag, matching the reference (replace after null yields the
+    * new value). */
+  def replace(seqNo: Long, newValue: Column): Unit =
+    rewriteSegmentOf(seqNo) { df =>
+      df.withColumn(
+        "value",
+        when(col("seq") === seqNo, newValue.cast(valueType))
+          .otherwise(col("value"))
+      ).withColumn(
+        "nulled",
+        when(col("seq") === seqNo, lit(false)).otherwise(col("nulled"))
+      )
+    }
+
+  private def rewriteSegmentOf(seqNo: Long)(f: DataFrame => DataFrame): Unit =
+    synchronized {
+      if (seqNo < 0 || seqNo > manifest.maxSeq)
+        throw GraftErrors.ErrOutOfBounds(seqNo)
+      val seg = manifest.segments
+        .find(s => s.minSeq <= seqNo && seqNo <= s.maxSeq)
+        .getOrElse(throw GraftErrors.ErrOutOfBounds(seqNo))
+      val df =
+        spark.read.schema(rowSchema).parquet(Paths.get(dir, seg.path).toString)
+      val rewritten = f(df)
+      val newSegs = writeSegments(rewritten)
+      manifest = manifest.copy(
+        version = manifest.version + 1,
+        segments =
+          (manifest.segments.filterNot(_ == seg) ++ newSegs).sortBy(_.minSeq)
+      )
+      Manifest.commit(dir, manifest)
+      Files.deleteIfExists(Paths.get(dir, seg.path))
+    }
+
+  /** Fsck: every manifest segment exists; seq ranges are dense and
+    * non-overlapping from 0..maxSeq. Returns the list of problems
+    * (empty = consistent). Orphan data files (from a crashed append)
+    * are reported, and swept when `repair` is set — the analogue of the
+    * journal-recovery path (offset2/log.go:256-277). */
+  def checkConsistency(repair: Boolean = false): List[String] = synchronized {
+    val problems = scala.collection.mutable.ListBuffer.empty[String]
+    manifest.segments.foreach { s =>
+      if (!Files.exists(Paths.get(dir, s.path)))
+        problems += s"missing segment file: ${s.path}"
+    }
+    val sorted = manifest.segments.sortBy(_.minSeq)
+    var expect = 0L
+    sorted.foreach { s =>
+      if (s.minSeq != expect)
+        problems += s"seq gap/overlap at ${s.path}: expected $expect, found ${s.minSeq}"
+      expect = s.maxSeq + 1
+    }
+    if (manifest.maxSeq != expect - 1 && !(manifest.maxSeq == Seqs.SeqEmpty && sorted.isEmpty))
+      problems += s"manifest maxSeq ${manifest.maxSeq} != segment extent ${expect - 1}"
+    val known = manifest.segments.map(_.path).toSet
+    if (Files.exists(dataDir)) {
+      Files.list(dataDir).iterator().asScala.foreach { p =>
+        val rel = s"data/${p.getFileName}"
+        if (!known.contains(rel)) {
+          problems += s"orphan data file: $rel"
+          if (repair) Files.deleteIfExists(p)
+        }
+      }
+    }
+    problems.toList
+  }
+}
+
+object ParquetLog {
+
+  /** Open an existing log, or create an empty one (value type fixed on
+    * first append; `valueType` seeds the schema for an empty log so
+    * reads/streams work before any data arrives). */
+  def open(
+      spark: SparkSession,
+      dir: String,
+      valueType: DataType = StringType
+  ): ParquetLog = {
+    Files.createDirectories(Paths.get(dir))
+    val m = Manifest
+      .load(dir)
+      .getOrElse {
+        val fresh =
+          Manifest(0L, Seqs.SeqEmpty, valueType.json, Nil)
+        Manifest.commit(dir, fresh)
+        fresh
+      }
+    new ParquetLog(spark, dir, m)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files
+        .walk(p)
+        .sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator()
+        .asScala
+        .foreach(Files.deleteIfExists(_))
+    }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.core._
+import graft.core.QuerySpec._
+import graft.storage.ParquetLog
+
+/** Golden query vectors ported from the reference's conformance suite
+  * (reference: test/simple.go:126-236, test/get.go:16-65). Values 1..n
+  * are appended at seqs 0..n-1; each spec combination must return the
+  * tabulated results in order.
+  */
+class LogSpec extends SparkSpec {
+
+  private def mkLog(values: Seq[Int]): ParquetLog = {
+    import spark.implicits._
+    val log = ParquetLog.open(
+      spark,
+      tmpDir("log"),
+      org.apache.spark.sql.types.IntegerType
+    )
+    val first = log.appendValues(values)
+    assert(first == 0L, "first assigned seq must be 0")
+    log
+  }
+
+  private def values(log: ParquetLog, specs: QuerySpec*): Seq[Int] =
+    log
+      .query(specs: _*)
+      .collect()
+      .toSeq
+      .map(r => r.getInt(r.fieldIndex("value")))
+
+  // test/simple.go "simple"
+  test("simple: full drain in order") {
+    assert(values(mkLog(Seq(1, 2, 3))) == Seq(1, 2, 3))
+  }
+
+  // test/simple.go "reverse"
+  test("reverse: tail to head") {
+    assert(
+      values(mkLog(Seq(1, 2, 3, 4, 5)), Reverse(true)) == Seq(5, 4, 3, 2, 1)
+    )
+  }
+
+  // test/simple.go "reverse-false"
+  test("reverse(false): unchanged") {
+    assert(
+      values(mkLog(Seq(1, 2, 3, 4, 5)), Reverse(false)) == Seq(1, 2, 3, 4, 5)
+    )
+  }
+
+  // test/simple.go "gt0" / "gte1" / "lt2" / "lte1" / "limit2"
+  test("gt0") {
+    assert(values(mkLog(Seq(1, 2, 3)), Gt(0)) == Seq(2, 3))
+  }
+  test("gte1") {
+    assert(values(mkLog(Seq(1, 2, 3)), Gte(1)) == Seq(2, 3))
+  }
+  test("lt2") {
+    assert(values(mkLog(Seq(1, 2, 3)), Lt(2)) == Seq(1, 2))
+  }
+  test("lte1") {
+    assert(values(mkLog(Seq(1, 2, 3)), Lte(1)) == Seq(1, 2))
+  }
+  test("limit2") {
+    assert(values(mkLog(Seq(1, 2, 3)), Limit(2)) == Seq(1, 2))
+  }
+
+  // The reference's issue-#6 combinations, implemented CORRECTLY
+  // (SURVEY §7.4 item 7): bounds compose with reverse on seq order.
+  test("reverse + gte composes correctly") {
+    assert(
+      values(mkLog(Seq(1, 2, 3, 4, 5)), Reverse(true), Gte(2)) ==
+        Seq(5, 4, 3)
+    )
+  }
+  test("reverse + lt composes correctly") {
+    assert(
+      values(mkLog(Seq(1, 2, 3, 4, 5)), Reverse(true), Lt(4)) ==
+        Seq(4, 3, 2, 1)
+    )
+  }
+
+  // test/simple.go "seqWrap"
+  test("seqWrap pairs (seq, value)") {
+    val got = mkLog(Seq(1, 2, 3))
+      .query(SeqWrap(true))
+      .collect()
+      .toSeq
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got == Seq((0L, 1), (1L, 2), (2L, 3)))
+  }
+
+  // test/simple.go "EOS": draining past the end yields nothing more
+  test("EOS: query returns exactly the appended entries") {
+    assert(values(mkLog(Seq(1, 2))).size == 2)
+  }
+
+  // test/simple.go "invalid querys"
+  test("reverse + live rejected") {
+    val e = intercept[GraftErrors.InvalidQuery] {
+      QueryPlan.of(Live(true), Reverse(true))
+    }
+    assert(e.getMessage.contains("can't do reverse and live"))
+  }
+
+  // offset2/qry.go:35-69 single-set validation
+  test("double lower bound rejected") {
+    intercept[GraftErrors.InvalidQuery](QueryPlan.of(Gt(1), Gte(2)))
+  }
+  test("double upper bound rejected") {
+    intercept[GraftErrors.InvalidQuery](QueryPlan.of(Lt(1), Lte(2)))
+  }
+
+  // test/get.go point reads
+  test("get(seq) point reads and OOB") {
+    val log = mkLog(Seq(1, 2, 3))
+    assert(log.get(0).getInt(1) == 1)
+    assert(log.get(2).getInt(1) == 3)
+    intercept[GraftErrors.ErrOutOfBounds](log.get(3))
+    intercept[GraftErrors.ErrOutOfBounds](log.get(-1))
+  }
+
+  test("seq() is count-1; SeqEmpty on empty log") {
+    val log = mkLog(Seq(1, 2, 3))
+    assert(log.seq == 2L)
+    val empty = ParquetLog.open(
+      spark,
+      tmpDir("empty"),
+      org.apache.spark.sql.types.IntegerType
+    )
+    assert(empty.seq == Seqs.SeqEmpty)
+  }
+
+  // offset2/rw_test.go:66-146 TestWriteAndWriteAgain
+  test("reopen continues sequence (durability)") {
+    import spark.implicits._
+    val dir = tmpDir("reopen")
+    val log1 =
+      ParquetLog.open(spark, dir, org.apache.spark.sql.types.IntegerType)
+    log1.appendValues(Seq(1, 2, 3))
+    val log2 =
+      ParquetLog.open(spark, dir, org.apache.spark.sql.types.IntegerType)
+    assert(log2.seq == 2L)
+    val next = log2.appendValues(Seq(4, 5, 6))
+    assert(next == 3L)
+    assert(values(log2) == Seq(1, 2, 3, 4, 5, 6))
+  }
+
+  test("checkConsistency clean log") {
+    val log = mkLog(Seq(1, 2, 3))
+    assert(log.checkConsistency() == Nil)
+  }
+}
