@@ -1,13 +1,504 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.QuerySpec._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import graft.text.TextFunctions
+
+/** Driver contract — one `queries` entry (plus DuckDB oracle SQL) per
+  * operator of SURVEY.md §2 and per pipeline extension.
+  *
+  * q01–q11 run THROUGH the engine (ParquetLog / MultiLog / KVIndex
+  * built by [[EngineFixtures]] from the events table); the oracle
+  * recomputes the same result with plain SQL over the raw parquet, so
+  * a pass checks the storage + query stack end to end. q12+ exercise
+  * the relational, text, dedup, similarity and multimodal operators
+  * directly over the driver's tables.
+  *
+  * All float outputs are rounded IN the query (both sides) so the
+  * driver's hash compare is immune to summation-order jitter; all
+  * queries have a total deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: revenue by nation with broadcast dimension joins. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    nationRevenue(spark, "/root/testdata/sf0.001")
+
+  private def nationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val nation = Tables.load(s, dir, "nation")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy("n_name")
+  }
+
+  // ---- engine-backed log queries -----------------------------------
+
+  private def logScan(s: SparkSession, dir: String, specs: Seq[graft.core.QuerySpec]): DataFrame = {
+    val (log, _, _) = EngineFixtures.open(s, dir)
+    log
+      .query(specs :+ SeqWrap(true): _*)
+      .select(col("seq"), col("value.*"))
+      .withColumn("amount", round(col("amount"), 6))
+      // integer µs: DuckDB reads parquet nanos at µs resolution, and
+      // `div` keeps the division exact where double math would not be
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .drop("ts_ns")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 op 5 Query + op 1 Append (the fixture ingest) — full drain
+    "q01_log_scan" -> ((s, dir) => logScan(s, dir, Nil).orderBy("seq")),
+    // §2.2 Gte/Lt bounds
+    "q02_log_range" -> ((s, dir) =>
+      logScan(s, dir, Seq(Gte(100), Lt(200))).orderBy("seq")),
+    // §2.2 Limit
+    "q03_log_limit" -> ((s, dir) => logScan(s, dir, Seq(Limit(50))).orderBy("seq")),
+    // §2.2 Reverse + Limit (top-k from the tail)
+    "q04_log_reverse_topk" -> ((s, dir) => {
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      log
+        .query(Reverse(true), Limit(100), SeqWrap(true))
+        .select(col("seq"), col("value.*"))
+        .withColumn("amount", round(col("amount"), 6))
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .drop("ts_ns")
+    }),
+    // §2.1 op 2 Get(seq) — point read as a 1-row query
+    "q05_log_point" -> ((s, dir) => logScan(s, dir, Seq(Gte(42), Lte(42)))),
+    // §2.1 op 3 Seq()
+    "q06_log_seq" -> ((s, dir) => {
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      s.range(1).select(lit(log.seq).as("seq"))
+    }),
+    // §2.4 multilog fan-out table (ops 16-17, 23)
+    "q07_multilog_table" -> ((s, dir) => {
+      val (_, mlog, _) = EngineFixtures.open(s, dir)
+      mlog.table.orderBy("addr", "seq")
+    }),
+    // §2.4 op 18-19 rank-addressed sublogs (one union across addrs)
+    "q08_multilog_rank" -> ((s, dir) => {
+      val (_, mlog, _) = EngineFixtures.open(s, dir)
+      val addrs = mlog.list().collect().map(_.getString(0)).sorted
+      addrs
+        .map(a =>
+          mlog
+            .sublog(a)
+            .query(SeqWrap(true))
+            .select(lit(a).as("addr"), col("seq").as("rank"), col("value").as("parent_seq"))
+        )
+        .reduce(_.unionByName(_))
+        .orderBy("addr", "rank")
+    }),
+    // §2.4 op 20 List
+    "q09_multilog_list" -> ((s, dir) => {
+      val (_, mlog, _) = EngineFixtures.open(s, dir)
+      mlog.list().orderBy("addr")
+    }),
+    // §2.4 cardinality (bitmap GetCardinality)
+    "q10_multilog_card" -> ((s, dir) => {
+      val (_, mlog, _) = EngineFixtures.open(s, dir)
+      mlog.table.groupBy("addr").agg(count(lit(1)).as("n")).orderBy("addr")
+    }),
+    // §2.5 ops 26-29 KV index (SinkIndex-built, last-write-wins)
+    "q11_index_last" -> ((s, dir) => {
+      val (_, _, kv) = EngineFixtures.open(s, dir)
+      kv.current.orderBy("addr")
+    }),
+
+    // ---- relational capabilities (Spark-first extensions) ----------
+    "q12_agg_pricing" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q13_join_revenue" -> ((s, dir) => nationRevenue(s, dir)),
+    "q14_window_rank" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q15_sort_topk" -> ((s, dir) =>
+      Tables
+        .load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
+
+    // ---- text analysis ---------------------------------------------
+    "q16_text_stats" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.digitRatio(col("text")), 6).as("digit_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio")
+      ).orderBy("doc_id")
+    }),
+    "q17_lang_id" -> ((s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q18_quality" -> ((s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q19_fingerprint" -> ((s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- dedup ------------------------------------------------------
+    "q20_dedup_exact_groups" -> ((s, dir) =>
+      Dedup
+        .exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fingerprint")),
+    "q21_dedup_exact_survivors" -> ((s, dir) =>
+      Dedup
+        .exactDedup(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")),
+    "q22_minhash_sig" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(
+        Tables.load(s, dir, "documents"),
+        "text",
+        "doc_id",
+        numHashes = 8
+      )
+      sigs
+        .select(col("doc_id"), posexplode(col("signature")).as(Seq("k", "h")))
+        .orderBy("doc_id", "k")
+    }),
+    "q23_ngram_jaccard" -> ((s, dir) =>
+      Dedup
+        .ngramJaccardPairs(
+          Tables.load(s, dir, "documents"),
+          "text",
+          "doc_id",
+          shingleWidth = 3,
+          threshold = 0.35
+        )
+        .orderBy("id_a", "id_b")),
+    "q24_lsh_pairs" -> ((s, dir) =>
+      Dedup
+        .minhashLshPairs(
+          Tables.load(s, dir, "documents"),
+          "text",
+          "doc_id",
+          numHashes = 8,
+          bands = 4,
+          threshold = 0.35
+        )
+        .orderBy("id_a", "id_b")),
+    "q25_simhash" -> ((s, dir) =>
+      Dedup
+        .simhash32(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    "q26_embed_neardup" -> ((s, dir) =>
+      Dedup
+        .embeddingNearDupPairs(
+          Tables.load(s, dir, "embeddings"),
+          "embedding",
+          "vec_id",
+          threshold = 0.3
+        )
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")),
+
+    // ---- similarity search -----------------------------------------
+    "q27_ann_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb
+        .where(col("vec_id") === 0)
+        .select("embedding")
+        .collect()(0)
+        .getSeq[Float](0)
+      Ann
+        .cosineTopK(emb, "embedding", "vec_id", q, 10)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+    // rows-only check (approximate by construction; recall vs exact
+    // top-k is asserted in AnnSpec)
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb
+        .where(col("vec_id") === 0)
+        .select("embedding")
+        .collect()(0)
+        .getSeq[Float](0)
+      val bucketed = Ann.lshBuckets(emb, "embedding", "vec_id", bits = 8)
+      Ann
+        .lshTopK(bucketed, "embedding", "vec_id", q, 10, bits = 8, probeHamming = 1)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
+    // ---- multimodal plumbing ---------------------------------------
+    "q29_multimodal_features" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.synthesize(s, docs, "doc_id")
+      Multimodal
+        .extractFeatures(media)
+        .toDF()
+        .withColumn("meanByte", round(col("meanByte"), 6))
+        .orderBy("id")
+    })
+  )
+
+  // ---- DuckDB oracle SQL -------------------------------------------
+
+  private val eventCols =
+    "event_id, epoch_us(ts) AS ts_us, user_id, event_type, round(value, 6) AS amount, props"
+
+  private val shinglesCte =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3
+      |      THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)])
+      |      ELSE [array_to_string(w, ' ')] END AS shingles
+      |  FROM t
+      |), e AS (
+      |  SELECT doc_id, unnest(shingles) AS s FROM sh
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_log_scan" ->
+      s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq",
+    "q02_log_range" ->
+      s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id >= 100 AND event_id < 200 ORDER BY seq",
+    "q03_log_limit" ->
+      s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq LIMIT 50",
+    "q04_log_reverse_topk" ->
+      s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq DESC LIMIT 100",
+    "q05_log_point" ->
+      s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id = 42",
+    "q06_log_seq" -> "SELECT max(event_id) AS seq FROM events",
+    "q07_multilog_table" ->
+      "SELECT event_type AS addr, event_id AS seq FROM events ORDER BY addr, seq",
+    "q08_multilog_rank" ->
+      """SELECT event_type AS addr,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rank,
+        |  event_id AS parent_seq
+        |FROM events ORDER BY addr, rank""".stripMargin,
+    "q09_multilog_list" ->
+      "SELECT DISTINCT event_type AS addr FROM events ORDER BY addr",
+    "q10_multilog_card" ->
+      "SELECT event_type AS addr, count(*) AS n FROM events GROUP BY 1 ORDER BY addr",
+    "q11_index_last" ->
+      """SELECT CAST(user_id AS VARCHAR) AS addr, props AS value FROM (
+        |  SELECT user_id, props,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY addr""".stripMargin,
+    "q12_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_join_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q15_sort_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q16_text_stats" -> {
+      val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9\\s]')) AS n_bpe,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE, 6) END AS punct_ratio,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE, 6) END AS digit_ratio,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |       ELSE round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN ($stop))) / len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE, 6) END AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q17_lang_id" -> {
+      val cases = TextFunctions.langMarkers
+        .map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(w, x -> x IN ($inList))) AS c_$lang"
+        }
+        .mkString(",\n  ")
+      val langs = TextFunctions.langMarkers.map(_._1)
+      val best = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+      val chain = langs
+        .map(l => s"WHEN c_$l = $best AND $best > 0 THEN '$l'")
+        .mkString(" ")
+      s"""SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred FROM (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents
+         |), LATERAL (SELECT $cases)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q18_quality" -> {
+      val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, round(
+         |    least(n_tokens / 100.0, 1.0) * 0.3
+         |  + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
+         |  + least(stopword_ratio * 5.0, 1.0) * 0.3
+         |  + (CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE END AS punct_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE END AS digit_ratio,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |         ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN ($stop))) / len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE END AS stopword_ratio
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin
+    },
+    "q19_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_dedup_exact_groups" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  count(*) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q21_dedup_exact_survivors" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  ) AS canon FROM documents
+        |) WHERE doc_id = canon ORDER BY doc_id""".stripMargin,
+    "q22_minhash_sig" ->
+      s"""$shinglesCte, ks AS (SELECT unnest(generate_series(0, 7)) AS k)
+         |SELECT doc_id, k, min(substr(md5(k::VARCHAR || ':' || s), 1, 16)) AS h
+         |FROM e CROSS JOIN ks GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin,
+    "q23_ngram_jaccard" ->
+      s"""$shinglesCte, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q24_lsh_pairs" ->
+      s"""$shinglesCte, ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+         |sig AS (
+         |  SELECT doc_id, k, min(substr(md5(k::VARCHAR || ':' || s), 1, 16)) AS h
+         |  FROM e CROSS JOIN ks GROUP BY doc_id, k
+         |), sigarr AS (
+         |  SELECT doc_id, list(h ORDER BY k) AS sig FROM sig GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, b.band,
+         |    md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS bucket
+         |  FROM sigarr, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN e a ON a.doc_id = c.id_a
+         |  JOIN e b ON b.doc_id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q25_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (CAST(floor(h / pow(2, b.bit)) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q26_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q27_ann_topk" ->
+      """SELECT b.vec_id, round(round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS score
+        |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q29_multimodal_features" ->
+      """SELECT m.id, 'grft' AS format, m.w AS width, m.h AS height, m.frames,
+        |  round(avg((m.id * 31 + t.i) % 251), 6) AS meanByte,
+        |  16 + m.w * m.h AS sizeBytes
+        |FROM (
+        |  SELECT doc_id AS id, CAST(4 + doc_id % 8 AS INT) AS w,
+        |    CAST(4 + doc_id % 5 AS INT) AS h, CAST(1 + doc_id % 3 AS INT) AS frames
+        |  FROM documents
+        |) m, LATERAL unnest(generate_series(0, m.w * m.h - 1)) AS t(i)
+        |GROUP BY m.id, m.w, m.h, m.frames
+        |ORDER BY m.id""".stripMargin
+    // q28_ann_lsh: intentionally no oracle — approximate result;
+    // recall asserted against exact top-k in AnnSpec.
+  )
 }

@@ -1,0 +1,269 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines, each designed
+  * for the 100 TB shape of the problem:
+  *
+  *   - exact: hash-groupBy on a normalized fingerprint — one shuffle
+  *     keyed by a 128-bit hash, no skew (hash keys are uniform).
+  *   - MinHash + LSH: shingle → K independent min-hashes → band →
+  *     bucket self-join. The join is on band keys, so candidate
+  *     generation never goes quadratic; only same-bucket pairs get the
+  *     exact Jaccard verification. This is the classic
+  *     Broder/LSH construction (Mining of Massive Datasets ch.3).
+  *   - SimHash: 32-bit per-token majority vote; near-dups share a
+  *     fingerprint (or a bucket on the high bits at scale).
+  *   - n-gram Jaccard: inverted-index join on shingles with
+  *     count-sharing — exact, for modest candidate sets.
+  *
+  * Hash functions are built from `md5` hex strings so the DuckDB
+  * oracle can recompute them verbatim: a fixed-width lowercase-hex
+  * string compares lexicographically exactly like its numeric value,
+  * so `min(substr(md5(...),1,16))` is a valid minhash in both engines
+  * with zero custom code. (At production scale you'd swap in xxhash64
+  * — same plan shape, cheaper hash.)
+  */
+object Dedup {
+
+  /** Word-level w-shingles of the normalized text. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    val n = size(toks)
+    // positions 1..n-w+1 (slice is 1-based); degenerate docs (<w
+    // tokens) contribute their full token string as a single shingle
+    // so they can still be compared.
+    when(
+      n >= w,
+      array_distinct(
+        transform(
+          sequence(lit(1), n - lit(w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w)))
+        )
+      )
+    ).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Exact duplicate groups: normalized-md5 fingerprint → group.
+    * Returns (fingerprint, n_docs, canonical_id = min id). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("canonical_id")
+      )
+
+  /** Rows that survive exact dedup (the canonical doc per group). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val groups = exactGroups(df, textCol, idCol)
+      .select(col("canonical_id").as(idCol))
+    // broadcast-friendly: the group table is |distinct| <= |docs|;
+    // semi join keeps only canonical rows.
+    df.join(groups, Seq(idCol), "left_semi")
+  }
+
+  /** One minhash value: min over shingles of a keyed md5, as a
+    * fixed-width hex string (numeric order == lexicographic order). */
+  private def minhash(sh: Column, k: Int): Column =
+    array_min(transform(sh, s => substring(md5(concat(lit(s"$k:"), s)), 1, 16)))
+
+  /** Per-doc MinHash signature: array of `numHashes` hex minima. */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      shingleWidth: Int = 3
+  ): DataFrame = {
+    val sh = shingles(col(textCol), shingleWidth)
+    df.select(
+      col(idCol),
+      array((0 until numHashes).map(k => minhash(sh, k)): _*).as("signature")
+    )
+  }
+
+  /** LSH banding: docs sharing any band bucket become candidate pairs;
+    * candidates are verified with exact shingle Jaccard. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * Scale: the expensive operation is a self-join on (band, bucket)
+    * keys — linear in docs per bucket, never all-pairs. Hot buckets
+    * (boilerplate docs) are the skew risk; AQE skew-join handles
+    * moderate cases, and a bucket-cardinality cap (salting or dropping
+    * mega-buckets, which are near-certain duplicates anyway) the rest.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleWidth)
+    // band key = md5 over the band's slice of the signature
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map { b =>
+          md5(
+            concat_ws(
+              ",",
+              slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
+            )
+          )
+        }: _*)
+      ).as(Seq("band", "bucket"))
+    )
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val candidates = l
+      .join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    verifyJaccard(df, textCol, idCol, candidates, shingleWidth, threshold)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs (inverted-index join:
+    * shared-shingle counts vs set sizes, |A∩B| / (|A|+|B|-|A∩B|)). */
+  def verifyJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      candidates: DataFrame,
+      shingleWidth: Int,
+      threshold: Double
+  ): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleWidth)).as("shingle")
+    )
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** All near-duplicate pairs by exact n-gram Jaccard — the
+    * no-approximation baseline. Candidate pairs come from the shingle
+    * inverted index itself (docs sharing >=1 shingle), so complexity
+    * is sum over shingles of (docs-per-shingle choose 2); fine for
+    * verification scale, superseded by LSH at corpus scale. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleWidth)).as("shingle")
+    )
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val pairs = sh
+      .select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash from whitespace tokens: bit i of the fingerprint
+    * is the majority vote of bit i across all token md5 hashes.
+    * Pure columnar arithmetic (explode bits → conditional sum) — one
+    * narrow aggregation per doc, exactly recomputable in the oracle. */
+  def simhash32(
+      df: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok")
+    )
+    // token hash as a 32-bit int from the first 8 md5 hex chars
+    val hashed = toks.withColumn(
+      "h",
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    )
+    val bits = hashed.select(
+      col("id"),
+      explode(sequence(lit(0), lit(31))).as("bit"),
+      col("h")
+    )
+    // variable bit extraction via exact double arithmetic
+    // (floor(h / 2^bit) % 2) — portable to the DuckDB oracle verbatim
+    val votes = bits
+      .withColumn(
+        "vote",
+        when(pmod(floor(col("h") / pow(lit(2.0), col("bit"))), lit(2)) === 1, 1)
+          .otherwise(-1)
+      )
+      .groupBy("id", "bit")
+      .agg(sum("vote").as("v"))
+    votes
+      .withColumn(
+        "bitval",
+        when(col("v") > 0, pow(lit(2.0), col("bit")).cast("long"))
+          .otherwise(0L)
+      )
+      .groupBy("id")
+      .agg(sum("bitval").as("simhash"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine >= threshold.
+    * Brute-force within LSH-style buckets is the scale path
+    * (see [[graft.similarity.Ann]]); this exact variant is the
+    * correctness baseline over modest candidate sets. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95
+  ): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(graft.similarity.Ann.cosine(col("va"), col("vb")), 6))
+      .where(col("cos") >= threshold) // threshold on the ROUNDED value:
+      // keeps the boundary deterministic across engines/run orders
+      .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
+  }
+}

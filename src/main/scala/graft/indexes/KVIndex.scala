@@ -32,17 +32,23 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
   private val seqPath = Paths.get(dir, "cursor.seq")
 
   /** Apply a batch of upserts: DataFrame with columns
-    * (addr STRING, value STRING, tombstone BOOLEAN). */
+    * (addr STRING, value STRING[, tombstone BOOLEAN][, useq BIGINT]).
+    * `useq` orders writes WITHIN the batch (e.g. the log seq that
+    * produced the update); across batches the commit version orders.
+    * Omitted useq = 0 (batch is unordered / single-write). */
   def applyBatch(df: DataFrame): Unit = {
     val cols = df.columns
-    val withTomb =
-      if (cols.contains("tombstone")) df
-      else df.withColumn("tombstone", lit(false))
+    var out = df
+    if (!cols.contains("tombstone"))
+      out = out.withColumn("tombstone", lit(false))
+    if (!cols.contains("useq"))
+      out = out.withColumn("useq", lit(0L))
     store.append(
-      withTomb.select(
+      out.select(
         col(cols(0)).cast(StringType).as("addr"),
         col(cols(1)).cast(StringType).as("value"),
-        col("tombstone").cast(BooleanType)
+        col("tombstone").cast(BooleanType),
+        col("useq").cast(LongType)
       ).where(col("addr").isNotNull) // null key = "don't index"
     )
   }
@@ -68,7 +74,7 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
   def current: DataFrame = {
     val w = Window
       .partitionBy("addr")
-      .orderBy(col("_ver").desc, monotonically_increasing_id().desc)
+      .orderBy(col("_ver").desc, col("useq").desc)
     store.readVersioned
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && !col("tombstone"))
@@ -85,7 +91,8 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
   def compact(): Unit = {
     val snap = current
       .withColumn("tombstone", lit(false))
-      .select("addr", "value", "tombstone")
+      .withColumn("useq", lit(0L))
+      .select("addr", "value", "tombstone", "useq")
     store.rewrite(_ => snap)
   }
 
@@ -111,7 +118,8 @@ object KVIndex {
     Seq(
       StructField("addr", StringType, nullable = false),
       StructField("value", StringType, nullable = true),
-      StructField("tombstone", BooleanType, nullable = false)
+      StructField("tombstone", BooleanType, nullable = false),
+      StructField("useq", LongType, nullable = false)
     )
   )
 

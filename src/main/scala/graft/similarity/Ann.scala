@@ -1,0 +1,139 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, as a 100 TB pipeline needs both:
+  *
+  *   - [[cosineTopK]] — exact brute force: one narrow map over the
+  *     corpus (dot product via `zip_with`/`aggregate`, fully
+  *     codegen'd, no UDF) + a `TakeOrderedAndProject` top-k. No
+  *     shuffle of the corpus itself; the only data movement is the
+  *     k-row result. This is the correctness oracle and is already
+  *     the right plan for "score everything once" batch jobs.
+  *
+  *   - [[lshBuckets]] / [[lshTopK]] — random-hyperplane LSH: each
+  *     vector gets a b-bit signature (sign of dot with b fixed
+  *     pseudo-random hyperplanes); queries probe only their bucket
+  *     (plus optional neighbor buckets), turning top-k into a
+  *     bucket-local scan. Bucket assignment is a narrow transform;
+  *     the bucketed table can be written partitioned by signature so
+  *     a query touches one partition — the IVF-style scale path.
+  *
+  * Hyperplane components are derived deterministically from md5, so
+  * signatures are reproducible across engines and runs (no RNG state
+  * to ship). Deterministic = oracle-checkable.
+  */
+object Ann {
+
+  /** Cosine similarity of two equal-length float vectors, computed in
+    * double precision. Pure built-in higher-order functions. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    val na = sqrt(
+      aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    )
+    val nb = sqrt(
+      aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    )
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k by cosine against one query vector. Returns
+    * (id, score) ordered best-first, ties broken by id. */
+  def cosineTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int
+  ): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    df.select(
+      col(idCol),
+      round(cosine(col(vecCol), q), 6).as("score")
+    ).orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dimension d): md5-derived value mapped to [-0.5, 0.5). */
+  private def planeComponent(p: Int, d: Column): Column =
+    conv(substring(md5(concat(lit(s"plane:$p:"), d.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0) - 0.5
+
+  /** b-bit random-hyperplane signature of a vector: bit p = sign of
+    * dot(vec, plane_p), packed into a BIGINT. */
+  def lshSignature(vec: Column, bits: Int = 8): Column = {
+    val planes = (0 until bits).map { p =>
+      // dot(vec, plane_p) via positional zip: element i of the vector
+      // pairs with plane component (p, i).
+      val dot = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)
+        ),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Assign each vector its LSH bucket. Writing the result partitioned
+    * by `bucket` gives IVF-style partition pruning for queries. */
+  def lshBuckets(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      bits: Int = 8
+  ): DataFrame =
+    df.select(
+      col(idCol),
+      col(vecCol),
+      lshSignature(col(vecCol), bits).as("bucket")
+    )
+
+  /** Approximate top-k: score only the query's bucket. Falls back to
+    * a global scan if the bucket has fewer than k members is NOT done
+    * here — callers wanting recall guarantees use multi-probe (pass
+    * `probeBuckets` from [[hammingNeighbors]]). */
+  def lshTopK(
+      bucketed: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      bits: Int = 8,
+      probeHamming: Int = 1
+  ): DataFrame = {
+    val spark = bucketed.sparkSession
+    // Driver-side: compute the query's signature once via a 1-row plan.
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val qSig = spark.range(1).select(lshSignature(q, bits).as("s"))
+      .collect()(0).getLong(0)
+    val probes = hammingNeighbors(qSig, bits, probeHamming)
+    bucketed
+      .where(col("bucket").isin(probes: _*)) // partition-prunable
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All signatures within `maxDist` Hamming distance (multi-probe). */
+  def hammingNeighbors(sig: Long, bits: Int, maxDist: Int): Seq[Long] = {
+    var acc = Set(sig)
+    (1 to maxDist).foreach { _ =>
+      acc = acc ++ acc.flatMap(s => (0 until bits).map(b => s ^ (1L << b)))
+    }
+    acc.toSeq.sorted
+  }
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All of these are pure `org.apache.spark.sql.functions` compositions
+  * — no UDFs — so they stay inside whole-stage codegen and scale as
+  * narrow per-row transforms (no shuffle; a 100 TB corpus maps through
+  * them at scan speed). Every function is deterministic and has an
+  * exact ANSI-SQL equivalent for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count: word chunks of <=4 chars + standalone
+    * punctuation, the usual cheap proxy for LLM token budgeting.
+    * Counted via regex so it needs no vocabulary. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]{1,4}|[^a-z0-9\\s]"), lit(0)))
+
+  private val punctClass = "[.,;:!?'\"()\\[\\]{}-]"
+
+  /** Punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, lit(0.0)).otherwise(
+      (total - length(regexp_replace(text, punctClass, ""))).cast("double") / total
+    )
+  }
+
+  /** Digit chars / total chars. */
+  def digitRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, lit(0.0)).otherwise(
+      (total - length(regexp_replace(text, "[0-9]", ""))).cast("double") / total
+    )
+  }
+
+  /** English stopwords — a small fixed list shared verbatim with the
+    * oracle SQL (graft.SparkEntry.oracleSql) so ratios match exactly. */
+  val stopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "was",
+      "it", "for", "on", "with", "as", "at", "by", "that", "this")
+
+  /** Stopword tokens / tokens (0 for empty). */
+  def stopwordRatio(text: Column): Column = {
+    val hits = size(filter(tokens(text), w => w.isin(stopwordsEn: _*)))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / tokenCount(text))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, moderate
+    * punctuation, presence of stopwords (prose-ness), low digit noise.
+    * Weights are arbitrary but fixed; the oracle recomputes them. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctOk = when(punctRatio(text) < 0.1, 1.0).otherwise(0.5)
+    val stopOk = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val digitOk = when(digitRatio(text) < 0.2, 1.0).otherwise(0.3)
+    round(
+      lenScore * 0.3 + punctOk * 0.2 + stopOk * 0.3 + digitOk * 0.2,
+      6
+    )
+  }
+
+  /** Marker stopwords per language for the n-gram-free heuristic
+    * language ID. Shared verbatim with the oracle. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "que")
+  )
+
+  /** Heuristic language ID: argmax of marker-stopword hits, ties broken
+    * by the fixed language order above, "und" (undetermined) when no
+    * marker hits at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = langMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, w => w.isin(words: _*)))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, c), elze) =>
+      when(c === best && best > 0, lit(lang)).otherwise(elze)
+    }
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lower-case,
+    * whitespace collapsed, trimmed) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
