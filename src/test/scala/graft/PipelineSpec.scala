@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+
+/** Behavior tests for the pipeline operators: LSH recall vs the exact
+  * baselines, dedup invariants, multimodal round-trips. (Value-level
+  * correctness is separately pinned by the DuckDB oracle in
+  * SparkEntry.oracleSql.)
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("LSH candidate pairs cover the exact Jaccard pairs (recall)") {
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.35)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 8, 4, 3, 0.35)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // LSH verifies candidates with the same exact Jaccard, so it can
+    // only MISS pairs, never invent them
+    assert(lsh.subsetOf(exact))
+    // with 4 bands of 2 rows at threshold .35 recall should be high
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.8,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("exact dedup: survivors + duplicates partition the corpus") {
+    val n = docs.count()
+    val survivors = Dedup.exactDedup(docs, "text", "doc_id").count()
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(groups.agg(sum("n_docs")).collect()(0).getLong(0) == n)
+    assert(groups.count() == survivors)
+  }
+
+  test("simhash: near-identical docs have close fingerprints") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different words about spark engines here")
+    ).toDF("id", "text")
+    val hs = Dedup
+      .simhash32(df, "text", "id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0L), hs(1L)) < hamming(hs(0L), hs(2L)))
+  }
+
+  test("ANN: LSH top-k scores are a subset of brute-force ranking") {
+    val q = emb.where($"vec_id" === 0).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val exact = Ann.cosineTopK(emb, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact.head == 0L) // the query vector is its own best match
+    val bucketed = Ann.lshBuckets(emb, "embedding", "vec_id", 8)
+    val approx = Ann
+      .lshTopK(bucketed, "embedding", "vec_id", q, 10, 8, probeHamming = 2)
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(approx.contains(0L)) // its own bucket always probed
+    // multi-probe at hamming<=2 over 8 bits covers 37/256 buckets;
+    // recall vs exact top-10 should be non-trivial
+    val recall = exact.toSet.intersect(approx.toSet).size / 10.0
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("multimodal: decode/resize/frame-sample plumbing") {
+    val media = Multimodal.synthesize(spark, docs.limit(50), "doc_id")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 50 && feats.forall(_.format == "grft"))
+    // resize halves width; re-decode sees the new header
+    val resized = Multimodal.resize(media, 2)
+    val rf = Multimodal.extractFeatures(resized).collect()
+    assert(rf.forall(_.width == 2))
+    // frame sampling emits <= frames rows per media item
+    val frames = Multimodal.sampleFrames(media, 1)
+    val byId = frames.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.values.forall(n => n >= 1 && n <= 3))
+    // corrupt blob does not kill the job
+    val corrupt = Seq((99L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    val cf = Multimodal.extractFeatures(corrupt).collect()
+    assert(cf.head.format == "corrupt")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.indexes.{KVIndex, SinkIndex}
+import graft.storage.ParquetLog
+
+/** SinkIndex contract ported from the reference
+  * (indexes/test/sinkindex.go:23-115): a derived KV view fed by the
+  * log, with stop/restart-resume that must NOT reprocess ("WithBreak"),
+  * and redacted entries skipped.
+  */
+class SinkIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the reference's categorizer: last value containing the key word
+  private def proc(batch: org.apache.spark.sql.DataFrame) = {
+    val addr = when(col("value").contains("interesting"), "interesting")
+      .when(col("value").contains("boring"), "boring")
+    batch.select(addr.as("addr"), col("value"), col("seq").as("useq"))
+  }
+
+  test("incremental resume without reprocessing (WithBreak)") {
+    val log = ParquetLog.open(spark, tmpDir("silog"), StringType)
+    val idx = KVIndex.open(spark, tmpDir("siidx"))
+    log.appendValues(
+      Seq("boring string", "another boring string", "mildly interesting string")
+    )
+    val n1 = SinkIndex.pump(log, idx, proc)
+    assert(n1 == 3)
+    assert(idx.get("boring").contains("another boring string"))
+    assert(idx.get("interesting").contains("mildly interesting string"))
+
+    // nothing new → zero consumed (the resume contract)
+    assert(SinkIndex.pump(log, idx, proc) == 0)
+
+    // append more, pump again: only the delta is processed
+    log.appendValues(Seq("so-so string", "highly interesting string"))
+    val n2 = SinkIndex.pump(log, idx, proc)
+    assert(n2 == 2)
+    assert(idx.get("interesting").contains("highly interesting string"))
+    assert(idx.get("boring").contains("another boring string"))
+    assert(idx.get("so-so").isEmpty) // uncategorized → not indexed
+  }
+
+  test("nulled entries are skipped (sinkindex.go:51-55)") {
+    val log = ParquetLog.open(spark, tmpDir("silog2"), StringType)
+    val idx = KVIndex.open(spark, tmpDir("siidx2"))
+    log.appendValues(Seq("boring one", "interesting one"))
+    log.nullAt(1)
+    SinkIndex.pump(log, idx, proc)
+    assert(idx.get("boring").contains("boring one"))
+    assert(idx.get("interesting").isEmpty)
+  }
+
+  test("set/delete observable sequence (setidx.go:60-125)") {
+    val idx = KVIndex.open(spark, tmpDir("obs"))
+    assert(idx.get("k").isEmpty) // Unset
+    idx.set("k", "omg what is this")
+    assert(idx.get("k").contains("omg what is this"))
+    idx.set("k", "so rad")
+    assert(idx.get("k").contains("so rad"))
+    idx.set("k", "wowzers")
+    assert(idx.get("k").contains("wowzers"))
+    idx.delete("k")
+    assert(idx.get("k").isEmpty) // back to Unset
+  }
+
+  test("seq-setter cursor (seqsetidx.go:24-55)") {
+    val idx = KVIndex.open(spark, tmpDir("cursor"))
+    assert(idx.getSeq == graft.core.Seqs.SeqEmpty)
+    idx.setSeq(0)
+    assert(idx.getSeq == 0)
+    idx.setSeq(41)
+    assert(idx.getSeq == 41)
+  }
+
+  test("compaction preserves current state") {
+    val idx = KVIndex.open(spark, tmpDir("compact"))
+    idx.set("a", "1"); idx.set("a", "2"); idx.set("b", "x"); idx.delete("b")
+    idx.compact()
+    assert(idx.get("a").contains("2"))
+    assert(idx.get("b").isEmpty)
+    assert(idx.current.count() == 1)
+  }
+}
