@@ -1,24 +1,141 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.QuerySpec._
+import graft.dedup.Dedup
+import graft.indexes.{KVIndex, MultiLogSink, SinkIndex}
+import graft.multilog.MultiLog
+import graft.similarity.Ann
+import graft.storage.ParquetLog
+import graft.text.TextFunctions
+
+/** Headline benchmark per BASELINE.md §"Our baseline": log append /
+  * scan / point-read / reverse-top-k / index-build throughput plus the
+  * relational and pipeline operators, on SPARK_GRAFT_SF_DIR.
+  * Prints ONE JSON line: {"metric":…,"value":…,"queries":{…},"sf":…}.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      results(name) = (System.nanoTime() - t0) / 1e9
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val work = Files.createTempDirectory("graft-bench").toString
+    val events = Tables.load(spark, sfDir, "events")
+
+    // 1. append throughput: ingest events into a fresh ParquetLog
+    val log = ParquetLog.open(
+      spark,
+      s"$work/log",
+      EngineFixtures.eventValue(events).schema.head.dataType
+    )
+    timed("append_events") {
+      log.append(EngineFixtures.eventValue(events))
+    }
+
+    // 2. sequential scan: full drain through the QuerySpec path
+    timed("seq_scan")(log.query(SeqWrap(true)).count())
+
+    // 3. bounded scan: Gte/Lt + Limit
+    timed("bounded_scan") {
+      log.query(Gte(1000), Lt(50000), Limit(10000), SeqWrap(true)).count()
+    }
+
+    // 4. point reads: 100 seq lookups through the manifest
+    timed("point_reads_100") {
+      val top = log.seq
+      var i = 0L
+      while (i < 100) { log.get((i * 7919L) % (top + 1)); i += 1 }
+    }
+
+    // 5. reverse top-k
+    timed("reverse_top100")(log.query(Reverse(true), Limit(100)).count())
+
+    // 6. index build: multilog fan-out + KV last-write per user
+    val mlog = MultiLog.open(spark, s"$work/mlog")
+    val mcur = KVIndex.open(spark, s"$work/mcur")
+    timed("multilog_build") {
+      MultiLogSink.pump(
+        log, mlog, mcur,
+        b => b.select(col("value.event_type").as("addr"), col("seq")))
+    }
+    val kv = KVIndex.open(spark, s"$work/kv")
+    timed("kvindex_build") {
+      SinkIndex.pump(
+        log, kv,
+        b => b.select(col("value.user_id").as("addr"),
+          col("value.props").as("value"), col("seq").as("useq")))
+    }
+    timed("sublog_rank_read") {
+      mlog.sublog("click").query(Limit(100), SeqWrap(true)).count()
+    }
+
+    // 7. relational: agg / join / window / top-k
+    val li = Tables.load(spark, sfDir, "lineitem")
+    timed("agg_pricing") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), sum("l_extendedprice"), avg("l_discount"),
+          count(lit(1)))
+        .count()
+    }
+    timed("join_revenue")(SparkEntry.queries("q13_join_revenue")(spark, sfDir).count())
+    timed("window_rank")(SparkEntry.queries("q14_window_rank")(spark, sfDir).count())
+    timed("sort_topk")(SparkEntry.queries("q15_sort_topk")(spark, sfDir).count())
+
+    // 8. pipeline: text / dedup / similarity
+    val docs = Tables.load(spark, sfDir, "documents")
+    timed("text_stats") {
+      docs.select(
+        TextFunctions.tokenCount(col("text")),
+        TextFunctions.qualityScore(col("text")),
+        TextFunctions.langId(col("text")),
+        TextFunctions.fingerprint(col("text"))
+      ).count()
+    }
+    timed("minhash_sigs") {
+      Dedup.minhashSignatures(docs, "text", "doc_id", 16).count()
+    }
+    // High-similarity config (r=8 rows/band): the s-curve admits only
+    // near-dup candidates, so no candidate flood on vocab-heavy corpora
+    timed("lsh_pairs") {
+      Dedup.minhashLshPairs(docs, "text", "doc_id", 16, 2, 3, 0.7).count()
+    }
+    timed("simhash")(Dedup.simhash32(docs, "text", "doc_id").count())
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    timed("ann_bruteforce")(Ann.cosineTopK(emb, "embedding", "vec_id", qv, 10).count())
+    timed("embed_neardup_lsh") {
+      Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id", 0.3, bits = 4).count()
+    }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

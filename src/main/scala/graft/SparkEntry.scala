@@ -264,6 +264,23 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
+    // §2.1 op 9 codec: typed JSON decode of a log value field
+    "q30_json_decode" -> ((s, dir) => {
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      log
+        .query(SeqWrap(true))
+        .select(
+          col("seq"),
+          graft.codec.Codecs
+            .decodeJson(col("value.props"), org.apache.spark.sql.types.StructType(
+              Seq(org.apache.spark.sql.types.StructField(
+                "k", org.apache.spark.sql.types.IntegerType))))
+            .getField("k")
+            .as("k")
+        )
+        .orderBy("seq")
+    }),
+
     // ---- multimodal plumbing ---------------------------------------
     "q29_multimodal_features" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -487,6 +504,10 @@ object SparkEntry {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q30_json_decode" ->
+      """SELECT event_id AS seq,
+        |  CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+        |FROM events ORDER BY seq""".stripMargin,
     "q29_multimodal_features" ->
       """SELECT m.id, 'grft' AS format, m.w AS width, m.h AS height, m.frames,
         |  round(avg((m.id * 31 + t.i) % 251), 6) AS meanByte,

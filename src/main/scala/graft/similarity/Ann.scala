@@ -28,6 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Dot product in double precision (codegen'd higher-order fns). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  /** L2 norm of a vector column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
   /** Cosine similarity of two equal-length float vectors, computed in
     * double precision. Pure built-in higher-order functions. */
   def cosine(a: Column, b: Column): Column = {

@@ -1,0 +1,84 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.IntegerType
+
+import graft.core.QuerySpec._
+import graft.live.LiveTail
+import graft.storage.ParquetLog
+
+/** Live-query contracts (reference: offset2/test/pumplive.go:23-166,
+  * test/concurrent.go, internal/seqobsv): backlog catch-up then
+  * append-after-subscribe delivery, in seq order; Changes() observable
+  * reflects the latest seq. Parity asserts delivery + order, not
+  * sub-trigger latency (SURVEY §7.4 item 2).
+  */
+class LiveSpec extends SparkSpec {
+
+  test("push: catch-up backlog then live appends, in order") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("live"), IntegerType)
+    log.appendValues(Seq(1, 2, 3))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = LiveTail.push(
+      log,
+      Seq(Live(true), SeqWrap(true)),
+      tmpDir("ckpt"),
+      r => { seen.add(r.getLong(0)); () }
+    )
+    try {
+      q.processAllAvailable() // backlog drained
+      assert(seen.asScala.toList == Seq(0L, 1L, 2L))
+      log.appendValues(Seq(4, 5))
+      q.processAllAvailable() // live delivery
+      assert(seen.asScala.toList == Seq(0L, 1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("push honors bounds and limit across batches") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("livelim"), IntegerType)
+    log.appendValues(Seq(10, 20, 30, 40, 50))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = LiveTail.push(
+      log,
+      Seq(Gt(0), Limit(3), Live(true), SeqWrap(true)),
+      tmpDir("ckpt2"),
+      r => { seen.add(r.getLong(0)); () }
+    )
+    try {
+      q.processAllAvailable()
+      log.appendValues(Seq(60, 70))
+      q.processAllAvailable()
+      // Gt(0) skips seq 0; Limit(3) stops after 3 deliveries
+      assert(seen.asScala.toList == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("changes observable tracks the latest seq") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("chg"), IntegerType)
+    log.appendValues(Seq(1))
+    @volatile var last = -1L
+    val q = LiveTail.changes(log, tmpDir("ckpt3"), s => last = s)
+    try {
+      q.processAllAvailable()
+      assert(last == 0L)
+      log.appendValues(Seq(2, 3))
+      q.processAllAvailable()
+      assert(last == 2L)
+    } finally q.stop()
+  }
+
+  test("reverse+live rejected on the live path too") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("rl"), IntegerType)
+    log.appendValues(Seq(1))
+    intercept[graft.core.GraftErrors.InvalidQuery] {
+      log.liveQuery(Live(true), Reverse(true))
+    }
+  }
+}
