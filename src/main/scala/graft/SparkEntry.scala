@@ -281,6 +281,43 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // §2.1 ops 6, 7, 10: redaction + replace + nulled stream semantics,
+    // through a scratch engine log (copy of the first 100 events)
+    "q31_redaction" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-redact")
+        .toString
+      val log = graft.storage.ParquetLog.open(
+        s,
+        s"$work/log",
+        EngineFixtures.eventValue(events).schema.head.dataType
+      )
+      log.append(EngineFixtures.eventValue(events.where(col("event_id") < 100)))
+      log.nullAt(5)
+      log.nullAt(17)
+      log.replace(
+        6,
+        struct(
+          lit(6L).as("event_id"),
+          lit(0L).as("ts_ns"),
+          lit(-1L).as("user_id"),
+          lit("redacted").as("event_type"),
+          lit(0.0).as("amount"),
+          lit("{}").as("props")
+        )
+      )
+      log
+        .query(SeqWrap(true))
+        .select(
+          col("seq"),
+          col("nulled"),
+          col("value.event_type").as("event_type"),
+          round(col("value.amount"), 6).as("amount")
+        )
+        .orderBy("seq")
+    }),
+
     // ---- multimodal plumbing ---------------------------------------
     "q29_multimodal_features" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -504,6 +541,16 @@ object SparkEntry {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q31_redaction" ->
+      """SELECT event_id AS seq,
+        |  (event_id IN (5, 17)) AS nulled,
+        |  CASE WHEN event_id IN (5, 17) THEN NULL
+        |       WHEN event_id = 6 THEN 'redacted'
+        |       ELSE event_type END AS event_type,
+        |  CASE WHEN event_id IN (5, 17) THEN NULL
+        |       WHEN event_id = 6 THEN 0.0
+        |       ELSE round(value, 6) END AS amount
+        |FROM events WHERE event_id < 100 ORDER BY seq""".stripMargin,
     "q30_json_decode" ->
       """SELECT event_id AS seq,
         |  CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k

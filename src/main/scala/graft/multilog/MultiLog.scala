@@ -86,6 +86,14 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
     * multilog/roaring/multilog.go:44-57, is subsumed by per-batch
     * atomic commits). */
   def flush(): Unit = ()
+
+  /** Fold all append segments into one deduplicated segment — the
+    * compaction analogue of the reference's bitmap persistence; makes
+    * the dedup-on-read in [[table]] a no-op until the next append. */
+  def compact(): Unit = {
+    store.rewrite(_.dropDuplicates("addr", "seq"))
+    epoch += 1
+  }
 }
 
 object MultiLog {
