@@ -43,6 +43,11 @@ object Bench {
     val work = Files.createTempDirectory("graft-bench").toString
     val events = Tables.load(spark, sfDir, "events")
 
+    // JIT/codegen warm-up so per-metric numbers are comparable
+    // run-to-run (first query in a session otherwise pays compilation)
+    events.limit(1000).select(md5(col("props"))).count()
+    spark.range(100).selectExpr("sum(id)").count()
+
     // 1. append throughput: ingest events into a fresh ParquetLog
     val log = ParquetLog.open(
       spark,
@@ -66,6 +71,12 @@ object Bench {
       val top = log.seq
       var i = 0L
       while (i < 100) { log.get((i * 7919L) % (top + 1)); i += 1 }
+    }
+
+    // 4b. the same 100 lookups as ONE batched job
+    timed("point_reads_batched") {
+      val top = log.seq
+      log.getMany((0L until 100L).map(i => (i * 7919L) % (top + 1)))
     }
 
     // 5. reverse top-k
@@ -127,6 +138,25 @@ object Bench {
     timed("ann_bruteforce")(Ann.cosineTopK(emb, "embedding", "vec_id", qv, 10).count())
     timed("embed_neardup_lsh") {
       Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id", 0.3, bits = 4).count()
+    }
+
+    // 9. live tail: append-after-subscribe delivery latency (one
+    // trigger round, includes micro-batch scheduling)
+    {
+      val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val q = graft.live.LiveTail.push(
+        log,
+        Seq(Gt(log.seq), Live(true), SeqWrap(true)),
+        s"$work/ckpt",
+        r => { seen.set(r.getLong(0)); () }
+      )
+      try {
+        q.processAllAvailable() // catch-up (empty)
+        timed("live_tail_roundtrip") {
+          log.append(EngineFixtures.eventValue(events.limit(1)))
+          q.processAllAvailable()
+        }
+      } catch { case _: Throwable => () } finally q.stop()
     }
 
     val qs = results

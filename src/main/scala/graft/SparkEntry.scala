@@ -249,8 +249,8 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
-    // rows-only check (approximate by construction; recall vs exact
-    // top-k is asserted in AnnSpec)
+    // LSH-bucketed ANN: the oracle recomputes the full signature +
+    // multi-probe pipeline in SQL (deterministic md5-derived planes)
     "q28_ann_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb
@@ -261,6 +261,7 @@ object SparkEntry {
       val bucketed = Ann.lshBuckets(emb, "embedding", "vec_id", bits = 8)
       Ann
         .lshTopK(bucketed, "embedding", "vec_id", q, 10, bits = 8, probeHamming = 1)
+        .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
@@ -316,6 +317,16 @@ object SparkEntry {
           round(col("value.amount"), 6).as("amount")
         )
         .orderBy("seq")
+    }),
+
+    // multimodal generator shape: one row per sampled frame
+    "q32_multimodal_frames" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.synthesize(s, docs.where(col("doc_id") < 100), "doc_id")
+      Multimodal
+        .sampleFrames(media, 1)
+        .select("id", "frame_idx", "width", "height")
+        .orderBy("id", "frame_idx")
     }),
 
     // ---- multimodal plumbing ---------------------------------------
@@ -541,6 +552,46 @@ object SparkEntry {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q28_ann_lsh" ->
+      """WITH planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+        |dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |comps AS (
+        |  SELECT p, d,
+        |    ('0x' || substr(md5('plane:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0 - 0.5 AS c
+        |  FROM planes, dimk
+        |), dots AS (
+        |  SELECT v.vec_id, c.p, sum(v.embedding[c.d + 1]::DOUBLE * c.c) AS dot
+        |  FROM embeddings v, comps c GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1
+        |), probes AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN i = -1 THEN s.bucket
+        |         ELSE xor(s.bucket, CAST(pow(2, i) AS BIGINT)) END AS pb
+        |  FROM (SELECT bucket FROM sig WHERE vec_id = 0) s,
+        |       (SELECT unnest(generate_series(-1, 7)) AS i)
+        |), cand AS (
+        |  SELECT sig.vec_id FROM sig JOIN probes ON sig.bucket = probes.pb
+        |)
+        |SELECT b.vec_id,
+        |  round(round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS score
+        |FROM embeddings b
+        |JOIN cand ON cand.vec_id = b.vec_id,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q32_multimodal_frames" ->
+      """SELECT m.id, t.i AS frame_idx, m.w AS width, m.h AS height
+        |FROM (
+        |  SELECT doc_id AS id, CAST(4 + doc_id % 8 AS INT) AS w,
+        |    CAST(4 + doc_id % 5 AS INT) AS h, CAST(1 + doc_id % 3 AS INT) AS frames
+        |  FROM documents WHERE doc_id < 100
+        |) m, LATERAL unnest(generate_series(0, m.frames - 1)) AS t(i)
+        |ORDER BY m.id, frame_idx""".stripMargin,
     "q31_redaction" ->
       """SELECT event_id AS seq,
         |  (event_id IN (5, 17)) AS nulled,
@@ -566,7 +617,5 @@ object SparkEntry {
         |) m, LATERAL unnest(generate_series(0, m.w * m.h - 1)) AS t(i)
         |GROUP BY m.id, m.w, m.h, m.frames
         |ORDER BY m.id""".stripMargin
-    // q28_ann_lsh: intentionally no oracle — approximate result;
-    // recall asserted against exact top-k in AnnSpec.
   )
 }

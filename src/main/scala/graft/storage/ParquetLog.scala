@@ -182,6 +182,27 @@ final class ParquetLog private (
     r
   }
 
+  /** Batched point reads: one Spark job for any number of seqs, with
+    * the scan restricted to just the manifest segments that can
+    * contain them (file-level pruning before Spark even plans).
+    * Returns `(seq, value, nulled)` rows; absent seqs are simply not
+    * in the result (callers needing OOB errors use [[get]]).
+    * This is the Spark-idiomatic complement to the reference's
+    * one-at-a-time `Get` — at any scale, k lookups are one job. */
+  def getMany(seqNos: Seq[Long]): Array[Row] = {
+    if (seqNos.isEmpty) return Array.empty
+    val wanted = seqNos.distinct.sorted
+    val segs = manifest.segments.filter(s =>
+      wanted.exists(n => s.minSeq <= n && n <= s.maxSeq)
+    )
+    if (segs.isEmpty) return Array.empty
+    spark.read
+      .schema(rowSchema)
+      .parquet(segs.map(s => Paths.get(dir, s.path).toString): _*)
+      .where(col("seq").isin(wanted: _*))
+      .collect()
+  }
+
   /** Build a batch query per the QuerySpec algebra. Live specs must go
     * through [[liveQuery]] (Structured Streaming). */
   def query(specs: QuerySpec*): DataFrame = {

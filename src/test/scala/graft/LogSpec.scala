@@ -123,6 +123,14 @@ class LogSpec extends SparkSpec {
     intercept[GraftErrors.ErrOutOfBounds](log.get(-1))
   }
 
+  test("getMany: batched point reads, absent seqs skipped") {
+    val log = mkLog(Seq(10, 20, 30, 40, 50))
+    val rows = log.getMany(Seq(4L, 0L, 2L, 99L))
+    val got = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 10, 2L -> 30, 4L -> 50))
+    assert(log.getMany(Nil).isEmpty)
+  }
+
   test("seq() is count-1; SeqEmpty on empty log") {
     val log = mkLog(Seq(1, 2, 3))
     assert(log.seq == 2L)
