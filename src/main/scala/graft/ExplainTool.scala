@@ -94,6 +94,27 @@ object ExplainTool {
             )
             .count()
         }
+      case "vecprof" =>
+        // custom codegen'd FloatVecDot vs built-in aggregate/zip_with,
+        // on the all-pairs near-dup shape
+        val emb = Tables.load(spark, sfDir, "embeddings").cache()
+        println(s"== vectors: ${emb.count()}")
+        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val pairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
+        graft.functions.VecOps.register(spark)
+        timed("builtin_dot_allpairs") {
+          pairs
+            .select(graft.similarity.Ann.dot(col("va"), col("vb")).as("d"))
+            .agg(sum("d"))
+            .collect()
+        }
+        timed("native_dot_allpairs") {
+          pairs
+            .select(call_function("vec_dot_f", col("va"), col("vb")).as("d"))
+            .agg(sum("d"))
+            .collect()
+        }
       case other => println(s"unknown: $other")
     }
     spark.stop()

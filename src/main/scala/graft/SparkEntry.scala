@@ -329,6 +329,22 @@ object SparkEntry {
         .orderBy("id", "frame_idx")
     }),
 
+    // streaming-shape stateful op, batch-verified: sessionization by
+    // user with a 6h inactivity gap (gaps-and-islands oracle)
+    "q33_sessionize" -> ((s, dir) => {
+      val events = Tables
+        .load(s, dir, "events")
+        .select(
+          col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("event_type")
+        )
+      graft.streaming.EventStreamOps
+        .sessionizeBatch(s, events, 6L * 3600 * 1000)
+        .select("user_id", "n_events", "start_ms", "end_ms")
+        .orderBy("user_id", "start_ms")
+    }),
+
     // ---- multimodal plumbing ---------------------------------------
     "q29_multimodal_features" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -584,6 +600,22 @@ object SparkEntry {
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q33_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |x AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w > 21600000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        |), s AS (
+        |  SELECT user_id, t,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |)
+        |SELECT user_id, CAST(count(*) AS INT) AS n_events,
+        |  min(t) AS start_ms, max(t) AS end_ms
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin,
     "q32_multimodal_frames" ->
       """SELECT m.id, t.i AS frame_idx, m.w AS width, m.h AS height
         |FROM (

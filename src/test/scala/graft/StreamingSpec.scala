@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreamOps
+import graft.streaming.EventStreamOps.{SessionIn, SessionOut}
+
+/** Structured-Streaming operator tests: watermarked windowed aggs and
+  * stateful sessionization driven by MemoryStream, plus batch/stream
+  * agreement for the sessionizer.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("ts", "event_type", "value")
+    val agg = EventStreamOps.windowedCounts(df, "5 minutes", "10 minutes")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(
+        (ts(0), "click", 1.0),
+        (ts(1), "click", 2.0),
+        (ts(6), "view", 3.0)
+      )
+      q.processAllAvailable()
+      val rows = spark
+        .table("win_out")
+        .orderBy("win_start", "event_type")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("event_type") == "click")
+      assert(rows(0).getAs[Long]("n") == 2)
+      assert(rows(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
+  test("stateful sessionize over a memory stream closes on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionIn]
+    val sessions = EventStreamOps.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // burst at minute 0-2, then a 30-minute gap, then one more event:
+      // the second batch closes the first session
+      mem.addData(
+        SessionIn(1L, ts(0), "a"),
+        SessionIn(1L, ts(1), "b"),
+        SessionIn(1L, ts(2), "c")
+      )
+      q.processAllAvailable()
+      mem.addData(SessionIn(1L, ts(32), "d"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows(0).n_events == 3 && rows(0).closed_by == "gap")
+    } finally q.stop()
+  }
+
+  test("batch sessionize matches a hand-computed fixture") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), "a"), (1L, ts(5), "b"), (1L, ts(40), "c"),
+      (2L, ts(0), "x")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventStreamOps
+      .sessionizeBatch(spark, events, gapMs = 10 * 60 * 1000)
+      .orderBy("user_id", "start_ms")
+      .collect()
+    // user 1: [0,5] then [40]; user 2: [0]
+    assert(got.length == 3)
+    assert(got(0).getAs[Int]("n_events") == 2)
+    assert(got(1).getAs[Int]("n_events") == 1)
+    assert(got(2).getAs[Long]("user_id") == 2L)
+  }
+}
