@@ -32,13 +32,29 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
 
   private val store = TableStore.open(spark, dir, MultiLog.schema)
 
+  import MultiLog.{NumBuckets, bucketOf}
+
   // Poisoned handles: addrs deleted while a Sublog handle was open.
   private val deletedEpoch =
     scala.collection.concurrent.TrieMap.empty[String, Long]
   @volatile private var epoch: Long = 0L
 
   /** The deduplicated index table `(addr, seq)`. */
-  def table: DataFrame = store.read.dropDuplicates("addr", "seq")
+  def table: DataFrame =
+    store.read.select("addr", "seq").dropDuplicates("addr", "seq")
+
+  /** One sublog's rows with bucket pruning: segments are written
+    * repartitioned + sorted by a 64-way hash bucket of addr, so the
+    * `bucket = h(addr)` predicate prunes ~63/64 of parquet row groups
+    * via min/max stats before the addr filter even runs — the
+    * manifest-free analogue of partitioning the index by addr hash
+    * (at 100 TB this is the difference between a sublog read touching
+    * one bucket's files and scanning the whole index). */
+  private[multilog] def tableFor(addr: String): DataFrame =
+    store.read
+      .where(col("bucket") === bucketOf(addr) && col("addr") === addr)
+      .select("addr", "seq")
+      .dropDuplicates("addr", "seq")
 
   /** Fan a batch of `(addr, seq)` rows into the index. Idempotent by
     * construction (dedup on read), so replays from a resumed sink are
@@ -51,6 +67,9 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
         col(df.columns(1)).cast(LongType).as("seq")
       ).where(col("addr").isNotNull) // null route = "don't index"
         .dropDuplicates("addr", "seq")
+        .withColumn("bucket", pmod(xxhash64(col("addr")), lit(NumBuckets)).cast("int"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "addr", "seq")
     )
     epoch += 1
   }
@@ -68,7 +87,7 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
   def list(): DataFrame = table.select("addr").distinct()
 
   def has(addr: String): Boolean =
-    table.where(col("addr") === addr).limit(1).count() > 0
+    tableFor(addr).limit(1).count() > 0
 
   /** Drop a sublog and poison open handles
     * (multilog/roaring/multilog.go:166-178). */
@@ -91,18 +110,40 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
     * compaction analogue of the reference's bitmap persistence; makes
     * the dedup-on-read in [[table]] a no-op until the next append. */
   def compact(): Unit = {
-    store.rewrite(_.dropDuplicates("addr", "seq"))
+    store.rewrite(
+      _.dropDuplicates("addr", "seq")
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "addr", "seq")
+    )
     epoch += 1
   }
 }
 
 object MultiLog {
+  /** 64-way addr-hash bucketing of the index segments (see tableFor). */
+  val NumBuckets = 64
+
   val schema: StructType = StructType(
     Seq(
       StructField("addr", StringType, nullable = false),
-      StructField("seq", LongType, nullable = false)
+      StructField("seq", LongType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false)
     )
   )
+
+  /** Driver-side bucket of an addr — must match the xxhash64-based
+    * column expression used at write time. */
+  def bucketOf(addr: String): Int = {
+    // evaluate the same catalyst XxHash64 expression used at write
+    // time, so driver- and executor-side bucketing agree exactly
+    val e = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(addr))),
+      42L // Spark's default xxhash64 seed
+    )
+    val v = e.eval(null).asInstanceOf[Long]
+    ((v % NumBuckets) + NumBuckets).toInt % NumBuckets
+  }
 
   def open(spark: SparkSession, dir: String): MultiLog =
     new MultiLog(spark, dir)
@@ -129,8 +170,8 @@ final class Sublog(
   def toDF: DataFrame = {
     guard()
     val w = Window.partitionBy("addr").orderBy(col("seq").asc)
-    parent.table
-      .where(col("addr") === addr)
+    parent
+      .tableFor(addr) // bucket-pruned single-sublog read
       .withColumn("rank", row_number().over(w) - 1)
       .select(
         col("rank").cast(LongType).as("seq"),
