@@ -47,6 +47,19 @@ object Dedup {
     ).otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Native one-pass shingling ([[graft.functions.WordShingles]]) —
+    * exactly equivalent to [[shingles]] (asserted in ShingleExprSpec)
+    * without the per-position slice allocations; used by the dedup
+    * entry points below. */
+  private def shinglesNative(
+      df: DataFrame,
+      text: Column,
+      w: Int
+  ): Column = {
+    graft.functions.ShingleExpr.register(df.sparkSession)
+    call_function("word_shingles", text, lit(w))
+  }
+
   /** Exact duplicate groups: normalized-md5 fingerprint → group.
     * Returns (fingerprint, n_docs, canonical_id = min id). */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -85,7 +98,7 @@ object Dedup {
   ): DataFrame = {
     val sh = df.select(
       col(idCol),
-      explode(shingles(col(textCol), shingleWidth)).as("s")
+      explode(shinglesNative(df, col(textCol), shingleWidth)).as("s")
     )
     val mins = (0 until numHashes).map { k =>
       min(substring(md5(concat(lit(s"$k:"), col("s"))), 1, 16)).as(s"h$k")
@@ -156,7 +169,7 @@ object Dedup {
   ): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleWidth)).as("shingle")
+      explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
     )
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = candidates
@@ -193,7 +206,7 @@ object Dedup {
   ): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleWidth)).as("shingle")
+      explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
     )
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val pairs = sh

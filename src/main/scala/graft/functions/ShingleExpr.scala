@@ -1,0 +1,104 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass word w-shingling: string → array<string> of distinct
+  * whitespace-token w-grams.
+  *
+  * Exactly equivalent (asserted in ShingleExprSpec) to the composed
+  * built-in form
+  * `array_distinct(transform(sequence(…), i => concat_ws(' ',
+  * slice(split(lower(trim(text)), "\\s+"), i, w))))`, which walks the
+  * token array once per position and allocates a slice each time —
+  * the measured hot spot of the MinHash pipeline. Here: lowercase,
+  * trim (space chars only, matching `trim()`), single regex-free
+  * tokenizer pass, shingles emitted from token offsets, first-
+  * occurrence-ordered dedup.
+  *
+  * Evaluation is interpreted (CodegenFallback): the work is
+  * string-building, which codegen cannot improve — avoiding the
+  * 16× expression re-inlining and the per-position allocations is
+  * where the win is.
+  */
+case class WordShingles(child: Expression, width: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
+    // trim = strip leading/trailing ' ' (0x20) ONLY, matching trim()
+    var s = 0
+    var e = lowered.length
+    while (s < e && lowered.charAt(s) == ' ') s += 1
+    while (e > s && lowered.charAt(e - 1) == ' ') e -= 1
+    val text = lowered.substring(s, e)
+    // tokenizer matching split(text, "\\s+", -1): split on \s+ runs
+    // ([ \t\n\f\r] — Java regex \s), keeping leading/trailing
+    // empty fields the way String.split with limit -1 does
+    val toks = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = text.length
+    var tokenStart = 0
+    def isWs(c: Char): Boolean = // Java regex \\s: [ \\t\\n\\x0B\\f\\r]
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    while (i < n) {
+      if (isWs(text.charAt(i))) {
+        toks += text.substring(tokenStart, i)
+        while (i < n && isWs(text.charAt(i))) i += 1
+        tokenStart = i
+      } else i += 1
+    }
+    toks += text.substring(tokenStart, n)
+    val out = mutable.LinkedHashSet.empty[String]
+    if (toks.length >= width) {
+      var p = 0
+      val last = toks.length - width
+      val sb = new java.lang.StringBuilder(64)
+      while (p <= last) {
+        sb.setLength(0)
+        var k = 0
+        while (k < width) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(p + k))
+          k += 1
+        }
+        out += sb.toString
+        p += 1
+      }
+    } else {
+      out += toks.mkString(" ")
+    }
+    new GenericArrayData(out.toArray.map(UTF8String.fromString): Array[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleExpr {
+  /** Register `word_shingles(text, width)` (idempotent per session). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => {
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"word_shingles width must be a literal, got $other")
+        }
+        WordShingles(exprs.head, w)
+      },
+      "built-in"
+    )
+}
