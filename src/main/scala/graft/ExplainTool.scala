@@ -115,6 +115,24 @@ object ExplainTool {
             .agg(sum("d"))
             .collect()
         }
+      case "sqlext" =>
+        // fresh session WITH extensions (works here because this JVM
+        // has no prior session): native functions from pure SQL text
+        spark.stop()
+        val s2 = SparkSession
+          .builder()
+          .master("local[2]")
+          .config("spark.sql.extensions", "graft.GraftExtensions")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s2.sparkContext.setLogLevel("WARN")
+        val r = s2.sql(
+          """SELECT vec_dot_f(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+            |  vec_norm_f(array(3.0F, 4.0F)) AS n,
+            |  word_shingles('the quick brown fox', 3) AS sh""".stripMargin)
+        r.show(truncate = false)
+        println(s"== sqlext ok: ${r.collect()(0)}")
+        s2.stop()
       case other => println(s"unknown: $other")
     }
     spark.stop()

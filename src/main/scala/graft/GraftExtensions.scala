@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{VecOps, WordShingles}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions available to ANY session — including pure-SQL ones —
+  * via
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)  // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  * after which `SELECT vec_dot_f(a, b)`, `vec_norm_f(v)` and
+  * `word_shingles(text, 3)` work from SQL text. For a session created
+  * WITHOUT extensions, [[GraftExtensions.registerAll]] installs the
+  * same builders into its function registry at runtime.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder
+        )
+      )
+    }
+}
+
+object GraftExtensions {
+
+  /** The engine's native SQL functions: one source of truth shared by
+    * the extensions injector and the runtime registry path. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot_f" -> ((exprs: Seq[Expression]) =>
+      VecOps.FloatVecDot(exprs(0), exprs(1))),
+    "vec_norm_f" -> ((exprs: Seq[Expression]) =>
+      VecOps.FloatVecNorm(exprs.head)),
+    "word_shingles" -> ((exprs: Seq[Expression]) =>
+      exprs(1) match {
+        case Literal(v, _) => WordShingles(exprs.head, v.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"word_shingles width must be a literal, got $other")
+      })
+  )
+
+  /** Install the same functions into an already-created session. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

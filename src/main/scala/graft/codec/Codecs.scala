@@ -52,4 +52,23 @@ object Codecs {
   /** Encode typed values into a single `value` column DataFrame. */
   def fromTyped[T](ds: Dataset[T]): DataFrame =
     ds.toDF().select(struct(ds.columns.map(col).toIndexedSeq: _*).as("value"))
+
+  /** Export a log's entries as JSON lines — the wire-interchange
+    * sink (one JSON object per entry, seq + nulled carried; the
+    * reference's codec frames map to one text line per frame). */
+  def exportJsonl(log: graft.storage.ParquetLog, path: String): Unit =
+    log.toDF
+      .select(to_json(struct(col("seq"), col("value"), col("nulled"))).as("value"))
+      .write
+      .mode("overwrite")
+      .text(path)
+
+  /** Import JSON-lines values into a single `value STRING` column
+    * DataFrame ready for [[graft.storage.ParquetLog.append]] —
+    * dynamic-schema ingestion (`tipe == nil` mode). */
+  def importJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): DataFrame =
+    spark.read.text(path).select(col("value").cast("string").as("value"))
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.query.Skew
+
+/** SparkSessionExtensions registration (SQL-text access to the native
+  * expressions), JSONL interchange, and skew helpers.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("extensions expose native functions to SQL text") {
+    // the injector must apply cleanly to a fresh extensions object
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the same builders, installed on a live session's registry,
+    // must resolve from SQL text (getOrCreate would silently ignore
+    // spark.sql.extensions when a session already exists in this JVM,
+    // so the runtime path is what's testable here)
+    val s2 = spark.newSession()
+    GraftExtensions.registerAll(s2)
+    val r = s2
+      .sql(
+        """SELECT vec_dot_f(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+          |  vec_norm_f(array(3.0F, 4.0F)) AS n,
+          |  word_shingles('a b c d', 3) AS sh""".stripMargin
+      )
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+  }
+
+  test("jsonl export/import round-trips a log") {
+    import spark.implicits._
+    val log = graft.storage.ParquetLog
+      .open(spark, tmpDir("jl"), org.apache.spark.sql.types.StringType)
+    log.appendValues(Seq("""{"a":1}""", """{"a":2}"""))
+    val out = tmpDir("jlout")
+    graft.codec.Codecs.exportJsonl(log, out)
+    val back = graft.codec.Codecs.importJsonl(spark, out)
+    assert(back.count() == 2)
+    val parsed = spark.read.json(back.as[String])
+    assert(parsed.select(sum("seq")).collect()(0).getLong(0) == 1L)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    import spark.implicits._
+    // skewed: key "hot" holds 90% of rows
+    val df = ((1 to 900).map(i => ("hot", i.toDouble)) ++
+      (1 to 100).map(i => (s"k${i % 10}", i.toDouble))).toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val salted = Skew
+      .saltedAgg(df, col("k"), 8,
+        partial = Seq(count(lit(1)).as("n"), sum("v").as("s")),
+        merge = Seq(sum("n").as("n"), sum("s").as("s")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(salted == plain)
+  }
+
+  test("bucket capping splits mega-buckets out") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("big", i)) ++ (1 to 5).map(i => ("small", i)))
+      .toDF("b", "x")
+    val (within, over) = Skew.capBuckets(df, Seq("b"), maxBucket = 10)
+    assert(within.select("b").distinct().collect().map(_.getString(0)).toSeq == Seq("small"))
+    assert(over.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("big", 100L)))
+  }
+}
