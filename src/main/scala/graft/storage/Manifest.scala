@@ -44,8 +44,22 @@ object Manifest {
     else Some(JsonMethods.parse(Files.readString(p)).extract[Manifest])
   }
 
+  /** Thrown when a stale handle tries to commit over a newer manifest
+    * — the single-writer discipline made loud (the reference gets the
+    * same guarantee from its in-process log mutex; across processes a
+    * lost update would silently drop segments, so we refuse). */
+  final case class ConcurrentWriteException(dir: String, expected: Long, found: Long)
+      extends RuntimeException(
+        s"manifest conflict in $dir: committing v$expected but disk has v$found — another writer is active; reopen the log")
+
   def commit(dir: String, m: Manifest): Unit = {
     val p = manifestPath(dir)
+    // optimistic check: our version must be exactly disk+1 (or the
+    // initial commit). Not a distributed lock — a belt-and-braces
+    // guard against two writer handles on one log directory.
+    val diskVersion = load(dir).map(_.version).getOrElse(-1L)
+    if (m.version != diskVersion + 1 && !(m.version == 0 && diskVersion == -1L))
+      throw ConcurrentWriteException(dir, m.version, diskVersion)
     val tmp = Paths.get(dir, s"manifest.json.tmp")
     Files.createDirectories(p.getParent)
     Files.writeString(tmp, Serialization.writePretty(m))

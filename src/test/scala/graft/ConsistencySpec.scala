@@ -45,6 +45,21 @@ class ConsistencySpec extends SparkSpec {
     assert(problems.exists(_.contains("missing segment")))
   }
 
+  test("stale second writer handle is refused, not lost-updated") {
+    val dir = tmpDir("cas")
+    val a = ParquetLog.open(spark, dir, IntegerType)
+    val b = ParquetLog.open(spark, dir, IntegerType)
+    a.appendValues(Seq(1, 2))
+    intercept[graft.storage.Manifest.ConcurrentWriteException] {
+      b.appendValues(Seq(3))
+    }
+    // A's commit is intact; a fresh handle sees it and can continue
+    val c = ParquetLog.open(spark, dir, IntegerType)
+    assert(c.seq == 1)
+    c.appendValues(Seq(3))
+    assert(c.seq == 2)
+  }
+
   test("reopen after kill sees only committed state") {
     val dir = tmpDir("fsck3")
     val log = ParquetLog.open(spark, dir, IntegerType)
