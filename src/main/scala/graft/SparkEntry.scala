@@ -233,7 +233,6 @@ object SparkEntry {
           "vec_id",
           threshold = 0.3
         )
-        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("id_a", "id_b")),
 
     // ---- similarity search -----------------------------------------
@@ -246,7 +245,6 @@ object SparkEntry {
         .getSeq[Float](0)
       Ann
         .cosineTopK(emb, "embedding", "vec_id", q, 10)
-        .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
     // LSH-bucketed ANN: the oracle recomputes the full signature +
@@ -261,7 +259,6 @@ object SparkEntry {
       val bucketed = Ann.lshBuckets(emb, "embedding", "vec_id", bits = 8)
       Ann
         .lshTopK(bucketed, "embedding", "vec_id", q, 10, bits = 8, probeHamming = 1)
-        .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
@@ -559,12 +556,12 @@ object SparkEntry {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q26_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_ann_topk" ->
-      """SELECT b.vec_id, round(round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS score
+      """SELECT b.vec_id, round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
@@ -594,7 +591,7 @@ object SparkEntry {
         |  SELECT sig.vec_id FROM sig JOIN probes ON sig.bucket = probes.pb
         |)
         |SELECT b.vec_id,
-        |  round(round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS score
+        |  round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings b
         |JOIN cand ON cand.vec_id = b.vec_id,
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
