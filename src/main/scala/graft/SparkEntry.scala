@@ -342,6 +342,27 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // event-time tumbling-window aggregation (batch twin of the
+    // streaming windowedCounts shape)
+    "q34_windowed_counts" -> ((s, dir) => {
+      val events = Tables
+        .load(s, dir, "events")
+        .select(
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("event_type"),
+          col("value")
+        )
+      graft.streaming.EventStreamOps
+        .windowedCounts(events, "1 hour", "1 hour")
+        .select(
+          unix_millis(col("win_start")).as("win_start_ms"),
+          col("event_type"),
+          col("n"),
+          col("total")
+        )
+        .orderBy("win_start_ms", "event_type")
+    }),
+
     // ---- multimodal plumbing ---------------------------------------
     "q29_multimodal_features" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -597,6 +618,10 @@ object SparkEntry {
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q34_windowed_counts" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms,
+        |  event_type, count(*) AS n, round(sum(value), 6) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin,
     "q33_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
         |x AS (

@@ -167,10 +167,19 @@ object Dedup {
       shingleWidth: Int,
       threshold: Double
   ): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("id"),
-      explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
-    )
+    // only docs that appear in a candidate pair need their shingles
+    // exploded — a semi join keeps the verify stage proportional to
+    // the candidate set, not the corpus
+    val candidateIds = candidates
+      .select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val sh = df
+      .select(
+        col(idCol).as("id"),
+        explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
+      )
+      .join(candidateIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
