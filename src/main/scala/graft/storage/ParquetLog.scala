@@ -134,30 +134,29 @@ final class ParquetLog private (
   }
 
   /** Write `(seq,value,nulled)` rows into new segment files under
-    * data/, sorted by seq, and return their manifest entries. */
+    * data/, sorted by seq, and return their manifest entries.
+    * Per-file seq ranges come from the parquet FOOTERS (driver-side
+    * metadata read — the stats the writer already computed), not an
+    * extra Spark job over the data. */
   private def writeSegments(df: DataFrame): List[Segment] = {
     val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
     df.sortWithinPartitions("seq")
       .write
       .mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
-    // Per-file seq stats via one small job over the just-written files.
-    val stats = spark.read
-      .parquet(tmp.toString)
-      .groupBy(input_file_name().as("file"))
-      .agg(
-        min("seq").as("minSeq"),
-        max("seq").as("maxSeq"),
-        count(lit(1)).as("rows")
-      )
-      .collect()
+    val files = Files
+      .list(tmp)
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toList
     Files.createDirectories(dataDir)
-    val segs = stats.toList.map { r =>
-      val src = Paths.get(new java.net.URI(r.getString(0)))
-      val minSeq = r.getLong(1)
-      val name = f"seg-$minSeq%012d-${UUID.randomUUID().toString.take(8)}.parquet"
-      Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      Segment(s"data/$name", minSeq, r.getLong(2), r.getLong(3))
+    val segs = files.flatMap { src =>
+      ParquetLog.seqStatsFromFooter(src).map { case (minSeq, maxSeq, rows) =>
+        val name = f"seg-$minSeq%012d-${UUID.randomUUID().toString.take(8)}.parquet"
+        Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        Segment(s"data/$name", minSeq, maxSeq, rows)
+      } // zero-row part files are skipped (and cleaned with tmp)
     }
     deleteRecursively(tmp)
     segs.sortBy(_.minSeq)
@@ -342,4 +341,42 @@ object ParquetLog {
         .asScala
         .foreach(Files.deleteIfExists(_))
     }
+
+  /** (min seq, max seq, row count) of one segment file, read from its
+    * parquet footer — driver-side, no executor involvement. Segments
+    * are seq-sorted, so the column min/max statistics are exact.
+    * None for zero-row files. */
+  private[storage] def seqStatsFromFooter(file: Path): Option[(Long, Long, Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      if (blocks.isEmpty) return None
+      var minSeq = Long.MaxValue
+      var maxSeq = Long.MinValue
+      var rows = 0L
+      blocks.foreach { b =>
+        rows += b.getRowCount
+        val seqCol = b.getColumns.asScala
+          .find(_.getPath.toDotString == "seq")
+          .getOrElse(throw new IllegalStateException(s"no seq column in $file"))
+        val stats = seqCol.getStatistics
+        require(
+          stats != null && stats.hasNonNullValue,
+          s"missing seq statistics in $file"
+        )
+        minSeq = math.min(
+          minSeq,
+          stats.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+        )
+        maxSeq = math.max(
+          maxSeq,
+          stats.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+        )
+      }
+      Some((minSeq, maxSeq, rows))
+    } finally reader.close()
+  }
 }
