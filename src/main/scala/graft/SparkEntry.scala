@@ -342,6 +342,22 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // sublog→parent resolution: the reference ecosystem's one join
+    // (sublog seq → parent Get), as a broadcast join through the engine
+    "q35_sublog_resolve" -> ((s, dir) => {
+      val (log, mlog, _) = EngineFixtures.open(s, dir)
+      mlog
+        .sublog("click")
+        .resolve(log)
+        .select(
+          col("rank"),
+          col("seq"),
+          col("value.user_id").as("user_id"),
+          round(col("value.amount"), 6).as("amount")
+        )
+        .orderBy("rank")
+    }),
+
     // event-time tumbling-window aggregation (batch twin of the
     // streaming windowedCounts shape)
     "q34_windowed_counts" -> ((s, dir) => {
@@ -618,6 +634,10 @@ object SparkEntry {
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q35_sublog_resolve" ->
+      """SELECT row_number() OVER (ORDER BY event_id) - 1 AS rank,
+        |  event_id AS seq, user_id, round(value, 6) AS amount
+        |FROM events WHERE event_type = 'click' ORDER BY rank""".stripMargin,
     "q34_windowed_counts" ->
       """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms,
         |  event_type, count(*) AS n, round(sum(value), 6) AS total

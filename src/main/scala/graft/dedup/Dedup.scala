@@ -257,29 +257,25 @@ object Dedup {
       "h",
       conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
     )
-    val bits = hashed.select(
-      col("id"),
-      explode(sequence(lit(0), lit(31))).as("bit"),
-      col("h")
-    )
-    // variable bit extraction via exact double arithmetic
-    // (floor(h / 2^bit) % 2) — portable to the DuckDB oracle verbatim
-    val votes = bits
-      .withColumn(
-        "vote",
-        when(pmod(floor(col("h") / pow(lit(2.0), col("bit"))), lit(2)) === 1, 1)
-          .otherwise(-1)
-      )
-      .groupBy("id", "bit")
-      .agg(sum("vote").as("v"))
-    votes
-      .withColumn(
-        "bitval",
-        when(col("v") > 0, pow(lit(2.0), col("bit")).cast("long"))
-          .otherwise(0L)
-      )
+    // one aggregation with 32 conditional-sum columns instead of a
+    // 32× bit-explode: same votes (bit i of h extracted with exact
+    // integer shift), 1/32 the aggregated rows. The oracle recomputes
+    // the identical math with floor/pow arithmetic.
+    val votes = (0 until 32).map { b =>
+      sum(
+        when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)
+      ).as(s"v$b")
+    }
+    hashed
       .groupBy("id")
-      .agg(sum("bitval").as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("id"),
+        (0 until 32)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+          .as("simhash")
+      )
   }
 
   /** Embedding near-duplicates: pairs with cosine >= threshold.

@@ -202,4 +202,23 @@ final class Sublog(
     require(!plan.live, "live sublog queries go through LiveTail")
     graft.query.QueryBuilder.build(toDF, plan)
   }
+
+  /** Resolve this sublog's entries back to parent-log values — the
+    * one join the reference's ecosystem performs (caller-side
+    * `sublog seq → parent Get(seq)`, SURVEY §2.6). Returns
+    * `(rank, seq, value)`; the sublog side is broadcast (a single
+    * addr's seqs are tiny relative to the log), so the parent scan
+    * never shuffles. */
+  def resolve(log: graft.storage.ParquetLog): DataFrame = {
+    guard()
+    val sub = toDF.select(
+      org.apache.spark.sql.functions
+        .col("seq")
+        .as("rank"),
+      org.apache.spark.sql.functions.col("value").as("seq")
+    )
+    log.toDF
+      .join(org.apache.spark.sql.functions.broadcast(sub), Seq("seq"))
+      .select("rank", "seq", "value", "nulled")
+  }
 }
