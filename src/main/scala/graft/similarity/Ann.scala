@@ -170,6 +170,83 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF-style coarse quantization: assign each vector to its nearest
+    * centroid; centroids are the embeddings of `centroidIds`
+    * (deterministic — no RNG/k-means state to ship; callers wanting
+    * trained centroids pass the ids of a precomputed codebook).
+    * Writing the result partitioned by `cell` gives the classic
+    * IVF-flat layout: a query probes `nprobe` nearest cells only. */
+  def ivfAssign(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroidIds: Seq[Long]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.VecOps.register(spark)
+    val centroids = df
+      .where(col(idCol).isin(centroidIds: _*))
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
+    // small centroid table broadcast against the corpus; argmin by
+    // (distance, cell) for a deterministic assignment
+    val scored = df
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "dist",
+        call_function("vec_norm_f", col(vecCol)) * call_function("vec_norm_f", col(vecCol))
+          + call_function("vec_norm_f", col("cvec")) * call_function("vec_norm_f", col("cvec"))
+          - lit(2.0) * call_function("vec_dot_f", col(vecCol), col("cvec"))
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("dist").asc, col("cell").asc)
+    scored
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** Approximate top-k over an IVF assignment: score only the
+    * `nprobe` cells nearest to the query vector. */
+  def ivfTopK(
+      assigned: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      centroids: Map[Long, Seq[Float]],
+      nprobe: Int = 2
+  ): DataFrame = {
+    val spark = assigned.sparkSession
+    graft.functions.VecOps.register(spark)
+    // driver-side: nearest nprobe centroids to the query
+    def dist(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val probeCells = centroids.toSeq
+      .sortBy { case (cid, cvec) => (dist(queryVec, cvec), cid) }
+      .take(nprobe)
+      .map(_._1)
+    val q = array(queryVec.map(v => lit(v)): _*).cast("array<float>")
+    val qNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
+    assigned
+      .where(col("cell").isin(probeCells: _*)) // partition-prunable
+      .select(
+        col(idCol),
+        round(
+          when(
+            call_function("vec_norm_f", col(vecCol)) === 0.0 || lit(qNorm) === 0.0,
+            0.0
+          ).otherwise(
+            call_function("vec_dot_f", col(vecCol), q) /
+              (call_function("vec_norm_f", col(vecCol)) * lit(qNorm))
+          ),
+          6
+        ).as("score")
+      )
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All signatures within `maxDist` Hamming distance (multi-probe). */
   def hammingNeighbors(sig: Long, bits: Int, maxDist: Int): Seq[Long] = {
     var acc = Set(sig)

@@ -276,6 +276,48 @@ final class ParquetLog private (
       Files.deleteIfExists(Paths.get(dir, seg.path))
     }
 
+  /** Merge small adjacent segments into larger ones (copy-on-write;
+    * seqs untouched). Many tiny segments accumulate from fine-grained
+    * appends and degrade scan planning — compaction restores
+    * O(data/targetRows) file counts. Runs as one rewrite job over the
+    * affected segments only. */
+  def compact(targetRows: Long = 1000000L): Unit = synchronized {
+    val sorted = manifest.segments.sortBy(_.minSeq)
+    // group adjacent segments until each group reaches targetRows
+    val groups = scala.collection.mutable.ListBuffer.empty[List[Segment]]
+    var cur = scala.collection.mutable.ListBuffer.empty[Segment]
+    var curRows = 0L
+    sorted.foreach { s =>
+      if (curRows >= targetRows) {
+        groups += cur.toList; cur = scala.collection.mutable.ListBuffer.empty
+        curRows = 0L
+      }
+      cur += s; curRows += s.rows
+    }
+    if (cur.nonEmpty) groups += cur.toList
+    // nothing to do if no group merges more than one file
+    if (!groups.exists(_.length > 1)) return
+    val newSegs = groups.toList.flatMap { g =>
+      if (g.length == 1) g
+      else {
+        val df = spark.read
+          .schema(rowSchema)
+          .parquet(g.map(s => Paths.get(dir, s.path).toString): _*)
+          .repartitionByRange(1, col("seq"))
+        writeSegments(df)
+      }
+    }
+    val old = manifest.segments
+    manifest = manifest.copy(
+      version = manifest.version + 1,
+      segments = newSegs.sortBy(_.minSeq)
+    )
+    Manifest.commit(dir, manifest)
+    val kept = newSegs.map(_.path).toSet
+    old.filterNot(s => kept.contains(s.path))
+      .foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+  }
+
   /** Fsck: every manifest segment exists; seq ranges are dense and
     * non-overlapping from 0..maxSeq. Returns the list of problems
     * (empty = consistent). Orphan data files (from a crashed append)

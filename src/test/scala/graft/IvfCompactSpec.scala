@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.core.QuerySpec._
+import graft.similarity.Ann
+import graft.storage.ParquetLog
+
+/** IVF coarse quantization behavior + log segment compaction. */
+class IvfCompactSpec extends SparkSpec {
+
+  test("ivf: assignment is total, probing finds the query's own vector") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroidIds = Seq(0L, 7L, 23L, 99L)
+    val assigned = Ann.ivfAssign(emb, "embedding", "vec_id", centroidIds).cache()
+    assert(assigned.count() == emb.count()) // every vector gets a cell
+    val cells = assigned.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(centroidIds.toSet))
+    val centroids = emb
+      .where(col("vec_id").isin(centroidIds: _*))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .toMap
+    val q = emb.where(col("vec_id") === 5).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val top = Ann
+      .ivfTopK(assigned, "embedding", "vec_id", q, 10, centroids, nprobe = 2)
+      .collect()
+      .map(_.getLong(0))
+    // the query vector's own cell is among the probed ones by
+    // construction (its centroid is its nearest), so it finds itself
+    assert(top.contains(5L))
+    // recall vs exact top-10 is non-trivial with half the cells probed
+    val exact = Ann.cosineTopK(emb, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(top.toSet).size >= 3)
+  }
+
+  test("compact merges small segments, preserving data and seqs") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("cpt"), IntegerType)
+    // 6 tiny appends → many small segments
+    (0 until 6).foreach(i => log.appendValues(Seq(i * 2, i * 2 + 1)))
+    val before = log.checkConsistency()
+    assert(before == Nil)
+    val segsBefore = log.toDF.inputFiles.length
+    assert(segsBefore >= 6)
+    log.compact(targetRows = 100)
+    assert(log.checkConsistency() == Nil)
+    val segsAfter = log.toDF.inputFiles.length
+    assert(segsAfter < segsBefore)
+    // data intact and in order
+    assert(
+      log.query(SeqWrap(true)).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        == (0 until 12).map(i => (i.toLong, i))
+    )
+    // point reads still resolve through the new manifest
+    assert(log.get(7).getInt(1) == 7)
+  }
+}
