@@ -21,6 +21,9 @@ import graft.storage.ParquetLog
   */
 object EngineFixtures {
 
+  /** Bump when ParquetLog/MultiLog/KVIndex storage schemas change. */
+  val Version = "v2"
+
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, (ParquetLog, MultiLog, KVIndex)]
 
@@ -55,7 +58,11 @@ object EngineFixtures {
     cache.getOrElseUpdate(
       sfDir, {
         val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-        val base = s"${sys.props("java.io.tmpdir")}/graft-fixtures/$tag"
+        // version-stamped so a cached fixture from an older engine
+        // schema (e.g. pre-bucket multilog) can never be picked up —
+        // bump when storage schemas change
+        val base =
+          s"${sys.props("java.io.tmpdir")}/graft-fixtures/${EngineFixtures.Version}/$tag"
         val events = Tables.load(spark, sfDir, "events")
         val logDir = s"$base/log"
         val done = Paths.get(base, "DONE")
