@@ -342,6 +342,34 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // Gopher-style repetition quality filters: token diversity + the
+    // most-frequent-3-gram share, combined into a keep verdict
+    "q36_repetition" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val grams = docs.select(
+        col("doc_id"),
+        explode(TextFunctions.ngramsAll(col("text"), 3)).as("g")
+      )
+      val top = grams
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          round(max("c").cast("double") / sum("c"), 6).as("top3gram_ratio")
+        )
+      docs
+        .select(
+          col("doc_id"),
+          round(TextFunctions.uniqueTokenRatio(col("text")), 6).as("uniq_ratio")
+        )
+        .join(top, Seq("doc_id"))
+        .withColumn(
+          "keep",
+          col("uniq_ratio") >= 0.2 && col("top3gram_ratio") <= 0.18
+        )
+        .orderBy("doc_id")
+    }),
+
     // sublog→parent resolution: the reference ecosystem's one join
     // (sublog seq → parent Get), as a broadcast join through the engine
     "q35_sublog_resolve" -> ((s, dir) => {
@@ -634,6 +662,29 @@ object SparkEntry {
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
+    "q36_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [array_to_string(w, ' ')] END) AS g
+        |  FROM t
+        |), top AS (
+        |  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top3gram_ratio
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+        |  GROUP BY doc_id
+        |), uniq AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |         ELSE round(len(list_distinct(w))::DOUBLE / len(w), 6) END AS uniq_ratio
+        |  FROM t
+        |)
+        |SELECT u.doc_id, u.uniq_ratio, top.top3gram_ratio,
+        |  (u.uniq_ratio >= 0.2 AND top.top3gram_ratio <= 0.18) AS keep
+        |FROM uniq u JOIN top USING (doc_id) ORDER BY u.doc_id""".stripMargin,
     "q35_sublog_resolve" ->
       """SELECT row_number() OVER (ORDER BY event_id) - 1 AS rank,
         |  event_id AS seq, user_id, round(value, 6) AS amount

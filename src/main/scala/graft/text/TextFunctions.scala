@@ -100,4 +100,27 @@ object TextFunctions {
     * whitespace collapsed, trimmed) — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Distinct tokens / total tokens — the low-diversity (template /
+    * boilerplate) repetition signal of Gopher-style quality filters.
+    * Pure columnar: no explode, no shuffle. */
+  def uniqueTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Word n-grams WITH duplicates (multiset — unlike
+    * [[graft.dedup.Dedup.shingles]] which is a set), for frequency-
+    * based repetition measures. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))
+      )
+    ).otherwise(array(concat_ws(" ", toks)))
+  }
 }
