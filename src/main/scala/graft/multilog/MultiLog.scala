@@ -106,6 +106,24 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
     * atomic commits). */
   def flush(): Unit = ()
 
+  /** Live tail of ONE sublog (reference: multilog live queries,
+    * multilog/roaring/qry.go:149-179 / multilog_live.go tests): a
+    * Structured Streaming DataFrame of this sublog's `(addr, seq)`
+    * rows — catch-up over existing segments, then new fan-out batches
+    * as they commit. The addr/bucket predicates prune each discovered
+    * file. Rows arrive in per-batch seq order; strict global order
+    * across batches comes from the parent-log cursor replay
+    * ([[graft.indexes.MultiLogSink]]), which is the canonical resume
+    * path — same contract split as the reference (live = forwarded
+    * appends, replay = ordered). */
+  def liveSublog(addr: String): DataFrame =
+    spark.readStream
+      .schema(MultiLog.schema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(s"$dir/data")
+      .where(col("bucket") === bucketOf(addr) && col("addr") === addr)
+      .select("addr", "seq")
+
   /** Fold all append segments into one deduplicated segment — the
     * compaction analogue of the reference's bitmap persistence; makes
     * the dedup-on-read in [[table]] a no-op until the next append. */

@@ -73,6 +73,31 @@ class LiveSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live sublog tailing delivers new fan-out rows for one addr") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val mlog = graft.multilog.MultiLog.open(spark, tmpDir("livesub"))
+    mlog.appendBatch(Seq(("a", 0L), ("b", 1L), ("a", 2L)).toDF("addr", "seq"))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = mlog
+      .liveSublog("a")
+      .writeStream
+      .option("checkpointLocation", tmpDir("lsckpt"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.orderBy("seq").collect().foreach(r => seen.add(r.getLong(1)))
+        (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toList == Seq(0L, 2L)) // addr-filtered backlog
+      mlog.appendBatch(Seq(("a", 5L), ("b", 6L)).toDF("addr", "seq"))
+      q.processAllAvailable()
+      assert(seen.asScala.toList == Seq(0L, 2L, 5L)) // only addr 'a'
+    } finally q.stop()
+  }
+
   test("reverse+live rejected on the live path too") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("rl"), IntegerType)
