@@ -22,7 +22,7 @@ import graft.storage.ParquetLog
 object EngineFixtures {
 
   /** Bump when ParquetLog/MultiLog/KVIndex storage schemas change. */
-  val Version = "v2"
+  val Version = "v3" // v3: TableStore writes a physical _ver column
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, (ParquetLog, MultiLog, KVIndex)]

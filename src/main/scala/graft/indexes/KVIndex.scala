@@ -71,11 +71,17 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
     * dropped. One shuffle on addr; at scale this is the standard
     * change-table → snapshot compaction and can be checkpointed via
     * `compact()`. */
-  def current: DataFrame = {
+  def current: DataFrame = currentWhere(lit(true))
+
+  /** Last-write-wins snapshot restricted to `pred` — the predicate is
+    * applied BELOW the window so it reaches the parquet scan (a point
+    * read touches one addr's row groups, not the whole change log). */
+  private def currentWhere(pred: org.apache.spark.sql.Column): DataFrame = {
     val w = Window
       .partitionBy("addr")
       .orderBy(col("_ver").desc, col("useq").desc)
     store.readVersioned
+      .where(pred)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && !col("tombstone"))
       .select("addr", "value")
@@ -83,7 +89,7 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
 
   /** Point read; None = unset (the reference's `UnsetValue`). */
   def get(addr: String): Option[String] = {
-    val rows = current.where(col("addr") === addr).collect()
+    val rows = currentWhere(col("addr") === addr).collect()
     rows.headOption.map(_.getString(1))
   }
 

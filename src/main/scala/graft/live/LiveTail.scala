@@ -33,7 +33,11 @@ object LiveTail {
   /** Start a push-mode query: `sink` is called with each delivered
     * `(seq, value, nulled)` row in strict seq order. Returns the
     * running StreamingQuery; stop it to cancel (the reference's
-    * ctx-done).
+    * ctx-done). When a `Limit(n)` or upper bound is exhausted the
+    * query STOPS ITSELF — the reference's push queries complete when
+    * their countdown hits zero / the cursor passes the bound
+    * (offset2/qry.go:283-319); a bounded live consumer must not leak
+    * a running stream.
     *
     * Ordering: a multi-file append can be discovered across several
     * micro-batches in file-mtime order, so rows may arrive ahead of
@@ -41,7 +45,14 @@ object LiveTail {
     * contiguous run from the expected seq — dense seqs make "next"
     * well-defined (the same guarantee the reference gets from its
     * single cursor walk, offset2/qry.go:101-189). The buffer holds at
-    * most the in-flight discovery window. */
+    * most the in-flight discovery window:
+    *   - each batch is drained through a sorted `toLocalIterator`, so
+    *     catch-up over an arbitrarily large backlog never materializes
+    *     a whole micro-batch on the driver;
+    *   - rows below the cursor (segment rewrites from nullAt/replace/
+    *     compact being re-discovered by the file stream) are dropped,
+    *     and stale pending entries are purged, so a rewrite during an
+    *     active tail can never wedge the buffer head. */
   def push(
       log: ParquetLog,
       specs: Seq[QuerySpec],
@@ -57,22 +68,59 @@ object LiveTail {
       QuerySpec.SeqWrap(true)
     val expected = new AtomicLong(plan.lower.getOrElse(0L))
     val pending = new java.util.concurrent.ConcurrentSkipListMap[Long, Row]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val queryRef = new java.util.concurrent.atomic.AtomicReference[StreamingQuery]()
+
+    // stop() must not be called from the micro-batch thread (it joins
+    // that thread) — hand the stop to a daemon.
+    def stopAsync(q: StreamingQuery): Unit = {
+      val t = new Thread(() => try q.stop() catch { case _: Throwable => () })
+      t.setName("graft-live-push-stop")
+      t.setDaemon(true)
+      t.start()
+    }
+    def complete(): Unit =
+      if (done.compareAndSet(false, true)) {
+        val q = queryRef.get()
+        if (q != null) stopAsync(q)
+      }
+
     val stream = log.liveQuery(internalSpecs: _*)
-    stream.writeStream
+    val query = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => pending.put(r.getLong(0), r))
-        var head = pending.firstEntry()
-        while (head != null && head.getKey == expected.get()) {
-          if (remaining.getAndDecrement() > 0) sink(head.getValue)
-          pending.remove(head.getKey)
-          expected.incrementAndGet()
-          head = pending.firstEntry()
+        if (!done.get()) {
+          // purge re-delivered rows below the cursor before draining
+          pending.headMap(expected.get()).clear()
+          // global sort + local iterator: in-seq-order chunked pull to
+          // the driver, memory bounded by one partition not one batch
+          val it = batch.sort("seq").toLocalIterator()
+          while (it.hasNext && !done.get()) {
+            val r = it.next()
+            val s = r.getLong(0)
+            if (s >= expected.get()) {
+              pending.put(s, r)
+              var head = pending.firstEntry()
+              while (head != null && head.getKey == expected.get() &&
+                remaining.get() > 0 && !done.get()) {
+                sink(head.getValue)
+                pending.remove(head.getKey)
+                expected.incrementAndGet()
+                if (remaining.decrementAndGet() == 0) complete()
+                head = pending.firstEntry()
+              }
+            }
+          }
+          if (plan.upper.exists(u => expected.get() >= u)) complete()
         }
         (): Unit
       }
       .start()
+    queryRef.set(query)
+    // completion may have raced the handle publication
+    if (done.get()) stopAsync(query)
+    query
   }
 
   /** The `Changes()` observable (offset2/log.go:352-354): invoke

@@ -35,9 +35,13 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
   import MultiLog.{NumBuckets, bucketOf}
 
   // Poisoned handles: addrs deleted while a Sublog handle was open.
+  // epoch is an AtomicLong and all mutators are synchronized so a
+  // delete's epoch snapshot is atomic with its rewrite — a handle
+  // opened before the delete can never dodge poisoning via a lost
+  // read-modify-write on a plain volatile.
   private val deletedEpoch =
     scala.collection.concurrent.TrieMap.empty[String, Long]
-  @volatile private var epoch: Long = 0L
+  private val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The deduplicated index table `(addr, seq)`. */
   def table: DataFrame =
@@ -60,7 +64,7 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
     * construction (dedup on read), so replays from a resumed sink are
     * harmless — strictly stronger than the reference's at-most-once
     * cursor-first discipline (multilog/sink.go:50-57). */
-  def appendBatch(df: DataFrame): Unit = {
+  def appendBatch(df: DataFrame): Unit = synchronized {
     store.append(
       df.select(
         col(df.columns(0)).cast(StringType).as("addr"),
@@ -71,7 +75,8 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "addr", "seq")
     )
-    epoch += 1
+    epoch.incrementAndGet()
+    (): Unit
   }
 
   def append(addr: String, parentSeq: Long): Unit = {
@@ -81,7 +86,7 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
 
   /** Open a sublog handle (creates-on-write semantics like the
     * reference's `Get`, multilog/roaring/multilog.go:98-140). */
-  def sublog(addr: String): Sublog = new Sublog(this, addr, epoch)
+  def sublog(addr: String): Sublog = new Sublog(this, addr, epoch.get())
 
   /** Non-empty sublog addresses (multilog/roaring/multilog.go:181-216). */
   def list(): DataFrame = table.select("addr").distinct()
@@ -91,10 +96,11 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
 
   /** Drop a sublog and poison open handles
     * (multilog/roaring/multilog.go:166-178). */
-  def delete(addr: String): Unit = {
+  def delete(addr: String): Unit = synchronized {
     store.rewrite(df => df.where(col("addr") =!= addr))
-    deletedEpoch.put(addr, epoch)
-    epoch += 1
+    deletedEpoch.put(addr, epoch.get())
+    epoch.incrementAndGet()
+    (): Unit
   }
 
   private[multilog] def isPoisoned(addr: String, handleEpoch: Long): Boolean =
@@ -127,13 +133,14 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
   /** Fold all append segments into one deduplicated segment — the
     * compaction analogue of the reference's bitmap persistence; makes
     * the dedup-on-read in [[table]] a no-op until the next append. */
-  def compact(): Unit = {
+  def compact(): Unit = synchronized {
     store.rewrite(
       _.dropDuplicates("addr", "seq")
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "addr", "seq")
     )
-    epoch += 1
+    epoch.incrementAndGet()
+    (): Unit
   }
 }
 
@@ -198,10 +205,12 @@ final class Sublog(
       )
   }
 
-  /** Cardinality - 1, or SeqEmpty (-1) for an empty/unknown sublog. */
+  /** Cardinality - 1, or SeqEmpty (-1) for an empty/unknown sublog.
+    * A plain bucket-pruned count — the rank window in [[toDF]] would
+    * add a needless shuffle for a cardinality question. */
   def seq: Long = {
     guard()
-    toDF.count() - 1
+    parent.tableFor(addr).count() - 1
   }
 
   /** Rank → parent seq (bitmap Select). */
@@ -224,9 +233,13 @@ final class Sublog(
   /** Resolve this sublog's entries back to parent-log values — the
     * one join the reference's ecosystem performs (caller-side
     * `sublog seq → parent Get(seq)`, SURVEY §2.6). Returns
-    * `(rank, seq, value)`; the sublog side is broadcast (a single
-    * addr's seqs are tiny relative to the log), so the parent scan
-    * never shuffles. */
+    * `(rank, seq, value)`.
+    *
+    * The sublog side broadcasts ONLY when its (cheap, bucket-pruned)
+    * row count fits under `spark.sql.autoBroadcastJoinThreshold` — a
+    * hot addr holding 20% of a 100 TB log must not be forced through
+    * the driver; it falls back to a shuffle join that AQE can still
+    * re-plan. */
   def resolve(log: graft.storage.ParquetLog): DataFrame = {
     guard()
     val sub = toDF.select(
@@ -235,8 +248,17 @@ final class Sublog(
         .as("rank"),
       org.apache.spark.sql.functions.col("value").as("seq")
     )
+    val threshold = parent.spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .replaceAll("[^-0-9]", "")
+      .toLong
+    // ~24 bytes per (rank, seq) row of broadcast hash-table payload
+    val fits = threshold > 0 &&
+      parent.tableFor(addr).count() * 24L <= threshold
+    val right =
+      if (fits) org.apache.spark.sql.functions.broadcast(sub) else sub
     log.toDF
-      .join(org.apache.spark.sql.functions.broadcast(sub), Seq("seq"))
+      .join(right, Seq("seq"))
       .select("rank", "seq", "value", "nulled")
   }
 }

@@ -114,7 +114,7 @@ final class ParquetLog private (
     val segs = writeSegments(df)
     if (segs.isEmpty) return base // empty batch: nothing to commit
     val newMax = segs.map(_.maxSeq).max
-    manifest = manifest.copy(
+    val next = manifest.copy(
       version = manifest.version + 1,
       maxSeq = newMax,
       valueSchemaJson =
@@ -122,8 +122,22 @@ final class ParquetLog private (
         else manifest.valueSchemaJson,
       segments = manifest.segments ++ segs
     )
-    Manifest.commit(dir, manifest)
+    commitOrCleanup(next, segs)
     base
+  }
+
+  /** Commit then publish: the in-memory manifest only advances after
+    * the disk commit succeeds, so a stale handle that loses the CAS
+    * (ConcurrentWriteException) never serves uncommitted segments; its
+    * just-written files are swept instead. */
+  private def commitOrCleanup(next: Manifest, fresh: List[Segment]): Unit = {
+    try Manifest.commit(dir, next)
+    catch {
+      case e: Throwable =>
+        fresh.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+        throw e
+    }
+    manifest = next
   }
 
   /** Typed convenience append. */
@@ -267,12 +281,12 @@ final class ParquetLog private (
         spark.read.schema(rowSchema).parquet(Paths.get(dir, seg.path).toString)
       val rewritten = f(df)
       val newSegs = writeSegments(rewritten)
-      manifest = manifest.copy(
+      val next = manifest.copy(
         version = manifest.version + 1,
         segments =
           (manifest.segments.filterNot(_ == seg) ++ newSegs).sortBy(_.minSeq)
       )
-      Manifest.commit(dir, manifest)
+      commitOrCleanup(next, newSegs)
       Files.deleteIfExists(Paths.get(dir, seg.path))
     }
 
@@ -308,11 +322,12 @@ final class ParquetLog private (
       }
     }
     val old = manifest.segments
-    manifest = manifest.copy(
+    val merged = newSegs.filterNot(s => old.contains(s))
+    val next = manifest.copy(
       version = manifest.version + 1,
       segments = newSegs.sortBy(_.minSeq)
     )
-    Manifest.commit(dir, manifest)
+    commitOrCleanup(next, merged)
     val kept = newSegs.map(_.path).toSet
     old.filterNot(s => kept.contains(s.path))
       .foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))

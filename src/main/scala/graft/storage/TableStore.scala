@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** A small manifest-committed parquet table: append-only segments with
   * atomic visibility and copy-on-write rewrite. The shared storage
@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.StructType
   *
   * `version` doubles as an update-ordering epoch: each committed batch
   * gets a strictly increasing version, which the KV layer uses for
-  * last-write-wins resolution.
+  * last-write-wins resolution. The version is written as a PHYSICAL
+  * `_ver` column into every segment (a per-batch constant — parquet
+  * dictionary-encodes it to nothing), so a read is always ONE parquet
+  * scan over the manifest's file list regardless of how many commits
+  * produced it. Under streaming ingestion (a commit per micro-batch)
+  * this is the difference between O(1) and O(#commits) plan nodes.
   */
 final class TableStore private (
     val spark: SparkSession,
@@ -28,56 +33,37 @@ final class TableStore private (
     @volatile private var manifest: Manifest
 ) {
 
+  /** On-disk schema: the logical columns plus the physical `_ver`. */
+  private val diskSchema: StructType =
+    StructType(schema.fields :+ StructField("_ver", LongType, nullable = false))
+
   def version: Long = manifest.version
 
   /** Append one batch as a new segment; returns the commit version. */
   def append(df: DataFrame): Long = synchronized {
-    val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
-    df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      .write
-      .mode(SaveMode.Overwrite)
-      .parquet(tmp.toString)
-    val files = Files
-      .list(tmp)
-      .iterator()
-      .asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toList
-    val dataDir = Paths.get(dir, "data")
-    Files.createDirectories(dataDir)
     val ver = manifest.version + 1
-    val segs = files.map { f =>
-      val name = f"seg-$ver%08d-${UUID.randomUUID().toString.take(8)}.parquet"
-      Files.move(f, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      Segment(s"data/$name", ver, ver, 0L)
-    }
-    deleteRecursively(tmp)
-    manifest =
-      manifest.copy(version = ver, segments = manifest.segments ++ segs)
-    Manifest.commit(dir, manifest)
+    val segs = writeSegmentFiles(
+      df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_ver", lit(ver)),
+      ver
+    )
+    commitOrCleanup(
+      manifest.copy(version = ver, segments = manifest.segments ++ segs),
+      segs
+    )
     ver
   }
 
   /** The committed table, with a `_ver` column carrying each row's
-    * commit version (for last-write-wins upserts downstream). */
+    * commit version (for last-write-wins upserts downstream). A single
+    * parquet scan — `_ver` is a stored column, not a plan-time union. */
   def readVersioned: DataFrame = {
     if (manifest.segments.isEmpty)
       return spark
-        .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        .withColumn("_ver", lit(0L))
-    // One read per distinct version batch keeps _ver exact while still
-    // being a single unioned parquet scan in the physical plan.
-    manifest.segments
-      .groupBy(_.minSeq)
-      .toSeq
-      .sortBy(_._1)
-      .map { case (ver, segs) =>
-        spark.read
-          .schema(schema)
-          .parquet(segs.map(s => Paths.get(dir, s.path).toString): _*)
-          .withColumn("_ver", lit(ver))
-      }
-      .reduce(_.unionByName(_))
+        .createDataFrame(spark.sparkContext.emptyRDD[Row], diskSchema)
+    spark.read
+      .schema(diskSchema)
+      .parquet(manifest.segments.map(s => Paths.get(dir, s.path).toString): _*)
   }
 
   def read: DataFrame = readVersioned.drop("_ver")
@@ -86,7 +72,19 @@ final class TableStore private (
     * The rewritten table becomes a single new version. */
   def rewrite(f: DataFrame => DataFrame): Unit = synchronized {
     val cur = read
-    val out = f(cur).select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val ver = manifest.version + 1
+    val out = f(cur)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("_ver", lit(ver))
+    val segs = writeSegmentFiles(out, ver)
+    val old = manifest.segments
+    commitOrCleanup(manifest.copy(version = ver, segments = segs), segs)
+    old.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+  }
+
+  /** Write `out` as new segment files under data/ and return their
+    * manifest entries (not yet committed). */
+  private def writeSegmentFiles(out: DataFrame, ver: Long): List[Segment] = {
     val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val files = Files
@@ -97,17 +95,27 @@ final class TableStore private (
       .toList
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
-    val ver = manifest.version + 1
-    val segs = files.map { fl =>
+    val segs = files.map { f =>
       val name = f"seg-$ver%08d-${UUID.randomUUID().toString.take(8)}.parquet"
-      Files.move(fl, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      Files.move(f, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       Segment(s"data/$name", ver, ver, 0L)
     }
     deleteRecursively(tmp)
-    val old = manifest.segments
-    manifest = manifest.copy(version = ver, segments = segs)
-    Manifest.commit(dir, manifest)
-    old.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+    segs
+  }
+
+  /** Commit the manifest, then publish it to this handle. On a commit
+    * failure (stale handle, ConcurrentWriteException) the just-written
+    * segment files are removed and the in-memory view stays at the last
+    * COMMITTED state — a stale handle never serves uncommitted data. */
+  private def commitOrCleanup(next: Manifest, segs: List[Segment]): Unit = {
+    try Manifest.commit(dir, next)
+    catch {
+      case e: Throwable =>
+        segs.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+        throw e
+    }
+    manifest = next
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

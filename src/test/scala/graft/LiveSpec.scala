@@ -58,6 +58,67 @@ class LiveSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("push self-terminates when Limit is exhausted (qry.go:283-319)") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("livedone"), IntegerType)
+    log.appendValues(Seq(10, 20, 30, 40, 50))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = LiveTail.push(
+      log,
+      Seq(Limit(2), Live(true), SeqWrap(true)),
+      tmpDir("ckptdone"),
+      r => { seen.add(r.getLong(0)); () }
+    )
+    try {
+      // the query must stop ITSELF once 2 rows are delivered — no leak
+      assert(q.awaitTermination(60000), "query did not self-terminate")
+      assert(seen.asScala.toList == Seq(0L, 1L))
+      assert(!q.isActive)
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("push self-terminates when the upper bound is reached") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("liveub"), IntegerType)
+    log.appendValues(Seq(10, 20, 30, 40))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = LiveTail.push(
+      log,
+      Seq(Lt(3), Live(true), SeqWrap(true)),
+      tmpDir("ckptub"),
+      r => { seen.add(r.getLong(0)); () }
+    )
+    try {
+      assert(q.awaitTermination(60000), "query did not self-terminate")
+      assert(seen.asScala.toList == Seq(0L, 1L, 2L))
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("segment rewrite during an active push does not wedge delivery") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("livenull"), IntegerType)
+    log.appendValues(Seq(1, 2, 3))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = LiveTail.push(
+      log,
+      Seq(Live(true), SeqWrap(true)),
+      tmpDir("ckptnull"),
+      r => { seen.add(r.getLong(0)); () }
+    )
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toList == Seq(0L, 1L, 2L))
+      // rewrite an already-delivered segment: the file stream will
+      // re-discover the rewritten file and re-deliver seqs < cursor —
+      // those must be dropped, and NEW appends must still flow
+      log.nullAt(1)
+      q.processAllAvailable()
+      log.appendValues(Seq(4, 5))
+      q.processAllAvailable()
+      assert(seen.asScala.toList == Seq(0L, 1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("changes observable tracks the latest seq") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("chg"), IntegerType)

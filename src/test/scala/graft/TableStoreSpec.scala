@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.storage.TableStore
+
+/** TableStore plan-shape and versioning contract: `_ver` is a physical
+  * column, so a read stays ONE parquet scan no matter how many commits
+  * built the table (the reference's batched-flush guarantee,
+  * indexes/badger/index.go:138-163, without its in-memory queue).
+  */
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(
+    Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)
+    )
+  )
+
+  test("many small commits still plan as a single parquet scan") {
+    val store = TableStore.open(spark, tmpDir("ts-flat"), schema)
+    (1 to 40).foreach { i =>
+      store.append(Seq((s"k${i % 5}", i.toLong)).toDF("k", "v"))
+    }
+    val plan = store.readVersioned.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one parquet scan, got $scans:\n$plan")
+    assert(!plan.contains("Union"), s"plan still unions per-commit scans:\n$plan")
+  }
+
+  test("_ver carries the commit version per row (last-write-wins order)") {
+    val store = TableStore.open(spark, tmpDir("ts-ver"), schema)
+    val v1 = store.append(Seq(("a", 1L)).toDF("k", "v"))
+    val v2 = store.append(Seq(("a", 2L), ("b", 1L)).toDF("k", "v"))
+    assert(v2 == v1 + 1)
+    val rows = store.readVersioned
+      .orderBy("_ver", "k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", 1L, v1), ("a", 2L, v2), ("b", 1L, v2)))
+    // latest value for "a" resolves by max _ver
+    val latest = store.readVersioned
+      .groupBy("k")
+      .agg(max_by(col("v"), col("_ver")).as("v"))
+      .where(col("k") === "a")
+      .collect()
+      .head
+      .getLong(1)
+    assert(latest == 2L)
+  }
+
+  test("rewrite collapses history into one version") {
+    val store = TableStore.open(spark, tmpDir("ts-rw"), schema)
+    (1 to 5).foreach(i => store.append(Seq(("a", i.toLong)).toDF("k", "v")))
+    store.rewrite(df => df.groupBy("k").agg(max("v").as("v")))
+    val rows = store.readVersioned.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 5L)
+    val vers = store.readVersioned.select("_ver").distinct().collect()
+    assert(vers.length == 1)
+  }
+}
