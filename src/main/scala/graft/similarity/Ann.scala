@@ -184,26 +184,32 @@ object Ann {
   ): DataFrame = {
     val spark = df.sparkSession
     graft.functions.VecOps.register(spark)
-    val centroids = df
+    // Centroids are k small vectors — fetch them to the driver once and
+    // inline them as literals. The assignment is then a PER-ROW argmin
+    // over a k-element struct array (struct ordering = (dist, cell)):
+    // a narrow, codegen'd map over the corpus with NO join, NO window,
+    // NO shuffle — where a crossJoin×k + row_number argmin would
+    // shuffle n×k scored rows. argmin of ||v||²+||c||²-2v·c over c
+    // drops the per-row constant ||v||², so only ||c||²-2v·c is scored.
+    val cents = df
       .where(col(idCol).isin(centroidIds: _*))
-      .select(col(idCol).as("cell"), col(vecCol).as("cvec"))
-    // small centroid table broadcast against the corpus; argmin by
-    // (distance, cell) for a deterministic assignment
-    val scored = df
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "dist",
-        call_function("vec_norm_f", col(vecCol)) * call_function("vec_norm_f", col(vecCol))
-          + call_function("vec_norm_f", col("cvec")) * call_function("vec_norm_f", col("cvec"))
-          - lit(2.0) * call_function("vec_dot_f", col(vecCol), col("cvec"))
-      )
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("dist").asc, col("cell").asc)
-    scored
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "no centroid rows found for the given ids")
+    val best = array_min(
+      array(cents.map { case (cell, cvec) =>
+        val cLit = array(cvec.map(v => lit(v)): _*).cast("array<float>")
+        val cNormSq = cvec.map(v => v.toDouble * v.toDouble).sum
+        struct(
+          (lit(cNormSq) - lit(2.0) * call_function("vec_dot_f", col(vecCol), cLit))
+            .as("dist"),
+          lit(cell).as("cell")
+        )
+      }: _*)
+    )
+    df.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
   }
 
   /** Approximate top-k over an IVF assignment: score only the

@@ -39,6 +39,52 @@ class PipelineSpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("embedding near-dup LSH: bucketed plan, no cartesian product") {
+    val lsh = Dedup.embeddingNearDupLsh(
+      emb, "embedding", "vec_id", threshold = 0.3, bits = 8)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bucketed near-dup must not plan a cartesian product:\n$plan")
+    // pairs it DOES emit agree with the exact path (same cosine verify)
+    val exact = Dedup
+      .embeddingNearDupPairs(emb, "embedding", "vec_id", threshold = 0.3)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = lsh
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("mega-bucket cap keeps boilerplate from going quadratic") {
+    // 60 identical docs (one mega-bucket) + 2 genuine near-dups.
+    val boiler = (0L until 60L).map(i => (i, "the same boilerplate text " * 3))
+    val pairDocs = Seq(
+      (100L, "a unique document about distributed query planning topics"),
+      (101L, "a unique document about distributed query planner topics")
+    )
+    val df = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashLshPairs(df, "text", "doc_id", 8, 4, 3,
+        threshold = 0.35, maxBucket = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // the 60-doc bucket (60*59/2 = 1770 pairs) is dropped; the real
+    // near-dup pair outside it survives
+    assert(pairs == Set((100L, 101L)), s"got $pairs")
+    // without the cap the boilerplate pairs dominate
+    val uncapped = Dedup
+      .minhashLshPairs(df, "text", "doc_id", 8, 4, 3,
+        threshold = 0.35, maxBucket = 100000)
+      .count()
+    assert(uncapped > 1000)
+  }
+
   test("exact dedup: survivors + duplicates partition the corpus") {
     val n = docs.count()
     val survivors = Dedup.exactDedup(docs, "text", "doc_id").count()
