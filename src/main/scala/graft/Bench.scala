@@ -37,6 +37,10 @@ object Bench {
       val t0 = System.nanoTime()
       val r = f
       results(name) = (System.nanoTime() - t0) / 1e9
+      // isolate metrics: operators persist() intermediates for their
+      // own multi-consumer plans; drop them so one query's cache
+      // residue doesn't steal execution memory from the next
+      spark.catalog.clearCache()
       r
     }
 

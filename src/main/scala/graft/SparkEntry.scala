@@ -442,6 +442,21 @@ object SparkEntry {
       |  SELECT doc_id, unnest(shingles) AS s FROM sh
       |)""".stripMargin
 
+  /** Universal-hash constants as a DuckDB CTE — the SAME
+    * [[graft.dedup.Dedup.hashParams]] constants the Spark plan inlines,
+    * so the oracle recomputes identical 64-bit arithmetic. */
+  private def ksCte(numHashes: Int): String = {
+    val rows = (0 until numHashes)
+      .map { k =>
+        val (a, b) = Dedup.hashParams(k)
+        s"($k, $a, $b)"
+      }
+      .mkString(", ")
+    s"ks AS (SELECT * FROM (VALUES $rows) AS t(k, a, b))"
+  }
+
+  private val hashPLit = Dedup.HashP.toString
+
   def oracleSql: Map[String, String] = Map(
     "q01_log_scan" ->
       s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq",
@@ -559,9 +574,11 @@ object SparkEntry {
         |  ) AS canon FROM documents
         |) WHERE doc_id = canon ORDER BY doc_id""".stripMargin,
     "q22_minhash_sig" ->
-      s"""$shinglesCte, ks AS (SELECT unnest(generate_series(0, 7)) AS k)
-         |SELECT doc_id, k, min(substr(md5(k::VARCHAR || ':' || s), 1, 16)) AS h
-         |FROM e CROSS JOIN ks GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin,
+      s"""$shinglesCte, ${ksCte(8)}, ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM e
+         |)
+         |SELECT doc_id, k, min((a * x + b) % $hashPLit) AS h
+         |FROM ex CROSS JOIN ks GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin,
     "q23_ngram_jaccard" ->
       s"""$shinglesCte, sizes AS (
          |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
@@ -578,10 +595,11 @@ object SparkEntry {
          |WHERE round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "q24_lsh_pairs" ->
-      s"""$shinglesCte, ks AS (SELECT unnest(generate_series(0, 7)) AS k),
-         |sig AS (
-         |  SELECT doc_id, k, min(substr(md5(k::VARCHAR || ':' || s), 1, 16)) AS h
-         |  FROM e CROSS JOIN ks GROUP BY doc_id, k
+      s"""$shinglesCte, ${ksCte(8)}, ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM e
+         |), sig AS (
+         |  SELECT doc_id, k, min((a * x + b) % $hashPLit) AS h
+         |  FROM ex CROSS JOIN ks GROUP BY doc_id, k
          |), sigarr AS (
          |  SELECT doc_id, list(h ORDER BY k) AS sig FROM sig GROUP BY doc_id
          |), banded AS (

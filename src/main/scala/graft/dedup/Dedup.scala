@@ -78,9 +78,32 @@ object Dedup {
     df.join(groups, Seq(idCol), "left_semi")
   }
 
-  /** Per-doc MinHash signature: array of `numHashes` hex minima
-    * (min of a keyed md5 per hash function; a fixed-width hex string
-    * orders lexicographically exactly like its numeric value).
+  /** Mersenne modulus for the universal-hash family (2^61 - 1). */
+  val HashP: Long = 2305843009213693951L
+
+  /** Deterministic multiplier/offset for hash function k, both < 2^31
+    * so `a*x + b` with a 32-bit `x` stays below 2^63 — the arithmetic
+    * is exact in any engine with 64-bit integers (the DuckDB oracle
+    * inlines the same constants; overflow would ERROR there, not wrap,
+    * so staying in-range is load-bearing). */
+  def hashParams(k: Int): (Long, Long) = {
+    def mix(i: Long): Long = {
+      var z = i * 0x9e3779b97f4a7c15L
+      z ^= (z >>> 31)
+      z & 0x7fffffffL
+    }
+    (mix(2L * k + 1) | 1L, mix(2L * k + 2))
+  }
+
+  /** Per-doc MinHash signature: array of `numHashes` 61-bit minima.
+    *
+    * Hashing: ONE base hash per shingle (md5 prefix when
+    * `portableHash`, xxhash64 otherwise), then `numHashes` derived
+    * hashes `(a_k * x + b_k) mod (2^61-1)` — the classic universal
+    * family (Broder, "On the resemblance and containment of
+    * documents"). K minima cost K fused multiply-mods per shingle, not
+    * K cryptographic hashes; the md5 variant is bit-for-bit
+    * recomputable by the DuckDB oracle.
     *
     * Shape: explode shingles once, then ONE aggregation computing all
     * K minima. The naive alternative — K `array_min(transform(...))`
@@ -88,22 +111,33 @@ object Dedup {
     * tokenize/slice/distinct pipeline K times after Catalyst collapses
     * projections (measured 16× slower); the grouped form tokenizes
     * once and the min-agg combines map-side, so the shuffle carries
-    * only K×16 bytes per doc at any scale. */
+    * only K×8 bytes per doc at any scale. */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
       numHashes: Int = 16,
-      shingleWidth: Int = 3
+      shingleWidth: Int = 3,
+      portableHash: Boolean = true
   ): DataFrame = {
     val sh = df.select(
       col(idCol),
       explode(shinglesNative(df, col(textCol), shingleWidth)).as("s")
     )
+    // 32-bit base hash per shingle: md5-prefix (oracle-portable) or
+    // xxhash64 masked to 32 bits (production: no crypto hash at all)
+    val x =
+      if (portableHash)
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+      else
+        xxhash64(col("s")).bitwiseAND(lit(0xffffffffL))
+    val withX = sh.select(col(idCol), x.as("x"))
     val mins = (0 until numHashes).map { k =>
-      min(substring(md5(concat(lit(s"$k:"), col("s"))), 1, 16)).as(s"h$k")
+      val (a, b) = hashParams(k)
+      min((lit(a) * col("x") + lit(b)) % lit(HashP)).as(s"h$k")
     }
-    sh.groupBy(col(idCol))
+    withX
+      .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(
         col(idCol),
@@ -129,25 +163,31 @@ object Dedup {
       bands: Int = 4,
       shingleWidth: Int = 3,
       threshold: Double = 0.5,
-      maxBucket: Long = 10000L
+      maxBucket: Long = 10000L,
+      portableHash: Boolean = true
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleWidth)
-    // band key = md5 over the band's slice of the signature
+    val sigs =
+      minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, portableHash)
+    // band key = hash over the band's slice of the signature
     val banded = sigs.select(
       col(idCol),
       posexplode(
         array((0 until bands).map { b =>
-          md5(
-            concat_ws(
-              ",",
-              slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
-            )
-          )
+          val bandSlice =
+            slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
+          if (portableHash) md5(concat_ws(",", bandSlice)).cast("string")
+          else xxhash64(bandSlice).cast("string")
         }: _*)
       ).as(Seq("band", "bucket"))
     )
+    // The banded-signature table feeds three consumers (bucket counts
+    // + both sides of the self-join); persist it so the shingle →
+    // minhash pipeline runs ONCE, not once per branch. (At warehouse
+    // scale you'd materialize signatures to a table; the cache is the
+    // in-session equivalent.)
+    banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Mega-buckets (boilerplate shared by > maxBucket docs) would make
     // the self-join quadratic in ONE reducer — drop them up front
     // (they're near-certain duplicate clusters; collapse them by
@@ -175,18 +215,25 @@ object Dedup {
       threshold: Double
   ): DataFrame = {
     // only docs that appear in a candidate pair need their shingles
-    // exploded — a semi join keeps the verify stage proportional to
-    // the candidate set, not the corpus
+    // exploded — semi-join BEFORE the explode (Catalyst does not push a
+    // semi join below a Generate, so joining after would shingle the
+    // whole corpus), broadcast (the candidate set is the small side by
+    // construction), keeping the verify stage proportional to the
+    // candidate set, not the corpus
     val candidateIds = candidates
       .select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id")))
       .distinct()
-    val sh = df
-      .select(
-        col(idCol).as("id"),
-        explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
-      )
-      .join(candidateIds, Seq("id"), "left_semi")
+    val cdocs = df
+      .select(col(idCol).as("id"), col(textCol))
+      .join(broadcast(candidateIds), Seq("id"), "left_semi")
+    val sh = cdocs.select(
+      col("id"),
+      explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
+    )
+    // sh feeds sizes + both join sides — persist so candidate docs are
+    // shingled once, not three times
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
@@ -224,6 +271,7 @@ object Dedup {
       col(idCol).as("id"),
       explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
     )
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val pairs = sh
       .select(col("id").as("id_a"), col("shingle"))
@@ -344,8 +392,10 @@ object Dedup {
       col(idCol),
       col(vecCol),
       call_function("vec_norm_f", col(vecCol)).as("nrm"),
-      Ann.lshSignature(col(vecCol), bits).as("bucket")
+      Ann.lshSignature(col(vecCol), bits, Ann.vecDims(df, vecCol)).as("bucket")
     )
+    // signature computed once for counts + both join sides
+    raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cap per-bucket cardinality before the self-join (see
     // minhashLshPairs): one boilerplate bucket must not go quadratic
     val (bucketed, _) =

@@ -91,23 +91,32 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dimension d): md5-derived value mapped to [-0.5, 0.5). */
-  private def planeComponent(p: Int, d: Column): Column =
-    conv(substring(md5(concat(lit(s"plane:$p:"), d.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0) - 0.5
+    * dimension d): md5-derived value mapped to [-0.5, 0.5). Computed
+    * DRIVER-SIDE — the components are constants, so hashing them per
+    * row (the naive formulation, and what the DuckDB oracle does in
+    * SQL) wastes rows × bits × dims md5 calls. The arithmetic is
+    * bit-identical to the oracle's
+    * `('0x'||substr(md5(...),1,8))::BIGINT / 4294967296.0 - 0.5`. */
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"plane:$p:$d".getBytes("UTF-8"))
+      .take(4)
+      .map(b => f"${b & 0xff}%02x")
+      .mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+  }
 
-  /** b-bit random-hyperplane signature of a vector: bit p = sign of
-    * dot(vec, plane_p), packed into a BIGINT. */
-  def lshSignature(vec: Column, bits: Int = 8): Column = {
+  /** b-bit random-hyperplane signature of a `dims`-dimensional vector:
+    * bit p = sign of dot(vec, plane_p), packed into a BIGINT. The
+    * planes are inlined as literal arrays — the per-row work is `bits`
+    * codegen'd fused multiply-adds over the vector, no hashing. */
+  def lshSignature(vec: Column, bits: Int, dims: Int): Column = {
     val planes = (0 until bits).map { p =>
-      // dot(vec, plane_p) via positional zip: element i of the vector
-      // pairs with plane component (p, i).
+      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      // positional zip: element i of the vector pairs with component i
       val dot = aggregate(
-        zip_with(
-          vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)
-        ),
+        zip_with(vec, plane, (x, c) => x.cast("double") * c),
         lit(0.0),
         (acc, x) => acc + x
       )
@@ -127,8 +136,23 @@ object Ann {
     df.select(
       col(idCol),
       col(vecCol),
-      lshSignature(col(vecCol), bits).as("bucket")
+      lshSignature(col(vecCol), bits, vecDims(df, vecCol)).as("bucket")
     )
+
+  /** Dimensionality of the embedding column (one 1-row driver read —
+    * vectors in a corpus are fixed-width). */
+  private[graft] def vecDims(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Driver-side signature of one query vector — pure Scala math, no
+    * Spark job; bit-identical to [[lshSignature]]. */
+  private[graft] def signatureOf(vec: Seq[Float], bits: Int): Long =
+    (0 until bits).map { p =>
+      val dot = vec.zipWithIndex
+        .map { case (x, d) => x.toDouble * planeComponent(p, d) }
+        .foldLeft(0.0)(_ + _)
+      if (dot >= 0) 1L << p else 0L
+    }.sum
 
   /** Approximate top-k: score only the query's bucket. Falls back to
     * a global scan if the bucket has fewer than k members is NOT done
@@ -144,10 +168,9 @@ object Ann {
       probeHamming: Int = 1
   ): DataFrame = {
     val spark = bucketed.sparkSession
-    // Driver-side: compute the query's signature once via a 1-row plan.
     val q = array(queryVec.map(v => lit(v)): _*)
-    val qSig = spark.range(1).select(lshSignature(q, bits).as("s"))
-      .collect()(0).getLong(0)
+    // the query's signature is plain driver-side arithmetic — no job
+    val qSig = signatureOf(queryVec, bits)
     val probes = hammingNeighbors(qSig, bits, probeHamming)
     graft.functions.VecOps.register(spark)
     val qNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)

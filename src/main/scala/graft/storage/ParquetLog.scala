@@ -156,6 +156,11 @@ final class ParquetLog private (
     val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
     df.sortWithinPartitions("seq")
       .write
+      // small pages (row-count-bounded) make the column index precise:
+      // a point read decodes ONE ~1k-row page instead of a whole
+      // 20k-row default page — the log is a point-read-optimized store
+      // and pays a negligible scan/size cost for it
+      .option("parquet.page.row.count.limit", "1024")
       .mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
     val files = Files
@@ -177,20 +182,31 @@ final class ParquetLog private (
   }
 
   /** Point read. Throws ErrOutOfBounds past the end, ErrNulled for
-    * redacted entries (reference: offset2/log.go:356-371). */
+    * redacted entries (reference: offset2/log.go:356-371).
+    *
+    * Served DRIVER-SIDE: the manifest maps seq → one segment file, and
+    * [[DirectRead]] reads that one row with a parquet record filter —
+    * footer + one page, no Spark job (the reference's 2-seek read,
+    * offset2/offset.go:20-32, where the scheduler round-trip would
+    * otherwise dominate a 1-row lookup ~100:1). Falls back to a Spark
+    * read only for value types DirectRead doesn't convert. */
   def get(seqNo: Long): Row = {
     if (seqNo < 0 || seqNo > manifest.maxSeq)
       throw GraftErrors.ErrOutOfBounds(seqNo)
     val seg = manifest.segments
       .find(s => s.minSeq <= seqNo && seqNo <= s.maxSeq)
       .getOrElse(throw GraftErrors.ErrOutOfBounds(seqNo))
-    val rows = spark.read
-      .schema(rowSchema)
-      .parquet(Paths.get(dir, seg.path).toString)
-      .where(col("seq") === seqNo)
-      .collect()
-    if (rows.isEmpty) throw GraftErrors.ErrOutOfBounds(seqNo)
-    val r = rows.head
+    val r = DirectRead
+      .readRow(Paths.get(dir, seg.path), rowSchema, seqNo, seg.minSeq)
+      .getOrElse {
+        val rows = spark.read
+          .schema(rowSchema)
+          .parquet(Paths.get(dir, seg.path).toString)
+          .where(col("seq") === seqNo)
+          .collect()
+        if (rows.isEmpty) throw GraftErrors.ErrOutOfBounds(seqNo)
+        rows.head
+      }
     if (r.getBoolean(2)) throw GraftErrors.ErrNulled(seqNo)
     r
   }

@@ -123,6 +123,31 @@ class LogSpec extends SparkSpec {
     intercept[GraftErrors.ErrOutOfBounds](log.get(-1))
   }
 
+  test("get(seq) handles struct and array values (driver direct read)") {
+    import spark.implicits._
+    val slog = ParquetLog.open(spark, tmpDir("structlog"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StringType))))
+    slog.append(
+      Seq((7L, "x"), (8L, null.asInstanceOf[String]))
+        .toDF("a", "b")
+        .select(org.apache.spark.sql.functions.struct("a", "b").as("value")))
+    val r0 = slog.get(0).getStruct(1)
+    assert(r0.getLong(0) == 7L && r0.getString(1) == "x")
+    val r1 = slog.get(1).getStruct(1)
+    assert(r1.getLong(0) == 8L && r1.isNullAt(1))
+
+    val alog = ParquetLog.open(spark, tmpDir("arrlog"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType))
+    alog.append(Seq(Seq(1, 2, 3), Seq.empty[Int]).toDF("value"))
+    assert(alog.get(0).getSeq[Int](1) == Seq(1, 2, 3))
+    assert(alog.get(1).getSeq[Int](1).isEmpty)
+  }
+
   test("getMany: batched point reads, absent seqs skipped") {
     val log = mkLog(Seq(10, 20, 30, 40, 50))
     val rows = log.getMany(Seq(4L, 0L, 2L, 99L))

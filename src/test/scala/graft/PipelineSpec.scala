@@ -63,9 +63,12 @@ class PipelineSpec extends SparkSpec {
   test("mega-bucket cap keeps boilerplate from going quadratic") {
     // 60 identical docs (one mega-bucket) + 2 genuine near-dups.
     val boiler = (0L until 60L).map(i => (i, "the same boilerplate text " * 3))
+    // differ only in the FINAL token → 9 of 11 shingles shared
+    // (jaccard 0.82): a band match is near-certain for any hash
+    // family, so the assertion tests the cap, not hash luck
     val pairDocs = Seq(
-      (100L, "a unique document about distributed query planning topics"),
-      (101L, "a unique document about distributed query planner topics")
+      (100L, "a unique document about distributed query planning topics with cost modeling"),
+      (101L, "a unique document about distributed query planning topics with cost models")
     )
     val df = (boiler ++ pairDocs).toDF("doc_id", "text")
     val pairs = Dedup
