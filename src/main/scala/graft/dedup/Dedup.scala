@@ -29,6 +29,27 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
+  /** Materialize `result` into the cache, then release the operator's
+    * intermediate caches. The pipeline operators below persist wide
+    * intermediates (banded signatures, exploded shingles) that feed
+    * several consumers of ONE logical result; leaving those cached
+    * after the operator finishes would let one query's residue compete
+    * with the next query's joins for unified memory (the round-2 bench
+    * instability). Eagerly counting the (small) result lets us drop
+    * the wide caches before returning; lineage stays intact, so a
+    * cache-evicted partition is recomputable — unlike localCheckpoint,
+    * which would be lost on executor failure. */
+  private def materialized(
+      result: DataFrame,
+      intermediates: DataFrame*
+  ): DataFrame = {
+    val out =
+      result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Word-level w-shingles of the normalized text. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
@@ -196,12 +217,19 @@ object Dedup {
       graft.query.Skew.capBuckets(banded, Seq("band", "bucket"), maxBucket)
     val l = within.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = within.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    val candidates = l
-      .join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    verifyJaccard(df, textCol, idCol, candidates, shingleWidth, threshold)
+    // candidates feed three consumers inside verifyJaccard (the id
+    // semi-join set + the intersection join); materialize them so the
+    // banded cache can be released before the verify stage runs
+    val candidates = materialized(
+      l.join(r, Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct(),
+      banded
+    )
+    val out = verifyJaccard(df, textCol, idCol, candidates, shingleWidth, threshold)
+    candidates.unpersist(blocking = false)
+    out
   }
 
   /** Exact n-gram Jaccard over candidate pairs (inverted-index join:
@@ -240,7 +268,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn(
@@ -253,6 +281,7 @@ object Dedup {
       )
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materialized(result, sh)
   }
 
   /** All near-duplicate pairs by exact n-gram Jaccard — the
@@ -279,7 +308,7 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val result = pairs
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn(
@@ -292,6 +321,7 @@ object Dedup {
       )
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materialized(result, sh)
   }
 
   /** 32-bit SimHash from whitespace tokens: bit i of the fingerprint
@@ -404,7 +434,7 @@ object Dedup {
       col(vecCol).as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    val result = a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .withColumn(
         "cos",
@@ -419,5 +449,6 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
       .distinct()
+    materialized(result, raw)
   }
 }

@@ -85,9 +85,16 @@ case class WordShingles(child: Expression, width: Int)
 }
 
 object ShingleExpr {
-  /** Register `word_shingles(text, width)` (idempotent per session). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register `word_shingles(text, width)` — a no-op when the session
+    * already has it (operators call this per-invocation; re-registering
+    * would log a "replaced a previously registered function" warning
+    * per call). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")))
+      return
+    reg.createOrReplaceTempFunction(
       "word_shingles",
       exprs => {
         val w = exprs(1) match {
@@ -101,4 +108,5 @@ object ShingleExpr {
       },
       "built-in"
     )
+  }
 }

@@ -121,6 +121,11 @@ object VecOps {
     * `call_function` — same plan, same codegen. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // no-op when already registered: operators call this per-invocation
+    // and a replace would log a warning each time
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_f")))
+      return
     reg.createOrReplaceTempFunction(
       "vec_dot_f",
       exprs => FloatVecDot(exprs(0), exprs(1)),

@@ -351,9 +351,19 @@ final class ParquetLog private (
 
   /** Fsck: every manifest segment exists; seq ranges are dense and
     * non-overlapping from 0..maxSeq. Returns the list of problems
-    * (empty = consistent). Orphan data files (from a crashed append)
-    * are reported, and swept when `repair` is set — the analogue of the
-    * journal-recovery path (offset2/log.go:256-277). */
+    * (empty = consistent).
+    *
+    * With `repair` set, recovery mirrors the reference's
+    * journal-truncate path (offset2/log.go:256-277 — a journal that ran
+    * ahead of the data is truncated back to what survives):
+    *
+    *   - a manifest referencing missing/gapped segments is REBUILT to
+    *     the longest dense prefix of surviving files (committed
+    *     atomically; segments past the first hole are dropped and their
+    *     surviving files deleted, since a dense log cannot serve past a
+    *     gap), after which the log reopens and appends normally;
+    *   - orphan data files (crashed append) are swept.
+    */
   def checkConsistency(repair: Boolean = false): List[String] = synchronized {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
     manifest.segments.foreach { s =>
@@ -369,6 +379,27 @@ final class ParquetLog private (
     }
     if (manifest.maxSeq != expect - 1 && !(manifest.maxSeq == Seqs.SeqEmpty && sorted.isEmpty))
       problems += s"manifest maxSeq ${manifest.maxSeq} != segment extent ${expect - 1}"
+    if (repair && problems.nonEmpty) {
+      // truncate to the longest dense prefix of segments whose files
+      // survive; everything after the first hole is unreachable in a
+      // dense log and gets dropped
+      var exp = 0L
+      val prefix = sorted.takeWhile { s =>
+        val ok = s.minSeq == exp && Files.exists(Paths.get(dir, s.path))
+        if (ok) exp = s.maxSeq + 1
+        ok
+      }
+      val dropped = sorted.drop(prefix.length)
+      val next = manifest.copy(
+        version = manifest.version + 1,
+        maxSeq = prefix.lastOption.map(_.maxSeq).getOrElse(Seqs.SeqEmpty),
+        segments = prefix
+      )
+      Manifest.commit(dir, next)
+      manifest = next
+      dropped.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+      problems += s"repaired: truncated to maxSeq ${next.maxSeq}, dropped ${dropped.length} segment(s)"
+    }
     val known = manifest.segments.map(_.path).toSet
     if (Files.exists(dataDir)) {
       Files.list(dataDir).iterator().asScala.foreach { p =>

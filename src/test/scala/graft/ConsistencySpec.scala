@@ -45,6 +45,63 @@ class ConsistencySpec extends SparkSpec {
     assert(problems.exists(_.contains("missing segment")))
   }
 
+  test("repair truncates to the dense surviving prefix and log reopens") {
+    val dir = tmpDir("fsck-repair")
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    log.appendValues(Seq(1, 2, 3)) // seqs 0..2
+    log.appendValues(Seq(4, 5))    // seqs 3..4
+    log.appendValues(Seq(6))       // seq  5
+    // lose the tail segment (disk corruption / partial restore)
+    val tail = Files
+      .list(Paths.get(dir, "data"))
+      .iterator()
+      .asScalaList
+      .maxBy(_.getFileName.toString)
+    Files.delete(tail)
+    assert(log.checkConsistency().exists(_.contains("missing segment")))
+    val repaired = log.checkConsistency(repair = true)
+    assert(repaired.exists(_.contains("repaired")))
+    // truncated to the dense prefix: seqs 0..4 survive
+    assert(log.seq == 4)
+    assert(log.checkConsistency() == Nil)
+    // a fresh handle (≙ restart) sees the repaired manifest and appends
+    val log2 = ParquetLog.open(spark, dir, IntegerType)
+    assert(log2.seq == 4)
+    log2.appendValues(Seq(7))
+    assert(log2.seq == 5)
+    assert(log2.query().count() == 6)
+    assert(log2.checkConsistency() == Nil)
+  }
+
+  test("repair drops segments stranded past the hole") {
+    val dir = tmpDir("fsck-hole")
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    log.appendValues(Seq(1, 2)) // seqs 0..1
+    log.appendValues(Seq(3, 4)) // seqs 2..3
+    log.appendValues(Seq(5, 6)) // seqs 4..5
+    // lose the MIDDLE segment (the one starting at seq 2 — each append
+    // opens a new segment at its base): later segments are stranded
+    // past the gap
+    val mid = Files
+      .list(Paths.get(dir, "data"))
+      .iterator()
+      .asScalaList
+      .find(_.getFileName.toString.startsWith("seg-000000000002"))
+      .get
+    Files.delete(mid)
+    log.checkConsistency(repair = true)
+    assert(log.seq == 1)
+    assert(log.query().count() == 2)
+    assert(log.checkConsistency() == Nil)
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScalaList: List[A] = {
+      import scala.jdk.CollectionConverters._
+      it.asScala.toList
+    }
+  }
+
   test("stale second writer handle is refused, not lost-updated") {
     val dir = tmpDir("cas")
     val a = ParquetLog.open(spark, dir, IntegerType)
