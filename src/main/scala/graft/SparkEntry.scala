@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -420,6 +422,200 @@ object SparkEntry {
         .toDF()
         .withColumn("meanByte", round(col("meanByte"), 6))
         .orderBy("id")
+    }),
+
+    // §2.4 op 21 Delete(addr): fan events into a scratch multilog,
+    // drop one sublog, read the surviving index table
+    // (reference: multilog/roaring/multilog.go:166-178)
+    "q37_sublog_delete" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mdel")
+        .toString
+      val mlog = graft.multilog.MultiLog.open(s, s"$work/mlog")
+      mlog.appendBatch(events.select(col("event_type"), col("event_id")))
+      mlog.delete("click")
+      mlog.table.orderBy("addr", "seq")
+    }),
+
+    // §2.1 op 8 CheckConsistency WITH repair: lose the tail segments +
+    // inject an orphan, repair (manifest truncates to the dense
+    // surviving prefix, orphan swept), then append again through the
+    // repaired log (reference: offset2/log.go:217-302 recovery contract)
+    "q38_fsck_repair" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-fsck")
+        .toString
+      val log = graft.storage.ParquetLog.open(
+        s,
+        s"$work/log",
+        EngineFixtures.eventValue(events).schema.head.dataType
+      )
+      log.append(EngineFixtures.eventValue(events.where(col("event_id") < 100)))
+      log.append(EngineFixtures.eventValue(
+        events.where(col("event_id") >= 100 && col("event_id") < 120)))
+      // disk corruption: the second append's segments vanish, and a
+      // crashed append leaves an orphan
+      val dataDir = java.nio.file.Paths.get(work, "log", "data")
+      java.nio.file.Files
+        .list(dataDir)
+        .iterator()
+        .asScala
+        .filter { p =>
+          val n = p.getFileName.toString // seg-%012d-...
+          n.startsWith("seg-") && n.substring(4, 16).toLong >= 100L
+        }
+        .foreach(java.nio.file.Files.delete(_))
+      java.nio.file.Files.write(
+        dataDir.resolve("seg-999999999999-orphan.parquet"),
+        Array[Byte](0, 1, 2)
+      )
+      val report = log.checkConsistency(repair = true)
+      require(report.exists(_.contains("repaired")), s"no repair in $report")
+      require(log.checkConsistency() == Nil, "log not clean after repair")
+      // the repaired log appends normally from the truncation point
+      log.append(EngineFixtures.eventValue(
+        events.where(col("event_id") >= 100 && col("event_id") < 110)))
+      log
+        .query(SeqWrap(true))
+        .select(col("seq"), col("value.*"))
+        .withColumn("amount", round(col("amount"), 6))
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .drop("ts_ns")
+        .orderBy("seq")
+    }),
+
+    // §2.3 ops 12/14 + §2.2 Live: bounded push query runs to
+    // SELF-termination; delivered rows (strict seq order asserted by
+    // the reorder contract) become the batch twin of the events slice
+    // (reference: offset2/qry.go:191-320, test/pumplive.go:23-166)
+    "q39_live_tail" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-live")
+        .toString
+      val log = graft.storage.ParquetLog.open(
+        s,
+        s"$work/log",
+        EngineFixtures.eventValue(events).schema.head.dataType
+      )
+      log.append(EngineFixtures.eventValue(events.where(col("event_id") < 200)))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
+      val q = graft.live.LiveTail.push(
+        log,
+        Seq(Gte(50), Lt(150), Live(true)),
+        s"$work/ckpt",
+        r => {
+          val v = r.getStruct(1)
+          got.add((r.getLong(0), v.getString(3), v.getDouble(4)))
+          ()
+        }
+      )
+      // bounded live queries stop themselves at the upper bound
+      q.awaitTermination(180000)
+      require(!q.isActive, "bounded push did not self-terminate")
+      import s.implicits._
+      got.asScala.toSeq
+        .toDF("seq", "event_type", "amount")
+        .withColumn("amount", round(col("amount"), 6))
+        .orderBy("seq")
+    }),
+
+    // §2.5 op 29 resume contract: pump half the log into the KV index,
+    // append the rest, pump again — the cursor makes the second pump
+    // consume only the new entries and the result has no duplicates
+    // (reference: indexes/test/sinkindex.go:82-115 "WithBreak")
+    "q40_cursor_resume" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val half = events.count() / 2
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-resume")
+        .toString
+      val log = graft.storage.ParquetLog.open(
+        s,
+        s"$work/log",
+        EngineFixtures.eventValue(events).schema.head.dataType
+      )
+      val kv = graft.indexes.KVIndex.open(s, s"$work/kv")
+      def proc(b: DataFrame): DataFrame = b.select(
+        col("value.user_id").as("addr"),
+        col("value.props").as("value"),
+        col("seq").as("useq")
+      )
+      log.append(EngineFixtures.eventValue(events.where(col("event_id") < half)))
+      val n1 = graft.indexes.SinkIndex.pump(log, kv, proc)
+      log.append(EngineFixtures.eventValue(events.where(col("event_id") >= half)))
+      val n2 = graft.indexes.SinkIndex.pump(log, kv, proc)
+      require(n1 == half && n1 + n2 == events.count(),
+        s"resume consumed $n1 + $n2, want $half + rest")
+      kv.current.orderBy("addr")
+    }),
+
+    // §2.2 MergeQuerySpec: the full spec fold in one query — bounds +
+    // Reverse + Limit composed (Gt/Lte become the half-open cursor
+    // range, Reverse+Limit takes from the tail; offset2/qry.go:59-113)
+    "q41_query_merge" -> ((s, dir) => {
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      log
+        .query(Gt(99), Lte(299), Reverse(true), Limit(100), SeqWrap(true))
+        .select(col("seq"), col("value.event_type").as("event_type"))
+        .orderBy("seq")
+    }),
+
+    // §2.4 op 24 bitmap fidelity path: roaring bitmap per sublog;
+    // cardinality + Select(0) + Select(card-1) recompute first/last
+    // parent seq from the SERIALIZED bitmap bytes
+    // (reference: multilog/roaring/sublog.go:40-60)
+    "q42_bitmap_index" -> ((s, dir) => {
+      val (_, mlog, _) = EngineFixtures.open(s, dir)
+      val bm = graft.multilog.BitmapIndex.fromTable(mlog.table)
+      bm.select(
+        col("addr"),
+        col("card"),
+        graft.multilog.BitmapIndex
+          .bitmapSelect(col("bitmap"), lit(0L))
+          .as("first_seq"),
+        graft.multilog.BitmapIndex
+          .bitmapSelect(col("bitmap"), col("card") - 1)
+          .as("last_seq")
+      ).orderBy("addr")
+    }),
+
+    // §2.1 op 4 Changes(): the observable fires monotonically after
+    // each append round; final high-water + monotonicity as the batch
+    // twin (reference: offset2/log.go:352-354)
+    "q43_changes" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-changes")
+        .toString
+      val log = graft.storage.ParquetLog.open(
+        s,
+        s"$work/log",
+        EngineFixtures.eventValue(events).schema.head.dataType
+      )
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = graft.live.LiveTail.changes(
+        log,
+        s"$work/ckpt",
+        v => { seen.add(v); () }
+      )
+      try {
+        log.append(EngineFixtures.eventValue(events.where(col("event_id") < 100)))
+        q.processAllAvailable()
+        log.append(EngineFixtures.eventValue(
+          events.where(col("event_id") >= 100 && col("event_id") < 200)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val obs = seen.asScala.toList
+      val monotonic = obs.sliding(2).forall {
+        case a :: b :: Nil => a < b
+        case _             => true
+      }
+      require(obs.nonEmpty && obs.last == 199L, s"changes observed $obs")
+      import s.implicits._
+      Seq((obs.last, monotonic)).toDF("final_seq", "monotonic")
     })
   )
 
@@ -792,6 +988,33 @@ object SparkEntry {
         |  FROM documents
         |) m, LATERAL unnest(generate_series(0, m.w * m.h - 1)) AS t(i)
         |GROUP BY m.id, m.w, m.h, m.frames
-        |ORDER BY m.id""".stripMargin
+        |ORDER BY m.id""".stripMargin,
+    "q37_sublog_delete" ->
+      """SELECT event_type AS addr, event_id AS seq FROM events
+        |WHERE event_type <> 'click' ORDER BY addr, seq""".stripMargin,
+    "q38_fsck_repair" ->
+      s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id < 110 ORDER BY seq",
+    "q39_live_tail" ->
+      """SELECT event_id AS seq, event_type, round(value, 6) AS amount
+        |FROM events WHERE event_id >= 50 AND event_id < 150 ORDER BY seq""".stripMargin,
+    "q40_cursor_resume" ->
+      """SELECT CAST(user_id AS VARCHAR) AS addr, props AS value FROM (
+        |  SELECT user_id, props,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY addr""".stripMargin,
+    "q41_query_merge" ->
+      """SELECT seq, event_type FROM (
+        |  SELECT event_id AS seq, event_type FROM events
+        |  WHERE event_id > 99 AND event_id <= 299
+        |  ORDER BY event_id DESC LIMIT 100
+        |) ORDER BY seq""".stripMargin,
+    "q42_bitmap_index" ->
+      """SELECT event_type AS addr, count(*) AS card,
+        |  min(event_id) AS first_seq, max(event_id) AS last_seq
+        |FROM events GROUP BY 1 ORDER BY addr""".stripMargin,
+    "q43_changes" ->
+      """SELECT max(event_id) AS final_seq, TRUE AS monotonic
+        |FROM events WHERE event_id < 200""".stripMargin
   )
 }

@@ -424,7 +424,10 @@ object ParquetLog {
       dir: String,
       valueType: DataType = StringType
   ): ParquetLog = {
-    Files.createDirectories(Paths.get(dir))
+    // data/ exists from open so live subscriptions (liveQuery/changes)
+    // can start on an empty log, matching the reference where the
+    // Changes observable is available before the first append
+    Files.createDirectories(Paths.get(dir, "data"))
     val m = Manifest
       .load(dir)
       .getOrElse {
