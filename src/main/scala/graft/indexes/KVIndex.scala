@@ -31,26 +31,80 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
   private val store = TableStore.open(spark, dir, KVIndex.schema)
   private val seqPath = Paths.get(dir, "cursor.seq")
 
+  // Per-key observable registry (reference: indexes/index.go:27-38
+  // returns an Observable per Get; obv.go:13-51 register/notify/GC).
+  // In-process like the reference's — cross-process consumers tail the
+  // change table itself (TableStore streams the same parquet files).
+  private val watchers =
+    scala.collection.concurrent.TrieMap.empty[String, List[KVIndex.Watcher]]
+
   /** Apply a batch of upserts: DataFrame with columns
     * (addr STRING, value STRING[, tombstone BOOLEAN][, useq BIGINT]).
     * `useq` orders writes WITHIN the batch (e.g. the log seq that
     * produced the update); across batches the commit version orders.
     * Omitted useq = 0 (batch is unordered / single-write). */
-  def applyBatch(df: DataFrame): Unit = {
+  def applyBatch(df: DataFrame): Unit = synchronized {
     val cols = df.columns
     var out = df
     if (!cols.contains("tombstone"))
       out = out.withColumn("tombstone", lit(false))
     if (!cols.contains("useq"))
       out = out.withColumn("useq", lit(0L))
-    store.append(
-      out.select(
-        col(cols(0)).cast(StringType).as("addr"),
-        col(cols(1)).cast(StringType).as("value"),
-        col("tombstone").cast(BooleanType),
-        col("useq").cast(LongType)
-      ).where(col("addr").isNotNull) // null key = "don't index"
-    )
+    val prepared = out.select(
+      col(cols(0)).cast(StringType).as("addr"),
+      col(cols(1)).cast(StringType).as("value"),
+      col("tombstone").cast(BooleanType),
+      col("useq").cast(LongType)
+    ).where(col("addr").isNotNull) // null key = "don't index"
+    store.append(prepared)
+    notifyWatchers(prepared)
+  }
+
+  /** After a committed batch, push each WATCHED addr's new state to its
+    * observers. The winning row per addr is the batch's highest useq
+    * (the batch is the newest commit version, so its last write IS the
+    * new current value — no snapshot recompute). Costs one tiny
+    * filtered job, only when watchers exist. */
+  private def notifyWatchers(batch: DataFrame): Unit = {
+    val watched = watchers.keySet.toSeq
+    if (watched.isEmpty) return
+    val hits = batch
+      .where(col("addr").isin(watched: _*))
+      .collect()
+    hits
+      .groupBy(_.getString(0))
+      .foreach { case (addr, rows) =>
+        val win = rows.maxBy(_.getLong(3))
+        val v = if (win.getBoolean(2)) None else Option(win.getString(1))
+        watchers.getOrElse(addr, Nil).foreach(_.deliver(v))
+      }
+  }
+
+  /** Register a per-key observer (reference: indexes/index.go:27-38 +
+    * obv.go:13-51): `cb` fires immediately with the key's current
+    * state, then after every committed write to the key — tombstones
+    * deliver `None` (the reference's UnsetValue). Cancel the returned
+    * watcher to deregister. */
+  def watch(addr: String)(cb: Option[String] => Unit): KVIndex.Watcher = {
+    val w = new KVIndex.Watcher(addr, this, cb)
+    synchronized {
+      watchers.updateWith(addr) {
+        case Some(ws) => Some(w :: ws)
+        case None     => Some(List(w))
+      }
+      w.deliver(get(addr))
+    }
+    w
+  }
+
+  private[indexes] def unregister(w: KVIndex.Watcher): Unit = synchronized {
+    watchers.updateWith(w.addr) {
+      case Some(ws) =>
+        val rest = ws.filterNot(_ eq w)
+        if (rest.isEmpty) None else Some(rest) // empty lists GC'd
+      case None => None
+    }
+    (): Unit
   }
 
   def set(addr: String, value: String): Unit = {
@@ -120,6 +174,23 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
 }
 
 object KVIndex {
+
+  /** Handle for one registered per-key observer; cancel() deregisters
+    * (the reference's watcher GC, obv.go:38-51). */
+  final class Watcher private[indexes] (
+      val addr: String,
+      idx: KVIndex,
+      cb: Option[String] => Unit
+  ) {
+    @volatile private var active = true
+    private[indexes] def deliver(v: Option[String]): Unit =
+      if (active) cb(v)
+    def cancel(): Unit = {
+      active = false
+      idx.unregister(this)
+    }
+  }
+
   val schema: StructType = StructType(
     Seq(
       StructField("addr", StringType, nullable = false),

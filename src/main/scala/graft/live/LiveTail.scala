@@ -28,6 +28,37 @@ import graft.storage.ParquetLog
   * Latency is trigger-granularity, not same-append wakeup — parity
   * tests assert delivery + order, not sub-ms latency (SURVEY §7.4).
   */
+/** Self-termination machinery shared by bounded push queries
+  * ([[LiveTail.push]], [[SublogTail.push]]): once complete() fires, the
+  * StreamingQuery is stopped from a daemon thread — stop() must not be
+  * called from the micro-batch thread (it joins that thread) — and a
+  * completion that races the query-handle publication still stops it. */
+private[live] final class Completion {
+  private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val ref =
+    new java.util.concurrent.atomic.AtomicReference[StreamingQuery]()
+
+  def isDone: Boolean = done.get()
+
+  private def stopAsync(q: StreamingQuery): Unit = {
+    val t = new Thread(() => try q.stop() catch { case _: Throwable => () })
+    t.setName("graft-live-push-stop")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  def complete(): Unit =
+    if (done.compareAndSet(false, true)) {
+      val q = ref.get()
+      if (q != null) stopAsync(q)
+    }
+
+  def attach(q: StreamingQuery): Unit = {
+    ref.set(q)
+    if (done.get()) stopAsync(q)
+  }
+}
+
 object LiveTail {
 
   /** Start a push-mode query: `sink` is called with each delivered
@@ -68,58 +99,41 @@ object LiveTail {
       QuerySpec.SeqWrap(true)
     val expected = new AtomicLong(plan.lower.getOrElse(0L))
     val pending = new java.util.concurrent.ConcurrentSkipListMap[Long, Row]()
-    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val queryRef = new java.util.concurrent.atomic.AtomicReference[StreamingQuery]()
-
-    // stop() must not be called from the micro-batch thread (it joins
-    // that thread) — hand the stop to a daemon.
-    def stopAsync(q: StreamingQuery): Unit = {
-      val t = new Thread(() => try q.stop() catch { case _: Throwable => () })
-      t.setName("graft-live-push-stop")
-      t.setDaemon(true)
-      t.start()
-    }
-    def complete(): Unit =
-      if (done.compareAndSet(false, true)) {
-        val q = queryRef.get()
-        if (q != null) stopAsync(q)
-      }
+    val completion = new Completion
 
     val stream = log.liveQuery(internalSpecs: _*)
     val query = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!done.get()) {
+        if (!completion.isDone) {
           // purge re-delivered rows below the cursor before draining
           pending.headMap(expected.get()).clear()
           // global sort + local iterator: in-seq-order chunked pull to
           // the driver, memory bounded by one partition not one batch
           val it = batch.sort("seq").toLocalIterator()
-          while (it.hasNext && !done.get()) {
+          while (it.hasNext && !completion.isDone) {
             val r = it.next()
             val s = r.getLong(0)
             if (s >= expected.get()) {
               pending.put(s, r)
               var head = pending.firstEntry()
               while (head != null && head.getKey == expected.get() &&
-                remaining.get() > 0 && !done.get()) {
+                remaining.get() > 0 && !completion.isDone) {
                 sink(head.getValue)
                 pending.remove(head.getKey)
                 expected.incrementAndGet()
-                if (remaining.decrementAndGet() == 0) complete()
+                if (remaining.decrementAndGet() == 0) completion.complete()
                 head = pending.firstEntry()
               }
             }
           }
-          if (plan.upper.exists(u => expected.get() >= u)) complete()
+          if (plan.upper.exists(u => expected.get() >= u)) completion.complete()
         }
         (): Unit
       }
       .start()
-    queryRef.set(query)
-    // completion may have raced the handle publication
-    if (done.get()) stopAsync(query)
+    completion.attach(query)
     query
   }
 

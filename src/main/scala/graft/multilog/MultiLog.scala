@@ -121,7 +121,15 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
     * across batches comes from the parent-log cursor replay
     * ([[graft.indexes.MultiLogSink]]), which is the canonical resume
     * path — same contract split as the reference (live = forwarded
-    * appends, replay = ordered). */
+    * appends, replay = ordered).
+    *
+    * RAW stream caveat: `delete`/`compact` rewrite the index segments,
+    * and the file stream re-discovers the new files — a raw consumer
+    * sees the whole surviving history again. Use
+    * [[graft.live.SublogTail.push]], whose delivered-seq high-water
+    * mark drops re-deliveries (and adds rank-space bounds); only
+    * consumers doing their own dedup should read this stream while
+    * rewrites can run. */
   def liveSublog(addr: String): DataFrame =
     spark.readStream
       .schema(MultiLog.schema)

@@ -159,6 +159,71 @@ class LiveSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live rank-space sublog query: bounds+limit over ranks, self-stop") {
+    // twin of multilog/test/multilog_live.go:21-112: live sublog query
+    // with rank bounds keeps its algebra across appends
+    import spark.implicits._
+    val mlog = graft.multilog.MultiLog.open(spark, tmpDir("ranksub"))
+    // sublog 'a' gets parent seqs 10, 20 (ranks 0, 1)
+    mlog.appendBatch(Seq(("a", 10L), ("b", 11L), ("a", 20L)).toDF("addr", "seq"))
+    val seen = new ConcurrentLinkedQueue[(Long, Long)]()
+    // rank window [1, 4): skip rank 0, deliver ranks 1..3, then stop
+    val q = graft.live.SublogTail.push(
+      mlog,
+      "a",
+      Seq(Gte(1), Lt(4), Live(true)),
+      tmpDir("rsckpt"),
+      (rank, seq) => { seen.add((rank, seq)); () }
+    )
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toList == List((1L, 20L)))
+      // live appends extend the rank space; 'b' rows don't rank in 'a'
+      mlog.appendBatch(Seq(("a", 30L), ("b", 31L)).toDF("addr", "seq"))
+      q.processAllAvailable()
+      assert(seen.asScala.toList == List((1L, 20L), (2L, 30L)))
+      mlog.appendBatch(Seq(("a", 40L), ("a", 50L)).toDF("addr", "seq"))
+      // rank 3 delivered, rank 4 is past the upper bound → self-stop
+      assert(q.awaitTermination(60000), "rank query did not self-terminate")
+      assert(seen.asScala.toList == List((1L, 20L), (2L, 30L), (3L, 40L)))
+      assert(!q.isActive)
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("sublog tail survives delete/compact rewrites without re-delivery") {
+    import spark.implicits._
+    val mlog = graft.multilog.MultiLog.open(spark, tmpDir("rwsub"))
+    mlog.appendBatch(Seq(("a", 0L), ("b", 1L), ("a", 2L)).toDF("addr", "seq"))
+    val seen = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = graft.live.SublogTail.push(
+      mlog,
+      "a",
+      Seq(Live(true)),
+      tmpDir("rwckpt"),
+      (rank, seq) => { seen.add((rank, seq)); () }
+    )
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toList == List((0L, 0L), (1L, 2L)))
+      // delete another addr + compact: both rewrite the index files and
+      // the stream re-discovers the whole surviving history — the
+      // high-water guard must drop it all
+      mlog.delete("b")
+      q.processAllAvailable()
+      mlog.compact()
+      q.processAllAvailable()
+      assert(seen.asScala.toList == List((0L, 0L), (1L, 2L)))
+      // idempotent re-append of an existing (addr, seq) is also dropped
+      mlog.appendBatch(Seq(("a", 2L)).toDF("addr", "seq"))
+      q.processAllAvailable()
+      assert(seen.asScala.toList == List((0L, 0L), (1L, 2L)))
+      // and NEW rows still flow with the next ranks
+      mlog.appendBatch(Seq(("a", 7L)).toDF("addr", "seq"))
+      q.processAllAvailable()
+      assert(seen.asScala.toList == List((0L, 0L), (1L, 2L), (2L, 7L)))
+    } finally q.stop()
+  }
+
   test("reverse+live rejected on the live path too") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("rl"), IntegerType)

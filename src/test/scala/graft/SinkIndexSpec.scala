@@ -67,6 +67,41 @@ class SinkIndexSpec extends SparkSpec {
     assert(idx.get("k").isEmpty) // back to Unset
   }
 
+  test("per-key watch: register/notify/unset/deregister (obv.go:13-51)") {
+    val idx = KVIndex.open(spark, tmpDir("watch"))
+    idx.set("k", "initial")
+    val seen = scala.collection.mutable.ListBuffer.empty[Option[String]]
+    val w = idx.watch("k")(v => { seen += v; () })
+    // registration delivers the current value immediately
+    assert(seen.toList == List(Some("initial")))
+    // set → notify with the new value
+    idx.set("k", "updated")
+    assert(seen.toList == List(Some("initial"), Some("updated")))
+    // writes to OTHER keys don't notify
+    idx.set("other", "x")
+    assert(seen.size == 2)
+    // delete → unset notification (the reference's UnsetValue)
+    idx.delete("k")
+    assert(seen.toList.last.isEmpty)
+    // a batch's last write per key wins (useq ordering)
+    import spark.implicits._
+    idx.applyBatch(
+      Seq(("k", "mid", 1L), ("k", "final", 2L)).toDF("addr", "value", "useq"))
+    assert(seen.toList.last.contains("final"))
+    // deregistration: no further notifications
+    val before = seen.size
+    w.cancel()
+    idx.set("k", "after-cancel")
+    assert(seen.size == before)
+    // two watchers on one key both fire; cancel is per-watcher
+    val seen2 = scala.collection.mutable.ListBuffer.empty[Option[String]]
+    val w2 = idx.watch("k")(v => { seen2 += v; () })
+    val w3 = idx.watch("k")(_ => ())
+    idx.set("k", "both")
+    assert(seen2.toList == List(Some("after-cancel"), Some("both")))
+    w2.cancel(); w3.cancel()
+  }
+
   test("seq-setter cursor (seqsetidx.go:24-55)") {
     val idx = KVIndex.open(spark, tmpDir("cursor"))
     assert(idx.getSeq == graft.core.Seqs.SeqEmpty)
