@@ -4,7 +4,6 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming operators over event streams — beyond the
   * reference's surface (margaret has no event time: ordering is total
@@ -45,80 +44,68 @@ object EventStreamOps {
       closed_by: String
   )
 
-  /** Session state: event count + bounds, closed when idle past the
-    * gap. The flatMapGroupsWithState shape of the reference's
-    * "arbitrary per-entry state machine" extension point
-    * (StreamProcFunc), with Spark owning state storage + recovery. */
+  /** Shared session aggregation: native `session_window` grouping.
+    *
+    * This is the scale-critical choice: the state store merges window
+    * state incrementally per (user, session) — no operator ever holds
+    * one user's event list in memory, so a hot user (bot traffic, 10⁷
+    * events) costs one state row, not one task's heap. The previous
+    * formulation (`flatMapGroups` + per-group `toSeq.sortBy`) had
+    * exactly that OOM profile and is gone.
+    *
+    * Gap semantics: the reference fold closes a session when
+    * `t - end > gapMs` (boundary-inclusive merge). `session_window`
+    * merges while `diff < gap`, so we pass `gapMs + 1` — merge iff
+    * `diff <= gapMs`, bit-identical to the gaps-and-islands oracle. */
+  private def sessionAgg(events: DataFrame, gapMs: Long): DataFrame =
+    events
+      .groupBy(
+        session_window(col("ts"), s"${gapMs + 1} milliseconds"),
+        col("user_id")
+      )
+      .agg(
+        count(lit(1)).cast("int").as("n_events"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms")
+      )
+
+  /** Streaming sessionization: watermarked `session_window` state.
+    * Sessions emit (append mode) once the watermark passes their
+    * close; every emitted session was closed by its inactivity gap, so
+    * `closed_by` is always "gap" — open sessions live in the state
+    * store until more events or the watermark closes them. */
   def sessionize(
       events: Dataset[SessionIn],
-      gapMs: Long
+      gapMs: Long,
+      watermark: String = "0 seconds"
   ): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Int, Long, Long), SessionOut](
-        OutputMode.Append,
-        GroupStateTimeout.NoTimeout
-      ) { (uid, rows, state: GroupState[(Int, Long, Long)]) =>
-        // batch-at-a-time: fold sorted events into sessions, emitting
-        // each closed session; keep the open one in state
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        var (n, start, end) =
-          state.getOption.getOrElse((0, Long.MaxValue, Long.MinValue))
-        val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          if (n > 0 && t - end > gapMs) {
-            out += SessionOut(uid, n, start, end, "gap")
-            n = 0; start = Long.MaxValue; end = Long.MinValue
-          }
-          n += 1
-          start = math.min(start, t)
-          end = math.max(end, t)
-        }
-        if (n > 0) state.update((n, start, end)) else state.remove()
-        out.iterator
-      }
+    sessionAgg(events.toDF().withWatermark("ts", watermark), gapMs)
+      .select(
+        col("user_id"),
+        col("n_events"),
+        col("start_ms"),
+        col("end_ms"),
+        lit("gap").as("closed_by")
+      )
+      .as[SessionOut]
   }
 
-  /** Drain any open sessions from a batch run of [[sessionize]] — for
-    * batch analytics the open session is also a session. */
+  /** Batch sessionization — the same aggregation without a watermark;
+    * the open tail session of each user is just another group. Returns
+    * `(user_id, n_events, start_ms, end_ms)`. */
   def sessionizeBatch(
       spark: SparkSession,
       events: DataFrame,
       gapMs: Long
-  ): DataFrame = {
-    import spark.implicits._
-    val typed = events
-      .select(
+  ): DataFrame =
+    sessionAgg(
+      events.select(
         col("user_id").cast("long"),
         col("ts").cast("timestamp"),
         col("event_type")
-      )
-      .as[SessionIn]
-    // batch path: plain groupBy + sort + fold via flatMapGroups
-    typed
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid, rows) =>
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-        var n = 0
-        var start = Long.MaxValue
-        var end = Long.MinValue
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          if (n > 0 && t - end > gapMs) {
-            out += SessionOut(uid, n, start, end, "gap")
-            n = 0; start = Long.MaxValue; end = Long.MinValue
-          }
-          n += 1
-          start = math.min(start, t)
-          end = math.max(end, t)
-        }
-        if (n > 0) out += SessionOut(uid, n, start, end, "open")
-        out.iterator
-      }
-      .toDF()
-  }
+      ),
+      gapMs
+    ).select("user_id", "n_events", "start_ms", "end_ms")
 }

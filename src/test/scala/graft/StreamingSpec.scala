@@ -62,8 +62,9 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.ProcessingTime(0))
       .start()
     try {
-      // burst at minute 0-2, then a 30-minute gap, then one more event:
-      // the second batch closes the first session
+      // burst at minute 0-2, then a 30-minute gap: the gap event closes
+      // the first session in state; it EMITS once the watermark (driven
+      // by the next batch's max event time) passes the session close
       mem.addData(
         SessionIn(1L, ts(0), "a"),
         SessionIn(1L, ts(1), "b"),
@@ -72,10 +73,39 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(SessionIn(1L, ts(32), "d"))
       q.processAllAvailable()
-      val rows = spark.table("sess_out").as[SessionOut].collect()
-      assert(rows.length == 1)
+      mem.addData(SessionIn(2L, ts(60), "e")) // advances the watermark
+      q.processAllAvailable()
+      val rows = spark
+        .table("sess_out")
+        .as[SessionOut]
+        .collect()
+        .sortBy(_.start_ms)
+      // user 1's burst closed by the 30-min gap; the minute-32 session
+      // also closes once the watermark reaches minute 60
+      assert(rows.length == 2)
       assert(rows(0).n_events == 3 && rows(0).closed_by == "gap")
+      assert(rows(0).start_ms == ts(0).getTime && rows(0).end_ms == ts(2).getTime)
+      assert(rows(1).n_events == 1 && rows(1).start_ms == ts(32).getTime)
     } finally q.stop()
+  }
+
+  test("sessionize state is per-session, not per-user event buffers") {
+    import spark.implicits._
+    // one hot user with 50k events in a single batch: the old
+    // flatMapGroups+toSeq.sortBy path buffered the whole list per task;
+    // session_window aggregates incrementally. Assert the plan shape
+    // (no MapGroups/FlatMapGroups operator) and the folded result.
+    val hot = (0 until 50000).map { i =>
+      // events every minute, with a > 10-minute gap every 1000 events
+      (1L, new Timestamp(ts(0).getTime + i.toLong * 60000 + (i / 1000) * 700000), "e")
+    }
+    val df = hot.toDF("user_id", "ts", "event_type")
+    val got = EventStreamOps.sessionizeBatch(spark, df, gapMs = 10 * 60 * 1000)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups"), s"per-group buffering operator in:\n$plan")
+    val rows = got.orderBy("start_ms").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getAs[Int]("n_events") == 1000))
   }
 
   test("batch sessionize matches a hand-computed fixture") {
