@@ -47,20 +47,12 @@ final class ParquetLog private (
     val spark: SparkSession,
     val dir: String,
     @volatile private var manifest: Manifest
-) {
+) extends Log {
   import ParquetLog._
 
   private def dataDir: Path = Paths.get(dir, "data")
 
   def valueType: DataType = DataType.fromJson(manifest.valueSchemaJson)
-
-  private def rowSchema: StructType = StructType(
-    Seq(
-      StructField("seq", LongType, nullable = false),
-      StructField("value", valueType, nullable = true),
-      StructField("nulled", BooleanType, nullable = false)
-    )
-  )
 
   /** Current max sequence number; Seqs.SeqEmpty (-1) when empty.
     * Constant-time — read from the manifest, never a table scan
@@ -138,13 +130,6 @@ final class ParquetLog private (
         throw e
     }
     manifest = next
-  }
-
-  /** Typed convenience append. */
-  def appendValues[T: Encoder](values: Seq[T]): Long = {
-    import spark.implicits._
-    val df = spark.createDataset(values).toDF("value")
-    append(df)
   }
 
   /** Write `(seq,value,nulled)` rows into new segment files under
@@ -230,14 +215,6 @@ final class ParquetLog private (
       .parquet(segs.map(s => Paths.get(dir, s.path).toString): _*)
       .where(col("seq").isin(wanted: _*))
       .collect()
-  }
-
-  /** Build a batch query per the QuerySpec algebra. Live specs must go
-    * through [[liveQuery]] (Structured Streaming). */
-  def query(specs: QuerySpec*): DataFrame = {
-    val plan = QueryPlan.of(specs: _*)
-    require(!plan.live, "use liveQuery for Live specs")
-    graft.query.QueryBuilder.build(toDF, plan)
   }
 
   /** Streaming tail of the log (reference: Live(true) queries,
@@ -364,7 +341,7 @@ final class ParquetLog private (
     *     gap), after which the log reopens and appends normally;
     *   - orphan data files (crashed append) are swept.
     */
-  def checkConsistency(repair: Boolean = false): List[String] = synchronized {
+  override def checkConsistency(repair: Boolean): List[String] = synchronized {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
     manifest.segments.foreach { s =>
       if (!Files.exists(Paths.get(dir, s.path)))

@@ -5,15 +5,19 @@ import org.apache.spark.sql.types._
 
 import graft.core._
 import graft.core.QuerySpec._
-import graft.storage.ParquetLog
+import graft.storage.{Log, MemLog, ParquetLog}
 
 /** Redaction vectors ported from the reference
   * (offset2/alter_test.go:24-136, alter_replace_test.go:22-137):
   * null every position × reread × stream-drain; replace and reread.
-  * Fixture: the reference's testEvent{Foo,Bar} values.
+  * Fixture: the reference's testEvent{Foo,Bar} values. Runs over both
+  * [[Log]] backends (registry matrix, test/registry.go:9-23).
   */
-class AlterSpec extends SparkSpec {
+abstract class AlterContractSpec extends SparkSpec {
   import spark.implicits._
+
+  def backend: String
+  def openLog(valueType: DataType): Log
 
   private val fixture = Seq(
     ("hello", 23), ("world", 42), ("world", 161), ("world", 1312),
@@ -24,15 +28,15 @@ class AlterSpec extends SparkSpec {
     Seq(StructField("foo", StringType), StructField("bar", IntegerType))
   )
 
-  private def mkLog(): ParquetLog = {
-    val log = ParquetLog.open(spark, tmpDir("alter"), valueType)
+  private def mkLog(): Log = {
+    val log = openLog(valueType)
     log.append(
       fixture.toDF("foo", "bar").select(struct($"foo", $"bar").as("value"))
     )
     log
   }
 
-  test("null every position: get errors, stream yields sentinel row") {
+  test(s"[$backend] null every position: get errors, stream yields sentinel row") {
     fixture.indices.foreach { i =>
       val log = mkLog()
       log.nullAt(i.toLong)
@@ -54,7 +58,7 @@ class AlterSpec extends SparkSpec {
     }
   }
 
-  test("null is idempotent") {
+  test(s"[$backend] null is idempotent") {
     val log = mkLog()
     log.nullAt(2)
     log.nullAt(2)
@@ -62,7 +66,7 @@ class AlterSpec extends SparkSpec {
     assert(log.query(SeqWrap(true)).collect().length == 5)
   }
 
-  test("replace overwrites in place, neighbors and seqs untouched") {
+  test(s"[$backend] replace overwrites in place, neighbors and seqs untouched") {
     val log = mkLog()
     log.replace(1, struct(lit("REPLACE").as("foo"), lit(0).as("bar")))
     val r = log.get(1)
@@ -74,7 +78,7 @@ class AlterSpec extends SparkSpec {
     assert(log.checkConsistency() == Nil)
   }
 
-  test("replace after null clears the redaction") {
+  test(s"[$backend] replace after null clears the redaction") {
     val log = mkLog()
     log.nullAt(3)
     intercept[GraftErrors.ErrNulled](log.get(3))
@@ -82,11 +86,22 @@ class AlterSpec extends SparkSpec {
     assert(log.get(3).getStruct(1).getString(0) == "back")
   }
 
-  test("alter out of bounds") {
+  test(s"[$backend] alter out of bounds") {
     val log = mkLog()
     intercept[GraftErrors.ErrOutOfBounds](log.nullAt(99))
     intercept[GraftErrors.ErrOutOfBounds](
       log.replace(-1, struct(lit("x").as("foo"), lit(1).as("bar")))
     )
   }
+}
+
+class AlterSpec extends AlterContractSpec {
+  def backend = "parquet"
+  def openLog(valueType: DataType): Log =
+    ParquetLog.open(spark, tmpDir("alter"), valueType)
+}
+
+class MemAlterSpec extends AlterContractSpec {
+  def backend = "mem"
+  def openLog(valueType: DataType): Log = MemLog.open(spark, valueType)
 }

@@ -1,31 +1,33 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.DataType
 
 import graft.core._
 import graft.core.QuerySpec._
-import graft.storage.ParquetLog
+import graft.storage.{Log, MemLog, ParquetLog}
 
 /** Golden query vectors ported from the reference's conformance suite
-  * (reference: test/simple.go:126-236, test/get.go:16-65). Values 1..n
-  * are appended at seqs 0..n-1; each spec combination must return the
-  * tabulated results in order.
+  * (reference: test/simple.go:126-236, test/get.go:16-65), run as a
+  * BACKEND MATRIX over both [[Log]] implementations — the shape of the
+  * reference's registry-driven tests (test/registry.go:9-23): one
+  * contract, every backend must pass it.
   */
-class LogSpec extends SparkSpec {
+abstract class LogContractSpec extends SparkSpec {
 
-  private def mkLog(values: Seq[Int]): ParquetLog = {
+  /** Backend under test. */
+  def backend: String
+  def openLog(valueType: DataType): Log
+
+  private def mkLog(values: Seq[Int]): Log = {
     import spark.implicits._
-    val log = ParquetLog.open(
-      spark,
-      tmpDir("log"),
-      org.apache.spark.sql.types.IntegerType
-    )
+    val log = openLog(org.apache.spark.sql.types.IntegerType)
     val first = log.appendValues(values)
     assert(first == 0L, "first assigned seq must be 0")
     log
   }
 
-  private def values(log: ParquetLog, specs: QuerySpec*): Seq[Int] =
+  private def values(log: Log, specs: QuerySpec*): Seq[Int] =
     log
       .query(specs: _*)
       .collect()
@@ -33,50 +35,50 @@ class LogSpec extends SparkSpec {
       .map(r => r.getInt(r.fieldIndex("value")))
 
   // test/simple.go "simple"
-  test("simple: full drain in order") {
+  test(s"[$backend] simple: full drain in order") {
     assert(values(mkLog(Seq(1, 2, 3))) == Seq(1, 2, 3))
   }
 
   // test/simple.go "reverse"
-  test("reverse: tail to head") {
+  test(s"[$backend] reverse: tail to head") {
     assert(
       values(mkLog(Seq(1, 2, 3, 4, 5)), Reverse(true)) == Seq(5, 4, 3, 2, 1)
     )
   }
 
   // test/simple.go "reverse-false"
-  test("reverse(false): unchanged") {
+  test(s"[$backend] reverse(false): unchanged") {
     assert(
       values(mkLog(Seq(1, 2, 3, 4, 5)), Reverse(false)) == Seq(1, 2, 3, 4, 5)
     )
   }
 
   // test/simple.go "gt0" / "gte1" / "lt2" / "lte1" / "limit2"
-  test("gt0") {
+  test(s"[$backend] gt0") {
     assert(values(mkLog(Seq(1, 2, 3)), Gt(0)) == Seq(2, 3))
   }
-  test("gte1") {
+  test(s"[$backend] gte1") {
     assert(values(mkLog(Seq(1, 2, 3)), Gte(1)) == Seq(2, 3))
   }
-  test("lt2") {
+  test(s"[$backend] lt2") {
     assert(values(mkLog(Seq(1, 2, 3)), Lt(2)) == Seq(1, 2))
   }
-  test("lte1") {
+  test(s"[$backend] lte1") {
     assert(values(mkLog(Seq(1, 2, 3)), Lte(1)) == Seq(1, 2))
   }
-  test("limit2") {
+  test(s"[$backend] limit2") {
     assert(values(mkLog(Seq(1, 2, 3)), Limit(2)) == Seq(1, 2))
   }
 
   // The reference's issue-#6 combinations, implemented CORRECTLY
   // (SURVEY §7.4 item 7): bounds compose with reverse on seq order.
-  test("reverse + gte composes correctly") {
+  test(s"[$backend] reverse + gte composes correctly") {
     assert(
       values(mkLog(Seq(1, 2, 3, 4, 5)), Reverse(true), Gte(2)) ==
         Seq(5, 4, 3)
     )
   }
-  test("reverse + lt composes correctly") {
+  test(s"[$backend] reverse + lt composes correctly") {
     assert(
       values(mkLog(Seq(1, 2, 3, 4, 5)), Reverse(true), Lt(4)) ==
         Seq(4, 3, 2, 1)
@@ -84,7 +86,7 @@ class LogSpec extends SparkSpec {
   }
 
   // test/simple.go "seqWrap"
-  test("seqWrap pairs (seq, value)") {
+  test(s"[$backend] seqWrap pairs (seq, value)") {
     val got = mkLog(Seq(1, 2, 3))
       .query(SeqWrap(true))
       .collect()
@@ -94,9 +96,47 @@ class LogSpec extends SparkSpec {
   }
 
   // test/simple.go "EOS": draining past the end yields nothing more
-  test("EOS: query returns exactly the appended entries") {
+  test(s"[$backend] EOS: query returns exactly the appended entries") {
     assert(values(mkLog(Seq(1, 2))).size == 2)
   }
+
+  // test/get.go point reads
+  test(s"[$backend] get(seq) point reads and OOB") {
+    val log = mkLog(Seq(1, 2, 3))
+    assert(log.get(0).getInt(1) == 1)
+    assert(log.get(2).getInt(1) == 3)
+    intercept[GraftErrors.ErrOutOfBounds](log.get(3))
+    intercept[GraftErrors.ErrOutOfBounds](log.get(-1))
+  }
+
+  test(s"[$backend] getMany: batched point reads, absent seqs skipped") {
+    val log = mkLog(Seq(10, 20, 30, 40, 50))
+    val rows = log.getMany(Seq(4L, 0L, 2L, 99L))
+    val got = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 10, 2L -> 30, 4L -> 50))
+    assert(log.getMany(Nil).isEmpty)
+  }
+
+  test(s"[$backend] seq() is count-1; SeqEmpty on empty log") {
+    val log = mkLog(Seq(1, 2, 3))
+    assert(log.seq == 2L)
+    val empty = openLog(org.apache.spark.sql.types.IntegerType)
+    assert(empty.seq == Seqs.SeqEmpty)
+  }
+
+  test(s"[$backend] checkConsistency clean log") {
+    val log = mkLog(Seq(1, 2, 3))
+    assert(log.checkConsistency() == Nil)
+  }
+}
+
+/** Durable backend leg + parquet-only behaviors (durability, direct
+  * point reads, spec validation — validation is backend-independent
+  * but needs only one leg). */
+class LogSpec extends LogContractSpec {
+  def backend = "parquet"
+  def openLog(valueType: DataType): Log =
+    ParquetLog.open(spark, tmpDir("log"), valueType)
 
   // test/simple.go "invalid querys"
   test("reverse + live rejected") {
@@ -112,15 +152,6 @@ class LogSpec extends SparkSpec {
   }
   test("double upper bound rejected") {
     intercept[GraftErrors.InvalidQuery](QueryPlan.of(Lt(1), Lte(2)))
-  }
-
-  // test/get.go point reads
-  test("get(seq) point reads and OOB") {
-    val log = mkLog(Seq(1, 2, 3))
-    assert(log.get(0).getInt(1) == 1)
-    assert(log.get(2).getInt(1) == 3)
-    intercept[GraftErrors.ErrOutOfBounds](log.get(3))
-    intercept[GraftErrors.ErrOutOfBounds](log.get(-1))
   }
 
   test("get(seq) handles struct and array values (driver direct read)") {
@@ -148,25 +179,6 @@ class LogSpec extends SparkSpec {
     assert(alog.get(1).getSeq[Int](1).isEmpty)
   }
 
-  test("getMany: batched point reads, absent seqs skipped") {
-    val log = mkLog(Seq(10, 20, 30, 40, 50))
-    val rows = log.getMany(Seq(4L, 0L, 2L, 99L))
-    val got = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got == Map(0L -> 10, 2L -> 30, 4L -> 50))
-    assert(log.getMany(Nil).isEmpty)
-  }
-
-  test("seq() is count-1; SeqEmpty on empty log") {
-    val log = mkLog(Seq(1, 2, 3))
-    assert(log.seq == 2L)
-    val empty = ParquetLog.open(
-      spark,
-      tmpDir("empty"),
-      org.apache.spark.sql.types.IntegerType
-    )
-    assert(empty.seq == Seqs.SeqEmpty)
-  }
-
   // offset2/rw_test.go:66-146 TestWriteAndWriteAgain
   test("reopen continues sequence (durability)") {
     import spark.implicits._
@@ -179,11 +191,14 @@ class LogSpec extends SparkSpec {
     assert(log2.seq == 2L)
     val next = log2.appendValues(Seq(4, 5, 6))
     assert(next == 3L)
-    assert(values(log2) == Seq(1, 2, 3, 4, 5, 6))
+    assert(
+      log2.query().collect().toSeq.map(_.getInt(0)) == Seq(1, 2, 3, 4, 5, 6))
   }
+}
 
-  test("checkConsistency clean log") {
-    val log = mkLog(Seq(1, 2, 3))
-    assert(log.checkConsistency() == Nil)
-  }
+/** In-memory backend leg (reference: mem/log.go behind the same
+  * registry) — the whole contract again, no filesystem. */
+class MemLogSpec extends LogContractSpec {
+  def backend = "mem"
+  def openLog(valueType: DataType): Log = MemLog.open(spark, valueType)
 }
