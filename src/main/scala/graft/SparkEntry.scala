@@ -616,8 +616,39 @@ object SparkEntry {
       require(obs.nonEmpty && obs.last == 199L, s"changes observed $obs")
       import s.implicits._
       Seq((obs.last, monotonic)).toDF("final_seq", "monotonic")
-    })
+    }),
+
+    // §2.1 op 9 codec, binary wire paths: every engine row encoded to
+    // one msgpack frame and decoded back (executor-side map, no
+    // driver funnel) must reproduce the log exactly
+    // (reference: codec/msgpack/msgpack.go:20-76)
+    "q44_msgpack_roundtrip" -> ((s, dir) => wireRoundtrip(s, dir,
+      graft.codec.MsgPackCodec)),
+    // same through CBOR (reference: codec/cbor/cbor.go:19-76)
+    "q45_cbor_roundtrip" -> ((s, dir) => wireRoundtrip(s, dir,
+      graft.codec.CborCodec))
   )
+
+  /** Engine log → wire frames → decode → q01 projection; the oracle
+    * recomputes from raw parquet, so any codec bit-rot breaks the hash. */
+  private def wireRoundtrip(
+      s: SparkSession,
+      dir: String,
+      codec: graft.codec.WireCodec
+  ): DataFrame = {
+    val (log, _, _) = EngineFixtures.open(s, dir)
+    val df = log
+      .query(graft.core.QuerySpec.SeqWrap(true))
+      .select(col("seq"), col("value"), col("nulled"))
+    val frames = graft.codec.Codecs.encodeWire(df, codec)
+    graft.codec.Codecs
+      .decodeWire(frames, df.schema, codec)
+      .select(col("seq"), col("value.*"))
+      .withColumn("amount", round(col("amount"), 6))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .drop("ts_ns")
+      .orderBy("seq")
+  }
 
   // ---- DuckDB oracle SQL -------------------------------------------
 
@@ -1015,6 +1046,10 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY addr""".stripMargin,
     "q43_changes" ->
       """SELECT max(event_id) AS final_seq, TRUE AS monotonic
-        |FROM events WHERE event_id < 200""".stripMargin
+        |FROM events WHERE event_id < 200""".stripMargin,
+    "q44_msgpack_roundtrip" ->
+      s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq",
+    "q45_cbor_roundtrip" ->
+      s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq"
   )
 }

@@ -66,6 +66,81 @@ class CodecMatrixSpec extends SparkSpec {
     )
   }
 
+  test("msgpack golden wire vectors (spec examples)") {
+    import graft.codec.MsgPackCodec
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    // fixint / negative fixint / nil / bool
+    assert(hex(MsgPackCodec.encode(7L)) == "07")
+    assert(hex(MsgPackCodec.encode(-1L)) == "ff")
+    assert(hex(MsgPackCodec.encode(null)) == "c0")
+    assert(hex(MsgPackCodec.encode(true)) == "c3")
+    // int widths
+    assert(hex(MsgPackCodec.encode(200L)) == "d100c8")
+    assert(hex(MsgPackCodec.encode(100000L)) == "d2000186a0")
+    assert(hex(MsgPackCodec.encode(1L << 40)) == "d3000001" + "0000000000")
+    // the spec's canonical {"compact":true,"schema":0} example
+    val m = scala.collection.mutable.LinkedHashMap[Any, Any](
+      "compact" -> true, "schema" -> 0L)
+    assert(hex(MsgPackCodec.encode(m)) == "82a7636f6d70616374c3a6736368656d6100")
+    // double
+    assert(hex(MsgPackCodec.encode(1.5)) == "cb3ff8000000000000")
+    // round-trip of a nested tree
+    val tree = scala.collection.mutable.LinkedHashMap[Any, Any](
+      "s" -> "héllo", "xs" -> Vector(1L, null, false, 2.25),
+      "b" -> Array[Byte](1, 2, 3))
+    val back = MsgPackCodec
+      .decode(MsgPackCodec.encode(tree))
+      .asInstanceOf[scala.collection.Map[Any, Any]]
+    assert(back("s") == "héllo")
+    assert(back("xs") == Vector(1L, null, false, 2.25))
+    assert(back("b").asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("cbor golden wire vectors (RFC 8949 appendix A)") {
+    import graft.codec.CborCodec
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    // RFC 8949 Appendix A examples
+    assert(hex(CborCodec.encode(0L)) == "00")
+    assert(hex(CborCodec.encode(10L)) == "0a")
+    assert(hex(CborCodec.encode(25L)) == "1819")
+    assert(hex(CborCodec.encode(1000L)) == "1903e8")
+    assert(hex(CborCodec.encode(-10L)) == "29")
+    assert(hex(CborCodec.encode(-1000L)) == "3903e7")
+    assert(hex(CborCodec.encode("IETF")) == "6449455446")
+    assert(hex(CborCodec.encode(Vector(1L, 2L, 3L))) == "83010203")
+    assert(hex(CborCodec.encode(null)) == "f6")
+    assert(hex(CborCodec.encode(false)) == "f4")
+    assert(hex(CborCodec.encode(1.1)) == "fb3ff199999999999a")
+    val m = scala.collection.mutable.LinkedHashMap[Any, Any](
+      "a" -> 1L, "b" -> Vector(2L, 3L))
+    assert(hex(CborCodec.encode(m)) == "a26161016162820203")
+    // round-trip
+    val back = CborCodec.decode(CborCodec.encode(m))
+      .asInstanceOf[scala.collection.Map[Any, Any]]
+    assert(back("a") == 1L && back("b") == Vector(2L, 3L))
+  }
+
+  test("wire codec matrix: log round-trip through msgpack and cbor frames") {
+    import spark.implicits._
+    import graft.codec.{CborCodec, MsgPackCodec}
+    for (codec <- Seq(MsgPackCodec, CborCodec)) {
+      val log = valuesLog(l =>
+        l.append(Codecs.fromTyped(spark.createDataset(
+          Seq(Ev("hello", 23), Ev("world", 42), Ev("moar", 7))))))
+      val df = log.query(SeqWrap(true)).select(col("seq"), col("value"))
+      val frames = Codecs.encodeWire(df, codec)
+      val back = Codecs.decodeWire(frames, df.schema, codec)
+      val got = back
+        .orderBy("seq")
+        .collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getString(0), r.getStruct(1).getInt(1)))
+        .toSeq
+      assert(
+        got == Seq((0L, "hello", 23), (1L, "world", 42), (2L, "moar", 7)),
+        s"codec ${codec.name}")
+    }
+  }
+
   test("dynamic JSON codec (string values)") {
     import spark.implicits._
     val dir = tmpDir("codecjson")
