@@ -8,6 +8,39 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.Dump <kind> <dir> [n]"  (kind: log|mlog|kv)
   */
 object Dump {
+
+  /** Render the first `n` entries of the store at `dir` plus its
+    * header line (seq/cursor + fsck verdict). Pure function of the
+    * directory — the testable core of the CLI. */
+  def dump(spark: SparkSession, kind: String, dir: String, n: Int = 20): String =
+    kind match {
+      case "log" =>
+        val log = graft.storage.ParquetLog.open(spark, dir)
+        val rows = log.toDF
+          .orderBy("seq")
+          .limit(n)
+          .collect()
+          .map(r => s"  ${r.getLong(0)}\t${r.get(1)}\tnulled=${r.getBoolean(2)}")
+        (s"seq=${log.seq} problems=${log.checkConsistency()}" +: rows).mkString("\n")
+      case "mlog" =>
+        val m = graft.multilog.MultiLog.open(spark, dir)
+        val rows = m.table
+          .orderBy("addr", "seq")
+          .limit(n)
+          .collect()
+          .map(r => s"  ${r.getString(0)}\t${r.getLong(1)}")
+        (s"addrs=${m.list().count()}" +: rows).mkString("\n")
+      case "kv" =>
+        val kv = graft.indexes.KVIndex.open(spark, dir)
+        val rows = kv.current
+          .orderBy("addr")
+          .limit(n)
+          .collect()
+          .map(r => s"  ${r.getString(0)}\t${r.getString(1)}")
+        (s"cursor=${kv.getSeq}" +: rows).mkString("\n")
+      case other => s"unknown kind: $other (log|mlog|kv)"
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(kind, dir) = args.take(2)
     val n = args.drop(2).headOption.map(_.toInt).getOrElse(20)
@@ -18,20 +51,7 @@ object Dump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    kind match {
-      case "log" =>
-        val log = graft.storage.ParquetLog.open(spark, dir)
-        println(s"seq=${log.seq} problems=${log.checkConsistency()}")
-        log.toDF.orderBy("seq").show(n, truncate = 60)
-      case "mlog" =>
-        val m = graft.multilog.MultiLog.open(spark, dir)
-        m.table.orderBy("addr", "seq").show(n, truncate = 60)
-      case "kv" =>
-        val kv = graft.indexes.KVIndex.open(spark, dir)
-        println(s"cursor=${kv.getSeq}")
-        kv.current.orderBy("addr").show(n, truncate = 60)
-      case other => println(s"unknown kind: $other (log|mlog|kv)")
-    }
+    println(dump(spark, kind, dir, n))
     spark.stop()
   }
 }

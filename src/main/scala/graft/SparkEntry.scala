@@ -626,7 +626,68 @@ object SparkEntry {
       graft.codec.MsgPackCodec)),
     // same through CBOR (reference: codec/cbor/cbor.go:19-76)
     "q45_cbor_roundtrip" -> ((s, dir) => wireRoundtrip(s, dir,
-      graft.codec.CborCodec))
+      graft.codec.CborCodec)),
+
+    // §2.4 op 22 flush/batching + compaction: the index built across
+    // several batch commits — including an idempotent REPLAY of one
+    // batch — then folded to one segment must equal the one-shot build
+    // (reference: per-batch commits subsume the 13-second dirty-bitmap
+    // flush, multilog/roaring/multilog.go:44-57)
+    "q46_multilog_compact" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val n = events.count()
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-mcomp")
+        .toString
+      val mlog = graft.multilog.MultiLog.open(s, s"$work/mlog")
+      def slice(lo: Long, hi: Long) = events
+        .where(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("event_type"), col("event_id"))
+      mlog.appendBatch(slice(0, n / 3))
+      mlog.appendBatch(slice(n / 3, 2 * n / 3))
+      mlog.appendBatch(slice(2 * n / 3, n))
+      mlog.appendBatch(slice(n / 3, 2 * n / 3)) // replay: dedup absorbs it
+      mlog.compact()
+      mlog.table.orderBy("addr", "seq")
+    }),
+
+    // §2.3 op 13 broadcast fan-out: two INDEPENDENT live consumers of
+    // the same bounded query each get the whole slice, in order — the
+    // file stream is the broadcast (every append is visible to every
+    // subscriber; reference: LockSink fan-out, offset2/qry.go:191-320)
+    "q47_fanout" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-fan")
+        .toString
+      val log = graft.storage.ParquetLog.open(
+        s,
+        s"$work/log",
+        EngineFixtures.eventValue(events).schema.head.dataType
+      )
+      log.append(EngineFixtures.eventValue(events.where(col("event_id") < 150)))
+      def start(tag: String) = {
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+        val q = graft.live.LiveTail.push(
+          log,
+          Seq(Gte(0), Lt(150), Live(true)),
+          s"$work/ckpt-$tag",
+          r => { got.add((r.getLong(0), r.getStruct(1).getString(3))); () }
+        )
+        (got, q)
+      }
+      // both consumers run SIMULTANEOUSLY — independent streams over
+      // the same immutable files, no coordination
+      val (gotA, qA) = start("a")
+      val (gotB, qB) = start("b")
+      qA.awaitTermination(180000)
+      qB.awaitTermination(180000)
+      require(!qA.isActive && !qB.isActive, "fan-out did not self-terminate")
+      val a = gotA.asScala.toSeq
+      require(a == gotB.asScala.toSeq, "fan-out consumers diverged")
+      import s.implicits._
+      a.toDF("seq", "event_type").orderBy("seq")
+    })
   )
 
   /** Engine log → wire frames → decode → q01 projection; the oracle
@@ -1050,6 +1111,11 @@ object SparkEntry {
     "q44_msgpack_roundtrip" ->
       s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq",
     "q45_cbor_roundtrip" ->
-      s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq"
+      s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq",
+    "q46_multilog_compact" ->
+      "SELECT event_type AS addr, event_id AS seq FROM events ORDER BY addr, seq",
+    "q47_fanout" ->
+      """SELECT event_id AS seq, event_type FROM events
+        |WHERE event_id < 150 ORDER BY seq""".stripMargin
   )
 }
