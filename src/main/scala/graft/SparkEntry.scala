@@ -687,6 +687,17 @@ object SparkEntry {
       require(a == gotB.asScala.toSeq, "fan-out consumers diverged")
       import s.implicits._
       a.toDF("seq", "event_type").orderBy("seq")
+    }),
+
+    // IVF coarse quantization: per-row codegen'd argmin over literal
+    // centroids (vec_ids 0..7 as the codebook) — zero shuffle; the
+    // oracle recomputes ||c||^2 - 2 v.c and the (dist, cell) argmin
+    "q48_ivf_assign" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Ann
+        .ivfAssign(emb, "embedding", "vec_id", (0L until 8L).toSeq)
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1116,6 +1127,25 @@ object SparkEntry {
       "SELECT event_type AS addr, event_id AS seq FROM events ORDER BY addr, seq",
     "q47_fanout" ->
       """SELECT event_id AS seq, event_type FROM events
-        |WHERE event_id < 150 ORDER BY seq""".stripMargin
+        |WHERE event_id < 150 ORDER BY seq""".stripMargin,
+    "q48_ivf_assign" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+        |), dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |cn AS (
+        |  SELECT cell, sum(embedding[d + 1]::DOUBLE * embedding[d + 1]::DOUBLE) AS cnorm
+        |  FROM cents, dimk GROUP BY 1
+        |), dots AS (
+        |  SELECT v.vec_id, c.cell,
+        |    sum(v.embedding[d + 1]::DOUBLE * c.embedding[d + 1]::DOUBLE) AS dot
+        |  FROM embeddings v, cents c, dimk GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT d.vec_id, d.cell,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |  FROM dots d JOIN cn USING (cell)
+        |)
+        |SELECT vec_id, cell FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }
