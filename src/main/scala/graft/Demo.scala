@@ -111,6 +111,36 @@ object Demo {
     q.stop()
     println(s"== live tail delivered seqs: ${seen.toArray.mkString(",")}")
 
+    // 7. Per-key watch: notified on set, unset on tombstone.
+    val notes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val w = kv.watch("demo-key")(v => { notes.add(v.getOrElse("<unset>")); () })
+    kv.set("demo-key", "v1")
+    kv.delete("demo-key")
+    w.cancel()
+    println(s"== watch(demo-key) saw: ${notes.toArray.mkString(" -> ")}")
+
+    // 8. Live rank-space sublog query (bounded, self-terminating).
+    val ranks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val rq = graft.live.SublogTail.push(
+      mlog, sub.addr, Seq(Lt(3), Live(true)), s"$work/rankckpt",
+      (rank, pseq) => { ranks.add((rank, pseq)); () })
+    rq.awaitTermination(60000)
+    println(s"== sublog rank tail (ranks 0..2): ${ranks.toArray.mkString(",")}")
+
+    // 9. Wire codecs: msgpack/CBOR frame round-trip of the log head.
+    val head = log.query(Limit(3), SeqWrap(true)).select(col("seq"), col("value"))
+    for (codec <- Seq(graft.codec.MsgPackCodec, graft.codec.CborCodec)) {
+      val back = graft.codec.Codecs
+        .decodeWire(graft.codec.Codecs.encodeWire(head, codec), head.schema, codec)
+      println(s"== ${codec.name} round-trip rows: ${back.count()}")
+    }
+
+    // 10. In-memory backend: same contract, no files.
+    val mem = graft.storage.MemLog.open(spark, IntegerType)
+    mem.appendValues(Seq(1, 2, 3))
+    mem.nullAt(1)
+    println(s"== memlog seq=${mem.seq} rows=${mem.query(SeqWrap(true)).count()}")
+
     println("== DEMO OK")
     spark.stop()
   }
