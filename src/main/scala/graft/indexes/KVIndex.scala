@@ -97,6 +97,16 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
     w
   }
 
+  /** CROSS-PROCESS per-key change stream — the scale-out complement to
+    * the in-process [[watch]]: a Structured Streaming DataFrame of this
+    * key's committed change rows `(addr, value, tombstone, useq, _ver)`
+    * discovered from the change-table files, so a watcher in another
+    * JVM (or on another machine over shared storage) sees every commit.
+    * Order across commits by `_ver` (then `useq`); the latest row is
+    * the current state, `tombstone` = unset. */
+  def watchStream(addr: String): DataFrame =
+    store.stream.where(col("addr") === addr)
+
   private[indexes] def unregister(w: KVIndex.Watcher): Unit = synchronized {
     watchers.updateWith(w.addr) {
       case Some(ws) =>

@@ -68,6 +68,19 @@ final class TableStore private (
 
   def read: DataFrame = readVersioned.drop("_ver")
 
+  /** Streaming tail of the change table: every committed batch lands as
+    * new immutable segment files, which the file stream discovers —
+    * cross-process consumers (other JVMs writing the same dir) are
+    * visible too. Rows carry `_ver` so consumers can order across
+    * commits. Same raw-stream caveat as a log tail: `rewrite`
+    * (delete/compact) re-emits surviving history; consumers needing
+    * exactly-once fold by (`_ver`, key) or use a guarded tail. */
+  def stream: DataFrame =
+    spark.readStream
+      .schema(diskSchema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(s"$dir/data")
+
   /** Copy-on-write rewrite of the whole table (delete / compact).
     * The rewritten table becomes a single new version. */
   def rewrite(f: DataFrame => DataFrame): Unit = synchronized {
@@ -131,7 +144,9 @@ final class TableStore private (
 
 object TableStore {
   def open(spark: SparkSession, dir: String, schema: StructType): TableStore = {
-    Files.createDirectories(Paths.get(dir))
+    // data/ exists from open so `stream` can subscribe before the
+    // first committed batch
+    Files.createDirectories(Paths.get(dir, "data"))
     val m = Manifest.load(dir).getOrElse {
       val fresh = Manifest(0L, graft.core.Seqs.SeqEmpty, schema.json, Nil)
       Manifest.commit(dir, fresh)

@@ -117,6 +117,30 @@ class ConsistencySpec extends SparkSpec {
     assert(c.seq == 2)
   }
 
+  test("concurrent appenders through one handle: dense seqs, nothing lost") {
+    // twin of the reference's test/concurrent.go: many writers, one
+    // log, every entry present exactly once with dense seqs (the
+    // handle's synchronized append is the reference's log mutex)
+    val dir = tmpDir("conc")
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            (0 until 5).foreach(i => log.appendValues(Seq(t * 100 + i)))
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(log.seq == 19L)
+    val rows = log.query(graft.core.QuerySpec.SeqWrap(true)).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 20L))
+    val values = rows.map(_.getInt(1)).toSet
+    assert(values == (0 until 4).flatMap(t => (0 until 5).map(t * 100 + _)).toSet)
+    assert(log.checkConsistency() == Nil)
+  }
+
   test("reopen after kill sees only committed state") {
     val dir = tmpDir("fsck3")
     val log = ParquetLog.open(spark, dir, IntegerType)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -100,6 +102,43 @@ class SinkIndexSpec extends SparkSpec {
     idx.set("k", "both")
     assert(seen2.toList == List(Some("after-cancel"), Some("both")))
     w2.cancel(); w3.cancel()
+  }
+
+  test("watchStream: cross-handle per-key change stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("watchstream")
+    val writer = KVIndex.open(spark, dir)
+    // a SEPARATE handle subscribes (≙ another process on shared storage)
+    val reader = KVIndex.open(spark, dir)
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[String])]()
+    val q = reader
+      .watchStream("k")
+      .writeStream
+      .option("checkpointLocation", tmpDir("wsckpt"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.orderBy("_ver", "useq").collect().foreach { r =>
+          seen.add((
+            r.getAs[Long]("_ver"),
+            if (r.getAs[Boolean]("tombstone")) None
+            else Option(r.getAs[String]("value"))
+          ))
+        }
+        (): Unit
+      }
+      .start()
+    try {
+      writer.set("k", "v1")
+      writer.set("other", "x") // filtered out
+      writer.set("k", "v2")
+      writer.delete("k")
+      q.processAllAvailable()
+      val got = seen.asScala.toList
+      assert(got.map(_._2) == List(Some("v1"), Some("v2"), None))
+      // versions strictly increase across commits
+      assert(got.map(_._1) == got.map(_._1).sorted)
+    } finally q.stop()
   }
 
   test("seq-setter cursor (seqsetidx.go:24-55)") {
