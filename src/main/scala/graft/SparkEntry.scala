@@ -698,6 +698,29 @@ object SparkEntry {
         .ivfAssign(emb, "embedding", "vec_id", (0L until 8L).toSeq)
         .select(col("vec_id"), col("cell"))
         .orderBy("vec_id")
+    }),
+
+    // IVF top-k: probe the nprobe=2 cells nearest the query, exact
+    // cosine within them — the oracle recomputes cells, probe choice,
+    // and the scored top-10 in SQL
+    "q49_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb
+        .where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+        .toMap
+      val qv = emb
+        .where(col("vec_id") === 0)
+        .select("embedding")
+        .collect()(0)
+        .getSeq[Float](0)
+      val assigned =
+        Ann.ivfAssign(emb, "embedding", "vec_id", (0L until 8L).toSeq)
+      Ann
+        .ivfTopK(assigned, "embedding", "vec_id", qv, 10, cents, nprobe = 2)
+        .orderBy(col("score").desc, col("vec_id").asc)
     })
   )
 
@@ -1146,6 +1169,40 @@ object SparkEntry {
         |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
         |  FROM dots d JOIN cn USING (cell)
         |)
-        |SELECT vec_id, cell FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |SELECT vec_id, cell FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q49_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+        |), dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |cn AS (
+        |  SELECT cell, sum(embedding[d + 1]::DOUBLE * embedding[d + 1]::DOUBLE) AS cnorm
+        |  FROM cents, dimk GROUP BY 1
+        |), dots AS (
+        |  SELECT v.vec_id, c.cell,
+        |    sum(v.embedding[d + 1]::DOUBLE * c.embedding[d + 1]::DOUBLE) AS dot
+        |  FROM embeddings v, cents c, dimk GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT d.vec_id, d.cell,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |  FROM dots d JOIN cn USING (cell)
+        |), probes AS (
+        |  -- the query's 2 nearest centroids: ||q-c||^2 ranks like
+        |  -- cnorm - 2 q.c (the q-norm constant drops)
+        |  SELECT d.cell FROM dots d JOIN cn USING (cell)
+        |  WHERE d.vec_id = 0
+        |  ORDER BY cn.cnorm - 2.0 * d.dot, d.cell LIMIT 2
+        |), cand AS (
+        |  SELECT r.vec_id FROM ranked r JOIN probes USING (cell)
+        |  WHERE r.rn = 1
+        |)
+        |SELECT b.vec_id,
+        |  round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        |FROM embeddings b
+        |JOIN cand USING (vec_id),
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY score DESC, b.vec_id ASC
+        |LIMIT 10""".stripMargin
   )
 }
