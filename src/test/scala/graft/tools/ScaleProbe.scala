@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+
+/** 10× scale probe for the quadratic-risk operators (test-scope tool):
+  * replicate the sf0.1 corpus 10-fold so EVERY doc becomes a 10-way
+  * duplicate cluster — the worst case for LSH candidate generation
+  * (each bucket holds all copies; pairs grow k² per cluster). If the
+  * plans are right, runtime grows ~linearly in docs + quadratically
+  * ONLY within clusters (bounded by the bucket cap), never n².
+  * Run: sbt "Test/runMain graft.tools.ScaleProbe [sfDir] [copies]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession
+      .builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+      r
+    }
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val n = docs.count()
+    val big = (0 until copies)
+      .map(i => docs.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+      .repartition(32)
+    big.cache()
+    println(s"== corpus: ${big.count()} docs (${copies}x of $n)")
+
+    // 1x reference points (same parameters as the bench)
+    t(s"lsh_pairs 1x ($n docs)") {
+      println("   pairs=" + Dedup
+        .minhashLshPairs(docs, "text", "doc_id", 16, 2, 3, 0.7,
+          portableHash = false).count())
+    }
+    t(s"lsh_pairs ${copies}x (every doc a $copies-way cluster)") {
+      println("   pairs=" + Dedup
+        .minhashLshPairs(big, "text", "doc_id", 16, 2, 3, 0.7,
+          portableHash = false).count())
+    }
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val m = emb.count()
+    // warm-up: signature codegen + shuffle machinery compile once here
+    // so the 1x/10x numbers measure scaling, not first-invocation cost
+    Dedup.embeddingNearDupLsh(emb.limit(200), "embedding", "vec_id", 0.3,
+      bits = 4).count()
+    spark.catalog.clearCache()
+    val bigEmb = (0 until copies)
+      .map(i => emb.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+      .repartition(32)
+    bigEmb.cache()
+    println(s"== embeddings: ${bigEmb.count()} (${copies}x of $m)")
+    t(s"embed_neardup_lsh 1x") {
+      println("   pairs=" + Dedup
+        .embeddingNearDupLsh(emb, "embedding", "vec_id", 0.3, bits = 4).count())
+    }
+    t(s"embed_neardup_lsh ${copies}x") {
+      println("   pairs=" + Dedup
+        .embeddingNearDupLsh(bigEmb, "embedding", "vec_id", 0.3, bits = 4).count())
+    }
+    spark.stop()
+  }
+}
