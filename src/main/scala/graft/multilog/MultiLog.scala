@@ -248,7 +248,7 @@ final class Sublog(
     * hot addr holding 20% of a 100 TB log must not be forced through
     * the driver; it falls back to a shuffle join that AQE can still
     * re-plan. */
-  def resolve(log: graft.storage.ParquetLog): DataFrame = {
+  def resolve(log: graft.storage.Log): DataFrame = {
     guard()
     val sub = toDF.select(
       org.apache.spark.sql.functions

@@ -5,18 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.core.QuerySpec
 
-/** Typed facade over [[ParquetLog]] — the prototype-typed codec path
-  * of the reference (`NewLog(codec.New(tipe))`): values are case
+/** Typed facade over any [[Log]] backend — the prototype-typed codec
+  * path of the reference (`NewLog(codec.New(tipe))`): values are case
   * classes, `Encoder`-serialized into the log's struct column.
   *
   * {{{
   *   case class Ev(foo: String, bar: Int)
-  *   val log = TypedLog.open[Ev](spark, dir)
+  *   val log = TypedLog.open[Ev](spark, dir)           // durable
+  *   val mem = TypedLog.of[Ev](MemLog.open(spark, ...)) // any backend
   *   log.append(Seq(Ev("hello", 23)))
   *   val vs: Seq[Ev] = log.query(Gte(1), Limit(2))
   * }}}
   */
-final class TypedLog[T: Encoder] private (val underlying: ParquetLog) {
+final class TypedLog[T: Encoder] private[storage] (val underlying: Log) {
 
   private def spark: SparkSession = underlying.spark
   def seq: Long = underlying.seq
@@ -61,4 +62,8 @@ object TypedLog {
     val schema = implicitly[Encoder[T]].schema
     new TypedLog[T](ParquetLog.open(spark, dir, schema))
   }
+
+  /** Wrap an already-open backend (e.g. a [[MemLog]]) — the value type
+    * must match the encoder's struct schema. */
+  def of[T: Encoder](log: Log): TypedLog[T] = new TypedLog[T](log)
 }

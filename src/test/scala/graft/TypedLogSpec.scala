@@ -23,6 +23,15 @@ class TypedLogSpec extends SparkSpec {
     assert(log.query() == Seq(Ev("world", 42), Ev("moar", 7)))
   }
 
+  test("typed facade over the in-memory backend (backend-generic)") {
+    val mem = graft.storage.MemLog.open(spark, implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+    val log = TypedLog.of[Ev](mem)
+    log.append(Seq(Ev("hello", 23), Ev("world", 42)))
+    assert(log.seq == 1L)
+    assert(log.get(0) == Ev("hello", 23))
+    assert(log.query(Reverse(true)) == Seq(Ev("world", 42), Ev("hello", 23)))
+  }
+
   test("sublog resolve joins back to parent values (broadcast)") {
     import org.apache.spark.sql.functions._
     val log = graft.storage.ParquetLog
