@@ -721,8 +721,40 @@ object SparkEntry {
       Ann
         .ivfTopK(assigned, "embedding", "vec_id", qv, 10, cents, nprobe = 2)
         .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
+    // duplicate-CLUSTER resolution: connected components over the LSH
+    // pair graph (min-label propagation) — the step between pairwise
+    // detection and retention; oracle = recursive-CTE reachability
+    "q50_dup_clusters" -> ((s, dir) => {
+      val pairs = lshPairsForClusters(s, dir)
+      Dedup
+        .connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // retention policy: keep one doc per near-dup cluster (the
+    // component's min id) plus all unclustered docs
+    "q51_cluster_survivors" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup
+        .clusterSurvivors(docs, "doc_id", lshPairsForClusters(s, dir))
+        .select("doc_id")
+        .orderBy("doc_id")
     })
   )
+
+  /** Shared pair graph for the cluster queries (q24's configuration). */
+  private def lshPairsForClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(
+      Tables.load(s, dir, "documents"),
+      "text",
+      "doc_id",
+      numHashes = 8,
+      bands = 4,
+      threshold = 0.35
+    )
 
   /** Engine log → wire frames → decode → q01 projection; the oracle
     * recomputes from raw parquet, so any codec bit-rot breaks the hash. */
@@ -778,6 +810,61 @@ object SparkEntry {
   }
 
   private val hashPLit = Dedup.HashP.toString
+
+  /** The full q24 LSH pipeline as a CTE chain ending in
+    * `pairs(id_a, id_b, jaccard)` — shared by q24 and the cluster
+    * oracles (which add recursive reachability on top). */
+  private lazy val lshPairsCtes: String =
+    s"""$shinglesCte, ${ksCte(8)}, ex AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM e
+       |), sig AS (
+       |  SELECT doc_id, k, min((a * x + b) % $hashPLit) AS h
+       |  FROM ex CROSS JOIN ks GROUP BY doc_id, k
+       |), sigarr AS (
+       |  SELECT doc_id, list(h ORDER BY k) AS sig FROM sig GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, b.band,
+       |    md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS bucket
+       |  FROM sigarr, (SELECT unnest(generate_series(0, 3)) AS band) b
+       |), okb AS (
+       |  SELECT band, bucket FROM banded GROUP BY band, bucket
+       |  HAVING count(*) <= 10000
+       |), bandedok AS (
+       |  SELECT banded.* FROM banded JOIN okb USING (band, bucket)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandedok x JOIN bandedok y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN e a ON a.doc_id = c.id_a
+       |  JOIN e b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) >= 0.35
+       |)""".stripMargin
+
+  /** lshPairsCtes + undirected edges + recursive reachability:
+    * `comp(id, component)` = min id reachable from each clustered doc. */
+  private lazy val clusterCtes: String =
+    s"""${lshPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+       |), comp AS (
+       |  SELECT id, min(r) AS component FROM reach GROUP BY id
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_log_scan" ->
@@ -917,42 +1004,8 @@ object SparkEntry {
          |WHERE round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
     "q24_lsh_pairs" ->
-      s"""$shinglesCte, ${ksCte(8)}, ex AS (
-         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM e
-         |), sig AS (
-         |  SELECT doc_id, k, min((a * x + b) % $hashPLit) AS h
-         |  FROM ex CROSS JOIN ks GROUP BY doc_id, k
-         |), sigarr AS (
-         |  SELECT doc_id, list(h ORDER BY k) AS sig FROM sig GROUP BY doc_id
-         |), banded AS (
-         |  SELECT doc_id, b.band,
-         |    md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS bucket
-         |  FROM sigarr, (SELECT unnest(generate_series(0, 3)) AS band) b
-         |), okb AS (
-         |  SELECT band, bucket FROM banded GROUP BY band, bucket
-         |  HAVING count(*) <= 10000
-         |), bandedok AS (
-         |  SELECT banded.* FROM banded JOIN okb USING (band, bucket)
-         |), cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bandedok x JOIN bandedok y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN e a ON a.doc_id = c.id_a
-         |  JOIN e b ON b.doc_id = c.id_b AND b.s = a.s
-         |  GROUP BY 1, 2
-         |)
-         |SELECT id_a, id_b,
-         |  round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = id_a
-         |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE round(inter / (sa.n + sb.n - inter)::DOUBLE, 6) >= 0.35
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""$lshPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "q25_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -1203,6 +1256,14 @@ object SparkEntry {
         |JOIN cand USING (vec_id),
         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY score DESC, b.vec_id ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q50_dup_clusters" ->
+      s"""$clusterCtes
+         |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    "q51_cluster_survivors" ->
+      s"""$clusterCtes
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -324,6 +324,83 @@ object Dedup {
     materialized(result, sh)
   }
 
+  /** Connected components over an undirected pair list — the cluster
+    * step every near-dup pipeline runs AFTER pairwise detection (LSH
+    * emits pairs; retention policy needs whole clusters: keep one doc
+    * per component). Min-label propagation: every node starts labeled
+    * with itself; each round takes the min label over neighbors;
+    * converges in component-diameter rounds — duplicate clusters are
+    * near-cliques, so 2-3 rounds in practice, `maxIter` as the
+    * pathological-chain bound.
+    *
+    * Scale: runs over the PAIRS graph (≪ corpus; one row per LSH
+    * verified pair), each round one shuffle keyed on node id. For
+    * billion-edge graphs the same loop upgrades to alternating
+    * small-star/large-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") without changing the contract.
+    * Returns (id, component = min id reachable). */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    val e = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+    val sym = e
+      .union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym
+      .select(col("a").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(
+          labels.select(col("id").as("b"), col("comp").as("bcomp")),
+          Seq("b")
+        )
+        .groupBy(col("a").as("id"))
+        .agg(min("bcomp").as("nbrComp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp")
+        )
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .where(col("comp") =!= col("old"))
+        .limit(1)
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Near-dup retention: drop every clustered doc except its
+    * component's canonical (min id); docs in no pair survive
+    * untouched. `pairs` comes from [[minhashLshPairs]] /
+    * [[embeddingNearDupLsh]]. */
+  def clusterSurvivors(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame
+  ): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash from whitespace tokens: bit i of the fingerprint
     * is the majority vote of bit i across all token md5 hashes.
     * Pure columnar arithmetic (explode bits → conditional sum) — one

@@ -88,6 +88,34 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped > 1000)
   }
 
+  test("connected components: chain, triangle, singleton-free") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L
+    ))
+    // survivors: min of each component + docs in no pair
+    val docs = (1L to 4L) ++ (10L to 12L) ++ Seq(20L, 21L, 99L)
+    val surv = Dedup
+      .clusterSurvivors(docs.toDF("doc_id"), "doc_id", pairs)
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(surv == Set(1L, 10L, 20L, 99L))
+  }
+
   test("exact dedup: survivors + duplicates partition the corpus") {
     val n = docs.count()
     val survivors = Dedup.exactDedup(docs, "text", "doc_id").count()
