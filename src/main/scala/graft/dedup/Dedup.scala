@@ -346,15 +346,22 @@ object Dedup {
       maxIter: Int = 20
   ): DataFrame = {
     val e = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+    // Iterative algorithms MUST truncate lineage each round (the GraphX
+    // discipline): without it, round k's plan nests k joins deep and
+    // any partial materialization (e.g. a limit-pruned cache fill)
+    // recomputes the whole upstream pipeline per action. Eager
+    // localCheckpoint gives a flat, fully-materialized frontier per
+    // round — the trade (recompute-on-executor-loss) is the standard
+    // one for iterative graph steps; long jobs re-run the step.
     val sym = e
       .union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = sym
       .select(col("a").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -371,15 +378,13 @@ object Dedup {
           col("id"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp")
         )
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next
+        .localCheckpoint(true) // flat + materialized
+      converged = next
         .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .where(col("comp") =!= col("old"))
-        .limit(1)
-        .count()
+        .isEmpty
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
       i += 1
     }
     sym.unpersist(blocking = false)
