@@ -742,6 +742,36 @@ object SparkEntry {
         .clusterSurvivors(docs, "doc_id", lshPairsForClusters(s, dir))
         .select("doc_id")
         .orderBy("doc_id")
+    }),
+
+    // skew mitigation: the salted two-phase aggregation must produce
+    // byte-identical results to the plain GROUP BY (salting spreads a
+    // hot key over 16 reducers; the second phase is one row per
+    // key×salt)
+    "q52_salted_agg" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      graft.query.Skew
+        .saltedAgg(
+          events,
+          col("event_type"),
+          16,
+          partial = Seq(count(lit(1)).as("n"), sum("value").as("s")),
+          merge = Seq(sum("n").as("n"), round(sum("s"), 6).as("total"))
+        )
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // multimodal resize: decode → subsample → re-encode; the oracle
+    // recomputes the deterministic output dimensions and payload size
+    "q53_multimodal_resize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val media = Multimodal.synthesize(s, docs, "doc_id")
+      Multimodal
+        .extractFeatures(Multimodal.resize(media, 8))
+        .toDF()
+        .select(col("id"), col("width"), col("height"), col("sizeBytes"))
+        .orderBy("id")
     })
   )
 
@@ -1264,6 +1294,14 @@ object SparkEntry {
       s"""$clusterCtes
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q52_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS total
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q53_multimodal_resize" ->
+      """SELECT doc_id AS id, 8 AS width,
+        |  CAST(round((4 + doc_id % 5) * 8.0 / (4 + doc_id % 8)) AS INT) AS height,
+        |  16 + CAST(4 + doc_id % 8 AS INT) * CAST(4 + doc_id % 5 AS INT) AS sizeBytes
+        |FROM documents ORDER BY id""".stripMargin
   )
 }
