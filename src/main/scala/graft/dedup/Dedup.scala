@@ -203,37 +203,44 @@ object Dedup {
         }: _*)
       ).as(Seq("band", "bucket"))
     )
-    // The banded-signature table feeds three consumers (bucket counts
-    // + both sides of the self-join); persist it so the shingle →
-    // minhash pipeline runs ONCE, not once per branch. (At warehouse
-    // scale you'd materialize signatures to a table; the cache is the
-    // in-session equivalent.)
-    banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Mega-buckets (boilerplate shared by > maxBucket docs) would make
     // the self-join quadratic in ONE reducer — drop them up front
     // (they're near-certain duplicate clusters; collapse them by
     // fingerprint out of band instead of pairwise-verifying).
+    //
+    // No manual persist anywhere in this pipeline: the banded table
+    // feeds three branches (bucket counts + both self-join sides), but
+    // all three sit inside ONE final plan, and each branch's shuffle
+    // exchange over the signature aggregation is identical — Spark's
+    // ReuseExchange computes the expensive shingle→minhash map side
+    // once and fans the shuffle files out to every consumer. That
+    // makes the whole operator a single deterministic job with no
+    // cache residency to fight other queries for memory (the round-2/3
+    // bench instability was persist-related).
     val (within, _) =
       graft.query.Skew.capBuckets(banded, Seq("band", "bucket"), maxBucket)
     val l = within.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = within.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    // candidates feed three consumers inside verifyJaccard (the id
-    // semi-join set + the intersection join); materialize them so the
-    // banded cache can be released before the verify stage runs
-    val candidates = materialized(
-      l.join(r, Seq("band", "bucket"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct(),
-      banded
-    )
-    val out = verifyJaccard(df, textCol, idCol, candidates, shingleWidth, threshold)
-    candidates.unpersist(blocking = false)
-    out
+    val candidates = l
+      .join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    verifyJaccard(df, textCol, idCol, candidates, shingleWidth, threshold)
   }
 
-  /** Exact n-gram Jaccard over candidate pairs (inverted-index join:
-    * shared-shingle counts vs set sizes, |A∩B| / (|A|+|B|-|A∩B|)). */
+  /** Exact n-gram Jaccard over candidate pairs, as a pair join: fetch
+    * both documents' texts (two broadcast joins — the candidate side
+    * is small by LSH construction, so neither join shuffles the
+    * corpus), then compute `|A∩B| / (|A|+|B|-|A∩B|)` natively with
+    * `array_intersect` over the two shingle arrays. Verification cost
+    * is proportional to the candidate set; the corpus is only
+    * scanned (twice, once per side — at warehouse scale you'd
+    * materialize the candidate texts instead of rescanning).
+    *
+    * This replaces the round-2 inverted-index verify (explode +
+    * 2 joins + 2 aggregations): same exact Jaccard, a fraction of the
+    * stages, and zero mid-query persists. */
   def verifyJaccard(
       df: DataFrame,
       textCol: String,
@@ -242,46 +249,26 @@ object Dedup {
       shingleWidth: Int,
       threshold: Double
   ): DataFrame = {
-    // only docs that appear in a candidate pair need their shingles
-    // exploded — semi-join BEFORE the explode (Catalyst does not push a
-    // semi join below a Generate, so joining after would shingle the
-    // whole corpus), broadcast (the candidate set is the small side by
-    // construction), keeping the verify stage proportional to the
-    // candidate set, not the corpus
-    val candidateIds = candidates
-      .select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id")))
-      .distinct()
-    val cdocs = df
-      .select(col(idCol).as("id"), col(textCol))
-      .join(broadcast(candidateIds), Seq("id"), "left_semi")
-    val sh = cdocs.select(
-      col("id"),
-      explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
-    )
-    // sh feeds sizes + both join sides — persist so candidate docs are
-    // shingled once, not three times
-    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    val result = inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
+    val withA = a.join(broadcast(candidates), Seq("id_a"))
+    val pairs = b.join(broadcast(withA), Seq("id_b"))
+    val sa = shinglesNative(df, col("_text_a"), shingleWidth)
+    val sb = shinglesNative(df, col("_text_b"), shingleWidth)
+    pairs
+      .withColumn("_inter", size(array_intersect(sa, sb)))
+      .withColumn("_na", size(sa))
+      .withColumn("_nb", size(sb))
       .withColumn(
         "jaccard",
         round(
-          col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter")),
+          col("_inter").cast("double") /
+            (col("_na") + col("_nb") - col("_inter")),
           6
         )
       )
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materialized(result, sh)
   }
 
   /** All near-duplicate pairs by exact n-gram Jaccard — the
