@@ -772,7 +772,88 @@ object SparkEntry {
         .toDF()
         .select(col("id"), col("width"), col("height"), col("sizeBytes"))
         .orderBy("id")
-    })
+    }),
+
+    // ---- dataset shaping (sampling / ordering / packing) -----------
+    // deterministic hash-gated sampling: stable across re-runs and
+    // task retries (unlike DataFrame.sample), pure pushed-down filter
+    "q54_hash_sample" -> ((s, dir) =>
+      graft.pipeline.Sampling
+        .hashSample(Tables.load(s, dir, "documents"), "doc_id", 0.25, "s54")
+        .orderBy("doc_id")),
+
+    // per-stratum keep rates — the data-mixing primitive
+    "q55_stratified_sample" -> ((s, dir) =>
+      graft.pipeline.Sampling
+        .stratifiedHashSample(
+          Tables.load(s, dir, "documents"),
+          "lang",
+          Map("en" -> 0.5, "de" -> 0.25),
+          defaultRate = 0.1,
+          idCol = "doc_id",
+          seed = "s55"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // GPT-style concat-and-chunk packing metadata, 4 hash-shards
+    "q56_pack_sequences" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.pipeline.Sampling
+        .packSequences(
+          docs,
+          "doc_id",
+          TextFunctions.tokenCount(col("text")),
+          budget = 512,
+          numShards = 4,
+          seed = "s56"
+        )
+        .orderBy("shard", "doc_id")
+    }),
+
+    // PII scrub over text with synthetic injected PII (the corpus
+    // itself is clean words, so the email/URL/number patterns are
+    // exercised by a deterministic suffix built from table columns —
+    // both engines construct and scrub the identical string)
+    "q57_pii_scrub" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val dirty = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com via https://ex.io/"), col("source"),
+        lit(" acct "),
+        (col("doc_id") * lit(1000000007L) + lit(123456789L)).cast("string")
+      )
+      docs
+        .select(col("doc_id"), TextFunctions.scrubPii(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic global interleave: hash-order position for
+    // reproducible training shuffles
+    "q58_interleave" -> ((s, dir) =>
+      graft.pipeline.Sampling
+        .interleave(Tables.load(s, dir, "documents"), "doc_id", "s58")
+        .select("position", "doc_id")
+        .orderBy("position")),
+
+    // the composed curation pipeline: lang+quality+length gates →
+    // exact-dedup survivors → deterministic 50% sample
+    "q59_curation" -> ((s, dir) =>
+      graft.pipeline.Curation
+        .curate(
+          Tables.load(s, dir, "documents"),
+          "text",
+          "doc_id",
+          lang = "en",
+          minQuality = 0.5,
+          minTokens = 10,
+          maxTokens = 5000,
+          sampleRate = 0.5,
+          seed = "s59"
+        )
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id"))
   )
 
   /** Shared pair graph for the cluster queries (q24's configuration). */
@@ -1302,6 +1383,101 @@ object SparkEntry {
       """SELECT doc_id AS id, 8 AS width,
         |  CAST(round((4 + doc_id % 5) * 8.0 / (4 + doc_id % 8)) AS INT) AS height,
         |  16 + CAST(4 + doc_id % 8 AS INT) * CAST(4 + doc_id % 5 AS INT) AS sizeBytes
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+    // gate(0.25) = 0.25 * 2^32; hash = first 8 md5 hex chars of "<id>:<seed>"
+    "q54_hash_sample" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s54'), 1, 8))::BIGINT < 1073741824
+        |ORDER BY doc_id""".stripMargin,
+    "q55_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s55'), 1, 8))::BIGINT <
+        |  CASE WHEN lang = 'en' THEN 2147483648
+        |       WHEN lang = 'de' THEN 1073741824
+        |       ELSE 429496729 END
+        |ORDER BY doc_id""".stripMargin,
+    "q56_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s56'), 1, 8))::BIGINT % 4 AS INT) AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), packed AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t
+        |)
+        |SELECT shard, doc_id, n_tokens, start_tok,
+        |  CAST(floor(start_tok / 512) AS BIGINT) AS bin
+        |FROM packed ORDER BY shard, doc_id""".stripMargin,
+    "q57_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |          || '@mail.example.com via https://ex.io/' || source
+        |          || ' acct ' || CAST(doc_id * 1000000007 + 123456789 AS VARCHAR),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q58_interleave" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s58'), 1, 8))::BIGINT ASC,
+        |      doc_id ASC) - 1 AS position, doc_id
+        |FROM documents ORDER BY position""".stripMargin,
+    "q59_curation" -> {
+      val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      val caseCols = TextFunctions.langMarkers
+        .map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(w, x -> x IN ($inList))) AS c_$lang"
+        }
+        .mkString(",\n    ")
+      val langs = TextFunctions.langMarkers.map(_._1)
+      val best = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+      val chain = langs
+        .map(l => s"WHEN c_$l = $best AND $best > 0 THEN '$l'")
+        .mkString(" ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, text, w,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE END AS punct_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE END AS digit_ratio,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |         ELSE len(list_filter(w, x -> x IN ($stop))) / len(w)::DOUBLE END AS stopword_ratio,
+         |    $caseCols
+         |  FROM tok
+         |), scored AS (
+         |  SELECT doc_id,
+         |    CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.3
+         |      + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
+         |      + least(stopword_ratio * 5.0, 1.0) * 0.3
+         |      + (CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
+         |    CASE $chain ELSE 'und' END AS lang_pred,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM feat
+         |), gated AS (
+         |  SELECT * FROM scored
+         |  WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
+         |), canon AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    min(doc_id) OVER (PARTITION BY fp) AS canon_id
+         |  FROM gated
+         |)
+         |SELECT doc_id, n_tokens, quality FROM canon
+         |WHERE doc_id = canon_id
+         |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s59'), 1, 8))::BIGINT < 2147483648
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

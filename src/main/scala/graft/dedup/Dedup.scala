@@ -493,8 +493,10 @@ object Dedup {
       call_function("vec_norm_f", col(vecCol)).as("nrm"),
       Ann.lshSignature(col(vecCol), bits, Ann.vecDims(df, vecCol)).as("bucket")
     )
-    // signature computed once for counts + both join sides
-    raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No persist: the signature is a narrow per-row projection (fused
+    // multiply-adds over literal planes), so recomputing it per branch
+    // is cheaper than cache residency — and the self-join's shuffle
+    // exchange is shared across branches via ReuseExchange anyway.
     // cap per-bucket cardinality before the self-join (see
     // minhashLshPairs): one boilerplate bucket must not go quadratic
     val (bucketed, _) =
@@ -518,6 +520,6 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
       .distinct()
-    materialized(result, raw)
+    result
   }
 }

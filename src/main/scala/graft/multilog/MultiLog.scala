@@ -123,20 +123,26 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
     * path — same contract split as the reference (live = forwarded
     * appends, replay = ordered).
     *
-    * RAW stream caveat: `delete`/`compact` rewrite the index segments,
-    * and the file stream re-discovers the new files — a raw consumer
-    * sees the whole surviving history again. Use
-    * [[graft.live.SublogTail.push]], whose delivered-seq high-water
-    * mark drops re-deliveries (and adds rank-space bounds); only
-    * consumers doing their own dedup should read this stream while
-    * rewrites can run. */
-  def liveSublog(addr: String): DataFrame =
-    spark.readStream
+    * RAW stream caveat (`dedup = false`): `delete`/`compact` rewrite
+    * the index segments, and the file stream re-discovers the new
+    * files — a raw consumer sees the whole surviving history again.
+    * Use [[graft.live.SublogTail.push]], whose delivered-seq
+    * high-water mark drops re-deliveries (and adds rank-space
+    * bounds), or pass `dedup = true` for streaming-state dedup on
+    * `(addr, seq)`: each seq is delivered exactly once even across
+    * rewrites, at the cost of one 16-byte state row per delivered
+    * entry in the checkpoint (bounded by this sublog's cardinality —
+    * fine for hot-sublog tails, use the cursor-replay path for
+    * whole-log consumers). */
+  def liveSublog(addr: String, dedup: Boolean = false): DataFrame = {
+    val raw = spark.readStream
       .schema(MultiLog.schema)
       .option("maxFilesPerTrigger", "64")
       .parquet(s"$dir/data")
       .where(col("bucket") === bucketOf(addr) && col("addr") === addr)
       .select("addr", "seq")
+    if (dedup) raw.dropDuplicates("addr", "seq") else raw
+  }
 
   /** Fold all append segments into one deduplicated segment — the
     * compaction analogue of the reference's bitmap persistence; makes

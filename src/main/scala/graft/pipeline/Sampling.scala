@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-shaping operators for training-data pipelines: sampling,
+  * mixing, ordering, and sequence packing. These are the steps that
+  * run AFTER filtering/dedup and decide what the model actually sees.
+  *
+  * Everything here is deterministic (hash-derived, seed-parameterized)
+  * so a 100 TB pipeline re-run reproduces byte-identical datasets, and
+  * every operator is a narrow per-row transform or a per-shard window
+  * — no driver-side randomness, no `sample()` nondeterminism across
+  * retried tasks (Spark's `sample` re-draws when a task is re-executed;
+  * hash-gating never does).
+  */
+object Sampling {
+
+  /** Portable 32-bit hash of (id, seed): first 8 hex chars of
+    * `md5("<id>:<seed>")` as a long in [0, 2^32). The DuckDB oracle
+    * recomputes it verbatim (`('0x' || substr(md5(...),1,8))::BIGINT`);
+    * production would swap in `xxhash64` with the same plan shape. */
+  def hashOf(id: Column, seed: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Threshold for `rate` on the 32-bit hash range. */
+  private def gate(rate: Double): Long = (rate * 4294967296.0).toLong
+
+  /** Deterministic `rate`-sample: keep rows whose id-hash falls under
+    * the rate gate. Pure filter — pushed to the scan, no shuffle, and
+    * stable across re-runs/retries (the property `DataFrame.sample`
+    * lacks). Different `seed`s give independent samples. */
+  def hashSample(
+      df: DataFrame,
+      idCol: String,
+      rate: Double,
+      seed: String = "s0"
+  ): DataFrame =
+    df.where(hashOf(col(idCol), seed) < lit(gate(rate)))
+
+  /** Stratified deterministic sampling — the "data mixing" primitive:
+    * per-stratum keep-rates (e.g. lang or source weights), applied as
+    * one narrow filter. Strata missing from `fractions` fall back to
+    * `defaultRate`. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultRate: Double,
+      idCol: String,
+      seed: String = "s0"
+  ): DataFrame = {
+    val thresh = fractions.foldLeft(lit(gate(defaultRate)): Column) {
+      case (elze, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(gate(rate))).otherwise(elze)
+    }
+    df.where(hashOf(col(idCol), seed) < thresh)
+  }
+
+  /** Deterministic global interleave ("shuffle") order: position =
+    * rank of the id-hash. Training dataloaders need the corpus in a
+    * fixed pseudo-random order decorrelated from ingest order; sorting
+    * by a hash is the distributed, reproducible way (Spark range-
+    * partitions the sort — no single reducer). Returns the input plus
+    * a dense 0-based `position` column.
+    *
+    * Scale note: `row_number` over a global order runs one final
+    * pass on a single reducer at the very end. For 100 TB you'd keep
+    * just the hash sort-key as the order (files written range-
+    * partitioned in hash order) and skip the dense numbering; the
+    * dense position is for consumers that need an explicit index. */
+  def interleave(df: DataFrame, idCol: String, seed: String = "s0"): DataFrame = {
+    val h = hashOf(col(idCol), seed)
+    val w = Window.orderBy(h.asc, col(idCol).asc)
+    df.withColumn("position", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Sequence packing (GPT-style concat-and-chunk) metadata, sharded:
+    * within each of `numShards` hash-shards, documents are laid out in
+    * id order; each doc gets its token start offset and the index of
+    * the `budget`-sized context window its first token lands in.
+    * Returns (shard, id, n_tokens, start_tok, bin).
+    *
+    * Sharding is what makes this scale: packing is inherently
+    * sequential (an offset depends on every doc before it), so the
+    * 100 TB layout packs independently within shards — each shard's
+    * window is one partition of work, all shards in parallel. A global
+    * pack is `numShards = 1` (verification scale only).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      budget: Long,
+      numShards: Int = 1,
+      seed: String = "s0"
+  ): DataFrame = {
+    val shard = pmod(hashOf(col(idCol), seed), lit(numShards)).cast("int")
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", shard)
+      .withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("start_tok") / lit(budget)))
+      .select(col("shard"), col(idCol), col("n_tokens"), col("start_tok"), col("bin"))
+  }
+}

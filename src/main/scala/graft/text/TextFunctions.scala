@@ -110,6 +110,19 @@ object TextFunctions {
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
   }
 
+  /** PII scrubbing: replace emails, URLs, and long digit runs (ids,
+    * phone/account numbers) with typed placeholder tokens. The
+    * patterns are deliberately conservative and RE2-compatible so the
+    * DuckDB oracle applies the identical regexes; a production scrub
+    * extends the pattern list, not the plan shape (still one narrow
+    * regexp_replace chain inside codegen, no UDF). */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(
+      text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9]{9,}", "<NUM>")
+  }
+
   /** Word n-grams WITH duplicates (multiset — unlike
     * [[graft.dedup.Dedup.shingles]] which is a set), for frequency-
     * based repetition measures. */

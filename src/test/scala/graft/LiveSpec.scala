@@ -159,6 +159,40 @@ class LiveSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("liveSublog(dedup) survives delete/compact rewrites without re-delivery") {
+    // ADVICE round-2: store.rewrite emits new files covering all
+    // history and the file stream re-discovers them; the stateful
+    // dedup variant must deliver each (addr, seq) exactly once anyway.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val mlog = graft.multilog.MultiLog.open(spark, tmpDir("ddsub"))
+    mlog.appendBatch(Seq(("a", 0L), ("b", 1L), ("a", 2L)).toDF("addr", "seq"))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = mlog
+      .liveSublog("a", dedup = true)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ddckpt"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.orderBy("seq").collect().foreach(r => seen.add(r.getLong(1)))
+        (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toList.sorted == Seq(0L, 2L))
+      // rewrite all segments mid-tail (delete another addr + compact):
+      // the raw stream would re-deliver 0 and 2 here
+      mlog.delete("b")
+      mlog.compact()
+      q.processAllAvailable()
+      assert(seen.asScala.toList.sorted == Seq(0L, 2L)) // no re-delivery
+      mlog.appendBatch(Seq(("a", 7L)).toDF("addr", "seq"))
+      q.processAllAvailable()
+      assert(seen.asScala.toList.sorted == Seq(0L, 2L, 7L))
+    } finally q.stop()
+  }
+
   test("live rank-space sublog query: bounds+limit over ranks, self-stop") {
     // twin of multilog/test/multilog_live.go:21-112: live sublog query
     // with rank bounds keeps its algebra across appends

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Sampling}
+import graft.text.TextFunctions
+
+/** Dataset-shaping operators: determinism, rate accuracy, packing
+  * invariants, scrub behavior, curation composition. */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("hashSample is deterministic, seed-sensitive, and near the rate") {
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.3, "a").select("doc_id")
+    val s2 = Sampling.hashSample(docs, "doc_id", 0.3, "a").select("doc_id")
+    assert(s1.collect().toSet == s2.collect().toSet) // re-run identical
+    val other = Sampling.hashSample(docs, "doc_id", 0.3, "b").select("doc_id")
+    assert(s1.collect().toSet != other.collect().toSet) // seeds independent
+    val n = docs.count().toDouble
+    val k = s1.count().toDouble
+    assert(math.abs(k / n - 0.3) < 0.15, s"rate ${k / n} too far from 0.3")
+  }
+
+  test("stratifiedHashSample applies per-stratum rates") {
+    val out = Sampling.stratifiedHashSample(
+      docs, "lang", Map("en" -> 1.0), defaultRate = 0.0, idCol = "doc_id")
+    val langs = out.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.toSet == Set("en")) // default 0 drops all other strata
+    assert(out.count() == docs.where(col("lang") === "en").count())
+  }
+
+  test("packSequences: offsets are contiguous per shard, bins respect budget") {
+    val packed = Sampling
+      .packSequences(docs, "doc_id", TextFunctions.tokenCount(col("text")),
+        budget = 128, numShards = 3)
+      .orderBy("shard", "doc_id")
+      .collect()
+    packed.groupBy(_.getInt(0)).foreach { case (_, rows) =>
+      var expect = 0L
+      rows.foreach { r =>
+        assert(r.getLong(3) == expect, s"start_tok gap at ${r.getLong(1)}")
+        assert(r.getLong(4) == r.getLong(3) / 128) // bin = start / budget
+        expect += r.getLong(2)
+      }
+    }
+    // every doc appears exactly once across shards
+    assert(packed.map(_.getLong(1)).distinct.length == docs.count())
+  }
+
+  test("interleave assigns a dense deterministic permutation") {
+    val p1 = Sampling.interleave(docs, "doc_id").select("position", "doc_id")
+    val rows = p1.orderBy("position").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until docs.count()).toSeq)
+    // decorrelated from id order (a permutation, not the identity)
+    assert(rows.map(_.getLong(1)).toSeq != rows.map(_.getLong(1)).sorted.toSeq)
+    val p2 = Sampling.interleave(docs, "doc_id").select("position", "doc_id")
+    assert(p2.orderBy("position").collect().toSeq == rows.toSeq)
+  }
+
+  test("scrubPii replaces emails, urls, and long digit runs") {
+    import spark.implicits._
+    val in = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "docs: https://ex.io/a?b=1#c end",
+      "card 12345678901234 short 12345678 ok",
+      "clean text stays clean"
+    ).toDF("t")
+    val out = in.select(TextFunctions.scrubPii(col("t")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "docs: <URL> end")
+    assert(out(2) == "card <NUM> short 12345678 ok") // 8 digits kept
+    assert(out(3) == "clean text stays clean")
+  }
+
+  test("curation composes gates, dedup, and sampling monotonically") {
+    val full = Curation.curate(docs, "text", "doc_id", sampleRate = 1.0)
+    val sampled = Curation.curate(docs, "text", "doc_id", sampleRate = 0.5)
+    val fullIds = full.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampleIds = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampleIds.subsetOf(fullIds)) // sampling only removes rows
+    assert(sampleIds.nonEmpty && sampleIds.size < fullIds.size)
+    // survivors carry the gate columns
+    assert(full.columns.contains("n_tokens") && full.columns.contains("quality"))
+    // plan shape: exactly one shuffle-bearing aggregate (the dedup
+    // fingerprint groupBy); the gates must stay narrow filters
+    val plan = full.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
