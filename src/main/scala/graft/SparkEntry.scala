@@ -853,7 +853,45 @@ object SparkEntry {
           seed = "s59"
         )
         .select("doc_id", "n_tokens", "quality")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // int8 scalar quantization of the embedding corpus — exploded
+    // (vec_id, scale, dim, code); the oracle recomputes the identical
+    // floor arithmetic over the same float->double promotions
+    "q60_quantize_int8" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.similarity.Quantize
+        .int8(emb, "embedding", "vec_id")
+        .select(
+          col("vec_id"),
+          col("scale"),
+          posexplode(col("q")).as(Seq("d", "qv"))
+        )
+        .orderBy("vec_id", "d")
+    }),
+
+    // co-located join through bucketed tables: both sides pre-bucketed
+    // on the join key (the shuffle paid once at write time), result
+    // byte-identical to the plain join the oracle runs
+    "q61_bucketed_join" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      graft.storage.Bucketed.write(
+        Tables.load(s, dir, "orders"), "g_orders_b", "o_custkey", 8,
+        s"$work/orders")
+      graft.storage.Bucketed.write(
+        Tables.load(s, dir, "customer"), "g_customer_b", "c_custkey", 8,
+        s"$work/customer")
+      s.table("g_orders_b")
+        .join(s.table("g_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders")
+        )
+        .withColumnRenamed("c_nationkey", "nationkey")
+        .orderBy("nationkey")
+    })
   )
 
   /** Shared pair graph for the cluster queries (q24's configuration). */
@@ -1478,6 +1516,26 @@ object SparkEntry {
          |WHERE doc_id = canon_id
          |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s59'), 1, 8))::BIGINT < 2147483648
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q60_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT unnest(generate_series(0,
+        |    (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d
+        |)
+        |SELECT vec_id, scale, CAST(d AS INT) AS d,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(floor(embedding[d + 1] / scale * 127.0 + 0.5) AS INT)
+        |  END AS qv
+        |FROM s, dims WHERE d < len(embedding)
+        |ORDER BY vec_id, d""".stripMargin,
+    "q61_bucketed_join" ->
+      """SELECT c_nationkey AS nationkey,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
