@@ -193,6 +193,39 @@ object Ann {
       .limit(k)
   }
 
+  /** Persist the LSH-bucketed corpus partitioned by bucket — the
+    * IVF-flat layout on disk: one directory per signature, so a probe
+    * reads ONLY its bucket directories via partition pruning (at
+    * 100 TB: a top-k touches `|probes|/2^bits` of the corpus, not a
+    * full scan). */
+  def writeBucketedIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      bits: Int = 8
+  ): Unit =
+    lshBuckets(df, vecCol, idCol, bits).write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+
+  /** Top-k over a [[writeBucketedIndex]] layout. The bucket predicate
+    * inside [[lshTopK]] lands on the partition column, so the scan
+    * plans only the probed directories (PartitionFilters — asserted in
+    * AnnIndexSpec). */
+  def indexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      bits: Int = 8,
+      probeHamming: Int = 1
+  ): DataFrame =
+    lshTopK(spark.read.parquet(path), vecCol, idCol, queryVec, k, bits, probeHamming)
+
   /** IVF-style coarse quantization: assign each vector to its nearest
     * centroid; centroids are the embeddings of `centroidIds`
     * (deterministic — no RNG/k-means state to ship; callers wanting

@@ -108,6 +108,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("n_events") == 1000))
   }
 
+  test("streaming curation gates docs and dedups across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good =
+      "the cat sat on the mat and it was a fine day for sitting " * 3
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.DocStreamOps.curateStream(
+      mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", minTokens = 5)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("curate_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(
+        (1L, good),
+        (2L, "der die das und ist nicht ein zu " * 8), // wrong lang
+        (3L, "1234 5678 9012 3456 7890 1234 5678 9012 3456 7890" * 3) // digits
+      )
+      q.processAllAvailable()
+      // second batch: an exact duplicate of doc 1 (different id) and a
+      // fresh admissible doc — only the fresh one passes
+      mem.addData((4L, good), (5L, good + " extra closing words here"))
+      q.processAllAvailable()
+      val ids = spark.table("curate_out")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 5L), s"got ${ids.toSeq}")
+      // gate columns ride along
+      assert(spark.table("curate_out").columns.toSet
+        .contains("quality"))
+    } finally q.stop()
+  }
+
   test("batch sessionize matches a hand-computed fixture") {
     import spark.implicits._
     val events = Seq(
