@@ -870,6 +870,41 @@ object SparkEntry {
         .orderBy("vec_id", "d")
     }),
 
+    // the q28 probe served from the ON-DISK partitioned index: same
+    // oracle SQL, but the scan only plans the probed bucket
+    // directories (partition pruning — asserted in AnnIndexSpec)
+    "q62_ann_disk_index" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb
+        .where(col("vec_id") === 0)
+        .select("embedding")
+        .collect()(0)
+        .getSeq[Float](0)
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/idx"
+      Ann.writeBucketedIndex(emb, "embedding", "vec_id", path, bits = 8)
+      Ann
+        .indexTopK(s, path, "embedding", "vec_id", q, 10, bits = 8, probeHamming = 1)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
+    // top-k over int8-quantized codes (the ¼-width search tier);
+    // the oracle requantizes every vector in SQL and scores with
+    // exact integer dot products
+    "q63_quantized_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb
+        .where(col("vec_id") === 0)
+        .select("embedding")
+        .collect()(0)
+        .getSeq[Float](0)
+      graft.similarity.Quantize
+        .cosineTopKInt8(
+          graft.similarity.Quantize.int8(emb, "embedding", "vec_id"),
+          "q", "vec_id", q, 10)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
     // co-located join through bucketed tables: both sides pre-bucketed
     // on the join key (the shuffle paid once at write time), result
     // byte-identical to the plain join the oracle runs
@@ -1014,6 +1049,42 @@ object SparkEntry {
        |), comp AS (
        |  SELECT id, min(r) AS component FROM reach GROUP BY id
        |)""".stripMargin
+
+  /** q28's full SQL-recomputed LSH probe (signatures, multi-probe,
+    * cosine verify) — shared with q62, whose on-disk partitioned index
+    * must return the identical result set. */
+  private lazy val annLshOracle: String =
+    """WITH planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+      |dimk AS (SELECT unnest(generate_series(0,
+      |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+      |comps AS (
+      |  SELECT p, d,
+      |    ('0x' || substr(md5('plane:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+      |      / 4294967296.0 - 0.5 AS c
+      |  FROM planes, dimk
+      |), dots AS (
+      |  SELECT v.vec_id, c.p, sum(v.embedding[c.d + 1]::DOUBLE * c.c) AS dot
+      |  FROM embeddings v, comps c GROUP BY 1, 2
+      |), sig AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1
+      |), probes AS (
+      |  SELECT DISTINCT
+      |    CASE WHEN i = -1 THEN s.bucket
+      |         ELSE xor(s.bucket, CAST(pow(2, i) AS BIGINT)) END AS pb
+      |  FROM (SELECT bucket FROM sig WHERE vec_id = 0) s,
+      |       (SELECT unnest(generate_series(-1, 7)) AS i)
+      |), cand AS (
+      |  SELECT sig.vec_id FROM sig JOIN probes ON sig.bucket = probes.pb
+      |)
+      |SELECT b.vec_id,
+      |  round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      |FROM embeddings b
+      |JOIN cand ON cand.vec_id = b.vec_id,
+      |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
+      |LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_log_scan" ->
@@ -1205,38 +1276,39 @@ object SparkEntry {
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
         |LIMIT 10""".stripMargin,
-    "q28_ann_lsh" ->
-      """WITH planes AS (SELECT unnest(generate_series(0, 7)) AS p),
-        |dimk AS (SELECT unnest(generate_series(0,
-        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
-        |comps AS (
-        |  SELECT p, d,
-        |    ('0x' || substr(md5('plane:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
-        |      / 4294967296.0 - 0.5 AS c
-        |  FROM planes, dimk
-        |), dots AS (
-        |  SELECT v.vec_id, c.p, sum(v.embedding[c.d + 1]::DOUBLE * c.c) AS dot
-        |  FROM embeddings v, comps c GROUP BY 1, 2
-        |), sig AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM dots GROUP BY 1
-        |), probes AS (
-        |  SELECT DISTINCT
-        |    CASE WHEN i = -1 THEN s.bucket
-        |         ELSE xor(s.bucket, CAST(pow(2, i) AS BIGINT)) END AS pb
-        |  FROM (SELECT bucket FROM sig WHERE vec_id = 0) s,
-        |       (SELECT unnest(generate_series(-1, 7)) AS i)
-        |), cand AS (
-        |  SELECT sig.vec_id FROM sig JOIN probes ON sig.bucket = probes.pb
+    "q28_ann_lsh" -> annLshOracle,
+    // same probe, served from the partitioned on-disk index — results
+    // must be identical to the in-memory path
+    "q62_ann_disk_index" -> annLshOracle,
+    "q63_quantized_topk" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT unnest(generate_series(0,
+        |    (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d
+        |), codes AS (
+        |  SELECT vec_id, d,
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE CAST(floor(embedding[d + 1] / scale * 127.0 + 0.5) AS BIGINT)
+        |    END AS qv
+        |  FROM s, dims WHERE d < len(embedding)
+        |), qc AS (
+        |  SELECT d, qv FROM codes WHERE vec_id = 0
+        |), nq AS (
+        |  SELECT sqrt(sum(qv * qv)::DOUBLE) AS nq FROM qc
+        |), scored AS (
+        |  SELECT c.vec_id,
+        |    sum(c.qv * qc.qv)::DOUBLE AS dot,
+        |    sqrt(sum(c.qv * c.qv)::DOUBLE) AS nb
+        |  FROM codes c JOIN qc USING (d) GROUP BY c.vec_id
         |)
-        |SELECT b.vec_id,
-        |  round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
-        |FROM embeddings b
-        |JOIN cand ON cand.vec_id = b.vec_id,
-        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
-        |LIMIT 10""".stripMargin,
+        |SELECT vec_id,
+        |  round(CASE WHEN nb = 0 OR nq.nq = 0 THEN 0.0
+        |             ELSE dot / (nb * nq.nq) END, 6) AS score
+        |FROM scored, nq
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q36_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
