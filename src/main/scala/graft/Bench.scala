@@ -33,12 +33,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // every individual execution, for the "runs" diagnostic field: a
+    // noisy host shows up as spread between repeats of the same metric
+    val allRuns =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     // One timed execution of f, with the cache cleared afterwards so a
     // query's residue can't steal unified memory from the next metric.
     def once[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
       results(name) = (System.nanoTime() - t0) / 1e9
+      allRuns(name) = allRuns.getOrElse(name, Nil) :+ results(name)
       spark.catalog.clearCache()
       r
     }
@@ -191,9 +196,14 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val runsJson = allRuns
+      .map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }
+      .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

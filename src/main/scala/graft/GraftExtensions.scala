@@ -20,7 +20,7 @@ import graft.functions.{VecOps, WordShingles}
   * same builders into its function registry at runtime.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (
@@ -30,6 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         )
       )
     }
+    GraftExtensions.tableBuilders.foreach { case (name, builder) =>
+      ext.injectTableFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder
+        )
+      )
+    }
+  }
 }
 
 object GraftExtensions {
@@ -50,10 +60,53 @@ object GraftExtensions {
       })
   )
 
+  private def stringArg(e: Expression, fn: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn arguments must be string literals, got $other")
+  }
+
+  /** Table-valued functions: query engine logs straight from SQL text —
+    * `SELECT * FROM graft_log('/path') WHERE seq >= 10` plans the same
+    * manifest-scoped parquet scan (with the seq bound pushed to the
+    * files) as the programmatic `log.query(Gte(10))`, and
+    * `graft_sublog('/dir', 'addr')` the same rank-addressed sublog view
+    * as `mlog.sublog(addr).toDF`. The builder resolves at ANALYSIS time
+    * on the active session, so the returned plan is just the view's
+    * logical plan — Catalyst optimizes through it like any subquery. */
+  val tableBuilders
+      : Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(
+      "graft_log" -> ((exprs: Seq[Expression]) => {
+        val dir = stringArg(exprs.head, "graft_log")
+        graft.storage.ParquetLog
+          .open(SparkSession.active, dir)
+          .toDF
+          .queryExecution
+          .logical
+      }),
+      "graft_sublog" -> ((exprs: Seq[Expression]) => {
+        val dir = stringArg(exprs(0), "graft_sublog")
+        val addr = stringArg(exprs(1), "graft_sublog")
+        graft.multilog.MultiLog
+          .open(SparkSession.active, dir)
+          .sublog(addr)
+          .toDF
+          .queryExecution
+          .logical
+      })
+    )
+
   /** Install the same functions into an already-created session. */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    tableBuilders.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }

@@ -31,6 +31,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
   }
 
+  test("table-valued functions query logs from SQL text") {
+    import spark.implicits._
+    val dir = tmpDir("tvf")
+    val log = graft.storage.ParquetLog
+      .open(spark, s"$dir/log", org.apache.spark.sql.types.IntegerType)
+    log.appendValues(Seq(10, 20, 30, 40))
+    val mlog = graft.multilog.MultiLog.open(spark, s"$dir/mlog")
+    mlog.appendBatch(
+      Seq(("a", 0L), ("b", 1L), ("a", 2L)).toDF("addr", "seq"))
+
+    val s2 = spark.newSession()
+    GraftExtensions.registerAll(s2)
+    // seq predicate composes through the view like any subquery
+    val rows = s2
+      .sql(s"SELECT seq, value FROM graft_log('$dir/log') WHERE seq >= 2 ORDER BY seq")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((2L, 30), (3L, 40)))
+    val sub = s2
+      .sql(s"SELECT seq, value FROM graft_sublog('$dir/mlog', 'a') ORDER BY seq")
+      .collect()
+    assert(sub.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 2L))) // ranks 0,1 → parent seqs 0,2
+  }
+
   test("jsonl export/import round-trips a log") {
     import spark.implicits._
     val log = graft.storage.ParquetLog
