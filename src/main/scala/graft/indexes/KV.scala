@@ -1,0 +1,90 @@
+package graft.indexes
+
+import org.apache.spark.sql.DataFrame
+
+/** The index-layer contract (reference: indexes/index.go:27-70),
+  * backend-independent — the reference runs its sink-index suites over
+  * a registry of KV backends (in-memory map, mkv, badger;
+  * indexes/test/registry.go:9-47), and this trait is what that matrix
+  * instantiates here: [[KVIndex]] (TableStore/parquet — durable,
+  * cluster-scale) and [[MemKV]] (driver-memory — the `mapidx` twin for
+  * fast conformance runs).
+  *
+  * Watch semantics are part of the contract: `watch(addr)(cb)` fires
+  * immediately with the current state and after every committed write
+  * to that addr, `None` = unset (the reference's UnsetValue).
+  */
+trait KV {
+
+  /** Upsert batch `(addr, value[, tombstone][, useq])`; `useq` orders
+    * within the batch, commit order across batches. */
+  def applyBatch(df: DataFrame): Unit
+
+  def set(addr: String, value: String): Unit
+  def delete(addr: String): Unit
+
+  /** Point read; None = unset. */
+  def get(addr: String): Option[String]
+
+  /** Materialized last-write-wins snapshot `(addr, value)`. */
+  def current: DataFrame
+
+  /** Register a per-key observer; cancel the returned watcher to
+    * deregister. */
+  def watch(addr: String)(cb: Option[String] => Unit): KV.Watcher
+
+  /** Persisted resume cursor (SetSeq/GetSeq). */
+  def setSeq(seq: Long): Unit
+  def getSeq: Long
+
+  /** Fold the change history into its compacted snapshot. */
+  def compact(): Unit
+
+  // ---- shared watcher machinery -----------------------------------
+  protected val watcherReg =
+    scala.collection.concurrent.TrieMap.empty[String, List[KV.Watcher]]
+
+  protected def registerWatcher(
+      addr: String,
+      cb: Option[String] => Unit
+  ): KV.Watcher = {
+    val w = new KV.Watcher(addr, this, cb)
+    synchronized {
+      watcherReg.updateWith(addr) {
+        case Some(ws) => Some(w :: ws)
+        case None     => Some(List(w))
+      }
+      w.deliver(get(addr))
+    }
+    w
+  }
+
+  private[indexes] def unregister(w: KV.Watcher): Unit = synchronized {
+    watcherReg.updateWith(w.addr) {
+      case Some(ws) =>
+        val rest = ws.filterNot(_ eq w)
+        if (rest.isEmpty) None else Some(rest) // empty lists GC'd
+      case None => None
+    }
+    (): Unit
+  }
+}
+
+object KV {
+
+  /** Handle for one registered per-key observer; cancel() deregisters
+    * (the reference's watcher GC, obv.go:38-51). */
+  final class Watcher private[indexes] (
+      val addr: String,
+      idx: KV,
+      cb: Option[String] => Unit
+  ) {
+    @volatile private var active = true
+    private[indexes] def deliver(v: Option[String]): Unit =
+      if (active) cb(v)
+    def cancel(): Unit = {
+      active = false
+      idx.unregister(this)
+    }
+  }
+}

@@ -26,17 +26,16 @@ import graft.storage.TableStore
   * reference's cursor-after-apply = at-least-once, made exactly-once
   * by the idempotent upsert.
   */
-final class KVIndex(val spark: SparkSession, val dir: String) {
+final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
 
   private val store = TableStore.open(spark, dir, KVIndex.schema)
   private val seqPath = Paths.get(dir, "cursor.seq")
 
   // Per-key observable registry (reference: indexes/index.go:27-38
-  // returns an Observable per Get; obv.go:13-51 register/notify/GC).
-  // In-process like the reference's — cross-process consumers tail the
-  // change table itself (TableStore streams the same parquet files).
-  private val watchers =
-    scala.collection.concurrent.TrieMap.empty[String, List[KVIndex.Watcher]]
+  // returns an Observable per Get; obv.go:13-51 register/notify/GC)
+  // lives in the KV trait (watcherReg) — in-process like the
+  // reference's; cross-process consumers tail the change table itself
+  // (TableStore streams the same parquet files).
 
   /** Apply a batch of upserts: DataFrame with columns
     * (addr STRING, value STRING[, tombstone BOOLEAN][, useq BIGINT]).
@@ -66,7 +65,7 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
     * new current value — no snapshot recompute). Costs one tiny
     * filtered job, only when watchers exist. */
   private def notifyWatchers(batch: DataFrame): Unit = {
-    val watched = watchers.keySet.toSeq
+    val watched = watcherReg.keySet.toSeq
     if (watched.isEmpty) return
     val hits = batch
       .where(col("addr").isin(watched: _*))
@@ -76,7 +75,7 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
       .foreach { case (addr, rows) =>
         val win = rows.maxBy(_.getLong(3))
         val v = if (win.getBoolean(2)) None else Option(win.getString(1))
-        watchers.getOrElse(addr, Nil).foreach(_.deliver(v))
+        watcherReg.getOrElse(addr, Nil).foreach(_.deliver(v))
       }
   }
 
@@ -85,17 +84,8 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
     * state, then after every committed write to the key — tombstones
     * deliver `None` (the reference's UnsetValue). Cancel the returned
     * watcher to deregister. */
-  def watch(addr: String)(cb: Option[String] => Unit): KVIndex.Watcher = {
-    val w = new KVIndex.Watcher(addr, this, cb)
-    synchronized {
-      watchers.updateWith(addr) {
-        case Some(ws) => Some(w :: ws)
-        case None     => Some(List(w))
-      }
-      w.deliver(get(addr))
-    }
-    w
-  }
+  def watch(addr: String)(cb: Option[String] => Unit): KV.Watcher =
+    registerWatcher(addr, cb)
 
   /** CROSS-PROCESS per-key change stream — the scale-out complement to
     * the in-process [[watch]]: a Structured Streaming DataFrame of this
@@ -106,16 +96,6 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
     * the current state, `tombstone` = unset. */
   def watchStream(addr: String): DataFrame =
     store.stream.where(col("addr") === addr)
-
-  private[indexes] def unregister(w: KVIndex.Watcher): Unit = synchronized {
-    watchers.updateWith(w.addr) {
-      case Some(ws) =>
-        val rest = ws.filterNot(_ eq w)
-        if (rest.isEmpty) None else Some(rest) // empty lists GC'd
-      case None => None
-    }
-    (): Unit
-  }
 
   def set(addr: String, value: String): Unit = {
     import spark.implicits._
@@ -184,22 +164,6 @@ final class KVIndex(val spark: SparkSession, val dir: String) {
 }
 
 object KVIndex {
-
-  /** Handle for one registered per-key observer; cancel() deregisters
-    * (the reference's watcher GC, obv.go:38-51). */
-  final class Watcher private[indexes] (
-      val addr: String,
-      idx: KVIndex,
-      cb: Option[String] => Unit
-  ) {
-    @volatile private var active = true
-    private[indexes] def deliver(v: Option[String]): Unit =
-      if (active) cb(v)
-    def cancel(): Unit = {
-      active = false
-      idx.unregister(this)
-    }
-  }
 
   val schema: StructType = StructType(
     Seq(

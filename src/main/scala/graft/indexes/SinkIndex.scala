@@ -36,7 +36,7 @@ object SinkIndex {
     * consumed. */
   def pump(
       log: ParquetLog,
-      idx: KVIndex,
+      idx: KV,
       proc: DataFrame => DataFrame
   ): Long = {
     val from = idx.getSeq
@@ -61,7 +61,7 @@ object MultiLogSink {
   def pump(
       log: ParquetLog,
       mlog: MultiLog,
-      cursorOwner: KVIndex,
+      cursorOwner: KV,
       fanout: DataFrame => DataFrame
   ): Long = {
     val from = cursorOwner.getSeq

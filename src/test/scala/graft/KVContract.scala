@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.types.IntegerType
+
+import graft.core.QuerySpec._
+import graft.indexes.{KV, SinkIndex}
+import graft.storage.ParquetLog
+
+/** Backend conformance matrix for the index layer — the shape of the
+  * reference's `indexes/test/registry.go` (the same suite runs over
+  * mapidx / mkv / badger there; over TableStore-parquet and
+  * driver-memory here). Mix into a SparkSpec and provide `newKV`. */
+trait KVContract { self: SparkSpec =>
+
+  /** A fresh, empty backend instance per test. */
+  def newKV(): KV
+
+  test("set/get/delete are last-write-wins with unset tombstones") {
+    val kv = newKV()
+    assert(kv.get("k").isEmpty)
+    kv.set("k", "v1")
+    assert(kv.get("k").contains("v1"))
+    kv.set("k", "v2")
+    assert(kv.get("k").contains("v2"))
+    kv.delete("k")
+    assert(kv.get("k").isEmpty) // UnsetValue, not an error
+    kv.set("k", "v3")
+    assert(kv.get("k").contains("v3"))
+  }
+
+  test("applyBatch orders by useq within a batch") {
+    import spark.implicits._
+    val kv = newKV()
+    kv.applyBatch(
+      Seq(("k", "late", false, 5L), ("k", "early", false, 1L))
+        .toDF("addr", "value", "tombstone", "useq"))
+    assert(kv.get("k").contains("late"))
+  }
+
+  test("current snapshot drops tombstones and keeps last writes") {
+    val kv = newKV()
+    kv.set("a", "1"); kv.set("b", "2"); kv.set("a", "3"); kv.delete("b")
+    kv.set("c", "4")
+    val snap = kv.current.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap == Map("a" -> "3", "c" -> "4"))
+    kv.compact()
+    val snap2 = kv.current.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(snap2 == snap)
+  }
+
+  test("watch: immediate state, set/delete notifies, cancel stops") {
+    val kv = newKV()
+    kv.set("w", "v0")
+    val seen = scala.collection.mutable.ListBuffer.empty[Option[String]]
+    val w = kv.watch("w")(v => { seen += v; () })
+    assert(seen.toList == List(Some("v0"))) // immediate current state
+    kv.set("w", "v1")
+    kv.delete("w")
+    assert(seen.toList == List(Some("v0"), Some("v1"), None))
+    w.cancel()
+    kv.set("w", "v2")
+    assert(seen.toList == List(Some("v0"), Some("v1"), None)) // no more
+  }
+
+  test("sink pump resumes from the cursor exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val kv = newKV()
+    val log = ParquetLog.open(spark, tmpDir("kvc-log"), IntegerType)
+    log.appendValues(Seq(10, 20, 30))
+    def proc(b: org.apache.spark.sql.DataFrame) =
+      b.select(
+        col("value").cast("string").as("addr"),
+        col("seq").cast("string").as("value"),
+        lit(false).as("tombstone"),
+        col("seq").as("useq"))
+    assert(SinkIndex.pump(log, kv, proc) == 3)
+    assert(SinkIndex.pump(log, kv, proc) == 0) // nothing new
+    log.appendValues(Seq(40))
+    assert(SinkIndex.pump(log, kv, proc) == 1)
+    assert(kv.get("40").contains("3")) // value 40 at seq 3
+    assert(kv.current.count() == 4)
+  }
+}
+
+/** The matrix legs. */
+class KVIndexContractSpec extends SparkSpec with KVContract {
+  def newKV(): KV = graft.indexes.KVIndex.open(spark, tmpDir("kvc-parquet"))
+}
+
+class MemKVSpec extends SparkSpec with KVContract {
+  def newKV(): KV = graft.indexes.MemKV.open(spark)
+}
