@@ -62,6 +62,21 @@ trait KVContract { self: SparkSpec =>
     assert(seen.toList == List(Some("v0"), Some("v1"), None)) // no more
   }
 
+  test("watch on an unset key: immediate UnsetValue, then the lifecycle") {
+    // reference: indexes/test/setidx.go:48-107 — Register on an unset
+    // key delivers UnsetValue first, then each set, then unset again
+    val kv = newKV()
+    val seen = scala.collection.mutable.ListBuffer.empty[Option[String]]
+    val w = kv.watch("nope")(v => { seen += v; () })
+    kv.set("nope", "omg what is this")
+    kv.set("nope", "so rad")
+    kv.set("nope", "wowzers")
+    kv.delete("nope")
+    w.cancel()
+    assert(seen.toList == List(None, Some("omg what is this"),
+      Some("so rad"), Some("wowzers"), None))
+  }
+
   test("sink pump resumes from the cursor exactly once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
