@@ -29,27 +29,6 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
-  /** Materialize `result` into the cache, then release the operator's
-    * intermediate caches. The pipeline operators below persist wide
-    * intermediates (banded signatures, exploded shingles) that feed
-    * several consumers of ONE logical result; leaving those cached
-    * after the operator finishes would let one query's residue compete
-    * with the next query's joins for unified memory (the round-2 bench
-    * instability). Eagerly counting the (small) result lets us drop
-    * the wide caches before returning; lineage stays intact, so a
-    * cache-evicted partition is recomputable — unlike localCheckpoint,
-    * which would be lost on executor failure. */
-  private def materialized(
-      result: DataFrame,
-      intermediates: DataFrame*
-  ): DataFrame = {
-    val out =
-      result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
-
   /** Word-level w-shingles of the normalized text. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
@@ -283,19 +262,27 @@ object Dedup {
       shingleWidth: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
+    // Set sizes come from size(array) — a NARROW per-row expression,
+    // no explode/groupBy round trip. The exploded inverted index is
+    // then needed only for the intersection join; re-shingling per
+    // join side (2×) costs CPU linear in the corpus, which at scale
+    // beats holding the multi-TB exploded index in cache — so this
+    // operator, like the LSH path, carries no mid-query persists.
+    val sizes = df.select(
+      col(idCol).as("id"),
+      size(shinglesNative(df, col(textCol), shingleWidth)).as("n")
+    )
     val sh = df.select(
       col(idCol).as("id"),
       explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
     )
-    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val pairs = sh
       .select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    val result = pairs
+    pairs
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn(
@@ -308,7 +295,6 @@ object Dedup {
       )
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materialized(result, sh)
   }
 
   /** Connected components over an undirected pair list — the cluster

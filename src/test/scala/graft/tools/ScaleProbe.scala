@@ -75,6 +75,25 @@ object ScaleProbe {
       println("   pairs=" + Dedup
         .embeddingNearDupLsh(bigEmb, "embedding", "vec_id", 0.3, bits = 4).count())
     }
+
+    // round-4 operators: narrow / per-shard — must scale ~linearly
+    import graft.pipeline.{Curation, Sampling}
+    import graft.text.TextFunctions
+    t(s"curation 1x") {
+      println("   survivors=" + Curation
+        .curate(docs, "text", "doc_id", sampleRate = 0.5).count())
+    }
+    t(s"curation ${copies}x (10-way exact-dup clusters)") {
+      println("   survivors=" + Curation
+        .curate(big, "text", "doc_id", sampleRate = 0.5).count())
+    }
+    t(s"pack_sequences ${copies}x (32 shards)") {
+      Sampling.packSequences(big, "doc_id",
+        TextFunctions.tokenCount(col("text")), 2048, numShards = 32).count()
+    }
+    t(s"quantize_int8 ${copies}x") {
+      graft.similarity.Quantize.int8(bigEmb, "embedding", "vec_id").count()
+    }
     spark.stop()
   }
 }
