@@ -855,6 +855,21 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")),
 
+    // the FULL pipeline in one query: near-dup cluster survivors
+    // (LSH pairs → connected components → keep canonical) piped into
+    // the curation chain (gates → exact dedup → 50% sample)
+    "q64_full_curation" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val survivors = Dedup.clusterSurvivors(
+        docs.select("doc_id", "text"), "doc_id", lshPairsForClusters(s, dir))
+      graft.pipeline.Curation
+        .curate(survivors, "text", "doc_id",
+          lang = "en", minQuality = 0.5, minTokens = 10, maxTokens = 5000,
+          sampleRate = 0.5, seed = "s59")
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    }),
+
     // int8 scalar quantization of the embedding corpus — exploded
     // (vec_id, scale, dim, code); the oracle recomputes the identical
     // floor arithmetic over the same float->double promotions
@@ -1085,6 +1100,61 @@ object SparkEntry {
       |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
       |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
       |LIMIT 10""".stripMargin
+
+  /** The q59 curation chain (token/quality/lang features → gates →
+    * exact-dedup canon → hash-sample) as SQL over any source relation
+    * producing `(doc_id, text)` — q59 runs it over `documents`, q64
+    * over the near-dup survivor set. */
+  private def curationOracle(source: String, seed: String): String = {
+    val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
+    val caseCols = TextFunctions.langMarkers
+      .map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(w, x -> x IN ($inList))) AS c_$lang"
+      }
+      .mkString(",\n    ")
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val best = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+    val chain = langs
+      .map(l => s"WHEN c_$l = $best AND $best > 0 THEN '$l'")
+      .mkString(" ")
+    s"""tok AS (
+       |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM $source
+       |), feat AS (
+       |  SELECT doc_id, text, w,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE END AS punct_ratio,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE END AS digit_ratio,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+       |         ELSE len(list_filter(w, x -> x IN ($stop))) / len(w)::DOUBLE END AS stopword_ratio,
+       |    $caseCols
+       |  FROM tok
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    round(least(n_tokens / 100.0, 1.0) * 0.3
+       |      + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
+       |      + least(stopword_ratio * 5.0, 1.0) * 0.3
+       |      + (CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
+       |    CASE $chain ELSE 'und' END AS lang_pred,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM feat
+       |), gated AS (
+       |  SELECT * FROM scored
+       |  WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
+       |), canon AS (
+       |  SELECT doc_id, n_tokens, quality,
+       |    min(doc_id) OVER (PARTITION BY fp) AS canon_id
+       |  FROM gated
+       |)
+       |SELECT doc_id, n_tokens, quality FROM canon
+       |WHERE doc_id = canon_id
+       |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'), 1, 8))::BIGINT < 2147483648
+       |ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_log_scan" ->
@@ -1539,56 +1609,14 @@ object SparkEntry {
         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s58'), 1, 8))::BIGINT ASC,
         |      doc_id ASC) - 1 AS position, doc_id
         |FROM documents ORDER BY position""".stripMargin,
-    "q59_curation" -> {
-      val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
-      val caseCols = TextFunctions.langMarkers
-        .map { case (lang, words) =>
-          val inList = words.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(w, x -> x IN ($inList))) AS c_$lang"
-        }
-        .mkString(",\n    ")
-      val langs = TextFunctions.langMarkers.map(_._1)
-      val best = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
-      val chain = langs
-        .map(l => s"WHEN c_$l = $best AND $best > 0 THEN '$l'")
-        .mkString(" ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w
-         |  FROM documents
-         |), feat AS (
-         |  SELECT doc_id, text, w,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END AS n_tokens,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE END AS punct_ratio,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE END AS digit_ratio,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0.0
-         |         ELSE len(list_filter(w, x -> x IN ($stop))) / len(w)::DOUBLE END AS stopword_ratio,
-         |    $caseCols
-         |  FROM tok
-         |), scored AS (
-         |  SELECT doc_id,
-         |    CAST(n_tokens AS BIGINT) AS n_tokens,
-         |    round(least(n_tokens / 100.0, 1.0) * 0.3
-         |      + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
-         |      + least(stopword_ratio * 5.0, 1.0) * 0.3
-         |      + (CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
-         |    CASE $chain ELSE 'und' END AS lang_pred,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-         |  FROM feat
-         |), gated AS (
-         |  SELECT * FROM scored
-         |  WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
-         |), canon AS (
-         |  SELECT doc_id, n_tokens, quality,
-         |    min(doc_id) OVER (PARTITION BY fp) AS canon_id
-         |  FROM gated
-         |)
-         |SELECT doc_id, n_tokens, quality FROM canon
-         |WHERE doc_id = canon_id
-         |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s59'), 1, 8))::BIGINT < 2147483648
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q59_curation" -> ("WITH " + curationOracle("documents", "s59")),
+    // near-dup cluster survivors (q51's recursive-CTE reachability)
+    // piped into the q59 curation chain — the full-pipeline oracle
+    "q64_full_curation" -> (clusterCtes +
+      """, survivors AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE component <> id)
+        |), """.stripMargin + curationOracle("survivors", "s59")),
     "q60_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
