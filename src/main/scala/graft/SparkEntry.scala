@@ -855,6 +855,23 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")),
 
+    // point-in-time feature join: each click picks up the user's
+    // latest prior-or-same-time purchase (no future leakage) —
+    // single-shuffle union+window, not a range-join explosion
+    "q65_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      graft.query.AsOf
+        .join(clicks, purchases, "user_id", "ts_us", Seq("event_id"),
+          rightOrder = Some("event_id"))
+        .withColumnRenamed("event_id_asof", "purchase_eid")
+        .orderBy("event_id")
+    }),
+
     // the FULL pipeline in one query: near-dup cluster survivors
     // (LSH pairs → connected components → keep canonical) piped into
     // the curation chain (gates → exact dedup → 50% sample)
@@ -1612,6 +1629,23 @@ object SparkEntry {
     "q59_curation" -> ("WITH " + curationOracle("documents", "s59")),
     // near-dup cluster survivors (q51's recursive-CTE reachability)
     // piped into the q59 curation chain — the full-pipeline oracle
+    "q65_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side,
+        |    9223372036854775807 AS rseq, event_id, NULL::BIGINT AS p_eid
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, event_id, NULL::BIGINT, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts_us, side, event_id,
+        |    last_value(p_eid IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, side, rseq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_eid
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, ts_us, purchase_eid FROM c
+        |WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q64_full_curation" -> (clusterCtes +
       """, survivors AS (
         |  SELECT doc_id, text FROM documents
