@@ -855,6 +855,30 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")),
 
+    // keyless range join: per click, how many sessions (ANY user)
+    // were active at that instant — bucketized interval join, never a
+    // nested-loop/cartesian
+    "q66_range_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val tsEv = ev.select(
+        col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("event_type")
+      )
+      val sessions = graft.streaming.EventStreamOps
+        .sessionizeBatch(s, tsEv, 6L * 3600 * 1000)
+        .select(col("start_ms"), col("end_ms"))
+      val clicks = ev
+        .where(col("event_type") === "click")
+        .select(col("event_id"), expr("ts div 1000000").as("pt_ms"))
+      graft.query.RangeJoin
+        .pointInInterval(clicks, "pt_ms", sessions, "start_ms", "end_ms",
+          bucketWidth = 6L * 3600 * 1000)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("event_id")
+    }),
+
     // point-in-time feature join: each click picks up the user's
     // latest prior-or-same-time purchase (no future leakage) —
     // single-shuffle union+window, not a range-join explosion
@@ -1629,6 +1653,28 @@ object SparkEntry {
     "q59_curation" -> ("WITH " + curationOracle("documents", "s59")),
     // near-dup cluster survivors (q51's recursive-CTE reachability)
     // piped into the q59 curation chain — the full-pipeline oracle
+    "q66_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+        |x AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |           OR t - lag(t) OVER w > 21600000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        |), s AS (
+        |  SELECT user_id, t,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |), iv AS (
+        |  SELECT min(t) AS start_ms, max(t) AS end_ms
+        |  FROM s GROUP BY user_id, sess
+        |), clicks AS (
+        |  SELECT event_id, epoch_ms(ts) AS pt FROM events
+        |  WHERE event_type = 'click'
+        |)
+        |SELECT c.event_id, count(*) AS n_active
+        |FROM clicks c JOIN iv ON c.pt BETWEEN iv.start_ms AND iv.end_ms
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q65_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side,

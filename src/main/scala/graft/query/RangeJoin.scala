@@ -1,0 +1,47 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyless interval (range) join — `point ∈ [lo, hi]` with no equi
+  * key. Spark plans the naive formulation as BroadcastNestedLoopJoin
+  * (or a cartesian product): every point against every interval.
+  *
+  * The scale formulation buckets time: each interval explodes to the
+  * `len/width + 1` buckets it covers, each point maps to exactly ONE
+  * bucket, and the join becomes an equi-join on the bucket id followed
+  * by the exact containment filter. Cost is |P| + Σ(interval spans)
+  * shuffled rows — linear for intervals bounded by a few buckets —
+  * and every matched pair appears exactly once (a point lives in one
+  * bucket). Pick `bucketWidth` near the typical interval length:
+  * wider = fewer exploded rows, narrower = fewer false candidates
+  * per bucket.
+  */
+object RangeJoin {
+
+  /** All (point, interval) pairs with `lo <= pt <= hi`, as an inner
+    * join of `points` × `intervals` columns. Column names must not
+    * collide (prefix beforehand). All three bound columns are
+    * long-valued (epoch millis/micros, seqs, …). */
+  def pointInInterval(
+      points: DataFrame,
+      ptCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("_b", expr(s"$ptCol div $bucketWidth"))
+    val iv = intervals.withColumn(
+      "_b",
+      explode(sequence(
+        expr(s"$loCol div $bucketWidth"),
+        expr(s"$hiCol div $bucketWidth")
+      ))
+    )
+    p.join(iv, Seq("_b"))
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_b")
+  }
+}

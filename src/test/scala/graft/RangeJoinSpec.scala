@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.RangeJoin
+
+/** Bucketized keyless interval join: exact containment semantics,
+  * each pair exactly once, and an equi-join plan (no nested loop). */
+class RangeJoinSpec extends SparkSpec {
+
+  test("matches containment exactly once, including bucket-spanning intervals") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L))
+      .toDF("pid", "pt")
+    val intervals = Seq(
+      (100L, 0L, 9L),   // covers pt 5
+      (101L, 5L, 30L),  // spans 3 buckets of width 10 -> pts 5, 10, 25
+      (102L, 50L, 60L)  // matches nothing
+    ).toDF("iid", "lo", "hi")
+    val out = RangeJoin
+      .pointInInterval(points, "pt", intervals, "lo", "hi", bucketWidth = 10L)
+      .select("pid", "iid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    assert(out.toSeq == Seq((1L, 100L), (1L, 101L), (2L, 101L), (3L, 101L)))
+  }
+
+  test("plans as an equi-join on buckets, not a nested loop") {
+    import spark.implicits._
+    val points = (0L until 500L).map(i => (i, i * 7 % 1000)).toDF("pid", "pt")
+    val intervals = (0L until 100L).map(i => (i, i * 10, i * 10 + 25))
+      .toDF("iid", "lo", "hi")
+    val j = RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", 50L)
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"nested loop in plan:\n$plan")
+    // correctness vs the naive crossJoin formulation
+    val naive = points.crossJoin(intervals)
+      .where(col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .count()
+    assert(j.count() == naive)
+  }
+}
