@@ -855,6 +855,23 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")),
 
+    // mixing cap: at most 50 docs per language, chosen by hash rank —
+    // one crawl/domain can't dominate the mix
+    "q67_stratum_cap" -> ((s, dir) =>
+      graft.pipeline.Sampling
+        .topKPerStratum(Tables.load(s, dir, "documents"), "lang", "doc_id",
+          k = 50, seed = "s67")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // one k-means (Lloyd) codebook update: per-row argmin assignment +
+    // per-(cell, dim) mean — the IVF training step, SQL-recomputable
+    "q68_kmeans_step" -> ((s, dir) =>
+      Ann
+        .kmeansStep(Tables.load(s, dir, "embeddings"), "embedding",
+          "vec_id", (0L until 8L).toSeq)
+        .orderBy("cell", "d")),
+
     // keyless range join: per click, how many sessions (ANY user)
     // were active at that instant — bucketized interval join, never a
     // nested-loop/cartesian
@@ -1653,6 +1670,39 @@ object SparkEntry {
     "q59_curation" -> ("WITH " + curationOracle("documents", "s59")),
     // near-dup cluster survivors (q51's recursive-CTE reachability)
     // piped into the q59 curation chain — the full-pipeline oracle
+    "q67_stratum_cap" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s67'), 1, 8))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
+    "q68_kmeans_step" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+        |), dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |cn AS (
+        |  SELECT cell, sum(embedding[d + 1]::DOUBLE * embedding[d + 1]::DOUBLE) AS cnorm
+        |  FROM cents, dimk GROUP BY 1
+        |), dots AS (
+        |  SELECT v.vec_id, c.cell,
+        |    sum(v.embedding[d + 1]::DOUBLE * c.embedding[d + 1]::DOUBLE) AS dot
+        |  FROM embeddings v, cents c, dimk GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT d.vec_id, d.cell,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |  FROM dots d JOIN cn USING (cell)
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM ranked WHERE rn = 1
+        |)
+        |SELECT a.cell, CAST(dimk.d AS INT) AS d,
+        |  round(avg(v.embedding[dimk.d + 1]::DOUBLE), 6) AS c
+        |FROM assigned a JOIN embeddings v USING (vec_id), dimk
+        |WHERE dimk.d < len(v.embedding)
+        |GROUP BY 1, 2 ORDER BY cell, d""".stripMargin,
     "q66_range_join" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
         |x AS (

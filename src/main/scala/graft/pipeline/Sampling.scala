@@ -77,6 +77,26 @@ object Sampling {
     df.withColumn("position", row_number().over(w).cast("long") - 1)
   }
 
+  /** Cap each stratum's contribution at `k` rows, chosen by hash rank
+    * — "at most N docs per source/domain", the mixing cap that keeps
+    * one crawl from dominating a training mix. Deterministic like
+    * [[hashSample]]; the per-stratum window shuffles once on the
+    * stratum key (AQE handles a skewed giant stratum). */
+  def topKPerStratum(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      k: Int,
+      seed: String = "s0"
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashOf(col(idCol), seed).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Sequence packing (GPT-style concat-and-chunk) metadata, sharded:
     * within each of `numShards` hash-shards, documents are laid out in
     * id order; each doc gets its token start offset and the index of

@@ -268,6 +268,25 @@ object Ann {
     df.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
   }
 
+  /** One Lloyd (k-means) update step over the current codebook:
+    * assign every vector to its nearest centroid ([[ivfAssign]] —
+    * per-row argmin, no shuffle), then average the members of each
+    * cell per dimension — ONE shuffle keyed on (cell, dim). Iterating
+    * this (with lineage truncation, as in
+    * [[graft.dedup.Dedup.connectedComponents]]) trains the IVF
+    * codebook; a single step is exactly SQL-recomputable and is the
+    * oracle surface (q68). Returns (cell, d, c). */
+  def kmeansStep(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroidIds: Seq[Long]
+  ): DataFrame =
+    ivfAssign(df, vecCol, idCol, centroidIds)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("cell", "d")
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+
   /** Approximate top-k over an IVF assignment: score only the
     * `nprobe` cells nearest to the query vector. */
   def ivfTopK(

@@ -48,6 +48,23 @@ class SamplingSpec extends SparkSpec {
     assert(packed.map(_.getLong(1)).distinct.length == docs.count())
   }
 
+  test("topKPerStratum caps every stratum at k, deterministically") {
+    val capped = Sampling.topKPerStratum(docs, "lang", "doc_id", 3)
+    val perLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ <= 3))
+    // strata smaller than k keep everything
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0L) == math.min(n, 3L), lang)
+    }
+    // same seed, same selection
+    val again = Sampling.topKPerStratum(docs, "lang", "doc_id", 3)
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("interleave assigns a dense deterministic permutation") {
     val p1 = Sampling.interleave(docs, "doc_id").select("position", "doc_id")
     val rows = p1.orderBy("position").collect()
