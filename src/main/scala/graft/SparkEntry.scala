@@ -855,6 +855,19 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")),
 
+    // doc → passage chunking (50-token windows, stride 40) — what an
+    // embedding pipeline feeds the encoder
+    "q69_chunking" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs
+        .select(
+          col("doc_id"),
+          posexplode(TextFunctions.chunks(col("text"), 50, 40))
+            .as(Seq("chunk_idx", "chunk_text"))
+        )
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // mixing cap: at most 50 docs per language, chosen by hash rank —
     // one crawl/domain can't dominate the mix
     "q67_stratum_cap" -> ((s, dir) =>
@@ -1670,6 +1683,18 @@ object SparkEntry {
     "q59_curation" -> ("WITH " + curationOracle("documents", "s59")),
     // near-dup cluster survivors (q51's recursive-CTE reachability)
     // piped into the q59 curation chain — the full-pipeline oracle
+    "q69_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(1, greatest(len(w) - 50, 0) + 1, 40)) AS s
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST((s - 1) / 40 AS INT) AS chunk_idx,
+        |  array_to_string(w[s:s + 49], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "q67_stratum_cap" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (

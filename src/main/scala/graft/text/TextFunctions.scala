@@ -110,6 +110,20 @@ object TextFunctions {
       .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
   }
 
+  /** Sliding-window token chunks — the doc→passage split an embedding
+    * pipeline runs before vectorizing: windows of `chunkTokens`
+    * tokens, starts every `stride` tokens (overlap = chunk − stride),
+    * the final window clamped at the document end. Docs shorter than
+    * one chunk yield themselves. Pure columnar (sequence + slice), no
+    * explode here — pair with `posexplode` to get (chunk_idx, text)
+    * rows. */
+  def chunks(text: Column, chunkTokens: Int, stride: Int): Column = {
+    val toks = tokens(text)
+    val starts =
+      sequence(lit(1), greatest(size(toks) - chunkTokens, lit(0)) + 1, lit(stride))
+    transform(starts, s => concat_ws(" ", slice(toks, s, lit(chunkTokens))))
+  }
+
   /** PII scrubbing: replace emails, URLs, and long digit runs (ids,
     * phone/account numbers) with typed placeholder tokens. The
     * patterns are deliberately conservative and RE2-compatible so the
