@@ -253,7 +253,20 @@ object Ann {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+      .toSeq
     require(cents.nonEmpty, "no centroid rows found for the given ids")
+    ivfAssignVectors(df, vecCol, idCol, cents)
+  }
+
+  /** [[ivfAssign]] with the codebook passed explicitly (driver-side
+    * vectors → literal arrays) — the form the training loop iterates. */
+  def ivfAssignVectors(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cents: Seq[(Long, Seq[Float])]
+  ): DataFrame = {
+    graft.functions.VecOps.register(df.sparkSession)
     val best = array_min(
       array(cents.map { case (cell, cvec) =>
         val cLit = array(cvec.map(v => lit(v)): _*).cast("array<float>")
@@ -266,6 +279,49 @@ object Ann {
       }: _*)
     )
     df.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
+  }
+
+  /** Full Lloyd training loop: `iters` rounds of assign → per-cell
+    * mean → refreshed literal codebook. Each round is ONE flat job
+    * (argmin is per-row over literals; the mean is one shuffle on
+    * (cell, dim); only k×dims mean values return to the driver), so
+    * lineage never grows — the iterative-algorithm discipline without
+    * even needing checkpoints. Cells that lose all members keep their
+    * previous centroid (the standard empty-cluster rule). Returns the
+    * trained codebook for [[ivfAssignVectors]] / [[ivfTopK]]. */
+  def kmeansTrain(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      initIds: Seq[Long],
+      iters: Int
+  ): Map[Long, Seq[Float]] = {
+    var cents = df
+      .where(col(idCol).isin(initIds: _*))
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+      .toSeq
+    require(cents.nonEmpty, "no centroid rows found for the given ids")
+    var i = 0
+    while (i < iters) {
+      val means = ivfAssignVectors(df, vecCol, idCol, cents)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(avg(col("x").cast("double")).as("c"))
+        .collect()
+      val byCell = means
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      cents = cents.map { case (cell, old) =>
+        cell -> byCell.getOrElse(cell, old)
+      }
+      i += 1
+    }
+    cents.toMap
   }
 
   /** One Lloyd (k-means) update step over the current codebook:

@@ -37,6 +37,47 @@ class IvfCompactSpec extends SparkSpec {
     assert(exact.intersect(top.toSet).size >= 3)
   }
 
+  test("kmeans training recovers planted blobs and reduces inertia") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.similarity.Ann
+    // 3 planted blobs in 4-d: centers scaled far apart, small jitter
+    val centers = Seq(
+      Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f), Seq(0f, 0f, 10f, 0f))
+    val vecs = for {
+      (c, b) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield (
+      (b * 100 + i).toLong,
+      c.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5) * 0.1f }
+    )
+    val df = vecs.toDF("vec_id", "embedding")
+    // worst-case init: all three seeds from the SAME blob region
+    val init = Seq(0L, 1L, 2L)
+    def inertia(cents: Map[Long, Seq[Float]]): Double =
+      Ann.ivfAssignVectors(df, "embedding", "vec_id", cents.toSeq.sortBy(_._1))
+        .select(posexplode(col("embedding")).as(Seq("d", "x")), col("cell"))
+        .join(
+          cents.toSeq.flatMap { case (cell, v) =>
+            v.zipWithIndex.map { case (cv, d) => (cell, d, cv.toDouble) }
+          }.toDF("cell", "d", "cv"),
+          Seq("cell", "d"))
+        .agg(sum(pow(col("x") - col("cv"), 2)))
+        .head().getDouble(0)
+    val before = inertia(Ann.kmeansTrain(df, "embedding", "vec_id", init, 0))
+    val trained = Ann.kmeansTrain(df, "embedding", "vec_id", init, 8)
+    val after = inertia(trained)
+    assert(after < before / 2, s"inertia $before -> $after")
+    // every blob maps to one cell, pure (all 30 members together)
+    val assigned = Ann
+      .ivfAssignVectors(df, "embedding", "vec_id", trained.toSeq.sortBy(_._1))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0) / 100, r.getLong(1)))
+    val purity = assigned.groupBy(_._1).values
+      .map(g => g.groupBy(_._2).values.map(_.size).max.toDouble / g.size)
+    assert(purity.forall(_ == 1.0), s"impure blobs: ${purity.toSeq}")
+  }
+
   test("compact merges small segments, preserving data and seqs") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("cpt"), IntegerType)
