@@ -75,6 +75,13 @@ object Bench {
     // run-to-run (first query in a session otherwise pays compilation)
     events.limit(1000).select(md5(col("props"))).count()
     spark.range(100).selectExpr("sum(id)").count()
+    // warm the WRITE path too (committer + parquet writer codegen):
+    // the first append in a session otherwise pays ~2 s of one-time
+    // class init that has nothing to do with append throughput
+    ParquetLog
+      .open(spark, s"$work/warmlog",
+        EngineFixtures.eventValue(events).schema.head.dataType)
+      .append(EngineFixtures.eventValue(events.limit(100)))
 
     // 1. append throughput: ingest events into a fresh ParquetLog
     val log = ParquetLog.open(
