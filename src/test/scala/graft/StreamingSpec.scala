@@ -143,6 +143,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation with watermark bounds dedup state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good =
+      "the cat sat on the mat and it was a fine day for sitting " * 3
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = graft.streaming.DocStreamOps.curateStream(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "text", "doc_id", minTokens = 5,
+      tsCol = Some("ts"), dedupWatermark = Some("10 minutes"))
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("curate_wm_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData((1L, ts(0), good))
+      q.processAllAvailable()
+      // duplicate INSIDE the watermark horizon: suppressed
+      mem.addData((2L, ts(5), good))
+      q.processAllAvailable()
+      val ids = spark.table("curate_wm_out")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch sessionize matches a hand-computed fixture") {
     import spark.implicits._
     val events = Seq(
