@@ -138,6 +138,22 @@ class LogSpec extends LogContractSpec {
   def openLog(valueType: DataType): Log =
     ParquetLog.open(spark, tmpDir("log"), valueType)
 
+  test("seq bounds are pushed to the parquet scan (PushedFilters)") {
+    import spark.implicits._
+    val log = openLog(org.apache.spark.sql.types.IntegerType)
+    log.appendValues((0 until 100).toSeq)
+    val q = log.query(Gte(10), Lt(20), SeqWrap(true))
+    q.collect()
+    // the scan node's description carries PushedFilters (plan string —
+    // the AQE wrapper hides scan nodes from collectLeaves)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("GreaterThanOrEqual(seq,10)") &&
+        plan.contains("LessThan(seq,20)") &&
+        plan.contains("PushedFilters"),
+      s"bounds not pushed:\n$plan")
+  }
+
   // test/simple.go "invalid querys"
   test("reverse + live rejected") {
     val e = intercept[GraftErrors.InvalidQuery] {

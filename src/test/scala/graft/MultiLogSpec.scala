@@ -125,4 +125,28 @@ class MultiLogSpec extends SparkSpec {
     val got = m2.sublog("x").query(SeqWrap(true)).collect().map(_.getLong(1)).toSeq
     assert(got == Seq(1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  test("resolve broadcasts small sublogs; gated off when disabled") {
+    // a hot addr holding 20% of a 100 TB log must never be forced
+    // through the driver — the broadcast is threshold-gated
+    val dir = tmpDir("resolvegate")
+    val mlog = MultiLog.open(spark, dir)
+    val log = graft.storage.ParquetLog.open(
+      spark, tmpDir("resolvelog"), org.apache.spark.sql.types.IntegerType)
+    import spark.implicits._
+    log.appendValues((0 until 50).toSeq)
+    mlog.appendBatch((0L until 50L by 2).map(("even", _)).toDF("addr", "seq"))
+    def planOf(): String = {
+      val r = mlog.sublog("even").resolve(log)
+      r.collect()
+      r.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    assert(planOf().contains("BroadcastHashJoin"), "small sublog should broadcast")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!planOf().contains("BroadcastHashJoin"),
+        "broadcast must respect the disabled threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
