@@ -163,4 +163,26 @@ object LiveTail {
       }
       .start()
   }
+
+  /** Block until the log's seq reaches at least `n` — the reference's
+    * seq-observable wait (internal/seqobsv/seqobsv.go:69-83, used by
+    * go-ssb to await replication progress). Fast path: if the log is
+    * already there, no stream is started at all. Returns true when
+    * reached, false on timeout; the underlying changes() stream is
+    * stopped either way. */
+  def waitFor(
+      log: ParquetLog,
+      n: Long,
+      checkpoint: String,
+      timeoutMs: Long
+  ): Boolean = {
+    if (log.seq >= n) return true
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val q = changes(log, checkpoint, s => if (s >= n) latch.countDown())
+    try {
+      // the subscription races the append: re-check committed state
+      if (log.seq >= n) return true
+      latch.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    } finally q.stop()
+  }
 }

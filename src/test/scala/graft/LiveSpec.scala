@@ -159,6 +159,26 @@ class LiveSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("waitFor blocks until the log reaches the target seq") {
+    // reference: internal/seqobsv WaitFor (seqobsv.go:69-83)
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("wf"), IntegerType)
+    log.appendValues(Seq(1, 2))
+    // already reached: immediate, no stream
+    assert(LiveTail.waitFor(log, 1L, tmpDir("wfck1"), timeoutMs = 1000))
+    // not yet reached: a delayed appender satisfies it
+    val appender = new Thread(() => {
+      Thread.sleep(300)
+      log.appendValues(Seq(3, 4, 5))
+      (): Unit
+    })
+    appender.start()
+    try assert(LiveTail.waitFor(log, 4L, tmpDir("wfck2"), timeoutMs = 30000))
+    finally appender.join()
+    // unreachable target times out false
+    assert(!LiveTail.waitFor(log, 99L, tmpDir("wfck3"), timeoutMs = 1500))
+  }
+
   test("liveSublog(dedup) survives delete/compact rewrites without re-delivery") {
     // ADVICE round-2: store.rewrite emits new files covering all
     // history and the file stream re-discovers them; the stateful
