@@ -132,6 +132,14 @@ object ExplainTool {
             |  word_shingles('the quick brown fox', 3) AS sh""".stripMargin)
         r.show(truncate = false)
         println(s"== sqlext ok: ${r.collect()(0)}")
+        // TVF demo: query an engine log from pure SQL text
+        val dir = java.nio.file.Files.createTempDirectory("sqlext").toString
+        val lg = graft.storage.ParquetLog
+          .open(s2, s"$dir/log", org.apache.spark.sql.types.IntegerType)
+        import s2.implicits._
+        lg.appendValues(Seq(10, 20, 30))
+        s2.sql(s"SELECT seq, value FROM graft_log('$dir/log') WHERE seq >= 1")
+          .show()
         s2.stop()
       case other => println(s"unknown: $other")
     }

@@ -77,6 +77,13 @@ object Sampling {
     df.withColumn("position", row_number().over(w).cast("long") - 1)
   }
 
+  /** The 100 TB interleave: just the sort key. `df.orderBy
+    * (interleaveKey(col(id), seed))` runs as a range-partitioned
+    * distributed sort and the written file order IS the shuffle —
+    * no dense numbering pass. */
+  def interleaveKey(id: Column, seed: String = "s0"): Column =
+    hashOf(id, seed)
+
   /** Cap each stratum's contribution at `k` rows, chosen by hash rank
     * — "at most N docs per source/domain", the mixing cap that keeps
     * one crawl from dominating a training mix. Deterministic like
