@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider
+}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownFilters
+}
+import org.apache.spark.sql.sources.{
+  DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
+  LessThan, LessThanOrEqual
+}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.storage.{Manifest, SegmentRecords}
+
+/** DataSourceV2 connector for engine logs:
+  * {{{ spark.read.format("graft-log").load(dir) }}}
+  * yields the `(seq, value, nulled)` table of the log at `dir`, with
+  * MANIFEST-scoped visibility (only committed segments — a
+  * half-written file is invisible, exactly like [[graft.storage
+  * .ParquetLog.toDF]]) and seq-range pushdown: `WHERE seq >= a AND
+  * seq < b` prunes whole segments at PLANNING time from the
+  * manifest's [minSeq, maxSeq] ranges — no file listing, no footer
+  * reads for skipped segments. One input partition per surviving
+  * segment; each reads its immutable file with parquet-mr directly.
+  *
+  * Pushdown is conservative: accepted seq bounds prune partitions but
+  * are also returned as residuals, so Spark re-applies them row-level
+  * — pruning is an optimization, never a semantics change. */
+class GraftLogSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-log"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-log requires .load(<log dir>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLogSource.schemaOf(dirOf(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]
+  ): Table =
+    new GraftLogTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftLogSource {
+  private[sources] def schemaOf(dir: String): StructType = {
+    val m = Manifest
+      .load(dir)
+      .getOrElse(throw new IllegalArgumentException(s"no log manifest in $dir"))
+    StructType(Seq(
+      StructField("seq", LongType, nullable = false),
+      StructField("value", DataType.fromJson(m.valueSchemaJson), nullable = true),
+      StructField("nulled", BooleanType, nullable = false)
+    ))
+  }
+}
+
+final class GraftLogTable(dir: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-log `$dir`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(dir, tableSchema)
+}
+
+final class GraftLogScanBuilder(dir: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var lower = Long.MinValue
+  private var upper = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case GreaterThan("seq", v: Long) => lower = math.max(lower, v + 1); true
+      case GreaterThanOrEqual("seq", v: Long) => lower = math.max(lower, v); true
+      case LessThan("seq", v: Long) => upper = math.min(upper, v - 1); true
+      case LessThanOrEqual("seq", v: Long) => upper = math.min(upper, v); true
+      case EqualTo("seq", v: Long) =>
+        lower = math.max(lower, v); upper = math.min(upper, v); true
+      case _ => false
+    }
+    filters // all residual: pruning only, Spark re-applies row-level
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new GraftLogScan(dir, schema, lower, upper)
+}
+
+final case class LogSegmentPartition(
+    path: String,
+    minSeq: Long,
+    maxSeq: Long
+) extends InputPartition
+
+final class GraftLogScan(
+    dir: String,
+    scanSchema: StructType,
+    lower: Long,
+    upper: Long
+) extends Scan with Batch {
+
+  override def readSchema(): StructType = scanSchema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = Manifest.load(dir).getOrElse(return Array.empty)
+    m.segments.iterator
+      .filter(s => s.maxSeq >= lower && s.minSeq <= upper)
+      .map(s =>
+        LogSegmentPartition(
+          java.nio.file.Paths.get(dir, s.path).toString, s.minSeq, s.maxSeq))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(scanSchema)
+
+  override def description(): String =
+    s"graft-log $dir seq∈[${if (lower == Long.MinValue) "-∞" else lower}, " +
+      s"${if (upper == Long.MaxValue) "∞" else upper}]"
+}
+
+final class GraftLogReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val seg = p.asInstanceOf[LogSegmentPartition]
+    new PartitionReader[InternalRow] {
+      private val it = SegmentRecords
+        .iterator(java.nio.file.Paths.get(seg.path), schema)
+      private val toInternal = ExpressionEncoder(schema).createSerializer()
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = toInternal(it.next()).copy(); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = it.close()
+    }
+  }
+}

@@ -136,7 +136,7 @@ private[storage] object DirectRead {
     }
   }
 
-  private def supported(dt: DataType): Boolean = dt match {
+  private[storage] def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
         FloatType | BooleanType | StringType | BinaryType =>
       true
@@ -145,7 +145,7 @@ private[storage] object DirectRead {
     case _               => false
   }
 
-  private def convertRow(g: Group, schema: StructType): Row = {
+  private[storage] def convertRow(g: Group, schema: StructType): Row = {
     val vals = schema.fields.map { f =>
       val idx = g.getType.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(idx) == 0) null

@@ -1,0 +1,78 @@
+package graft.storage
+
+import java.nio.file.Path
+
+import org.apache.parquet.ParquetReadOptions
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.io.{ColumnIOFactory, LocalInputFile}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** Executor-side sequential scan of ONE immutable log segment via
+  * parquet-mr — the reader behind the [[graft.sources.GraftLogSource]]
+  * DataSourceV2 partitions (each segment = one input partition; no
+  * Spark file-source machinery involved). Reuses [[DirectRead]]'s
+  * record converter, so it supports the same value shapes
+  * (primitives, strings, binary, structs, arrays). */
+private[graft] object SegmentRecords {
+
+  def supported(schema: StructType): Boolean = DirectRead.supported(schema)
+
+  /** All rows of `file` in storage order. The returned iterator owns
+    * the open reader and closes it on exhaustion; call `close()` on
+    * early abort. */
+  def iterator(file: Path, schema: StructType): ClosingRowIterator = {
+    val reader = ParquetFileReader.open(
+      new LocalInputFile(file),
+      ParquetReadOptions.builder().build()
+    )
+    val fileSchema = reader.getFooter.getFileMetaData.getSchema
+    val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+    new ClosingRowIterator(reader, columnIO, fileSchema, schema)
+  }
+
+  final class ClosingRowIterator(
+      reader: ParquetFileReader,
+      columnIO: org.apache.parquet.io.MessageColumnIO,
+      fileSchema: org.apache.parquet.schema.MessageType,
+      schema: StructType
+  ) extends Iterator[Row] {
+    private var pages = reader.readNextRowGroup()
+    private var recordReader =
+      if (pages == null) null
+      else columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+    private var remaining = if (pages == null) 0L else pages.getRowCount
+    private var closed = false
+
+    private def advance(): Unit =
+      while (remaining == 0 && !closed) {
+        pages = reader.readNextRowGroup()
+        if (pages == null) close()
+        else {
+          recordReader =
+            columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+          remaining = pages.getRowCount
+        }
+      }
+
+    override def hasNext: Boolean = {
+      advance()
+      !closed
+    }
+
+    override def next(): Row = {
+      advance()
+      if (closed) throw new NoSuchElementException
+      remaining -= 1
+      val g = recordReader.read()
+      DirectRead.convertRow(g, schema)
+    }
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      try reader.close()
+      catch { case _: Exception => () }
+    }
+  }
+}

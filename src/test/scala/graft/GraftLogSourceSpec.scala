@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.storage.ParquetLog
+
+/** DataSourceV2 connector: manifest-scoped reads, seq-range segment
+  * pruning at planning time, short-name registration. */
+class GraftLogSourceSpec extends SparkSpec {
+
+  private def mkLog(dir: String): ParquetLog = {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    // three appends -> at least three segments with known seq ranges
+    log.appendValues((0 until 10).toSeq)
+    log.appendValues((10 until 20).toSeq)
+    log.appendValues((20 until 30).toSeq)
+    log
+  }
+
+  test("format(graft-log) reads the committed table, ignoring stray files") {
+    val dir = tmpDir("dsv2") + "/log"
+    val log = mkLog(dir)
+    // a file in data/ that no manifest lists must be invisible
+    val seg = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(
+      seg.toPath, new java.io.File(s"$dir/data/stray.parquet").toPath)
+
+    val df = spark.read.format("graft-log").load(dir)
+    assert(df.columns.toSeq == Seq("seq", "value", "nulled"))
+    val got = df.orderBy("seq").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == (0L until 30L).map(s => (s, s.toInt)))
+    assert(df.count() == log.toDF.count()) // stray file not double-read
+  }
+
+  test("struct values round-trip through the connector") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("dsv2s") + "/log"
+    val log = ParquetLog.open(spark, dir, StructType(Seq(
+      StructField("_1", IntegerType), StructField("_2", StringType))))
+    log.append(
+      Seq((1, "a"), (2, "b")).toDF("_1", "_2")
+        .select(struct(col("_1"), col("_2")).as("value")))
+    val got = spark.read.format("graft-log").load(dir)
+      .orderBy("seq")
+      .select(col("value._1"), col("value._2"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b")))
+  }
+
+  test("seq bounds prune whole segments at planning time") {
+    val dir = tmpDir("dsv2p") + "/log"
+    mkLog(dir)
+    val segs = graft.storage.Manifest.load(dir).get.segments
+    val all = spark.read.format("graft-log").load(dir)
+    assert(all.rdd.getNumPartitions == segs.size) // one per segment file
+    val bounded = all.where(col("seq") >= 12 && col("seq") <= 15)
+    val overlap = segs.count(s => s.maxSeq >= 12 && s.minSeq <= 15)
+    assert(overlap < segs.size, "fixture must have prunable segments")
+    assert(bounded.rdd.getNumPartitions == overlap)
+    assert(bounded.collect().map(_.getLong(0)).sorted.toSeq ==
+      (12L to 15L).toSeq)
+    // point lookup: exactly one segment holds seq 25 (disjoint ranges)
+    val point = all.where(col("seq") === 25)
+    assert(point.rdd.getNumPartitions == 1)
+    assert(point.collect().map(_.getInt(1)).toSeq == Seq(25))
+    // out-of-range: zero partitions planned
+    assert(all.where(col("seq") > 1000).rdd.getNumPartitions == 0)
+  }
+}
