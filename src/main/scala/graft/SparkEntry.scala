@@ -868,6 +868,20 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // the q02 bounded scan served through the DataSourceV2 connector
+    // (spark.read.format("graft-log")): manifest-scoped visibility +
+    // planning-time segment pruning must return byte-identical rows
+    "q70_dsv2_scan" -> ((s, dir) => {
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      s.read.format("graft-log").load(log.dir)
+        .where(col("seq") >= 100 && col("seq") < 200)
+        .select(col("seq"), col("value.*"))
+        .withColumn("amount", round(col("amount"), 6))
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .drop("ts_ns")
+        .orderBy("seq")
+    }),
+
     // mixing cap: at most 50 docs per language, chosen by hash rank —
     // one crawl/domain can't dominate the mix
     "q67_stratum_cap" -> ((s, dir) =>
@@ -1695,6 +1709,8 @@ object SparkEntry {
         |SELECT doc_id, CAST((s - 1) / 40 AS INT) AS chunk_idx,
         |  array_to_string(w[s:s + 49], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q70_dsv2_scan" ->
+      s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id >= 100 AND event_id < 200 ORDER BY seq",
     "q67_stratum_cap" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (
