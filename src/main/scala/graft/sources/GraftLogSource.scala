@@ -78,7 +78,8 @@ final class GraftLogTable(dir: String, tableSchema: StructType)
   override def name(): String = s"graft-log `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(dir, tableSchema)
 }
@@ -108,10 +109,16 @@ final class GraftLogScanBuilder(dir: String, schema: StructType)
   override def build(): Scan = new GraftLogScan(dir, schema, lower, upper)
 }
 
+/** `loSeq`/`hiSeq` bound the rows the READER emits (inclusive) — the
+  * batch path leaves them wide open (Spark re-applies residual
+  * filters); the streaming path uses them to cut each micro-batch to
+  * its offset range. */
 final case class LogSegmentPartition(
     path: String,
     minSeq: Long,
-    maxSeq: Long
+    maxSeq: Long,
+    loSeq: Long = Long.MinValue,
+    hiSeq: Long = Long.MaxValue
 ) extends InputPartition
 
 final class GraftLogScan(
@@ -140,6 +147,62 @@ final class GraftLogScan(
   override def description(): String =
     s"graft-log $dir seq∈[${if (lower == Long.MinValue) "-∞" else lower}, " +
       s"${if (upper == Long.MaxValue) "∞" else upper}]"
+
+  override def toMicroBatchStream(
+      checkpointLocation: String
+  ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftLogMicroBatchStream(dir, scanSchema)
+}
+
+/** Streaming leg: offsets are manifest seq high-water marks, NOT file
+  * sets — each micro-batch delivers exactly the rows with
+  * `seq ∈ (start, end]`, planned fresh from the manifest. That makes
+  * the stream structurally immune to the rewrite re-delivery problem
+  * of file-discovery streaming (null/replace/compact emit new FILES
+  * covering old seqs; seq offsets don't move, so nothing re-delivers).
+  * In-place updates are intentionally NOT forwarded — live = appends,
+  * matching the reference's live-query contract. Concurrent compaction
+  * can still replace a planned file mid-batch (task fails and the
+  * retry re-plans); quiesce rewrites or use the dedup'd tail for that.
+  */
+final class GraftLogMicroBatchStream(dir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class SeqOffset(maxSeq: Long) extends Offset {
+    override def json(): String = maxSeq.toString
+  }
+
+  override def initialOffset(): Offset = SeqOffset(graft.core.Seqs.SeqEmpty)
+
+  override def latestOffset(): Offset =
+    SeqOffset(Manifest.load(dir).map(_.maxSeq).getOrElse(graft.core.Seqs.SeqEmpty))
+
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: Offset,
+      end: Offset
+  ): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SeqOffset].maxSeq // exclusive
+    val hi = end.asInstanceOf[SeqOffset].maxSeq // inclusive
+    if (hi <= lo) return Array.empty
+    val m = Manifest.load(dir).getOrElse(return Array.empty)
+    m.segments.iterator
+      .filter(s => s.maxSeq > lo && s.minSeq <= hi)
+      .map(s =>
+        LogSegmentPartition(
+          java.nio.file.Paths.get(dir, s.path).toString,
+          s.minSeq, s.maxSeq, loSeq = lo + 1, hiSeq = hi))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class GraftLogReaderFactory(schema: StructType)
@@ -150,10 +213,19 @@ final class GraftLogReaderFactory(schema: StructType)
       private val it = SegmentRecords
         .iterator(java.nio.file.Paths.get(seg.path), schema)
       private val toInternal = ExpressionEncoder(schema).createSerializer()
+      private val seqIdx = schema.fieldIndex("seq")
       private var current: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { current = toInternal(it.next()).copy(); true }
-        else false
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val row = it.next()
+          val s = row.getLong(seqIdx)
+          if (s >= seg.loSeq && s <= seg.hiSeq) {
+            current = toInternal(row).copy()
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = current
       override def close(): Unit = it.close()
     }

@@ -52,6 +52,38 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(got == Seq((1, "a"), (2, "b")))
   }
 
+  test("streaming read: seq offsets deliver appends once, rewrites never re-deliver") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = tmpDir("dsv2str") + "/log"
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    log.appendValues(Seq(0, 1, 2))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-log").load(dir)
+      .writeStream
+      .option("checkpointLocation", tmpDir("dsv2ck"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.orderBy("seq").collect().foreach(r => seen.add(r.getLong(0)))
+        (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq == Seq(0L, 1L, 2L)) // catch-up
+      // rewrite history: null + compact emit NEW FILES over old seqs.
+      // A file-discovery stream would re-deliver; seq offsets must not.
+      log.nullAt(1)
+      log.compact()
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq == Seq(0L, 1L, 2L), "re-delivery after rewrite")
+      log.appendValues(Seq(3, 4))
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq == Seq(0L, 1L, 2L, 3L, 4L)) // appends flow
+    } finally q.stop()
+  }
+
   test("seq bounds prune whole segments at planning time") {
     val dir = tmpDir("dsv2p") + "/log"
     mkLog(dir)
