@@ -84,6 +84,36 @@ class GraftLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming read resumes from the checkpointed seq offset") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = tmpDir("dsv2res") + "/log"
+    val ckpt = tmpDir("dsv2resck")
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    log.appendValues(Seq(0, 1))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log").load(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.orderBy("seq").collect().foreach(r => seen.add(r.getLong(0)))
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.asScala.toSeq == Seq(0L, 1L))
+    // append while no query is running; the restart must resume from
+    // the checkpointed offset (deserializeOffset path) — no replay
+    log.appendValues(Seq(2, 3))
+    run()
+    assert(seen.asScala.toSeq == Seq(0L, 1L, 2L, 3L), "replay or loss on resume")
+  }
+
   test("seq bounds prune whole segments at planning time") {
     val dir = tmpDir("dsv2p") + "/log"
     mkLog(dir)
