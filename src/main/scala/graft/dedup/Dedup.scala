@@ -209,13 +209,18 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over candidate pairs, as a pair join: fetch
-    * both documents' texts (two broadcast joins — the candidate side
-    * is small by LSH construction, so neither join shuffles the
-    * corpus), then compute `|A∩B| / (|A|+|B|-|A∩B|)` natively with
-    * `array_intersect` over the two shingle arrays. Verification cost
-    * is proportional to the candidate set; the corpus is only
-    * scanned (twice, once per side — at warehouse scale you'd
-    * materialize the candidate texts instead of rescanning).
+    * both documents' texts, then compute `|A∩B| / (|A|+|B|-|A∩B|)`
+    * natively with `array_intersect` over the two shingle arrays.
+    * Only the SLIM (id_a, id_b) candidate frame is broadcast-hinted —
+    * it is small by LSH construction. The second join attaches full
+    * texts, so its build side is data-dependent (dup-heavy corpora
+    * produce large candidate×text frames); that one is left to
+    * Catalyst/AQE, which broadcasts when it fits and degrades to a
+    * shuffle join when it doesn't, instead of hard-failing the driver
+    * at scale. Verification cost is proportional to the candidate
+    * set; the corpus is only scanned (twice, once per side — at
+    * warehouse scale you'd materialize the candidate texts instead of
+    * rescanning).
     *
     * This replaces the round-2 inverted-index verify (explode +
     * 2 joins + 2 aggregations): same exact Jaccard, a fraction of the
@@ -231,7 +236,7 @@ object Dedup {
     val a = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
     val b = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
     val withA = a.join(broadcast(candidates), Seq("id_a"))
-    val pairs = b.join(broadcast(withA), Seq("id_b"))
+    val pairs = b.join(withA, Seq("id_b"))
     val sa = shinglesNative(df, col("_text_a"), shingleWidth)
     val sb = shinglesNative(df, col("_text_b"), shingleWidth)
     pairs

@@ -124,6 +124,8 @@ object Sampling {
       numShards: Int = 1,
       seed: String = "s0"
   ): DataFrame = {
+    require(budget > 0, s"packSequences budget must be > 0 (got $budget)")
+    require(numShards > 0, s"packSequences numShards must be > 0 (got $numShards)")
     val shard = pmod(hashOf(col(idCol), seed), lit(numShards)).cast("int")
     val w = Window
       .partitionBy(col("shard"))

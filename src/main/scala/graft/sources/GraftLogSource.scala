@@ -112,8 +112,11 @@ final class GraftLogScanBuilder(dir: String, schema: StructType)
 /** `loSeq`/`hiSeq` bound the rows the READER emits (inclusive) — the
   * batch path leaves them wide open (Spark re-applies residual
   * filters); the streaming path uses them to cut each micro-batch to
-  * its offset range. */
+  * its offset range. `dir` lets the reader re-resolve this
+  * partition's seq range from the CURRENT manifest if a concurrent
+  * rewrite replaced `path` between planning and execution. */
 final case class LogSegmentPartition(
+    dir: String,
     path: String,
     minSeq: Long,
     maxSeq: Long,
@@ -137,7 +140,8 @@ final class GraftLogScan(
       .filter(s => s.maxSeq >= lower && s.minSeq <= upper)
       .map(s =>
         LogSegmentPartition(
-          java.nio.file.Paths.get(dir, s.path).toString, s.minSeq, s.maxSeq))
+          dir, java.nio.file.Paths.get(dir, s.path).toString,
+          s.minSeq, s.maxSeq))
       .toArray[InputPartition]
   }
 
@@ -161,9 +165,11 @@ final class GraftLogScan(
   * of file-discovery streaming (null/replace/compact emit new FILES
   * covering old seqs; seq offsets don't move, so nothing re-delivers).
   * In-place updates are intentionally NOT forwarded — live = appends,
-  * matching the reference's live-query contract. Concurrent compaction
-  * can still replace a planned file mid-batch (task fails and the
-  * retry re-plans); quiesce rewrites or use the dedup'd tail for that.
+  * matching the reference's live-query contract. A concurrent rewrite
+  * that replaces a planned file mid-batch is tolerated at the READER:
+  * it re-resolves its seq range against the current manifest (see
+  * [[GraftLogReaderFactory]]) — seq bounds don't move, so the batch
+  * still delivers exactly its offset range, no duplicates or gaps.
   */
 final class GraftLogMicroBatchStream(dir: String, schema: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
@@ -193,7 +199,7 @@ final class GraftLogMicroBatchStream(dir: String, schema: StructType)
       .filter(s => s.maxSeq > lo && s.minSeq <= hi)
       .map(s =>
         LogSegmentPartition(
-          java.nio.file.Paths.get(dir, s.path).toString,
+          dir, java.nio.file.Paths.get(dir, s.path).toString,
           s.minSeq, s.maxSeq, loSeq = lo + 1, hiSeq = hi))
       .toArray[InputPartition]
   }
@@ -205,29 +211,62 @@ final class GraftLogMicroBatchStream(dir: String, schema: StructType)
   override def stop(): Unit = ()
 }
 
+/** Opens the planned segment file; if a concurrent rewrite replaced
+  * it between planning and execution, falls back to the CURRENT
+  * manifest and reads whichever segments now cover this partition's
+  * seq range, filtering rows to exactly `[minSeq, maxSeq] ∩
+  * [loSeq, hiSeq]` — the range the vanished file was responsible for.
+  * Since rewrites preserve the seq space (compaction merges files;
+  * null/replace rewrite values in place), the partition still emits
+  * exactly its planned seqs: no duplicates against sibling
+  * partitions, no gaps. The one observable effect is value
+  * freshness — a row nulled/replaced mid-batch is read post-rewrite,
+  * the same non-snapshot caveat as any re-read. */
 final class GraftLogReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val seg = p.asInstanceOf[LogSegmentPartition]
+    // The effective seq range this partition must emit. In the normal
+    // (file present) path the [minSeq, maxSeq] half is implicit in the
+    // file contents; in the fallback path it is what prevents a merged
+    // replacement segment from re-emitting rows owned by siblings.
+    val lo = math.max(seg.loSeq, seg.minSeq)
+    val hi = math.min(seg.hiSeq, seg.maxSeq)
+    val planned = java.nio.file.Paths.get(seg.path)
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.exists(planned)) Seq(planned)
+      else
+        Manifest
+          .load(seg.dir)
+          .getOrElse(throw new java.io.FileNotFoundException(
+            s"${seg.path} vanished and no manifest remains in ${seg.dir}"))
+          .segments
+          .filter(s => s.maxSeq >= lo && s.minSeq <= hi)
+          .map(s => java.nio.file.Paths.get(seg.dir, s.path))
     new PartitionReader[InternalRow] {
-      private val it = SegmentRecords
-        .iterator(java.nio.file.Paths.get(seg.path), schema)
+      private val remaining = files.iterator
+      private var it: SegmentRecords.ClosingRowIterator = null
       private val toInternal = ExpressionEncoder(schema).createSerializer()
       private val seqIdx = schema.fieldIndex("seq")
       private var current: InternalRow = _
       override def next(): Boolean = {
-        while (it.hasNext) {
-          val row = it.next()
-          val s = row.getLong(seqIdx)
-          if (s >= seg.loSeq && s <= seg.hiSeq) {
-            current = toInternal(row).copy()
-            return true
+        while (it != null || remaining.hasNext) {
+          if (it == null) it = SegmentRecords.iterator(remaining.next(), schema)
+          while (it.hasNext) {
+            val row = it.next()
+            val s = row.getLong(seqIdx)
+            if (s >= lo && s <= hi) {
+              current = toInternal(row).copy()
+              return true
+            }
           }
+          it.close()
+          it = null
         }
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = it.close()
+      override def close(): Unit = if (it != null) it.close()
     }
   }
 }

@@ -118,6 +118,8 @@ object TextFunctions {
     * explode here — pair with `posexplode` to get (chunk_idx, text)
     * rows. */
   def chunks(text: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens > 0, s"chunks chunkTokens must be > 0 (got $chunkTokens)")
+    require(stride > 0, s"chunks stride must be > 0 (got $stride)")
     val toks = tokens(text)
     val starts =
       sequence(lit(1), greatest(size(toks) - chunkTokens, lit(0)) + 1, lit(stride))

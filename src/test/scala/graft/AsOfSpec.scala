@@ -42,6 +42,24 @@ class AsOfSpec extends SparkSpec {
     assert(out.length == 5)
   }
 
+  test("asof returns the whole latest right row — NULL fields not back-filled from older rows") {
+    import spark.implicits._
+    // r1(ts=10, a=1, b=2), r2(ts=20, a=3, b=NULL): a left row at ts=25
+    // must see (a=3, b=NULL) — the latest row verbatim — not a stitch
+    // of a=3 from r2 and b=2 from r1.
+    val left = Seq((1L, 25L)).toDF("k", "ts")
+    val right = Seq(
+      (1L, 10L, Some(1L), Some(2L)),
+      (1L, 20L, Some(3L), None: Option[Long])
+    ).toDF("k", "ts", "a", "b")
+    val out = AsOf
+      .join(left, right, "k", "ts", Seq("a", "b"), rightOrder = Some("ts"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 3L, "a must come from the latest right row")
+    assert(out(0).isNullAt(3), "b is genuinely NULL in the latest right row")
+  }
+
   test("asof plan is one shuffle (no range-join cartesian)") {
     import spark.implicits._
     val l = (0L until 100L).map(i => (i, i % 5, i)).toDF("id", "k", "ts")

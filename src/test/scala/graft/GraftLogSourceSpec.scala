@@ -114,6 +114,31 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(seen.asScala.toSeq == Seq(0L, 1L, 2L, 3L), "replay or loss on resume")
   }
 
+  test("reader survives a rewrite that replaces planned files mid-batch") {
+    val dir = tmpDir("dsv2rw") + "/log"
+    val log = mkLog(dir)
+    val df = spark.read.format("graft-log").load(dir)
+    // df.rdd materializes the physical plan: input partitions are now
+    // pinned to the CURRENT manifest's files...
+    val rdd = df.rdd
+    assert(rdd.getNumPartitions ==
+      graft.storage.Manifest.load(dir).get.segments.size)
+    val planned = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // ...then a concurrent rewrite replaces them all before execution.
+    log.compact()
+    val survivors = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // the planned paths must actually be gone, or this tests nothing
+    assert(planned.intersect(survivors).isEmpty,
+      s"compaction left planned files in place: ${planned.intersect(survivors)}")
+    val got = rdd.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    // fallback re-resolves each partition's seq range from the new
+    // manifest: exact rows, no duplicates across sibling partitions
+    assert(got == (0L until 30L).map(s => (s, s.toInt)))
+  }
+
   test("seq bounds prune whole segments at planning time") {
     val dir = tmpDir("dsv2p") + "/log"
     mkLog(dir)

@@ -30,6 +30,26 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == docs.where(col("lang") === "en").count())
   }
 
+  test("invalid knobs fail fast at plan construction, not deep in execution") {
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(
+        docs, "doc_id", TextFunctions.tokenCount(col("text")), budget = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.packSequences(
+        docs, "doc_id", TextFunctions.tokenCount(col("text")),
+        budget = 128, numShards = 0)
+    }
+    // stride=0 would hit "sequence step must not be zero" at runtime;
+    // chunkTokens<=0 would yield silently wrong windows
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunks(col("text"), chunkTokens = 64, stride = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunks(col("text"), chunkTokens = 0, stride = 32)
+    }
+  }
+
   test("packSequences: offsets are contiguous per shard, bins respect budget") {
     val packed = Sampling
       .packSequences(docs, "doc_id", TextFunctions.tokenCount(col("text")),
