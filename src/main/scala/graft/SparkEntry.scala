@@ -882,6 +882,29 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // the connector WRITE leg: the q70 slice is appended into a fresh
+    // log via df.write.format("graft-log") — the input's seq column
+    // fixes the append order, the destination assigns its own dense
+    // 0-based seqs — then read back through the connector
+    "q71_dsv2_write" -> ((s, dir) => {
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft-q71").toString + "/log"
+      graft.storage.ParquetLog.open(
+        s, dst,
+        org.apache.spark.sql.types.DataType.fromJson(
+          graft.storage.Manifest.load(log.dir).get.valueSchemaJson))
+      s.read.format("graft-log").load(log.dir)
+        .where(col("seq") >= 100 && col("seq") < 200)
+        .write.format("graft-log").mode("append").save(dst)
+      s.read.format("graft-log").load(dst)
+        .select(col("seq"), col("value.*"))
+        .withColumn("amount", round(col("amount"), 6))
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .drop("ts_ns")
+        .orderBy("seq")
+    }),
+
     // mixing cap: at most 50 docs per language, chosen by hash rank —
     // one crawl/domain can't dominate the mix
     "q67_stratum_cap" -> ((s, dir) =>
@@ -1711,6 +1734,9 @@ object SparkEntry {
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "q70_dsv2_scan" ->
       s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id >= 100 AND event_id < 200 ORDER BY seq",
+    // the destination log re-assigns dense seqs from 0 in input order
+    "q71_dsv2_write" ->
+      s"SELECT event_id - 100 AS seq, $eventCols FROM events WHERE event_id >= 100 AND event_id < 200 ORDER BY seq",
     "q67_stratum_cap" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (

@@ -4,24 +4,29 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{
-  SupportsRead, Table, TableCapability, TableProvider
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider
 }
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownFilters
 }
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, V1Write, Write, WriteBuilder
+}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{
   DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
-  LessThan, LessThanOrEqual
+  InsertableRelation, LessThan, LessThanOrEqual
 }
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.storage.{Manifest, SegmentRecords}
+import graft.storage.{Manifest, ParquetLog, SegmentRecords}
 
 /** DataSourceV2 connector for engine logs:
   * {{{ spark.read.format("graft-log").load(dir) }}}
@@ -73,15 +78,57 @@ object GraftLogSource {
   }
 }
 
+/** Write leg: `df.write.format("graft-log").mode("append").save(dir)`
+  * appends to the log at `dir` (which must already be opened — the
+  * connector never invents a value schema). The input is resolved
+  * against the table's `(seq, value, nulled)` schema; semantics:
+  *
+  *   - `seq` is an ORDERING key only. A log assigns its own dense
+  *     seqs — the input's seq column fixes the append order (a
+  *     DataFrame is unordered otherwise), then fresh seqs continue
+  *     from the log's tail. Copying a log preserves relative order,
+  *     not absolute seq numbers.
+  *   - `nulled=true` rows are rejected loudly: null/replace history
+  *     is a mutation of THIS log's seq space and cannot be appended
+  *     into another log's. Filter to `nulled = false` first.
+  *
+  * The write delegates to [[graft.storage.ParquetLog.append]] via the
+  * V1 write bridge — one battle-tested append path (distributed
+  * two-pass dense-seq stamping, atomic manifest commit) instead of a
+  * second. Append-only: overwrite modes are refused. */
 final class GraftLogTable(dir: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-log `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      // BATCH_WRITE routes DataFrameWriter to AppendData; V1_BATCH_WRITE
+      // tells the planner the Write resolves via the V1 bridge
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(dir, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite)
+                throw new UnsupportedOperationException(
+                  "graft-log is append-only; use mode(\"append\")")
+              if (!data.where(col("nulled")).isEmpty)
+                throw new IllegalArgumentException(
+                  "cannot append nulled=true rows to a graft-log; " +
+                    "filter to nulled = false first")
+              val log = ParquetLog.open(data.sparkSession, dir)
+              log.append(data.orderBy(col("seq")).select(col("value")))
+              ()
+            }
+          }
+      }
+    }
 }
 
 final class GraftLogScanBuilder(dir: String, schema: StructType)

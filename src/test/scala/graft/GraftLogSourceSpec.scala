@@ -139,6 +139,47 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(got == (0L until 30L).map(s => (s, s.toInt)))
   }
 
+  test("write path: fresh dense seqs in input order; nulled rows and overwrite refused") {
+    val srcDir = tmpDir("dsv2w") + "/src"
+    val log = mkLog(srcDir) // values 0..29, seqs 0..29
+    log.nullAt(3)
+    val dstDir = tmpDir("dsv2w") + "/dst"
+    ParquetLog.open(spark, dstDir, IntegerType)
+    val src = spark.read.format("graft-log").load(srcDir)
+
+    // a nulled=true row is a mutation of the SOURCE's seq space — it
+    // cannot be appended into another log, and must fail loudly
+    val e = intercept[Exception] {
+      src.write.format("graft-log").mode("append").save(dstDir)
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+    assert(chain.exists(t => t.getMessage != null && t.getMessage.contains("nulled")),
+      s"expected a 'nulled' rejection, got: $e")
+
+    src.where(!col("nulled"))
+      .write.format("graft-log").mode("append").save(dstDir)
+    val got = spark.read.format("graft-log").load(dstDir)
+      .orderBy("seq").collect()
+    // 29 survivors: dense 0-based seqs, source order preserved
+    assert(got.map(_.getLong(0)).toSeq == (0L until 29L))
+    assert(got.map(_.getInt(1)).toSeq == (0 until 30).filterNot(_ == 3))
+
+    // a second append continues at the destination's tail
+    src.where(col("seq") >= 28)
+      .write.format("graft-log").mode("append").save(dstDir)
+    val again = spark.read.format("graft-log").load(dstDir)
+      .orderBy("seq").collect()
+    assert(again.length == 31)
+    assert(again.takeRight(2).map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((29L, 28), (30L, 29)))
+
+    // append-only: overwrite is a capability error, not a data wipe
+    intercept[Exception] {
+      src.write.format("graft-log").mode("overwrite").save(dstDir)
+    }
+    assert(spark.read.format("graft-log").load(dstDir).count() == 31)
+  }
+
   test("seq bounds prune whole segments at planning time") {
     val dir = tmpDir("dsv2p") + "/log"
     mkLog(dir)
