@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized for local[32] bench/verify runs on the 128 GiB box:
+  // 8g thrashed unified memory once the corpus-curation metrics joined
+  // the bench (43-63 s GC-bound "minimums" on an idle host; 24g runs
+  // the same metrics in <1 s). Driver env overrides win.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

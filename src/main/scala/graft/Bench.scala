@@ -180,6 +180,27 @@ object Bench {
     timed("embed_neardup_lsh") {
       Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id", 0.3, bits = 4).count()
     }
+    // corpus curation: eval-overlap decontamination (broadcast
+    // corpus×benchmark), corpus-frequency boilerplate, adaptive
+    // quality gate (approxQuantile cut, no sort)
+    // aggregate a computed column (NOT count()) so Catalyst cannot
+    // eliminate the joins that are the work being measured
+    timed("decontaminate") {
+      graft.pipeline.Decontaminate.overlapCounts(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "text", "doc_id").agg(sum("overlap")).collect()
+    }
+    timed("boilerplate") {
+      graft.pipeline.Boilerplate
+        .boilerplateRatio(docs, "text", "doc_id", 3, 5L)
+        .agg(sum("boiler_ratio")).collect()
+    }
+    timed("quality_gate") {
+      graft.pipeline.Curation.qualityGate(
+        docs.withColumn("q", TextFunctions.qualityScore(col("text"))),
+        "q", "doc_id", 0.2).agg(sum("q")).collect()
+    }
 
     // 9. live tail: append-after-subscribe delivery latency (one
     // trigger round, includes micro-batch scheduling)

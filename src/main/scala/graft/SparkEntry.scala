@@ -1049,6 +1049,52 @@ object SparkEntry {
         )
         .withColumnRenamed("c_nationkey", "nationkey")
         .orderBy("nationkey")
+    }),
+
+    // benchmark decontamination: training docs sharing any 3-gram
+    // with the eval slice (doc_id % 17 == 0) — corpus×benchmark
+    // broadcast join, never corpus×corpus
+    "q72_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.pipeline.Decontaminate
+        .overlapCounts(
+          docs.where(col("doc_id") % 17 =!= 0),
+          docs.where(col("doc_id") % 17 === 0),
+          "text", "doc_id", width = 3)
+        .orderBy("doc_id")
+    }),
+
+    // corpus-level boilerplate: fraction of each doc's 3-grams that
+    // appear in >= 3 distinct docs
+    "q73_boilerplate" -> ((s, dir) =>
+      graft.pipeline.Boilerplate
+        .boilerplateRatio(Tables.load(s, dir, "documents"), "text", "doc_id",
+          width = 3, minDocs = 3L)
+        .orderBy("doc_id")),
+
+    // adaptive quality gate, exact (oracle-able) path: top 20% by
+    // quality score; the approxQuantile scale path is spec-tested
+    "q74_quality_gate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      graft.pipeline.Curation
+        .qualityGate(docs, "quality", "doc_id", keepFrac = 0.2, exact = true)
+        .orderBy("doc_id")
+    }),
+
+    // connector column pruning under oracle: an aggregate that needs
+    // ONLY seq — the value column chunks are never fetched (asserted
+    // plan-side in GraftLogSourceSpec)
+    "q75_dsv2_prune" -> ((s, dir) => {
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      s.read.format("graft-log").load(log.dir)
+        .where(col("seq") >= 100 && col("seq") < 300)
+        .select((col("seq") % 7).as("m"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("m")
     })
   )
 
@@ -1264,6 +1310,29 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The quality-score SELECT (no ORDER BY) — shared by q18 and the
+    * q74 adaptive gate's ranking subquery. */
+  private val qualityScoreSql: String = {
+    val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, round(
+       |    least(n_tokens / 100.0, 1.0) * 0.3
+       |  + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
+       |  + least(stopword_ratio * 5.0, 1.0) * 0.3
+       |  + (CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE END AS punct_ratio,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE END AS digit_ratio,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+       |         ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN ($stop))) / len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE END AS stopword_ratio
+       |  FROM documents
+       |)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_log_scan" ->
       s"SELECT event_id AS seq, $eventCols FROM events ORDER BY seq",
@@ -1347,26 +1416,7 @@ object SparkEntry {
          |), LATERAL (SELECT $cases)
          |ORDER BY doc_id""".stripMargin
     },
-    "q18_quality" -> {
-      val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
-      s"""SELECT doc_id, round(
-         |    least(n_tokens / 100.0, 1.0) * 0.3
-         |  + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
-         |  + least(stopword_ratio * 5.0, 1.0) * 0.3
-         |  + (CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
-         |FROM (
-         |  SELECT doc_id,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE END AS punct_ratio,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE END AS digit_ratio,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0.0
-         |         ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN ($stop))) / len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE END AS stopword_ratio
-         |  FROM documents
-         |) ORDER BY doc_id""".stripMargin
-    },
+    "q18_quality" -> s"$qualityScoreSql ORDER BY doc_id",
     "q19_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1833,6 +1883,46 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey,
         |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // decontamination: distinct 3-grams of the eval slice (doc_id %
+    // 17 == 0) joined back against every other doc's distinct grams
+    "q72_decontaminate" ->
+      s"""$shinglesCte, evg AS (
+         |  SELECT DISTINCT s FROM e WHERE doc_id % 17 = 0
+         |)
+         |SELECT doc_id, count(*) AS overlap
+         |FROM e JOIN evg USING (s)
+         |WHERE doc_id % 17 <> 0
+         |GROUP BY doc_id
+         |HAVING count(*) >= 1
+         |ORDER BY doc_id""".stripMargin,
+    // boilerplate ratio: per doc, fraction of its distinct 3-grams
+    // with corpus document-frequency >= 3
+    "q73_boilerplate" ->
+      s"""$shinglesCte, boiler AS (
+         |  SELECT s FROM e GROUP BY s HAVING count(*) >= 3
+         |), nb AS (
+         |  SELECT doc_id, count(*) AS n_boiler
+         |  FROM e JOIN boiler USING (s) GROUP BY doc_id
+         |)
+         |SELECT sh.doc_id, CAST(len(sh.shingles) AS BIGINT) AS n_grams,
+         |  coalesce(nb.n_boiler, 0) AS n_boiler,
+         |  round(coalesce(nb.n_boiler, 0) / CAST(len(sh.shingles) AS DOUBLE), 6)
+         |    AS boiler_ratio
+         |FROM sh LEFT JOIN nb ON sh.doc_id = nb.doc_id
+         |ORDER BY sh.doc_id""".stripMargin,
+    // exact-path adaptive quality gate: top 20% by (quality desc,
+    // doc_id) percent_rank — identical rank arithmetic both engines
+    "q74_quality_gate" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |r AS (
+         |  SELECT doc_id, quality,
+         |    percent_rank() OVER (ORDER BY quality DESC, doc_id ASC) AS pr
+         |  FROM q
+         |)
+         |SELECT doc_id, quality FROM r WHERE pr < 0.2 ORDER BY doc_id""".stripMargin,
+    "q75_dsv2_prune" ->
+      """SELECT event_id % 7 AS m, count(*) AS n FROM events
+        |WHERE event_id >= 100 AND event_id < 300 GROUP BY m ORDER BY m""".stripMargin
   )
 }

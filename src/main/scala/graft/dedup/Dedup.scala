@@ -51,7 +51,7 @@ object Dedup {
     * exactly equivalent to [[shingles]] (asserted in ShingleExprSpec)
     * without the per-position slice allocations; used by the dedup
     * entry points below. */
-  private def shinglesNative(
+  private[graft] def shinglesNative(
       df: DataFrame,
       text: Column,
       w: Int

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Corpus-level boilerplate detection: n-grams that recur across many
+  * DIFFERENT documents (nav bars, license headers, templated openers)
+  * are boilerplate; a document made mostly of them is template chaff
+  * even when it is not an exact duplicate of anything. Complements
+  * within-doc repetition (TextFunctions) and cross-doc dedup (Dedup):
+  * this is the cross-doc, sub-document signal.
+  *
+  * Plan shape at 100 TB: one shingle pass over the corpus feeds a
+  * gram-keyed partial-aggregated count (shuffle #1, (gram, n) pairs
+  * only — no text); grams are then cut to the boilerplate survivors
+  * (df >= minDocs), which is a tiny fraction of the gram space, so
+  * the count-back join streams the full gram list against a SHRUNK
+  * right side (AQE picks broadcast when it fits) before the final
+  * per-doc aggregation (shuffle #2 on doc id). Two narrow shuffles,
+  * both carrying hashes/counts — the minimum for a corpus-frequency
+  * statistic.
+  */
+object Boilerplate {
+
+  /** Distinct width-grams appearing in at least `minDocs` documents:
+    * (gram, df) — the corpus's boilerplate dictionary. */
+  def boilerplateGrams(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 3,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    require(width > 0, s"boilerplate width must be > 0 (got $width)")
+    require(minDocs > 1, s"boilerplate minDocs must be > 1 (got $minDocs)")
+    df
+      // shingles are distinct per doc → count(*) = document frequency
+      .select(col(idCol), explode(
+        Dedup.shinglesNative(df, col(textCol), width)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+  }
+
+  /** Per-document boilerplate ratio: of the doc's distinct
+    * width-grams, the fraction appearing in >= minDocs docs corpus-
+    * wide. Returns (id, n_grams, n_boiler, boiler_ratio). */
+  def boilerplateRatio(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 3,
+      minDocs: Long = 2L
+  ): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(
+        Dedup.shinglesNative(df, col(textCol), width)).as("gram"))
+    val boiler = boilerplateGrams(df, textCol, idCol, width, minDocs)
+      .select(col("gram"))
+    val perDoc = grams
+      .join(boiler, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_boiler"))
+    df.select(col(idCol),
+        size(Dedup.shinglesNative(df, col(textCol), width))
+          .cast("long").as("n_grams"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .withColumn(
+        "boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -43,5 +44,42 @@ object Curation {
     val deduped = Dedup.exactDedup(gated, textCol, idCol)
     if (sampleRate >= 1.0) deduped
     else Sampling.hashSample(deduped, idCol, sampleRate, seed)
+  }
+
+  /** Keep the top `keepFrac` of rows by `scoreCol` — the adaptive
+    * cousin of `curate`'s fixed `minQuality` threshold: "best 20% of
+    * the crawl", whatever score distribution this crawl has.
+    *
+    * THE SCALE PATH (default): estimate the cut point with
+    * `approxQuantile` (one partial-aggregated pass, Greenwald-Khanna,
+    * no sort, no shuffle of rows) and apply it as a narrow filter a
+    * second pass pushes to the scan. Selectivity is approximate
+    * within `relErr` — exactly the trade a 100 TB gate wants.
+    *
+    * `exact = true` ranks with `percent_rank` over (score desc, id)
+    * instead: deterministic to the row and DuckDB-oracle-able, but
+    * the global window is a single-reducer sort — verification scale
+    * only. */
+  def qualityGate(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      keepFrac: Double,
+      exact: Boolean = false,
+      relErr: Double = 0.001
+  ): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"qualityGate keepFrac must be in (0, 1] (got $keepFrac)")
+    if (keepFrac >= 1.0) df
+    else if (exact) {
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.withColumn("_pr", percent_rank().over(w))
+        .where(col("_pr") < keepFrac)
+        .drop("_pr")
+    } else {
+      val Array(cut) =
+        df.stat.approxQuantile(scoreCol, Array(1.0 - keepFrac), relErr)
+      df.where(col(scoreCol) >= cut)
+    }
   }
 }

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Benchmark decontamination: flag (and drop) training documents that
+  * share word n-grams with an evaluation set — the standard guard
+  * against test-set leakage in a training-data pipeline.
+  *
+  * Plan shape at 100 TB: the eval side is definitionally small (a
+  * benchmark suite — thousands of docs, not billions), so its distinct
+  * n-gram set is collected into a broadcast hash relation; the corpus
+  * side is ONE narrow scan → shingle → explode pass joined map-side
+  * against that broadcast, then a partial-aggregated count per doc.
+  * No corpus-keyed shuffle ever carries document text — only
+  * (id, gram) pairs that actually hit the eval set survive to the
+  * aggregation. Contrast with a corpus×corpus dedup: decontamination
+  * is corpus×benchmark, which is why broadcast is safe here and on
+  * by default; pass `broadcastEval = false` to let AQE choose for an
+  * unusually large eval set.
+  */
+object Decontaminate {
+
+  /** Per-document contamination counts: (id, overlap) where `overlap`
+    * is the number of distinct width-grams of the doc that appear
+    * anywhere in `evalSet`. Only contaminated docs (overlap >=
+    * minOverlap) are returned. */
+  def overlapCounts(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 3,
+      minOverlap: Long = 1L,
+      broadcastEval: Boolean = true
+  ): DataFrame = {
+    require(width > 0, s"decontaminate width must be > 0 (got $width)")
+    require(minOverlap > 0, s"decontaminate minOverlap must be > 0 (got $minOverlap)")
+    val evalGrams0 = evalSet
+      .select(explode(
+        Dedup.shinglesNative(evalSet, col(textCol), width)).as("_gram"))
+      .distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    corpus
+      // shingles are distinct per doc, so count(*) after the join is
+      // the number of distinct shared grams
+      .select(col(idCol), explode(
+        Dedup.shinglesNative(corpus, col(textCol), width)).as("_gram"))
+      .join(evalGrams, "_gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
+  /** The clean corpus: `corpus` minus every doc [[overlapCounts]]
+    * flags. A broadcast-able id set drives the anti join (the
+    * contaminated set is bounded by the eval set's reach, not the
+    * corpus). */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 3,
+      minOverlap: Long = 1L
+  ): DataFrame = {
+    val dirty =
+      overlapCounts(corpus, evalSet, textCol, idCol, width, minOverlap)
+        .select(col(idCol))
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+}

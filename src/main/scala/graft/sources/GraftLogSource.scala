@@ -13,7 +13,8 @@ import org.apache.spark.sql.connector.catalog.{
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownFilters
+  ScanBuilder, Statistics, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics
 }
 import org.apache.spark.sql.connector.write.{
   LogicalWriteInfo, V1Write, Write, WriteBuilder
@@ -132,11 +133,13 @@ final class GraftLogTable(dir: String, tableSchema: StructType)
 }
 
 final class GraftLogScanBuilder(dir: String, schema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
 
   private var lower = Long.MinValue
   private var upper = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
+  private var pruned: StructType = schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
@@ -153,7 +156,19 @@ final class GraftLogScanBuilder(dir: String, schema: StructType)
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new GraftLogScan(dir, schema, lower, upper)
+  /** Column pruning reaches the parquet page reads: the pruned schema
+    * flows through [[GraftLogReaderFactory]] into
+    * [[graft.storage.SegmentRecords.iterator]]'s requested-schema
+    * projection, so `select(seq)` over a log with fat values never
+    * fetches the value column chunks. Spark keeps `seq` in the
+    * required set whenever a residual seq filter needs it. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the table's field order (parquet projection builds the
+    // read schema from these fields; order must match the file)
+    pruned = StructType(
+      schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new GraftLogScan(dir, pruned, lower, upper)
 }
 
 /** `loSeq`/`hiSeq` bound the rows the READER emits (inclusive) — the
@@ -176,21 +191,45 @@ final class GraftLogScan(
     scanSchema: StructType,
     lower: Long,
     upper: Long
-) extends Scan with Batch {
+) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val m = Manifest.load(dir).getOrElse(return Array.empty)
-    m.segments.iterator
-      .filter(s => s.maxSeq >= lower && s.minSeq <= upper)
+  private def surviving: List[graft.storage.Segment] =
+    Manifest
+      .load(dir)
+      .map(_.segments.filter(s => s.maxSeq >= lower && s.minSeq <= upper))
+      .getOrElse(Nil)
+
+  /** Planning-time stats straight from the manifest (exact row counts
+    * per committed segment) + file sizes of the surviving segments —
+    * lets Catalyst auto-broadcast a small log in a join without a
+    * hint, the decision that matters most at cluster scale. Seq-range
+    * pruning is applied first, so `WHERE seq < k` shrinks the
+    * estimate too. */
+  override def estimateStatistics(): Statistics = {
+    val segs = surviving
+    val rows = segs.map(_.rows).sum
+    val bytes = segs.map { s =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(dir, s.path))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    surviving.iterator
       .map(s =>
         LogSegmentPartition(
           dir, java.nio.file.Paths.get(dir, s.path).toString,
           s.minSeq, s.maxSeq))
       .toArray[InputPartition]
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(scanSchema)
@@ -279,6 +318,14 @@ final class GraftLogReaderFactory(schema: StructType)
     // replacement segment from re-emitting rows owned by siblings.
     val lo = math.max(seg.loSeq, seg.minSeq)
     val hi = math.min(seg.hiSeq, seg.maxSeq)
+    // `seq` drives the range filter even when column pruning dropped
+    // it from the output (e.g. `select(value)`): read it alongside
+    // the requested columns, strip it before emitting.
+    val hasSeq = schema.fieldNames.contains("seq")
+    val readSchema =
+      if (hasSeq) schema
+      else StructType(
+        StructField("seq", LongType, nullable = false) +: schema.fields)
     val planned = java.nio.file.Paths.get(seg.path)
     val files: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.exists(planned)) Seq(planned)
@@ -294,16 +341,20 @@ final class GraftLogReaderFactory(schema: StructType)
       private val remaining = files.iterator
       private var it: SegmentRecords.ClosingRowIterator = null
       private val toInternal = ExpressionEncoder(schema).createSerializer()
-      private val seqIdx = schema.fieldIndex("seq")
+      private val seqIdx = readSchema.fieldIndex("seq")
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (it != null || remaining.hasNext) {
-          if (it == null) it = SegmentRecords.iterator(remaining.next(), schema)
+          if (it == null)
+            it = SegmentRecords.iterator(remaining.next(), readSchema)
           while (it.hasNext) {
             val row = it.next()
             val s = row.getLong(seqIdx)
             if (s >= lo && s <= hi) {
-              current = toInternal(row).copy()
+              val out =
+                if (hasSeq) row
+                else org.apache.spark.sql.Row.fromSeq(row.toSeq.drop(1))
+              current = toInternal(out).copy()
               return true
             }
           }

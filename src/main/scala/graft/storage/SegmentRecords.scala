@@ -19,7 +19,11 @@ private[graft] object SegmentRecords {
 
   def supported(schema: StructType): Boolean = DirectRead.supported(schema)
 
-  /** All rows of `file` in storage order. The returned iterator owns
+  /** All rows of `file` in storage order, PROJECTED to exactly the
+    * columns in `schema`: the parquet reader is given the pruned
+    * requested schema, so column chunks for unrequested fields are
+    * never fetched or decoded — `select(seq)` over a log with fat
+    * values reads only the seq chunks. The returned iterator owns
     * the open reader and closes it on exhaustion; call `close()` on
     * early abort. */
   def iterator(file: Path, schema: StructType): ClosingRowIterator = {
@@ -28,8 +32,17 @@ private[graft] object SegmentRecords {
       ParquetReadOptions.builder().build()
     )
     val fileSchema = reader.getFooter.getFileMetaData.getSchema
-    val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
-    new ClosingRowIterator(reader, columnIO, fileSchema, schema)
+    val projected =
+      if (schema.fields.length == fileSchema.getFieldCount) fileSchema
+      else
+        new org.apache.parquet.schema.MessageType(
+          fileSchema.getName,
+          schema.fields
+            .map(f => fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*
+        )
+    reader.setRequestedSchema(projected)
+    val columnIO = new ColumnIOFactory().getColumnIO(projected)
+    new ClosingRowIterator(reader, columnIO, projected, schema)
   }
 
   final class ClosingRowIterator(

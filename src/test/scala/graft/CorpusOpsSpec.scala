@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Boilerplate, Curation, Decontaminate}
+
+/** Corpus-level curation operators: benchmark decontamination,
+  * boilerplate-gram detection, adaptive quality gating. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over dogs", // shares "quick brown fox"
+      2L -> "completely unrelated words here now",
+      3L -> "we say quick brown fox twice quick brown fox", // distinct-gram count
+      4L -> "ab" // degenerate (<3 tokens): whole text is the shingle
+    )
+    val eval = docs(
+      100L -> "a quick brown fox appeared",
+      101L -> "ab"
+    )
+    val got = Decontaminate
+      .overlapCounts(corpus, eval, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 3 contains "quick brown fox" twice but shingles are distinct
+    // per doc → overlap counts distinct shared grams, not occurrences
+    assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 1L))
+
+    val clean = Decontaminate
+      .decontaminate(corpus, eval, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("decontamination joins the eval grams broadcast, not shuffled") {
+    val corpus = docs(1L -> "a b c d e", 2L -> "f g h i j")
+    val eval = docs(9L -> "a b c")
+    val plan = Decontaminate
+      .overlapCounts(corpus, eval, "text", "doc_id")
+      .queryExecution.executedPlan
+    val hasBroadcast = plan.toString.contains("BroadcastExchange") ||
+      plan.toString.contains("BroadcastHashJoin")
+    assert(hasBroadcast, s"expected broadcast eval side in:\n$plan")
+  }
+
+  test("boilerplate ratio counts corpus-frequent grams per doc") {
+    // "x y z" appears in docs 1,2,3 (df=3 >= minDocs=3); every other
+    // gram is unique to its doc
+    val corpus = docs(
+      1L -> "x y z only here a",
+      2L -> "x y z other words b",
+      3L -> "prefix words x y z",
+      4L -> "nothing shared at all"
+    )
+    val out = Boilerplate
+      .boilerplateRatio(corpus, "text", "doc_id", width = 3, minDocs = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 1-2: 6 tokens -> 4 distinct 3-grams; doc 3: 5 tokens -> 3
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((3L, 1L, 0.333333)))
+    assert(out(4L) == ((2L, 0L, 0.0))) // present with zero boilerplate
+    assert(out.size == 4)
+
+    val dict = Boilerplate
+      .boilerplateGrams(corpus, "text", "doc_id", width = 3, minDocs = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dict == Seq(("x y z", 3L)))
+  }
+
+  test("quality gate: exact and approx paths agree on distinct scores") {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("doc_id", "score")
+    val exact = Curation
+      .qualityGate(df, "score", "doc_id", 0.2, exact = true)
+      .select("doc_id").as[Long].collect().toSet
+    // percent_rank < 0.2 over desc order: ranks 0..19 of 100 → top 20
+    assert(exact == (81L to 100L).toSet)
+    val approx = Curation
+      .qualityGate(df, "score", "doc_id", 0.2, relErr = 0.0001)
+      .select("doc_id").as[Long].collect().toSet
+    // the approx cut may land one element either side of the exact one
+    assert(exact.subsetOf(approx))
+    assert(approx.size - exact.size <= 1, s"approx kept ${approx.size}")
+    // keepFrac = 1 is the identity, invalid fractions fail fast
+    assert(Curation.qualityGate(df, "score", "doc_id", 1.0).count() == 100)
+    intercept[IllegalArgumentException] {
+      Curation.qualityGate(df, "score", "doc_id", 0.0)
+    }
+  }
+
+  test("approx quality gate plan has no global sort") {
+    val df = (1L to 1000L).map(i => (i, (i % 37).toDouble)).toDF("doc_id", "score")
+    val gated = Curation.qualityGate(df, "score", "doc_id", 0.3)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"approx gate must not sort:\n$plan")
+    assert(!plan.contains("Window"), s"approx gate must not window:\n$plan")
+  }
+}

@@ -199,4 +199,54 @@ class GraftLogSourceSpec extends SparkSpec {
     // out-of-range: zero partitions planned
     assert(all.where(col("seq") > 1000).rdd.getNumPartitions == 0)
   }
+
+  test("column pruning reaches the connector scan (and the page reads)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = tmpDir("dsv2cp") + "/log"
+    mkLog(dir)
+    def scanSchema(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }
+      assert(scans.size == 1)
+      scans.head.scan.readSchema().fieldNames.toSeq
+    }
+    val all = spark.read.format("graft-log").load(dir)
+    // projection prunes: only the requested columns reach the scan
+    assert(scanSchema(all.select("value")) == Seq("value"))
+    assert(scanSchema(all.select("seq")) == Seq("seq"))
+    // a residual seq filter keeps seq in the scan even when the
+    // output projects it away
+    val filtered = all.where(col("seq") >= 12 && col("seq") <= 15).select("value")
+    assert(scanSchema(filtered).contains("seq"))
+    // values still correct through every pruned shape
+    assert(all.select("value").collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 30))
+    assert(filtered.collect().map(_.getInt(0)).sorted.toSeq == (12 to 15))
+    // seq dropped from the read entirely: count-only scan
+    assert(all.select("value").where(col("value") < 5).count() == 5)
+  }
+
+  test("manifest statistics let Catalyst see the log's true size") {
+    val dir = tmpDir("dsv2st") + "/log"
+    mkLog(dir)
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def relStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.head
+    val all = spark.read.format("graft-log").load(dir)
+    val stats = relStats(all)
+    // without SupportsReportStatistics this is defaultSizeInBytes
+    // (effectively infinite) and a small log could never be the
+    // auto-broadcast side of a join
+    assert(stats.sizeInBytes > 0 &&
+      stats.sizeInBytes < 10L * 1024 * 1024,
+      s"expected small real size, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.contains(BigInt(30)), s"rowCount=${stats.rowCount}")
+    // seq-range pruning shrinks the estimate segment-wise
+    val bstats = relStats(all.where(col("seq") < 10))
+    assert(bstats.sizeInBytes < stats.sizeInBytes)
+    assert(bstats.rowCount.exists(_ < BigInt(30)))
+  }
 }
