@@ -1084,6 +1084,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup: coarse-cluster (literal-codebook argmin, no shuffle)
+    // then keep-first within-cell cosine dedup — pairwise work never
+    // leaves a cell
+    "q76_semantic_dedup" -> ((s, dir) =>
+      Dedup
+        .semanticDedup(Tables.load(s, dir, "embeddings"), "embedding",
+          "vec_id", (0L until 8L).toSeq, threshold = 0.3)
+        .orderBy("vec_id")),
+
+    // Okapi BM25 for a fixed 3-term query: per-term tf as narrow
+    // list-filter counts, corpus constants from one agg pass inlined
+    // as literals, fixed-order summation
+    "q77_bm25" -> ((s, dir) =>
+      TextFunctions
+        .bm25(Tables.load(s, dir, "documents"), "text", "doc_id",
+          Seq("table", "join", "query"))
+        .orderBy("doc_id")),
+
     // connector column pruning under oracle: an aggregate that needs
     // ONLY seq — the value column chunks are never fetched (asserted
     // plan-side in GraftLogSourceSpec)
@@ -1923,6 +1941,69 @@ object SparkEntry {
          |SELECT doc_id, quality FROM r WHERE pr < 0.2 ORDER BY doc_id""".stripMargin,
     "q75_dsv2_prune" ->
       """SELECT event_id % 7 AS m, count(*) AS n FROM events
-        |WHERE event_id >= 100 AND event_id < 300 GROUP BY m ORDER BY m""".stripMargin
+        |WHERE event_id >= 100 AND event_id < 300 GROUP BY m ORDER BY m""".stripMargin,
+    // q48's literal-codebook assignment + keep-first within-cell
+    // cosine dedup: b dies when some a < b in its cell reaches 0.3
+    "q76_semantic_dedup" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+        |), dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |cn AS (
+        |  SELECT cell, sum(embedding[d + 1]::DOUBLE * embedding[d + 1]::DOUBLE) AS cnorm
+        |  FROM cents, dimk GROUP BY 1
+        |), dots AS (
+        |  SELECT v.vec_id, c.cell,
+        |    sum(v.embedding[d + 1]::DOUBLE * c.embedding[d + 1]::DOUBLE) AS dot
+        |  FROM embeddings v, cents c, dimk GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT d.vec_id, d.cell,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |  FROM dots d JOIN cn USING (cell)
+        |), assign AS (
+        |  SELECT vec_id, cell FROM ranked WHERE rn = 1
+        |), dom AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3
+        |)
+        |SELECT s.vec_id, s.cell FROM assign s
+        |LEFT JOIN dom ON s.vec_id = dom.vec_id
+        |WHERE dom.vec_id IS NULL ORDER BY s.vec_id""".stripMargin,
+    // BM25(k1=1.2, b=0.75) for terms (table, join, query): constants
+    // (N, avgdl, per-term df) from the corpus, fixed-order term sum
+    "q77_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS dl
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, dl::DOUBLE AS dl,
+        |    len(list_filter(w, x -> x = 'table'))::DOUBLE AS tf1,
+        |    len(list_filter(w, x -> x = 'join'))::DOUBLE AS tf2,
+        |    len(list_filter(w, x -> x = 'query'))::DOUBLE AS tf3
+        |  FROM t
+        |), c AS (
+        |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df3
+        |  FROM tf
+        |)
+        |SELECT doc_id, score FROM (
+        |  SELECT doc_id, round(
+        |      ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0)
+        |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0)
+        |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * tf3 * (1.2 + 1.0)
+        |        / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+        |  FROM tf, c
+        |) WHERE score > 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -513,4 +513,51 @@ object Dedup {
       .distinct()
     result
   }
+
+  /** SemDeDup-style semantic deduplication: coarse-cluster the
+    * embeddings (per-row literal-codebook argmin — no shuffle), then
+    * drop every vector whose cosine similarity to a LOWER-id vector
+    * in the same cell reaches `threshold` (the deterministic
+    * keep-first rule). Pairwise comparison happens only WITHIN cells
+    * — the cluster step is what keeps the 100 TB case from ever
+    * planning a corpus×corpus join; the cell self-join shuffles on
+    * the cell key and AQE handles a skewed giant cell. Returns the
+    * surviving (id, cell) rows.
+    *
+    * The drop rule is one pass (b dies when some a < b in its cell is
+    * similar, whether or not a itself survives) — deterministic and
+    * exactly recomputable in SQL, unlike iterated-greedy variants. */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroidIds: Seq[Long],
+      threshold: Double = 0.95
+  ): DataFrame = {
+    import graft.similarity.Ann
+    graft.functions.VecOps.register(df.sparkSession)
+    val cells = Ann
+      .ivfAssign(df, vecCol, idCol, centroidIds)
+      .select(
+        col(idCol), col("cell"),
+        col(vecCol),
+        call_function("vec_norm_f", col(vecCol)).as("nrm"))
+    val a = cells.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = cells.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    val dominated = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(
+        when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(
+            round(
+              call_function("vec_dot_f", col("va"), col("vb")) /
+                (col("na") * col("nb")), 6)) >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    cells
+      .join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
 }

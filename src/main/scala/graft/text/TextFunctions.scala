@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -151,5 +151,49 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))
       )
     ).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Okapi BM25 relevance of every document for a small fixed term
+    * set — the lexical ranking half of a retrieval/search layer (the
+    * embedding half is `similarity/Ann`).
+    *
+    * Plan shape: per-term tf is a narrow per-row `filter(tokens)`
+    * count (no explode, no inverted-index shuffle — the term list is
+    * a query, so it is tiny and inlined); the corpus constants (N,
+    * avgdl, per-term df) come from ONE partial-aggregated pass whose
+    * k+2 numbers return to the driver and re-enter as literals; the
+    * score is then a second narrow pass, summed in FIXED term order
+    * so the float result is deterministic (a groupBy-sum over
+    * exploded terms would add in shuffle order). Returns (id, score)
+    * for docs matching at least one term, score rounded to 6. */
+  def bm25(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val toks = tokens(col(textCol))
+    def tf(t: String): Column =
+      size(filter(toks, w => w === lit(t))).cast("double")
+    val dl = tokenCount(col(textCol)).cast("double")
+    // one aggregate pass: N, avgdl, df per term
+    val aggs = avg(dl).as("avgdl") +:
+      terms.map(t => sum((tf(t) > 0).cast("long")).as(s"df_$t"))
+    val consts = df.agg(count(lit(1)).as("n"), aggs: _*).collect()(0)
+    val n = consts.getLong(0).toDouble
+    val avgdl = consts.getDouble(1)
+    val score = terms.zipWithIndex
+      .map { case (t, i) =>
+        val dfT = consts.getLong(2 + i).toDouble
+        val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+        lit(idf) * tf(t) * (lit(k1) + 1.0) /
+          (tf(t) + lit(k1) * (lit(1.0) - b + lit(b) * dl / avgdl))
+      }
+      .reduce(_ + _) // fixed left-to-right term order
+    df.select(col(idCol), round(score, 6).as("score"))
+      .where(col("score") > 0.0)
   }
 }

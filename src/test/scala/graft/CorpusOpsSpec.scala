@@ -95,6 +95,50 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: keep-first within cells, cross-cell twins both live") {
+    import graft.dedup.Dedup
+    // 2-d embeddings, centroids = rows 0 (x-axis) and 1 (y-axis)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // centroid cell 0
+      (1L, Seq(0.0f, 1.0f)),   // centroid cell 1
+      (2L, Seq(0.9f, 0.1f)),   // cell 0, cos(id0)≈0.994 → dominated
+      (3L, Seq(0.95f, 0.05f)), // cell 0, dominated by id0 too
+      (4L, Seq(-1.0f, 0.2f)),  // argmin → cell 1, cos(id1)≈0.20 → survives
+      (5L, Seq(0.1f, 0.9f))    // cell 1, cos(id1)≈0.994 → dominated
+    ).toDF("vec_id", "embedding")
+    val out = Dedup
+      .semanticDedup(emb, "embedding", "vec_id", Seq(0L, 1L), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // dominated ids are gone entirely
+    assert(!out.contains(2L) && !out.contains(3L) && !out.contains(5L))
+    // centroids survive (nothing below their id), as does the
+    // anti-aligned vector: same cell as something, but cosine < 0.95
+    assert(out.keySet == Set(0L, 1L, 4L))
+  }
+
+  test("bm25 scores match the formula and skip non-matching docs") {
+    import graft.text.TextFunctions
+    val corpus = docs(
+      1L -> "zebra runs fast",
+      2L -> "the cat sat on the mat",
+      3L -> "cat and zebra"
+    )
+    val out = TextFunctions
+      .bm25(corpus, "text", "doc_id", Seq("zebra", "cat"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // hand-computed: N=3, avgdl=(3+6+3)/3=4, k1=1.2, b=0.75
+    def idf(df: Double) = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Double, dl: Double, idfV: Double) =
+      idfV * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+    val exp1 = BigDecimal(w(1, 3, idf(2))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp3 = BigDecimal(w(1, 3, idf(2)) + w(1, 3, idf(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == exp1)      // one zebra hit, dl=3
+    assert(out(3L) == exp3)      // zebra + cat, dl=3, both df=2
+    assert(out(2L) > 0 && out(2L) < out(3L)) // one common-term hit
+  }
+
   test("approx quality gate plan has no global sort") {
     val df = (1L to 1000L).map(i => (i, (i % 37).toDouble)).toDF("doc_id", "score")
     val gated = Curation.qualityGate(df, "score", "doc_id", 0.3)

@@ -94,6 +94,31 @@ object ScaleProbe {
     t(s"quantize_int8 ${copies}x") {
       graft.similarity.Quantize.int8(bigEmb, "embedding", "vec_id").count()
     }
+
+    // round-5 operators, worst-case shaped: boilerplate with every
+    // gram at df×copies (the whole corpus is boilerplate), semantic
+    // dedup with every vector a copies-way identical cluster (max
+    // within-cell pair growth). Aggregates force the joins (count()
+    // lets Catalyst eliminate an outer join).
+    import graft.pipeline.{Boilerplate, Decontaminate}
+    t(s"decontaminate ${copies}x") {
+      println("   flagged=" + Decontaminate.overlapCounts(
+        big.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0),
+        "text", "doc_id").count())
+    }
+    t(s"boilerplate ${copies}x (every gram df x$copies)") {
+      Boilerplate.boilerplateRatio(big, "text", "doc_id", 3, 5L)
+        .agg(sum("boiler_ratio")).collect()
+    }
+    t(s"bm25 ${copies}x") {
+      TextFunctions.bm25(big, "text", "doc_id", Seq("table", "join", "query"))
+        .agg(sum("score")).collect()
+    }
+    t(s"semantic_dedup ${copies}x ($copies-way identical clusters)") {
+      println("   survivors=" + Dedup.semanticDedup(
+        bigEmb, "embedding", "vec_id", (0L until 8L).toSeq, 0.95).count())
+    }
     spark.stop()
   }
 }
