@@ -45,6 +45,13 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
       allRuns(name) = allRuns.getOrElse(name, Nil) :+ results(name)
       spark.catalog.clearCache()
+      // ContextCleaner frees a broadcast only after its driver ref is
+      // GC'd, and nothing forces a full GC inside a ~1 min bench JVM
+      // (spark.cleaner.periodicGC.interval defaults to 30 MIN) — the
+      // broadcast-heavy metrics otherwise stack hundreds of MB of dead
+      // HashedRelations in the old gen and later metrics pay the GC
+      // bill (the shape of the round-2/3 lsh_pairs outliers)
+      System.gc()
       r
     }
     // Stateful metrics (append, index builds, live tail) mutate the log

@@ -211,15 +211,17 @@ object Dedup {
   /** Exact n-gram Jaccard over candidate pairs, as a pair join: fetch
     * both documents' texts, then compute `|A∩B| / (|A|+|B|-|A∩B|)`
     * natively with `array_intersect` over the two shingle arrays.
-    * Only the SLIM (id_a, id_b) candidate frame is broadcast-hinted —
-    * it is small by LSH construction. The second join attaches full
-    * texts, so its build side is data-dependent (dup-heavy corpora
-    * produce large candidate×text frames); that one is left to
-    * Catalyst/AQE, which broadcasts when it fits and degrades to a
-    * shuffle join when it doesn't, instead of hard-failing the driver
-    * at scale. Verification cost is proportional to the candidate
-    * set; the corpus is only scanned (twice, once per side — at
-    * warehouse scale you'd materialize the candidate texts instead of
+    * Only the SLIM (id_a, id_b) candidate frame is unconditionally
+    * broadcast-hinted — it is small by LSH construction. The second
+    * join attaches full texts, so its build side is data-dependent
+    * (dup-heavy corpora produce large candidate×text frames): it is
+    * broadcast only when the counted candidate set is under
+    * `maxBroadcastPairs` (then the whole verify moves zero rows
+    * through a shuffle), with a shuffle-join fallback that degrades
+    * gracefully instead of hard-failing the driver at scale.
+    * Verification cost is proportional to the candidate set; the
+    * corpus is only scanned (twice, once per side — at warehouse
+    * scale you'd materialize the candidate texts instead of
     * rescanning).
     *
     * This replaces the round-2 inverted-index verify (explode +
@@ -231,12 +233,29 @@ object Dedup {
       idCol: String,
       candidates: DataFrame,
       shingleWidth: Int,
-      threshold: Double
+      threshold: Double,
+      maxBroadcastPairs: Long = 1000000L
   ): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
     val b = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
+    // Count-gated broadcast for the text-attachment join: the slim
+    // candidate frame is always broadcast, but candidate×text is
+    // data-dependent — broadcast it only while the COUNTED pair set
+    // is modest (counting the slim frame costs one extra run of the
+    // banding pipeline, trivial next to the verify itself), else fall
+    // back to a shuffle join that degrades gracefully instead of
+    // hard-failing the driver. The broadcast path matters doubly on
+    // shuffle-hostile storage: it moves ZERO rows over disk.
+    val nPairs = candidates.count()
     val withA = a.join(broadcast(candidates), Seq("id_a"))
-    val pairs = b.join(withA, Seq("id_b"))
+    val pairs =
+      if (nPairs <= maxBroadcastPairs) b.join(broadcast(withA), Seq("id_b"))
+      else b.join(withA, Seq("id_b"))
+    // Shingles are computed POST-join (per pair, 2k evals for a doc in
+    // k pairs) by design: the alternative — attaching pre-computed
+    // shingle arrays — triples the broadcast/shuffle BYTES (a shingle
+    // array is ~3× its text), and bytes in the build side are the
+    // scarce resource here; shingling is cheap, distributed CPU.
     val sa = shinglesNative(df, col("_text_a"), shingleWidth)
     val sb = shinglesNative(df, col("_text_b"), shingleWidth)
     pairs

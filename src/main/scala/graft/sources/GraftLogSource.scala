@@ -37,8 +37,12 @@ import graft.storage.{Manifest, ParquetLog, SegmentRecords}
   * .ParquetLog.toDF]]) and seq-range pushdown: `WHERE seq >= a AND
   * seq < b` prunes whole segments at PLANNING time from the
   * manifest's [minSeq, maxSeq] ranges — no file listing, no footer
-  * reads for skipped segments. One input partition per surviving
-  * segment; each reads its immutable file with parquet-mr directly.
+  * reads for skipped segments. Surviving segments are PACKED into
+  * input partitions of up to `maxPartitionBytes` (scan option, else
+  * `spark.sql.files.maxPartitionBytes`) adjacent file bytes — file-
+  * source-style packing, so a log of many small per-batch segments
+  * doesn't become one task per file; each partition reads its
+  * immutable files with parquet-mr directly.
   *
   * Pushdown is conservative: accepted seq bounds prune partitions but
   * are also returned as residuals, so Spark re-applies them row-level
@@ -108,7 +112,8 @@ final class GraftLogTable(dir: String, tableSchema: StructType)
       // tells the planner the Write resolves via the V1 bridge
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(dir, tableSchema)
+    new GraftLogScanBuilder(dir, tableSchema,
+      Option(options.get("maxPartitionBytes")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -132,8 +137,11 @@ final class GraftLogTable(dir: String, tableSchema: StructType)
     }
 }
 
-final class GraftLogScanBuilder(dir: String, schema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters
+final class GraftLogScanBuilder(
+    dir: String,
+    schema: StructType,
+    maxPartitionBytesOpt: Option[String] = None
+) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private var lower = Long.MinValue
@@ -168,29 +176,74 @@ final class GraftLogScanBuilder(dir: String, schema: StructType)
     pruned = StructType(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new GraftLogScan(dir, pruned, lower, upper)
+  override def build(): Scan =
+    new GraftLogScan(dir, pruned, lower, upper, maxPartitionBytesOpt)
 }
 
-/** `loSeq`/`hiSeq` bound the rows the READER emits (inclusive) — the
+/** One input partition = a PACKED run of adjacent segments (their
+  * dense seq ranges are contiguous) whose file bytes fit
+  * `maxPartitionBytes` — the same packing logic Spark's file source
+  * applies, so a streaming-ingested log with thousands of tiny
+  * per-batch segments doesn't explode into thousands of tasks.
+  * `loSeq`/`hiSeq` bound the rows the READER emits (inclusive) — the
   * batch path leaves them wide open (Spark re-applies residual
   * filters); the streaming path uses them to cut each micro-batch to
   * its offset range. `dir` lets the reader re-resolve this
   * partition's seq range from the CURRENT manifest if a concurrent
-  * rewrite replaced `path` between planning and execution. */
+  * rewrite replaced any of `paths` between planning and execution. */
 final case class LogSegmentPartition(
     dir: String,
-    path: String,
+    paths: Seq[String],
     minSeq: Long,
     maxSeq: Long,
     loSeq: Long = Long.MinValue,
     hiSeq: Long = Long.MaxValue
 ) extends InputPartition
 
+private[sources] object SegmentPacking {
+  /** Resolve the effective packing threshold: the scan option wins,
+    * else Spark's own `spark.sql.files.maxPartitionBytes`. */
+  def maxBytes(option: Option[String]): Long =
+    option.map(_.toLong).getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+
+  /** Pack seq-ordered adjacent segments into groups of <= maxBytes
+    * file bytes (a single oversized segment still gets its own
+    * group). Returns (paths, minSeq, maxSeq) per group. */
+  def pack(
+      dir: String,
+      segments: Seq[graft.storage.Segment],
+      maxBytes: Long
+  ): Seq[(Seq[String], Long, Long)] = {
+    val sorted = segments.sortBy(_.minSeq)
+    val groups = scala.collection.mutable.ListBuffer.empty[(Seq[String], Long, Long)]
+    var cur = scala.collection.mutable.ListBuffer.empty[graft.storage.Segment]
+    var curBytes = 0L
+    def size(s: graft.storage.Segment): Long =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(dir, s.path))
+      catch { case _: java.io.IOException => 0L }
+    def flush(): Unit = if (cur.nonEmpty) {
+      groups += ((
+        cur.map(s => java.nio.file.Paths.get(dir, s.path).toString).toSeq,
+        cur.head.minSeq, cur.last.maxSeq))
+      cur.clear(); curBytes = 0L
+    }
+    sorted.foreach { s =>
+      val b = size(s)
+      if (cur.nonEmpty && curBytes + b > maxBytes) flush()
+      cur += s; curBytes += b
+    }
+    flush()
+    groups.toSeq
+  }
+}
+
 final class GraftLogScan(
     dir: String,
     scanSchema: StructType,
     lower: Long,
-    upper: Long
+    upper: Long,
+    maxPartitionBytesOpt: Option[String] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = scanSchema
@@ -224,11 +277,11 @@ final class GraftLogScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    surviving.iterator
-      .map(s =>
-        LogSegmentPartition(
-          dir, java.nio.file.Paths.get(dir, s.path).toString,
-          s.minSeq, s.maxSeq))
+    SegmentPacking
+      .pack(dir, surviving, SegmentPacking.maxBytes(maxPartitionBytesOpt))
+      .map { case (paths, lo, hi) =>
+        LogSegmentPartition(dir, paths, lo, hi)
+      }
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -241,7 +294,7 @@ final class GraftLogScan(
   override def toMicroBatchStream(
       checkpointLocation: String
   ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftLogMicroBatchStream(dir, scanSchema)
+    new GraftLogMicroBatchStream(dir, scanSchema, maxPartitionBytesOpt)
 }
 
 /** Streaming leg: offsets are manifest seq high-water marks, NOT file
@@ -257,8 +310,11 @@ final class GraftLogScan(
   * [[GraftLogReaderFactory]]) — seq bounds don't move, so the batch
   * still delivers exactly its offset range, no duplicates or gaps.
   */
-final class GraftLogMicroBatchStream(dir: String, schema: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+final class GraftLogMicroBatchStream(
+    dir: String,
+    schema: StructType,
+    maxPartitionBytesOpt: Option[String] = None
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private case class SeqOffset(maxSeq: Long) extends Offset {
@@ -281,12 +337,14 @@ final class GraftLogMicroBatchStream(dir: String, schema: StructType)
     val hi = end.asInstanceOf[SeqOffset].maxSeq // inclusive
     if (hi <= lo) return Array.empty
     val m = Manifest.load(dir).getOrElse(return Array.empty)
-    m.segments.iterator
-      .filter(s => s.maxSeq > lo && s.minSeq <= hi)
-      .map(s =>
-        LogSegmentPartition(
-          dir, java.nio.file.Paths.get(dir, s.path).toString,
-          s.minSeq, s.maxSeq, loSeq = lo + 1, hiSeq = hi))
+    SegmentPacking
+      .pack(
+        dir,
+        m.segments.filter(s => s.maxSeq > lo && s.minSeq <= hi),
+        SegmentPacking.maxBytes(maxPartitionBytesOpt))
+      .map { case (paths, mn, mx) =>
+        LogSegmentPartition(dir, paths, mn, mx, loSeq = lo + 1, hiSeq = hi)
+      }
       .toArray[InputPartition]
   }
 
@@ -326,14 +384,18 @@ final class GraftLogReaderFactory(schema: StructType)
       if (hasSeq) schema
       else StructType(
         StructField("seq", LongType, nullable = false) +: schema.fields)
-    val planned = java.nio.file.Paths.get(seg.path)
+    val planned = seg.paths.map(p => java.nio.file.Paths.get(p))
+    // if ANY planned file vanished under a concurrent rewrite, fall
+    // back to the current manifest for the whole (contiguous) group
+    // range — per-file mixing would double-read rows a merged
+    // replacement segment now covers
     val files: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.exists(planned)) Seq(planned)
+      if (planned.forall(java.nio.file.Files.exists(_))) planned
       else
         Manifest
           .load(seg.dir)
           .getOrElse(throw new java.io.FileNotFoundException(
-            s"${seg.path} vanished and no manifest remains in ${seg.dir}"))
+            s"${seg.paths.mkString(",")} vanished and no manifest remains in ${seg.dir}"))
           .segments
           .filter(s => s.maxSeq >= lo && s.minSeq <= hi)
           .map(s => java.nio.file.Paths.get(seg.dir, s.path))

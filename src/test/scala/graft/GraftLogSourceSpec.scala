@@ -117,7 +117,10 @@ class GraftLogSourceSpec extends SparkSpec {
   test("reader survives a rewrite that replaces planned files mid-batch") {
     val dir = tmpDir("dsv2rw") + "/log"
     val log = mkLog(dir)
-    val df = spark.read.format("graft-log").load(dir)
+    // per-segment partitions (packing off) so the fallback's
+    // no-duplication-across-siblings property is what's exercised
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir)
     // df.rdd materializes the physical plan: input partitions are now
     // pinned to the CURRENT manifest's files...
     val rdd = df.rdd
@@ -184,7 +187,9 @@ class GraftLogSourceSpec extends SparkSpec {
     val dir = tmpDir("dsv2p") + "/log"
     mkLog(dir)
     val segs = graft.storage.Manifest.load(dir).get.segments
-    val all = spark.read.format("graft-log").load(dir)
+    // packing off: partition counts below observe pruning per segment
+    val all = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir)
     assert(all.rdd.getNumPartitions == segs.size) // one per segment file
     val bounded = all.where(col("seq") >= 12 && col("seq") <= 15)
     val overlap = segs.count(s => s.maxSeq >= 12 && s.minSeq <= 15)
@@ -198,6 +203,28 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(point.collect().map(_.getInt(1)).toSeq == Seq(25))
     // out-of-range: zero partitions planned
     assert(all.where(col("seq") > 1000).rdd.getNumPartitions == 0)
+  }
+
+  test("adjacent small segments pack into one partition by default") {
+    val dir = tmpDir("dsv2pk") + "/log"
+    mkLog(dir) // 3 tiny segments
+    val segs = graft.storage.Manifest.load(dir).get.segments
+    assert(segs.size >= 3)
+    // default maxPartitionBytes (128 MB) swallows all three files
+    val packed = spark.read.format("graft-log").load(dir)
+    assert(packed.rdd.getNumPartitions == 1,
+      s"expected 1 packed partition, got ${packed.rdd.getNumPartitions}")
+    assert(packed.orderBy("seq").collect().map(_.getInt(1)).toSeq ==
+      (0 until 30))
+    // pruning composes with packing: a bound that survives only one
+    // segment plans one partition with exactly that segment's rows
+    val bounded = packed.where(col("seq") >= 12 && col("seq") <= 15)
+    assert(bounded.rdd.getNumPartitions == 1)
+    assert(bounded.collect().map(_.getLong(0)).sorted.toSeq == (12L to 15L))
+    // explicit option turns packing off
+    val perSeg = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir)
+    assert(perSeg.rdd.getNumPartitions == segs.size)
   }
 
   test("column pruning reaches the connector scan (and the page reads)") {
