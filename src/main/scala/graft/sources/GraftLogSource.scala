@@ -47,9 +47,69 @@ import graft.storage.{Manifest, ParquetLog, SegmentRecords}
   * Pushdown is conservative: accepted seq bounds prune partitions but
   * are also returned as residuals, so Spark re-applies them row-level
   * — pruning is an optimization, never a semantics change. */
-class GraftLogSource extends TableProvider with DataSourceRegister {
+class GraftLogSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-log"
+
+  /** Streaming WRITE leg: `df.writeStream.format("graft-log")
+    * .option("path", dir)` appends each micro-batch to the log at
+    * `dir` (which must already be opened — same contract as the batch
+    * write leg). Exactly-once: the micro-batch id commits atomically
+    * WITH the batch's segments in the manifest
+    * ([[graft.storage.ParquetLog.appendStream]]), so the replayed
+    * batch after a restart is recognized and skipped. Input rows need
+    * a `value` column; a `seq` column, when present, fixes the
+    * within-batch append order (as in the batch leg); `nulled=true`
+    * rows are refused. Served by the V1 `Sink` API — the driver gets
+    * each micro-batch as a DataFrame and funnels it through the ONE
+    * battle-tested append path, mirroring the reference's
+    * single-writer discipline (offset2/log.go:425-462). */
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode
+  ): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-log sink is append-only (got $outputMode)")
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-log sink requires .option(\"path\", <log dir>) or .start(<dir>)"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(
+          batchId: Long,
+          data: DataFrame
+      ): Unit = {
+        val spark = data.sparkSession
+        val log = ParquetLog.open(spark, dir)
+        if (log.streamBatch.exists(_ >= batchId)) return // replay
+        // a streaming Sink's DataFrame is an incremental-plan view —
+        // `.rdd` on it re-analyzes the plan as streaming and fails.
+        // Take this batch's already-planned InternalRows and rebind
+        // them as a plain batch DataFrame.
+        val schema = data.schema
+        val rowRdd = data.queryExecution.toRdd.mapPartitions { it =>
+          val deser = ExpressionEncoder(schema).resolveAndBind()
+            .createDeserializer()
+          it.map(deser(_))
+        }
+        val batch = spark.createDataFrame(rowRdd, schema)
+        require(batch.columns.contains("value"),
+          "graft-log sink needs a `value` column")
+        if (batch.columns.contains("nulled") &&
+            !batch.where(col("nulled")).isEmpty)
+          throw new IllegalArgumentException(
+            "cannot append nulled=true rows to a graft-log; " +
+              "filter to nulled = false first")
+        val ordered =
+          if (batch.columns.contains("seq")) batch.orderBy(col("seq"))
+          else batch
+        log.appendStream(batchId, ordered.select(col("value")))
+        ()
+      }
+    }
+  }
 
   private def dirOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

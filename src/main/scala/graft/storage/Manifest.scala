@@ -30,7 +30,14 @@ final case class Manifest(
     version: Long,
     maxSeq: Long, // == Seqs.SeqEmpty (-1) when empty
     valueSchemaJson: String, // Spark DataType JSON of the value column
-    segments: List[Segment]
+    segments: List[Segment],
+    // high-water mark of the last committed STREAMING sink micro-batch
+    // (graft-log writeStream leg): replayed batches after a restart
+    // are recognized and skipped — exactly-once without a side
+    // channel, because the mark commits atomically WITH the batch's
+    // segments. Absent (None) on logs never written by a stream;
+    // old manifests parse compatibly.
+    streamBatch: Option[Long] = None
 )
 
 object Manifest {

@@ -83,6 +83,24 @@ final class ParquetLog private (
     * cluster and only the manifest commit is serialized.
     */
   def append(values: DataFrame): Long = synchronized {
+    appendInternal(values, None)
+  }
+
+  /** The last streaming-sink micro-batch committed into this log
+    * (None if it was never written by a stream). */
+  def streamBatch: Option[Long] = manifest.streamBatch
+
+  /** Idempotent streaming append: commit `values` together with the
+    * micro-batch id in ONE manifest commit. A replayed batch (id <=
+    * the committed mark — the restart path of the graft-log
+    * writeStream sink) is a no-op, so the sink is exactly-once
+    * without any side-channel state. */
+  def appendStream(batchId: Long, values: DataFrame): Long = synchronized {
+    if (manifest.streamBatch.exists(_ >= batchId)) manifest.maxSeq + 1
+    else appendInternal(values, Some(batchId))
+  }
+
+  private def appendInternal(values: DataFrame, batchId: Option[Long]): Long = {
     val base = manifest.maxSeq + 1
     val vCol = values.columns.head
     val vType = values.schema.head.dataType
@@ -104,15 +122,20 @@ final class ParquetLog private (
       .map { case (r, i) => Row(base + i, r.get(0), false) }
     val df = spark.createDataFrame(rdd, schema)
     val segs = writeSegments(df)
-    if (segs.isEmpty) return base // empty batch: nothing to commit
-    val newMax = segs.map(_.maxSeq).max
+    if (segs.isEmpty && batchId.isEmpty) return base // nothing to commit
+    // an empty STREAMING batch still commits: the batch id must
+    // advance or a replay after restart could double-apply a later
+    // non-empty batch's predecessor
+    val newMax =
+      if (segs.isEmpty) manifest.maxSeq else segs.map(_.maxSeq).max
     val next = manifest.copy(
       version = manifest.version + 1,
       maxSeq = newMax,
       valueSchemaJson =
         if (manifest.segments.isEmpty) vType.json
         else manifest.valueSchemaJson,
-      segments = manifest.segments ++ segs
+      segments = manifest.segments ++ segs,
+      streamBatch = batchId.orElse(manifest.streamBatch)
     )
     commitOrCleanup(next, segs)
     base

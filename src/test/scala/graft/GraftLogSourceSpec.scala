@@ -205,6 +205,48 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(all.where(col("seq") > 1000).rdd.getNumPartitions == 0)
   }
 
+  test("streaming write leg: log-to-log mirror, exactly-once across restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val srcDir = tmpDir("dsv2sw") + "/src"
+    val dstDir = tmpDir("dsv2sw") + "/dst"
+    val ckpt = tmpDir("dsv2swck")
+    val src = ParquetLog.open(spark, srcDir, IntegerType)
+    ParquetLog.open(spark, dstDir, IntegerType)
+    src.appendValues(Seq(0, 1, 2))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log").load(srcDir)
+        .where(!col("nulled"))
+        .writeStream.format("graft-log")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start(dstDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val got1 = spark.read.format("graft-log").load(dstDir)
+      .orderBy("seq").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got1 == Seq((0L, 0), (1L, 1), (2L, 2)))
+    // append while stopped; the restarted stream resumes from the
+    // checkpoint and the sink's committed batch mark — no replay dup
+    src.appendValues(Seq(3, 4))
+    run()
+    val got2 = spark.read.format("graft-log").load(dstDir)
+      .orderBy("seq").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got2 == (0L until 5L).map(s => (s, s.toInt)),
+      s"replay or loss across restart: $got2")
+    // direct idempotence: re-delivering an already-committed batch id
+    // must be a no-op (the Sink's crash-replay path)
+    val dst = ParquetLog.open(spark, dstDir)
+    val before = dst.seq
+    val mark = dst.streamBatch.get
+    dst.appendStream(mark, Seq(99).toDF("value"))
+    assert(ParquetLog.open(spark, dstDir).seq == before, "replayed batch applied")
+    // a NEW batch id still appends
+    dst.appendStream(mark + 1, Seq(5).toDF("value"))
+    assert(ParquetLog.open(spark, dstDir).seq == before + 1)
+  }
+
   test("adjacent small segments pack into one partition by default") {
     val dir = tmpDir("dsv2pk") + "/log"
     mkLog(dir) // 3 tiny segments
