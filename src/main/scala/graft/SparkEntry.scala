@@ -1084,6 +1084,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the connector's STREAMING write leg under the oracle: mirror a
+    // log slice through readStream -> writeStream (manifest-seq
+    // offsets in, exactly-once micro-batch appends out), then read
+    // the destination back. Same destination semantics as q71: fresh
+    // dense seqs in source order.
+    "q78_stream_mirror" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q78").toString
+      val dst = s"$work/log"
+      graft.storage.ParquetLog.open(
+        s, dst,
+        org.apache.spark.sql.types.DataType.fromJson(
+          graft.storage.Manifest.load(log.dir).get.valueSchemaJson))
+      val q = s.readStream.format("graft-log").load(log.dir)
+        .where(col("seq") >= 100 && col("seq") < 200 && !col("nulled"))
+        .writeStream.format("graft-log")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.ProcessingTime(0))
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-log").load(dst)
+        .select(col("seq"), col("value.*"))
+        .withColumn("amount", round(col("amount"), 6))
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .drop("ts_ns")
+        .orderBy("seq")
+    }),
+
     // SemDeDup: coarse-cluster (literal-codebook argmin, no shuffle)
     // then keep-first within-cell cosine dedup — pairwise work never
     // leaves a cell
@@ -1804,6 +1834,11 @@ object SparkEntry {
       s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id >= 100 AND event_id < 200 ORDER BY seq",
     // the destination log re-assigns dense seqs from 0 in input order
     "q71_dsv2_write" ->
+      s"SELECT event_id - 100 AS seq, $eventCols FROM events WHERE event_id >= 100 AND event_id < 200 ORDER BY seq",
+    // streaming mirror lands the same slice with the same dense
+    // re-seq: micro-batch boundaries follow the seq offsets, so
+    // source order is preserved end to end
+    "q78_stream_mirror" ->
       s"SELECT event_id - 100 AS seq, $eventCols FROM events WHERE event_id >= 100 AND event_id < 200 ORDER BY seq",
     "q67_stratum_cap" ->
       """SELECT doc_id, lang FROM (
