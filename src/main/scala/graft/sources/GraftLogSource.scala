@@ -173,7 +173,9 @@ final class GraftLogTable(dir: String, tableSchema: StructType)
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(dir, tableSchema,
-      Option(options.get("maxPartitionBytes")))
+      Option(options.get("maxPartitionBytes")),
+      Option(options.get("maxSeqsPerTrigger")).map(_.toLong),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -200,7 +202,9 @@ final class GraftLogTable(dir: String, tableSchema: StructType)
 final class GraftLogScanBuilder(
     dir: String,
     schema: StructType,
-    maxPartitionBytesOpt: Option[String] = None
+    maxPartitionBytesOpt: Option[String] = None,
+    maxSeqsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None
 ) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -237,7 +241,8 @@ final class GraftLogScanBuilder(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new GraftLogScan(dir, pruned, lower, upper, maxPartitionBytesOpt)
+    new GraftLogScan(dir, pruned, lower, upper, maxPartitionBytesOpt,
+      maxSeqsPerTrigger, maxBytesPerTrigger)
 }
 
 /** One input partition = a PACKED run of adjacent segments (their
@@ -267,6 +272,21 @@ private[sources] object SegmentPacking {
     option.map(_.toLong).getOrElse(
       org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
 
+  /** Assumed bytes/row when a segment file can't be stat'd (vanished
+    * under a concurrent rewrite): sizing falls back to the manifest's
+    * exact row count × this, so packing never treats a real segment
+    * as free and statistics never understate a log into a wrong
+    * auto-broadcast. */
+  val FallbackBytesPerRow: Long = 128L
+
+  /** File size of a committed segment; manifest-rows estimate (never
+    * 0) when the file is momentarily unreadable mid-rewrite. */
+  def segmentSize(dir: String, s: graft.storage.Segment): Long =
+    try java.nio.file.Files.size(java.nio.file.Paths.get(dir, s.path))
+    catch {
+      case _: java.io.IOException => math.max(s.rows, 1L) * FallbackBytesPerRow
+    }
+
   /** Pack seq-ordered adjacent segments into groups of <= maxBytes
     * file bytes (a single oversized segment still gets its own
     * group). Returns (paths, minSeq, maxSeq) per group. */
@@ -279,9 +299,7 @@ private[sources] object SegmentPacking {
     val groups = scala.collection.mutable.ListBuffer.empty[(Seq[String], Long, Long)]
     var cur = scala.collection.mutable.ListBuffer.empty[graft.storage.Segment]
     var curBytes = 0L
-    def size(s: graft.storage.Segment): Long =
-      try java.nio.file.Files.size(java.nio.file.Paths.get(dir, s.path))
-      catch { case _: java.io.IOException => 0L }
+    def size(s: graft.storage.Segment): Long = segmentSize(dir, s)
     def flush(): Unit = if (cur.nonEmpty) {
       groups += ((
         cur.map(s => java.nio.file.Paths.get(dir, s.path).toString).toSeq,
@@ -303,7 +321,9 @@ final class GraftLogScan(
     scanSchema: StructType,
     lower: Long,
     upper: Long,
-    maxPartitionBytesOpt: Option[String] = None
+    maxPartitionBytesOpt: Option[String] = None,
+    maxSeqsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = scanSchema
@@ -324,10 +344,7 @@ final class GraftLogScan(
   override def estimateStatistics(): Statistics = {
     val segs = surviving
     val rows = segs.map(_.rows).sum
-    val bytes = segs.map { s =>
-      try java.nio.file.Files.size(java.nio.file.Paths.get(dir, s.path))
-      catch { case _: java.io.IOException => 0L }
-    }.sum
+    val bytes = segs.map(SegmentPacking.segmentSize(dir, _)).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L))
@@ -354,7 +371,8 @@ final class GraftLogScan(
   override def toMicroBatchStream(
       checkpointLocation: String
   ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftLogMicroBatchStream(dir, scanSchema, maxPartitionBytesOpt)
+    new GraftLogMicroBatchStream(dir, scanSchema, maxPartitionBytesOpt,
+      maxSeqsPerTrigger, maxBytesPerTrigger)
 }
 
 /** Streaming leg: offsets are manifest seq high-water marks, NOT file
@@ -373,9 +391,15 @@ final class GraftLogScan(
 final class GraftLogMicroBatchStream(
     dir: String,
     schema: StructType,
-    maxPartitionBytesOpt: Option[String] = None
-) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    maxPartitionBytesOpt: Option[String] = None,
+    maxSeqsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes,
+    ReadMaxFiles, ReadMaxRows
+  }
 
   private case class SeqOffset(maxSeq: Long) extends Offset {
     override def json(): String = maxSeq.toString
@@ -384,6 +408,77 @@ final class GraftLogMicroBatchStream(
   override def initialOffset(): Offset = SeqOffset(graft.core.Seqs.SeqEmpty)
 
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead of this")
+
+  /** ADMISSION CONTROL — the catch-up path that matters at scale: a
+    * restarted or lagging stream must NOT plan its whole backlog (on
+    * a 100 TB log, potentially the whole log) as one micro-batch.
+    * `.option("maxSeqsPerTrigger", n)` / `.option("maxBytesPerTrigger",
+    * b)` bound each batch; catch-up then proceeds incrementally,
+    * mirroring the reference's per-`Next` incremental catch-up
+    * (offset2/qry.go:214-276). Because seqs are DENSE, a row bound
+    * clamps in O(1) (`start + n`); a byte bound walks the manifest's
+    * segment sizes (driver-side metadata, no file listing) and always
+    * admits at least one segment so the stream can't stall. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxSeqsPerTrigger.map { n =>
+        require(n > 0, s"maxSeqsPerTrigger must be > 0 (got $n)")
+        ReadLimit.maxRows(n)
+      },
+      maxBytesPerTrigger.map { b =>
+        require(b > 0, s"maxBytesPerTrigger must be > 0 (got $b)")
+        ReadLimit.maxBytes(b)
+      }
+    ).flatten
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case one :: Nil => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[SeqOffset].maxSeq
+    val m = Manifest.load(dir).getOrElse(return SeqOffset(lo))
+    val hi = m.maxSeq
+    if (hi <= lo) return SeqOffset(lo)
+    def clamp(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows =>
+        // dense seqs: rows in (lo, end] == end - lo exactly
+        math.min(hi, lo + r.maxRows())
+      case b: ReadMaxBytes =>
+        // admit whole segments until the byte budget is spent; the
+        // first pending segment always passes (progress guarantee)
+        val pending = m.segments.filter(_.maxSeq > lo).sortBy(_.minSeq)
+        var budget = b.maxBytes()
+        var end = lo
+        var first = true
+        var stopped = false
+        pending.foreach { s =>
+          if (!stopped) {
+            val sz = SegmentPacking.segmentSize(dir, s)
+            if (first || sz <= budget) { end = s.maxSeq; budget -= sz }
+            else stopped = true // contiguous prefix only — no gaps
+            first = false
+          }
+        }
+        end
+      case f: ReadMaxFiles =>
+        val pending = m.segments.filter(_.maxSeq > lo).sortBy(_.minSeq)
+        pending.take(math.max(f.maxFiles(), 1)).lastOption
+          .map(_.maxSeq).getOrElse(lo)
+      case c: CompositeReadLimit => c.getReadLimits.map(clamp).min
+      case _: ReadAllAvailable => hi
+      case _ => hi // ReadMinRows etc.: deliver what's available
+    }
+    SeqOffset(math.max(lo, math.min(hi, clamp(limit))))
+  }
+
+  /** True high-water for progress reporting — lets the UI show the
+    * backlog even while admission control paces the batches. */
+  override def reportLatestOffset(): Offset =
     SeqOffset(Manifest.load(dir).map(_.maxSeq).getOrElse(graft.core.Seqs.SeqEmpty))
 
   override def deserializeOffset(json: String): Offset =

@@ -247,6 +247,78 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(ParquetLog.open(spark, dstDir).seq == before + 1)
   }
 
+  test("admission control: maxSeqsPerTrigger splits catch-up into bounded micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = tmpDir("dsv2ac") + "/log"
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    log.appendValues((0 until 30).toSeq) // 30-row backlog before the stream starts
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft-log")
+      .option("maxSeqsPerTrigger", "10")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", tmpDir("dsv2acck"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.orderBy("seq").collect().map(_.getLong(0)).toSeq
+        if (rows.nonEmpty) batches.add(rows)
+        (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = batches.asScala.toSeq
+      // the backlog must arrive in SEVERAL bounded batches, not one
+      assert(got.size >= 3, s"expected >=3 micro-batches, got ${got.size}")
+      assert(got.forall(_.size <= 10),
+        s"a batch exceeded maxSeqsPerTrigger: ${got.map(_.size)}")
+      // identical total delivery: every seq exactly once, in order
+      assert(got.flatten == (0L until 30L).toSeq)
+    } finally q.stop()
+  }
+
+  test("admission control: maxBytesPerTrigger admits whole segments within budget") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = tmpDir("dsv2ab") + "/log"
+    val log = mkLog(dir)
+    val segs = graft.storage.Manifest.load(dir).get.segments.sortBy(_.minSeq)
+    val segBytes = segs
+      .map(s => java.nio.file.Files.size(java.nio.file.Paths.get(dir, s.path)))
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    // budget of ~1.5 smallest segments -> a few whole segments per
+    // batch, never the full backlog at once
+    val q = spark.readStream.format("graft-log")
+      .option("maxBytesPerTrigger", (segBytes.min * 3 / 2).toString)
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", tmpDir("dsv2abck"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.orderBy("seq").collect().map(_.getLong(0)).toSeq
+        if (rows.nonEmpty) batches.add(rows)
+        (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = batches.asScala.toSeq
+      // several batches, not one unbounded catch-up batch
+      assert(got.size >= 2, s"expected >=2 micro-batches, got $got")
+      // byte admission is whole-segment: every batch ends exactly at
+      // a committed segment boundary
+      val bounds = segs.map(_.maxSeq).toSet
+      assert(got.forall(b => bounds.contains(b.last)),
+        s"batch ended mid-segment: ${got.map(_.last)} not all in $bounds")
+      assert(got.flatten == (0L until 30L).toSeq)
+    } finally q.stop()
+  }
+
   test("adjacent small segments pack into one partition by default") {
     val dir = tmpDir("dsv2pk") + "/log"
     mkLog(dir) // 3 tiny segments
