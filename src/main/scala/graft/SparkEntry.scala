@@ -504,7 +504,7 @@ object SparkEntry {
       val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
       val q = graft.live.LiveTail.push(
         log,
-        Seq(Gte(50), Lt(150), Live(true)),
+        Seq(Gte(50), Lt(150), Live(true), SeqWrap(true)),
         s"$work/ckpt",
         r => {
           val v = r.getStruct(1)
@@ -670,7 +670,7 @@ object SparkEntry {
         val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
         val q = graft.live.LiveTail.push(
           log,
-          Seq(Gte(0), Lt(150), Live(true)),
+          Seq(Gte(0), Lt(150), Live(true), SeqWrap(true)),
           s"$work/ckpt-$tag",
           r => { got.add((r.getLong(0), r.getStruct(1).getString(3))); () }
         )

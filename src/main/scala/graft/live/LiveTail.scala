@@ -62,28 +62,24 @@ private[live] final class Completion {
 object LiveTail {
 
   /** Start a push-mode query: `sink` is called with each delivered
-    * `(seq, value, nulled)` row in strict seq order. Returns the
-    * running StreamingQuery; stop it to cancel (the reference's
-    * ctx-done). When a `Limit(n)` or upper bound is exhausted the
-    * query STOPS ITSELF — the reference's push queries complete when
-    * their countdown hits zero / the cursor passes the bound
-    * (offset2/qry.go:283-319); a bounded live consumer must not leak
-    * a running stream.
+    * row in strict seq order — `(seq, value, nulled)` under
+    * `SeqWrap(true)`, bare `(value, nulled)` when unwrapped, the same
+    * projection as the pull side and the reference's push pour
+    * (offset2/qry.go:184-188). Returns the running StreamingQuery;
+    * stop it to cancel (the reference's ctx-done). When a `Limit(n)`
+    * or upper bound is exhausted the query STOPS ITSELF — the
+    * reference's push queries complete when their countdown hits zero
+    * / the cursor passes the bound (offset2/qry.go:283-319); a bounded
+    * live consumer must not leak a running stream.
     *
-    * Ordering: a multi-file append can be discovered across several
-    * micro-batches in file-mtime order, so rows may arrive ahead of
-    * the cursor. A reorder buffer holds them and releases only the
-    * contiguous run from the expected seq — dense seqs make "next"
-    * well-defined (the same guarantee the reference gets from its
-    * single cursor walk, offset2/qry.go:101-189). The buffer holds at
-    * most the in-flight discovery window:
-    *   - each batch is drained through a sorted `toLocalIterator`, so
-    *     catch-up over an arbitrarily large backlog never materializes
-    *     a whole micro-batch on the driver;
-    *   - rows below the cursor (segment rewrites from nullAt/replace/
-    *     compact being re-discovered by the file stream) are dropped,
-    *     and stale pending entries are purged, so a rewrite during an
-    *     active tail can never wedge the buffer head. */
+    * Ordering comes from the transport: the seq-offset connector
+    * stream delivers each micro-batch as a CONTIGUOUS `(start, end]`
+    * seq range, exactly once, rewrite-immune — so a per-batch sort is
+    * total order, with no reorder buffer and no re-delivery purge
+    * (the machinery a raw file tail would need). Each batch drains
+    * through a sorted `toLocalIterator`, so catch-up over an
+    * arbitrarily large backlog never materializes a whole micro-batch
+    * on the driver. */
   def push(
       log: ParquetLog,
       specs: Seq[QuerySpec],
@@ -93,12 +89,10 @@ object LiveTail {
     val plan = QueryPlan.of(specs: _*)
     require(plan.live, "push requires Live(true)")
     val remaining = new AtomicLong(if (plan.limit < 0) Long.MaxValue else plan.limit)
-    // internal stream always carries seq (the cursor); the user-facing
-    // row shape is (seq, value, nulled) regardless of SeqWrap
+    // internal stream always carries seq (the cursor for the upper-
+    // bound check); the SeqWrap projection is applied at delivery
     val internalSpecs = specs.filterNot(_.isInstanceOf[QuerySpec.SeqWrap]) :+
       QuerySpec.SeqWrap(true)
-    val expected = new AtomicLong(plan.lower.getOrElse(0L))
-    val pending = new java.util.concurrent.ConcurrentSkipListMap[Long, Row]()
     val completion = new Completion
 
     val stream = log.liveQuery(internalSpecs: _*)
@@ -107,28 +101,18 @@ object LiveTail {
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!completion.isDone) {
-          // purge re-delivered rows below the cursor before draining
-          pending.headMap(expected.get()).clear()
-          // global sort + local iterator: in-seq-order chunked pull to
-          // the driver, memory bounded by one partition not one batch
+          var last = Long.MinValue
           val it = batch.sort("seq").toLocalIterator()
           while (it.hasNext && !completion.isDone) {
             val r = it.next()
-            val s = r.getLong(0)
-            if (s >= expected.get()) {
-              pending.put(s, r)
-              var head = pending.firstEntry()
-              while (head != null && head.getKey == expected.get() &&
-                remaining.get() > 0 && !completion.isDone) {
-                sink(head.getValue)
-                pending.remove(head.getKey)
-                expected.incrementAndGet()
-                if (remaining.decrementAndGet() == 0) completion.complete()
-                head = pending.firstEntry()
-              }
+            last = r.getLong(0)
+            if (remaining.get() > 0) {
+              sink(if (plan.seqWrap) r
+                else Row.fromSeq(r.toSeq.drop(1)))
+              if (remaining.decrementAndGet() == 0) completion.complete()
             }
           }
-          if (plan.upper.exists(u => expected.get() >= u)) completion.complete()
+          if (plan.upper.exists(u => last >= u - 1)) completion.complete()
         }
         (): Unit
       }

@@ -135,10 +135,7 @@ final class MultiLog(val spark: SparkSession, val dir: String) {
     * fine for hot-sublog tails, use the cursor-replay path for
     * whole-log consumers). */
   def liveSublog(addr: String, dedup: Boolean = false): DataFrame = {
-    val raw = spark.readStream
-      .schema(MultiLog.schema)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(s"$dir/data")
+    val raw = store.stream
       .where(col("bucket") === bucketOf(addr) && col("addr") === addr)
       .select("addr", "seq")
     if (dedup) raw.dropDuplicates("addr", "seq") else raw

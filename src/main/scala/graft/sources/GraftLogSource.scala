@@ -175,7 +175,8 @@ final class GraftLogTable(dir: String, tableSchema: StructType)
     new GraftLogScanBuilder(dir, tableSchema,
       Option(options.get("maxPartitionBytes")),
       Option(options.get("maxSeqsPerTrigger")).map(_.toLong),
-      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -204,7 +205,8 @@ final class GraftLogScanBuilder(
     schema: StructType,
     maxPartitionBytesOpt: Option[String] = None,
     maxSeqsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None
+    maxBytesPerTrigger: Option[Long] = None,
+    maxSegmentsPerTrigger: Option[Int] = None
 ) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -242,7 +244,7 @@ final class GraftLogScanBuilder(
 
   override def build(): Scan =
     new GraftLogScan(dir, pruned, lower, upper, maxPartitionBytesOpt,
-      maxSeqsPerTrigger, maxBytesPerTrigger)
+      maxSeqsPerTrigger, maxBytesPerTrigger, maxSegmentsPerTrigger)
 }
 
 /** One input partition = a PACKED run of adjacent segments (their
@@ -323,7 +325,8 @@ final class GraftLogScan(
     upper: Long,
     maxPartitionBytesOpt: Option[String] = None,
     maxSeqsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None
+    maxBytesPerTrigger: Option[Long] = None,
+    maxSegmentsPerTrigger: Option[Int] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = scanSchema
@@ -372,7 +375,7 @@ final class GraftLogScan(
       checkpointLocation: String
   ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftLogMicroBatchStream(dir, scanSchema, maxPartitionBytesOpt,
-      maxSeqsPerTrigger, maxBytesPerTrigger)
+      maxSeqsPerTrigger, maxBytesPerTrigger, maxSegmentsPerTrigger)
 }
 
 /** Streaming leg: offsets are manifest seq high-water marks, NOT file
@@ -393,7 +396,8 @@ final class GraftLogMicroBatchStream(
     schema: StructType,
     maxPartitionBytesOpt: Option[String] = None,
     maxSeqsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None
+    maxBytesPerTrigger: Option[Long] = None,
+    maxSegmentsPerTrigger: Option[Int] = None
 ) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{
@@ -430,6 +434,10 @@ final class GraftLogMicroBatchStream(
       maxBytesPerTrigger.map { b =>
         require(b > 0, s"maxBytesPerTrigger must be > 0 (got $b)")
         ReadLimit.maxBytes(b)
+      },
+      maxSegmentsPerTrigger.map { f =>
+        require(f > 0, s"maxSegmentsPerTrigger must be > 0 (got $f)")
+        ReadLimit.maxFiles(f)
       }
     ).flatten
     limits match {
@@ -521,8 +529,10 @@ final class GraftLogMicroBatchStream(
   * partitions, no gaps. The one observable effect is value
   * freshness — a row nulled/replaced mid-batch is read post-rewrite,
   * the same non-snapshot caveat as any re-read. */
-final class GraftLogReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
+final class GraftLogReaderFactory(
+    schema: StructType,
+    filterCol: String = "seq"
+) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val seg = p.asInstanceOf[LogSegmentPartition]
     // The effective seq range this partition must emit. In the normal
@@ -531,14 +541,14 @@ final class GraftLogReaderFactory(schema: StructType)
     // replacement segment from re-emitting rows owned by siblings.
     val lo = math.max(seg.loSeq, seg.minSeq)
     val hi = math.min(seg.hiSeq, seg.maxSeq)
-    // `seq` drives the range filter even when column pruning dropped
-    // it from the output (e.g. `select(value)`): read it alongside
-    // the requested columns, strip it before emitting.
-    val hasSeq = schema.fieldNames.contains("seq")
+    // the filter column drives the range check even when column
+    // pruning dropped it from the output (e.g. `select(value)`): read
+    // it alongside the requested columns, strip it before emitting.
+    val hasCol = schema.fieldNames.contains(filterCol)
     val readSchema =
-      if (hasSeq) schema
+      if (hasCol) schema
       else StructType(
-        StructField("seq", LongType, nullable = false) +: schema.fields)
+        StructField(filterCol, LongType, nullable = false) +: schema.fields)
     val planned = seg.paths.map(p => java.nio.file.Paths.get(p))
     // if ANY planned file vanished under a concurrent rewrite, fall
     // back to the current manifest for the whole (contiguous) group
@@ -556,22 +566,26 @@ final class GraftLogReaderFactory(schema: StructType)
           .map(s => java.nio.file.Paths.get(seg.dir, s.path))
     new PartitionReader[InternalRow] {
       private val remaining = files.iterator
-      private var it: SegmentRecords.ClosingRowIterator = null
-      private val toInternal = ExpressionEncoder(schema).createSerializer()
-      private val seqIdx = readSchema.fieldIndex("seq")
+      private var it: SegmentRecords.ClosingInternalRowIterator = null
+      private val colIdx = readSchema.fieldIndex(filterCol)
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (it != null || remaining.hasNext) {
           if (it == null)
-            it = SegmentRecords.iterator(remaining.next(), readSchema)
+            it = SegmentRecords.internalIterator(remaining.next(), readSchema)
           while (it.hasNext) {
             val row = it.next()
-            val s = row.getLong(seqIdx)
+            val s = row.getLong(colIdx)
             if (s >= lo && s <= hi) {
-              val out =
-                if (hasSeq) row
-                else org.apache.spark.sql.Row.fromSeq(row.toSeq.drop(1))
-              current = toInternal(out).copy()
+              // rows are freshly-allocated GenericInternalRows: emit
+              // directly (no encoder, no copy); strip the filter
+              // column when pruning dropped it from the output
+              current =
+                if (hasCol) row
+                else new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(
+                    row.asInstanceOf[org.apache.spark.sql.catalyst
+                      .expressions.GenericInternalRow].values.drop(1))
               return true
             }
           }

@@ -1,0 +1,267 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider
+}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder,
+  Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics
+}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.storage.Manifest
+
+/** DataSourceV2 connector for manifest-committed CHANGE TABLES
+  * ([[graft.storage.TableStore]] dirs — the storage under MultiLog
+  * index tables and KVIndex upsert tables):
+  * {{{ spark.readStream.format("graft-table").load(dir) }}}
+  *
+  * The streaming leg is VERSION-offset, not file-discovery: offsets
+  * are manifest commit versions, each micro-batch delivers exactly
+  * the segments with `_ver ∈ (start, end]`, planned fresh from the
+  * manifest. Commits are delivered ATOMICALLY (admission control
+  * clamps at whole-version boundaries), in commit order, exactly
+  * once — the re-discovery reorder problems of tailing the raw
+  * `data/` dir with a file stream don't exist here. A `rewrite`
+  * (delete/compact) folds surviving history into a NEW version,
+  * which IS re-delivered — that is the rewrite's meaning; consumers
+  * fold by (`_ver`, key) or use a guarded tail
+  * ([[graft.live.SublogTail]]'s high-water mark).
+  *
+  * Batch reads serve the committed table (all segments), with exact
+  * manifest statistics so a small index table auto-broadcasts in
+  * joins. Column pruning reaches the parquet page reads, as in
+  * [[GraftLogSource]]. */
+class GraftTableSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-table requires .load(<table dir>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTableSource.schemaOf(dirOf(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]
+  ): Table =
+    new GraftTableTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftTableSource {
+  /** On-disk schema: the table's logical columns plus the physical
+    * `_ver` commit-version column every segment carries. */
+  private[sources] def schemaOf(dir: String): StructType = {
+    val m = Manifest
+      .load(dir)
+      .getOrElse(throw new IllegalArgumentException(s"no table manifest in $dir"))
+    StructType(
+      DataType.fromJson(m.valueSchemaJson).asInstanceOf[StructType].fields :+
+        StructField("_ver", LongType, nullable = false))
+  }
+}
+
+final class GraftTableTable(dir: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-table `$dir`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTableScanBuilder(dir, tableSchema,
+      Option(options.get("maxPartitionBytes")),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+}
+
+final class GraftTableScanBuilder(
+    dir: String,
+    schema: StructType,
+    maxPartitionBytesOpt: Option[String],
+    maxBytesPerTrigger: Option[Long],
+    maxSegmentsPerTrigger: Option[Int]
+) extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var pruned: StructType = schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = StructType(
+      schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan =
+    new GraftTableScan(dir, pruned, maxPartitionBytesOpt,
+      maxBytesPerTrigger, maxSegmentsPerTrigger)
+}
+
+final class GraftTableScan(
+    dir: String,
+    scanSchema: StructType,
+    maxPartitionBytesOpt: Option[String],
+    maxBytesPerTrigger: Option[Long],
+    maxSegmentsPerTrigger: Option[Int]
+) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = scanSchema
+  override def toBatch: Batch = this
+
+  private def segments: List[graft.storage.Segment] =
+    Manifest.load(dir).map(_.segments).getOrElse(Nil)
+
+  override def estimateStatistics(): Statistics = {
+    val segs = segments
+    val rows = segs.map(_.rows).sum
+    val bytes = segs.map(SegmentPacking.segmentSize(dir, _)).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    SegmentPacking
+      .pack(dir, segments, SegmentPacking.maxBytes(maxPartitionBytesOpt))
+      .map { case (paths, lo, hi) => LogSegmentPartition(dir, paths, lo, hi) }
+      .toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(scanSchema, filterCol = "_ver")
+
+  override def description(): String = s"graft-table $dir"
+
+  override def toMicroBatchStream(
+      checkpointLocation: String
+  ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTableMicroBatchStream(dir, scanSchema, maxPartitionBytesOpt,
+      maxBytesPerTrigger, maxSegmentsPerTrigger)
+}
+
+/** Version-offset micro-batches: each batch = the segments of commit
+  * versions `(start, end]`. Admission control clamps at WHOLE-version
+  * boundaries (a commit is never split across batches — downstream
+  * folds see every commit atomically), always admitting at least one
+  * pending version so the stream can't stall. */
+final class GraftTableMicroBatchStream(
+    dir: String,
+    schema: StructType,
+    maxPartitionBytesOpt: Option[String],
+    maxBytesPerTrigger: Option[Long],
+    maxSegmentsPerTrigger: Option[Int]
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes,
+    ReadMaxFiles
+  }
+
+  private case class VerOffset(ver: Long) extends Offset {
+    override def json(): String = ver.toString
+  }
+
+  override def initialOffset(): Offset = VerOffset(0L)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead of this")
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxBytesPerTrigger.map { b =>
+        require(b > 0, s"maxBytesPerTrigger must be > 0 (got $b)")
+        ReadLimit.maxBytes(b)
+      },
+      maxSegmentsPerTrigger.map { f =>
+        require(f > 0, s"maxSegmentsPerTrigger must be > 0 (got $f)")
+        ReadLimit.maxFiles(f)
+      }
+    ).flatten
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case one :: Nil => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[VerOffset].ver
+    val m = Manifest.load(dir).getOrElse(return VerOffset(lo))
+    val hi = m.version
+    if (hi <= lo) return VerOffset(lo)
+    // pending versions ascending, with their aggregate cost
+    val byVer = m.segments.filter(_.minSeq > lo).groupBy(_.minSeq).toSeq
+      .sortBy(_._1)
+    def admit(cost: graft.storage.Segment => Long, budget: Long): Long = {
+      var end = lo
+      var left = budget
+      var first = true
+      var stopped = false
+      byVer.foreach { case (ver, segs) =>
+        if (!stopped) {
+          val c = segs.map(cost).sum
+          if (first || c <= left) { end = ver; left -= c }
+          else stopped = true
+          first = false
+        }
+      }
+      // versions with no segments (empty commits) advance freely up
+      // to the next costed version; if nothing was admitted past the
+      // last segment, the offset still reaches `hi` when no segments
+      // remain beyond it
+      if (byVer.isEmpty || (!stopped && end == byVer.last._1)) hi else end
+    }
+    def clamp(l: ReadLimit): Long = l match {
+      case b: ReadMaxBytes =>
+        admit(SegmentPacking.segmentSize(dir, _), b.maxBytes())
+      case f: ReadMaxFiles => admit(_ => 1L, f.maxFiles().toLong)
+      case c: CompositeReadLimit => c.getReadLimits.map(clamp).min
+      case _: ReadAllAvailable => hi
+      case _ => hi
+    }
+    VerOffset(math.max(lo, math.min(hi, clamp(limit))))
+  }
+
+  override def reportLatestOffset(): Offset =
+    VerOffset(Manifest.load(dir).map(_.version).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    VerOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: Offset,
+      end: Offset
+  ): Array[InputPartition] = {
+    val lo = start.asInstanceOf[VerOffset].ver // exclusive
+    val hi = end.asInstanceOf[VerOffset].ver // inclusive
+    if (hi <= lo) return Array.empty
+    val m = Manifest.load(dir).getOrElse(return Array.empty)
+    SegmentPacking
+      .pack(
+        dir,
+        m.segments.filter(s => s.minSeq > lo && s.minSeq <= hi),
+        SegmentPacking.maxBytes(maxPartitionBytesOpt))
+      .map { case (paths, mn, mx) =>
+        LogSegmentPartition(dir, paths, mn, mx, loSeq = lo + 1, hiSeq = hi)
+      }
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(schema, filterCol = "_ver")
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

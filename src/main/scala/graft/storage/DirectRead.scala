@@ -154,6 +154,56 @@ private[storage] object DirectRead {
     new GenericRowWithSchema(vals.toArray[Any], schema)
   }
 
+  /** Catalyst-native conversion: parquet Group → InternalRow, skipping
+    * the external Row + encoder-serializer round-trip the connector
+    * read path would otherwise pay per record. Strings go bytes →
+    * UTF8String directly (no java.lang.String decode). */
+  private[storage] def convertInternalRow(
+      g: Group,
+      schema: StructType
+  ): org.apache.spark.sql.catalyst.InternalRow = {
+    val vals = new Array[Any](schema.fields.length)
+    var i = 0
+    while (i < schema.fields.length) {
+      val f = schema.fields(i)
+      val idx = g.getType.getFieldIndex(f.name)
+      vals(i) =
+        if (g.getFieldRepetitionCount(idx) == 0) null
+        else convertCatalyst(g, idx, f.dataType)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
+  private def convertCatalyst(g: Group, idx: Int, dt: DataType): Any = dt match {
+    case LongType    => g.getLong(idx, 0)
+    case IntegerType => g.getInteger(idx, 0)
+    case ShortType   => g.getInteger(idx, 0).toShort
+    case ByteType    => g.getInteger(idx, 0).toByte
+    case DoubleType  => g.getDouble(idx, 0)
+    case FloatType   => g.getFloat(idx, 0)
+    case BooleanType => g.getBoolean(idx, 0)
+    case StringType =>
+      org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType     => g.getBinary(idx, 0).getBytes
+    case st: StructType => convertInternalRow(g.getGroup(idx, 0), st)
+    case ArrayType(et, _) =>
+      val list = g.getGroup(idx, 0)
+      val n = list.getFieldRepetitionCount(0)
+      val arr = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val el = list.getGroup(0, j)
+        arr(j) =
+          if (el.getFieldRepetitionCount(0) == 0) null
+          else convertCatalyst(el, 0, et)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    case other => throw new UnsupportedOperationException(other.sql)
+  }
+
   private def convertValue(g: Group, idx: Int, dt: DataType): Any = dt match {
     case LongType    => g.getLong(idx, 0)
     case IntegerType => g.getInteger(idx, 0)

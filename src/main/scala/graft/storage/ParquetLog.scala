@@ -241,16 +241,20 @@ final class ParquetLog private (
   }
 
   /** Streaming tail of the log (reference: Live(true) queries,
-    * offset2/qry.go:124-158). Catch-up = the initial micro-batches over
-    * the backlog; live = subsequent file discoveries. Reverse+Live is
-    * rejected by plan validation. */
+    * offset2/qry.go:124-158), on the SEQ-offset connector
+    * ([[graft.sources.GraftLogSource]]): each micro-batch delivers
+    * exactly the seqs `(start, end]` — contiguous, in order, exactly
+    * once, immune to rewrite re-discovery (null/replace/compact emit
+    * new FILES over old seqs; seq offsets don't move). Catch-up over
+    * a large backlog is paced (64 segments per trigger). Reverse+Live
+    * is rejected by plan validation. */
   def liveQuery(specs: QuerySpec*): DataFrame = {
     val plan = QueryPlan.of(specs: _*)
     require(plan.live, "liveQuery requires Live(true)")
     val stream = spark.readStream
-      .schema(rowSchema)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(s"$dir/data")
+      .format("graft-log")
+      .option("maxSegmentsPerTrigger", "64")
+      .load(dir)
     graft.query.QueryBuilder.buildStreaming(stream, plan)
   }
 

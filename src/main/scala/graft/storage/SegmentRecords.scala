@@ -27,6 +27,27 @@ private[graft] object SegmentRecords {
     * the open reader and closes it on exhaustion; call `close()` on
     * early abort. */
   def iterator(file: Path, schema: StructType): ClosingRowIterator = {
+    val (reader, columnIO, projected) = open(file, schema)
+    new ClosingRowIterator(reader, columnIO, projected, schema)
+  }
+
+  /** Same scan, emitting Catalyst [[InternalRow]]s directly (no
+    * external Row, no encoder serializer) — the connector read path.
+    * Each returned row is freshly allocated: safe to hold without
+    * copying. */
+  def internalIterator(
+      file: Path,
+      schema: StructType
+  ): ClosingInternalRowIterator = {
+    val (reader, columnIO, projected) = open(file, schema)
+    new ClosingInternalRowIterator(reader, columnIO, projected, schema)
+  }
+
+  private def open(
+      file: Path,
+      schema: StructType
+  ): (ParquetFileReader, org.apache.parquet.io.MessageColumnIO,
+      org.apache.parquet.schema.MessageType) = {
     val reader = ParquetFileReader.open(
       new LocalInputFile(file),
       ParquetReadOptions.builder().build()
@@ -42,7 +63,7 @@ private[graft] object SegmentRecords {
         )
     reader.setRequestedSchema(projected)
     val columnIO = new ColumnIOFactory().getColumnIO(projected)
-    new ClosingRowIterator(reader, columnIO, projected, schema)
+    (reader, columnIO, projected)
   }
 
   final class ClosingRowIterator(
@@ -80,6 +101,49 @@ private[graft] object SegmentRecords {
       remaining -= 1
       val g = recordReader.read()
       DirectRead.convertRow(g, schema)
+    }
+
+    def close(): Unit = if (!closed) {
+      closed = true
+      try reader.close()
+      catch { case _: Exception => () }
+    }
+  }
+
+  final class ClosingInternalRowIterator(
+      reader: ParquetFileReader,
+      columnIO: org.apache.parquet.io.MessageColumnIO,
+      fileSchema: org.apache.parquet.schema.MessageType,
+      schema: StructType
+  ) extends Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+    private var pages = reader.readNextRowGroup()
+    private var recordReader =
+      if (pages == null) null
+      else columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+    private var remaining = if (pages == null) 0L else pages.getRowCount
+    private var closed = false
+
+    private def advance(): Unit =
+      while (remaining == 0 && !closed) {
+        pages = reader.readNextRowGroup()
+        if (pages == null) close()
+        else {
+          recordReader =
+            columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+          remaining = pages.getRowCount
+        }
+      }
+
+    override def hasNext: Boolean = {
+      advance()
+      !closed
+    }
+
+    override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+      advance()
+      if (closed) throw new NoSuchElementException
+      remaining -= 1
+      DirectRead.convertInternalRow(recordReader.read(), schema)
     }
 
     def close(): Unit = if (!closed) {

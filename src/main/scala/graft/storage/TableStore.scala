@@ -68,18 +68,21 @@ final class TableStore private (
 
   def read: DataFrame = readVersioned.drop("_ver")
 
-  /** Streaming tail of the change table: every committed batch lands as
-    * new immutable segment files, which the file stream discovers —
-    * cross-process consumers (other JVMs writing the same dir) are
-    * visible too. Rows carry `_ver` so consumers can order across
-    * commits. Same raw-stream caveat as a log tail: `rewrite`
-    * (delete/compact) re-emits surviving history; consumers needing
-    * exactly-once fold by (`_ver`, key) or use a guarded tail. */
+  /** Streaming tail of the change table, on the VERSION-offset
+    * connector ([[graft.sources.GraftTableSource]]): each micro-batch
+    * is the whole commits `_ver ∈ (start, end]`, delivered atomically,
+    * in commit order, exactly once — manifest-scoped, so cross-process
+    * writers to the same dir are visible and uncommitted files never
+    * are. Catch-up over a large backlog is paced (64 segments per
+    * trigger). One caveat remains, by design: `rewrite`
+    * (delete/compact) folds surviving history into a NEW version,
+    * which is delivered like any commit; consumers fold by (`_ver`,
+    * key) or use a guarded tail. */
   def stream: DataFrame =
     spark.readStream
-      .schema(diskSchema)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(s"$dir/data")
+      .format("graft-table")
+      .option("maxSegmentsPerTrigger", "64")
+      .load(dir)
 
   /** Copy-on-write rewrite of the whole table (delete / compact).
     * The rewritten table becomes a single new version. */
@@ -110,8 +113,17 @@ final class TableStore private (
     Files.createDirectories(dataDir)
     val segs = files.map { f =>
       val name = f"seg-$ver%08d-${UUID.randomUUID().toString.take(8)}.parquet"
+      // exact row count from the parquet footer (one cheap metadata
+      // read of a file we just wrote) — feeds the connector's
+      // statistics and byte/row admission control
+      val rows =
+        try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            new org.apache.parquet.io.LocalInputFile(f))
+          try r.getRecordCount finally r.close()
+        } catch { case _: Exception => 0L }
       Files.move(f, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      Segment(s"data/$name", ver, ver, 0L)
+      Segment(s"data/$name", ver, ver, rows)
     }
     deleteRecursively(tmp)
     segs

@@ -119,6 +119,33 @@ class LiveSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("push pours bare values when unwrapped (qry.go:184-188)") {
+    // SeqWrap(false) — or simply not asking for SeqWrap — delivers
+    // the same projection as the pull side: (value, nulled), no seq
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("livebare"), IntegerType)
+    log.appendValues(Seq(10, 20, 30))
+    val seen = new ConcurrentLinkedQueue[(Int, Boolean)]()
+    val q = LiveTail.push(
+      log,
+      Seq(Live(true)),
+      tmpDir("ckptbare"),
+      r => {
+        assert(r.length == 2, s"expected bare (value, nulled) row, got $r")
+        seen.add((r.getInt(0), r.getBoolean(1)))
+        ()
+      }
+    )
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toList == List((10, false), (20, false), (30, false)))
+      log.appendValues(Seq(40))
+      q.processAllAvailable()
+      assert(seen.asScala.toList ==
+        List((10, false), (20, false), (30, false), (40, false)))
+    } finally q.stop()
+  }
+
   test("changes observable tracks the latest seq") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("chg"), IntegerType)

@@ -52,6 +52,42 @@ class TableStoreSpec extends SparkSpec {
     assert(latest == 2L)
   }
 
+  test("version-offset stream: commits arrive atomically, in order, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val store = TableStore.open(spark, tmpDir("tstr"), schema)
+    store.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    store.append(Seq(("c", 3L)).toDF("k", "v"))
+    // each foreachBatch batch = whole commit versions, never a split
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, Long, Long)]]()
+    val q = store.stream
+      .writeStream
+      .option("checkpointLocation", tmpDir("tstrck"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.orderBy("_ver", "k").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        if (rows.nonEmpty) batches.add(rows)
+        (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val caught = batches.asScala.toSeq
+      // a version never straddles two batches
+      val versAcross = caught.map(_.map(_._3).toSet)
+      assert(versAcross.flatten.size == versAcross.map(_.size).sum,
+        s"a commit version straddled batches: $versAcross")
+      assert(caught.flatten == Seq(("a", 1L, 1L), ("b", 2L, 1L), ("c", 3L, 2L)))
+      // live commits keep flowing, exactly once
+      store.append(Seq(("d", 4L)).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(batches.asScala.toSeq.flatten ==
+        Seq(("a", 1L, 1L), ("b", 2L, 1L), ("c", 3L, 2L), ("d", 4L, 3L)))
+    } finally q.stop()
+  }
+
   test("rewrite collapses history into one version") {
     val store = TableStore.open(spark, tmpDir("ts-rw"), schema)
     (1 to 5).foreach(i => store.append(Seq(("a", i.toLong)).toDF("k", "v")))
