@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.QuerySpec._
-import graft.multilog.MultiLog
+import graft.multilog.MultiLogApi
 import graft.storage.ParquetLog
 
 /** Derived-view builders: replay the log from a persisted cursor
@@ -60,7 +60,7 @@ object MultiLogSink {
 
   def pump(
       log: ParquetLog,
-      mlog: MultiLog,
+      mlog: MultiLogApi,
       cursorOwner: KV,
       fanout: DataFrame => DataFrame
   ): Long = {

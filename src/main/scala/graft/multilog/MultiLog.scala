@@ -28,7 +28,8 @@ import graft.storage.TableStore
   * (RoaringBitmap ships in Spark's jars) deferred to a later round —
   * plain parquet columns already encode sorted seq runs efficiently.
   */
-final class MultiLog(val spark: SparkSession, val dir: String) {
+final class MultiLog(val spark: SparkSession, val dir: String)
+    extends MultiLogApi {
 
   private val store = TableStore.open(spark, dir, MultiLog.schema)
 
@@ -194,7 +195,7 @@ final class Sublog(
     parent: MultiLog,
     val addr: String,
     handleEpoch: Long
-) {
+) extends SublogApi {
 
   private def guard(): Unit =
     if (parent.isPoisoned(addr, handleEpoch))

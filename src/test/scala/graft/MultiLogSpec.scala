@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.core.QuerySpec._
 import graft.indexes.{KVIndex, MultiLogSink}
-import graft.multilog.MultiLog
+import graft.multilog.{MemMultiLog, MultiLog, MultiLogApi}
 import graft.storage.ParquetLog
 
 /** MultiLog behaviors ported from the reference suites:
@@ -15,6 +15,11 @@ import graft.storage.ParquetLog
   *     (multilog/test/multilog.go:140-255)
   *   - query-spec matrix over sublogs of multiples
   *     (multilog/test/multilog.go:257-705, here for k=2..9)
+  *
+  * Run as a conformance MATRIX over both backends, like the
+  * reference's registry (multilog/test/registry.go:11-47): the
+  * durable bucketed-parquet [[MultiLog]] and the driver-memory
+  * [[MemMultiLog]].
   */
 object MultiLogSpec {
   // reference: multilog/test/sink.go:226-240; standalone object so the
@@ -32,13 +37,16 @@ object MultiLogSpec {
   }
 }
 
-class MultiLogSpec extends SparkSpec {
+abstract class MultiLogContractSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Backend under test. */
+  def mkMlog(tag: String): MultiLogApi
 
   test("prime-factorization sink oracle (values 0..19)") {
     val log = ParquetLog.open(spark, tmpDir("sinklog"), LongType)
     log.appendValues((0L until 20L).toSeq)
-    val mlog = MultiLog.open(spark, tmpDir("sinkmlog"))
+    val mlog = mkMlog("sinkmlog")
     val cursor = KVIndex.open(spark, tmpDir("sinkcursor"))
     val factorizeUdf =
       udf((v: Long) => MultiLogSpec.factorize(v).map(_.toString))
@@ -70,7 +78,7 @@ class MultiLogSpec extends SparkSpec {
   }
 
   test("query-spec matrix over sublogs of multiples (k=2..9)") {
-    val mlog = MultiLog.open(spark, tmpDir("matrix"))
+    val mlog = mkMlog("matrix")
     val rows = for {
       k <- 2 to 9
       seq <- (0L until 40L) if seq % k == 0
@@ -91,17 +99,19 @@ class MultiLogSpec extends SparkSpec {
       sub4.query(Reverse(true), Limit(3)).collect().map(_.getLong(0)).toSeq
         == Seq(36L, 32L, 28L)
     )
+    // out-of-bounds rank
+    intercept[GraftErrors.ErrOutOfBounds](sub4.get(10))
   }
 
   test("append is idempotent on (addr, seq) like bitmap Set") {
-    val mlog = MultiLog.open(spark, tmpDir("idem"))
+    val mlog = mkMlog("idem")
     mlog.append("a", 5L)
     mlog.append("a", 5L)
     assert(mlog.sublog("a").seq == 0)
   }
 
   test("delete poisons open handles; fresh handle sees empty sublog") {
-    val mlog = MultiLog.open(spark, tmpDir("del"))
+    val mlog = mkMlog("del")
     mlog.appendBatch(Seq(("deleteme", 1L), ("keep", 2L)).toDF("addr", "seq"))
     val handle = mlog.sublog("deleteme")
     assert(handle.seq == 0)
@@ -113,6 +123,37 @@ class MultiLogSpec extends SparkSpec {
     assert(addrs == Set("keep"))
     assert(mlog.has("keep") && !mlog.has("deleteme"))
   }
+
+  test("compact preserves sublog contents") {
+    val mlog = mkMlog("cmp")
+    mlog.appendBatch(Seq(("x", 3L), ("x", 1L)).toDF("addr", "seq"))
+    mlog.appendBatch(Seq(("x", 2L), ("y", 9L)).toDF("addr", "seq"))
+    mlog.compact()
+    assert(mlog.sublog("x").query(SeqWrap(true)).collect()
+      .map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(mlog.sublog("y").get(0) == 9L)
+  }
+
+  test("resolve maps ranks back to parent values") {
+    val log = ParquetLog.open(spark, tmpDir("rvlog"),
+      org.apache.spark.sql.types.IntegerType)
+    log.appendValues((0 until 10).map(_ * 100))
+    val mlog = mkMlog("rv")
+    mlog.appendBatch(Seq(("even", 0L), ("even", 2L), ("even", 4L))
+      .toDF("addr", "seq"))
+    val got = mlog.sublog("even").resolve(log)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((0L, 0L, 0), (1L, 2L, 200), (2L, 4L, 400)))
+  }
+}
+
+/** Durable backend: bucketed parquet index table. */
+class MultiLogSpec extends MultiLogContractSpec {
+  import spark.implicits._
+
+  override def mkMlog(tag: String): MultiLogApi =
+    MultiLog.open(spark, tmpDir(tag))
 
   test("reopen continues (peachcloud fork regression shape)") {
     // reference: multilog/test/multilog.go:24-138 — add, close, reopen,
@@ -149,4 +190,9 @@ class MultiLogSpec extends SparkSpec {
         "broadcast must respect the disabled threshold")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+}
+
+/** Driver-memory backend (the reference's mem member of the registry). */
+class MemMultiLogSpec extends MultiLogContractSpec {
+  override def mkMlog(tag: String): MultiLogApi = MemMultiLog.open(spark)
 }
