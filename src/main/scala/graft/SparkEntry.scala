@@ -28,6 +28,20 @@ import graft.text.TextFunctions
   */
 object SparkEntry {
 
+  /** Scratch dir for queries that build an engine fixture (a log /
+    * index copy + checkpoint): removed on JVM exit, so repeated
+    * Verify runs don't leak disk. */
+  private[graft] def tempWorkDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Exception => () }))
+    p.toString
+  }
+
   /** Flagship: revenue by nation with broadcast dimension joins. */
   def entry(spark: SparkSession): DataFrame =
     nationRevenue(spark, "/root/testdata/sf0.001")
@@ -289,9 +303,7 @@ object SparkEntry {
     // through a scratch engine log (copy of the first 100 events)
     "q31_redaction" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-redact")
-        .toString
+      val work = tempWorkDir("graft-redact")
       val log = graft.storage.ParquetLog.open(
         s,
         s"$work/log",
@@ -429,9 +441,7 @@ object SparkEntry {
     // (reference: multilog/roaring/multilog.go:166-178)
     "q37_sublog_delete" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-mdel")
-        .toString
+      val work = tempWorkDir("graft-mdel")
       val mlog = graft.multilog.MultiLog.open(s, s"$work/mlog")
       mlog.appendBatch(events.select(col("event_type"), col("event_id")))
       mlog.delete("click")
@@ -444,9 +454,7 @@ object SparkEntry {
     // repaired log (reference: offset2/log.go:217-302 recovery contract)
     "q38_fsck_repair" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-fsck")
-        .toString
+      val work = tempWorkDir("graft-fsck")
       val log = graft.storage.ParquetLog.open(
         s,
         s"$work/log",
@@ -492,9 +500,7 @@ object SparkEntry {
     // (reference: offset2/qry.go:191-320, test/pumplive.go:23-166)
     "q39_live_tail" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-live")
-        .toString
+      val work = tempWorkDir("graft-live")
       val log = graft.storage.ParquetLog.open(
         s,
         s"$work/log",
@@ -529,9 +535,7 @@ object SparkEntry {
     "q40_cursor_resume" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
       val half = events.count() / 2
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-resume")
-        .toString
+      val work = tempWorkDir("graft-resume")
       val log = graft.storage.ParquetLog.open(
         s,
         s"$work/log",
@@ -587,9 +591,7 @@ object SparkEntry {
     // twin (reference: offset2/log.go:352-354)
     "q43_changes" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-changes")
-        .toString
+      val work = tempWorkDir("graft-changes")
       val log = graft.storage.ParquetLog.open(
         s,
         s"$work/log",
@@ -636,9 +638,7 @@ object SparkEntry {
     "q46_multilog_compact" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
       val n = events.count()
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-mcomp")
-        .toString
+      val work = tempWorkDir("graft-mcomp")
       val mlog = graft.multilog.MultiLog.open(s, s"$work/mlog")
       def slice(lo: Long, hi: Long) = events
         .where(col("event_id") >= lo && col("event_id") < hi)
@@ -657,9 +657,7 @@ object SparkEntry {
     // subscriber; reference: LockSink fan-out, offset2/qry.go:191-320)
     "q47_fanout" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-fan")
-        .toString
+      val work = tempWorkDir("graft-fan")
       val log = graft.storage.ParquetLog.open(
         s,
         s"$work/log",
@@ -888,8 +886,7 @@ object SparkEntry {
     // 0-based seqs — then read back through the connector
     "q71_dsv2_write" -> ((s, dir) => {
       val (log, _, _) = EngineFixtures.open(s, dir)
-      val dst = java.nio.file.Files
-        .createTempDirectory("graft-q71").toString + "/log"
+      val dst = tempWorkDir("graft-q71") + "/log"
       graft.storage.ParquetLog.open(
         s, dst,
         org.apache.spark.sql.types.DataType.fromJson(
@@ -1004,7 +1001,7 @@ object SparkEntry {
         .collect()(0)
         .getSeq[Float](0)
       val path =
-        java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/idx"
+        tempWorkDir("graft-annidx") + "/idx"
       Ann.writeBucketedIndex(emb, "embedding", "vec_id", path, bits = 8)
       Ann
         .indexTopK(s, path, "embedding", "vec_id", q, 10, bits = 8, probeHamming = 1)
@@ -1032,7 +1029,7 @@ object SparkEntry {
     // on the join key (the shuffle paid once at write time), result
     // byte-identical to the plain join the oracle runs
     "q61_bucketed_join" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      val work = tempWorkDir("graft-bkt")
       graft.storage.Bucketed.write(
         Tables.load(s, dir, "orders"), "g_orders_b", "o_custkey", 8,
         s"$work/orders")
@@ -1092,8 +1089,7 @@ object SparkEntry {
     "q78_stream_mirror" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val (log, _, _) = EngineFixtures.open(s, dir)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q78").toString
+      val work = tempWorkDir("graft-q78")
       val dst = s"$work/log"
       graft.storage.ParquetLog.open(
         s, dst,
@@ -1131,6 +1127,41 @@ object SparkEntry {
         .bm25(Tables.load(s, dir, "documents"), "text", "doc_id",
           Seq("table", "join", "query"))
         .orderBy("doc_id")),
+
+    // the SCALE path of the quality gate (approxQuantile cut, no
+    // global sort) under the oracle. The GK sketch's rank guarantee is
+    // asserted through the engine (require: kept count within
+    // tolerance of keepFrac·N, cut rank within relErr), then the kept
+    // set's guaranteed prefix — its top floor(0.19·N) rows by
+    // (quality desc, doc_id) — is compared row-for-row against the
+    // global top-m from DuckDB: a threshold gate that keeps ≥ m rows
+    // MUST contain exactly the global top m (superset consistency).
+    "q79_quality_gate_scale" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      val keepFrac = 0.2
+      val relErr = 0.001
+      val total = docs.count()
+      val kept = graft.pipeline.Curation
+        .qualityGate(docs, "quality", "doc_id", keepFrac, exact = false,
+          relErr = relErr)
+      val nKept = kept.count()
+      // exact integer arithmetic so Spark and DuckDB agree on m
+      val m = 19L * total / 100L // floor(0.19 * N)
+      require(nKept >= m, s"approx gate under-kept: $nKept < $m of $total")
+      // over-keep bound: rows STRICTLY above the cut are the minimal
+      // kept set; GK guarantees its size ≤ (keepFrac + relErr)·N
+      val cut = kept.agg(min(col("quality"))).collect().head.getDouble(0)
+      val above = docs.where(col("quality") > cut).count()
+      require(above <= math.ceil((keepFrac + relErr) * total).toLong + 1,
+        s"approx cut ranked out of tolerance: $above rows strictly above $cut")
+      kept
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .limit(m.toInt)
+        .select("doc_id", "quality")
+    }),
 
     // connector column pruning under oracle: an aggregate that needs
     // ONLY seq — the value column chunks are never fetched (asserted
@@ -1977,6 +2008,14 @@ object SparkEntry {
     "q75_dsv2_prune" ->
       """SELECT event_id % 7 AS m, count(*) AS n FROM events
         |WHERE event_id >= 100 AND event_id < 300 GROUP BY m ORDER BY m""".stripMargin,
+    // q79: the approx gate's guaranteed prefix IS the global top
+    // floor(0.19·N) by (quality desc, doc_id) — see the Spark side's
+    // in-engine GK tolerance requires
+    "q79_quality_gate_scale" ->
+      s"""WITH q AS ($qualityScoreSql)
+         |SELECT doc_id, quality FROM q
+         |ORDER BY quality DESC, doc_id ASC
+         |LIMIT (SELECT CAST(floor(0.19 * count(*)) AS BIGINT) FROM q)""".stripMargin,
     // q48's literal-codebook assignment + keep-first within-cell
     // cosine dedup: b dies when some a < b in its cell reaches 0.3
     "q76_semantic_dedup" ->

@@ -83,6 +83,21 @@ class GraftLogSource extends TableProvider with DataSourceRegister
       ): Unit = {
         val spark = data.sparkSession
         val log = ParquetLog.open(spark, dir)
+        // the stable query id (persisted in the checkpoint) identifies
+        // the batch-id lineage: a NEW query writing to this log is
+        // refused loudly by appendStream rather than silently skipped
+        // as a "replay" of ids it never committed
+        val queryId = Option(
+          spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+        (log.streamQuery, queryId) match {
+          case (Some(bound), Some(q)) if bound != q =>
+            throw new IllegalStateException(
+              s"graft-log $dir is bound to streaming query $bound; " +
+                s"query $q must not reuse its batch-id replay marks. " +
+                "Resume from the original checkpoint, or call " +
+                "ParquetLog.releaseStreamBinding() to rebind.")
+          case _ => ()
+        }
         if (log.streamBatch.exists(_ >= batchId)) return // replay
         // a streaming Sink's DataFrame is an incremental-plan view —
         // `.rdd` on it re-analyzes the plan as streaming and fails.
@@ -105,7 +120,7 @@ class GraftLogSource extends TableProvider with DataSourceRegister
         val ordered =
           if (batch.columns.contains("seq")) batch.orderBy(col("seq"))
           else batch
-        log.appendStream(batchId, ordered.select(col("value")))
+        log.appendStream(batchId, ordered.select(col("value")), queryId)
         ()
       }
     }

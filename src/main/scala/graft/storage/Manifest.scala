@@ -37,7 +37,13 @@ final case class Manifest(
     // channel, because the mark commits atomically WITH the batch's
     // segments. Absent (None) on logs never written by a stream;
     // old manifests parse compatibly.
-    streamBatch: Option[Long] = None
+    streamBatch: Option[Long] = None,
+    // the streaming QUERY the batch mark belongs to: batch ids are
+    // only comparable within one query/checkpoint lineage (a NEW
+    // query restarts ids at 0, and silently skipping its early
+    // batches as "replays" would be data loss). A mismatched query is
+    // refused loudly; ParquetLog.releaseStreamBinding rebinds.
+    streamQuery: Option[String] = None
 )
 
 object Manifest {

@@ -90,17 +90,56 @@ final class ParquetLog private (
     * (None if it was never written by a stream). */
   def streamBatch: Option[Long] = manifest.streamBatch
 
+  /** The streaming query this log's batch mark is bound to. */
+  def streamQuery: Option[String] = manifest.streamQuery
+
   /** Idempotent streaming append: commit `values` together with the
     * micro-batch id in ONE manifest commit. A replayed batch (id <=
     * the committed mark — the restart path of the graft-log
     * writeStream sink) is a no-op, so the sink is exactly-once
-    * without any side-channel state. */
-  def appendStream(batchId: Long, values: DataFrame): Long = synchronized {
+    * without any side-channel state.
+    *
+    * Batch ids are only comparable within ONE query/checkpoint
+    * lineage: a NEW streaming query (fresh checkpoint) restarts ids
+    * at 0, and treating its early batches as replays would be SILENT
+    * DATA LOSS. When `queryId` is given, the log binds to that
+    * query's lineage on first streaming write; a mismatched query is
+    * refused loudly — call [[releaseStreamBinding]] to intentionally
+    * hand the log to a new query. */
+  def appendStream(
+      batchId: Long,
+      values: DataFrame,
+      queryId: Option[String] = None
+  ): Long = synchronized {
+    (manifest.streamQuery, queryId) match {
+      case (Some(bound), Some(q)) if bound != q =>
+        throw new IllegalStateException(
+          s"log $dir is bound to streaming query $bound (its batch-id " +
+            s"replay marks are meaningless to query $q). Resume from that " +
+            "query's checkpoint, or call releaseStreamBinding() to rebind " +
+            "this log to the new query lineage.")
+      case _ => ()
+    }
     if (manifest.streamBatch.exists(_ >= batchId)) manifest.maxSeq + 1
-    else appendInternal(values, Some(batchId))
+    else appendInternal(values, Some(batchId), queryId)
   }
 
-  private def appendInternal(values: DataFrame, batchId: Option[Long]): Long = {
+  /** Unbind this log from its streaming-query lineage (clears the
+    * batch-id replay mark WITH the binding — the mark is meaningless
+    * outside its query). The next streaming write binds fresh. */
+  def releaseStreamBinding(): Unit = synchronized {
+    if (manifest.streamBatch.isDefined || manifest.streamQuery.isDefined)
+      commitOrCleanup(
+        manifest.copy(version = manifest.version + 1,
+          streamBatch = None, streamQuery = None),
+        Nil)
+  }
+
+  private def appendInternal(
+      values: DataFrame,
+      batchId: Option[Long],
+      queryId: Option[String] = None
+  ): Long = {
     val base = manifest.maxSeq + 1
     val vCol = values.columns.head
     val vType = values.schema.head.dataType
@@ -135,7 +174,8 @@ final class ParquetLog private (
         if (manifest.segments.isEmpty) vType.json
         else manifest.valueSchemaJson,
       segments = manifest.segments ++ segs,
-      streamBatch = batchId.orElse(manifest.streamBatch)
+      streamBatch = batchId.orElse(manifest.streamBatch),
+      streamQuery = queryId.orElse(manifest.streamQuery)
     )
     commitOrCleanup(next, segs)
     base

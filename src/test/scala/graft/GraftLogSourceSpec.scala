@@ -319,6 +319,44 @@ class GraftLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sink refuses a NEW query's batches instead of skipping them") {
+    // a fresh checkpoint restarts batch ids at 0; treating those as
+    // replays of the PREVIOUS query's ids would silently drop data —
+    // the log is bound to one query lineage and refuses loudly
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val srcDir = tmpDir("dsv2qb") + "/src"
+    val dstDir = tmpDir("dsv2qb") + "/dst"
+    val src = ParquetLog.open(spark, srcDir, IntegerType)
+    ParquetLog.open(spark, dstDir, IntegerType)
+    src.appendValues(Seq(0, 1, 2))
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft-log").load(srcDir)
+        .where(!col("nulled"))
+        .writeStream.format("graft-log")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start(dstDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmpDir("dsv2qbck1"))
+    assert(spark.read.format("graft-log").load(dstDir).count() == 3)
+    // second, DIFFERENT query (fresh checkpoint): its batch 0 must
+    // not be silently skipped as a replay — loud refusal instead
+    val e = intercept[Exception] { run(tmpDir("dsv2qbck2")) }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+    assert(chain.exists(t => t.getMessage != null &&
+      t.getMessage.contains("bound to streaming query")),
+      s"expected a query-binding refusal, got: $e")
+    assert(spark.read.format("graft-log").load(dstDir).count() == 3,
+      "refused query must not have written")
+    // explicit rebind hands the log to the new lineage
+    ParquetLog.open(spark, dstDir).releaseStreamBinding()
+    run(tmpDir("dsv2qbck3"))
+    // the new query re-reads the whole source: 3 + 3 rows, by choice
+    assert(spark.read.format("graft-log").load(dstDir).count() == 6)
+  }
+
   test("adjacent small segments pack into one partition by default") {
     val dir = tmpDir("dsv2pk") + "/log"
     mkLog(dir) // 3 tiny segments
