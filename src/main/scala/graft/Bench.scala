@@ -103,6 +103,15 @@ object Bench {
     // 2. sequential scan: full drain through the QuerySpec path
     timed("seq_scan")(log.query(SeqWrap(true)).count())
 
+    // 2b. the same full drain THROUGH the DSv2 connector (manifest-
+    // packed partitions, parquet-mr readers, direct InternalRow emit):
+    // aggregates a computed column so the scan can't be optimized to
+    // manifest row counts
+    timed("seq_scan_connector") {
+      spark.read.format("graft-log").load(log.dir)
+        .agg(sum(col("seq"))).collect()
+    }
+
     // 3. bounded scan: Gte/Lt + Limit
     timed("bounded_scan") {
       log.query(Gte(1000), Lt(50000), Limit(10000), SeqWrap(true)).count()

@@ -1163,6 +1163,30 @@ object SparkEntry {
         .select("doc_id", "quality")
     }),
 
+    // CCNet-style unigram LM scoring: corpus token counts (one
+    // shuffle) → top-16 vocab with precomputed log-probs broadcast to
+    // the scoring join → per-doc mean in ascending-value order. The
+    // small vocab cut leaves real OOV tokens, so both the in-vocab
+    // and the pseudo-count paths are under the oracle
+    "q80_unigram_lm" -> ((s, dir) =>
+      TextFunctions
+        .unigramLm(Tables.load(s, dir, "documents"), "text", "doc_id",
+          vocabSize = 16)
+        .orderBy("doc_id")),
+
+    // quality-aware retention: keep the HIGHEST-QUALITY member of
+    // each near-dup cluster (ties by lowest id), all unclustered docs
+    // pass through — q51's min-id policy upgraded to what curation
+    // pipelines actually want
+    "q81_cluster_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("_q", round(TextFunctions.qualityScore(col("text")), 6))
+      Dedup
+        .clusterSurvivorsBest(docs, "doc_id", lshPairsForClusters(s, dir), "_q")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // connector column pruning under oracle: an aggregate that needs
     // ONLY seq — the value column chunks are never fetched (asserted
     // plan-side in GraftLogSourceSpec)
@@ -2008,6 +2032,34 @@ object SparkEntry {
     "q75_dsv2_prune" ->
       """SELECT event_id % 7 AS m, count(*) AS n FROM events
         |WHERE event_id >= 100 AND event_id < 300 GROUP BY m ORDER BY m""".stripMargin,
+    "q80_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+        |vocab AS (
+        |  SELECT tok, round(ln(c / (SELECT t FROM tot)), 6) AS logp
+        |  FROM cnt ORDER BY c DESC, tok ASC LIMIT 16
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    coalesce(v.logp, round(ln(0.5 / (SELECT t FROM tot)), 6)) AS logp
+        |  FROM toks t LEFT JOIN vocab v USING (tok)
+        |)
+        |SELECT doc_id, round(sum(logp ORDER BY logp) / count(*), 6) AS lm_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q81_cluster_best" ->
+      s"""$clusterCtes, q AS ($qualityScoreSql)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT id FROM (
+         |    SELECT c.id,
+         |      row_number() OVER (PARTITION BY c.component
+         |        ORDER BY q.quality DESC, c.id ASC) AS rn
+         |    FROM comp c JOIN q ON q.doc_id = c.id
+         |  ) WHERE rn > 1
+         |)
+         |ORDER BY doc_id""".stripMargin,
     // q79: the approx gate's guaranteed prefix IS the global top
     // floor(0.19·N) by (quality desc, doc_id) — see the Spark side's
     // in-engine GK tolerance requires

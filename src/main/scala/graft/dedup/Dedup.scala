@@ -410,6 +410,35 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE retention: keep the HIGHEST-SCORING member of each
+    * near-dup cluster (ties broken by lowest id) instead of
+    * [[clusterSurvivors]]'s min-id rule — the policy real curation
+    * pipelines want: when five mirrors of a page survive crawling,
+    * keep the cleanest copy, not the one with the smallest id.
+    *
+    * Scale shape: components run on the PAIRS graph only; the argmax
+    * window partitions by component — only clustered docs (a tiny
+    * fraction of the corpus) enter the window, the rest pass through
+    * an anti-join untouched. */
+  def clusterSurvivorsBest(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      scoreCol: String
+  ): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component")
+      .orderBy(col("_score").desc, col("id").asc)
+    val losers = df
+      .select(col(idCol).cast("long").as("id"), col(scoreCol).as("_score"))
+      .join(comp, Seq("id")) // clustered docs only
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash from whitespace tokens: bit i of the fingerprint
     * is the majority vote of bit i across all token md5 hashes.
     * Pure columnar arithmetic (explode bits → conditional sum) — one

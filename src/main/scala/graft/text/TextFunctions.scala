@@ -196,4 +196,58 @@ object TextFunctions {
     df.select(col(idCol), round(score, 6).as("score"))
       .where(col("score") > 0.0)
   }
+
+  /** CCNet-style unigram language-model scoring: per-document mean
+    * token log-probability under the CORPUS's own unigram
+    * distribution — the cheap LM-perplexity proxy the classic
+    * web-corpus pipelines gate on (low mean log-prob = rare-token
+    * soup = likely junk; suspiciously high = boilerplate).
+    *
+    * Scale shape: token counts are ONE explode+groupBy shuffle
+    * (map-side combined); the top-`vocabSize` vocabulary with
+    * precomputed log-probs is BROADCAST to the scoring join (a vocab
+    * is small by construction — that is what makes it a vocab); the
+    * per-doc mean is the second and last shuffle. Out-of-vocabulary
+    * tokens get `ln(oovCount / totalTokens)` — an unseen-token
+    * pseudo-count, not a hard zero.
+    *
+    * Determinism for the oracle: per-token log-probs are rounded to
+    * 6 dp FIRST, each doc's terms are summed in ASCENDING VALUE order
+    * (sort_array over the collected list — collect_list order is not
+    * deterministic, the sort makes it so), and the mean is rounded to
+    * 6 dp. Returns `(id, lm_logprob)` for non-empty docs. */
+  def unigramLm(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocabSize: Int = 65536,
+      oovCount: Double = 0.5
+  ): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0 (got $vocabSize)")
+    require(oovCount > 0.0, s"oovCount must be > 0 (got $oovCount)")
+    val toks = df
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
+    val counts = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
+    // one scalar action: the corpus token total becomes a literal
+    val total = counts.agg(sum("_c")).collect().head.getLong(0).toDouble
+    val vocab = counts
+      .orderBy(col("_c").desc, col("_tok").asc) // deterministic cut
+      .limit(vocabSize)
+      .select(col("_tok"),
+        round(log(col("_c").cast("double") / lit(total)), 6).as("_logp"))
+    toks
+      .join(broadcast(vocab), Seq("_tok"), "left")
+      .withColumn("_logp",
+        coalesce(col("_logp"), round(log(lit(oovCount / total)), 6)))
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(col("_logp"))).as("_ps"),
+        count(lit(1)).as("_n"))
+      .select(
+        col(idCol),
+        round(
+          aggregate(col("_ps"), lit(0.0), (a, x) => a + x) / col("_n"),
+          6).as("lm_logprob"))
+  }
 }

@@ -116,6 +116,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.keySet == Set(0L, 1L, 4L))
   }
 
+  test("unigram LM: in-vocab log-probs, OOV pseudo-count, empty docs dropped") {
+    val corpus = docs(
+      1L -> "a a b",
+      2L -> "b c",
+      3L -> "   " // empty after trim: no score row
+    )
+    // counts: a=2, b=2, c=1; total=5; vocab(2) by (count desc, tok asc)
+    // = {a, b}; c is OOV
+    val got = graft.text.TextFunctions
+      .unigramLm(corpus, "text", "doc_id", vocabSize = 2, oovCount = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = r6(math.log(2.0 / 5.0)) // both a and b
+    val pOov = r6(math.log(0.5 / 5.0))
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == r6((pAB + pAB + pAB) / 3.0))
+    assert(got(2L) == r6((pAB + pOov) / 2.0))
+  }
+
+  test("unigram LM vocab cut is deterministic and bounds the broadcast") {
+    val corpus = docs(
+      1L -> "x x y y z z w", // x,y,z tie at 2; w=1
+      2L -> "w v"
+    )
+    // vocabSize=2 with a 4-way tie at count 2 (w,x,y,z): the
+    // (count desc, tok asc) cut takes {w, x}; y, z, v are OOV —
+    // scores must reflect exactly that deterministic cut
+    val got = graft.text.TextFunctions
+      .unigramLm(corpus, "text", "doc_id", vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = 9.0
+    val pIn = r6(math.log(2.0 / t))
+    val pOov = r6(math.log(0.5 / t))
+    assert(got(2L) == r6((pIn + pOov) / 2.0)) // w in vocab, v OOV
+    assert(got(1L) == r6((3 * pIn + 4 * pOov) / 7.0)) // x,x,w in; y,y,z,z out
+  }
+
   test("bm25 scores match the formula and skip non-matching docs") {
     import graft.text.TextFunctions
     val corpus = docs(

@@ -116,6 +116,23 @@ class PipelineSpec extends SparkSpec {
     assert(surv == Set(1L, 10L, 20L, 99L))
   }
 
+  test("quality-aware survivors: best-of-cluster, ties by lowest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // cluster {1,2,3}: 2 has the best score; cluster {10,11}: tied →
+    // lowest id (10); 99 unclustered → survives regardless of score
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.7),
+      (10L, 0.4), (11L, 0.4),
+      (99L, 0.0)
+    ).toDF("doc_id", "score")
+    val surv = Dedup
+      .clusterSurvivorsBest(docs, "doc_id", pairs, "score")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(surv == Set(2L, 10L, 99L))
+  }
+
   test("exact dedup: survivors + duplicates partition the corpus") {
     val n = docs.count()
     val survivors = Dedup.exactDedup(docs, "text", "doc_id").count()
