@@ -1187,6 +1187,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // hybrid retrieval: RRF(k=60) of the BM25 top-100 and the
+    // quality-prior top-100 — rank-only fusion, no score calibration;
+    // each window sorts its own 100-row candidate list
+    "q82_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lexical = TextFunctions
+        .bm25(docs, "text", "doc_id", Seq("table", "join", "query"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(100)
+      val prior = docs
+        .select(col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .limit(100)
+      graft.query.Fuse.rrf(lexical, prior, "doc_id", k = 60)
+    }),
+
+    // token-budget sampling, EXACT path: hash-ordered greedy prefix
+    // until the preceding cumulative token count reaches the budget
+    // (the scale path is a rate-estimated hashSample gate — same
+    // exact/approx duality as the quality gate, q74/q79)
+    "q83_token_budget" -> ((s, dir) =>
+      graft.pipeline.Sampling
+        .tokenBudgetSample(Tables.load(s, dir, "documents"), "text",
+          "doc_id", budgetTokens = 5000L, seed = "s83", exact = true)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")),
+
     // connector column pruning under oracle: an aggregate that needs
     // ONLY seq — the value column chunks are never fetched (asserted
     // plan-side in GraftLogSourceSpec)
@@ -1310,6 +1338,40 @@ object SparkEntry {
 
   /** lshPairsCtes + undirected edges + recursive reachability:
     * `comp(id, component)` = min id reachable from each clustered doc. */
+  /** BM25 (k1=1.2, b=0.75, terms table/join/query): the full CTE
+    * chain + scored select, shared by q77 and the q82 fusion oracle
+    * (which nests it as a derived table). No trailing ORDER BY. */
+  private lazy val bm25Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS dl
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, dl::DOUBLE AS dl,
+      |    len(list_filter(w, x -> x = 'table'))::DOUBLE AS tf1,
+      |    len(list_filter(w, x -> x = 'join'))::DOUBLE AS tf2,
+      |    len(list_filter(w, x -> x = 'query'))::DOUBLE AS tf3
+      |  FROM t
+      |), c AS (
+      |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2,
+      |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df3
+      |  FROM tf
+      |)
+      |SELECT doc_id, score FROM (
+      |  SELECT doc_id, round(
+      |      ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0)
+      |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0)
+      |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * tf3 * (1.2 + 1.0)
+      |        / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+      |  FROM tf, c
+      |) WHERE score > 0""".stripMargin
+
   private lazy val clusterCtes: String =
     s"""${lshPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
        |  SELECT id_a AS a, id_b AS b FROM pairs
@@ -2101,35 +2163,44 @@ object SparkEntry {
         |WHERE dom.vec_id IS NULL ORDER BY s.vec_id""".stripMargin,
     // BM25(k1=1.2, b=0.75) for terms (table, join, query): constants
     // (N, avgdl, per-term df) from the corpus, fixed-order term sum
-    "q77_bm25" ->
+    "q77_bm25" -> s"$bm25Sql ORDER BY doc_id",
+    // RRF(k=60) of the BM25 top-100 and the quality-prior top-100:
+    // ranks by (score desc, doc_id), fused 1/(60+ra) + 1/(60+rb),
+    // docs missing from a list contribute 0 from it
+    "q82_rrf_fusion" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
+         |  FROM (SELECT * FROM ($bm25Sql)
+         |        ORDER BY score DESC, doc_id ASC LIMIT 100)
+         |), qx AS ($qualityScoreSql),
+         |b AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rb
+         |  FROM (SELECT * FROM qx
+         |        ORDER BY quality DESC, doc_id ASC LIMIT 100)
+         |)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  round(coalesce(1.0 / (60 + ra), 0) + coalesce(1.0 / (60 + rb), 0), 6) AS rrf
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |ORDER BY rrf DESC, doc_id ASC""".stripMargin,
+    // the EXACT path of token-budget sampling: hash-ordered greedy
+    // prefix, kept while the PRECEDING cumulative token count is
+    // under the budget
+    "q83_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS w,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS dl
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s83'), 1, 8))::BIGINT AS h
         |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, dl::DOUBLE AS dl,
-        |    len(list_filter(w, x -> x = 'table'))::DOUBLE AS tf1,
-        |    len(list_filter(w, x -> x = 'join'))::DOUBLE AS tf2,
-        |    len(list_filter(w, x -> x = 'query'))::DOUBLE AS tf3
-        |  FROM t
         |), c AS (
-        |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
-        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
-        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2,
-        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df3
-        |  FROM tf
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM t
         |)
-        |SELECT doc_id, score FROM (
-        |  SELECT doc_id, round(
-        |      ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * tf1 * (1.2 + 1.0)
-        |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * tf2 * (1.2 + 1.0)
-        |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * tf3 * (1.2 + 1.0)
-        |        / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
-        |  FROM tf, c
-        |) WHERE score > 0 ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, n_tokens FROM c WHERE before < 5000
+        |ORDER BY doc_id""".stripMargin
   )
 }

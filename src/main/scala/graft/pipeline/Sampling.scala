@@ -104,6 +104,52 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Sample a corpus down to a TOKEN budget — the data-mixing step
+    * that answers "give me 50 B tokens of this source", where doc
+    * counts are the wrong unit because doc lengths vary by orders of
+    * magnitude.
+    *
+    * THE SCALE PATH (default): one aggregate pass estimates the
+    * corpus token total, the keep-rate `budget / total` is applied as
+    * a [[hashSample]] gate — a pure pushed-down filter, no shuffle,
+    * retry-stable; the delivered budget is approximate within
+    * sampling error (tight for any corpus big enough to need this).
+    *
+    * `exact = true` orders docs by `(hash(id, seed), id)` — a
+    * deterministic "random" order — and keeps the greedy prefix whose
+    * PRECEDING cumulative token count is under the budget (so the
+    * budget is exceeded by at most one document). The running-sum
+    * window is a single-reducer global sort: verification scale only,
+    * and the DuckDB-oracle-able twin of the gate. Both paths return
+    * the input columns plus `n_tokens`. */
+  def tokenBudgetSample(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      budgetTokens: Long,
+      seed: String = "s0",
+      exact: Boolean = false
+  ): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0 (got $budgetTokens)")
+    val withTok = df.withColumn(
+      "n_tokens",
+      graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+    if (exact) {
+      val w = Window
+        .orderBy(hashOf(col(idCol), seed).asc, col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withTok
+        .withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .where(col("_before") < budgetTokens)
+        .drop("_before")
+    } else {
+      val total = withTok
+        .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+      if (total <= budgetTokens) withTok
+      else hashSample(withTok, idCol, budgetTokens.toDouble / total, seed)
+    }
+  }
+
   /** Sequence packing (GPT-style concat-and-chunk) metadata, sharded:
     * within each of `numShards` hash-shards, documents are laid out in
     * id order; each doc gets its token start offset and the index of

@@ -22,6 +22,58 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(k / n - 0.3) < 0.15, s"rate ${k / n} too far from 0.3")
   }
 
+  test("tokenBudgetSample: exact greedy prefix; approx rate lands near budget") {
+    import spark.implicits._
+    // EXACT: the kept set must be precisely the hash-order prefix
+    // whose preceding cumulative token count is under the budget
+    val budget = 2000L
+    val kept = Sampling
+      .tokenBudgetSample(docs, "text", "doc_id", budget, "tb", exact = true)
+      .select("doc_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // recompute the greedy walk from first principles
+    val walk = docs
+      .select(col("doc_id"), Sampling.hashOf(col("doc_id"), "tb").as("h"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    var cum = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    walk.foreach { case (id, _, n) =>
+      if (cum < budget) { expect(id) = n; cum += n }
+    }
+    assert(kept == expect.toMap)
+    // budget is exceeded by at most the last (crossing) doc
+    val total = kept.values.sum
+    assert(total >= budget && total - kept.values.max <= budget)
+    // budget >= corpus: everything kept, with n_tokens attached
+    assert(Sampling.tokenBudgetSample(docs, "text", "doc_id", Long.MaxValue,
+      "tb", exact = true).count() == docs.count())
+    // APPROX (scale path): pushed-filter gate lands near the budget
+    val approx = Sampling
+      .tokenBudgetSample(docs, "text", "doc_id", budget, "tb")
+      .agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(approx > 0 && math.abs(approx - budget).toDouble / budget < 0.8,
+      s"approx budget $approx too far from $budget")
+  }
+
+  test("rrf fusion: rank-only, fixed-order two-term sum, missing = 0") {
+    import spark.implicits._
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "score")
+    val b = Seq((2L, 9.0), (4L, 5.0)).toDF("id", "score")
+    val got = graft.query.Fuse.rrf(a, b, "id", k = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = List(
+      2L -> r6(1.0 / 62 + 1.0 / 61), // rank 2 in a, rank 1 in b
+      1L -> r6(1.0 / 61), // a only
+      3L -> r6(1.0 / 63), // a only
+      4L -> r6(1.0 / 62) // b only
+    ).sortBy { case (id, s) => (-s, id) }
+    assert(got == expect)
+  }
+
   test("stratifiedHashSample applies per-stratum rates") {
     val out = Sampling.stratifiedHashSample(
       docs, "lang", Map("en" -> 1.0), defaultRate = 0.0, idCol = "doc_id")
