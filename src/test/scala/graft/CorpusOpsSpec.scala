@@ -156,6 +156,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L) == r6((3 * pIn + 4 * pOov) / 7.0)) // x,x,w in; y,y,z,z out
   }
 
+  test("unigram LM scoring joins the vocab broadcast, not shuffled") {
+    val corpus = docs(1L -> "a b c d e", 2L -> "a a f g h")
+    val plan = graft.text.TextFunctions
+      .unigramLm(corpus, "text", "doc_id", vocabSize = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected broadcast vocab side in:\n$plan")
+  }
+
   test("bm25 scores match the formula and skip non-matching docs") {
     import graft.text.TextFunctions
     val corpus = docs(

@@ -57,6 +57,14 @@ class SamplingSpec extends SparkSpec {
       s"approx budget $approx too far from $budget")
   }
 
+  test("tokenBudgetSample scale path is a pushed filter: no sort, no window") {
+    val plan = Sampling
+      .tokenBudgetSample(docs, "text", "doc_id", 2000L, "tb")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"scale path must not plan a global sort/window:\n$plan")
+  }
+
   test("rrf fusion: rank-only, fixed-order two-term sum, missing = 0") {
     import spark.implicits._
     val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "score")
