@@ -1215,6 +1215,16 @@ object SparkEntry {
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")),
 
+    // per-source corpus profile: the diagnostic read before setting
+    // mixing weights — docs / tokens / distinct-content / dup ratio /
+    // vocabulary size per source, all integer-derived (deterministic
+    // under any aggregation order)
+    "q84_corpus_profile" -> ((s, dir) =>
+      graft.pipeline.Curation
+        .corpusProfile(Tables.load(s, dir, "documents"), "text", "doc_id",
+          "source")
+        .orderBy("source")),
+
     // connector column pruning under oracle: an aggregate that needs
     // ONLY seq — the value column chunks are never fetched (asserted
     // plan-side in GraftLogSourceSpec)
@@ -2184,6 +2194,28 @@ object SparkEntry {
          |  round(coalesce(1.0 / (60 + ra), 0) + coalesce(1.0 / (60 + rb), 0), 6) AS rrf
          |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
          |ORDER BY rrf DESC, doc_id ASC""".stripMargin,
+    "q84_corpus_profile" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    text
+        |  FROM documents
+        |), base AS (
+        |  SELECT source, count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens,
+        |    count(DISTINCT fp) AS distinct_docs,
+        |    round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_ratio
+        |  FROM t GROUP BY source
+        |), vocab AS (
+        |  SELECT source, count(DISTINCT tok) AS distinct_tokens FROM (
+        |    SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    FROM documents
+        |  ) GROUP BY source
+        |)
+        |SELECT base.*, coalesce(vocab.distinct_tokens, 0) AS distinct_tokens
+        |FROM base LEFT JOIN vocab USING (source)
+        |ORDER BY source""".stripMargin,
     // the EXACT path of token-budget sampling: hash-ordered greedy
     // prefix, kept while the PRECEDING cumulative token count is
     // under the budget

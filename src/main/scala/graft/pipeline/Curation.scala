@@ -46,6 +46,44 @@ object Curation {
     else Sampling.hashSample(deduped, idCol, sampleRate, seed)
   }
 
+  /** Per-stratum corpus profile — the diagnostic a mixing decision
+    * reads before [[Sampling.stratifiedHashSample]] sets weights:
+    * for each stratum (source, lang, …) the doc count, token total,
+    * distinct-content count (by [[TextFunctions.fingerprint]]), the
+    * duplication ratio, and the distinct-token (vocabulary) count.
+    *
+    * Every metric is an INTEGER or a ratio of integers, so the
+    * result is bit-deterministic regardless of aggregation order —
+    * no float-summation caveats in the oracle. Plan shape: one
+    * groupBy over the corpus (count-distinct expands to the standard
+    * two-phase plan) plus one explode+groupBy pair for the
+    * vocabulary, joined on the tiny per-stratum frame. */
+  def corpusProfile(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      strataCol: String
+  ): DataFrame = {
+    val base = df
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("tokens"),
+        countDistinct(TextFunctions.fingerprint(col(textCol)))
+          .as("distinct_docs"))
+      .withColumn(
+        "dup_ratio",
+        round(lit(1.0) - col("distinct_docs").cast("double") / col("docs"), 6))
+    val vocabSize = df
+      .select(col(strataCol),
+        explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      .groupBy(col(strataCol))
+      .agg(countDistinct(col("_tok")).as("distinct_tokens"))
+    base.join(vocabSize, Seq(strataCol), "left")
+      .withColumn("distinct_tokens",
+        coalesce(col("distinct_tokens"), lit(0L)))
+  }
+
   /** Keep the top `keepFrac` of rows by `scoreCol` — the adaptive
     * cousin of `curate`'s fixed `minQuality` threshold: "best 20% of
     * the crawl", whatever score distribution this crawl has.

@@ -156,6 +156,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L) == r6((3 * pIn + 4 * pOov) / 7.0)) // x,x,w in; y,y,z,z out
   }
 
+  test("corpusProfile: per-stratum docs/tokens/distinct/dup-ratio/vocab") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c", "A"),
+      (2L, "a  b   c", "A"), // same fingerprint as 1 (whitespace collapse)
+      (3L, "d e", "A"),
+      (4L, "x y", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation
+      .corpusProfile(corpus, "text", "doc_id", "source")
+      .orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+      .toList
+    assert(got == List(
+      // A: 3 docs, 8 tokens, 2 distinct contents, dup 1/3, vocab {a,b,c,d,e}
+      ("A", 3L, 8L, 2L, BigDecimal(1.0 / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 5L),
+      ("B", 1L, 2L, 1L, 0.0, 2L)
+    ))
+  }
+
   test("unigram LM scoring joins the vocab broadcast, not shuffled") {
     val corpus = docs(1L -> "a b c d e", 2L -> "a a f g h")
     val plan = graft.text.TextFunctions
