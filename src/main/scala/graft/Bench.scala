@@ -218,6 +218,11 @@ object Bench {
         "q", "doc_id", 0.2).agg(sum("q")).collect()
     }
 
+    timed("unigram_lm") {
+      TextFunctions.unigramLm(docs, "text", "doc_id")
+        .agg(sum("lm_logprob")).collect()
+    }
+
     // 9. live tail: append-after-subscribe delivery latency (one
     // trigger round, includes micro-batch scheduling)
     {
