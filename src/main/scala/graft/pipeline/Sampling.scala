@@ -143,8 +143,9 @@ object Sampling {
         .where(col("_before") < budgetTokens)
         .drop("_before")
     } else {
-      val total = withTok
-        .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+      val totalRow = withTok.agg(sum(col("n_tokens"))).collect().head
+      // empty corpus: sum is null — everything (nothing) fits the budget
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
       if (total <= budgetTokens) withTok
       else hashSample(withTok, idCol, budgetTokens.toDouble / total, seed)
     }

@@ -32,6 +32,8 @@ object Fuse {
   ): DataFrame = {
     require(k > 0, s"rrf k must be > 0 (got $k)")
     def ranked(df: DataFrame, rankName: String): DataFrame = {
+      require(df.columns.length == 2 && df.columns.contains(idCol),
+        s"rrf inputs must be (id, score) frames; got ${df.columns.mkString(", ")}")
       val scoreCol = df.columns.filter(_ != idCol).head
       df.select(
         col(idCol),

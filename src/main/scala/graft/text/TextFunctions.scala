@@ -211,17 +211,23 @@ object TextFunctions {
     * tokens get `ln(oovCount / totalTokens)` — an unseen-token
     * pseudo-count, not a hard zero.
     *
-    * Determinism for the oracle: per-token log-probs are rounded to
-    * 6 dp FIRST, each doc's terms are summed in ASCENDING VALUE order
-    * (sort_array over the collected list — collect_list order is not
-    * deterministic, the sort makes it so), and the mean is rounded to
-    * 6 dp. Returns `(id, lm_logprob)` for non-empty docs. */
+    * Determinism for the oracle (`deterministic = true`, default):
+    * per-token log-probs are rounded to 6 dp FIRST, each doc's terms
+    * are summed in ASCENDING VALUE order (sort_array over the
+    * collected list — collect_list order is not deterministic, the
+    * sort makes it so), and the mean is rounded to 6 dp.
+    * `deterministic = false` is the production scale path: a plain
+    * codegen'd sum/count per doc (no list materialization, no
+    * ObjectHashAggregate) — same value up to float summation order
+    * (≤ last-ulp wobble), ~2× cheaper at 10× probe scale. Returns
+    * `(id, lm_logprob)` for non-empty docs. */
   def unigramLm(
       df: DataFrame,
       textCol: String,
       idCol: String,
       vocabSize: Int = 65536,
-      oovCount: Double = 0.5
+      oovCount: Double = 0.5,
+      deterministic: Boolean = true
   ): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be > 0 (got $vocabSize)")
     require(oovCount > 0.0, s"oovCount must be > 0 (got $oovCount)")
@@ -230,24 +236,34 @@ object TextFunctions {
       .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
     val counts = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
     // one scalar action: the corpus token total becomes a literal
-    val total = counts.agg(sum("_c")).collect().head.getLong(0).toDouble
+    // (empty corpus → no token rows → empty result, not a div-by-0)
+    val totalRow = counts.agg(sum("_c")).collect().head
+    if (totalRow.isNullAt(0))
+      return toks.select(col(idCol), lit(0.0).as("lm_logprob")).limit(0)
+    val total = totalRow.getLong(0).toDouble
     val vocab = counts
       .orderBy(col("_c").desc, col("_tok").asc) // deterministic cut
       .limit(vocabSize)
       .select(col("_tok"),
         round(log(col("_c").cast("double") / lit(total)), 6).as("_logp"))
-    toks
+    val scored = toks
       .join(broadcast(vocab), Seq("_tok"), "left")
       .withColumn("_logp",
         coalesce(col("_logp"), round(log(lit(oovCount / total)), 6)))
-      .groupBy(col(idCol))
-      .agg(
-        sort_array(collect_list(col("_logp"))).as("_ps"),
-        count(lit(1)).as("_n"))
-      .select(
-        col(idCol),
-        round(
-          aggregate(col("_ps"), lit(0.0), (a, x) => a + x) / col("_n"),
-          6).as("lm_logprob"))
+    if (deterministic)
+      scored
+        .groupBy(col(idCol))
+        .agg(
+          sort_array(collect_list(col("_logp"))).as("_ps"),
+          count(lit(1)).as("_n"))
+        .select(
+          col(idCol),
+          round(
+            aggregate(col("_ps"), lit(0.0), (a, x) => a + x) / col("_n"),
+            6).as("lm_logprob"))
+    else
+      scored
+        .groupBy(col(idCol))
+        .agg(round(sum(col("_logp")) / count(lit(1)), 6).as("lm_logprob"))
   }
 }

@@ -179,6 +179,37 @@ class CorpusOpsSpec extends SparkSpec {
     ))
   }
 
+  test("unigram LM scale path agrees with the deterministic path") {
+    val corpus = docs(
+      1L -> "a b c a b a",
+      2L -> "c d e f",
+      3L -> "a a a a"
+    )
+    val det = graft.text.TextFunctions
+      .unigramLm(corpus, "text", "doc_id", vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val fast = graft.text.TextFunctions
+      .unigramLm(corpus, "text", "doc_id", vocabSize = 3,
+        deterministic = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(det.keySet == fast.keySet)
+    det.foreach { case (id, v) =>
+      assert(math.abs(v - fast(id)) < 1e-9, s"doc $id: $v vs ${fast(id)}")
+    }
+  }
+
+  test("unigram LM and token-budget handle an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.text.TextFunctions
+      .unigramLm(empty, "text", "doc_id").count() == 0)
+    assert(graft.pipeline.Sampling
+      .tokenBudgetSample(empty, "text", "doc_id", 100L).count() == 0)
+    assert(graft.pipeline.Sampling
+      .tokenBudgetSample(empty, "text", "doc_id", 100L, exact = true)
+      .count() == 0)
+  }
+
   test("unigram LM scoring joins the vocab broadcast, not shuffled") {
     val corpus = docs(1L -> "a b c d e", 2L -> "a a f g h")
     val plan = graft.text.TextFunctions
