@@ -1225,6 +1225,15 @@ object SparkEntry {
           "source")
         .orderBy("source")),
 
+    // exact repeated-span removal (substring-dedup tier): every token
+    // covered by a 5-gram occurring >= 2 times corpus-wide is
+    // stripped; 16-byte gram fingerprints key both shuffles
+    "q85_strip_spans" -> ((s, dir) =>
+      Dedup
+        .stripRepeatedSpans(Tables.load(s, dir, "documents"), "text",
+          "doc_id", width = 5)
+        .orderBy("doc_id")),
+
     // connector column pruning under oracle: an aggregate that needs
     // ONLY seq — the value column chunks are never fetched (asserted
     // plan-side in GraftLogSourceSpec)
@@ -2216,6 +2225,38 @@ object SparkEntry {
         |SELECT base.*, coalesce(vocab.distinct_tokens, 0) AS distinct_tokens
         |FROM base LEFT JOIN vocab USING (source)
         |ORDER BY source""".stripMargin,
+    "q85_strip_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |  FROM documents
+        |), ps AS (
+        |  SELECT unnest(generate_series(0, (SELECT max(n) - 1 FROM base))) AS p
+        |), grams AS (
+        |  SELECT doc_id, p AS start,
+        |    array_to_string(w[p + 1 : p + 5], ' ') AS g
+        |  FROM base, ps WHERE p <= n - 5
+        |), rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |hits AS (SELECT DISTINCT doc_id, start FROM grams JOIN rep USING (g)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, start + i AS p
+        |  FROM hits, (SELECT unnest(generate_series(0, 4)) AS i) ii
+        |), toks AS (
+        |  SELECT doc_id, p, w[p + 1] AS tok FROM base, ps WHERE p < n
+        |), kept AS (
+        |  SELECT t.doc_id, t.p, t.tok FROM toks t
+        |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+        |  WHERE c.p IS NULL
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(b.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // the EXACT path of token-budget sampling: hash-ordered greedy
     // prefix, kept while the PRECEDING cumulative token count is
     // under the budget

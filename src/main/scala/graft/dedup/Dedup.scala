@@ -439,6 +439,92 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** EXACT repeated-span removal (the substring-dedup tier of Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better",
+    * between exact-doc and fuzzy-doc dedup): every token covered by a
+    * `width`-gram that occurs at least `minCount` times CORPUS-WIDE is
+    * stripped; the doc survives with its unique content. This is what
+    * kills boilerplate headers/footers and quoted chunks that
+    * doc-level dedup can't touch.
+    *
+    * Plan shape at 100 TB: gram occurrences are keyed by an md5 gram
+    * fingerprint (16 bytes crosses the wire, never the gram text), so
+    * counting is ONE map-side-combined shuffle; repeated-gram hits
+    * join back on the same key; coverage expansion is a bounded
+    * `explode(width)` per hit; the rebuild aggregates per doc. No
+    * suffix array, no global sort — the reference construction's
+    * O(corpus log corpus) suffix automaton is traded for two keyed
+    * shuffles, the standard distributed reformulation.
+    *
+    * Returns `(id, clean_text, n_removed)` — every input doc exactly
+    * once; rebuild order is by token position (sort_array over
+    * (pos, token) structs: deterministic). */
+  def stripRepeatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 10,
+      minCount: Long = 2
+  ): DataFrame = {
+    require(width > 0, s"width must be > 0 (got $width)")
+    require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
+    val base = df.select(
+      col(idCol).as("id"),
+      graft.text.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n",
+        when(length(concat_ws("", col("_toks"))) === 0, lit(0))
+          .otherwise(size(col("_toks"))))
+    // (id, start, gramFingerprint) for every width-gram start
+    val grams = base
+      .where(col("_n") >= width)
+      .select(col("id"), col("_toks"),
+        explode(sequence(lit(0), col("_n") - width)).as("start"))
+      .select(col("id"), col("start"),
+        md5(concat_ws(" ",
+          slice(col("_toks"), col("start") + 1, lit(width)))).as("g"))
+    val repeated = grams
+      .groupBy("g").agg(count(lit(1)).as("_c"))
+      .where(col("_c") >= minCount)
+      .select("g")
+    // repeated-gram START positions per doc. Coverage (the union of
+    // [start, start+width) intervals) is NOT materialized by
+    // exploding width positions per hit + global distinct — on a
+    // dup-heavy corpus that's width × hits rows through a shuffle
+    // (the 10× probe put it at 150 M). Instead: token p is covered
+    // iff ANY repeated start lies in [p-width+1, p], which is a
+    // per-doc sliding-window max over hit flags — one doc-keyed
+    // shuffle, rows never multiply.
+    val hits = grams
+      .join(repeated, Seq("g"))
+      .select(col("id"), col("start").as("p"), lit(1).as("_hit"))
+    val tokenRows = base
+      .where(col("_n") > 0)
+      .select(col("id"), posexplode(col("_toks")))
+      .select(col("id"), col("pos").as("p"), col("col").as("_tok"))
+    val cover = org.apache.spark.sql.expressions.Window
+      .partitionBy("id")
+      .orderBy("p")
+      .rowsBetween(-(width - 1), 0)
+    val kept = tokenRows
+      .join(hits, Seq("id", "p"), "left")
+      .withColumn("_covered", max(col("_hit")).over(cover))
+      .where(col("_covered").isNull)
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(struct(col("p"), col("_tok")))).as("_a"),
+        count(lit(1)).as("_kept"))
+      .select(col("id"),
+        concat_ws(" ", expr("transform(_a, x -> x._tok)")).as("clean_text"),
+        col("_kept"))
+    base
+      .join(rebuilt, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("_n") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** 32-bit SimHash from whitespace tokens: bit i of the fingerprint
     * is the majority vote of bit i across all token md5 hashes.
     * Pure columnar arithmetic (explode bits → conditional sum) — one

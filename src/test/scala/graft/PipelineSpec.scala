@@ -133,6 +133,28 @@ class PipelineSpec extends SparkSpec {
     assert(surv == Set(2L, 10L, 99L))
   }
 
+  test("repeated-span removal: cross-doc and within-doc spans stripped exactly") {
+    val corpus = Seq(
+      (1L, "a b c d e x1 y1"), // shares "a b c d e" with doc 2
+      (2L, "z1 a b c d e w1"),
+      (3L, "unique words only here now"),
+      (4L, ""), // empty: survives untouched
+      (5L, "p q r s t u p q r s t") // within-doc repeat of "p q r s t"
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .stripRepeatedSpans(corpus, "text", "doc_id", width = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("x1 y1", 5L)))
+    assert(got(2L) == (("z1 w1", 5L)))
+    assert(got(3L) == (("unique words only here now", 0L)))
+    assert(got(4L) == (("", 0L)))
+    // both occurrences of the within-doc span are covered; only the
+    // separator token survives
+    assert(got(5L) == (("u", 10L)))
+  }
+
   test("exact dedup: survivors + duplicates partition the corpus") {
     val n = docs.count()
     val survivors = Dedup.exactDedup(docs, "text", "doc_id").count()

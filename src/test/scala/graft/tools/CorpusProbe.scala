@@ -70,6 +70,14 @@ object CorpusProbe {
         .orderBy(col("q").desc, col("doc_id").asc).limit(100)
       graft.query.Fuse.rrf(lex, prior, "doc_id").count()
     }
+    stage("strip_spans") {
+      // worst case by construction: EVERY 10-gram repeats 10× (the
+      // replication), so the repeated set is the whole gram table
+      graft.dedup.Dedup
+        .stripRepeatedSpans(big, "text", "doc_id", width = 10)
+        .agg(sum("n_removed")).collect()
+      big.count()
+    }
     stage("survivors_best") {
       // exact-dup pairs via fingerprint groups (the 10× replication IS
       // the duplicate structure): worst-case clusters of size 10
