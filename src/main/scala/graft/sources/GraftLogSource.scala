@@ -414,7 +414,8 @@ final class GraftLogMicroBatchStream(
     maxBytesPerTrigger: Option[Long] = None,
     maxSegmentsPerTrigger: Option[Int] = None
 ) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{
     CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes,
     ReadMaxFiles, ReadMaxRows
@@ -423,6 +424,16 @@ final class GraftLogMicroBatchStream(
   private case class SeqOffset(maxSeq: Long) extends Offset {
     override def json(): String = maxSeq.toString
   }
+
+  // Trigger.AvailableNow: the drain target is FIXED at query start
+  // (appends racing the drain wait for the next run), and admission
+  // control still paces the batches below it — without this a paced
+  // source would be wrapped and served its whole backlog at once.
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(
+      Manifest.load(dir).map(_.maxSeq).getOrElse(graft.core.Seqs.SeqEmpty))
 
   override def initialOffset(): Offset = SeqOffset(graft.core.Seqs.SeqEmpty)
 
@@ -465,7 +476,8 @@ final class GraftLogMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[SeqOffset].maxSeq
     val m = Manifest.load(dir).getOrElse(return SeqOffset(lo))
-    val hi = m.maxSeq
+    val hi = availableNowTarget
+      .map(math.min(_, m.maxSeq)).getOrElse(m.maxSeq)
     if (hi <= lo) return SeqOffset(lo)
     def clamp(l: ReadLimit): Long = l match {
       case r: ReadMaxRows =>

@@ -162,7 +162,8 @@ final class GraftTableMicroBatchStream(
     maxBytesPerTrigger: Option[Long],
     maxSegmentsPerTrigger: Option[Int]
 ) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{
     CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes,
     ReadMaxFiles
@@ -171,6 +172,13 @@ final class GraftTableMicroBatchStream(
   private case class VerOffset(ver: Long) extends Offset {
     override def json(): String = ver.toString
   }
+
+  // Trigger.AvailableNow drain target: fixed at query start, paced
+  // below it by admission control (see GraftLogMicroBatchStream)
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(Manifest.load(dir).map(_.version).getOrElse(0L))
 
   override def initialOffset(): Offset = VerOffset(0L)
 
@@ -199,7 +207,8 @@ final class GraftTableMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[VerOffset].ver
     val m = Manifest.load(dir).getOrElse(return VerOffset(lo))
-    val hi = m.version
+    val hi = availableNowTarget
+      .map(math.min(_, m.version)).getOrElse(m.version)
     if (hi <= lo) return VerOffset(lo)
     // pending versions ascending, with their aggregate cost
     val byVer = m.segments.filter(_.minSeq > lo).groupBy(_.minSeq).toSeq

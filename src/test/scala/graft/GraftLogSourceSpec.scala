@@ -319,6 +319,38 @@ class GraftLogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a paced backlog fully, then stops itself") {
+    // the production drain pattern: AvailableNow + admission control
+    // must process the WHOLE backlog (in bounded batches) and
+    // terminate — not stop at the first clamped offset
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = tmpDir("dsv2an") + "/log"
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    log.appendValues((0 until 30).toSeq)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream.format("graft-log")
+      .option("maxSeqsPerTrigger", "10")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", tmpDir("dsv2anck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count().toInt
+        if (n > 0) batches.add(n)
+        (): Unit
+      }
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+      val got = batches.asScala.toList
+      assert(got.sum == 30, s"backlog not fully drained: $got")
+      assert(got.size >= 3 && got.forall(_ <= 10),
+        s"batches not paced under AvailableNow: $got")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("streaming sink refuses a NEW query's batches instead of skipping them") {
     // a fresh checkpoint restarts batch ids at 0; treating those as
     // replays of the PREVIOUS query's ids would silently drop data —
