@@ -1234,6 +1234,38 @@ object SparkEntry {
           "doc_id", width = 5)
         .orderBy("doc_id")),
 
+    // cross-doc LINE dedup (RefinedWeb/CCNet tier): the corpus is
+    // newline-free synthetic text, so the fixture imposes the line
+    // structure (8-token lines) deterministically in BOTH engines,
+    // then lines appearing in >= 2 distinct docs are stripped
+    "q86_line_dedup" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val n = when(length(trim(col("text"))) === 0, lit(0))
+        .otherwise(size(toks))
+      val lined = Tables.load(s, dir, "documents").select(col("doc_id"),
+        when(n === 0, lit(""))
+          .otherwise(concat_ws("\n",
+            transform(
+              sequence(lit(0), floor((n - 1) / lit(8)).cast("int")),
+              i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))))
+          .as("text"))
+      Dedup.dedupLines(lined, "text", "doc_id", minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // mix-to-target-weights resampling: the ACTION q84's profile
+    // informs — downsample each lang stratum so the output hits the
+    // target mix at the largest achievable size (dyadic weights so
+    // the driver-side rate doubles are bit-identical in the oracle)
+    "q87_mix_to_weights" -> ((s, dir) =>
+      graft.pipeline.Sampling.mixToWeights(
+        Tables.load(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+          "fr" -> 0.125, "zh" -> 0.125),
+        "doc_id", seed = "s87")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // connector column pruning under oracle: an aggregate that needs
     // ONLY seq — the value column chunks are never fetched (asserted
     // plan-side in GraftLogSourceSpec)
@@ -2257,6 +2289,65 @@ object SparkEntry {
         |  CAST(b.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
         |FROM base b LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    "q86_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |  FROM documents
+        |), ps AS (
+        |  SELECT unnest(generate_series(0, CAST((SELECT max(n) FROM base) / 8 AS BIGINT))) AS i
+        |), lines AS (
+        |  SELECT doc_id, i AS p, array_to_string(w[i*8 + 1 : i*8 + 8], ' ') AS line
+        |  FROM base, ps WHERE i * 8 < n
+        |), dup AS (
+        |  SELECT md5(trim(line)) AS k
+        |  FROM lines WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |), kept AS (
+        |  SELECT l.doc_id, l.p, l.line FROM lines l
+        |  LEFT JOIN dup d ON d.k = md5(trim(l.line))
+        |  WHERE d.k IS NULL OR trim(l.line) = ''
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |), nl AS (
+        |  SELECT doc_id, n,
+        |    CAST(CASE WHEN n = 0 THEN 1 ELSE CAST(ceil(n / 8.0) AS BIGINT) END AS BIGINT) AS n_lines
+        |  FROM base
+        |)
+        |SELECT b.doc_id,
+        |  coalesce(r.clean_text, '') AS clean_text,
+        |  b.n_lines,
+        |  CAST(CASE WHEN b.n = 0 THEN 0
+        |       ELSE b.n_lines - coalesce(r.n_kept, 0) END AS BIGINT) AS n_removed
+        |FROM nl b LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // rates recomputed with the identical double expression tree
+    // (n/wt min → wt*t/n → *2^32 floor): IEEE 754 ops are exactly
+    // rounded, so driver-Scala and DuckDB agree bit-for-bit
+    "q87_mix_to_weights" ->
+      """WITH w(lang, wt) AS (VALUES
+        |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+        |  ('es', CAST(0.125 AS DOUBLE)), ('fr', CAST(0.125 AS DOUBLE)),
+        |  ('zh', CAST(0.125 AS DOUBLE))
+        |), c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+        |), tm AS (
+        |  SELECT min(c.n / w.wt) AS t FROM w JOIN c USING (lang)
+        |), r AS (
+        |  SELECT w.lang, (w.wt * tm.t) / c.n AS rate
+        |  FROM w JOIN c USING (lang) CROSS JOIN tm
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d
+        |JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':s87'), 1, 8))::BIGINT
+        |      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // the EXACT path of token-budget sampling: hash-ordered greedy
     // prefix, kept while the PRECEDING cumulative token count is
     // under the budget

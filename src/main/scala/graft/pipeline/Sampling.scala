@@ -59,6 +59,51 @@ object Sampling {
     df.where(hashOf(col(idCol), seed) < thresh)
   }
 
+  /** Resample a corpus to TARGET stratum proportions — the mixing
+    * ACTION that [[graft.pipeline.Curation.corpusProfile]]'s
+    * diagnostic informs: given target weights per stratum (language /
+    * source mix), downsample each stratum so the output hits the
+    * target proportions at the largest achievable size (no
+    * upsampling). `Tmax = min_s(N_s / w_s)` is the biggest total the
+    * observed counts support; each stratum keeps `w_s * T / N_s` of
+    * its rows via the deterministic hash gate (`T = min(totalRows,
+    * Tmax)` when a smaller budget is given). Strata not in `weights`
+    * are dropped; a weighted stratum absent from the corpus makes the
+    * mix unachievable (Tmax = 0 → empty output), loud by emptiness
+    * rather than silently off-proportion.
+    *
+    * Plan shape at 100 TB: stratum cardinality is small by definition
+    * (languages, sources), so the observed counts are ONE map-side-
+    * combined aggregation collected to the driver (same pattern as
+    * BM25's corpus constants); the rates become literals in a single
+    * pushed-down filter — the data-sized pass is a pure narrow scan,
+    * retry-stable like every hash gate here. */
+  def mixToWeights(
+      df: DataFrame,
+      strataCol: String,
+      weights: Map[String, Double],
+      idCol: String,
+      seed: String = "s0",
+      totalRows: Option[Long] = None
+  ): DataFrame = {
+    require(weights.nonEmpty, "mixToWeights needs at least one stratum weight")
+    require(weights.values.forall(_ > 0),
+      s"stratum weights must be > 0 (got $weights)")
+    val observed = df
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val tmax = weights
+      .map { case (s, w) => observed.getOrElse(s, 0L) / w }
+      .min
+    val t = totalRows.fold(tmax)(b => math.min(b.toDouble, tmax))
+    val rates = weights.flatMap { case (s, w) =>
+      observed.get(s).map(n => s -> (w * t) / n)
+    }
+    stratifiedHashSample(df, strataCol, rates, defaultRate = 0.0, idCol, seed)
+  }
+
   /** Deterministic global interleave ("shuffle") order: position =
     * rank of the id-hash. Training dataloaders need the corpus in a
     * fixed pseudo-random order decorrelated from ingest order; sorting

@@ -155,6 +155,28 @@ class PipelineSpec extends SparkSpec {
     assert(got(5L) == (("u", 10L)))
   }
 
+  test("line dedup: cross-doc lines removed, blanks and unique lines kept") {
+    val corpus = Seq(
+      (1L, "cookie banner\nreal content one\n\ntail one"),
+      (2L, "cookie banner\nreal content two\n\ntail two"),
+      (3L, "  cookie banner  \nonly unique here"), // trim-matched dup
+      (4L, ""), // empty doc: one blank line, survives untouched
+      (5L, "solo doc\nsolo doc") // within-doc repeat, ONE distinct doc
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .dedupLines(corpus, "text", "doc_id", minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("real content one\n\ntail one", 4L, 1L)))
+    assert(got(2L) == (("real content two\n\ntail two", 4L, 1L)))
+    // the padded variant matches on trimmed text and is removed too
+    assert(got(3L) == (("only unique here", 2L, 1L)))
+    assert(got(4L) == (("", 1L, 0L)))
+    // df counts DISTINCT docs: a within-doc repeat is not corpus dup
+    assert(got(5L) == (("solo doc\nsolo doc", 2L, 0L)))
+  }
+
   test("exact dedup: survivors + duplicates partition the corpus") {
     val n = docs.count()
     val survivors = Dedup.exactDedup(docs, "text", "doc_id").count()

@@ -90,6 +90,48 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == docs.where(col("lang") === "en").count())
   }
 
+  test("mixToWeights hits target proportions at the largest achievable size") {
+    // sf0.001 lang counts are uneven; weight the smallest stratum
+    // heavily so Tmax binds there and the others downsample toward it
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+      "fr" -> 0.125, "zh" -> 0.125)
+    val out = Sampling.mixToWeights(docs, "lang", weights, "doc_id", "mx")
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum (largest N_s/w_s deficit) keeps EVERYTHING
+    val tmax = weights.map { case (s, w) => sizes(s) / w }.min
+    val binding = weights.keys.minBy(s => sizes(s) / weights(s))
+    assert(got(binding) == sizes(binding))
+    // every stratum lands within sampling noise of its target share
+    weights.foreach { case (s, w) =>
+      val target = w * tmax
+      assert(math.abs(got.getOrElse(s, 0L) - target) / target < 0.5,
+        s"$s: got ${got.getOrElse(s, 0L)}, target $target")
+    }
+    // the data-sized pass is a pure narrow filter: the only shuffle
+    // in the whole op was the tiny counts agg, already collected
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"mixToWeights data pass must not shuffle:\n$plan")
+    // deterministic: re-run keeps the identical id set
+    val again = Sampling.mixToWeights(docs, "lang", weights, "doc_id", "mx")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a rows budget below Tmax scales every stratum down together
+    val small = Sampling.mixToWeights(docs, "lang", weights, "doc_id", "mx",
+      totalRows = Some((tmax / 2).toLong))
+    assert(small.count() < out.count())
+    // an unweighted stratum would be dropped entirely
+    val only = Sampling.mixToWeights(docs, "lang", Map("en" -> 1.0), "doc_id")
+    assert(only.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet == Set("en"))
+    // a weighted stratum absent from the corpus → unachievable → empty
+    assert(Sampling.mixToWeights(
+      docs, "lang", Map("xx" -> 1.0), "doc_id").count() == 0L)
+  }
+
   test("invalid knobs fail fast at plan construction, not deep in execution") {
     intercept[IllegalArgumentException] {
       Sampling.packSequences(
