@@ -223,6 +223,16 @@ object Bench {
         .agg(sum("lm_logprob")).collect()
     }
 
+    // line-granular cross-doc dedup over an 8-token reflow of the
+    // corpus (the synthetic text is newline-free); aggregate the
+    // rewrite's output so the joins can't be optimized away
+    timed("line_dedup") {
+      val lined = docs.select(col("doc_id"),
+        TextFunctions.reflowLines(col("text"), 8).as("text"))
+      Dedup.dedupLines(lined, "text", "doc_id")
+        .agg(sum("n_removed")).collect()
+    }
+
     // 9. live tail: append-after-subscribe delivery latency (one
     // trigger round, includes micro-batch scheduling)
     {

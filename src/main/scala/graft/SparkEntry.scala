@@ -1239,16 +1239,8 @@ object SparkEntry {
     // structure (8-token lines) deterministically in BOTH engines,
     // then lines appearing in >= 2 distinct docs are stripped
     "q86_line_dedup" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      val n = when(length(trim(col("text"))) === 0, lit(0))
-        .otherwise(size(toks))
       val lined = Tables.load(s, dir, "documents").select(col("doc_id"),
-        when(n === 0, lit(""))
-          .otherwise(concat_ws("\n",
-            transform(
-              sequence(lit(0), floor((n - 1) / lit(8)).cast("int")),
-              i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))))
-          .as("text"))
+        TextFunctions.reflowLines(col("text"), 8).as("text"))
       Dedup.dedupLines(lined, "text", "doc_id", minDocs = 2)
         .orderBy("doc_id")
     }),

@@ -554,7 +554,8 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      minDocs: Long = 2
+      minDocs: Long = 2,
+      maxBroadcastKeys: Long = 1000000L
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
     val lines = df
@@ -570,9 +571,20 @@ object Dedup {
       .groupBy(col("_k")).agg(count(lit(1)).as("_df"))
       .where(col("_df") >= minDocs)
       .select(col("_k"))
-    val kept = lines
-      .join(dupKeys.withColumn("_dup", lit(1)), Seq("_k"), "left")
-      .where(col("_dup").isNull || !col("_nonblank"))
+    // Count-gated broadcast of the dup dictionary (the jaccardVerify
+    // pattern): materialize it ONCE (eager localCheckpoint — the gate
+    // count must not re-run the explode+distinct pipeline, and the
+    // back-join must not re-run it a third time), broadcast while the
+    // counted key set is modest, else shuffle-join gracefully. A
+    // pathological corpus (billions of distinct duplicated lines)
+    // degrades to a keyed shuffle instead of hard-failing the driver.
+    val dict = dupKeys.localCheckpoint(true)
+    val marked = dict.withColumn("_dup", lit(1))
+    val joined =
+      if (dict.count() <= maxBroadcastKeys)
+        lines.join(broadcast(marked), Seq("_k"), "left")
+      else lines.join(marked, Seq("_k"), "left")
+    val kept = joined.where(col("_dup").isNull || !col("_nonblank"))
     val rebuilt = kept
       .groupBy("id")
       .agg(

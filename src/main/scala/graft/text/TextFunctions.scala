@@ -22,6 +22,22 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Reflow whitespace tokens into fixed `width`-token lines joined
+    * by newlines — imposes line structure on unsegmented text so
+    * line-granular ops ([[graft.dedup.Dedup.dedupLines]]) apply to
+    * newline-free corpora. Narrow per-row expression; empty text
+    * reflows to the empty string. */
+  def reflowLines(text: Column, width: Int): Column = {
+    require(width > 0, s"reflowLines width must be > 0 (got $width)")
+    val toks = tokens(text)
+    val n = when(length(trim(text)) === 0, lit(0)).otherwise(size(toks))
+    when(n === 0, lit(""))
+      .otherwise(concat_ws("\n",
+        transform(
+          sequence(lit(0), floor((n - 1) / lit(width)).cast("int")),
+          i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))))
+  }
+
   /** BPE-ish subword count: word chunks of <=4 chars + standalone
     * punctuation, the usual cheap proxy for LLM token budgeting.
     * Counted via regex so it needs no vocabulary. */

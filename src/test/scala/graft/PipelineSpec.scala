@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
+import graft.text.TextFunctions
 
 /** Behavior tests for the pipeline operators: LSH recall vs the exact
   * baselines, dedup invariants, multimodal round-trips. (Value-level
@@ -163,8 +164,13 @@ class PipelineSpec extends SparkSpec {
       (4L, ""), // empty doc: one blank line, survives untouched
       (5L, "solo doc\nsolo doc") // within-doc repeat, ONE distinct doc
     ).toDF("doc_id", "text")
-    val got = Dedup
-      .dedupLines(corpus, "text", "doc_id", minDocs = 2)
+    val out = Dedup.dedupLines(corpus, "text", "doc_id", minDocs = 2)
+    // the counted-small dup dictionary must take the broadcast path
+    // (the gate's whole point: no keyed shuffle of the line table)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "small dup dictionary should broadcast")
+    val got = out
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
       .toMap
@@ -175,6 +181,22 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == (("", 1L, 0L)))
     // df counts DISTINCT docs: a within-doc repeat is not corpus dup
     assert(got(5L) == (("solo doc\nsolo doc", 2L, 0L)))
+  }
+
+  test("reflowLines: fixed-width lines, remainder tail, empty text") {
+    val in = Seq(
+      (1L, "a b c d e f g h i j"), // 10 toks @ width 4 → 4+4+2
+      (2L, "a b c d"), // exact multiple: one line, no trailing newline
+      (3L, "  Mixed   CASE  spacing "), // normalized like tokens()
+      (4L, "")
+    ).toDF("id", "t")
+    val got = in
+      .select(col("id"), TextFunctions.reflowLines(col("t"), 4).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d\ne f g h\ni j")
+    assert(got(2L) == "a b c d")
+    assert(got(3L) == "mixed case spacing")
+    assert(got(4L) == "")
   }
 
   test("exact dedup: survivors + duplicates partition the corpus") {

@@ -78,6 +78,16 @@ object CorpusProbe {
         .agg(sum("n_removed")).collect()
       big.count()
     }
+    stage("line_dedup") {
+      // worst case by construction: every reflowed line appears in 10
+      // distinct docs, so the dup dictionary is the WHOLE line space
+      // and every doc is rewritten to empty
+      val lined = big.select(col("doc_id"),
+        TextFunctions.reflowLines(col("text"), 8).as("text"))
+      graft.dedup.Dedup.dedupLines(lined, "text", "doc_id")
+        .agg(sum("n_removed")).collect()
+      big.count()
+    }
     stage("survivors_best") {
       // exact-dup pairs via fingerprint groups (the 10× replication IS
       // the duplicate structure): worst-case clusters of size 10
