@@ -1110,6 +1110,44 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // ingest-time STREAMING content dedup: documents packed into a
+    // log, streamed back PACED (admission control + AvailableNow),
+    // watermark-state deduped to one survivor per fingerprint. The
+    // output is the fingerprint SET — deterministic regardless of
+    // which same-batch arrival won the state race
+    "q88_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val work = tempWorkDir("graft-q88")
+      val src = s"$work/log"
+      graft.storage.ParquetLog.open(s, src, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("seq"),
+          struct(col("doc_id"), col("text")).as("value"),
+          lit(false).as("nulled"))
+        .write.format("graft-log").mode("append").save(src)
+      val stream = s.readStream.format("graft-log")
+        .option("maxSeqsPerTrigger", "100")
+        .load(src)
+        .select(col("value.doc_id").as("doc_id"), col("value.text").as("text"))
+        // +1s: an event time EQUAL to the initial watermark (epoch 0)
+        // would be discarded as late before reaching the dedup state
+        .withColumn("ts", expr("timestamp_micros(doc_id + 1000000)"))
+      val q = graft.streaming.EventStreamOps
+        .streamingContentDedup(stream, "text", "ts", "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q88_dedup")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(300000)
+      finally if (q.isActive) q.stop()
+      s.table("q88_dedup")
+        .select(TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("fp")
+    }),
+
     // SemDeDup: coarse-cluster (literal-codebook argmin, no shuffle)
     // then keep-first within-cell cosine dedup — pairwise work never
     // leaves a cell
@@ -2320,6 +2358,12 @@ object SparkEntry {
     // rates recomputed with the identical double expression tree
     // (n/wt min → wt*t/n → *2^32 floor): IEEE 754 ops are exactly
     // rounded, so driver-Scala and DuckDB agree bit-for-bit
+    // one row per distinct normalized-content fingerprint: exactly
+    // what an exactly-once streaming dedup must deliver
+    "q88_stream_dedup" ->
+      """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
+
     "q87_mix_to_weights" ->
       """WITH w(lang, wt) AS (VALUES
         |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),

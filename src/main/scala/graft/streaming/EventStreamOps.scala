@@ -108,4 +108,42 @@ object EventStreamOps {
       ),
       gapMs
     ).select("user_id", "n_events", "start_ms", "end_ms")
+
+  /** Streaming dedup on arbitrary key columns: keep the first row per
+    * key, with state BOUNDED by the watermark horizon — a key's state
+    * row is evicted once the watermark passes its event time, so a
+    * 100 TB/day ingest holds hours of keys, not the corpus's. (Global
+    * `dropDuplicates` on a stream never evicts: unbounded state, the
+    * scale-killer this wrapper exists to avoid. Re-ingests farther
+    * apart than the horizon deduplicate in the BATCH tier —
+    * [[graft.dedup.Dedup.exactDedup]] — which holds the full corpus
+    * key set as a shuffle, not as streaming state.) */
+  def dedupWithinWatermark(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinWatermark needs >= 1 key column")
+    rows
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
+
+  /** Ingest-time CONTENT dedup: the streaming twin of exact-doc dedup,
+    * keyed on the whitespace-normalized md5 fingerprint
+    * ([[graft.text.TextFunctions.fingerprint]] — the same key the
+    * batch tier and its q20/q21 oracles use, so stream-then-batch
+    * passes agree on what "exact duplicate" means). */
+  def streamingContentDedup(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    dedupWithinWatermark(
+      docs.withColumn("_fp",
+        graft.text.TextFunctions.fingerprint(col(textCol))),
+      Seq("_fp"), tsCol, watermark)
+      .drop("_fp")
 }

@@ -50,6 +50,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content dedup keeps one doc per fingerprint across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = EventStreamOps
+      .streamingContentDedup(df, "text", "ts", "10 minutes")
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: an exact dup pair (whitespace/case-normalized) + one
+      // unique; batch 2: a re-ingest of batch 1 content + one new
+      mem.addData(
+        (ts(0), 1L, "The quick  brown fox"),
+        (ts(1), 2L, "the quick brown FOX"), // same fingerprint as 1
+        (ts(2), 3L, "something else entirely")
+      )
+      q.processAllAvailable()
+      mem.addData(
+        (ts(3), 4L, "the quick brown fox"), // dup of surviving fp
+        (ts(4), 5L, "genuinely new content")
+      )
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // one survivor per fingerprint: {fox family}, {something}, {new}
+      assert(rows.length == 3, s"got ${rows.toSeq}")
+      val fps = rows.map(_._2.toLowerCase.replaceAll("\\s+", " ")).toSet
+      assert(fps.size == 3)
+      // the cross-batch re-ingest (doc 4) must NOT survive: its
+      // fingerprint is still inside the watermark horizon
+      assert(!rows.map(_._1).contains(4L))
+      // survivors keep their full original rows (ts/id/text intact)
+      assert(rows.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L, 5L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionize over a memory stream closes on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
