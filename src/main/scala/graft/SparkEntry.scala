@@ -1148,6 +1148,20 @@ object SparkEntry {
         .orderBy("fp")
     }),
 
+    // batched multi-query retrieval: top-10 cosine neighbors for 4
+    // query vectors in ONE corpus pass (literal query batch, bounded
+    // per-partition heaps, one skinny shuffle of survivors)
+    "q89_batch_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+        .sortBy(_._1)
+      graft.similarity.Ann
+        .cosineTopKBatch(emb, "embedding", "vec_id", queries, 10)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
     // SemDeDup: coarse-cluster (literal-codebook argmin, no shuffle)
     // then keep-first within-cell cosine dedup — pairwise work never
     // leaves a cell
@@ -2358,6 +2372,22 @@ object SparkEntry {
     // rates recomputed with the identical double expression tree
     // (n/wt min → wt*t/n → *2^32 floor): IEEE 754 ops are exactly
     // rounded, so driver-Scala and DuckDB agree bit-for-bit
+    "q89_batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 4
+        |), scored AS (
+        |  SELECT q.query_id, b.vec_id,
+        |    round(list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        |  FROM q CROSS JOIN embeddings b
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
     // one row per distinct normalized-content fingerprint: exactly
     // what an exactly-once streaming dedup must deliver
     "q88_stream_dedup" ->

@@ -90,6 +90,96 @@ object Ann {
       .limit(k)
   }
 
+  /** Top-k cosine neighbors for EACH of a small batch of query
+    * vectors in ONE corpus pass — the retrieval-eval shape (a probe
+    * set of queries against the full corpus), where per-query
+    * [[cosineTopK]] scans would multiply corpus passes by |queries|.
+    *
+    * Plan shape at 100 TB: the query batch rides along as a LITERAL
+    * array (zero shuffle to distribute it); each corpus row explodes
+    * to |Q| skinny (query, id, score) rows; per-partition bounded
+    * heaps cut the candidate stream to partitions × k rows per query
+    * BEFORE the only shuffle, so the final per-query selection never
+    * sees the corpus — the keyed generalization of
+    * TakeOrderedAndProject's partial top-k. Scores are rounded to
+    * 6 dp before ranking (ties broken by id) so the ordering is
+    * reproducible across engines.
+    *
+    * Returns `(query_id, vec_id, score)`, k rows per query. */
+  def cosineTopKBatch(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int
+  ): DataFrame = {
+    require(queries.nonEmpty, "cosineTopKBatch needs >= 1 query vector")
+    require(k > 0, s"k must be > 0 (got $k)")
+    val spark = df.sparkSession
+    graft.functions.VecOps.register(spark)
+    val qlit = array(queries.map { case (qid, qv) =>
+      struct(
+        lit(qid).as("query_id"),
+        array(qv.map(v => lit(v)): _*).cast("array<float>").as("qv"),
+        lit(math.sqrt(qv.map(v => v.toDouble * v.toDouble).sum)).as("qn"))
+    }: _*)
+    val n = call_function("vec_norm_f", col("v"))
+    val scored = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"), explode(qlit).as("q"))
+      .select(
+        col("q.query_id").as("query_id"),
+        col("id"),
+        round(
+          when(n === 0.0 || col("q.qn") === 0.0, 0.0)
+            .otherwise(
+              call_function("vec_dot_f", col("v"), col("q.qv")) /
+                (n * col("q.qn"))),
+          6).as("score"))
+    // Per-partition top-k via bounded heaps (mapPartitions — the one
+    // shape Spark has no declarative partial-top-k-per-key for: a
+    // groupBy(query, partition_id) + sorted-slice agg would ship the
+    // FULL per-partition collect_lists through the shuffle before
+    // slicing). Memory per task: |Q| heaps of k entries. Only the
+    // survivors — partitions × k rows per query — reach the shuffle.
+    import spark.implicits._
+    val worstOnTop =
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+    val local = scored
+      .select(col("query_id"), col("id").cast("long"), col("score"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, id, s) =>
+          val h = heaps.getOrElseUpdate(
+            q, scala.collection.mutable.PriorityQueue.empty(worstOnTop))
+          h.enqueue((s, id))
+          if (h.size > k) { h.dequeue(); () }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (s, id) => (q, id, s) }
+        }
+      }
+      .toDF("query_id", "id", "score")
+    // final per-query selection: sorted-slice agg over the tiny
+    // candidate set. Sort key (1 - score) ascending ≡ score
+    // descending (stays >= 0 for cosine — no -0.0 ordering edge),
+    // ties by id ascending.
+    local
+      .groupBy(col("query_id"))
+      .agg(slice(
+        sort_array(collect_list(struct(
+          (lit(1.0) - col("score")).as("ns"),
+          col("id").as("id"),
+          col("score").as("score")))),
+        1, k).as("_top"))
+      .select(col("query_id"), explode(col("_top")).as("t"))
+      .select(
+        col("query_id"),
+        col("t.id").as("vec_id"),
+        col("t.score").as("score"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension d): md5-derived value mapped to [-0.5, 0.5). Computed
     * DRIVER-SIDE — the components are constants, so hashing them per

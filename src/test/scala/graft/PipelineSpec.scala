@@ -222,6 +222,24 @@ class PipelineSpec extends SparkSpec {
     assert(hamming(hs(0L), hs(1L)) < hamming(hs(0L), hs(2L)))
   }
 
+  test("batched top-k agrees with per-query brute force for every query") {
+    val queries = emb.where($"vec_id" < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      .sortBy(_._1)
+    val batch = Ann.cosineTopKBatch(emb, "embedding", "vec_id", queries, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, qv) =>
+      val single = Ann.cosineTopK(emb, "embedding", "vec_id", qv, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid)
+        .sortBy(t => (1.0 - t._3, t._2)).map(t => (t._2, t._3)).toSeq
+      assert(got == single, s"query $qid: $got != $single")
+    }
+  }
+
   test("ANN: LSH top-k scores are a subset of brute-force ranking") {
     val q = emb.where($"vec_id" === 0).select("embedding")
       .collect()(0).getSeq[Float](0)
