@@ -1162,6 +1162,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
+    // snapshot (time-travel) read through the connector: a 3-commit
+    // change table cut at version 2 via versionAsOf — segments pruned
+    // at planning time, _ver intact for downstream folds
+    "q90_table_snapshot" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val work = tempWorkDir("graft-q90")
+      val events = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val store = graft.storage.TableStore.open(s, s"$work/tbl",
+        StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType))))
+      store.append(events.where(col("event_id") % 3 === 0))
+      store.append(events.where(col("event_id") % 3 === 1))
+      store.append(events.where(col("event_id") % 3 === 2))
+      store.readAsOf(2L).orderBy("event_id")
+    }),
+
     // SemDeDup: coarse-cluster (literal-codebook argmin, no shuffle)
     // then keep-first within-cell cosine dedup — pairwise work never
     // leaves a cell
@@ -2372,6 +2390,13 @@ object SparkEntry {
     // rates recomputed with the identical double expression tree
     // (n/wt min → wt*t/n → *2^32 floor): IEEE 754 ops are exactly
     // rounded, so driver-Scala and DuckDB agree bit-for-bit
+    // the commit a row landed in is a pure function of the fixture's
+    // slicing, so the snapshot is exactly recomputable
+    "q90_table_snapshot" ->
+      """SELECT event_id, user_id, CAST(event_id % 3 + 1 AS BIGINT) AS _ver
+        |FROM events WHERE event_id % 3 <= 1
+        |ORDER BY event_id""".stripMargin,
+
     "q89_batch_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qe

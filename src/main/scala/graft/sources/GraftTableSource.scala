@@ -84,7 +84,8 @@ final class GraftTableTable(dir: String, tableSchema: StructType)
     new GraftTableScanBuilder(dir, tableSchema,
       Option(options.get("maxPartitionBytes")),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
+      Option(options.get("versionAsOf")).map(_.toLong))
 }
 
 final class GraftTableScanBuilder(
@@ -92,7 +93,8 @@ final class GraftTableScanBuilder(
     schema: StructType,
     maxPartitionBytesOpt: Option[String],
     maxBytesPerTrigger: Option[Long],
-    maxSegmentsPerTrigger: Option[Int]
+    maxSegmentsPerTrigger: Option[Int],
+    versionAsOf: Option[Long]
 ) extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var pruned: StructType = schema
@@ -103,7 +105,7 @@ final class GraftTableScanBuilder(
 
   override def build(): Scan =
     new GraftTableScan(dir, pruned, maxPartitionBytesOpt,
-      maxBytesPerTrigger, maxSegmentsPerTrigger)
+      maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf)
 }
 
 final class GraftTableScan(
@@ -111,14 +113,39 @@ final class GraftTableScan(
     scanSchema: StructType,
     maxPartitionBytesOpt: Option[String],
     maxBytesPerTrigger: Option[Long],
-    maxSegmentsPerTrigger: Option[Int]
+    maxSegmentsPerTrigger: Option[Int],
+    versionAsOf: Option[Long] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
 
-  private def segments: List[graft.storage.Segment] =
-    Manifest.load(dir).map(_.segments).getOrElse(Nil)
+  /** Snapshot (time-travel) reads: `versionAsOf = v` serves exactly
+    * the segments of commit versions `1..v`, pruned at PLANNING time
+    * (statistics and partitions both see the snapshot). Commit
+    * versions are dense, so the snapshot is reconstructable iff every
+    * version `<= v` is still retained — a `rewrite` folds history
+    * into one new version, after which earlier snapshots are GONE and
+    * must fail loudly: a raw `_ver <= v` filter would silently return
+    * a wrong (empty or partial) table instead. */
+  private def segments: List[graft.storage.Segment] = {
+    val m = Manifest.load(dir) match {
+      case Some(m) => m
+      case None => return Nil
+    }
+    versionAsOf match {
+      case None => m.segments
+      case Some(v) =>
+        require(v >= 0, s"versionAsOf must be >= 0 (got $v)")
+        require(v <= m.version,
+          s"versionAsOf $v does not exist yet (latest commit: ${m.version})")
+        val floor = m.foldedBelow.getOrElse(0L)
+        require(v >= floor,
+          s"snapshot at version $v is unavailable: history below version " +
+            s"$floor was folded by a rewrite (compact/delete)")
+        m.segments.filter(_.minSeq <= v)
+    }
+  }
 
   override def estimateStatistics(): Statistics = {
     val segs = segments
@@ -145,9 +172,13 @@ final class GraftTableScan(
 
   override def toMicroBatchStream(
       checkpointLocation: String
-  ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+  ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(versionAsOf.isEmpty,
+      "versionAsOf is a batch snapshot option; a stream follows the live " +
+        "table (bound its catch-up with maxSegments/maxBytesPerTrigger)")
     new GraftTableMicroBatchStream(dir, scanSchema, maxPartitionBytesOpt,
       maxBytesPerTrigger, maxSegmentsPerTrigger)
+  }
 }
 
 /** Version-offset micro-batches: each batch = the segments of commit

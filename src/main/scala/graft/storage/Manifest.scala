@@ -43,7 +43,12 @@ final case class Manifest(
     // query restarts ids at 0, and silently skipping its early
     // batches as "replays" would be data loss). A mismatched query is
     // refused loudly; ParquetLog.releaseStreamBinding rebinds.
-    streamQuery: Option[String] = None
+    streamQuery: Option[String] = None,
+    // TableStore only: the version a `rewrite` (delete/compact) folded
+    // all prior history into. Snapshot reads (`versionAsOf`) below
+    // this are unreconstructable and refused loudly; absent = never
+    // folded (old manifests parse compatibly).
+    foldedBelow: Option[Long] = None
 )
 
 object Manifest {

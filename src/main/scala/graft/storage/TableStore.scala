@@ -94,9 +94,25 @@ final class TableStore private (
       .withColumn("_ver", lit(ver))
     val segs = writeSegmentFiles(out, ver)
     val old = manifest.segments
-    commitOrCleanup(manifest.copy(version = ver, segments = segs), segs)
+    commitOrCleanup(
+      manifest.copy(version = ver, segments = segs,
+        foldedBelow = Some(ver)),
+      segs)
     old.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
   }
+
+  /** Snapshot (time-travel) read: the committed table exactly as of
+    * commit `version`, via the connector's `versionAsOf` option —
+    * segments of versions `1..version`, pruned at planning time.
+    * Fails loudly if a later `rewrite` folded that history away
+    * (a silent `_ver <= v` filter would return a wrong table).
+    * Returns versioned rows (`_ver` attached, like [[readVersioned]])
+    * so downstream last-write-wins folds work unchanged. */
+  def readAsOf(version: Long): DataFrame =
+    spark.read
+      .format("graft-table")
+      .option("versionAsOf", version)
+      .load(dir)
 
   /** Write `out` as new segment files under data/ and return their
     * manifest entries (not yet committed). */

@@ -88,6 +88,44 @@ class TableStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versionAsOf snapshots: exact history cut, loud after a fold") {
+    val store = TableStore.open(spark, tmpDir("ts-asof"), schema)
+    val v1 = store.append(Seq(("a", 1L)).toDF("k", "v"))
+    val v2 = store.append(Seq(("a", 2L), ("b", 1L)).toDF("k", "v"))
+    val v3 = store.append(Seq(("c", 3L)).toDF("k", "v"))
+    // snapshot at v2: exactly versions 1..2, with _ver intact
+    val snap = store.readAsOf(v2)
+      .orderBy("_ver", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(snap.toSeq == Seq(("a", 1L, v1), ("a", 2L, v2), ("b", 1L, v2)))
+    // pruning happens at PLANNING time: the snapshot's statistics
+    // see 3 rows, not the 4 of the live table
+    val stats = store.readAsOf(v2).queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(3)),
+      s"snapshot stats should see 3 rows, got ${stats.rowCount}")
+    // at the latest version ≡ the live read; at 0 ≡ empty
+    assert(store.readAsOf(v3).count() == 4)
+    assert(store.readAsOf(0L).count() == 0)
+    // nonexistent future version: loud
+    intercept[Exception](store.readAsOf(v3 + 1).count())
+    // a stream must not silently accept the snapshot option (the
+    // refusal surfaces on the stream thread, not at start())
+    val sq = spark.readStream.format("graft-table")
+      .option("versionAsOf", v2).load(store.dir)
+      .writeStream.format("noop")
+      .option("checkpointLocation", tmpDir("ts-asof-ck")).start()
+    try {
+      val se = intercept[Exception](sq.processAllAvailable())
+      assert(se.getMessage.contains("versionAsOf"), se.getMessage)
+    } finally if (sq.isActive) sq.stop()
+    // fold: snapshots below the rewrite version are GONE and refused
+    store.rewrite(df => df.groupBy("k").agg(max("v").as("v")))
+    val e = intercept[Exception](store.readAsOf(v2).count())
+    assert(e.getMessage.contains("folded"), e.getMessage)
+    // the post-fold version itself still serves
+    assert(store.readAsOf(store.version).count() == 3) // a, b, c
+  }
+
   test("rewrite collapses history into one version") {
     val store = TableStore.open(spark, tmpDir("ts-rw"), schema)
     (1 to 5).foreach(i => store.append(Seq(("a", i.toLong)).toDF("k", "v")))
