@@ -120,11 +120,17 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
   /** Last-write-wins snapshot restricted to `pred` — the predicate is
     * applied BELOW the window so it reaches the parquet scan (a point
     * read touches one addr's row groups, not the whole change log). */
-  private def currentWhere(pred: org.apache.spark.sql.Column): DataFrame = {
+  private def currentWhere(pred: org.apache.spark.sql.Column): DataFrame =
+    foldLww(store.readVersioned, pred)
+
+  private def foldLww(
+      versioned: DataFrame,
+      pred: org.apache.spark.sql.Column
+  ): DataFrame = {
     val w = Window
       .partitionBy("addr")
       .orderBy(col("_ver").desc, col("useq").desc)
-    store.readVersioned
+    versioned
       .where(pred)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && !col("tombstone"))
@@ -136,6 +142,25 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
     val rows = currentWhere(col("addr") === addr).collect()
     rows.headOption.map(_.getString(1))
   }
+
+  /** The materialized index exactly as of commit `version`: the same
+    * last-write-wins fold over the PLANNING-time-pruned snapshot read
+    * ([[graft.storage.TableStore.readAsOf]]). Refused loudly when
+    * `compact()` folded that history away. */
+  def currentAsOf(version: Long): DataFrame =
+    foldLww(store.readAsOf(version), lit(true))
+
+  /** Point-in-time point read: the value `addr` had as of commit
+    * `version`; None = unset at that version. */
+  def getAsOf(addr: String, version: Long): Option[String] = {
+    val rows =
+      foldLww(store.readAsOf(version), col("addr") === addr).collect()
+    rows.headOption.map(_.getString(1))
+  }
+
+  /** The store's latest commit version (pair with [[getAsOf]] /
+    * [[currentAsOf]] to pin a reproducible read). */
+  def version: Long = store.version
 
   /** Fold the change log into a single compacted snapshot segment. */
   def compact(): Unit = {

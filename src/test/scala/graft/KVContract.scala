@@ -101,6 +101,25 @@ trait KVContract { self: SparkSpec =>
 /** The matrix legs. */
 class KVIndexContractSpec extends SparkSpec with KVContract {
   def newKV(): KV = graft.indexes.KVIndex.open(spark, tmpDir("kvc-parquet"))
+
+  // TableStore-backed leg only: point-in-time reads ride the
+  // versionAsOf snapshot (MemKV keeps no history)
+  test("getAsOf reads point-in-time state; compaction folds history loudly") {
+    val kv = graft.indexes.KVIndex.open(spark, tmpDir("kvc-asof"))
+    kv.set("a", "v1") // commit 1
+    kv.set("a", "v2") // commit 2
+    kv.delete("a") // commit 3
+    assert(kv.version == 3L)
+    assert(kv.getAsOf("a", 1L).contains("v1"))
+    assert(kv.getAsOf("a", 2L).contains("v2"))
+    assert(kv.getAsOf("a", 3L).isEmpty) // tombstoned at v3
+    assert(kv.getAsOf("a", 0L).isEmpty) // before any commit
+    assert(kv.currentAsOf(2L).collect().map(_.getString(1)).toSeq == Seq("v2"))
+    kv.compact()
+    val e = intercept[Exception](kv.getAsOf("a", 2L))
+    assert(e.getMessage.contains("folded"), e.getMessage)
+    assert(kv.getAsOf("a", kv.version).isEmpty) // post-fold state intact
+  }
 }
 
 class MemKVSpec extends SparkSpec with KVContract {
