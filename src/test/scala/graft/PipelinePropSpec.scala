@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Property tests for the round-6 corpus-rewriting ops: random
+  * instances compared against naive model formulations (manual Gen
+  * sampling like TemporalPropSpec — no scalatestplus bridge in the
+  * offline cache).
+  */
+class PipelinePropSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+
+  test("dedupLines equals the naive cross-doc line model on random corpora") {
+    import spark.implicits._
+    // small line vocabulary → cross-doc duplicates are common; blank
+    // lines mixed in to exercise the always-keep rule
+    val lineGen = Gen.oneOf(
+      "alpha beta", "gamma", "delta epsilon zeta", "", "  ", "eta theta")
+    val gen = for {
+      nd <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nd, Gen.choose(0, 6).flatMap(Gen.listOfN(_, lineGen)))
+      minDocs <- Gen.choose(2, 3)
+    } yield (docs, minDocs)
+
+    samples(gen, 10).foreach { case (docLines, minDocs) =>
+      val df = docLines.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+        .toDF("doc_id", "text")
+      // model: df per trimmed nonblank line over SPLIT text (split on
+      // \n of the joined text, matching the operator's view)
+      val split = docLines.zipWithIndex.map { case (ls, i) =>
+        i.toLong -> ls.mkString("\n").split("\n", -1).toSeq
+      }.toMap
+      val lineDf = split.toSeq
+        .flatMap { case (id, ls) =>
+          ls.filter(_.trim.nonEmpty).map(_.trim).distinct.map(_ -> id)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expect = split.map { case (id, ls) =>
+        val kept = ls.filter(l =>
+          l.trim.isEmpty || lineDf.getOrElse(l.trim, 0) < minDocs)
+        id -> ((kept.mkString("\n"), ls.size.toLong, (ls.size - kept.size).toLong))
+      }
+      val got = Dedup
+        .dedupLines(df, "text", "doc_id", minDocs = minDocs.toLong)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expect, s"minDocs=$minDocs docs=$docLines")
+    }
+  }
+
+  test("reflowLines: split-rejoin recovers the token stream, widths bound") {
+    import spark.implicits._
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val gen = for {
+      n <- Gen.choose(0, 23)
+      toks <- Gen.listOfN(n, tokGen)
+      w <- Gen.choose(1, 7)
+    } yield (toks, w)
+
+    samples(gen, 15).foreach { case (toks, w) =>
+      val df = Seq(Tuple1(toks.mkString(" "))).toDF("t")
+      val out = df
+        .select(TextFunctions.reflowLines(org.apache.spark.sql.functions.col("t"), w))
+        .collect().head.getString(0)
+      if (toks.isEmpty) assert(out == "")
+      else {
+        val lines = out.split("\n", -1).toSeq
+        // every line holds exactly w tokens except a shorter last
+        assert(lines.init.forall(_.split(" ").length == w), s"w=$w out=$out")
+        assert(lines.last.split(" ").length <= w)
+        // rejoining recovers the original token stream
+        assert(lines.flatMap(_.split(" ")).toList == toks, s"w=$w")
+      }
+    }
+  }
+}
