@@ -45,7 +45,9 @@ object DocStreamOps {
       .withColumn("fp", TextFunctions.fingerprint(t))
     val deduped = (tsCol, dedupWatermark) match {
       case (Some(ts), Some(wm)) =>
-        gated.withWatermark(ts, wm).dropDuplicatesWithinWatermark("fp")
+        // the one streaming-dedup primitive (bounded state): see also
+        // EventStreamOps.streamingContentDedup for dedup WITHOUT gates
+        EventStreamOps.dedupWithinWatermark(gated, Seq("fp"), ts, wm)
       case _ => gated.dropDuplicates("fp")
     }
     deduped.drop("fp")
