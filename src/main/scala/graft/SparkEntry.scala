@@ -2314,7 +2314,7 @@ object SparkEntry {
         |  SELECT source, count(DISTINCT tok) AS distinct_tokens FROM (
         |    SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |    FROM documents
-        |  ) GROUP BY source
+        |  ) WHERE length(tok) > 0 GROUP BY source
         |)
         |SELECT base.*, coalesce(vocab.distinct_tokens, 0) AS distinct_tokens
         |FROM base LEFT JOIN vocab USING (source)

@@ -95,12 +95,22 @@ object LiveTail {
       QuerySpec.SeqWrap(true)
     val completion = new Completion
 
+    // Degenerate bounds complete IMMEDIATELY: an empty range
+    // (upper <= lower) or Limit(0) delivers nothing, and the batch-side
+    // check below ("a delivered row reached upper-1") would otherwise
+    // wait for a row that can never arrive — leaking a running stream,
+    // the invariant a bounded live consumer must not break.
+    val emptyRange =
+      plan.upper.exists(u => u <= plan.lower.getOrElse(0L)) ||
+        plan.limit == 0L
+
     val stream = log.liveQuery(internalSpecs: _*)
     val query = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!completion.isDone) {
+        if (emptyRange) completion.complete()
+        else if (!completion.isDone) {
           var last = Long.MinValue
           val it = batch.sort("seq").toLocalIterator()
           while (it.hasNext && !completion.isDone) {
@@ -117,6 +127,7 @@ object LiveTail {
         (): Unit
       }
       .start()
+    if (emptyRange) completion.complete()
     completion.attach(query)
     query
   }

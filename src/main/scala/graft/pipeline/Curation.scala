@@ -77,6 +77,9 @@ object Curation {
     val vocabSize = df
       .select(col(strataCol),
         explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+      // tokens("") is [""]: a blank doc must not add an empty-string
+      // "word" to its stratum's vocabulary
+      .where(length(col("_tok")) > 0)
       .groupBy(col(strataCol))
       .agg(countDistinct(col("_tok")).as("distinct_tokens"))
     base.join(vocabSize, Seq(strataCol), "left")

@@ -89,8 +89,12 @@ object Sampling {
     require(weights.nonEmpty, "mixToWeights needs at least one stratum weight")
     require(weights.values.forall(_ > 0),
       s"stratum weights must be > 0 (got $weights)")
+    // strata keyed as strings (weights are a Map[String, _]); casting
+    // the column keeps non-string stratum columns (int bucket ids)
+    // working with the same string-keyed API
     val observed = df
-      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap

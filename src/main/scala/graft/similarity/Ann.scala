@@ -148,10 +148,17 @@ object Ann {
           var qi = 0
           while (qi < nq) {
             val qv = qVecs(qi)
-            val len = math.min(v.length, qv.length)
+            // strict: a truncated dot over mismatched dims is neither
+            // the padded nor the truncated cosine — fail like the
+            // oracle (list_cosine_similarity) instead of silently
+            // returning wrong neighbors
+            if (v.length != qv.length)
+              throw new IllegalArgumentException(
+                s"dimension mismatch: corpus vector id=$id has ${v.length} " +
+                  s"dims, query ${qIds(qi)} has ${qv.length}")
             var dot = 0.0
             var j = 0
-            while (j < len) { dot += v(j).toDouble * qv(j).toDouble; j += 1 }
+            while (j < qv.length) { dot += v(j).toDouble * qv(j).toDouble; j += 1 }
             val s =
               if (n == 0.0 || qNorms(qi) == 0.0) 0.0
               else round6(dot / (n * qNorms(qi)))

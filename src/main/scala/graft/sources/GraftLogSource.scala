@@ -555,7 +555,10 @@ final class GraftLogMicroBatchStream(
   * exactly its planned seqs: no duplicates against sibling
   * partitions, no gaps. The one observable effect is value
   * freshness — a row nulled/replaced mid-batch is read post-rewrite,
-  * the same non-snapshot caveat as any re-read. */
+  * the same non-snapshot caveat as any re-read. For `_ver` reads
+  * (graft-table) a racing TableStore rewrite does NOT preserve the
+  * key space — the fallback detects the fold and fails loudly
+  * instead of emitting an empty partition. */
 final class GraftLogReaderFactory(
     schema: StructType,
     filterCol: String = "seq"
@@ -583,14 +586,31 @@ final class GraftLogReaderFactory(
     // replacement segment now covers
     val files: Seq[java.nio.file.Path] =
       if (planned.forall(java.nio.file.Files.exists(_))) planned
-      else
-        Manifest
+      else {
+        val m = Manifest
           .load(seg.dir)
           .getOrElse(throw new java.io.FileNotFoundException(
             s"${seg.paths.mkString(",")} vanished and no manifest remains in ${seg.dir}"))
-          .segments
+        // The fallback re-resolve is only sound when the rewrite
+        // preserved the filter-key space — true for log seqs
+        // (compaction merges files, null/replace rewrites in place).
+        // A TableStore rewrite does NOT preserve versions: it folds
+        // all history into one NEW version and deletes the old files,
+        // so a planned `_ver ∈ [lo, hi]` read racing it would find no
+        // covering segments and silently emit nothing — data loss for
+        // an exactly-once stream, a wrong table for a snapshot. Fail
+        // loudly instead; the caller re-runs against the current table.
+        if (filterCol == "_ver")
+          m.foldedBelow.filter(_ > hi).foreach { f =>
+            throw new IllegalStateException(
+              s"segments for _ver in [$lo, $hi] were folded into version $f " +
+                "by a concurrent rewrite (compact/delete); this planned read " +
+                "cannot be served exactly-once — re-run against the current table")
+          }
+        m.segments
           .filter(s => s.maxSeq >= lo && s.minSeq <= hi)
           .map(s => java.nio.file.Paths.get(seg.dir, s.path))
+      }
     new PartitionReader[InternalRow] {
       private val remaining = files.iterator
       private var it: SegmentRecords.ClosingInternalRowIterator = null

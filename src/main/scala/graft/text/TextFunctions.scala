@@ -250,7 +250,13 @@ object TextFunctions {
     val toks = df
       .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), explode(tokens(col(textCol))).as("_tok"))
-    val counts = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
+    // materialize the count table ONCE (eager localCheckpoint — the
+    // dedupLines/verifyJaccard gate pattern): the total action below
+    // and the vocab cut inside the scoring plan would otherwise each
+    // re-run the full tokenize+explode+shuffle pipeline
+    val counts = toks
+      .groupBy("_tok").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
     // one scalar action: the corpus token total becomes a literal
     // (empty corpus → no token rows → empty result, not a div-by-0)
     val totalRow = counts.agg(sum("_c")).collect().head

@@ -94,6 +94,37 @@ class LiveSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("push with a degenerate range completes immediately, delivering nothing") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("liveempty"), IntegerType)
+    log.appendValues(Seq(10, 20, 30))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    // upper <= lower: the plan filters every row, and the "last
+    // delivered seq reached upper-1" check can never fire — the
+    // stream must not leak (the bounded-live-consumer invariant)
+    val q = LiveTail.push(
+      log,
+      Seq(Gte(200), Lt(150), Live(true), SeqWrap(true)),
+      tmpDir("ckptempty"),
+      r => { seen.add(r.getLong(0)); () }
+    )
+    try {
+      assert(q.awaitTermination(60000), "empty-range push did not terminate")
+      assert(seen.isEmpty)
+    } finally if (q.isActive) q.stop()
+    // Limit(0) is the same degenerate contract
+    val q0 = LiveTail.push(
+      log,
+      Seq(Limit(0), Live(true), SeqWrap(true)),
+      tmpDir("ckptzero"),
+      r => { seen.add(r.getLong(0)); () }
+    )
+    try {
+      assert(q0.awaitTermination(60000), "Limit(0) push did not terminate")
+      assert(seen.isEmpty)
+    } finally if (q0.isActive) q0.stop()
+  }
+
   test("segment rewrite during an active push does not wedge delivery") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("livenull"), IntegerType)

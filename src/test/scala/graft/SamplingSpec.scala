@@ -130,6 +130,12 @@ class SamplingSpec extends SparkSpec {
     // a weighted stratum absent from the corpus → unachievable → empty
     assert(Sampling.mixToWeights(
       docs, "lang", Map("xx" -> 1.0), "doc_id").count() == 0L)
+    // non-string stratum columns work through the same string-keyed API
+    import spark.implicits._
+    val intStrata = Seq((1L, 7), (2L, 7), (3L, 8)).toDF("doc_id", "bucket")
+    val mixed = Sampling
+      .mixToWeights(intStrata, "bucket", Map("7" -> 0.5, "8" -> 0.5), "doc_id")
+    assert(mixed.count() > 0)
   }
 
   test("invalid knobs fail fast at plan construction, not deep in execution") {

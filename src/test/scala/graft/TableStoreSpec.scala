@@ -126,6 +126,28 @@ class TableStoreSpec extends SparkSpec {
     assert(store.readAsOf(store.version).count() == 3) // a, b, c
   }
 
+  test("a planned _ver read racing a rewrite fails loudly, never emits empty") {
+    import graft.sources.{GraftLogReaderFactory, LogSegmentPartition}
+    val store = TableStore.open(spark, tmpDir("ts-race"), schema)
+    store.append(Seq(("a", 1L)).toDF("k", "v"))
+    store.append(Seq(("b", 2L)).toDF("k", "v"))
+    // plan against the CURRENT manifest (what a micro-batch or
+    // snapshot scan does), resolving absolute segment paths
+    val m = graft.storage.Manifest.load(store.dir).get
+    val planned = m.segments.map(s =>
+      java.nio.file.Paths.get(store.dir, s.path).toString)
+    val part = LogSegmentPartition(store.dir, planned, 1L, 2L)
+    // the rewrite folds versions 1-2 into version 3 and DELETES the
+    // planned files — serving the stale plan from the folded segment
+    // would deliver nothing and silently commit the stream offset
+    store.rewrite(df => df)
+    val diskSchema = StructType(
+      schema.fields :+ StructField("_ver", LongType, nullable = false))
+    val factory = new GraftLogReaderFactory(diskSchema, filterCol = "_ver")
+    val e = intercept[IllegalStateException](factory.createReader(part))
+    assert(e.getMessage.contains("folded"), e.getMessage)
+  }
+
   test("rewrite collapses history into one version") {
     val store = TableStore.open(spark, tmpDir("ts-rw"), schema)
     (1 to 5).foreach(i => store.append(Seq(("a", i.toLong)).toDF("k", "v")))
