@@ -114,6 +114,41 @@ final class TableStore private (
       .option("versionAsOf", version)
       .load(dir)
 
+  /** Crash-consistency sweep, the table-store face of ParquetLog's
+    * fsck (reference discipline: journal cross-check,
+    * offset2/log.go:217-302): a crash mid-append leaves an orphan
+    * `tmp-*` spill dir and/or moved `data/` files the manifest never
+    * committed; a crash mid-`rewrite` (after commit, before delete)
+    * leaves the folded-away files behind. All are INVISIBLE to
+    * readers (the manifest is the source of truth) but leak disk.
+    * Returns the issues found; `repair = true` deletes orphans.
+    * A manifest-listed file that is MISSING is reported but never
+    * auto-repaired — that is data loss, not litter. */
+  def checkConsistency(repair: Boolean = false): List[String] = synchronized {
+    val issues = scala.collection.mutable.ListBuffer.empty[String]
+    val listed = manifest.segments.map(_.path).toSet
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("tmp-"))
+      .toList
+      .foreach { p =>
+        issues += s"orphan tmp dir ${p.getFileName}"
+        if (repair) deleteRecursively(p)
+      }
+    val dataDir = Paths.get(dir, "data")
+    if (Files.exists(dataDir))
+      Files.list(dataDir).iterator().asScala
+        .filter(f => !listed.contains(s"data/${f.getFileName}"))
+        .toList
+        .foreach { f =>
+          issues += s"orphan segment data/${f.getFileName}"
+          if (repair) Files.deleteIfExists(f)
+        }
+    manifest.segments
+      .filterNot(s => Files.exists(Paths.get(dir, s.path)))
+      .foreach(s => issues += s"MISSING committed segment ${s.path}")
+    issues.toList
+  }
+
   /** Write `out` as new segment files under data/ and return their
     * manifest entries (not yet committed). */
   private def writeSegmentFiles(out: DataFrame, ver: Long): List[Segment] = {

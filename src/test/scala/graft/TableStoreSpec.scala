@@ -148,6 +148,35 @@ class TableStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("folded"), e.getMessage)
   }
 
+  test("checkConsistency sweeps crash litter, reports real loss, repairs safely") {
+    import java.nio.file.{Files, Paths}
+    val store = TableStore.open(spark, tmpDir("ts-fsck"), schema)
+    store.append(Seq(("a", 1L)).toDF("k", "v"))
+    store.append(Seq(("b", 2L)).toDF("k", "v"))
+    assert(store.checkConsistency() == Nil) // clean table
+    // simulate a crash mid-append: orphan tmp spill dir + an orphan
+    // moved file the manifest never committed
+    val tmp = Paths.get(store.dir, "tmp-deadbeef")
+    Files.createDirectories(tmp)
+    Files.writeString(tmp.resolve("part-0.parquet"), "junk")
+    val orphan = Paths.get(store.dir, "data", "seg-99999999-orphan.parquet")
+    Files.writeString(orphan, "junk")
+    val found = store.checkConsistency()
+    assert(found.exists(_.contains("tmp-deadbeef")), found.toString)
+    assert(found.exists(_.contains("seg-99999999-orphan")), found.toString)
+    // orphans are INVISIBLE to readers before and after repair
+    assert(store.readVersioned.count() == 2)
+    store.checkConsistency(repair = true)
+    assert(store.checkConsistency() == Nil)
+    assert(!Files.exists(tmp) && !Files.exists(orphan))
+    assert(store.readVersioned.count() == 2)
+    // a missing COMMITTED file is loss: reported, never auto-deleted
+    val committed = graft.storage.Manifest.load(store.dir).get.segments.head
+    Files.delete(Paths.get(store.dir, committed.path))
+    val loss = store.checkConsistency(repair = true)
+    assert(loss.exists(_.contains("MISSING")), loss.toString)
+  }
+
   test("rewrite collapses history into one version") {
     val store = TableStore.open(spark, tmpDir("ts-rw"), schema)
     (1 to 5).foreach(i => store.append(Seq(("a", i.toLong)).toDF("k", "v")))
