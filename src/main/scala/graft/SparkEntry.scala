@@ -1315,6 +1315,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // token-weighted mixing: q87's row-space resampler in TOKEN
+    // space — the form mixes are actually specified in. Same
+    // bit-identical IEEE rate recompute in the oracle
+    "q91_mix_token_weights" -> ((s, dir) =>
+      graft.pipeline.Sampling.mixToTokenWeights(
+        Tables.load(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+          "fr" -> 0.125, "zh" -> 0.125),
+        "text", "doc_id", seed = "s91")
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")),
+
     // mix-to-target-weights resampling: the ACTION q84's profile
     // informs — downsample each lang stratum so the output hits the
     // target mix at the largest achievable size (dyadic weights so
@@ -2418,6 +2430,29 @@ object SparkEntry {
     "q88_stream_dedup" ->
       """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+
+    "q91_mix_token_weights" ->
+      """WITH w(lang, wt) AS (VALUES
+        |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
+        |  ('es', CAST(0.125 AS DOUBLE)), ('fr', CAST(0.125 AS DOUBLE)),
+        |  ('zh', CAST(0.125 AS DOUBLE))
+        |), c AS (
+        |  SELECT lang, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) AS BIGINT) AS t
+        |  FROM documents GROUP BY 1
+        |), tm AS (
+        |  SELECT min(c.t / w.wt) AS t FROM w JOIN c USING (lang)
+        |), r AS (
+        |  SELECT w.lang, (w.wt * tm.t) / c.t AS rate
+        |  FROM w JOIN c USING (lang) CROSS JOIN tm WHERE c.t > 0
+        |)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(lower(trim(d.text)), '\s+')) END AS BIGINT) AS n_tokens
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':s91'), 1, 8))::BIGINT
+        |      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q87_mix_to_weights" ->
       """WITH w(lang, wt) AS (VALUES

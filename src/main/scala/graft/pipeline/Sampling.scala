@@ -108,6 +108,50 @@ object Sampling {
     stratifiedHashSample(df, strataCol, rates, defaultRate = 0.0, idCol, seed)
   }
 
+  /** Token-weighted mixing — [[mixToWeights]] in TOKEN space, the
+    * form mixes are actually specified in ("50% web, 30% code, 20%
+    * wiki of the token budget"): per-stratum token totals from ONE
+    * aggregation pass, `Tmax = min_s(T_s / w_s)` the largest token
+    * total the corpus supports at the target proportions, each
+    * stratum keeps `(w_s * T) / T_s` of its rows by hash gate
+    * (`T = min(budgetTokens, Tmax)` when a budget is given).
+    * Row-level gating hits a token target in expectation — the
+    * [[tokenBudgetSample]] scale-path trade, tight for any corpus
+    * big enough to need mixing. Same plan shape as [[mixToWeights]]:
+    * tiny collected agg → literal rates → one pushed filter.
+    * Returns the kept rows with `n_tokens` attached. */
+  def mixToTokenWeights(
+      df: DataFrame,
+      strataCol: String,
+      weights: Map[String, Double],
+      textCol: String,
+      idCol: String,
+      seed: String = "s0",
+      budgetTokens: Option[Long] = None
+  ): DataFrame = {
+    require(weights.nonEmpty, "mixToTokenWeights needs at least one stratum")
+    require(weights.values.forall(_ > 0),
+      s"stratum weights must be > 0 (got $weights)")
+    val withTok = df.withColumn(
+      "n_tokens",
+      graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+    val observed = withTok
+      .groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val tmax = weights
+      .map { case (s, w) => observed.getOrElse(s, 0L) / w }
+      .min
+    val t = budgetTokens.fold(tmax)(b => math.min(b.toDouble, tmax))
+    val rates = weights.flatMap { case (s, w) =>
+      observed.get(s).filter(_ > 0).map(ts => s -> (w * t) / ts)
+    }
+    stratifiedHashSample(withTok, strataCol, rates, defaultRate = 0.0,
+      idCol, seed)
+  }
+
   /** Deterministic global interleave ("shuffle") order: position =
     * rank of the id-hash. Training dataloaders need the corpus in a
     * fixed pseudo-random order decorrelated from ingest order; sorting

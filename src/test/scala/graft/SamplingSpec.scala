@@ -138,6 +138,37 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.count() > 0)
   }
 
+  test("mixToTokenWeights hits target TOKEN shares, not row shares") {
+    val weights = Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125,
+      "fr" -> 0.125, "zh" -> 0.125)
+    val out = Sampling
+      .mixToTokenWeights(docs, "lang", weights, "text", "doc_id", "mt")
+    val tokByLang = out.groupBy("lang")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = tokByLang.values.sum.toDouble
+    // every stratum's TOKEN share lands near its weight (hash-gate
+    // sampling noise on a few hundred docs → generous tolerance)
+    weights.foreach { case (s, w) =>
+      val share = tokByLang.getOrElse(s, 0L) / total
+      assert(math.abs(share - w) / w < 0.5, s"$s: share $share vs weight $w")
+    }
+    // the binding stratum (min T_s/w_s) keeps every row
+    val sizes = docs
+      .groupBy("lang")
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = weights.keys.minBy(s => sizes(s) / weights(s))
+    assert(out.where(col("lang") === binding).count() ==
+      docs.where(col("lang") === binding).count())
+    // a token budget below Tmax scales everything down together
+    val tmax = weights.map { case (s, w) => sizes(s) / w }.min
+    val small = Sampling.mixToTokenWeights(docs, "lang", weights, "text",
+      "doc_id", "mt", budgetTokens = Some((tmax / 2).toLong))
+    assert(small.agg(sum("n_tokens")).collect().head.getLong(0) <
+      out.agg(sum("n_tokens")).collect().head.getLong(0))
+  }
+
   test("invalid knobs fail fast at plan construction, not deep in execution") {
     intercept[IllegalArgumentException] {
       Sampling.packSequences(
