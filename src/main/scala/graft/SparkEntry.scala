@@ -1315,6 +1315,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // perceptual media fingerprint: aHash over the decoded payload —
+    // the synthesize() payload is pure arithmetic, so the oracle
+    // recomputes the decoded bytes WITHOUT parsing the binary
+    "q92_media_phash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Multimodal
+        .phash32(Multimodal.synthesize(s,
+          docs.where(col("doc_id") < 200), "doc_id"))
+        .orderBy("id")
+    }),
+
     // token-weighted mixing: q87's row-space resampler in TOKEN
     // space — the form mixes are actually specified in. Same
     // bit-identical IEEE rate recompute in the oracle
@@ -2430,6 +2441,25 @@ object SparkEntry {
     "q88_stream_dedup" ->
       """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+
+    "q92_media_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CAST(4 + doc_id % 8 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), ps AS (SELECT unnest(generate_series(0, 95)) AS i),
+        |b AS (
+        |  SELECT id, i, CAST((id * 31 + i) % 251 AS BIGINT) AS byte
+        |  FROM m, ps WHERE i < w * h
+        |), mn AS (SELECT id, avg(byte) AS mean FROM b GROUP BY id),
+        |bits AS (
+        |  SELECT b.id,
+        |    CAST(sum(CASE WHEN b.byte > mn.mean AND b.i < 32
+        |         THEN (CAST(1 AS BIGINT) << CAST(b.i AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM b JOIN mn ON b.id = mn.id GROUP BY b.id
+        |)
+        |SELECT id, phash, FALSE AS corrupt FROM bits ORDER BY id""".stripMargin,
 
     "q91_mix_token_weights" ->
       """WITH w(lang, wt) AS (VALUES

@@ -142,6 +142,45 @@ object Multimodal {
       .toDF("id", "frame_idx", "width", "height", "frame")
   }
 
+  /** 32-bit average-hash perceptual fingerprint (aHash): bit j set
+    * iff decoded payload byte j is above the payload's mean — the
+    * media-content analogue of text fingerprinting, for image/audio
+    * dedup where byte-identical blobs are rare but content repeats
+    * (re-encodes, crops, format shifts). Near-dups are then small
+    * Hamming distances, joinable with the SimHash banding machinery.
+    * Same mapPartitions decode shape as [[extractFeatures]]; corrupt
+    * blobs yield `corrupt = true` rather than failing the stage.
+    * (A production pHash DCTs an 8×8 downsample first; the hash
+    * arithmetic and plumbing here are the real contract, the decode
+    * is [[FakeCodec]].) */
+  def phash32(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          FakeCodec.decode(blob) match {
+            case Some((_, _, _, p)) if p.nonEmpty =>
+              var sum = 0L
+              var i = 0
+              while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
+              val mean = sum.toDouble / p.length
+              val n = math.min(p.length, 32)
+              var h = 0L
+              var j = 0
+              while (j < n) {
+                if ((p(j) & 0xff) > mean) h |= (1L << j)
+                j += 1
+              }
+              (id, h, false)
+            case _ => (id, 0L, true)
+          }
+        }
+      }
+      .toDF("id", "phash", "corrupt")
+  }
+
   /** Synthesize a deterministic media table from any id column —
     * lets the multimodal path be exercised against the driver's
     * test tables without binary fixtures. */

@@ -240,6 +240,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("media phash: deterministic, content-sensitive, corrupt flagged") {
+    import graft.multimodal.Multimodal.FakeCodec
+    val base = Array.tabulate(64)(i => (i * 3 % 251).toByte)
+    val nearDup = base.clone(); nearDup(5) = (nearDup(5) + 120).toByte
+    val different = Array.tabulate(64)(i => (250 - i * 7 % 251).toByte)
+    val media = Seq(
+      (1L, FakeCodec.encode(8, 8, 1, base)),
+      (2L, FakeCodec.encode(8, 8, 1, base)), // identical content
+      (3L, FakeCodec.encode(8, 8, 1, nearDup)), // one byte off
+      (4L, FakeCodec.encode(8, 8, 1, different)),
+      (5L, Array[Byte](1, 2, 3)) // corrupt
+    ).toDF("id", "media")
+    val got = graft.multimodal.Multimodal.phash32(media)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(got(1L) == got(2L)) // identical content, identical hash
+    assert(ham(got(1L)._1, got(3L)._1) <= 2) // near-dup: tiny distance
+    assert(ham(got(1L)._1, got(4L)._1) > ham(got(1L)._1, got(3L)._1))
+    assert(got(5L) == ((0L, true))) // corrupt flagged, not failed
+  }
+
   test("ANN: LSH top-k scores are a subset of brute-force ranking") {
     val q = emb.where($"vec_id" === 0).select("embedding")
       .collect()(0).getSeq[Float](0)
