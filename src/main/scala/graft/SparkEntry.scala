@@ -1315,6 +1315,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Hamming near-dup pairing over SimHash fingerprints: pigeonhole
+    // banding (exact recall, never all-pairs) + one bit_count verify;
+    // the oracle brute-forces all pairs — same result set by the bound
+    "q93_hamming_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup
+        .hammingPairs(Dedup.simhash32(docs, "text", "doc_id")
+            .toDF("id", "h"),
+          "h", "id", maxHamming = 2, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // perceptual media fingerprint: aHash over the decoded payload —
     // the synthesize() payload is pure arithmetic, so the oracle
     // recomputes the decoded bytes WITHOUT parsing the binary
@@ -2441,6 +2453,28 @@ object SparkEntry {
     "q88_stream_dedup" ->
       """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+
+    "q93_hamming_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (CAST(floor(h / pow(2, b.bit)) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        |  GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS h
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q92_media_phash" ->
       """WITH m AS (

@@ -525,6 +525,52 @@ object Dedup {
         (col("_n") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Near-duplicate pairs by HAMMING distance over a 32-bit
+    * fingerprint column — the pairing stage [[simhash32]] and
+    * [[graft.multimodal.Multimodal.phash32]] feed: two fingerprints
+    * within distance `maxHamming` must agree EXACTLY on at least one
+    * of `bands` bit-bands (pigeonhole: `maxHamming < bands`), so the
+    * candidate join is a banded equi-join — never all-pairs — with
+    * the LSH path's mega-bucket cap; candidates then verify with one
+    * codegen'd `bit_count(a ^ b)`. Exact (full recall) under the
+    * pigeonhole bound, unlike probabilistic LSH banding.
+    * Returns `(id_a, id_b, hamming)` with `id_a < id_b`. */
+  def hammingPairs(
+      df: DataFrame,
+      hashCol: String,
+      idCol: String,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxBucket: Long = 100000L
+  ): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands > maxHamming (got $bands <= $maxHamming)")
+    require(32 % bands == 0, s"bands must divide 32 (got $bands)")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val banded = df
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("_h"))
+      .select(col("id"), col("_h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("_band"))
+      .withColumn("_bits",
+        expr(s"shiftright(_h, _band * $width)").bitwiseAND(lit(mask)))
+    val (kept, _) = graft.query.Skew.capBuckets(
+      banded, Seq("_band", "_bits"), maxBucket)
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a._band") === col("b._band") &&
+          col("a._bits") === col("b._bits") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a._h").as("_ha"), col("b._h").as("_hb"))
+      .distinct() // a close pair can collide in several bands
+      .withColumn("hamming", expr("bit_count(_ha ^ _hb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Cross-document LINE dedup (the RefinedWeb/CCNet tier): a line
     * whose trimmed text appears in at least `minDocs` DISTINCT
     * documents is removed from EVERY document, and each doc's text is

@@ -240,6 +240,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hammingPairs: exact recall vs brute force under the pigeonhole bound") {
+    // 32-bit hashes engineered across the distance spectrum
+    val hs = Seq(
+      (1L, 0x00000000L), (2L, 0x00000001L), // d=1
+      (3L, 0x00000003L), // d(1,3)=2, d(2,3)=1
+      (4L, 0x0F0F0F0FL), // far from 1-3
+      (5L, 0x0F0F0F0EL), // d(4,5)=1
+      (6L, 0xFFFFFFFFL) // far from all
+    ).toDF("id", "h")
+    val got = Dedup.hammingPairs(hs, "h", "id", maxHamming = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force model over all 15 pairs
+    val raw = Seq(1L -> 0x00000000L, 2L -> 0x00000001L, 3L -> 0x00000003L,
+      4L -> 0x0F0F0F0FL, 5L -> 0x0F0F0F0EL, 6L -> 0xFFFFFFFFL)
+    val expect = (for {
+      (ia, ha) <- raw; (ib, hb) <- raw if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == expect, s"got $got expect $expect")
+    // the pigeonhole precondition is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(hs, "h", "id", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("media phash: deterministic, content-sensitive, corrupt flagged") {
     import graft.multimodal.Multimodal.FakeCodec
     val base = Array.tabulate(64)(i => (i * 3 % 251).toByte)
