@@ -532,9 +532,15 @@ object Dedup {
     * of `bands` bit-bands (pigeonhole: `maxHamming < bands`), so the
     * candidate join is a banded equi-join — never all-pairs — with
     * the LSH path's mega-bucket cap; candidates then verify with one
-    * codegen'd `bit_count(a ^ b)`. Exact (full recall) under the
-    * pigeonhole bound, unlike probabilistic LSH banding.
-    * Returns `(id_a, id_b, hamming)` with `id_a < id_b`. */
+    * codegen'd `bit_count(a ^ b)`. Recall is EXACT under the
+    * pigeonhole bound (unlike probabilistic LSH banding) — up to the
+    * mega-bucket cap: a band bucket with more than `maxBucket` rows
+    * means > maxBucket fingerprints sharing 8 identical bits, which
+    * at that multiplicity is identical-fingerprint flood territory —
+    * EXACT-dup clusters the fingerprint-groupBy tier
+    * ([[exactGroups]] on the hash column) reports directly; pairing
+    * them pairwise here would be the quadratic blowup the cap
+    * exists to stop. Returns `(id_a, id_b, hamming)`, `id_a < id_b`. */
   def hammingPairs(
       df: DataFrame,
       hashCol: String,
@@ -550,7 +556,12 @@ object Dedup {
     val width = 32 / bands
     val mask = (1L << width) - 1
     val banded = df
-      .select(col(idCol).as("id"), col(hashCol).cast("long").as("_h"))
+      // mask to the low 32 bits: an IntegerType fingerprint column
+      // would sign-extend through cast("long"), inflating bit_count
+      // by 32 for negative-int hashes and silently dropping pairs
+      // that straddle bit 31
+      .select(col(idCol).as("id"),
+        col(hashCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL)).as("_h"))
       .select(col("id"), col("_h"),
         explode(sequence(lit(0), lit(bands - 1))).as("_band"))
       .withColumn("_bits",

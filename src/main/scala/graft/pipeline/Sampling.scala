@@ -92,20 +92,41 @@ object Sampling {
     // strata keyed as strings (weights are a Map[String, _]); casting
     // the column keeps non-string stratum columns (int bucket ids)
     // working with the same string-keyed API
-    val observed = df
-      .groupBy(col(strataCol).cast("string").as("_s"))
-      .agg(count(lit(1)).as("n"))
+    val observed = observedBy(df, strataCol, count(lit(1)))
+    val rates = mixRates(observed, weights, totalRows)
+    stratifiedHashSample(df, strataCol, rates, defaultRate = 0.0, idCol, seed)
+  }
+
+  /** Per-stratum totals (strata keyed as strings so non-string
+    * stratum columns work with the string-keyed weight maps). */
+  private def observedBy(
+      df: DataFrame,
+      strataCol: String,
+      total: Column
+  ): Map[String, Long] =
+    df.groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(total.as("_t"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
+
+  /** The shared mixing-rate math (one place, so the IEEE expression
+    * tree the oracles recompute can never drift between the row and
+    * token variants): `Tmax = min_s(obs_s / w_s)`, capped by the
+    * budget, `rate_s = w_s * T / obs_s`; zero-total strata are
+    * dropped (their rate would be 0 via the default anyway). */
+  private def mixRates(
+      observed: Map[String, Long],
+      weights: Map[String, Double],
+      budget: Option[Long]
+  ): Map[String, Double] = {
     val tmax = weights
       .map { case (s, w) => observed.getOrElse(s, 0L) / w }
       .min
-    val t = totalRows.fold(tmax)(b => math.min(b.toDouble, tmax))
-    val rates = weights.flatMap { case (s, w) =>
-      observed.get(s).map(n => s -> (w * t) / n)
+    val t = budget.fold(tmax)(b => math.min(b.toDouble, tmax))
+    weights.flatMap { case (s, w) =>
+      observed.get(s).filter(_ > 0).map(obs => s -> (w * t) / obs)
     }
-    stratifiedHashSample(df, strataCol, rates, defaultRate = 0.0, idCol, seed)
   }
 
   /** Token-weighted mixing — [[mixToWeights]] in TOKEN space, the
@@ -135,19 +156,8 @@ object Sampling {
     val withTok = df.withColumn(
       "n_tokens",
       graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
-    val observed = withTok
-      .groupBy(col(strataCol).cast("string").as("_s"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
-    val tmax = weights
-      .map { case (s, w) => observed.getOrElse(s, 0L) / w }
-      .min
-    val t = budgetTokens.fold(tmax)(b => math.min(b.toDouble, tmax))
-    val rates = weights.flatMap { case (s, w) =>
-      observed.get(s).filter(_ > 0).map(ts => s -> (w * t) / ts)
-    }
+    val observed = observedBy(withTok, strataCol, sum(col("n_tokens")))
+    val rates = mixRates(observed, weights, budgetTokens)
     stratifiedHashSample(withTok, strataCol, rates, defaultRate = 0.0,
       idCol, seed)
   }

@@ -121,29 +121,55 @@ final class TableStore private (
     * committed; a crash mid-`rewrite` (after commit, before delete)
     * leaves the folded-away files behind. All are INVISIBLE to
     * readers (the manifest is the source of truth) but leak disk.
-    * Returns the issues found; `repair = true` deletes orphans.
-    * A manifest-listed file that is MISSING is reported but never
-    * auto-repaired — that is data loss, not litter. */
-  def checkConsistency(repair: Boolean = false): List[String] = synchronized {
+    * Returns the issues found; `repair = true` deletes orphans that
+    * are at least `minAgeMs` old (young litter may be another
+    * process's IN-FLIGHT append — moved but not yet committed — and
+    * must be left alone; a crashed writer's litter only ages).
+    * Orphan-ness is judged against the ON-DISK manifest, never this
+    * handle's possibly-stale view. A manifest-listed file that is
+    * MISSING is reported but never auto-repaired — that is data
+    * loss, not litter. */
+  def checkConsistency(
+      repair: Boolean = false,
+      minAgeMs: Long = 600000L
+  ): List[String] = synchronized {
     val issues = scala.collection.mutable.ListBuffer.empty[String]
-    val listed = manifest.segments.map(_.path).toSet
-    Files.list(Paths.get(dir)).iterator().asScala
+    // the ON-DISK manifest is the source of truth: another handle or
+    // process may have committed since this handle's last write, and
+    // sweeping against the stale in-memory view would classify THEIR
+    // committed segments as orphans — repair would destroy real data
+    val committed = Manifest.load(dir).getOrElse(manifest)
+    val listed = committed.segments.map(_.path).toSet
+    // litter younger than minAgeMs is never deleted: it may be an
+    // in-flight append in another process (files moved into data/ but
+    // not yet committed) — deleting those corrupts its commit. A
+    // crashed writer's litter only AGES; a live writer's commits
+    // within minutes.
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      try {
+        System.currentTimeMillis() -
+          Files.getLastModifiedTime(p).toMillis >= minAgeMs
+      } catch { case _: Exception => false }
+    def ls(p: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList
+      finally s.close()
+    }
+    ls(Paths.get(dir))
       .filter(_.getFileName.toString.startsWith("tmp-"))
-      .toList
       .foreach { p =>
         issues += s"orphan tmp dir ${p.getFileName}"
-        if (repair) deleteRecursively(p)
+        if (repair && oldEnough(p)) deleteRecursively(p)
       }
     val dataDir = Paths.get(dir, "data")
     if (Files.exists(dataDir))
-      Files.list(dataDir).iterator().asScala
+      ls(dataDir)
         .filter(f => !listed.contains(s"data/${f.getFileName}"))
-        .toList
         .foreach { f =>
           issues += s"orphan segment data/${f.getFileName}"
-          if (repair) Files.deleteIfExists(f)
+          if (repair && oldEnough(f)) Files.deleteIfExists(f)
         }
-    manifest.segments
+    committed.segments
       .filterNot(s => Files.exists(Paths.get(dir, s.path)))
       .foreach(s => issues += s"MISSING committed segment ${s.path}")
     issues.toList
@@ -154,12 +180,12 @@ final class TableStore private (
   private def writeSegmentFiles(out: DataFrame, ver: Long): List[Segment] = {
     val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val files = Files
-      .list(tmp)
-      .iterator()
-      .asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toList
+    val listing = Files.list(tmp)
+    val files =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toList
+      finally listing.close()
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
     val segs = files.map { f =>

@@ -263,6 +263,13 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.hammingPairs(hs, "h", "id", maxHamming = 4, bands = 4)
     }
+    // IntegerType hashes with the sign bit set: the 32-bit mask keeps
+    // bit_count honest (sign extension would report 33, not 1)
+    val intHs = Seq((1L, 0x7FFFFFFE), (2L, 0xFFFFFFFE.toInt))
+      .toDF("id", "h")
+    val ip = Dedup.hammingPairs(intHs, "h", "id", maxHamming = 1, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ip.toSeq == Seq((1L, 2L, 1L)), ip.toSeq.toString)
   }
 
   test("media phash: deterministic, content-sensitive, corrupt flagged") {

@@ -166,10 +166,22 @@ class TableStoreSpec extends SparkSpec {
     assert(found.exists(_.contains("seg-99999999-orphan")), found.toString)
     // orphans are INVISIBLE to readers before and after repair
     assert(store.readVersioned.count() == 2)
+    // YOUNG litter is reported but NOT deleted (it may be another
+    // process's in-flight append): default minAge protects it
     store.checkConsistency(repair = true)
+    assert(Files.exists(tmp) && Files.exists(orphan))
+    // aged litter (minAgeMs = 0 simulates age) is swept
+    store.checkConsistency(repair = true, minAgeMs = 0L)
     assert(store.checkConsistency() == Nil)
     assert(!Files.exists(tmp) && !Files.exists(orphan))
     assert(store.readVersioned.count() == 2)
+    // another handle's commit is never litter: the sweep judges
+    // against the DISK manifest, not this handle's stale view
+    val other = TableStore.open(spark, store.dir, schema)
+    other.append(Seq(("c", 3L)).toDF("k", "v"))
+    val afterOther = store.checkConsistency(repair = true, minAgeMs = 0L)
+    assert(!afterOther.exists(_.contains("orphan")), afterOther.toString)
+    assert(other.readVersioned.count() == 3)
     // a missing COMMITTED file is loss: reported, never auto-deleted
     val committed = graft.storage.Manifest.load(store.dir).get.segments.head
     Files.delete(Paths.get(store.dir, committed.path))
