@@ -1327,6 +1327,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the fingerprint story end-to-end: simhash → hamming pairing →
+    // connected components — near-dup clusters without shingles or
+    // LSH tuning, the cheap tier before q50's minhash clusters
+    "q94_simhash_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup
+        .hammingPairs(Dedup.simhash32(docs, "text", "doc_id")
+            .toDF("id", "h"),
+          "h", "id", maxHamming = 2, bands = 4)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // perceptual media fingerprint: aHash over the decoded payload —
     // the synthesize() payload is pure arithmetic, so the oracle
     // recomputes the decoded bytes WITHOUT parsing the binary
@@ -2453,6 +2468,37 @@ object SparkEntry {
     "q88_stream_dedup" ->
       """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+
+    "q94_simhash_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (CAST(floor(h / pow(2, b.bit)) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        |  GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS h
+        |  FROM bits GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 2
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
 
     "q93_hamming_pairs" ->
       """WITH toks AS (
