@@ -167,6 +167,10 @@ class SamplingSpec extends SparkSpec {
       "doc_id", "mt", budgetTokens = Some((tmax / 2).toLong))
     assert(small.agg(sum("n_tokens")).collect().head.getLong(0) <
       out.agg(sum("n_tokens")).collect().head.getLong(0))
+    // like mixToWeights: the data pass is a pure pushed filter
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"mixToTokenWeights data pass must not shuffle:\n$plan")
   }
 
   test("invalid knobs fail fast at plan construction, not deep in execution") {
