@@ -30,15 +30,27 @@ object SparkEntry {
 
   /** Scratch dir for queries that build an engine fixture (a log /
     * index copy + checkpoint): removed on JVM exit, so repeated
-    * Verify runs don't leak disk. */
+    * Verify runs don't leak disk. ONE shutdown hook drains a shared
+    * queue — a long-lived driver re-running the query map must not
+    * accumulate a hook (and a retained Path) per invocation. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = tempDirs.poll()
+      while (p != null) {
+        try {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        } catch { case _: Exception => () }
+        p = tempDirs.poll()
+      }
+    }))
+  }
   private[graft] def tempWorkDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      } catch { case _: Exception => () }))
+    tempDirs.add(p)
     p.toString
   }
 
@@ -1342,15 +1354,75 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // perceptual media fingerprint: aHash over the decoded payload —
-    // the synthesize() payload is pure arithmetic, so the oracle
-    // recomputes the decoded bytes WITHOUT parsing the binary
+    // 64-bit SimHash: the 100 TB fingerprint tier — 32-bit band
+    // buckets saturate near 25 M docs and the 2^32 value space near
+    // 10^9; same majority-vote construction over 64 md5-derived bits.
+    // Bit 63 is the long sign bit (negative fingerprints expected)
+    "q96_simhash64" -> ((s, dir) =>
+      Dedup.simhash64(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Hamming pairing over the 64-bit fingerprints: same pigeonhole
+    // banding as q93 with 16-bit bands (65,536 buckets/band — the
+    // occupancy headroom that carries the plan to 10^9 docs); the
+    // oracle brute-forces all pairs in two unsigned 32-bit halves
+    "q97_hamming64_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup
+        .hammingPairs(Dedup.simhash64(docs, "text", "doc_id")
+            .toDF("id", "h"),
+          "h", "id", maxHamming = 3, bands = 4, bits = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // perceptual media fingerprint: 8×4-grid aHash over the decoded
+    // plane — the synthesize() payload is pure arithmetic, so the
+    // oracle recomputes the decoded bytes AND the grid cells WITHOUT
+    // parsing the binary
     "q92_media_phash" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Multimodal
         .phash32(Multimodal.synthesize(s,
           docs.where(col("doc_id") < 200), "doc_id"))
         .orderBy("id")
+    }),
+
+    // 64-bit perceptual fingerprint: the classic 8×8 aHash grid —
+    // the media face of the 64-bit fingerprint tier (q96/q97)
+    "q98_media_phash64" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Multimodal
+        .phash64(Multimodal.synthesize(s,
+          docs.where(col("doc_id") < 200), "doc_id"))
+        .orderBy("id")
+    }),
+
+    // the executable 100 TB interleave: write range-partitioned on
+    // the interleave key, re-read, and PROVE file-order = hash-order
+    // (`contiguous` = no two files' (key, id) ranges overlap — the
+    // oracle pins it TRUE, so a broken partitioning fails the compare;
+    // the per-row ikey values are recomputed exactly by the oracle)
+    "q99_interleaved_write" -> ((s, dir) => {
+      val out = tempWorkDir("graft-q99-") + "/interleaved"
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "lang")
+      graft.pipeline.Sampling
+        .writeInterleaved(docs, "doc_id", out, numFiles = 8, seed = "s99")
+      val back = s.read.parquet(out)
+      val ranges = back
+        .groupBy(input_file_name().as("_f"))
+        .agg(
+          min(struct(col("_ikey"), col("doc_id"))).as("_lo"),
+          max(struct(col("_ikey"), col("doc_id"))).as("_hi"))
+      val overlaps = ranges.as("a")
+        .join(ranges.as("b"),
+          col("a._f") < col("b._f") &&
+            col("a._lo") <= col("b._hi") && col("b._lo") <= col("a._hi"))
+        .count()
+      back
+        .select(col("doc_id"), col("_ikey").as("ikey"),
+          lit(overlaps == 0).as("contiguous"))
+        .orderBy("doc_id")
     }),
 
     // token-weighted mixing: q87's row-space resampler in TOKEN
@@ -2522,6 +2594,68 @@ object SparkEntry {
         |WHERE bit_count(xor(a.h, b.h)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // interleaved write: the oracle recomputes every row's interleave
+    // key and pins `contiguous` TRUE — if Spark's range partitioning
+    // ever produced overlapping file ranges the compare fails
+    "q99_interleaved_write" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s99'), 1, 8))::BIGINT AS ikey,
+        |  TRUE AS contiguous
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q96_simhash64" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN ((CASE WHEN b.bit < 32 THEN (lo >> b.bit)
+        |         ELSE (hi >> (b.bit - 32)) END) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, (SELECT unnest(generate_series(0, 63)) AS bit) b
+        |  GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v <= 0 THEN 0
+        |         WHEN bit = 63 THEN -9223372036854775808
+        |         ELSE (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q97_hamming64_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN ((CASE WHEN b.bit < 32 THEN (lo >> b.bit)
+        |         ELSE (hi >> (b.bit - 32)) END) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, (SELECT unnest(generate_series(0, 63)) AS bit) b
+        |  GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 AND bit >= 32
+        |         THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS fhi,
+        |    CAST(sum(CASE WHEN v > 0 AND bit < 32
+        |         THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS flo
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q92_media_phash" ->
       """WITH m AS (
         |  SELECT doc_id AS id,
@@ -2530,14 +2664,40 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 200
         |), ps AS (SELECT unnest(generate_series(0, 95)) AS i),
         |b AS (
-        |  SELECT id, i, CAST((id * 31 + i) % 251 AS BIGINT) AS byte
+        |  SELECT id, i, CAST((id * 31 + i) % 251 AS BIGINT) AS byte,
+        |    ((i // w) * 4 // h) * 8 + ((i % w) * 8 // w) AS cell,
+        |    w * h AS n
         |  FROM m, ps WHERE i < w * h
-        |), mn AS (SELECT id, avg(byte) AS mean FROM b GROUP BY id),
+        |), tot AS (SELECT id, sum(byte) AS ts, max(n) AS n FROM b GROUP BY id),
+        |cl AS (SELECT id, cell, sum(byte) AS cs, count(*) AS cc FROM b GROUP BY id, cell),
         |bits AS (
-        |  SELECT b.id,
-        |    CAST(sum(CASE WHEN b.byte > mn.mean AND b.i < 32
-        |         THEN (CAST(1 AS BIGINT) << CAST(b.i AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
-        |  FROM b JOIN mn ON b.id = mn.id GROUP BY b.id
+        |  SELECT cl.id,
+        |    CAST(sum(CASE WHEN cl.cs * tot.n > tot.ts * cl.cc
+        |         THEN (CAST(1 AS BIGINT) << CAST(cl.cell AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM cl JOIN tot ON cl.id = tot.id GROUP BY cl.id
+        |)
+        |SELECT id, phash, FALSE AS corrupt FROM bits ORDER BY id""".stripMargin,
+
+    "q98_media_phash64" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CAST(4 + doc_id % 8 AS BIGINT) AS w,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), ps AS (SELECT unnest(generate_series(0, 95)) AS i),
+        |b AS (
+        |  SELECT id, i, CAST((id * 31 + i) % 251 AS BIGINT) AS byte,
+        |    ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell,
+        |    w * h AS n
+        |  FROM m, ps WHERE i < w * h
+        |), tot AS (SELECT id, sum(byte) AS ts, max(n) AS n FROM b GROUP BY id),
+        |cl AS (SELECT id, cell, sum(byte) AS cs, count(*) AS cc FROM b GROUP BY id, cell),
+        |bits AS (
+        |  SELECT cl.id,
+        |    CAST(sum(CASE WHEN cl.cs * tot.n <= tot.ts * cl.cc THEN 0
+        |         WHEN cl.cell = 63 THEN -9223372036854775808
+        |         ELSE (CAST(1 AS BIGINT) << CAST(cl.cell AS INTEGER)) END) AS BIGINT) AS phash
+        |  FROM cl JOIN tot ON cl.id = tot.id GROUP BY cl.id
         |)
         |SELECT id, phash, FALSE AS corrupt FROM bits ORDER BY id""".stripMargin,
 

@@ -525,50 +525,178 @@ object Dedup {
         (col("_n") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
   }
 
-  /** Near-duplicate pairs by HAMMING distance over a 32-bit
-    * fingerprint column — the pairing stage [[simhash32]] and
-    * [[graft.multimodal.Multimodal.phash32]] feed: two fingerprints
-    * within distance `maxHamming` must agree EXACTLY on at least one
-    * of `bands` bit-bands (pigeonhole: `maxHamming < bands`), so the
-    * candidate join is a banded equi-join — never all-pairs — with
-    * the LSH path's mega-bucket cap; candidates then verify with one
-    * codegen'd `bit_count(a ^ b)`. Recall is EXACT under the
-    * pigeonhole bound (unlike probabilistic LSH banding) — up to the
-    * mega-bucket cap: a band bucket with more than `maxBucket` rows
-    * means > maxBucket fingerprints sharing 8 identical bits, which
-    * at that multiplicity is identical-fingerprint flood territory —
+  /** [[stripRepeatedSpans]] at SEVERAL widths in one pass — the cheap
+    * approximation of "all maximal repeats ≥ minWidth" (the full Lee
+    * et al. tier) without suffix arrays: short widths catch small
+    * boilerplate, long widths catch quoted chunks whose interiors a
+    * single short width would shred into surviving fragments; the
+    * union of the coverage masks strips both.
+    *
+    * Plan shape: gram counting still runs once per width (separate
+    * 16-byte-keyed map-side-combined shuffles — unavoidable, each
+    * width has its own gram space), but coverage does NOT multiply:
+    * every hit (start s, width w) becomes two boundary events
+    * (+1 at s, −1 at s+w) and a token is covered iff the RUNNING SUM
+    * of events at positions ≤ p is positive — ONE doc-keyed window
+    * over the token table regardless of how many widths ran, and no
+    * width× position explode (the naive explode measured 2.4× worse
+    * at 10× on a single width; it compounds per width). Returns
+    * `(id, clean_text, n_removed)` like the single-width form. */
+  def stripRepeatedSpansMulti(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      widths: Seq[Int],
+      minCount: Long = 2
+  ): DataFrame = {
+    require(widths.nonEmpty, "widths must be non-empty")
+    require(widths.forall(_ > 0), s"widths must be > 0 (got $widths)")
+    require(widths.distinct.size == widths.size,
+      s"widths must be distinct (got $widths)")
+    require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
+    val base = df.select(
+      col(idCol).as("id"),
+      graft.text.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n",
+        when(length(concat_ws("", col("_toks"))) === 0, lit(0))
+          .otherwise(size(col("_toks"))))
+    // per width: repeated-gram start hits → ±1 boundary events
+    val events = widths.map { width =>
+      val grams = base
+        .where(col("_n") >= width)
+        .select(col("id"), col("_toks"),
+          explode(sequence(lit(0), col("_n") - width)).as("start"))
+        .select(col("id"), col("start"),
+          md5(concat_ws(" ",
+            slice(col("_toks"), col("start") + 1, lit(width)))).as("g"))
+      val repeated = grams
+        .groupBy("g").agg(count(lit(1)).as("_c"))
+        .where(col("_c") >= minCount)
+        .select("g")
+      grams
+        .join(repeated, Seq("g"))
+        .select(col("id"),
+          explode(array(
+            struct(col("start").as("p"), lit(1).as("_d")),
+            struct((col("start") + lit(width)).as("p"),
+              lit(-1).as("_d")))).as("_e"))
+        .select(col("id"), col("_e.p").as("p"), col("_e._d").as("_d"))
+    }.reduce(_ union _)
+    // one delta per (doc, position), then ONE running-sum window over
+    // the token table: token p is covered iff the prefix sum > 0
+    val deltas = events.groupBy("id", "p").agg(sum("_d").as("_delta"))
+    val tokenRows = base
+      .where(col("_n") > 0)
+      .select(col("id"), posexplode(col("_toks")))
+      .select(col("id"), col("pos").as("p"), col("col").as("_tok"))
+    val running = org.apache.spark.sql.expressions.Window
+      .partitionBy("id")
+      .orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val kept = tokenRows
+      .join(deltas, Seq("id", "p"), "left")
+      .withColumn("_cov", sum(coalesce(col("_delta"), lit(0L))).over(running))
+      .where(col("_cov") <= 0)
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(struct(col("p"), col("_tok")))).as("_a"),
+        count(lit(1)).as("_kept"))
+      .select(col("id"),
+        concat_ws(" ", expr("transform(_a, x -> x._tok)")).as("clean_text"),
+        col("_kept"))
+    base
+      .join(rebuilt, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("_n") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Near-duplicate pairs by HAMMING distance over a 32- or 64-bit
+    * fingerprint column — the pairing stage [[simhash32]]/[[simhash64]]
+    * and [[graft.multimodal.Multimodal.phash32]]/`phash64` feed: two
+    * fingerprints within distance `maxHamming` must agree EXACTLY on
+    * at least one of `bands` bit-bands (pigeonhole:
+    * `maxHamming < bands`), so the candidate join is a banded
+    * equi-join — never all-pairs — with the LSH path's mega-bucket
+    * cap; candidates then verify with one codegen'd
+    * `bit_count(a ^ b)`. Recall is EXACT under the pigeonhole bound
+    * (unlike probabilistic LSH banding) — up to the mega-bucket cap:
+    * a band bucket with more than `maxBucket` rows means > maxBucket
+    * fingerprints sharing `bits/bands` identical bits, which at that
+    * multiplicity is identical-fingerprint flood territory —
     * EXACT-dup clusters the fingerprint-groupBy tier
     * ([[exactGroups]] on the hash column) reports directly; pairing
     * them pairwise here would be the quadratic blowup the cap
-    * exists to stop. Returns `(id_a, id_b, hamming)`, `id_a < id_b`. */
+    * exists to stop.
+    *
+    * SCALE: pick `bits = 64` past ~10⁷ docs. 32-bit banding at
+    * bands=4 gives 8-bit bands — 256 buckets/band, occupancy n/256,
+    * so the cap starts truncating genuinely distinct fingerprints
+    * around 25 M docs, and the 2³² value space itself saturates near
+    * 10⁹. 64-bit at bands=4 gives 16-bit bands — 65,536 buckets/band,
+    * occupancy n/65k — and 2⁶⁴ values; the same plan carries to
+    * 10⁹+ docs. Use [[hammingPairsDiag]] at scale: the cap drop is
+    * otherwise silent. Returns `(id_a, id_b, hamming)`, `id_a < id_b`. */
   def hammingPairs(
       df: DataFrame,
       hashCol: String,
       idCol: String,
       maxHamming: Int,
       bands: Int = 4,
-      maxBucket: Long = 100000L
-  ): DataFrame = {
+      maxBucket: Long = 100000L,
+      bits: Int = 32
+  ): DataFrame =
+    hammingPairsDiag(df, hashCol, idCol, maxHamming, bands, maxBucket,
+      bits)._1
+
+  /** [[hammingPairs]] plus the cap DIAGNOSTIC: the second DataFrame is
+    * the oversized band-buckets that were EXCLUDED from pairing
+    * (`_band`, `_bits`, `_n` rows each > maxBucket). A non-empty
+    * second side means the exact-recall pigeonhole bound was breached
+    * by the cap — the one dedup failure mode a caller can't detect
+    * downstream — so scale pipelines should run this variant and
+    * alert/collapse the flooded buckets out of band ([[exactGroups]]
+    * on the fingerprint column handles identical-fingerprint floods
+    * directly). Both sides are LAZY: the diagnostic costs one extra
+    * aggregation over the skinny (id, fingerprint) projection only
+    * when acted on. */
+  def hammingPairsDiag(
+      df: DataFrame,
+      hashCol: String,
+      idCol: String,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxBucket: Long = 100000L,
+      bits: Int = 32
+  ): (DataFrame, DataFrame) = {
     require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
     require(bands > maxHamming,
       s"pigeonhole recall needs bands > maxHamming (got $bands <= $maxHamming)")
-    require(32 % bands == 0, s"bands must divide 32 (got $bands)")
-    val width = 32 / bands
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64 (got $bits)")
+    require(bits % bands == 0, s"bands must divide $bits (got $bands)")
+    val width = bits / bands
     val mask = (1L << width) - 1
+    // mask to the low 32 bits in 32-bit mode: an IntegerType
+    // fingerprint column would sign-extend through cast("long"),
+    // inflating bit_count by 32 for negative-int hashes and silently
+    // dropping pairs that straddle bit 31. 64-bit fingerprints use
+    // the full long: arithmetic shiftright sign-fill is masked off by
+    // the band mask, and bit_count over the xor is sign-agnostic.
+    val h =
+      if (bits == 32)
+        col(hashCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+      else col(hashCol).cast("long")
     val banded = df
-      // mask to the low 32 bits: an IntegerType fingerprint column
-      // would sign-extend through cast("long"), inflating bit_count
-      // by 32 for negative-int hashes and silently dropping pairs
-      // that straddle bit 31
-      .select(col(idCol).as("id"),
-        col(hashCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL)).as("_h"))
+      .select(col(idCol).as("id"), h.as("_h"))
       .select(col("id"), col("_h"),
         explode(sequence(lit(0), lit(bands - 1))).as("_band"))
       .withColumn("_bits",
         expr(s"shiftright(_h, _band * $width)").bitwiseAND(lit(mask)))
-    val (kept, _) = graft.query.Skew.capBuckets(
+    val (kept, capped) = graft.query.Skew.capBuckets(
       banded, Seq("_band", "_bits"), maxBucket)
-    kept.as("a")
+    val pairs = kept.as("a")
       .join(kept.as("b"),
         col("a._band") === col("b._band") &&
           col("a._bits") === col("b._bits") &&
@@ -580,6 +708,7 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(_ha ^ _hb)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    (pairs, capped)
   }
 
   /** Cross-document LINE dedup (the RefinedWeb/CCNet tier): a line
@@ -693,6 +822,54 @@ object Dedup {
       .select(
         col("id"),
         (0 until 32)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _)
+          .as("simhash")
+      )
+  }
+
+  /** 64-bit SimHash — [[simhash32]] widened for the 100 TB tier:
+    * 32-bit fingerprints saturate their value space near 10⁹ docs and
+    * their 8-bit band buckets near 25 M (see [[hammingPairs]]); 64
+    * md5-derived bits with 16-bit bands carry the same exact-recall
+    * pairing plan to full scale. Same majority-vote construction:
+    * bit i of the fingerprint is the majority vote of bit i across
+    * all token hashes, where the token hash is the first 16 md5 hex
+    * chars — taken as two unsigned 32-bit halves (`hi` = chars 1–8,
+    * `lo` = chars 9–16) so the arithmetic never leaves non-negative
+    * long range and the oracle recomputes it exactly. Bit 63 of the
+    * result is the long SIGN bit (`1L << 63` = Long.MinValue) — the
+    * fingerprint is a bit pattern, not a magnitude. Same plan shape
+    * as [[simhash32]]: one narrow aggregation per doc, 64
+    * conditional-sum columns, no bit-explode. */
+  def simhash64(
+      df: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok")
+    )
+    val hashed = toks
+      .withColumn("_md", md5(col("tok")))
+      .withColumn("hi", conv(substring(col("_md"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("_md"), 9, 8), 16, 10).cast("long"))
+    val votes = (0 until 64).map { b =>
+      val bit =
+        if (b < 32) shiftright(col("lo"), b)
+        else shiftright(col("hi"), b - 32)
+      sum(when(bit.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    // reassembly sums bits 0..62 first (partial sums stay within
+    // [0, 2^63)) and adds the bit-63 term (Long.MinValue) last — no
+    // intermediate overflow under ANSI arithmetic
+    hashed
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("id"),
+        (0 until 64)
           .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _)
           .as("simhash")

@@ -142,18 +142,60 @@ object Multimodal {
       .toDF("id", "frame_idx", "width", "height", "frame")
   }
 
-  /** 32-bit average-hash perceptual fingerprint (aHash): bit j set
-    * iff decoded payload byte j is above the payload's mean — the
-    * media-content analogue of text fingerprinting, for image/audio
-    * dedup where byte-identical blobs are rare but content repeats
-    * (re-encodes, crops, format shifts). Near-dups are then small
-    * Hamming distances, joinable with the SimHash banding machinery.
-    * Same mapPartitions decode shape as [[extractFeatures]]; corrupt
-    * blobs yield `corrupt = true` rather than failing the stage.
-    * (A production pHash DCTs an 8×8 downsample first; the hash
-    * arithmetic and plumbing here are the real contract, the decode
-    * is [[FakeCodec]].) */
-  def phash32(df: DataFrame): DataFrame = {
+  /** Grid cell means → hash bits over the first `w*h` payload bytes
+    * read as an image plane (row r = i/w, col c = i%w): cell of a
+    * pixel is `(r*gr/h, c*gc/w)` — a `gc × gr` downsample, the aHash
+    * grid. Bit `cr*gc + cc` is set iff the cell's mean exceeds the
+    * PLANE's mean, compared exactly in integers (cross-multiplied
+    * sums — no float division to drift between engines). All-integer
+    * arithmetic so an oracle can recompute it in SQL. Cells that get
+    * no pixels (plane smaller than the grid) stay 0. */
+  private def gridHash(p: Array[Byte], w: Int, h: Int, gc: Int, gr: Int): Long = {
+    val n = math.min(p.length, w * h)
+    val cells = gc * gr
+    val sums = new Array[Long](cells)
+    val cnts = new Array[Long](cells)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val idx = (i / w) * gr / h * gc + (i % w) * gc / w
+      val v = (p(i) & 0xff).toLong
+      sums(idx) += v; cnts(idx) += 1; total += v
+      i += 1
+    }
+    var hsh = 0L
+    var j = 0
+    while (j < cells) {
+      if (cnts(j) > 0 && sums(j) * n > total * cnts(j)) hsh |= (1L << j)
+      j += 1
+    }
+    hsh
+  }
+
+  /** 32-bit average-hash perceptual fingerprint (aHash): the decoded
+    * plane is downsampled onto an 8×4 grid and bit j is set iff grid
+    * cell j's mean exceeds the plane mean — the media-content
+    * analogue of text fingerprinting, for image/audio dedup where
+    * byte-identical blobs are rare but content repeats (re-encodes,
+    * crops, format shifts). Near-dups are then small Hamming
+    * distances, joinable with the SimHash banding machinery
+    * ([[graft.dedup.Dedup.hammingPairs]]). A GRID hash sees the whole
+    * plane — content that differs only past the first bytes still
+    * changes the fingerprint (a prefix hash misses exactly that; the
+    * spec pins it). Same mapPartitions decode shape as
+    * [[extractFeatures]]; corrupt blobs yield `corrupt = true` rather
+    * than failing the stage. (A production pHash DCTs the downsample
+    * first; the grid arithmetic and plumbing here are the real
+    * contract, the decode is [[FakeCodec]].) */
+  def phash32(df: DataFrame): DataFrame = phashGrid(df, 8, 4)
+
+  /** 64-bit aHash — [[phash32]] on the classic 8×8 grid, for the
+    * 100 TB fingerprint tier (see [[graft.dedup.Dedup.simhash64]]:
+    * 32-bit band buckets saturate near 25 M items). Pairs with
+    * `hammingPairs(..., bits = 64)`. */
+  def phash64(df: DataFrame): DataFrame = phashGrid(df, 8, 8)
+
+  private def phashGrid(df: DataFrame, gc: Int, gr: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("id").cast("long"), col("media"))
@@ -161,19 +203,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, blob) =>
           FakeCodec.decode(blob) match {
-            case Some((_, _, _, p)) if p.nonEmpty =>
-              var sum = 0L
-              var i = 0
-              while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
-              val mean = sum.toDouble / p.length
-              val n = math.min(p.length, 32)
-              var h = 0L
-              var j = 0
-              while (j < n) {
-                if ((p(j) & 0xff) > mean) h |= (1L << j)
-                j += 1
-              }
-              (id, h, false)
+            case Some((w, h, _, p)) if p.nonEmpty && w > 0 && h > 0 =>
+              (id, gridHash(p, w, h, gc, gr), false)
             case _ => (id, 0L, true)
           }
         }

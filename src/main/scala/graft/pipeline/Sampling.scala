@@ -120,6 +120,14 @@ object Sampling {
       weights: Map[String, Double],
       budget: Option[Long]
   ): Map[String, Double] = {
+    // a weighted stratum absent from the corpus makes Tmax 0 and would
+    // silently empty the ENTIRE output — fail loudly naming it instead
+    // (the caller either fixes the weight map or filters it upstream)
+    val missing = weights.keySet.filterNot(observed.get(_).exists(_ > 0))
+    require(missing.isEmpty,
+      s"mix weights name strata absent from the corpus: " +
+        s"${missing.toSeq.sorted.mkString(", ")} — their Tmax would be 0 " +
+        "and the whole output would be empty")
     val tmax = weights
       .map { case (s, w) => observed.getOrElse(s, 0L) / w }
       .min
@@ -186,6 +194,43 @@ object Sampling {
     * no dense numbering pass. */
   def interleaveKey(id: Column, seed: String = "s0"): Column =
     hashOf(id, seed)
+
+  /** The interleaved CORPUS WRITE the key enables — the executable
+    * 100 TB shuffle story: rows land in `numFiles` parquet files
+    * range-partitioned on ([[interleaveKey]], id), each file sorted
+    * within, so reading the files in range order IS the interleave —
+    * no dense numbering, no single-reducer final pass (the plan is a
+    * range Exchange, never SinglePartition; [[interleave]]'s
+    * `row_number` stays the small-corpus variant for consumers that
+    * need an explicit index). The key is persisted as `_ikey` so a
+    * re-read can verify contiguity and a training loader can
+    * merge-read files in order without recomputing hashes. Ties in
+    * the 32-bit key are broken by id in BOTH the partitioning and the
+    * in-file sort — file key-ranges never interleave even on hash
+    * collisions. */
+  def writeInterleaved(
+      df: DataFrame,
+      idCol: String,
+      path: String,
+      numFiles: Int,
+      seed: String = "s0"
+  ): Unit = {
+    require(numFiles > 0, s"numFiles must be > 0 (got $numFiles)")
+    interleavedPlan(df, idCol, numFiles, seed)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The dataframe [[writeInterleaved]] writes (separate so specs can
+    * assert the plan shape: range Exchange, no SinglePartition). */
+  private[graft] def interleavedPlan(
+      df: DataFrame,
+      idCol: String,
+      numFiles: Int,
+      seed: String
+  ): DataFrame =
+    df.withColumn("_ikey", interleaveKey(col(idCol), seed))
+      .repartitionByRange(numFiles, col("_ikey"), col(idCol))
+      .sortWithinPartitions(col("_ikey"), col(idCol))
 
   /** Cap each stratum's contribution at `k` rows, chosen by hash rank
     * — "at most N docs per source/domain", the mixing cap that keeps

@@ -137,8 +137,16 @@ final class TableStore private (
     // the ON-DISK manifest is the source of truth: another handle or
     // process may have committed since this handle's last write, and
     // sweeping against the stale in-memory view would classify THEIR
-    // committed segments as orphans — repair would destroy real data
-    val committed = Manifest.load(dir).getOrElse(manifest)
+    // committed segments as orphans — repair would destroy real data.
+    // If the on-disk manifest cannot be loaded at all (transient FS
+    // rename visibility, torn read), repair is REFUSED outright: the
+    // in-memory fallback is fine for reporting, but deleting against
+    // it could sweep segments another process committed.
+    val onDisk = Manifest.load(dir)
+    val committed = onDisk.getOrElse(manifest)
+    val doRepair = repair && onDisk.isDefined
+    if (repair && onDisk.isEmpty)
+      issues += "manifest unreadable: repair refused, report-only sweep"
     val listed = committed.segments.map(_.path).toSet
     // litter younger than minAgeMs is never deleted: it may be an
     // in-flight append in another process (files moved into data/ but
@@ -159,7 +167,7 @@ final class TableStore private (
       .filter(_.getFileName.toString.startsWith("tmp-"))
       .foreach { p =>
         issues += s"orphan tmp dir ${p.getFileName}"
-        if (repair && oldEnough(p)) deleteRecursively(p)
+        if (doRepair && oldEnough(p)) deleteRecursively(p)
       }
     val dataDir = Paths.get(dir, "data")
     if (Files.exists(dataDir))
@@ -167,7 +175,7 @@ final class TableStore private (
         .filter(f => !listed.contains(s"data/${f.getFileName}"))
         .foreach { f =>
           issues += s"orphan segment data/${f.getFileName}"
-          if (repair && oldEnough(f)) Files.deleteIfExists(f)
+          if (doRepair && oldEnough(f)) Files.deleteIfExists(f)
         }
     committed.segments
       .filterNot(s => Files.exists(Paths.get(dir, s.path)))

@@ -272,6 +272,76 @@ class PipelineSpec extends SparkSpec {
     assert(ip.toSeq == Seq((1L, 2L, 1L)), ip.toSeq.toString)
   }
 
+  test("hammingPairs 64-bit: exact recall vs brute force, full long range") {
+    // fingerprints engineered across the 64-bit distance spectrum,
+    // including the sign bit (bit 63) and pairs straddling it
+    val raw = Seq(
+      1L -> 0x0000000000000000L,
+      2L -> 0x0000000000000001L, // d(1,2)=1
+      3L -> 0x8000000000000000L, // sign bit only: d(1,3)=1
+      4L -> 0x8000000000000003L, // d(3,4)=2, d(2,4)=2
+      5L -> 0x0F0F0F0F0F0F0F0FL, // far from all
+      6L -> 0xFFFFFFFFFFFFFFFFL) // far from all
+    val hs = raw.toDF("id", "h")
+    val got = Dedup
+      .hammingPairs(hs, "h", "id", maxHamming = 3, bands = 4, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = (for {
+      (ia, ha) <- raw; (ib, hb) <- raw if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == expect, s"got $got expect $expect")
+    // bands must divide the width
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(hs, "h", "id", maxHamming = 2, bands = 3, bits = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(hs, "h", "id", maxHamming = 2, bands = 4, bits = 48)
+    }
+  }
+
+  test("simhash64: near-identical docs close, bit63 reachable, 32-bit prefix consistent") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different words about spark engines here")
+    ).toDF("id", "text")
+    val hs = Dedup.simhash64(df, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(0L), hs(1L)) < hamming(hs(0L), hs(2L)))
+    // the HIGH 32 bits ARE simhash32 (md5 chars 1–8 are the hi half,
+    // same votes): the widened fingerprint refines, never
+    // contradicts, the 32-bit tier
+    val hs32 = Dedup.simhash32(df, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hs.keys.foreach { id =>
+      assert((hs(id) >>> 32) == hs32(id),
+        s"id $id: hi32(simhash64)=${hs(id) >>> 32} != simhash32=${hs32(id)}")
+    }
+  }
+
+  test("hammingPairsDiag: the cap drop is reported, not silent") {
+    // engineered flood: 8 ids share ONE fingerprint (every band bucket
+    // holds 8 rows) plus one distinct near pair; cap at 5 — the flood
+    // is excluded from pairing AND surfaced as 4 oversized buckets
+    val flood = (1L to 8L).map(_ -> 0x00000000L)
+    val pair = Seq(100L -> 0x0F0F0F0FL, 101L -> 0x0F0F0F0EL)
+    val hs = (flood ++ pair).toDF("id", "h")
+    val (pairs, capped) = Dedup.hammingPairsDiag(
+      hs, "h", "id", maxHamming = 2, bands = 4, maxBucket = 5)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)), got.toString) // flood pairs dropped
+    val cap = capped.collect()
+      .map(r => (r.getAs[Int]("_band"), r.getAs[Long]("_bits"),
+        r.getAs[Long]("_n"))).toSet
+    // the all-zero fingerprint floods bucket 0 of every band, 8 rows each
+    assert(cap == (0 until 4).map(b => (b, 0L, 8L)).toSet, cap.toString)
+    // the uncapped run pairs the flood (exact recall restored): 8C2 + 1
+    val all = Dedup.hammingPairs(hs, "h", "id", maxHamming = 2, bands = 4)
+    assert(all.count() == 28 + 1)
+  }
+
   test("media phash: deterministic, content-sensitive, corrupt flagged") {
     import graft.multimodal.Multimodal.FakeCodec
     val base = Array.tabulate(64)(i => (i * 3 % 251).toByte)
@@ -292,6 +362,33 @@ class PipelineSpec extends SparkSpec {
     assert(ham(got(1L)._1, got(3L)._1) <= 2) // near-dup: tiny distance
     assert(ham(got(1L)._1, got(4L)._1) > ham(got(1L)._1, got(3L)._1))
     assert(got(5L) == ((0L, true))) // corrupt flagged, not failed
+  }
+
+  test("grid phash sees the whole plane: prefix-blind content is caught") {
+    import graft.multimodal.Multimodal.FakeCodec
+    // two 8×8 planes IDENTICAL in the first 32 bytes, wildly different
+    // after: a prefix hash (bytes 0..31 vs their mean — the retired
+    // construction) cannot tell them apart by construction on the bit
+    // positions it reads; the grid hash covers every cell of the plane
+    val a = Array.tabulate(64)(i => (i % 17).toByte)
+    val b = a.clone()
+    (32 until 64).foreach(i => b(i) = ((i * 7 + 3) % 97 + 100).toByte)
+    val media = Seq(
+      (1L, FakeCodec.encode(8, 8, 1, a)),
+      (2L, FakeCodec.encode(8, 8, 1, b))
+    ).toDF("id", "media")
+    val g32 = graft.multimodal.Multimodal.phash32(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g32(1L) != g32(2L), "8×4 grid must separate suffix-divergent planes")
+    val g64 = graft.multimodal.Multimodal.phash64(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g64(1L) != g64(2L), "8×8 grid must separate suffix-divergent planes")
+    // and the 64-bit hash pairs through the shared Hamming machinery
+    val hs = g64.toSeq.toDF("id", "h")
+    val pairs = Dedup
+      .hammingPairs(hs, "h", "id", maxHamming = 3, bands = 4, bits = 64)
+      .count()
+    assert(pairs == 0) // suffix-divergent planes are NOT near-dups
   }
 
   test("ANN: LSH top-k scores are a subset of brute-force ranking") {

@@ -238,6 +238,56 @@ class SamplingSpec extends SparkSpec {
     assert(p2.orderBy("position").collect().toSeq == rows.toSeq)
   }
 
+  test("writeInterleaved: files partition the key space, no single reducer") {
+    // plan shape: a RANGE exchange (distributed sort), never the
+    // SinglePartition exchange interleave()'s dense row_number needs
+    val plan = Sampling
+      .interleavedPlan(docs.select("doc_id", "lang"), "doc_id", 8, "sI")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(400))
+    assert(!plan.contains("SinglePartition"), plan.take(400))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ileave-").toString
+    try {
+      Sampling.writeInterleaved(
+        docs.select("doc_id", "lang"), "doc_id", s"$dir/out", 8, "sI")
+      val back = spark.read.parquet(s"$dir/out")
+      assert(back.count() == docs.count()) // every row lands exactly once
+      // per-file (key, id) ranges are pairwise disjoint: reading files
+      // in range order IS the global interleave
+      val ranges = back
+        .groupBy(input_file_name().as("f"))
+        .agg(min(struct(col("_ikey"), col("doc_id"))).as("lo"),
+          max(struct(col("_ikey"), col("doc_id"))).as("hi"))
+        .collect()
+        .map(r => (r.getStruct(1), r.getStruct(2)))
+      assert(ranges.length == 8)
+      implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+      val sorted = ranges
+        .map { case (lo, hi) =>
+          ((lo.getLong(0), lo.getLong(1)), (hi.getLong(0), hi.getLong(1)))
+        }
+        .sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, hiA), (loB, _)) =>
+          assert(ord.lt(hiA, loB), s"file ranges overlap: $hiA >= $loB")
+        case _ =>
+      }
+      // each file is internally sorted on (key, id): a loader
+      // merge-reading files in range order replays the interleave
+      val files = back.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      files.foreach { f =>
+        val seq = spark.read.parquet(f)
+          .select("_ikey", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(seq == seq.sorted, s"file $f not internally sorted")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("scrubPii replaces emails, urls, and long digit runs") {
     import spark.implicits._
     val in = Seq(
