@@ -1122,6 +1122,50 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // the WATERMARK-BOUNDARY semantics of streaming dedup, pinned:
+    // 100 contents each re-ingested 5× at 100 s event-time spacing,
+    // watermark delay 30 s, paced into 100-seq batches. A re-arrival
+    // is dropped iff its key's state is still live (first_ts + delay
+    // vs the batch's starting watermark = prev batch max ts − delay);
+    // 100 s spacing > 30 s horizon means most re-arrivals find the
+    // state EVICTED and are re-emitted — except batch 2, where the
+    // watermark (70 s) still covers first arrivals with ts ≥ 40 s.
+    // The per-content emit count (3 vs 5, boundary gid included) is
+    // exact integer arithmetic the oracle recomputes
+    "q95_stream_dedup_boundary" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val work = tempWorkDir("graft-q95")
+      val src = s"$work/log"
+      graft.storage.ParquetLog.open(s, src, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      Tables.load(s, dir, "documents")
+        .where(col("doc_id") < 500)
+        .select(col("doc_id").as("seq"),
+          struct(col("doc_id"),
+            concat(lit("doc-"), col("doc_id") % 100).as("text")).as("value"),
+          lit(false).as("nulled"))
+        .write.format("graft-log").mode("append").save(src)
+      val stream = s.readStream.format("graft-log")
+        .option("maxSeqsPerTrigger", "100")
+        .load(src)
+        .select(col("value.doc_id").as("doc_id"), col("value.text").as("text"))
+        .withColumn("ts", expr("timestamp_micros((doc_id + 1) * 1000000)"))
+      val q = graft.streaming.EventStreamOps
+        .streamingContentDedup(stream, "text", "ts", "30 seconds")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("q95_dedup")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(300000)
+      finally if (q.isActive) q.stop()
+      s.table("q95_dedup")
+        .groupBy(col("text"))
+        .agg(count(lit(1)).as("n_emitted"))
+        .orderBy("text")
+    }),
+
     // ingest-time STREAMING content dedup: documents packed into a
     // log, streamed back PACED (admission control + AvailableNow),
     // watermark-state deduped to one survivor per fingerprint. The
@@ -1314,6 +1358,18 @@ object SparkEntry {
       Dedup
         .stripRepeatedSpans(Tables.load(s, dir, "documents"), "text",
           "doc_id", width = 5)
+        .orderBy("doc_id")),
+
+    // multi-tier span removal: an aggressive count at width 5 (only
+    // heavy boilerplate, ≥3×) unioned with a permissive count at
+    // width 8 (any repeated long quote) — per-width thresholds are
+    // what make the union non-degenerate (a single minCount collapses
+    // to the shortest width: subgrams of repeats repeat). Coverage
+    // masks union through ONE running-sum window over the tokens
+    "q100_strip_spans_multi" -> ((s, dir) =>
+      Dedup
+        .stripRepeatedSpansMulti(Tables.load(s, dir, "documents"), "text",
+          "doc_id", tiers = Seq(5 -> 3L, 8 -> 2L))
         .orderBy("doc_id")),
 
     // cross-doc LINE dedup (RefinedWeb/CCNet tier): the corpus is
@@ -2535,6 +2591,20 @@ object SparkEntry {
         |SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
 
+    // the watermark-boundary arithmetic, pinned (probe-verified,
+    // tools/WmProbe): batch k's watermark = 100·(k−2) − 30 s (event
+    // time lags one committed batch), a key's state expires at
+    // first_ts + 30 s, eviction is INCLUSIVE (expire ≤ wm — gid 39
+    // sits exactly on the boundary and IS evicted), dropped
+    // re-arrivals do NOT refresh expiration. Under 100 s re-ingest
+    // spacing that yields emits at occurrences {0,2,4} for
+    // first_ts + 30 ≤ 70 (gid ≤ 39) and {0,3} otherwise
+    "q95_stream_dedup_boundary" ->
+      """SELECT 'doc-' || gid AS text,
+        |  CAST(CASE WHEN gid + 1 + 30 <= 100 - 30 THEN 3 ELSE 2 END AS BIGINT) AS n_emitted
+        |FROM (SELECT unnest(generate_series(0, 99)) AS gid)
+        |ORDER BY text""".stripMargin,
+
     // one row per distinct normalized-content fingerprint: exactly
     // what an exactly-once streaming dedup must deliver
     "q88_stream_dedup" ->
@@ -2593,6 +2663,45 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q100_strip_spans_multi" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |  FROM documents
+        |), ps AS (
+        |  SELECT unnest(generate_series(0, (SELECT max(n) - 1 FROM base))) AS p
+        |), g5 AS (
+        |  SELECT doc_id, p AS start, array_to_string(w[p + 1 : p + 5], ' ') AS g
+        |  FROM base, ps WHERE p <= n - 5
+        |), r5 AS (SELECT g FROM g5 GROUP BY g HAVING count(*) >= 3),
+        |h5 AS (SELECT DISTINCT doc_id, start FROM g5 JOIN r5 USING (g)),
+        |g8 AS (
+        |  SELECT doc_id, p AS start, array_to_string(w[p + 1 : p + 8], ' ') AS g
+        |  FROM base, ps WHERE p <= n - 8
+        |), r8 AS (SELECT g FROM g8 GROUP BY g HAVING count(*) >= 2),
+        |h8 AS (SELECT DISTINCT doc_id, start FROM g8 JOIN r8 USING (g)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, start + i AS p
+        |  FROM h5, (SELECT unnest(generate_series(0, 4)) AS i) ii
+        |  UNION
+        |  SELECT DISTINCT doc_id, start + i AS p
+        |  FROM h8, (SELECT unnest(generate_series(0, 7)) AS i) ii
+        |), toks AS (
+        |  SELECT doc_id, p, w[p + 1] AS tok FROM base, ps WHERE p < n
+        |), kept AS (
+        |  SELECT t.doc_id, t.p, t.tok FROM toks t
+        |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+        |  WHERE c.p IS NULL
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(b.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // interleaved write: the oracle recomputes every row's interleave
     // key and pins `contiguous` TRUE — if Spark's range partitioning

@@ -525,43 +525,48 @@ object Dedup {
         (col("_n") - coalesce(col("_kept"), lit(0L))).as("n_removed"))
   }
 
-  /** [[stripRepeatedSpans]] at SEVERAL widths in one pass — the cheap
-    * approximation of "all maximal repeats ≥ minWidth" (the full Lee
-    * et al. tier) without suffix arrays: short widths catch small
-    * boilerplate, long widths catch quoted chunks whose interiors a
-    * single short width would shred into surviving fragments; the
-    * union of the coverage masks strips both.
+  /** [[stripRepeatedSpans]] at SEVERAL (width, minCount) tiers in one
+    * pass, coverage masks unioned before the rebuild. The tiers must
+    * carry their OWN thresholds to mean anything: at a single
+    * minCount the union degenerates to the shortest width — every
+    * w'-subgram of a repeated w-gram (w' < w) repeats at least as
+    * often, so longer-width coverage is a subset. With per-width
+    * thresholds the legs are complementary and express the real
+    * curation policy: an AGGRESSIVE count at a short width ("strip
+    * 5-grams seen ≥ 100×" — heavy boilerplate only, so moderately
+    * quoted phrasing survives) unioned with a PERMISSIVE count at a
+    * long width ("strip any repeated 10-gram" — long verbatim quotes
+    * are dup content at any multiplicity).
     *
-    * Plan shape: gram counting still runs once per width (separate
+    * Plan shape: gram counting runs once per tier (separate
     * 16-byte-keyed map-side-combined shuffles — unavoidable, each
     * width has its own gram space), but coverage does NOT multiply:
     * every hit (start s, width w) becomes two boundary events
     * (+1 at s, −1 at s+w) and a token is covered iff the RUNNING SUM
     * of events at positions ≤ p is positive — ONE doc-keyed window
-    * over the token table regardless of how many widths ran, and no
+    * over the token table regardless of how many tiers ran, and no
     * width× position explode (the naive explode measured 2.4× worse
-    * at 10× on a single width; it compounds per width). Returns
+    * at 10× on a single width; it compounds per tier). Returns
     * `(id, clean_text, n_removed)` like the single-width form. */
   def stripRepeatedSpansMulti(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      widths: Seq[Int],
-      minCount: Long = 2
+      tiers: Seq[(Int, Long)]
   ): DataFrame = {
-    require(widths.nonEmpty, "widths must be non-empty")
-    require(widths.forall(_ > 0), s"widths must be > 0 (got $widths)")
-    require(widths.distinct.size == widths.size,
-      s"widths must be distinct (got $widths)")
-    require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
+    require(tiers.nonEmpty, "tiers must be non-empty")
+    require(tiers.forall(_._1 > 0), s"widths must be > 0 (got $tiers)")
+    require(tiers.map(_._1).distinct.size == tiers.size,
+      s"widths must be distinct (got $tiers)")
+    require(tiers.forall(_._2 >= 2), s"minCounts must be >= 2 (got $tiers)")
     val base = df.select(
       col(idCol).as("id"),
       graft.text.TextFunctions.tokens(col(textCol)).as("_toks"))
       .withColumn("_n",
         when(length(concat_ws("", col("_toks"))) === 0, lit(0))
           .otherwise(size(col("_toks"))))
-    // per width: repeated-gram start hits → ±1 boundary events
-    val events = widths.map { width =>
+    // per tier: repeated-gram start hits → ±1 boundary events
+    val events = tiers.map { case (width, minCount) =>
       val grams = base
         .where(col("_n") >= width)
         .select(col("id"), col("_toks"),

@@ -156,6 +156,37 @@ class PipelineSpec extends SparkSpec {
     assert(got(5L) == (("u", 10L)))
   }
 
+  test("multi-tier span removal: per-width thresholds compose exactly") {
+    // tier (8, ≥2): any repeated 8-gram — catches the quote docs 1+2
+    // share, whose 5-subgrams repeat only 2× (under tier 5's bar).
+    // tier (5, ≥3): heavy boilerplate — catches "m n o p r" (4
+    // occurrences across docs 3/4/5), which no 8-gram tier can see.
+    // docs 6+7 share a 5-gram only 2× — BOTH tiers leave it: the
+    // aggressive threshold is the point (moderate quoting survives)
+    val corpus = Seq(
+      (1L, "q1 a b c d e f g h t1"),
+      (2L, "q2 a b c d e f g h t2"),
+      (3L, "m n o p r x3"),
+      (4L, "y4 m n o p r"),
+      (5L, "m n o p r z5 m n o p r"),
+      (6L, "u v w j k s6"),
+      (7L, "t7 u v w j k")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .stripRepeatedSpansMulti(corpus, "text", "doc_id",
+        tiers = Seq(5 -> 3L, 8 -> 2L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("q1 t1", 8L)))
+    assert(got(2L) == (("q2 t2", 8L)))
+    assert(got(3L) == (("x3", 5L)))
+    assert(got(4L) == (("y4", 5L)))
+    assert(got(5L) == (("z5", 10L))) // both within-doc occurrences covered
+    assert(got(6L) == (("u v w j k s6", 0L)))
+    assert(got(7L) == (("t7 u v w j k", 0L)))
+  }
+
   test("line dedup: cross-doc lines removed, blanks and unique lines kept") {
     val corpus = Seq(
       (1L, "cookie banner\nreal content one\n\ntail one"),
