@@ -1130,7 +1130,7 @@ object SparkEntry {
     // 100 s spacing > 30 s horizon means most re-arrivals find the
     // state EVICTED and are re-emitted — except batch 2, where the
     // watermark (70 s) still covers first arrivals with ts ≥ 40 s.
-    // The per-content emit count (3 vs 5, boundary gid included) is
+    // The per-content emit count (3 vs 2, boundary gid included) is
     // exact integer arithmetic the oracle recomputes
     "q95_stream_dedup_boundary" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
@@ -2810,6 +2810,11 @@ object SparkEntry {
         |)
         |SELECT id, phash, FALSE AS corrupt FROM bits ORDER BY id""".stripMargin,
 
+    // NOTE oracle divergence (documented, unreachable here): the
+    // USING (lang) joins below silently IGNORE a weighted stratum
+    // absent from the corpus, where the engine throws
+    // IllegalArgumentException naming it (Sampling.mixRates guard).
+    // These fixtures only weight present strata, so the rows agree.
     "q91_mix_token_weights" ->
       """WITH w(lang, wt) AS (VALUES
         |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),
@@ -2833,6 +2838,7 @@ object SparkEntry {
         |      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // same absent-stratum oracle-divergence note as q91 above
     "q87_mix_to_weights" ->
       """WITH w(lang, wt) AS (VALUES
         |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.125 AS DOUBLE)),

@@ -21,8 +21,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => selected(q._1)).foreach { case (name, fn) =>
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1))
+    // a filtered (partial) run into an outDir holding a prior full run
+    // would silently mix fresh and stale results — leave a manifest of
+    // exactly which queries THIS run wrote so a compare can tell
+    Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
+      toRun.map(q => "\"" + q._1 + "\"")
+        .mkString(s"""{"partial": ${filter.isDefined}, "queries": [""", ",", "]}"))
+    toRun.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -69,8 +69,12 @@ object Sampling {
     * its rows via the deterministic hash gate (`T = min(totalRows,
     * Tmax)` when a smaller budget is given). Strata not in `weights`
     * are dropped; a weighted stratum absent from the corpus makes the
-    * mix unachievable (Tmax = 0 → empty output), loud by emptiness
-    * rather than silently off-proportion.
+    * mix unachievable (its Tmax would be 0) and throws
+    * `IllegalArgumentException` naming the stratum — NOTE this is a
+    * deliberate divergence from the q87/q91 DuckDB oracle SQL, whose
+    * `USING (lang)` join would silently ignore an absent stratum
+    * (unreachable with the oracle fixtures, which only weight present
+    * strata).
     *
     * Plan shape at 100 TB: stratum cardinality is small by definition
     * (languages, sources), so the observed counts are ONE map-side-
@@ -120,6 +124,11 @@ object Sampling {
       weights: Map[String, Double],
       budget: Option[Long]
   ): Map[String, Double] = {
+    // defense-in-depth mirror of the public entry points' check: a 0.0
+    // weight reaching the Tmax min would yield obs/0.0 = Infinity and
+    // silently distort the mix instead of failing loudly
+    require(weights.values.forall(_ > 0),
+      s"stratum weights must be > 0 (got $weights)")
     // a weighted stratum absent from the corpus makes Tmax 0 and would
     // silently empty the ENTIRE output — fail loudly naming it instead
     // (the caller either fixes the weight map or filters it upstream)
@@ -227,10 +236,18 @@ object Sampling {
       idCol: String,
       numFiles: Int,
       seed: String
-  ): DataFrame =
+  ): DataFrame = {
+    // _ikey is a reserved output column: silently overwriting one from
+    // the input (e.g. a re-read of a previous writeInterleaved output)
+    // would lose caller data — fail loudly, the caller drops it first
+    require(!df.columns.contains("_ikey"),
+      "input already has a _ikey column (reserved for the interleave " +
+        "key, e.g. from a previous writeInterleaved output) — drop or " +
+        "rename it before re-interleaving")
     df.withColumn("_ikey", interleaveKey(col(idCol), seed))
       .repartitionByRange(numFiles, col("_ikey"), col(idCol))
       .sortWithinPartitions(col("_ikey"), col(idCol))
+  }
 
   /** Cap each stratum's contribution at `k` rows, chosen by hash rank
     * — "at most N docs per source/domain", the mixing cap that keeps

@@ -127,9 +127,14 @@ class SamplingSpec extends SparkSpec {
     val only = Sampling.mixToWeights(docs, "lang", Map("en" -> 1.0), "doc_id")
     assert(only.select("lang").distinct().collect()
       .map(_.getString(0)).toSet == Set("en"))
-    // a weighted stratum absent from the corpus → unachievable → empty
-    assert(Sampling.mixToWeights(
-      docs, "lang", Map("xx" -> 1.0), "doc_id").count() == 0L)
+    // a weighted stratum absent from the corpus is unachievable: the
+    // guard throws NAMING the stratum (silent-empty was the old — and
+    // wrong — behavior this vector used to pin)
+    val absent = intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(docs, "lang", Map("xx" -> 1.0), "doc_id").count()
+    }
+    assert(absent.getMessage.contains("xx"),
+      s"guard must name the missing stratum: ${absent.getMessage}")
     // non-string stratum columns work through the same string-keyed API
     import spark.implicits._
     val intStrata = Seq((1L, 7), (2L, 7), (3L, 8)).toDF("doc_id", "bucket")
