@@ -27,7 +27,7 @@ import org.apache.spark.sql.sources.{
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.storage.{Manifest, ParquetLog, SegmentRecords}
+import graft.storage.{Manifest, ParquetLog, SegmentBatches, SegmentRecords}
 
 /** DataSourceV2 connector for engine logs:
   * {{{ spark.read.format("graft-log").load(dir) }}}
@@ -282,6 +282,17 @@ final case class LogSegmentPartition(
     hiSeq: Long = Long.MaxValue
 ) extends InputPartition
 
+/** Session toggle for the vectorized connector read path, read on the
+  * driver at planning time (where `createReaderFactory` runs):
+  * `spark.conf.set("spark.graft.columnar.enabled", "false")` forces
+  * the row reader — the A/B lever for benches and a safety valve. */
+private[sources] object ColumnarOpt {
+  def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.columnar.enabled", "true")
+      .toBoolean
+}
+
 private[sources] object SegmentPacking {
   /** Resolve the effective packing threshold: the scan option wins,
     * else Spark's own `spark.sql.files.maxPartitionBytes`. */
@@ -380,7 +391,7 @@ final class GraftLogScan(
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(scanSchema)
+    new GraftLogReaderFactory(scanSchema, columnar = ColumnarOpt.enabled)
 
   override def description(): String =
     s"graft-log $dir seq∈[${if (lower == Long.MinValue) "-∞" else lower}, " +
@@ -539,7 +550,7 @@ final class GraftLogMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(schema)
+    new GraftLogReaderFactory(schema, columnar = ColumnarOpt.enabled)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -561,8 +572,44 @@ final class GraftLogMicroBatchStream(
   * instead of emitting an empty partition. */
 final class GraftLogReaderFactory(
     schema: StructType,
-    filterCol: String = "seq"
+    filterCol: String = "seq",
+    columnar: Boolean = true
 ) extends PartitionReaderFactory {
+
+  /** Columnar (vectorized, [[org.apache.spark.sql.vectorized
+    * .ColumnarBatch]]) reads for the batch scan path: partition bounds
+    * wide open (a batch plan leaves them so — Spark re-applies the
+    * residual seq filters row-level above the scan) and every
+    * requested column an atomic type the vectorized decoder handles.
+    * Range-cut streaming micro-batches and nested value schemas stay
+    * on the row reader. The predicate depends only on (bounds,
+    * schema), so it is uniform across one scan's partitions — Spark
+    * requires all-or-nothing. `spark.graft.columnar.enabled=false`
+    * (session conf, read at planning) forces the row path for A/B. */
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val seg = p.asInstanceOf[LogSegmentPartition]
+    columnar && seg.loSeq == Long.MinValue && seg.hiSeq == Long.MaxValue &&
+    SegmentBatches.supported(schema)
+  }
+
+  override def createColumnarReader(
+      p: InputPartition
+  ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val seg = p.asInstanceOf[LogSegmentPartition]
+    val planned = seg.paths.map(java.nio.file.Paths.get(_))
+    if (planned.forall(java.nio.file.Files.exists(_)))
+      // fast path: committed segment contents are within the
+      // partition's seq range by the dense-seq invariant, so no
+      // row-level range check is needed — pure vectorized decode
+      new SegmentBatches.VectorizedSegmentsReader(planned, schema)
+    else
+      // a concurrent rewrite replaced a planned file: the ROW reader
+      // owns re-resolution + range filtering + the _ver fold refusal
+      // (spec-pinned); repack its rows so the committed-columnar plan
+      // is still served
+      new SegmentBatches.RowRepackReader(createReader(p), schema)
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val seg = p.asInstanceOf[LogSegmentPartition]
     // The effective seq range this partition must emit. In the normal

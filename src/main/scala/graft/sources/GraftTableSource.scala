@@ -166,7 +166,7 @@ final class GraftTableScan(
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(scanSchema, filterCol = "_ver")
+    new GraftLogReaderFactory(scanSchema, filterCol = "_ver", columnar = ColumnarOpt.enabled)
 
   override def description(): String = s"graft-table $dir"
 
@@ -300,7 +300,7 @@ final class GraftTableMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(schema, filterCol = "_ver")
+    new GraftLogReaderFactory(schema, filterCol = "_ver", columnar = ColumnarOpt.enabled)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

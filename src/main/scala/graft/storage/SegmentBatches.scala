@@ -1,0 +1,158 @@
+package graft.storage
+
+import java.nio.file.Path
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+/** Columnar ([[ColumnarBatch]]) segment scan for the DSv2 connectors —
+  * the vectorized twin of [[SegmentRecords]]. Decoding goes through
+  * Spark's own `VectorizedParquetRecordReader` (the engine the parquet
+  * FILE source uses), so a connector scan pays the same per-value cost
+  * as `spark.read.parquet` instead of parquet-mr's record-assembly
+  * path (~1.3-1.6× on scan-bound drains, measured in BASELINE.md) —
+  * while keeping everything the connector adds: manifest-scoped
+  * visibility, planning-time seq pruning, segment packing, statistics.
+  *
+  * Used only for the ALL-FILES-PRESENT batch path where no row-level
+  * range check is needed (committed segment contents are within their
+  * manifest range by the dense-seq invariant). The concurrent-rewrite
+  * fallback and the range-cut streaming path stay on the row reader,
+  * whose re-resolution + filtering semantics are spec-pinned;
+  * [[RowRepackReader]] adapts that row reader back to batches when a
+  * plan already committed to columnar. */
+private[graft] object SegmentBatches {
+
+  /** Batch size: Spark's own parquet vectorized-reader default. */
+  val Capacity = 4096
+
+  /** Exactly the types BOTH legs handle: Spark's vectorized parquet
+    * decoder (fast path) and [[RowRepackReader]]'s row copy (fallback).
+    * Nested values (structs/arrays/maps) stay on the row path. */
+  def supported(schema: StructType): Boolean =
+    schema.fields.nonEmpty && schema.fields.forall(f =>
+      f.dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType | StringType | BinaryType | DateType |
+            TimestampType =>
+          true
+        case _: DecimalType => true
+        case _ => false
+      })
+
+  /** Open ONE immutable segment file for vectorized reads, projected
+    * to `schema`'s columns (unrequested chunks never decoded). The
+    * caller drives `nextBatch()` / `resultBatch()` and owns `close()`. */
+  def open(file: Path, schema: StructType): VectorizedParquetRecordReader = {
+    val reader = new VectorizedParquetRecordReader(false, Capacity)
+    var ok = false
+    try {
+      reader.initialize(file.toString, schema.fieldNames.toSeq.asJava)
+      reader.initBatch(new StructType(), InternalRow.empty)
+      reader.enableReturningBatches()
+      ok = true
+      reader
+    } finally if (!ok) reader.close()
+  }
+
+  /** Sequential vectorized scan over a partition's packed segment
+    * files: one reader per file, batches streamed through. */
+  final class VectorizedSegmentsReader(
+      files: Seq[Path],
+      schema: StructType
+  ) extends PartitionReader[ColumnarBatch] {
+    private val remaining = files.iterator
+    private var reader: VectorizedParquetRecordReader = null
+    private var batch: ColumnarBatch = null
+
+    override def next(): Boolean = {
+      var advanced = false
+      var done = false
+      while (!advanced && !done) {
+        if (reader == null) {
+          if (!remaining.hasNext) done = true
+          else {
+            reader = open(remaining.next(), schema)
+            batch = reader.resultBatch()
+          }
+        }
+        if (!done) {
+          if (reader.nextBatch()) advanced = true
+          else { reader.close(); reader = null; batch = null }
+        }
+      }
+      advanced
+    }
+    override def get(): ColumnarBatch = batch
+    override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+  }
+
+  /** Adapts a row-based [[PartitionReader]] to batches — the rare
+    * concurrent-rewrite fallback when a plan already committed to
+    * columnar: the row reader owns re-resolution, range filtering, and
+    * the `_ver` fold refusal; this only changes the emit shape. */
+  final class RowRepackReader(
+      rows: PartitionReader[InternalRow],
+      schema: StructType
+  ) extends PartitionReader[ColumnarBatch] {
+    private val vectors =
+      schema.fields.map(f => new OnHeapColumnVector(Capacity, f.dataType))
+    private val batch =
+      new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
+
+    override def next(): Boolean = {
+      var n = 0
+      vectors.foreach(_.reset())
+      while (n < Capacity && rows.next()) {
+        val row = rows.get()
+        var c = 0
+        while (c < vectors.length) {
+          writeValue(vectors(c), n, row, c, schema.fields(c).dataType)
+          c += 1
+        }
+        n += 1
+      }
+      batch.setNumRows(n)
+      n > 0
+    }
+    override def get(): ColumnarBatch = batch
+    override def close(): Unit = { rows.close(); batch.close() }
+  }
+
+  private def writeValue(
+      v: WritableColumnVector,
+      i: Int,
+      row: InternalRow,
+      c: Int,
+      dt: DataType
+  ): Unit =
+    if (row.isNullAt(c)) v.putNull(i)
+    else
+      dt match {
+        case BooleanType => v.putBoolean(i, row.getBoolean(c))
+        case ByteType => v.putByte(i, row.getByte(c))
+        case ShortType => v.putShort(i, row.getShort(c))
+        case IntegerType | DateType => v.putInt(i, row.getInt(c))
+        case LongType | TimestampType => v.putLong(i, row.getLong(c))
+        case FloatType => v.putFloat(i, row.getFloat(c))
+        case DoubleType => v.putDouble(i, row.getDouble(c))
+        case StringType =>
+          val b = row.getUTF8String(c).getBytes
+          v.putByteArray(i, b, 0, b.length)
+        case BinaryType =>
+          val b = row.getBinary(c)
+          v.putByteArray(i, b, 0, b.length)
+        case d: DecimalType =>
+          v.putDecimal(i, row.getDecimal(c, d.precision, d.scale), d.precision)
+        case other =>
+          // unreachable behind supported(); loud beats silent corruption
+          throw new UnsupportedOperationException(
+            s"columnar repack does not handle $other")
+      }
+}

@@ -438,6 +438,74 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(all.select("value").where(col("value") < 5).count() == 5)
   }
 
+  test("columnar batch reads: vectorized path on, identical rows to the row path") {
+    val dir = tmpDir("dsv2col") + "/log"
+    mkLog(dir)
+    val df = spark.read.format("graft-log").load(dir).select("seq", "value")
+    // the batch plan commits to columnar: ColumnarToRow above the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"atomic-typed batch scan should be vectorized:\n$plan")
+    val viaColumnar = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    // A/B the session toggle: row path plans no ColumnarToRow and
+    // returns the identical rows
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      val rowDf = spark.read.format("graft-log").load(dir).select("seq", "value")
+      val rowPlan = rowDf.queryExecution.executedPlan.toString
+      assert(!rowPlan.contains("ColumnarToRow"),
+        s"toggle off must force the row reader:\n$rowPlan")
+      assert(rowDf.collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq == viaColumnar)
+    } finally spark.conf.unset("spark.graft.columnar.enabled")
+    assert(viaColumnar == (0L until 30L).map(s => (s, s.toInt)))
+  }
+
+  test("columnar gate: nested values and range-cut streaming stay on the row path") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // struct value → type gate keeps the scan row-based
+    val dir = tmpDir("dsv2colg") + "/log"
+    val log = ParquetLog.open(spark, dir, StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    log.append(Seq((1, "x"), (2, "y")).toDF("a", "b")
+      .select(struct(col("a"), col("b")).as("value")))
+    val df = spark.read.format("graft-log").load(dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.select("value.a").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // a streaming micro-batch partition carries seq bounds → row path
+    val seg = graft.sources.LogSegmentPartition(dir, Nil, 0, 1, loSeq = 1)
+    val fac = new graft.sources.GraftLogReaderFactory(
+      StructType(Seq(StructField("seq", LongType))))
+    assert(!fac.supportColumnarReads(seg))
+    // wide-open bounds + atomic schema → columnar
+    val wide = graft.sources.LogSegmentPartition(dir, Nil, 0, 1)
+    assert(fac.supportColumnarReads(wide))
+  }
+
+  test("columnar read survives a rewrite via the row-repack fallback") {
+    val dir = tmpDir("dsv2colrw") + "/log"
+    val log = mkLog(dir)
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir).select("seq", "value")
+    // plan commits to columnar BEFORE the rewrite...
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rdd = df.rdd
+    val planned = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    log.compact()
+    val survivors = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(planned.intersect(survivors).isEmpty)
+    // ...execution finds the planned files gone: every partition is
+    // served by RowRepackReader over the re-resolving row reader —
+    // exact rows, no duplicates across sibling partitions
+    val got = rdd.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(got == (0L until 30L).map(s => (s, s.toInt)))
+  }
+
   test("manifest statistics let Catalyst see the log's true size") {
     val dir = tmpDir("dsv2st") + "/log"
     mkLog(dir)
