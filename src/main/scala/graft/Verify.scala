@@ -23,23 +23,38 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected(q._1))
-    // a filtered (partial) run into an outDir holding a prior full run
-    // would silently mix fresh and stale results — leave a manifest of
-    // exactly which queries THIS run wrote so a compare can tell
-    Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
-      toRun.map(q => "\"" + q._1 + "\"")
-        .mkString(s"""{"partial": ${filter.isDefined}, "queries": [""", ",", "]}"))
+    val succeeded = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     toRun.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
+      // drop any prior run's output for this query FIRST: if this run
+      // then fails, no stale parquet is left to masquerade as fresh
+      val out = Paths.get(s"$outDir/$name")
+      if (Files.exists(out)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(out).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        succeeded += name
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // a filtered (partial) or partially-failed run into an outDir
+    // holding a prior full run would silently mix fresh and stale
+    // results — the manifest, written AFTER the loop, records exactly
+    // which queries THIS run produced (and which failed), so a compare
+    // can tell fresh output from leftovers
+    def arr(names: Seq[String]) = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
+      s"""{"partial": ${filter.isDefined || failed.nonEmpty}, """ +
+        s""""queries": ${arr(succeeded.toSeq)}, "failed": ${arr(failed.toSeq)}}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

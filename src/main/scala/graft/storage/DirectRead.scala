@@ -31,9 +31,9 @@ import org.apache.spark.sql.types._
   * pages). Sub-millisecond after first touch of a segment, ~8 ms cold.
   *
   * Supports the value types a log can hold (primitives, strings,
-  * binary, structs, arrays). Returns None for anything it can't
-  * convert — the caller falls back to the Spark read path, so this is
-  * a pure fast path, never a semantics change.
+  * binary, dates, timestamps, structs, arrays). Returns None for
+  * anything it can't convert — the caller falls back to the Spark
+  * read path, so this is a pure fast path, never a semantics change.
   */
 private[storage] object DirectRead {
 
@@ -138,11 +138,51 @@ private[storage] object DirectRead {
 
   private[storage] def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
-        FloatType | BooleanType | StringType | BinaryType =>
+        FloatType | BooleanType | StringType | BinaryType | DateType |
+        TimestampType =>
       true
     case st: StructType  => st.fields.forall(f => supported(f.dataType))
     case ArrayType(e, _) => supported(e)
     case _               => false
+  }
+
+  /** Timestamp column → epoch micros, handling every physical shape
+    * Spark's parquet writer emits: INT96 (the writer default —
+    * nanos-of-day + Julian day) and INT64 annotated MILLIS/MICROS/
+    * NANOS. Segments are self-written under Spark's default CORRECTED
+    * rebase modes (plain proleptic values, no Julian rebase on either
+    * side), so direct epoch arithmetic matches Spark's own reader
+    * exactly. */
+  private def timestampMicros(g: Group, idx: Int): Long = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val pt = g.getType.getType(idx).asPrimitiveType()
+    pt.getPrimitiveTypeName match {
+      case INT96 =>
+        val buf = java.nio.ByteBuffer
+          .wrap(g.getInt96(idx, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        // 2440588 = Julian day of 1970-01-01
+        Math.addExact(
+          Math.multiplyExact(julianDay - 2440588L, 86400000000L),
+          nanosOfDay / 1000L)
+      case INT64 =>
+        val v = g.getLong(idx, 0)
+        pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Math.multiplyExact(v, 1000L)
+              case LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+              case _                                    => v // MICROS
+            }
+          case _ => v
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"timestamp stored as $other")
+    }
   }
 
   private[storage] def convertRow(g: Group, schema: StructType): Row = {
@@ -187,6 +227,8 @@ private[storage] object DirectRead {
       org.apache.spark.unsafe.types.UTF8String
         .fromBytes(g.getBinary(idx, 0).getBytes)
     case BinaryType     => g.getBinary(idx, 0).getBytes
+    case DateType       => g.getInteger(idx, 0)
+    case TimestampType  => timestampMicros(g, idx)
     case st: StructType => convertInternalRow(g.getGroup(idx, 0), st)
     case ArrayType(et, _) =>
       val list = g.getGroup(idx, 0)
@@ -214,6 +256,12 @@ private[storage] object DirectRead {
     case BooleanType => g.getBoolean(idx, 0)
     case StringType  => g.getString(idx, 0)
     case BinaryType  => g.getBinary(idx, 0).getBytes
+    case DateType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaDate(g.getInteger(idx, 0))
+    case TimestampType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaTimestamp(timestampMicros(g, idx))
     case st: StructType => convertRow(g.getGroup(idx, 0), st)
     case ArrayType(et, _) =>
       // Spark's standard 3-level list layout: group(LIST) >

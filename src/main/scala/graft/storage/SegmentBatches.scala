@@ -33,22 +33,35 @@ private[graft] object SegmentBatches {
   val Capacity = 4096
 
   /** Exactly the types BOTH legs handle: Spark's vectorized parquet
-    * decoder (fast path) and [[RowRepackReader]]'s row copy (fallback).
-    * Nested values (structs/arrays/maps) stay on the row path. */
+    * decoder (fast path) AND the row leg behind the fallbacks — the
+    * [[RowRepackReader]] copy and the `columnar.enabled=false` A/B
+    * toggle both run [[SegmentRecords]]/[[DirectRead]], so admitting a
+    * type here that the row converter throws on would make the safety
+    * valves fail exactly when they're needed. Atomic types only;
+    * nested values (structs/arrays/maps) stay on the row path.
+    * Date/Timestamp/Decimal are excluded: the row converter does not
+    * handle them, and keeping them out also keeps every columnar-read
+    * type outside parquet's datetime-rebase rules (see [[open]]). */
   def supported(schema: StructType): Boolean =
-    schema.fields.nonEmpty && schema.fields.forall(f =>
-      f.dataType match {
-        case BooleanType | ByteType | ShortType | IntegerType | LongType |
-            FloatType | DoubleType | StringType | BinaryType | DateType |
-            TimestampType =>
-          true
-        case _: DecimalType => true
-        case _ => false
-      })
+    schema.fields.nonEmpty && schema.fields.forall(f => atomic(f.dataType))
+
+  private def atomic(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | BinaryType =>
+      true
+    case _ => false
+  }
 
   /** Open ONE immutable segment file for vectorized reads, projected
     * to `schema`'s columns (unrequested chunks never decoded). The
-    * caller drives `nextBatch()` / `resultBatch()` and owns `close()`. */
+    * caller drives `nextBatch()` / `resultBatch()` and owns `close()`.
+    *
+    * The two-arg `VectorizedParquetRecordReader` constructor pins
+    * default datetime-rebase handling and a fresh Hadoop conf. That is
+    * safe here by construction, not by assumption: [[supported]]
+    * admits no Date/Timestamp/Decimal columns, so no type subject to
+    * rebase or conf-sensitive parquet logical-type rules ever reaches
+    * this decoder (pinned by SegmentBatchesSpec's gate vectors). */
   def open(file: Path, schema: StructType): VectorizedParquetRecordReader = {
     val reader = new VectorizedParquetRecordReader(false, Capacity)
     var ok = false
@@ -138,8 +151,8 @@ private[graft] object SegmentBatches {
         case BooleanType => v.putBoolean(i, row.getBoolean(c))
         case ByteType => v.putByte(i, row.getByte(c))
         case ShortType => v.putShort(i, row.getShort(c))
-        case IntegerType | DateType => v.putInt(i, row.getInt(c))
-        case LongType | TimestampType => v.putLong(i, row.getLong(c))
+        case IntegerType => v.putInt(i, row.getInt(c))
+        case LongType => v.putLong(i, row.getLong(c))
         case FloatType => v.putFloat(i, row.getFloat(c))
         case DoubleType => v.putDouble(i, row.getDouble(c))
         case StringType =>
@@ -148,8 +161,6 @@ private[graft] object SegmentBatches {
         case BinaryType =>
           val b = row.getBinary(c)
           v.putByteArray(i, b, 0, b.length)
-        case d: DecimalType =>
-          v.putDecimal(i, row.getDecimal(c, d.precision, d.scale), d.precision)
         case other =>
           // unreachable behind supported(); loud beats silent corruption
           throw new UnsupportedOperationException(

@@ -484,6 +484,40 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(fac.supportColumnarReads(wide))
   }
 
+  test("columnar gate admits only types the ROW leg also handles") {
+    import org.apache.spark.sql.types._
+    import graft.storage.SegmentBatches
+    // The columnar path has two safety valves — the A/B toggle and the
+    // concurrent-rewrite RowRepackReader — and BOTH run the parquet-mr
+    // row converter. A type the row leg throws on must therefore never
+    // pass the columnar gate, however well the vectorized decoder
+    // handles it. Date/Timestamp/Decimal are exactly that set (and
+    // keeping them out also keeps datetime-rebase rules out of scope
+    // for the pinned two-arg VectorizedParquetRecordReader ctor).
+    def one(dt: DataType) = StructType(Seq(StructField("v", dt)))
+    for (dt <- Seq(DateType, TimestampType, TimestampNTZType,
+        DecimalType(10, 2), CalendarIntervalType))
+      assert(!SegmentBatches.supported(one(dt)), s"$dt must stay on the row path")
+    for (dt <- Seq(BooleanType, ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType, StringType, BinaryType)) {
+      assert(SegmentBatches.supported(one(dt)))
+      assert(graft.storage.SegmentRecords.supported(one(dt)),
+        s"columnar admitted $dt but the row fallback cannot convert it")
+    }
+    // end-to-end: a timestamp-valued log plans NO ColumnarToRow with
+    // the toggle on, and the row leg serves exact values
+    import spark.implicits._
+    val dir = tmpDir("dsv2colts") + "/log"
+    val log = ParquetLog.open(spark, dir,
+      StructType(Seq(StructField("t", TimestampType))))
+    log.append(Seq(1000000L, 2000000L).toDF("us")
+      .select(timestamp_micros(col("us")).as("value")))
+    val df = spark.read.format("graft-log").load(dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.select("value").collect()
+      .map(_.getTimestamp(0).getTime).sorted.toSeq == Seq(1000L, 2000L))
+  }
+
   test("columnar read survives a rewrite via the row-repack fallback") {
     val dir = tmpDir("dsv2colrw") + "/log"
     val log = mkLog(dir)
