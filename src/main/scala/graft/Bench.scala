@@ -189,6 +189,17 @@ object Bench {
         portableHash = false).count()
     }
     timed("simhash")(Dedup.simhash32(docs, "text", "doc_id").count())
+    // the 100 TB fingerprint tier: 64 conditional-sum columns (the
+    // widest agg in the engine) and 16-bit-band Hamming pairing —
+    // regression-guarded here because the 32-bit numbers say nothing
+    // about either
+    timed("simhash64")(Dedup.simhash64(docs, "text", "doc_id").count())
+    timed("hamming64_pairs") {
+      Dedup.hammingPairs(
+        Dedup.simhash64(docs, "text", "doc_id")
+          .select(col("id"), col("simhash").as("h")),
+        "h", "id", maxHamming = 3, bands = 4, bits = 64).count()
+    }
     val emb = Tables.load(spark, sfDir, "embeddings")
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0)

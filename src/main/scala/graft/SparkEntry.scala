@@ -865,6 +865,27 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")),
 
+    // curation with the FINGERPRINT near-dup tier in place of exact
+    // dedup: simhash clusters over the gate survivors, min-id member
+    // kept per cluster, cap diagnostic enforced (a flooded band
+    // bucket throws instead of silently shipping missed near-dups)
+    "q101_curate_neardup" -> ((s, dir) =>
+      graft.pipeline.Curation
+        .curateNear(
+          Tables.load(s, dir, "documents"),
+          "text",
+          "doc_id",
+          lang = "en",
+          minQuality = 0.5,
+          minTokens = 10,
+          maxTokens = 5000,
+          maxHamming = 2,
+          bands = 4,
+          bits = 32
+        )
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")),
+
     // doc → passage chunking (50-token windows, stride 40) — what an
     // embedding pipeline feeds the encoder
     "q69_chunking" -> ((s, dir) => {
@@ -1399,13 +1420,12 @@ object SparkEntry {
     // connected components — near-dup clusters without shingles or
     // LSH tuning, the cheap tier before q50's minhash clusters
     "q94_simhash_clusters" -> ((s, dir) => {
+      // the production chain: cap diagnostic ENFORCED (a capped band
+      // bucket would throw instead of silently missing pairs)
       val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup
-        .hammingPairs(Dedup.simhash32(docs, "text", "doc_id")
-            .toDF("id", "h"),
-          "h", "id", maxHamming = 2, bands = 4)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(pairs)
+      Dedup
+        .fingerprintClusters(docs, "text", "doc_id",
+          maxHamming = 2, bands = 4, bits = 32)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -1711,11 +1731,11 @@ object SparkEntry {
       |ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC, b.vec_id ASC
       |LIMIT 10""".stripMargin
 
-  /** The q59 curation chain (token/quality/lang features → gates →
-    * exact-dedup canon → hash-sample) as SQL over any source relation
-    * producing `(doc_id, text)` — q59 runs it over `documents`, q64
-    * over the near-dup survivor set. */
-  private def curationOracle(source: String, seed: String): String = {
+  /** The curation GATE chain (token/quality/lang features → gates) as
+    * SQL CTEs ending in `gated (doc_id, text, w, n_tokens, quality,
+    * lang_pred, fp)` — shared by [[curationOracle]] (exact-dedup canon)
+    * and [[curationNearOracle]] (fingerprint near-dup tier). */
+  private def curationGateOracle(source: String): String = {
     val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
     val caseCols = TextFunctions.langMarkers
       .map { case (lang, words) =>
@@ -1743,7 +1763,7 @@ object SparkEntry {
        |    $caseCols
        |  FROM tok
        |), scored AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, text, w,
        |    CAST(n_tokens AS BIGINT) AS n_tokens,
        |    round(least(n_tokens / 100.0, 1.0) * 0.3
        |      + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.2
@@ -1755,16 +1775,62 @@ object SparkEntry {
        |), gated AS (
        |  SELECT * FROM scored
        |  WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000
-       |), canon AS (
-       |  SELECT doc_id, n_tokens, quality,
-       |    min(doc_id) OVER (PARTITION BY fp) AS canon_id
-       |  FROM gated
-       |)
-       |SELECT doc_id, n_tokens, quality FROM canon
-       |WHERE doc_id = canon_id
-       |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'), 1, 8))::BIGINT < 2147483648
-       |ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  /** The q59 curation chain (gates → exact-dedup canon → hash-sample)
+    * as SQL over any source relation producing `(doc_id, text)` — q59
+    * runs it over `documents`, q64 over the near-dup survivor set. */
+  private def curationOracle(source: String, seed: String): String =
+    curationGateOracle(source) +
+      s""", canon AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    min(doc_id) OVER (PARTITION BY fp) AS canon_id
+         |  FROM gated
+         |)
+         |SELECT doc_id, n_tokens, quality FROM canon
+         |WHERE doc_id = canon_id
+         |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'), 1, 8))::BIGINT < 2147483648
+         |ORDER BY doc_id""".stripMargin
+
+  /** The [[graft.pipeline.Curation.curateNear]] chain: gates →
+    * 32-bit simhash over gate survivors → brute-force Hamming pairs
+    * (the banded Spark plan has EXACT recall by the pigeonhole bound,
+    * so all-pairs reproduces it) → connected components → each
+    * cluster keeps its min-id member. Needs a `WITH RECURSIVE`
+    * prefix. */
+  private def curationNearOracle(source: String): String =
+    curationGateOracle(source) +
+      """, toks2 AS (
+        |  SELECT doc_id, unnest(w) AS tok FROM gated
+        |), hashed2 AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks2
+        |), bits2 AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (CAST(floor(h / pow(2, b.bit)) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed2, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        |  GROUP BY 1, 2
+        |), sh2 AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS h
+        |  FROM bits2 GROUP BY doc_id
+        |), npairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h, b.h)) <= 2
+        |), nedges AS (
+        |  SELECT id_a AS a, id_b AS b FROM npairs
+        |  UNION ALL SELECT id_b, id_a FROM npairs
+        |), nreach(id, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM nedges)
+        |  UNION
+        |  SELECT nreach.id, e.b FROM nreach JOIN nedges e ON e.a = nreach.r
+        |), ncomp AS (
+        |  SELECT id, min(r) AS component FROM nreach GROUP BY id
+        |)
+        |SELECT doc_id, n_tokens, quality FROM gated
+        |WHERE doc_id NOT IN (SELECT id FROM ncomp WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin
 
   /** The quality-score SELECT (no ORDER BY) — shared by q18 and the
     * q74 adaptive gate's ranking subquery. */
@@ -2224,6 +2290,8 @@ object SparkEntry {
         |      doc_id ASC) - 1 AS position, doc_id
         |FROM documents ORDER BY position""".stripMargin,
     "q59_curation" -> ("WITH " + curationOracle("documents", "s59")),
+    "q101_curate_neardup" ->
+      ("WITH RECURSIVE " + curationNearOracle("documents")),
     // near-dup cluster survivors (q51's recursive-CTE reachability)
     // piped into the q59 curation chain — the full-pipeline oracle
     "q69_chunking" ->

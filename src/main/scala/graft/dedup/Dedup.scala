@@ -716,6 +716,68 @@ object Dedup {
     (pairs, capped)
   }
 
+  /** The fingerprint near-dup CLUSTER pipeline end to end —
+    * [[simhash32]]/[[simhash64]] → [[hammingPairsDiag]] →
+    * [[connectedComponents]] — with the mega-bucket cap diagnostic
+    * THREADED OUT instead of dropped. Returns `(clusters, capped)`:
+    * `clusters` is `(id, component)` (component = min member id);
+    * `capped` is [[hammingPairsDiag]]'s excluded-bucket side, and
+    * EMPTY means the pigeonhole recall bound held exactly — every
+    * pair within `maxHamming` is in some cluster. A non-empty side
+    * is the one silent recall failure mode a 10⁹-doc run has
+    * (reference analogue: consistency must be checkable,
+    * offset2/log.go:304-344), so production entry points either act
+    * on it or use [[fingerprintClusters]], which refuses. */
+  def fingerprintClustersDiag(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Long = 100000L,
+      bits: Int = 64
+  ): (DataFrame, DataFrame) = {
+    val sh =
+      if (bits == 64) simhash64(df, textCol, idCol)
+      else simhash32(df, textCol, idCol)
+    val (pairs, capped) = hammingPairsDiag(
+      sh.select(col("id"), col("simhash").as("h")),
+      "h", "id", maxHamming, bands, maxBucket, bits)
+    (connectedComponents(pairs.select("id_a", "id_b")), capped)
+  }
+
+  /** [[fingerprintClustersDiag]] with the diagnostic ENFORCED: checks
+    * the capped side up front (one aggregation over the skinny
+    * `(id, fingerprint)` projection — the only eager action in the
+    * dedup layer, and the point of it) and throws instead of
+    * returning clusters that silently miss pairs. A flooded band
+    * bucket at that multiplicity is identical-fingerprint territory:
+    * collapse those docs with [[exactGroups]] on the fingerprint
+    * column first, or raise `maxBucket`, or drop to the Diag variant
+    * and route the capped buckets out of band. */
+  def fingerprintClusters(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Long = 100000L,
+      bits: Int = 64
+  ): DataFrame = {
+    val (clusters, capped) = fingerprintClustersDiag(
+      df, textCol, idCol, maxHamming, bands, maxBucket, bits)
+    val flooded = capped.limit(3).collect()
+    if (flooded.nonEmpty)
+      throw new IllegalStateException(
+        "fingerprintClusters: band bucket(s) over maxBucket=" + maxBucket +
+          " were excluded from pairing — recall is no longer exact. First: " +
+          flooded.map(_.toString).mkString(", ") +
+          ". Collapse identical fingerprints with exactGroups first, raise " +
+          "maxBucket, or use fingerprintClustersDiag and handle the capped " +
+          "buckets out of band.")
+    clusters
+  }
+
   /** Cross-document LINE dedup (the RefinedWeb/CCNet tier): a line
     * whose trimmed text appears in at least `minDocs` DISTINCT
     * documents is removed from EVERY document, and each doc's text is

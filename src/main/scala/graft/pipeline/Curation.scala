@@ -19,6 +19,27 @@ import graft.text.TextFunctions
   */
 object Curation {
 
+  /** The lang / quality / length gates shared by [[curate]] and
+    * [[curateNear]] — three narrow predicates that fuse into one
+    * codegen'd filter over the scan. */
+  private def gate(
+      df: DataFrame,
+      textCol: String,
+      lang: String,
+      minQuality: Double,
+      minTokens: Int,
+      maxTokens: Int
+  ): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", TextFunctions.tokenCount(t).cast("long"))
+      .withColumn("quality", TextFunctions.qualityScore(t))
+      .where(
+        TextFunctions.langId(t) === lang &&
+          col("quality") >= minQuality &&
+          col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
+      )
+  }
+
   /** Returns the curated rows of `df` plus `n_tokens` and `quality`
     * columns. `sampleRate = 1.0` keeps every survivor. */
   def curate(
@@ -32,16 +53,51 @@ object Curation {
       sampleRate: Double = 1.0,
       seed: String = "s0"
   ): DataFrame = {
-    val t = col(textCol)
-    val gated = df
-      .withColumn("n_tokens", TextFunctions.tokenCount(t).cast("long"))
-      .withColumn("quality", TextFunctions.qualityScore(t))
-      .where(
-        TextFunctions.langId(t) === lang &&
-          col("quality") >= minQuality &&
-          col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens
-      )
+    val gated = gate(df, textCol, lang, minQuality, minTokens, maxTokens)
     val deduped = Dedup.exactDedup(gated, textCol, idCol)
+    if (sampleRate >= 1.0) deduped
+    else Sampling.hashSample(deduped, idCol, sampleRate, seed)
+  }
+
+  /** [[curate]] with the FINGERPRINT near-dup tier in place of exact
+    * dedup: gate survivors are clustered by
+    * [[Dedup.fingerprintClusters]] (simhash → pigeonhole-banded
+    * Hamming pairing → connected components) and each cluster keeps
+    * its minimum-id member; unclustered docs pass through. The cap
+    * diagnostic is ENFORCED — a band bucket past `maxBucket` throws
+    * instead of silently shipping a corpus that still contains
+    * near-duplicates the pairing missed (the reference's
+    * checkable-consistency discipline, offset2/log.go:304-344).
+    *
+    * Plan shape at 100 TB: the gates are one fused filter over the
+    * scan; the fingerprint tier runs entirely on the skinny
+    * `(id, fingerprint)` projection (one narrow simhash aggregation,
+    * a banded equi-join, a pairs-graph-only CC); the loser set is a
+    * small fraction of the corpus, so the back anti-join streams
+    * against a shrunken right side AQE broadcasts when it fits. */
+  def curateNear(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Long = 100000L,
+      bits: Int = 64,
+      sampleRate: Double = 1.0,
+      seed: String = "s0"
+  ): DataFrame = {
+    val gated = gate(df, textCol, lang, minQuality, minTokens, maxTokens)
+    val losers = Dedup
+      .fingerprintClusters(gated, textCol, idCol,
+        maxHamming, bands, maxBucket, bits)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("_dup_id"))
+    val deduped =
+      gated.join(losers, gated(idCol) === col("_dup_id"), "left_anti")
     if (sampleRate >= 1.0) deduped
     else Sampling.hashSample(deduped, idCol, sampleRate, seed)
   }

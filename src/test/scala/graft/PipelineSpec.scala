@@ -271,6 +271,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("batched top-k plan: one shuffle on query_id, never SinglePartition") {
+    val queries = emb.where($"vec_id" < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      .sortBy(_._1)
+    val batch = Ann.cosineTopKBatch(emb, "embedding", "vec_id", queries, 10)
+    batch.collect()
+    // AQE's toString prints final AND initial plans — final section only
+    val plan = batch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the per-partition heaps are narrow; the only shuffle is the
+    // final per-query candidate merge, hash-partitioned on query_id —
+    // a SinglePartition here would funnel Q × P candidate rows
+    // through one reducer at cluster scale
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, plan:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"final merge must not single-partition:\n$plan")
+  }
+
   test("hammingPairs: exact recall vs brute force under the pigeonhole bound") {
     // 32-bit hashes engineered across the distance spectrum
     val hs = Seq(
@@ -371,6 +391,51 @@ class PipelineSpec extends SparkSpec {
     // the uncapped run pairs the flood (exact recall restored): 8C2 + 1
     val all = Dedup.hammingPairs(hs, "h", "id", maxHamming = 2, bands = 4)
     assert(all.count() == 28 + 1)
+  }
+
+  test("fingerprint cluster chain: cap diagnostic propagates and is enforced") {
+    // identical texts → identical fingerprints → every band bucket of
+    // the flood holds 6 rows; cap at 5
+    val texts = (1L to 6L).map(id => (id, "alpha beta gamma delta epsilon")) ++
+      Seq((100L, "the quick brown fox jumps over the lazy dog"),
+        (101L, "the quick brown fox jumps over the lazy cat"))
+    val df = texts.toDF("doc_id", "text")
+    // Diag variant: the flooded buckets surface WITH their row counts
+    val (_, capped) = Dedup.fingerprintClustersDiag(
+      df, "text", "doc_id", maxHamming = 2, bands = 4, maxBucket = 5,
+      bits = 32)
+    val cap = capped.collect()
+      .map(r => (r.getAs[Int]("_band"), r.getAs[Long]("_n")))
+    // one flooded bucket per band; 100/101 may coincidentally share it
+    assert(cap.length == 4 && cap.forall { case (_, n) => n >= 6L },
+      cap.mkString(","))
+    // the checked production entry REFUSES the same run at call time
+    val e = intercept[IllegalStateException] {
+      Dedup.fingerprintClusters(df, "text", "doc_id",
+        maxHamming = 2, bands = 4, maxBucket = 5, bits = 32)
+    }
+    assert(e.getMessage.contains("maxBucket"))
+    // with headroom the chain returns and the identical docs cluster
+    val ok = Dedup.fingerprintClusters(df, "text", "doc_id",
+      maxHamming = 2, bands = 4, maxBucket = 100, bits = 32)
+    val flood = ok.collect().filter(_.getLong(0) <= 6L)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(flood.toSet == (1L to 6L).map(_ -> 1L).toSet, flood.mkString(","))
+    // and the chain is exactly the manual simhash → pairs → CC plan
+    val manual = Dedup.connectedComponents(
+      Dedup.hammingPairs(
+        Dedup.simhash32(df, "text", "doc_id").toDF("id", "h"),
+        "h", "id", maxHamming = 2, bands = 4).select("id_a", "id_b"))
+    assert(ok.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      manual.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // curateNear inherits the refusal: 6 copies of the corpus flood
+    // every gated fingerprint's buckets past the cap
+    val six = (1 to 6).map(_ => docs).reduce(_ union _)
+    intercept[IllegalStateException] {
+      graft.pipeline.Curation.curateNear(six, "text", "doc_id",
+        maxTokens = 5000, maxHamming = 2, bands = 4, maxBucket = 5,
+        bits = 32)
+    }
   }
 
   test("media phash: deterministic, content-sensitive, corrupt flagged") {
