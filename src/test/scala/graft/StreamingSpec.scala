@@ -92,6 +92,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark dedup second geometry: 50s spacing / 30s delay straddles batches") {
+    // q95 pins one spacing/delay pair (100s/30s: every re-arrival finds
+    // state evicted except one boundary batch). This geometry pins the
+    // OTHER regime: spacing (50s) > delay (30s) yet consecutive
+    // re-arrivals still dedup, because the watermark lags arrivals by
+    // the delay — state is evicted by the WATERMARK passing
+    // first_ts + delay, not by event-time spacing. Plus an engineered
+    // exact-equality boundary (wm == first_ts + delay).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tsSec(s: Int): Timestamp = new Timestamp(1704103200000L + s * 1000L)
+    val A = "content alpha"; val B = "content beta"
+    val C = "pacer gamma"; val E = "content epsilon"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = EventStreamOps.streamingContentDedup(
+      mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "30 seconds")
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_geo2")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1 — first arrivals: E@40 (expiry 70), A@50 (expiry 80),
+      // B@60 (expiry 90); wm after = 60 - 30 = 30
+      mem.addData((tsSec(40), 3L, E), (tsSec(50), 1L, A), (tsSec(60), 2L, B))
+      q.processAllAvailable()
+      // batch 2 — A re-arrives 50s later: wm at start 30 < 80 → state
+      // live → dropped; wm after = 100 - 30 = 70 == E's expiry
+      mem.addData((tsSec(100), 4L, A))
+      q.processAllAvailable()
+      // batch 3 — A re-arrives ANOTHER 50s later: wm 70 < 80 → STILL
+      // dropped (two straddled batches on one state generation);
+      // E re-arrives at the EXACT boundary wm == first_ts + delay
+      // (70 == 40 + 30) → expiry is INCLUSIVE: the state is already
+      // evicted at equality, so E RE-EMITS (the boundary rule q95's
+      // strict-inequality batches never reach);
+      // pacer C first-arrives (emitted); wm after = 150 - 30 = 120
+      mem.addData((tsSec(150), 5L, A), (tsSec(145), 7L, E), (tsSec(120), 6L, C))
+      q.processAllAvailable()
+      // batch 4 — wm 120 has passed A's 80 and B's 90: both re-emit
+      mem.addData((tsSec(125), 8L, B), (tsSec(200), 9L, A))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_geo2")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 6L, 7L, 8L, 9L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("stateful sessionize over a memory stream closes on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -31,6 +31,42 @@ class TableStoreSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"plan still unions per-commit scans:\n$plan")
   }
 
+  test("table reads are columnar: ColumnarToRow for the _ver path, row-path A/B identical") {
+    val dir = tmpDir("ts-col")
+    val store = TableStore.open(spark, dir, schema)
+    val v1 = store.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    store.append(Seq(("a", 3L)).toDF("k", "v"))
+    // current-table CONNECTOR read (readVersioned uses the parquet
+    // file source, which is separately vectorized — the DSv2 path is
+    // what the toggle and the RowRepackReader fallback govern):
+    // wide-open bounds + atomic schema (incl. LongType _ver) →
+    // vectorized path
+    val df = spark.read.format("graft-table").load(dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"table connector batch scan should be vectorized:\n$plan")
+    val viaColumnar = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    // versionAsOf prunes SEGMENTS at planning, not row bounds — the
+    // snapshot stays columnar
+    val snap = spark.read.format("graft-table")
+      .option("versionAsOf", v1).load(dir)
+    assert(snap.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(snap.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      == Seq(("a", 1L), ("b", 2L)))
+    // A/B toggle: row path, no ColumnarToRow, identical rows
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      val rowDf = spark.read.format("graft-table").load(dir)
+      val rowPlan = rowDf.queryExecution.executedPlan.toString
+      assert(!rowPlan.contains("ColumnarToRow"),
+        s"toggle off must force the row reader:\n$rowPlan")
+      assert(rowDf.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._3).toSeq == viaColumnar)
+    } finally spark.conf.unset("spark.graft.columnar.enabled")
+  }
+
   test("_ver carries the commit version per row (last-write-wins order)") {
     val store = TableStore.open(spark, tmpDir("ts-ver"), schema)
     val v1 = store.append(Seq(("a", 1L)).toDF("k", "v"))
