@@ -41,8 +41,11 @@ import graft.storage.{Manifest, ParquetLog, SegmentBatches, SegmentRecords}
   * input partitions of up to `maxPartitionBytes` (scan option, else
   * `spark.sql.files.maxPartitionBytes`) adjacent file bytes — file-
   * source-style packing, so a log of many small per-batch segments
-  * doesn't become one task per file; each partition reads its
-  * immutable files with parquet-mr directly.
+  * doesn't become one task per file — and an OVERSIZED segment is
+  * SPLIT into row-group-aligned byte ranges (a multi-GB compacted
+  * segment is parallel work, not one straggler task; see
+  * [[SegmentPacking.pack]]); each partition reads its immutable
+  * files with parquet-mr directly.
   *
   * Pushdown is conservative: accepted seq bounds prune partitions but
   * are also returned as residuals, so Spark re-applies them row-level
@@ -279,8 +282,16 @@ final case class LogSegmentPartition(
     minSeq: Long,
     maxSeq: Long,
     loSeq: Long = Long.MinValue,
-    hiSeq: Long = Long.MaxValue
-) extends InputPartition
+    hiSeq: Long = Long.MaxValue,
+    // byte subrange of a SINGLE oversized file (row-group-aligned
+    // split, see SegmentPacking.splitSegment); (0, MaxValue) = whole
+    splitStart: Long = 0L,
+    splitEnd: Long = Long.MaxValue
+) extends InputPartition {
+  def isSplit: Boolean = splitStart != 0L || splitEnd != Long.MaxValue
+  def byteRange: Option[(Long, Long)] =
+    if (isSplit) Some((splitStart, splitEnd)) else None
+}
 
 /** Session toggle for the vectorized connector read path, read on the
   * driver at planning time (where `createReaderFactory` runs):
@@ -294,11 +305,36 @@ private[sources] object ColumnarOpt {
 }
 
 private[sources] object SegmentPacking {
-  /** Resolve the effective packing threshold: the scan option wins,
-    * else Spark's own `spark.sql.files.maxPartitionBytes`. */
-  def maxBytes(option: Option[String]): Long =
-    option.map(_.toLong).getOrElse(
-      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+  /** Resolve the effective packing threshold. An explicit scan
+    * option wins VERBATIM (the test/off-switch lever). Otherwise the
+    * same heuristic Spark's file source applies
+    * (`FilePartition.maxSplitBytes`):
+    * `min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores))`
+    * — so a mid-size scan fans out to the session's parallelism
+    * instead of a handful of 128 MB packs, while at 100 TB the
+    * `maxPartitionBytes` cap dominates exactly as it does for the
+    * file source. Unlike Spark we do NOT pad each file with the open
+    * cost during accumulation — adjacent tiny segments packing into
+    * one partition is this connector's contract (spec-pinned); the
+    * open-cost floor on the TARGET alone keeps tiny scans from
+    * exploding into per-row-group confetti. */
+  def maxBytes(
+      option: Option[String],
+      dir: String,
+      segments: Seq[graft.storage.Segment]
+  ): Long =
+    option.map(_.toLong).getOrElse {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val cap = conf.filesMaxPartitionBytes
+      val openCost = conf.filesOpenCostInBytes
+      val cores: Int = conf.filesMinPartitionNum.getOrElse(
+        try org.apache.spark.sql.SparkSession.active
+          .sparkContext.defaultParallelism
+        catch { case _: Exception => 1 })
+      val totalBytes =
+        segments.map(segmentSize(dir, _) + openCost).sum
+      math.min(cap, math.max(openCost, totalBytes / math.max(cores, 1)))
+    }
 
   /** Assumed bytes/row when a segment file can't be stat'd (vanished
     * under a concurrent rewrite): sizing falls back to the manifest's
@@ -315,32 +351,149 @@ private[sources] object SegmentPacking {
       case _: java.io.IOException => math.max(s.rows, 1L) * FallbackBytesPerRow
     }
 
+  /** One planned partition's worth of segment bytes: whole files
+    * (the common case, `splitStart/splitEnd` wide open) or ONE
+    * oversized file's byte subrange covering a run of row groups
+    * (standard parquet split semantics: a row group belongs to the
+    * range containing its MIDPOINT, and split boundaries sit at
+    * row-group start offsets — under the midpoint rule that assigns
+    * each group to exactly one sibling; siblings tile `[0, ∞)`, so
+    * any layout is read exactly once). `minSeq`/`maxSeq`
+    * are the filter-column bounds this partition is responsible
+    * for — for log splits they are EXACT per-row-group footer stats,
+    * which is what keeps the concurrent-rewrite fallback
+    * duplicate-and-gap-free across sibling splits. */
+  final case class PackedGroup(
+      paths: Seq[String],
+      minSeq: Long,
+      maxSeq: Long,
+      splitStart: Long = 0L,
+      splitEnd: Long = Long.MaxValue
+  )
+
   /** Pack seq-ordered adjacent segments into groups of <= maxBytes
-    * file bytes (a single oversized segment still gets its own
-    * group). Returns (paths, minSeq, maxSeq) per group. */
+    * file bytes; a single oversized segment (a compacted multi-GB
+    * file — at 100 TB the norm, and otherwise one straggler task) is
+    * SPLIT into row-group-aligned byte ranges of <= maxBytes, the
+    * same parallelism the parquet file source gets from blind byte
+    * splits, but with exact per-split seq bounds so the rewrite
+    * fallback stays exact.
+    *
+    * Split preconditions, checked from the segment's own footer
+    * (driver-side, read only for oversized files): every row group
+    * carries `filterCol` min/max stats AND consecutive row groups are
+    * disjoint-ordered (guaranteed for logs — segments are written
+    * `sortWithinPartitions(seq)`). When stats exist but interleave
+    * (a table segment: every row shares one `_ver`), splitting is
+    * sound only if a vanished file can never be partially re-resolved
+    * — true for graft-table, whose only rewrite folds history and
+    * trips the reader's loud `_ver` refusal — so those callers opt in
+    * via `sharedRangeSplits` and each split carries the whole
+    * segment's bounds. Anything else stays one whole-file group. */
   def pack(
       dir: String,
       segments: Seq[graft.storage.Segment],
-      maxBytes: Long
-  ): Seq[(Seq[String], Long, Long)] = {
+      maxBytes: Long,
+      filterCol: String = "seq",
+      sharedRangeSplits: Boolean = false
+  ): Seq[PackedGroup] = {
     val sorted = segments.sortBy(_.minSeq)
-    val groups = scala.collection.mutable.ListBuffer.empty[(Seq[String], Long, Long)]
+    val groups = scala.collection.mutable.ListBuffer.empty[PackedGroup]
     var cur = scala.collection.mutable.ListBuffer.empty[graft.storage.Segment]
     var curBytes = 0L
     def size(s: graft.storage.Segment): Long = segmentSize(dir, s)
     def flush(): Unit = if (cur.nonEmpty) {
-      groups += ((
+      groups += PackedGroup(
         cur.map(s => java.nio.file.Paths.get(dir, s.path).toString).toSeq,
-        cur.head.minSeq, cur.last.maxSeq))
+        cur.head.minSeq, cur.last.maxSeq)
       cur.clear(); curBytes = 0L
     }
     sorted.foreach { s =>
       val b = size(s)
-      if (cur.nonEmpty && curBytes + b > maxBytes) flush()
-      cur += s; curBytes += b
+      if (b > maxBytes) {
+        flush()
+        groups ++= splitSegment(dir, s, maxBytes, filterCol, sharedRangeSplits)
+      } else {
+        if (cur.nonEmpty && curBytes + b > maxBytes) flush()
+        cur += s; curBytes += b
+      }
     }
     flush()
     groups.toSeq
+  }
+
+  /** Row-group stats of one segment file, footer order:
+    * (startingPos, compressedSize, filterCol min, filterCol max).
+    * None when the file can't be read (racing rewrite) or any row
+    * group lacks stats — callers fall back to a whole-file group. */
+  private def blockStats(
+      file: java.nio.file.Path,
+      filterCol: String
+  ): Option[List[(Long, Long, Long, Long)]] =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        new org.apache.parquet.io.LocalInputFile(file),
+        org.apache.parquet.ParquetReadOptions.builder().build())
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toList
+        val stats = blocks.map { b =>
+          val col = b.getColumns.asScala
+            .find(_.getPath.toDotString == filterCol)
+            .getOrElse(return None)
+          val st = col.getStatistics
+          if (st == null || !st.hasNonNullValue) return None
+          (b.getStartingPos, b.getCompressedSize,
+            st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }
+        Some(stats)
+      } finally reader.close()
+    } catch { case _: Exception => None }
+
+  private def splitSegment(
+      dir: String,
+      s: graft.storage.Segment,
+      maxBytes: Long,
+      filterCol: String,
+      sharedRangeSplits: Boolean
+  ): Seq[PackedGroup] = {
+    val path = java.nio.file.Paths.get(dir, s.path)
+    val whole = Seq(PackedGroup(Seq(path.toString), s.minSeq, s.maxSeq))
+    blockStats(path, filterCol) match {
+      case Some(blocks) if blocks.length > 1 =>
+        val ordered = blocks.lazyZip(blocks.tail).forall(_._4 < _._3)
+        if (!ordered && !sharedRangeSplits) whole
+        else {
+          // chunk row groups into runs of <= maxBytes compressed bytes
+          val runs = scala.collection.mutable
+            .ListBuffer.empty[List[(Long, Long, Long, Long)]]
+          var run = scala.collection.mutable
+            .ListBuffer.empty[(Long, Long, Long, Long)]
+          var runBytes = 0L
+          blocks.foreach { b =>
+            if (run.nonEmpty && runBytes + b._2 > maxBytes) {
+              runs += run.toList; run.clear(); runBytes = 0L
+            }
+            run += b; runBytes += b._2
+          }
+          if (run.nonEmpty) runs += run.toList
+          if (runs.length <= 1) whole
+          else runs.toList.zipWithIndex.map { case (r, i) =>
+            // ranges tile [0, ∞): boundaries at each later run's first
+            // row-group offset, so every row group of ANY layout lands
+            // in exactly one sibling
+            val start = if (i == 0) 0L else r.head._1
+            val end =
+              if (i == runs.length - 1) Long.MaxValue
+              else runs(i + 1).head._1
+            val (lo, hi) =
+              if (ordered) (r.head._3, r.last._4)
+              else (s.minSeq, s.maxSeq)
+            PackedGroup(Seq(path.toString), lo, hi, start, end)
+          }
+        }
+      case _ => whole
+    }
   }
 }
 
@@ -382,13 +535,19 @@ final class GraftLogScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val segs = surviving
     SegmentPacking
-      .pack(dir, surviving, SegmentPacking.maxBytes(maxPartitionBytesOpt))
-      .map { case (paths, lo, hi) =>
-        LogSegmentPartition(dir, paths, lo, hi)
+      .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs))
+      // splits carry exact per-run seq bounds, so pushed seq bounds
+      // prune them the same way they pruned whole segments above
+      .filter(g => g.maxSeq >= lower && g.minSeq <= upper)
+      .map { g =>
+        LogSegmentPartition(dir, g.paths, g.minSeq, g.maxSeq,
+          splitStart = g.splitStart, splitEnd = g.splitEnd)
       }
       .toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(scanSchema, columnar = ColumnarOpt.enabled)
@@ -538,13 +697,14 @@ final class GraftLogMicroBatchStream(
     val hi = end.asInstanceOf[SeqOffset].maxSeq // inclusive
     if (hi <= lo) return Array.empty
     val m = Manifest.load(dir).getOrElse(return Array.empty)
+    val segs = m.segments.filter(s => s.maxSeq > lo && s.minSeq <= hi)
     SegmentPacking
-      .pack(
-        dir,
-        m.segments.filter(s => s.maxSeq > lo && s.minSeq <= hi),
-        SegmentPacking.maxBytes(maxPartitionBytesOpt))
-      .map { case (paths, mn, mx) =>
-        LogSegmentPartition(dir, paths, mn, mx, loSeq = lo + 1, hiSeq = hi)
+      .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs))
+      .filter(g => g.maxSeq > lo && g.minSeq <= hi) // prune out-of-batch splits
+      .map { g =>
+        LogSegmentPartition(dir, g.paths, g.minSeq, g.maxSeq,
+          loSeq = lo + 1, hiSeq = hi,
+          splitStart = g.splitStart, splitEnd = g.splitEnd)
       }
       .toArray[InputPartition]
   }
@@ -599,9 +759,11 @@ final class GraftLogReaderFactory(
     val planned = seg.paths.map(java.nio.file.Paths.get(_))
     if (planned.forall(java.nio.file.Files.exists(_)))
       // fast path: committed segment contents are within the
-      // partition's seq range by the dense-seq invariant, so no
+      // partition's seq range by the dense-seq invariant (for a
+      // byte-range split, the range itself bounds the rows), so no
       // row-level range check is needed — pure vectorized decode
-      new SegmentBatches.VectorizedSegmentsReader(planned, schema)
+      new SegmentBatches.VectorizedSegmentsReader(planned, schema,
+        seg.byteRange)
     else
       // a concurrent rewrite replaced a planned file: the ROW reader
       // owns re-resolution + range filtering + the _ver fold refusal
@@ -627,12 +789,21 @@ final class GraftLogReaderFactory(
       else StructType(
         StructField(filterCol, LongType, nullable = false) +: schema.fields)
     val planned = seg.paths.map(p => java.nio.file.Paths.get(p))
+    val plannedPresent = planned.forall(java.nio.file.Files.exists(_))
+    // byte-range splits read their row-group run only while the
+    // planned file is the one being read — a replacement file has a
+    // different layout, so the fallback drops the range and cuts by
+    // the split's EXACT seq bounds instead (table `_ver` splits can't
+    // be cut that way, but their only rewrite folds history and trips
+    // the refusal below before any row is emitted)
+    val range: Option[(Long, Long)] =
+      if (plannedPresent) seg.byteRange else None
     // if ANY planned file vanished under a concurrent rewrite, fall
     // back to the current manifest for the whole (contiguous) group
     // range — per-file mixing would double-read rows a merged
     // replacement segment now covers
     val files: Seq[java.nio.file.Path] =
-      if (planned.forall(java.nio.file.Files.exists(_))) planned
+      if (plannedPresent) planned
       else {
         val m = Manifest
           .load(seg.dir)
@@ -666,7 +837,8 @@ final class GraftLogReaderFactory(
       override def next(): Boolean = {
         while (it != null || remaining.hasNext) {
           if (it == null)
-            it = SegmentRecords.internalIterator(remaining.next(), readSchema)
+            it = SegmentRecords.internalIterator(remaining.next(), readSchema,
+              range)
           while (it.hasNext) {
             val row = it.next()
             val s = row.getLong(colIdx)

@@ -159,11 +159,17 @@ final class GraftTableScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val segs = segments
     SegmentPacking
-      .pack(dir, segments, SegmentPacking.maxBytes(maxPartitionBytesOpt))
-      .map { case (paths, lo, hi) => LogSegmentPartition(dir, paths, lo, hi) }
+      .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs),
+        filterCol = "_ver", sharedRangeSplits = true)
+      .map { g =>
+        LogSegmentPartition(dir, g.paths, g.minSeq, g.maxSeq,
+          splitStart = g.splitStart, splitEnd = g.splitEnd)
+      }
       .toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(scanSchema, filterCol = "_ver", columnar = ColumnarOpt.enabled)
@@ -288,13 +294,14 @@ final class GraftTableMicroBatchStream(
     val hi = end.asInstanceOf[VerOffset].ver // inclusive
     if (hi <= lo) return Array.empty
     val m = Manifest.load(dir).getOrElse(return Array.empty)
+    val segs = m.segments.filter(s => s.minSeq > lo && s.minSeq <= hi)
     SegmentPacking
-      .pack(
-        dir,
-        m.segments.filter(s => s.minSeq > lo && s.minSeq <= hi),
-        SegmentPacking.maxBytes(maxPartitionBytesOpt))
-      .map { case (paths, mn, mx) =>
-        LogSegmentPartition(dir, paths, mn, mx, loSeq = lo + 1, hiSeq = hi)
+      .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs),
+        filterCol = "_ver", sharedRangeSplits = true)
+      .map { g =>
+        LogSegmentPartition(dir, g.paths, g.minSeq, g.maxSeq,
+          loSeq = lo + 1, hiSeq = hi,
+          splitStart = g.splitStart, splitEnd = g.splitEnd)
       }
       .toArray[InputPartition]
   }

@@ -74,11 +74,60 @@ private[graft] object SegmentBatches {
     } finally if (!ok) reader.close()
   }
 
+  /** Same vectorized open, limited to the row groups whose byte
+    * MIDPOINT falls in `[start, end)` — one row-group-aligned split
+    * of an oversized segment (`SegmentPacking.splitSegment`; sibling
+    * ranges tile the file, so together the splits decode it exactly
+    * once). The row groups come from a parquet-mr reader opened with
+    * `withRange` and are handed to the vectorized decoder through
+    * [[org.apache.spark.sql.execution.datasources.parquet
+    * .GraftVectorizedRange]] (the hand-off interface is
+    * package-private in Spark). Same type-gate caveats as [[open]]:
+    * [[supported]] admits atomic non-datetime types only, so the
+    * pinned conversion flags can't diverge from the session. */
+  def openRange(
+      file: Path,
+      schema: StructType,
+      start: Long,
+      end: Long
+  ): VectorizedParquetRecordReader = {
+    val pr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      new org.apache.parquet.io.LocalInputFile(file),
+      org.apache.parquet.ParquetReadOptions.builder()
+        .withRange(start, end).build())
+    var ok = false
+    try {
+      val fileSchema = pr.getFooter.getFileMetaData.getSchema
+      val projected =
+        if (schema.fields.length == fileSchema.getFieldCount) fileSchema
+        else
+          new org.apache.parquet.schema.MessageType(
+            fileSchema.getName,
+            schema.fields.map(f =>
+              fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+      pr.setRequestedSchema(projected)
+      val totalRows = pr.getRowGroups.asScala.map(_.getRowCount).sum
+      val reader = new VectorizedParquetRecordReader(false, Capacity)
+      try {
+        org.apache.spark.sql.execution.datasources.parquet
+          .GraftVectorizedRange
+          .initialize(reader, fileSchema, projected, pr, totalRows)
+        reader.initBatch(new StructType(), InternalRow.empty)
+        reader.enableReturningBatches()
+        ok = true
+        reader
+      } finally if (!ok) reader.close()
+    } finally if (!ok) pr.close()
+  }
+
   /** Sequential vectorized scan over a partition's packed segment
-    * files: one reader per file, batches streamed through. */
+    * files: one reader per file, batches streamed through. `range`
+    * (set only for single-file row-group-aligned splits) limits the
+    * decode to the split's row groups. */
   final class VectorizedSegmentsReader(
       files: Seq[Path],
-      schema: StructType
+      schema: StructType,
+      range: Option[(Long, Long)] = None
   ) extends PartitionReader[ColumnarBatch] {
     private val remaining = files.iterator
     private var reader: VectorizedParquetRecordReader = null
@@ -91,7 +140,11 @@ private[graft] object SegmentBatches {
         if (reader == null) {
           if (!remaining.hasNext) done = true
           else {
-            reader = open(remaining.next(), schema)
+            val f = remaining.next()
+            reader = range match {
+              case Some((s, e)) => openRange(f, schema, s, e)
+              case None => open(f, schema)
+            }
             batch = reader.resultBatch()
           }
         }

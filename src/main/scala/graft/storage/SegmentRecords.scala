@@ -28,31 +28,40 @@ private[graft] object SegmentRecords {
     * the open reader and closes it on exhaustion; call `close()` on
     * early abort. */
   def iterator(file: Path, schema: StructType): ClosingRowIterator = {
-    val (reader, columnIO, projected) = open(file, schema)
+    val (reader, columnIO, projected) = open(file, schema, None)
     new ClosingRowIterator(reader, columnIO, projected, schema)
   }
 
   /** Same scan, emitting Catalyst [[InternalRow]]s directly (no
     * external Row, no encoder serializer) — the connector read path.
     * Each returned row is freshly allocated: safe to hold without
-    * copying. */
+    * copying. `range = Some((start, end))` limits the scan to the row
+    * groups whose byte MIDPOINT falls in `[start, end)` (parquet's
+    * standard split rule) — a row-group-aligned SPLIT of an oversized
+    * segment (see
+    * `SegmentPacking.splitSegment`); sibling ranges tile the file, so
+    * together the splits read it exactly once. */
   def internalIterator(
       file: Path,
-      schema: StructType
+      schema: StructType,
+      range: Option[(Long, Long)] = None
   ): ClosingInternalRowIterator = {
-    val (reader, columnIO, projected) = open(file, schema)
+    val (reader, columnIO, projected) = open(file, schema, range)
     new ClosingInternalRowIterator(reader, columnIO, projected, schema)
   }
 
   private def open(
       file: Path,
-      schema: StructType
+      schema: StructType,
+      range: Option[(Long, Long)]
   ): (ParquetFileReader, org.apache.parquet.io.MessageColumnIO,
       org.apache.parquet.schema.MessageType) = {
-    val reader = ParquetFileReader.open(
-      new LocalInputFile(file),
-      ParquetReadOptions.builder().build()
-    )
+    val opts = range match {
+      case Some((start, end)) =>
+        ParquetReadOptions.builder().withRange(start, end).build()
+      case None => ParquetReadOptions.builder().build()
+    }
+    val reader = ParquetFileReader.open(new LocalInputFile(file), opts)
     val fileSchema = reader.getFooter.getFileMetaData.getSchema
     val projected =
       if (schema.fields.length == fileSchema.getFieldCount) fileSchema

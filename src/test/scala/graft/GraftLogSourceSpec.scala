@@ -411,6 +411,96 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(perSeg.rdd.getNumPartitions == segs.size)
   }
 
+  // one ~250 KB segment with many small row groups (the miniature of
+  // a multi-GB compacted segment, which without splits is ONE task)
+  private def mkOversized(dir: String): ParquetLog = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val log = ParquetLog.open(spark, dir, IntegerType)
+      log.append(
+        spark.range(20000)
+          .select(col("id").cast(IntegerType).as("value")).coalesce(1))
+      log
+    } finally {
+      if (prev == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prev)
+    }
+  }
+
+  test("an oversized segment splits into row-group-aligned partitions") {
+    val dir = tmpDir("dsv2sp") + "/log"
+    mkOversized(dir)
+    assert(graft.storage.Manifest.load(dir).get.segments.size == 1)
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "32768").load(dir)
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts > 1, s"oversized segment did not split: $nParts partition(s)")
+    // splits keep the vectorized path (range-limited decode)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // exact rows — sibling splits neither duplicate nor drop
+    assert(df.collect().map(_.getInt(1)).sorted.toSeq == (0 until 20000))
+    // row-leg A/B over the same split plan
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      val row = spark.read.format("graft-log")
+        .option("maxPartitionBytes", "32768").load(dir)
+      assert(!row.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(row.rdd.getNumPartitions == nParts)
+      assert(row.collect().map(_.getInt(1)).sorted.toSeq == (0 until 20000))
+    } finally spark.conf.unset("spark.graft.columnar.enabled")
+    // seq pruning composes with splits
+    val bounded = df.where(col("seq") >= 5000 && col("seq") < 6000)
+    assert(bounded.collect().map(_.getLong(0)).sorted.toSeq ==
+      (5000L until 6000L))
+  }
+
+  test("split partitions survive a rewrite via exact per-split seq bounds") {
+    val dir = tmpDir("dsv2sprw") + "/log"
+    val log = mkOversized(dir)
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "32768").load(dir)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rdd = df.rdd // plan commits to split partitions...
+    assert(rdd.getNumPartitions > 1)
+    log.nullAt(7) // ...then a rewrite replaces the planned file
+    // every split falls back to the CURRENT manifest cut by its OWN
+    // exact seq bounds: union is exact, no duplicates across siblings
+    val got = rdd.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(got.length == 20000, s"expected 20000 rows, got ${got.length}")
+    assert(got(7) == ((7L, -1, true)))
+    assert(got.filter(_._1 != 7L).forall {
+      case (s, v, n) => v == s.toInt && !n
+    })
+  }
+
+  test("default packing targets session parallelism like the file source") {
+    // no maxPartitionBytes option: the packing target is
+    // min(maxPartitionBytes, max(openCost, totalBytes/cores)) — the
+    // file source's own heuristic — so a mid-size scan fans out
+    // instead of planning one fat pack (shrinking openCost below
+    // totalBytes/cores makes the 250 KB fixture "mid-size" here)
+    val dir = tmpDir("dsv2par") + "/log"
+    mkOversized(dir)
+    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+    try {
+      val df = spark.read.format("graft-log").load(dir)
+      val n = df.rdd.getNumPartitions
+      assert(n > 1, s"default plan did not fan out: $n partition(s)")
+      assert(df.collect().map(_.getInt(1)).sorted.toSeq == (0 until 20000))
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
+    // tiny logs still pack to ONE partition under the default
+    // openCost floor (the packing contract pinned above)
+    val tiny = tmpDir("dsv2par2") + "/log"
+    mkLog(tiny)
+    assert(spark.read.format("graft-log").load(tiny)
+      .rdd.getNumPartitions == 1)
+  }
+
   test("column pruning reaches the connector scan (and the page reads)") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val dir = tmpDir("dsv2cp") + "/log"

@@ -67,6 +67,43 @@ class TableStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.columnar.enabled")
   }
 
+  test("an oversized table segment splits into row-group partitions") {
+    // a single fat commit = one segment where every row shares one
+    // _ver — the shared-range split regime (exact-bounds cuts are
+    // impossible, and unnecessary: graft-table's only rewrite folds
+    // history and trips the reader's _ver refusal before any row)
+    val dir = tmpDir("ts-split")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val store = TableStore.open(spark, dir, schema)
+      store.append(
+        spark.range(20000)
+          .select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+          .coalesce(1))
+    } finally {
+      if (prev == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prev)
+    }
+    val df = spark.read.format("graft-table")
+      .option("maxPartitionBytes", "32768").load(dir)
+    val nParts = df.rdd.getNumPartitions
+    assert(nParts > 1, s"oversized table segment did not split: $nParts")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 20000L))
+    // row leg over the same split plan
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      val row = spark.read.format("graft-table")
+        .option("maxPartitionBytes", "32768").load(dir)
+      assert(row.rdd.getNumPartitions == nParts)
+      assert(row.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 20000L))
+    } finally spark.conf.unset("spark.graft.columnar.enabled")
+  }
+
   test("_ver carries the commit version per row (last-write-wins order)") {
     val store = TableStore.open(spark, tmpDir("ts-ver"), schema)
     val v1 = store.append(Seq(("a", 1L)).toDF("k", "v"))
