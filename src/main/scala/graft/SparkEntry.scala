@@ -1537,6 +1537,32 @@ object SparkEntry {
         .groupBy("m")
         .agg(count(lit(1)).as("n"))
         .orderBy("m")
+    }),
+
+    // offset2 byte-level compat, both directions: export 500 docs as
+    // a reference data/ofst/jrnl triple (one entry nulled the way
+    // the reference's Null() leaves it), then read the triple back
+    // through the graft-offset2 DSv2 source and decode the JSON
+    // values — migration out AND in, oracled end-to-end
+    "q102_offset2_roundtrip" -> ((s, dir) => {
+      val out = tempWorkDir("graft-q102-") + "/offset2"
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val src = Tables.load(s, dir, "documents")
+        .orderBy("doc_id").limit(500)
+        .select(
+          (row_number().over(w) - 1).cast("long").as("seq"),
+          concat(lit("{\"doc_id\":"), col("doc_id"),
+            lit(",\"lang\":\""), col("lang"), lit("\"}")).as("value"))
+        .withColumn("nulled", col("seq") === 7)
+      graft.compat.Offset2.export(src, out)
+      val back = s.read.format("graft-offset2").load(out)
+      back.select(
+        col("seq"),
+        get_json_object(col("value").cast("string"), "$.doc_id")
+          .cast("long").as("doc_id"),
+        get_json_object(col("value").cast("string"), "$.lang").as("lang"),
+        col("nulled"))
+        .orderBy("seq")
     })
   )
 
@@ -2944,6 +2970,17 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, n_tokens FROM c WHERE before < 5000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q102_offset2_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS seq
+        |  FROM (SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 500)
+        |)
+        |SELECT seq,
+        |  CASE WHEN seq = 7 THEN NULL ELSE doc_id END AS doc_id,
+        |  CASE WHEN seq = 7 THEN NULL ELSE lang END AS lang,
+        |  (seq = 7) AS nulled
+        |FROM d ORDER BY seq""".stripMargin
   )
 }

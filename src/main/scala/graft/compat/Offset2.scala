@@ -1,0 +1,341 @@
+package graft.compat
+
+import java.io.{EOFException, IOException}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+/** Byte-level compatibility with the reference's `offset2` on-disk
+  * log format, for MIGRATION in both directions — a reference user
+  * can point this engine at an existing log directory and read it in
+  * parallel, or export an engine log back out as a byte-identical
+  * triple the reference can open.
+  *
+  * Format (reference `offset2/log.go:5-27`):
+  *   - `data` — length-prefixed frames: BigEndian `int64 size ++
+  *     [size]byte`; a NEGATIVE size marks a nulled entry and the
+  *     payload bytes are zeroed (`offset2/log.go:88-127`,
+  *     `offset2/data.go:80-96`).
+  *   - `ofst` — one BigEndian `int64` per entry: the byte offset of
+  *     that entry's frame in `data` (`offset2/offset.go:58-70`).
+  *   - `jrnl` — a single BigEndian `int64` holding the LAST seq
+  *     (bumped before every append, `offset2/journal.go:48-66`); a
+  *     zero-byte file means the empty log.
+  *
+  * Open-time consistency matches the reference's `checkJournal`
+  * (`offset2/log.go:217-302`): an empty journal requires empty
+  * `ofst`/`data`; a journal AHEAD of the offset file (the crash
+  * window — the journal is bumped first) is recovered by writing the
+  * offset-file count back into the journal; a journal BEHIND is a
+  * loud error (the reference refuses too: "unclear how to handle");
+  * and the last frame's end must be exactly the end of `data`.
+  * [[checkConsistency]] is the full-scan fsck
+  * (`offset2/log.go:304-344`): walk every frame, cross-check each
+  * start offset against `ofst`.
+  *
+  * Scale shape: ONE offset2 log is a single-node artifact (the
+  * reference is a single-process embedded store), but a migration is
+  * many logs × parallel byte ranges within each. [[planRanges]]
+  * byte-balances a log into entry ranges by BINARY-SEARCHING the
+  * sorted `ofst` array on disk (O(parts × log n) 8-byte reads, no
+  * full ofst scan on the driver), and each range is one sequential
+  * frame walk over its `data` slice — see
+  * [[graft.sources.Offset2Source]] for the DSv2 scan that runs
+  * these ranges as input partitions.
+  */
+object Offset2 {
+
+  /** Reference `margaret.SeqEmpty`: the seq "before" the first. */
+  val SeqEmpty: Long = -1L
+
+  final case class Meta(lastSeq: Long, dataSize: Long) {
+    def count: Long = lastSeq + 1
+  }
+
+  private def dataPath(dir: String): Path = Paths.get(dir, "data")
+  private def ofstPath(dir: String): Path = Paths.get(dir, "ofst")
+  private def jrnlPath(dir: String): Path = Paths.get(dir, "jrnl")
+
+  private def readLongAt(ch: FileChannel, pos: Long): Long = {
+    val buf = ByteBuffer.allocate(8) // BIG_ENDIAN by default
+    var off = pos
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, off)
+      if (n < 0) throw new EOFException(s"EOF at byte $off")
+      off += n
+    }
+    buf.flip(); buf.getLong
+  }
+
+  /** `checkJournal`: validate the triple, recover the journal-ahead
+    * crash window when `recover` (rewrites `jrnl` only, exactly like
+    * the reference), and return the log's metadata. Loud on every
+    * other inconsistency. */
+  def check(dir: String, recover: Boolean = true): Meta = {
+    val jp = jrnlPath(dir); val op = ofstPath(dir); val dp = dataPath(dir)
+    if (!Files.exists(jp) || !Files.exists(op) || !Files.exists(dp))
+      throw new IOException(
+        s"not an offset2 log: $dir must contain data, ofst and jrnl")
+    val jrnlSize = Files.size(jp)
+    val seqJrnl =
+      if (jrnlSize == 0) SeqEmpty
+      else if (jrnlSize == 8) {
+        val ch = FileChannel.open(jp, StandardOpenOption.READ)
+        try readLongAt(ch, 0) finally ch.close()
+      } else
+        throw new IOException(
+          s"offset2: expected jrnl size of 8B, got ${jrnlSize}B")
+    val ofstSize = Files.size(op)
+    if (ofstSize % 8 != 0)
+      throw new IOException(s"offset2: ofst size $ofstSize not a multiple of 8")
+    val dataSize = Files.size(dp)
+    if (seqJrnl == SeqEmpty) {
+      if (ofstSize != 0)
+        throw new IOException("offset2: journal empty but offset file isnt")
+      if (dataSize != 0)
+        throw new IOException("offset2: journal empty but data file isnt")
+      return Meta(SeqEmpty, 0L)
+    }
+    val seqOfst = ofstSize / 8 - 1
+    var lastSeq = seqJrnl
+    if (seqJrnl != seqOfst) {
+      if (seqJrnl < seqOfst || !recover)
+        throw new IOException(
+          "offset2: seq in journal does not match element count in log " +
+            s"offset file - $seqJrnl != $seqOfst")
+      // crash window: jrnl is bumped BEFORE data/ofst are written —
+      // recover by writing the offset-file count back into the journal
+      val ch = FileChannel.open(jp, StandardOpenOption.WRITE)
+      try {
+        val buf = ByteBuffer.allocate(8).putLong(seqOfst)
+        buf.flip()
+        var off = 0L
+        while (buf.hasRemaining) off += ch.write(buf, off)
+      } finally ch.close()
+      lastSeq = seqOfst
+    }
+    // the last frame must end exactly at the end of `data`
+    val och = FileChannel.open(op, StandardOpenOption.READ)
+    val lastOfst = try readLongAt(och, lastSeq * 8) finally och.close()
+    val dch = FileChannel.open(dp, StandardOpenOption.READ)
+    val lastSz = try readLongAt(dch, lastOfst) finally dch.close()
+    val end = lastOfst + 8 + math.abs(lastSz)
+    if (end != dataSize)
+      throw new IOException(
+        s"offset2: data file size difference ${end - dataSize}")
+    Meta(lastSeq, dataSize)
+  }
+
+  /** Full-scan fsck (`offset2/log.go:304-344`): walk every frame in
+    * `data`, cross-check each start offset against `ofst`. Returns
+    * the list of problems (empty = consistent), after the same
+    * journal check `check` applies (journal problems throw). */
+  def checkConsistency(dir: String): List[String] = {
+    val meta = check(dir, recover = false)
+    val problems = scala.collection.mutable.ListBuffer.empty[String]
+    val dch = FileChannel.open(dataPath(dir), StandardOpenOption.READ)
+    val och = FileChannel.open(ofstPath(dir), StandardOpenOption.READ)
+    try {
+      var ofst = 0L
+      var seq = 0L
+      while (ofst < meta.dataSize && seq < meta.count) {
+        val expected = readLongAt(och, seq * 8)
+        if (ofst != expected)
+          problems += s"offset mismatch at seq $seq: " +
+            s"offset file says $expected, data file has $ofst"
+        val sz = readLongAt(dch, ofst)
+        ofst += 8 + math.abs(sz)
+        seq += 1
+      }
+      if (seq != meta.count)
+        problems += s"data file ends after $seq entries, expected ${meta.count}"
+    } finally { dch.close(); och.close() }
+    problems.toList
+  }
+
+  /** The reference's two-seek point read (`ofst[seq]` → frame,
+    * `offset2/offset.go:20-32` + `offset2/data.go:23-35`):
+    * `Some(bytes)` for a live entry, `None` for a nulled one
+    * (reference `ErrNulled`), loud past the end (reference OOB).
+    * Driver-side utility — a distributed scan goes through the
+    * `graft-offset2` source, whose seq-bound clipping plans the same
+    * two-seek shape as ONE tiny partition. */
+  def get(dir: String, seq: Long): Option[Array[Byte]] = {
+    val meta = check(dir)
+    if (seq < 0 || seq > meta.lastSeq)
+      throw new NoSuchElementException(
+        s"offset2: seq $seq out of bounds (last is ${meta.lastSeq})")
+    val och = FileChannel.open(ofstPath(dir), StandardOpenOption.READ)
+    val ofst = try readLongAt(och, seq * 8) finally och.close()
+    val dch = FileChannel.open(dataPath(dir), StandardOpenOption.READ)
+    try {
+      val sz = readLongAt(dch, ofst)
+      if (sz < 0) return None
+      if (sz > Int.MaxValue)
+        throw new IOException(s"offset2: frame size $sz at seq $seq")
+      val buf = ByteBuffer.allocate(sz.toInt)
+      var off = ofst + 8
+      while (buf.hasRemaining) {
+        val n = dch.read(buf, off)
+        if (n < 0) throw new EOFException(s"EOF in frame at seq $seq")
+        off += n
+      }
+      Some(buf.array())
+    } finally dch.close()
+  }
+
+  /** One planned byte range of a log: entries `[startSeq, endSeq)`
+    * living in `data[byteStart, byteEnd)`. */
+  final case class EntryRange(
+      startSeq: Long, endSeq: Long, byteStart: Long, byteEnd: Long)
+
+  /** Byte-balance the log into up to `ceil(dataSize/targetBytes)`
+    * contiguous entry ranges. Split points are found by binary search
+    * over the on-disk `ofst` array (sorted by construction — appends
+    * are sequential), so a skewed log (a few huge frames among many
+    * small) still yields ~targetBytes ranges; the driver reads
+    * O(parts × log n) longs, never the whole offset file. */
+  def planRanges(dir: String, targetBytes: Long): Seq[EntryRange] = {
+    val meta = check(dir)
+    if (meta.count == 0) return Nil
+    val parts =
+      math.max(1L, (meta.dataSize + targetBytes - 1) / targetBytes)
+    if (parts == 1)
+      return Seq(EntryRange(0L, meta.count, 0L, meta.dataSize))
+    val och = FileChannel.open(ofstPath(dir), StandardOpenOption.READ)
+    try {
+      // first entry whose frame offset is >= byte target
+      def search(byteTarget: Long): Long = {
+        var lo = 0L; var hi = meta.count // invariant: ofst[lo-1] < target
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (readLongAt(och, mid * 8) < byteTarget) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      val cuts = (1L until parts)
+        .map(i => search(meta.dataSize / parts * i))
+        .prepended(0L).appended(meta.count)
+        .distinct // tiny logs: several targets may hit the same entry
+      cuts.lazyZip(cuts.tail).map { (s, e) =>
+        val bs = if (s == 0) 0L else readLongAt(och, s * 8)
+        val be = if (e == meta.count) meta.dataSize else readLongAt(och, e * 8)
+        EntryRange(s, e, bs, be)
+      }.toSeq
+    } finally och.close()
+  }
+
+  /** Sequential frame walk over one planned range: emits
+    * `(seq, value, nulled)` with `value = null` for nulled entries
+    * (their payload is zeroed on disk; surfacing fake zeros would
+    * invent data). Reads `data` once, forward-only, through a
+    * buffered stream — no per-entry seeks. Closes the file on
+    * exhaustion; call `close()` on early abort. */
+  final class RangeIterator(dir: String, range: EntryRange)
+      extends Iterator[(Long, Array[Byte], Boolean)] with AutoCloseable {
+    private var in = {
+      val s = Files.newInputStream(dataPath(dir))
+      var toSkip = range.byteStart
+      while (toSkip > 0) toSkip -= s.skip(toSkip)
+      new java.io.DataInputStream(new java.io.BufferedInputStream(s, 1 << 16))
+    }
+    private var nextSeq = range.startSeq
+    override def hasNext: Boolean = {
+      val more = in != null && nextSeq < range.endSeq
+      if (!more) close()
+      more
+    }
+    override def next(): (Long, Array[Byte], Boolean) = {
+      if (!hasNext) throw new NoSuchElementException
+      val sz = in.readLong()
+      val nulled = sz < 0
+      val len = math.abs(sz)
+      if (len > Int.MaxValue)
+        throw new IOException(s"offset2: frame size $len at seq $nextSeq")
+      val out =
+        if (nulled) { in.skipNBytes(len); null }
+        else { val b = new Array[Byte](len.toInt); in.readFully(b); b }
+      val s = nextSeq
+      nextSeq += 1
+      (s, out, nulled)
+    }
+    override def close(): Unit = if (in != null) { in.close(); in = null }
+  }
+
+  /** Export rows as a fresh offset2 triple the reference can open.
+    * `rows` must be `(value, nulled)` in seq order, dense from 0 —
+    * the caller orders (a DataFrame leg sorts by seq and streams
+    * `toLocalIterator`). A nulled entry is written the way the
+    * reference leaves one after `Null(seq)`: negative size, zeroed
+    * payload (size 1 when the original length is unknown — any
+    * negative size reads back as `ErrNulled`). Single sequential
+    * writer by the format's own nature (three append-only files, one
+    * journal) — the reference writes through one process-wide lock
+    * too (`offset2/log.go:84-86`). */
+  def write(dir: String, rows: Iterator[(Array[Byte], Boolean)]): Meta = {
+    Files.createDirectories(Paths.get(dir))
+    for (f <- Seq("data", "ofst", "jrnl")) {
+      val p = Paths.get(dir, f)
+      if (Files.exists(p) && Files.size(p) > 0)
+        throw new IOException(s"offset2 export target not empty: $p")
+    }
+    val data = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(dataPath(dir)), 1 << 16))
+    val ofst = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(ofstPath(dir)), 1 << 16))
+    var lastSeq = SeqEmpty
+    var byteOfst = 0L
+    try {
+      rows.foreach { case (value, nulled) =>
+        val bytes = if (value == null) Array.emptyByteArray else value
+        val len: Long = if (nulled) math.max(bytes.length.toLong, 1L)
+          else bytes.length.toLong
+        ofst.writeLong(byteOfst)
+        data.writeLong(if (nulled) -len else len)
+        if (nulled) data.write(new Array[Byte](len.toInt))
+        else data.write(bytes)
+        byteOfst += 8 + len
+        lastSeq += 1
+      }
+    } finally { data.close(); ofst.close() }
+    val jrnl = new java.io.DataOutputStream(Files.newOutputStream(jrnlPath(dir)))
+    try { if (lastSeq != SeqEmpty) jrnl.writeLong(lastSeq) }
+    finally jrnl.close()
+    Meta(lastSeq, byteOfst)
+  }
+
+  /** DataFrame export leg: `(seq, value binary|string, nulled)` →
+    * offset2 triple. Sorts by `seq`, requires density from 0 (the
+    * format has no gaps — `ofst` is indexed BY seq), and streams
+    * partitions to the single writer via `toLocalIterator` (never a
+    * full collect). */
+  def export(df: org.apache.spark.sql.DataFrame, dir: String): Meta = {
+    import org.apache.spark.sql.functions.col
+    val value = df.schema("value").dataType match {
+      case org.apache.spark.sql.types.BinaryType => col("value")
+      case org.apache.spark.sql.types.StringType =>
+        col("value").cast(org.apache.spark.sql.types.BinaryType)
+      case t => throw new IllegalArgumentException(
+        s"offset2 export: value must be binary or string, got $t")
+    }
+    val it = df
+      .select(col("seq").cast(org.apache.spark.sql.types.LongType),
+        value.as("value"), col("nulled").cast("boolean"))
+      .orderBy(col("seq"))
+      .toLocalIterator()
+    var expect = 0L
+    write(dir, new Iterator[(Array[Byte], Boolean)] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): (Array[Byte], Boolean) = {
+        val r = it.next()
+        val seq = r.getLong(0)
+        if (seq != expect)
+          throw new IllegalArgumentException(
+            s"offset2 export: seqs must be dense from 0; " +
+              s"expected $expect, got $seq")
+        expect += 1
+        (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1), r.getBoolean(2))
+      }
+    })
+  }
+}

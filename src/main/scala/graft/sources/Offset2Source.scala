@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{
+  SupportsRead, Table, TableCapability, TableProvider
+}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, Statistics, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics
+}
+import org.apache.spark.sql.sources.{
+  DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual,
+  LessThan, LessThanOrEqual
+}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.compat.Offset2
+
+/** DataSourceV2 READ connector for the reference's `offset2` on-disk
+  * format — the migration path IN:
+  * {{{ spark.read.format("graft-offset2").load(dir) }}}
+  * yields `(seq, value, nulled)` from a `data`/`ofst`/`jrnl` triple
+  * (byte layout: `offset2/log.go:5-27`; open-time journal check +
+  * crash recovery: [[graft.compat.Offset2.check]]).
+  *
+  * Scan shape: the log is byte-balanced into entry ranges by binary
+  * search over the sorted on-disk `ofst` array
+  * ([[Offset2.planRanges]] — O(parts × log n) driver reads), one
+  * input partition per range, each a single sequential frame walk
+  * over its `data` slice. Pushed seq bounds CLIP partitions at
+  * planning time (`ofst` maps seq → byte directly, so a bounded scan
+  * reads only its frames' bytes), and are also kept as residuals —
+  * pruning is an optimization, never a semantics change. A
+  * `maxPartitionBytes` scan option overrides the file-source-style
+  * parallelism target. Read-only by design: appends belong to the
+  * engine's own log (import with this source, then write through
+  * `graft-log`); export back to offset2 is
+  * [[graft.compat.Offset2.export]]. */
+class Offset2Source extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-offset2"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Offset2Source.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]
+  ): Table = {
+    val dir = properties.get("path")
+    require(dir != null, "graft-offset2 requires .load(<dir>)")
+    new Offset2Table(dir)
+  }
+}
+
+object Offset2Source {
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("value", BinaryType, nullable = true),
+    StructField("nulled", BooleanType, nullable = false)))
+}
+
+final class Offset2Table(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"offset2 `$dir`"
+  override def schema(): StructType = Offset2Source.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Offset2ScanBuilder(dir, Option(options.get("maxPartitionBytes")))
+}
+
+final class Offset2ScanBuilder(
+    dir: String,
+    maxPartitionBytesOpt: Option[String]
+) extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lower = 0L
+  private var upper = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
+  private var pruned: StructType = Offset2Source.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter {
+      case GreaterThan("seq", v: Long) => lower = math.max(lower, v + 1); true
+      case GreaterThanOrEqual("seq", v: Long) => lower = math.max(lower, v); true
+      case LessThan("seq", v: Long) => upper = math.min(upper, v - 1); true
+      case LessThanOrEqual("seq", v: Long) => upper = math.min(upper, v); true
+      case EqualTo("seq", v: Long) =>
+        lower = math.max(lower, v); upper = math.min(upper, v); true
+      case _ => false
+    }
+    filters // all residual: pruning only, Spark re-applies row-level
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = StructType(Offset2Source.schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan =
+    new Offset2Scan(dir, pruned, lower, upper, maxPartitionBytesOpt)
+}
+
+final case class Offset2Partition(
+    dir: String,
+    startSeq: Long, endSeq: Long, byteStart: Long, byteEnd: Long
+) extends InputPartition
+
+final class Offset2Scan(
+    dir: String,
+    scanSchema: StructType,
+    lower: Long,
+    upper: Long,
+    maxPartitionBytesOpt: Option[String]
+) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = scanSchema
+  override def toBatch: Batch = this
+
+  private lazy val meta = Offset2.check(dir)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(meta.dataSize, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(meta.count)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val target = maxPartitionBytesOpt.map(_.toLong).getOrElse {
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val cores: Int = conf.filesMinPartitionNum.getOrElse(
+        try org.apache.spark.sql.SparkSession.active
+          .sparkContext.defaultParallelism
+        catch { case _: Exception => 1 })
+      math.min(conf.filesMaxPartitionBytes,
+        math.max(conf.filesOpenCostInBytes,
+          meta.dataSize / math.max(cores, 1)))
+    }
+    // bounded scans clip BEFORE ranging: ofst maps seq -> byte
+    // directly, so a point lookup plans one tiny partition over just
+    // its frame bytes, not a walk of the whole log
+    val ranges =
+      if (lower == 0L && upper == Long.MaxValue)
+        Offset2.planRanges(dir, target)
+      else if (upper < lower || lower >= meta.count) Nil
+      else {
+        val hi = math.min(upper, meta.lastSeq)
+        Offset2.planRanges(dir, target)
+          .filter(r => r.endSeq > lower && r.startSeq <= hi)
+          .map { r =>
+            val s = math.max(r.startSeq, lower)
+            val e = math.min(r.endSeq, hi + 1)
+            Offset2.EntryRange(s, e,
+              if (s == r.startSeq) r.byteStart else seqByte(s),
+              if (e == r.endSeq) r.byteEnd else seqByte(e))
+          }
+      }
+    ranges
+      .map(r => Offset2Partition(dir, r.startSeq, r.endSeq,
+        r.byteStart, r.byteEnd))
+      .toArray[InputPartition]
+  }
+
+  private def seqByte(seq: Long): Long = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(dir, "ofst"),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(8)
+      var off = seq * 8
+      while (buf.hasRemaining) {
+        val n = ch.read(buf, off)
+        if (n < 0) throw new java.io.EOFException(s"EOF at ofst[$seq]")
+        off += n
+      }
+      buf.flip(); buf.getLong
+    } finally ch.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Offset2ReaderFactory(scanSchema)
+}
+
+final class Offset2ReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[Offset2Partition]
+    // which of (seq, value, nulled) the pruned schema kept, in order
+    val cols: Array[Int] = schema.fieldNames.map {
+      case "seq" => 0
+      case "value" => 1
+      case "nulled" => 2
+    }
+    new PartitionReader[InternalRow] {
+      private val it = new Offset2.RangeIterator(part.dir,
+        Offset2.EntryRange(part.startSeq, part.endSeq,
+          part.byteStart, part.byteEnd))
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else {
+          val (seq, value, nulled) = it.next()
+          val r = new GenericInternalRow(cols.length)
+          var i = 0
+          while (i < cols.length) {
+            cols(i) match {
+              case 0 => r.setLong(i, seq)
+              case 1 => r.update(i, value)
+              case 2 => r.setBoolean(i, nulled)
+            }
+            i += 1
+          }
+          row = r
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = it.close()
+    }
+  }
+}

@@ -1,0 +1,212 @@
+package graft
+
+import java.io.DataOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.compat.Offset2
+
+/** Byte-level compat with the reference's offset2 triple
+  * (`data`/`ofst`/`jrnl`; format `offset2/log.go:5-27`): golden
+  * bytes pin the BigEndian frame layout, the DSv2 source reads in
+  * parallel with seq clipping, export round-trips, and the journal
+  * check recovers exactly the crash window the reference recovers
+  * (`offset2/log.go:256-277`). */
+class Offset2Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-write an offset2 triple: values (nulled via None). */
+  private def golden(dir: String, entries: Seq[Option[String]]): Unit = {
+    val data = new DataOutputStream(
+      Files.newOutputStream(Paths.get(dir, "data")))
+    val ofst = new DataOutputStream(
+      Files.newOutputStream(Paths.get(dir, "ofst")))
+    var off = 0L
+    entries.foreach { e =>
+      ofst.writeLong(off)
+      e match {
+        case Some(s) =>
+          val b = s.getBytes(UTF_8)
+          data.writeLong(b.length.toLong); data.write(b)
+          off += 8 + b.length
+        case None => // nulled: negative size, zeroed payload
+          data.writeLong(-3L); data.write(new Array[Byte](3))
+          off += 8 + 3
+      }
+    }
+    data.close(); ofst.close()
+    val jrnl = new DataOutputStream(
+      Files.newOutputStream(Paths.get(dir, "jrnl")))
+    jrnl.writeLong(entries.length - 1L); jrnl.close()
+  }
+
+  test("golden bytes: a hand-written reference triple reads exactly") {
+    val dir = tmpDir("o2-golden")
+    golden(dir, Seq(Some("""{"a":1}"""), Some("hi"), None, Some("")))
+    assert(Offset2.checkConsistency(dir).isEmpty)
+    val rows = spark.read.format("graft-offset2").load(dir)
+      .orderBy("seq")
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(b => new String(r.getAs[Array[Byte]](1), UTF_8)),
+        r.getBoolean(2)))
+      .toSeq
+    assert(rows == Seq(
+      (0L, Some("""{"a":1}"""), false),
+      (1L, Some("hi"), false),
+      (2L, None, true),
+      (3L, Some(""), false)))
+  }
+
+  test("export round-trips: read-back equals the source, bytes are a valid triple") {
+    val dir = tmpDir("o2-rt")
+    val src = Seq(
+      (0L, """{"k":"a"}""", false),
+      (1L, "", false),
+      (2L, "payload-two", true), // nulled: value bytes are NOT exported
+      (3L, "last", false)
+    ).toDF("seq", "value", "nulled")
+    Offset2.export(src, dir)
+    assert(Offset2.checkConsistency(dir).isEmpty)
+    val back = spark.read.format("graft-offset2").load(dir)
+      .orderBy("seq")
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(b => new String(r.getAs[Array[Byte]](1), UTF_8)),
+        r.getBoolean(2)))
+      .toSeq
+    assert(back == Seq(
+      (0L, Some("""{"k":"a"}"""), false),
+      (1L, Some(""), false),
+      (2L, None, true),
+      (3L, Some("last"), false)))
+    // byte-level: jrnl holds the LAST seq, ofst has one long per entry
+    val jrnl = java.nio.ByteBuffer
+      .wrap(Files.readAllBytes(Paths.get(dir, "jrnl"))).getLong
+    assert(jrnl == 3L)
+    assert(Files.size(Paths.get(dir, "ofst")) == 4 * 8)
+  }
+
+  test("point get is the reference's two-seek read: value, nulled, OOB") {
+    val dir = tmpDir("o2-get")
+    golden(dir, Seq(Some("zero"), None, Some("two")))
+    assert(Offset2.get(dir, 0).map(new String(_, UTF_8)) == Some("zero"))
+    assert(Offset2.get(dir, 1).isEmpty) // nulled -> reference ErrNulled
+    assert(Offset2.get(dir, 2).map(new String(_, UTF_8)) == Some("two"))
+    intercept[NoSuchElementException](Offset2.get(dir, 3))
+    intercept[NoSuchElementException](Offset2.get(dir, -1))
+  }
+
+  test("export refuses gapped or non-dense seqs") {
+    val dir = tmpDir("o2-gap")
+    val gapped = Seq((0L, "a", false), (2L, "c", false))
+      .toDF("seq", "value", "nulled")
+    val e = intercept[IllegalArgumentException](Offset2.export(gapped, dir))
+    assert(e.getMessage.contains("dense"))
+  }
+
+  test("journal-ahead crash window recovers; journal-behind is loud") {
+    val dir = tmpDir("o2-jrnl")
+    golden(dir, Seq(Some("one"), Some("two")))
+    // crash window: jrnl bumped (to 2) before ofst/data were written
+    val jp = Paths.get(dir, "jrnl")
+    val ch = java.nio.channels.FileChannel.open(jp, StandardOpenOption.WRITE)
+    try {
+      val b = java.nio.ByteBuffer.allocate(8).putLong(2L); b.flip()
+      ch.write(b, 0)
+    } finally ch.close()
+    val meta = Offset2.check(dir) // recovers
+    assert(meta.lastSeq == 1L)
+    assert(java.nio.ByteBuffer
+      .wrap(Files.readAllBytes(jp)).getLong == 1L) // journal rewritten
+    assert(spark.read.format("graft-offset2").load(dir).count() == 2)
+    // journal BEHIND the offset file: refuse, like the reference
+    val ch2 = java.nio.channels.FileChannel.open(jp, StandardOpenOption.WRITE)
+    try {
+      val b = java.nio.ByteBuffer.allocate(8).putLong(0L); b.flip()
+      ch2.write(b, 0)
+    } finally ch2.close()
+    val e = intercept[java.io.IOException](Offset2.check(dir))
+    assert(e.getMessage.contains("does not match"))
+  }
+
+  test("a truncated data file is a loud error") {
+    val dir = tmpDir("o2-trunc")
+    golden(dir, Seq(Some("one"), Some("twotwo")))
+    val dp = Paths.get(dir, "data")
+    val ch = java.nio.channels.FileChannel.open(dp, StandardOpenOption.WRITE)
+    try ch.truncate(Files.size(dp) - 2) finally ch.close()
+    val e = intercept[java.io.IOException](Offset2.check(dir))
+    assert(e.getMessage.contains("size difference"))
+  }
+
+  test("corrupted ofst entries are caught by the full-scan fsck") {
+    val dir = tmpDir("o2-fsck")
+    golden(dir, Seq(Some("one"), Some("two"), Some("three")))
+    val op = Paths.get(dir, "ofst")
+    val ch = java.nio.channels.FileChannel.open(op, StandardOpenOption.WRITE)
+    try {
+      val b = java.nio.ByteBuffer.allocate(8).putLong(5L); b.flip()
+      ch.write(b, 8) // ofst[1] now wrong (but jrnl/data untouched)
+    } finally ch.close()
+    val problems = Offset2.checkConsistency(dir)
+    assert(problems.exists(_.contains("offset mismatch at seq 1")))
+  }
+
+  test("scans parallelize by byte-balanced ranges; seq bounds clip partitions") {
+    val dir = tmpDir("o2-par")
+    val n = 5000
+    Offset2.export(
+      spark.range(n).select(col("id").as("seq"),
+        concat(lit("v"), col("id")).as("value"), lit(false).as("nulled")),
+      dir)
+    val df = spark.read.format("graft-offset2")
+      .option("maxPartitionBytes", "4096").load(dir)
+    val total = df.rdd.getNumPartitions
+    assert(total > 4, s"expected many partitions, got $total")
+    assert(df.select(sum(col("seq"))).as[Long].head() ==
+      n.toLong * (n - 1) / 2)
+    // a bounded scan plans only the clipped ranges, and exact rows
+    val bounded = df.where(col("seq") >= 100 && col("seq") < 120)
+    assert(bounded.rdd.getNumPartitions < total)
+    assert(bounded.select("seq").as[Long].collect().sorted.toSeq ==
+      (100L until 120L))
+    // point lookup: one partition, one row
+    val point = df.where(col("seq") === 4999)
+    assert(point.rdd.getNumPartitions == 1)
+    val r = point.collect().head
+    assert(new String(r.getAs[Array[Byte]](1), UTF_8) == "v4999")
+  }
+
+  test("the default packing target follows the session parallelism heuristic") {
+    val dir = tmpDir("o2-heur")
+    Offset2.export(
+      spark.range(2000).select(col("id").as("seq"),
+        concat(lit("value-"), col("id")).as("value"), lit(false).as("nulled")),
+      dir)
+    spark.conf.set("spark.sql.files.openCostInBytes", "512")
+    try {
+      val df = spark.read.format("graft-offset2").load(dir)
+      assert(df.rdd.getNumPartitions > 1)
+      assert(df.count() == 2000)
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
+  }
+
+  test("migration: offset2 -> graft-log preserves order and nulls") {
+    val dir = tmpDir("o2-mig")
+    golden(dir, Seq(Some("""{"n":0}"""), None, Some("""{"n":2}""")))
+    val imported = spark.read.format("graft-offset2").load(dir)
+    // nulled history cannot be appended into another log's seq space
+    // (same contract as graft-log's write leg); live rows migrate
+    val logDir = tmpDir("o2-mig-log") + "/log"
+    val log = graft.storage.ParquetLog.open(
+      spark, logDir, org.apache.spark.sql.types.StringType)
+    log.append(imported.where(!col("nulled")).orderBy("seq")
+      .select(col("value").cast("string")))
+    val out = spark.read.format("graft-log").load(logDir)
+      .orderBy("seq").select(col("value").cast("string")).as[String].collect()
+    assert(out.toSeq == Seq("""{"n":0}""", """{"n":2}"""))
+  }
+}
