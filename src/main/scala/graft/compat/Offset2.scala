@@ -235,8 +235,9 @@ object Offset2 {
       extends Iterator[(Long, Array[Byte], Boolean)] with AutoCloseable {
     private var in = {
       val s = Files.newInputStream(dataPath(dir))
-      var toSkip = range.byteStart
-      while (toSkip > 0) toSkip -= s.skip(toSkip)
+      // skipNBytes, not skip: loud EOF on a truncated file instead
+      // of a zero-progress spin
+      s.skipNBytes(range.byteStart)
       new java.io.DataInputStream(new java.io.BufferedInputStream(s, 1 << 16))
     }
     private var nextSeq = range.startSeq

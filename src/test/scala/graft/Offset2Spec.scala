@@ -89,6 +89,22 @@ class Offset2Spec extends SparkSpec {
     assert(Files.size(Paths.get(dir, "ofst")) == 4 * 8)
   }
 
+  test("an empty triple (zero-byte jrnl) reads as an empty table") {
+    val dir = tmpDir("o2-empty")
+    for (f <- Seq("data", "ofst", "jrnl")) Files.createFile(Paths.get(dir, f))
+    assert(Offset2.check(dir).count == 0L)
+    assert(spark.read.format("graft-offset2").load(dir).count() == 0)
+    // ...but an empty journal with data present is the reference's
+    // loud inconsistency, not an empty read
+    val dir2 = tmpDir("o2-empty2")
+    golden(dir2, Seq(Some("x")))
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(dir2, "jrnl"), StandardOpenOption.WRITE)
+    try ch.truncate(0) finally ch.close()
+    val e = intercept[java.io.IOException](Offset2.check(dir2))
+    assert(e.getMessage.contains("journal empty"))
+  }
+
   test("point get is the reference's two-seek read: value, nulled, OOB") {
     val dir = tmpDir("o2-get")
     golden(dir, Seq(Some("zero"), None, Some("two")))
