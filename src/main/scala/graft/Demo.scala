@@ -141,6 +141,20 @@ object Demo {
     mem.nullAt(1)
     println(s"== memlog seq=${mem.seq} rows=${mem.query(SeqWrap(true)).count()}")
 
+    // 11. offset2 migration both ways: export the log head as the
+    // reference's own data/ofst/jrnl triple, fsck it, read it back
+    // through the graft-offset2 connector.
+    val o2 = s"$work/offset2"
+    log.nullAt(3) // carry a redacted entry across the migration
+    graft.compat.Offset2.export(
+      log.query(Lt(7), SeqWrap(true))
+        .select(col("seq"), col("value").cast("string").as("value"),
+          col("nulled")), o2)
+    val fsck = graft.compat.Offset2.checkConsistency(o2)
+    val o2back = spark.read.format("graft-offset2").load(o2)
+    println(s"== offset2 export+import: rows=${o2back.count()} " +
+      s"nulled=${o2back.where(col("nulled")).count()} fsck=$fsck")
+
     println("== DEMO OK")
     spark.stop()
   }
