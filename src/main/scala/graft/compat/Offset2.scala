@@ -126,6 +126,61 @@ object Offset2 {
     Meta(lastSeq, dataSize)
   }
 
+  /** Reader-side metadata: NEVER writes, and tolerates the states a
+    * LIVE log passes through mid-append (the reference writes `jrnl`
+    * first, then `data`, then `ofst` — `offset2/log.go:425-462`), so
+    * a scan can run against a triple the reference process is still
+    * appending to:
+    *
+    *   - committed count = `ofst` size / 8. An `ofst` entry is only
+    *     written after its frame is fully in `data`, so every
+    *     ofst-visible entry is readable and `data[0, lastFrameEnd)`
+    *     is immutable (append-only files) — concurrent appends can't
+    *     disturb a planned range.
+    *   - journal AHEAD of `ofst` (crash window or in-flight append):
+    *     read the committed count; do NOT "recover" — rewriting
+    *     `jrnl` under a live writer would corrupt ITS next append.
+    *     Recovery stays in [[check]], the explicit open/migration
+    *     entry point (the reference also recovers only on open).
+    *   - trailing `data` bytes past the last committed frame (the
+    *     in-flight frame): tolerated; a frame that ENDS past the
+    *     file is the reference's loud size-difference error.
+    *   - journal BEHIND `ofst`: loud, like the reference. */
+  def checkReadOnly(dir: String): Meta = {
+    val jp = jrnlPath(dir); val op = ofstPath(dir); val dp = dataPath(dir)
+    if (!Files.exists(jp) || !Files.exists(op) || !Files.exists(dp))
+      throw new IOException(
+        s"not an offset2 log: $dir must contain data, ofst and jrnl")
+    val jrnlSize = Files.size(jp)
+    val seqJrnl =
+      if (jrnlSize == 0) SeqEmpty
+      else if (jrnlSize == 8) {
+        val ch = FileChannel.open(jp, StandardOpenOption.READ)
+        try readLongAt(ch, 0) finally ch.close()
+      } else
+        throw new IOException(
+          s"offset2: expected jrnl size of 8B, got ${jrnlSize}B")
+    val ofstSize = Files.size(op)
+    if (ofstSize % 8 != 0)
+      throw new IOException(s"offset2: ofst size $ofstSize not a multiple of 8")
+    val dataSize = Files.size(dp)
+    val seqOfst = ofstSize / 8 - 1
+    if (seqJrnl < seqOfst)
+      throw new IOException(
+        "offset2: seq in journal does not match element count in log " +
+          s"offset file - $seqJrnl != $seqOfst")
+    if (seqOfst == SeqEmpty) return Meta(SeqEmpty, 0L)
+    val och = FileChannel.open(op, StandardOpenOption.READ)
+    val lastOfst = try readLongAt(och, seqOfst * 8) finally och.close()
+    val dch = FileChannel.open(dp, StandardOpenOption.READ)
+    val lastSz = try readLongAt(dch, lastOfst) finally dch.close()
+    val end = lastOfst + 8 + math.abs(lastSz)
+    if (end > dataSize)
+      throw new IOException(
+        s"offset2: data file size difference ${end - dataSize}")
+    Meta(seqOfst, end)
+  }
+
   /** Full-scan fsck (`offset2/log.go:304-344`): walk every frame in
     * `data`, cross-check each start offset against `ofst`. Returns
     * the list of problems (empty = consistent), after the same
@@ -195,18 +250,34 @@ object Offset2 {
     * are sequential), so a skewed log (a few huge frames among many
     * small) still yields ~targetBytes ranges; the driver reads
     * O(parts × log n) longs, never the whole offset file. */
-  def planRanges(dir: String, targetBytes: Long): Seq[EntryRange] = {
-    val meta = check(dir)
-    if (meta.count == 0) return Nil
-    val parts =
-      math.max(1L, (meta.dataSize + targetBytes - 1) / targetBytes)
-    if (parts == 1)
-      return Seq(EntryRange(0L, meta.count, 0L, meta.dataSize))
+  def planRanges(dir: String, targetBytes: Long): Seq[EntryRange] =
+    planRangesBetween(dir, 0L, Long.MaxValue, targetBytes)
+
+  /** [[planRanges]] over the entry window `[startSeq, endSeq)`
+    * (clamped to the committed count) — the streaming leg plans each
+    * micro-batch's offset range with it; the whole-log form is the
+    * `[0, count)` special case. */
+  def planRangesBetween(
+      dir: String,
+      startSeq: Long,
+      endSeq: Long,
+      targetBytes: Long
+  ): Seq[EntryRange] = {
+    val meta = checkReadOnly(dir)
+    val s0 = math.max(startSeq, 0L)
+    val e0 = math.min(endSeq, meta.count)
+    if (s0 >= e0) return Nil
     val och = FileChannel.open(ofstPath(dir), StandardOpenOption.READ)
     try {
-      // first entry whose frame offset is >= byte target
+      def byteOf(seq: Long): Long =
+        if (seq == meta.count) meta.dataSize else readLongAt(och, seq * 8)
+      val byteStart = byteOf(s0); val byteEnd = byteOf(e0)
+      val total = byteEnd - byteStart
+      val parts = math.max(1L, (total + targetBytes - 1) / targetBytes)
+      if (parts == 1) return Seq(EntryRange(s0, e0, byteStart, byteEnd))
+      // first entry in the window whose frame offset is >= byte target
       def search(byteTarget: Long): Long = {
-        var lo = 0L; var hi = meta.count // invariant: ofst[lo-1] < target
+        var lo = s0; var hi = e0 // invariant: ofst[lo-1] < target
         while (lo < hi) {
           val mid = (lo + hi) >>> 1
           if (readLongAt(och, mid * 8) < byteTarget) lo = mid + 1 else hi = mid
@@ -214,14 +285,35 @@ object Offset2 {
         lo
       }
       val cuts = (1L until parts)
-        .map(i => search(meta.dataSize / parts * i))
-        .prepended(0L).appended(meta.count)
-        .distinct // tiny logs: several targets may hit the same entry
+        .map(i => search(byteStart + total / parts * i))
+        .prepended(s0).appended(e0)
+        .distinct // tiny windows: several targets may hit the same entry
       cuts.lazyZip(cuts.tail).map { (s, e) =>
-        val bs = if (s == 0) 0L else readLongAt(och, s * 8)
-        val be = if (e == meta.count) meta.dataSize else readLongAt(och, e * 8)
-        EntryRange(s, e, bs, be)
+        EntryRange(s, e, byteOf(s), byteOf(e))
       }.toSeq
+    } finally och.close()
+  }
+
+  /** Last entry index (inclusive) such that
+    * `bytes(afterSeq, end] <= budget`, but at least `afterSeq + 1`
+    * (progress guarantee) — the streaming byte-budget admission
+    * clamp; one binary search over `ofst`, O(log n) driver reads. */
+  def clampByBytes(dir: String, afterSeq: Long, budget: Long): Long = {
+    val meta = checkReadOnly(dir)
+    val first = afterSeq + 1
+    if (first >= meta.count) return meta.lastSeq
+    val och = FileChannel.open(ofstPath(dir), StandardOpenOption.READ)
+    try {
+      def byteOf(seq: Long): Long =
+        if (seq == meta.count) meta.dataSize else readLongAt(och, seq * 8)
+      val target = byteOf(first) + math.max(budget, 1L)
+      // last entry whose frame END is within the budget
+      var lo = first; var hi = meta.count
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (byteOf(mid + 1) <= target) lo = mid + 1 else hi = mid
+      }
+      math.max(first, lo - 1)
     } finally och.close()
   }
 

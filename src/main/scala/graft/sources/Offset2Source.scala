@@ -71,14 +71,19 @@ final class Offset2Table(dir: String) extends Table with SupportsRead {
   override def name(): String = s"offset2 `$dir`"
   override def schema(): StructType = Offset2Source.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Offset2ScanBuilder(dir, Option(options.get("maxPartitionBytes")))
+    new Offset2ScanBuilder(dir, Option(options.get("maxPartitionBytes")),
+      Option(options.get("maxEntriesPerTrigger")).map(_.toLong),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 }
 
 final class Offset2ScanBuilder(
     dir: String,
-    maxPartitionBytesOpt: Option[String]
+    maxPartitionBytesOpt: Option[String],
+    maxEntriesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None
 ) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -107,7 +112,8 @@ final class Offset2ScanBuilder(
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
-    new Offset2Scan(dir, pruned, lower, upper, maxPartitionBytesOpt)
+    new Offset2Scan(dir, pruned, lower, upper, maxPartitionBytesOpt,
+      maxEntriesPerTrigger, maxBytesPerTrigger)
 }
 
 final case class Offset2Partition(
@@ -120,13 +126,23 @@ final class Offset2Scan(
     scanSchema: StructType,
     lower: Long,
     upper: Long,
-    maxPartitionBytesOpt: Option[String]
+    maxPartitionBytesOpt: Option[String],
+    maxEntriesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
 
-  private lazy val meta = Offset2.check(dir)
+  override def toMicroBatchStream(
+      checkpointLocation: String
+  ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new Offset2MicroBatchStream(dir, scanSchema, maxPartitionBytesOpt,
+      maxEntriesPerTrigger, maxBytesPerTrigger)
+
+  // read-only: planning must neither "recover" a live writer's jrnl
+  // nor refuse its in-flight append (Offset2.checkReadOnly)
+  private lazy val meta = Offset2.checkReadOnly(dir)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -189,6 +205,114 @@ final class Offset2Scan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new Offset2ReaderFactory(scanSchema)
+}
+
+/** Streaming tail of a LIVE offset2 log — the dual-run cutover
+  * shape: the reference process keeps appending while Spark tails
+  * the triple and mirrors it into the new system. Offsets are
+  * committed entry high-waters read from the `ofst` file size
+  * (`ofst` is written LAST in the reference's append —
+  * `offset2/log.go:425-462` — so every ofst-visible entry's frame
+  * is fully in `data`, and the committed prefix of both files is
+  * immutable: planned ranges can't be disturbed by concurrent
+  * appends). Planning is strictly READ-ONLY ([[graft.compat.Offset2
+  * .checkReadOnly]]): the journal-ahead instant mid-append is
+  * tolerated, never "recovered" under the live writer. Admission
+  * control: `maxEntriesPerTrigger` clamps in O(1) (entries are
+  * dense), `maxBytesPerTrigger` via one binary search over `ofst`
+  * (at least one entry per batch — the stream can't stall); a
+  * restarted tail never plans its whole backlog as one batch. */
+final class Offset2MicroBatchStream(
+    dir: String,
+    schema: StructType,
+    maxPartitionBytesOpt: Option[String],
+    maxEntriesPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long]
+) extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes,
+    ReadMaxRows
+  }
+  import graft.compat.Offset2
+
+  private case class EntryOffset(lastSeq: Long) extends Offset {
+    override def json(): String = lastSeq.toString
+  }
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(Offset2.checkReadOnly(dir).lastSeq)
+
+  override def initialOffset(): Offset = EntryOffset(Offset2.SeqEmpty)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) should be called instead of this")
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxEntriesPerTrigger.map { n =>
+        require(n > 0, s"maxEntriesPerTrigger must be > 0 (got $n)")
+        ReadLimit.maxRows(n)
+      },
+      maxBytesPerTrigger.map { b =>
+        require(b > 0, s"maxBytesPerTrigger must be > 0 (got $b)")
+        ReadLimit.maxBytes(b)
+      }
+    ).flatten
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case one :: Nil => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[EntryOffset].lastSeq
+    val committed = Offset2.checkReadOnly(dir).lastSeq
+    val hi = availableNowTarget.map(math.min(_, committed)).getOrElse(committed)
+    if (hi <= lo) return EntryOffset(lo)
+    def clamp(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows => math.min(hi, lo + r.maxRows())
+      case b: ReadMaxBytes =>
+        math.min(hi, Offset2.clampByBytes(dir, lo, b.maxBytes()))
+      case c: CompositeReadLimit => c.getReadLimits.map(clamp).min
+      case _: ReadAllAvailable => hi
+      case _ => hi
+    }
+    EntryOffset(math.max(lo, math.min(hi, clamp(limit))))
+  }
+
+  /** True high-water for backlog progress while admission paces. */
+  override def reportLatestOffset(): Offset =
+    EntryOffset(Offset2.checkReadOnly(dir).lastSeq)
+
+  override def deserializeOffset(json: String): Offset =
+    EntryOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: Offset,
+      end: Offset
+  ): Array[InputPartition] = {
+    val lo = start.asInstanceOf[EntryOffset].lastSeq // exclusive
+    val hi = end.asInstanceOf[EntryOffset].lastSeq // inclusive
+    if (hi <= lo) return Array.empty
+    val target = maxPartitionBytesOpt.map(_.toLong).getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+    Offset2.planRangesBetween(dir, lo + 1, hi + 1, target)
+      .map(r => Offset2Partition(dir, r.startSeq, r.endSeq,
+        r.byteStart, r.byteEnd))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Offset2ReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class Offset2ReaderFactory(schema: StructType)

@@ -210,6 +210,105 @@ class Offset2Spec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.files.openCostInBytes")
   }
 
+  /** One reference-order append: jrnl bumped FIRST, then the data
+    * frame, then the ofst entry (`offset2/log.go:425-462`). */
+  private def appendGolden(dir: String, value: String): Unit = {
+    val jp = Paths.get(dir, "jrnl")
+    val prev =
+      if (Files.size(jp) == 0) -1L
+      else java.nio.ByteBuffer.wrap(Files.readAllBytes(jp)).getLong
+    val jb = java.nio.ByteBuffer.allocate(8).putLong(prev + 1); jb.flip()
+    val jch = java.nio.channels.FileChannel.open(jp, StandardOpenOption.WRITE)
+    try jch.write(jb, 0) finally jch.close()
+    val off = Files.size(Paths.get(dir, "data"))
+    val b = value.getBytes(UTF_8)
+    val data = new DataOutputStream(Files.newOutputStream(
+      Paths.get(dir, "data"), StandardOpenOption.APPEND))
+    try { data.writeLong(b.length.toLong); data.write(b) } finally data.close()
+    val ofst = new DataOutputStream(Files.newOutputStream(
+      Paths.get(dir, "ofst"), StandardOpenOption.APPEND))
+    try ofst.writeLong(off) finally ofst.close()
+  }
+
+  test("a live writer's in-flight append is tolerated and NEVER 'recovered'") {
+    val dir = tmpDir("o2-live")
+    golden(dir, Seq(Some("a"), Some("b")))
+    // mid-append instant: jrnl already bumped (to 2), data frame
+    // partially written, ofst not yet — exactly what a reader racing
+    // the reference process sees
+    val jp = Paths.get(dir, "jrnl")
+    val jb = java.nio.ByteBuffer.allocate(8).putLong(2L); jb.flip()
+    val jch = java.nio.channels.FileChannel.open(jp, StandardOpenOption.WRITE)
+    try jch.write(jb, 0) finally jch.close()
+    val data = new DataOutputStream(Files.newOutputStream(
+      Paths.get(dir, "data"), StandardOpenOption.APPEND))
+    try { data.writeLong(9L); data.write("par".getBytes(UTF_8)) } // truncated
+    finally data.close()
+    val before = Files.readAllBytes(jp).toSeq
+    // read-only meta sees the committed prefix only
+    val meta = Offset2.checkReadOnly(dir)
+    assert(meta.count == 2)
+    // a batch scan reads exactly the committed entries...
+    val rows = spark.read.format("graft-offset2").load(dir)
+      .select("seq").as[Long].collect().sorted.toSeq
+    assert(rows == Seq(0L, 1L))
+    // ...and the journal was NOT rewritten under the live writer
+    assert(Files.readAllBytes(jp).toSeq == before)
+    // the explicit open/migration check stays the reference's loud
+    // torn-frame error (and is the one allowed to touch jrnl)
+    val e = intercept[java.io.IOException](Offset2.check(dir))
+    assert(e.getMessage.contains("size difference"))
+  }
+
+  test("streaming tail: delivers committed entries, then appends, exactly once") {
+    val dir = tmpDir("o2-tail")
+    golden(dir, Seq(Some("e0"), Some("e1"), Some("e2")))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-offset2").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          seen.add((r.getLong(0), new String(r.getAs[Array[Byte]](1), UTF_8))))
+        ()
+      }
+      .option("checkpointLocation", tmpDir("o2-tail-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toArray.toSeq ==
+        Seq((0L, "e0"), (1L, "e1"), (2L, "e2")))
+      // the reference process keeps writing; the tail picks it up
+      appendGolden(dir, "e3")
+      appendGolden(dir, "e4")
+      q.processAllAvailable()
+      assert(seen.toArray.toSeq.asInstanceOf[Seq[(Long, String)]]
+        .map(_._1) == (0L to 4L))
+    } finally q.stop()
+  }
+
+  test("tail admission control paces catch-up under Trigger.AvailableNow") {
+    val dir = tmpDir("o2-pace")
+    golden(dir, (0 until 9).map(i => Some(s"entry-$i")))
+    val batches = scala.collection.mutable.ListBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("graft-offset2")
+      .option("maxEntriesPerTrigger", "2").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = df.select("seq").collect().map(_.getLong(0)).sorted.toSeq
+        batches.synchronized { batches += b }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("o2-pace-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val all = batches.synchronized(batches.toList)
+    assert(all.filter(_.nonEmpty).forall(_.size <= 2),
+      s"a batch exceeded the 2-entry budget: $all")
+    assert(all.flatten.sorted == (0L until 9L), s"delivery mismatch: $all")
+    assert(all.count(_.nonEmpty) >= 5, s"expected paced batches, got: $all")
+  }
+
   test("migration: offset2 -> graft-log preserves order and nulls") {
     val dir = tmpDir("o2-mig")
     golden(dir, Seq(Some("""{"n":0}"""), None, Some("""{"n":2}""")))
