@@ -188,6 +188,24 @@ object Bench {
       Dedup.minhashLshPairs(docs, "text", "doc_id", 16, 2, 3, 0.7,
         portableHash = false).count()
     }
+    // steady-state ingest dedup: the corpus's band index is persisted
+    // ONCE (untimed — amortized over every future batch); the timed
+    // leg is one 10% batch probing it. At 100 TB this is the number
+    // that matters: re-running lsh_pairs over corpus+batch per ingest
+    // redoes the corpus work every day, the probe never touches it.
+    val incCorpus = docs.where(col("doc_id") % 10 =!= 0)
+    val incBatch = docs.where(col("doc_id") % 10 === 0)
+    Dedup.lshBandIndex(incCorpus, "text", "doc_id", 16, 2,
+      portableHash = false)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$work/lshidx")
+    timed("incremental_lsh") {
+      Dedup.incrementalLshPairs(
+        incBatch, "text", "doc_id",
+        corpusBands = spark.read.parquet(s"$work/lshidx"),
+        corpusTexts = incCorpus.select("doc_id", "text"),
+        numHashes = 16, bands = 2, threshold = 0.7,
+        portableHash = false).count()
+    }
     timed("simhash")(Dedup.simhash32(docs, "text", "doc_id").count())
     // the 100 TB fingerprint tier: 64 conditional-sum columns (the
     // widest agg in the engine) and 16-bit-band Hamming pairing —

@@ -21,8 +21,13 @@ import graft.storage.ParquetLog
   */
 object EngineFixtures {
 
-  /** Bump when ParquetLog/MultiLog/KVIndex storage schemas change. */
-  val Version = "v3" // v3: TableStore writes a physical _ver column
+  /** Bump when ParquetLog/MultiLog/KVIndex storage schemas change OR
+    * the driver regenerates testdata in a way that changes what the
+    * fixture stores (a DONE-marked cache can't see either). */
+  val Version = "v4" // v4: ts normalized to epoch-nanos BIGINT in
+  // Tables.load after the testdata generation moved events.ts from
+  // timestamp[ns] to timestamp[us] (a v3 cache built in the us window
+  // holds a poisoned TIMESTAMP-typed ts_ns struct)
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, (ParquetLog, MultiLog, KVIndex)]

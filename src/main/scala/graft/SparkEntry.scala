@@ -1563,6 +1563,23 @@ object SparkEntry {
         get_json_object(col("value").cast("string"), "$.lang").as("lang"),
         col("nulled"))
         .orderBy("seq")
+    }),
+
+    // incremental dedup: the corpus half's persisted lshBandIndex is
+    // probed by the new half — never corpus×corpus — and the output
+    // must equal the full batch run minus its corpus-corpus pairs
+    // (the oracle computes exactly that; q24's parameters)
+    "q103_incremental_lsh" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 250)
+      val fresh = docs.where(col("doc_id") >= 250)
+      Dedup.incrementalLshPairs(
+        fresh, "text", "doc_id",
+        corpusBands = Dedup.lshBandIndex(
+          corpus, "text", "doc_id", numHashes = 8, bands = 4),
+        corpusTexts = corpus.select("doc_id", "text"),
+        numHashes = 8, bands = 4, threshold = 0.35)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2981,6 +2998,15 @@ object SparkEntry {
         |  CASE WHEN seq = 7 THEN NULL ELSE doc_id END AS doc_id,
         |  CASE WHEN seq = 7 THEN NULL ELSE lang END AS lang,
         |  (seq = 7) AS nulled
-        |FROM d ORDER BY seq""".stripMargin
+        |FROM d ORDER BY seq""".stripMargin,
+
+    // the incremental identity: a batch LSH run over the whole corpus,
+    // minus the pairs internal to the standing half (doc_id < 250) —
+    // exactly what probing the persisted index must produce
+    "q103_incremental_lsh" ->
+      s"""$lshPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE id_a >= 250 OR id_b >= 250
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

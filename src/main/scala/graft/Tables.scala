@@ -2,17 +2,35 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table access shared by SparkEntry / Verify / Bench / Demo.
   *
-  * The driver's `events` table carries `timestamp[ns]`, which Spark 4
-  * rejects by default (PARQUET_TYPE_ILLEGAL) — `nanosAsLong` reads it
-  * as a BIGINT of epoch-nanos, which also keeps the DuckDB oracle
-  * comparable (we compare on integer nanos, never on raw timestamps).
+  * The driver's `events.parquet` carries a physical timestamp `ts`
+  * whose parquet type has varied across testdata generations:
+  * `timestamp[ns]` (Spark 4 rejects it unless the `nanosAsLong`
+  * legacy conf maps it to BIGINT epoch-nanos) and `timestamp[us]`
+  * (reads natively as TIMESTAMP_NTZ). Every consumer — the engine
+  * fixtures, q01-q05's `ts_ns div 1000` projection, the sessionize /
+  * as-of / range-join queries — is written against ONE stable
+  * contract: `ts` is a BIGINT of epoch-nanos. `load` enforces it for
+  * either generation: a LongType `ts` (nanos file + legacy conf)
+  * passes through; a timestamp `ts` is converted via
+  * `unix_micros * 1000` (exact — micros precision carries into the
+  * nanos integer, and the session timezone is pinned UTC first so the
+  * NTZ→instant cast can never shift). The DuckDB oracle reads the
+  * same file as a real timestamp and compares on `epoch_us(ts)` =
+  * `ts div 1000` — integers on both sides for any generation.
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df // LongType nanos (legacy generation) or no ts column
+    }
   }
 }

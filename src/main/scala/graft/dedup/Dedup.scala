@@ -145,6 +145,41 @@ object Dedup {
       )
   }
 
+  /** The banded LSH keys `(idCol, band, bucket)` for a corpus — the
+    * factored-out candidate-key stage of [[minhashLshPairs]], exposed
+    * because these keys ARE the persistable dedup INDEX: write them
+    * once per corpus (partitioned by `band`, ~50 bytes/row — a tiny
+    * fraction of the text), and each new ingest batch probes them via
+    * [[incrementalLshPairs]] instead of re-running LSH over the whole
+    * corpus. Band key = md5 over the band's signature slice
+    * (oracle-portable) or xxhash64 (production). */
+  def lshBandIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleWidth: Int = 3,
+      portableHash: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs =
+      minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, portableHash)
+    // band key = hash over the band's slice of the signature
+    sigs.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map { b =>
+          val bandSlice =
+            slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
+          if (portableHash) md5(concat_ws(",", bandSlice)).cast("string")
+          else xxhash64(bandSlice).cast("string")
+        }: _*)
+      ).as(Seq("band", "bucket"))
+    )
+  }
+
   /** LSH banding: docs sharing any band bucket become candidate pairs;
     * candidates are verified with exact shingle Jaccard. Returns
     * (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
@@ -166,22 +201,8 @@ object Dedup {
       maxBucket: Long = 10000L,
       portableHash: Boolean = true
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sigs =
-      minhashSignatures(df, textCol, idCol, numHashes, shingleWidth, portableHash)
-    // band key = hash over the band's slice of the signature
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(
-        array((0 until bands).map { b =>
-          val bandSlice =
-            slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)
-          if (portableHash) md5(concat_ws(",", bandSlice)).cast("string")
-          else xxhash64(bandSlice).cast("string")
-        }: _*)
-      ).as(Seq("band", "bucket"))
-    )
+    val banded = lshBandIndex(
+      df, textCol, idCol, numHashes, bands, shingleWidth, portableHash)
     // Mega-buckets (boilerplate shared by > maxBucket docs) would make
     // the self-join quadratic in ONE reducer — drop them up front
     // (they're near-certain duplicate clusters; collapse them by
@@ -207,6 +228,108 @@ object Dedup {
       .distinct()
     verifyJaccard(df, textCol, idCol, candidates, shingleWidth, threshold)
   }
+
+  /** INCREMENTAL near-dup pairing: dedup a NEW ingest batch against a
+    * corpus whose [[lshBandIndex]] was persisted earlier, without ever
+    * pairing the corpus against itself. This is the steady-state shape
+    * of a 100 TB training-data pipeline — the corpus is deduped once,
+    * and each day's crawl only needs (a) its own within-batch pairs
+    * and (b) its pairs against the standing corpus; re-running
+    * [[minhashLshPairs]] over corpus+batch would redo the corpus²
+    * work every ingest.
+    *
+    * Plan shape: the batch is banded (one shingle→minhash pass over
+    * the BATCH only); its distinct `(band, bucket)` keys — small by
+    * construction, ≤ bands×|batch| — are BROADCAST to semi-probe the
+    * corpus index, so the index is filtered where it lives with no
+    * corpus-side shuffle and nothing corpus-sized ever moves.
+    * Candidates are batch×(batch ∪ probed-corpus) — linear in batch
+    * size × bucket occupancy, never corpus×corpus. The mega-bucket
+    * cap counts the COMBINED population (probed corpus members + new
+    * members), so a bucket is dropped exactly when the equivalent
+    * batch run over corpus+new would drop it: the output equals
+    * [[minhashLshPairs]] over the union MINUS its corpus-corpus
+    * pairs (the spec pins this identity), and the capped side
+    * surfaces through the Diag variant like [[hammingPairsDiag]].
+    *
+    * `newDocs` ids must be disjoint from the corpus ids (an id on
+    * both sides would pair with itself); `corpusTexts` is the
+    * `(idCol, textCol)` fetch side for exact-Jaccard verification —
+    * one filtered scan, joined only on candidate ids. Returns
+    * `(pairs, capped)`: pairs as in [[minhashLshPairs]]
+    * (`id_a < id_b`, jaccard >= threshold, at least one side new). */
+  def incrementalLshPairsDiag(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpusBands: DataFrame,
+      corpusTexts: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Long = 10000L,
+      portableHash: Boolean = true
+  ): (DataFrame, DataFrame) = {
+    val newBands = lshBandIndex(
+      newDocs, textCol, idCol, numHashes, bands, shingleWidth, portableHash)
+    // Distinct probe keys are bounded by bands × |batch| — broadcast
+    // them so the corpus index is semi-joined in place (no shuffle of
+    // the index, no corpus-sized movement at any point).
+    val probe = newBands.select("band", "bucket").distinct()
+    val probedCorpus = corpusBands
+      .join(broadcast(probe), Seq("band", "bucket"), "left_semi")
+    val tagged = newBands
+      .select(col(idCol).as("_id"), col("band"), col("bucket"),
+        lit(true).as("_new"))
+      .unionByName(probedCorpus
+        .select(col(idCol).as("_id"), col("band"), col("bucket"),
+          lit(false).as("_new")))
+    // Cap on the combined probed-bucket population: identical drop
+    // decision to a batch run over corpus+new (unprobed buckets hold
+    // no new docs, so they can't contribute a pair touching the batch).
+    val (kept, capped) =
+      graft.query.Skew.capBuckets(tagged, Seq("band", "bucket"), maxBucket)
+    val newSide = kept.where(col("_new"))
+      .select(col("_id").as("id_x"), col("band"), col("bucket"))
+    val allSide = kept
+      .select(col("_id").as("id_y"), col("band"), col("bucket"))
+    // batch × (batch ∪ corpus) within shared buckets — corpus rows
+    // appear only on the right, so corpus×corpus pairs are never
+    // generated, not generated-then-filtered.
+    val candidates = newSide
+      .join(allSide, Seq("band", "bucket"))
+      .where(col("id_x") =!= col("id_y"))
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val texts = newDocs
+      .select(col(idCol), col(textCol))
+      .unionByName(corpusTexts.select(col(idCol), col(textCol)))
+    (verifyJaccard(texts, textCol, idCol, candidates, shingleWidth, threshold),
+      capped)
+  }
+
+  /** [[incrementalLshPairsDiag]] without the cap diagnostic — for
+    * callers that cap-collapse flooded buckets out of band (see
+    * [[fingerprintClusters]] for the enforced alternative pattern). */
+  def incrementalLshPairs(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpusBands: DataFrame,
+      corpusTexts: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Long = 10000L,
+      portableHash: Boolean = true
+  ): DataFrame =
+    incrementalLshPairsDiag(newDocs, textCol, idCol, corpusBands,
+      corpusTexts, numHashes, bands, shingleWidth, threshold, maxBucket,
+      portableHash)._1
 
   /** Exact n-gram Jaccard over candidate pairs, as a pair join: fetch
     * both documents' texts, then compute `|A∩B| / (|A|+|B|-|A∩B|)`

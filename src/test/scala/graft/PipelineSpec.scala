@@ -89,6 +89,72 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped > 1000)
   }
 
+  test("incremental LSH: probing a persisted index equals batch-minus-corpus") {
+    // the steady-state ingest shape: corpus deduped once, its band
+    // index persisted; a new batch probes the index and must find
+    // exactly the batch-touching pairs the full batch run would
+    val corpus = docs.where(col("doc_id") < 250)
+    val fresh = docs.where(col("doc_id") >= 250)
+    val idxDir = tmpDir("graft-lshidx-")
+    Dedup.lshBandIndex(corpus, "text", "doc_id", 8, 4)
+      .write.mode("overwrite").partitionBy("band").parquet(idxDir)
+    val (inc, capped) = Dedup.incrementalLshPairsDiag(
+      fresh, "text", "doc_id",
+      corpusBands = spark.read.parquet(idxDir),
+      corpusTexts = corpus.select("doc_id", "text"),
+      numHashes = 8, bands = 4, threshold = 0.35)
+    val got = inc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 8, 4, 3, 0.35)
+      .where(col("id_a") >= 250 || col("id_b") >= 250)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want, s"incremental != batch-minus-corpus: " +
+      s"extra=${got -- want}, missing=${want -- got}")
+    assert(want.nonEmpty, "fixture has no batch-touching pairs — vacuous")
+    // plan shape: the index is probed via a BROADCAST semi-join (the
+    // batch's bucket keys move to the index, never the reverse) and
+    // nothing plans all-pairs. The pairs side localCheckpoints its
+    // candidate frame (lineage truncated), so the probe is asserted
+    // on the diag side, which shares the pre-checkpoint plan.
+    capped.collect()
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus index must be broadcast-semi-probed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+  }
+
+  test("incremental LSH: combined-population cap, flooded bucket in diag") {
+    // 60 identical docs SPLIT 30/30 across corpus and batch: neither
+    // side alone exceeds maxBucket=10, so only the COMBINED count —
+    // the batch-run-equivalent decision — can drop the bucket. A
+    // genuine near-dup pair straddling the split must survive.
+    val boilerCorpus = (0L until 30L).map(i => (i, "the same boilerplate text " * 3))
+    val boilerNew = (30L until 60L).map(i => (i, "the same boilerplate text " * 3))
+    val corpus = (boilerCorpus :+
+      (100L, "a unique document about distributed query planning topics with cost modeling"))
+      .toDF("doc_id", "text")
+    val fresh = (boilerNew :+
+      (101L, "a unique document about distributed query planning topics with cost models"))
+      .toDF("doc_id", "text")
+    val (pairs, capped) = Dedup.incrementalLshPairsDiag(
+      fresh, "text", "doc_id",
+      corpusBands = Dedup.lshBandIndex(corpus, "text", "doc_id", 8, 4),
+      corpusTexts = corpus.select("doc_id", "text"),
+      numHashes = 8, bands = 4, threshold = 0.35, maxBucket = 10)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)), s"got $got")
+    // the drop is reported, not silent: every capped bucket counts
+    // the combined 60-doc population
+    val cappedRows = capped.collect()
+    assert(cappedRows.nonEmpty, "flooded bucket missing from diag side")
+    assert(cappedRows.forall(_.getAs[Long]("_n") == 60L),
+      s"diag must count the COMBINED population: ${cappedRows.mkString(",")}")
+  }
+
   test("connected components: chain, triangle, singleton-free") {
     // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
     // triangle 10-11-12, isolated pair 20-21
