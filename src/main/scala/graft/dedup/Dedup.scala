@@ -254,9 +254,15 @@ object Dedup {
     *
     * `newDocs` ids must be disjoint from the corpus ids (an id on
     * both sides would pair with itself); `corpusTexts` is the
-    * `(idCol, textCol)` fetch side for exact-Jaccard verification —
-    * one filtered scan, joined only on candidate ids. Returns
-    * `(pairs, capped)`: pairs as in [[minhashLshPairs]]
+    * `(idCol, textCol)` fetch side for exact-Jaccard verification.
+    * The candidate frame is materialized eagerly (localCheckpoint,
+    * like [[verifyJaccard]]'s gate) and its distinct ids — bounded by
+    * 2× the batch-linear pair count — are pushed into the corpus
+    * text scan as an IN filter when ≤ `maxPushedFetchIds`: at
+    * warehouse scale that is row-group skipping over the id-sorted
+    * corpus instead of decoding every text per ingest (full-scan
+    * fallback above the gate — one columnar pass, never a shuffle).
+    * Returns `(pairs, capped)`: pairs as in [[minhashLshPairs]]
     * (`id_a < id_b`, jaccard >= threshold, at least one side new). */
   def incrementalLshPairsDiag(
       newDocs: DataFrame,
@@ -269,7 +275,8 @@ object Dedup {
       shingleWidth: Int = 3,
       threshold: Double = 0.5,
       maxBucket: Long = 10000L,
-      portableHash: Boolean = true
+      portableHash: Boolean = true,
+      maxPushedFetchIds: Long = 100000L
   ): (DataFrame, DataFrame) = {
     val newBands = lshBandIndex(
       newDocs, textCol, idCol, numHashes, bands, shingleWidth, portableHash)
@@ -304,9 +311,36 @@ object Dedup {
         least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
+      // materialized once here (executor-local blocks): the candidate
+      // ids below and verifyJaccard's gate count + joins all reuse it
+      // without re-running band/probe/cap
+      .localCheckpoint(true)
+    // The verify stage needs corpus texts for CANDIDATE ids only — a
+    // vanishing fraction of the corpus. When the distinct candidate
+    // id set is modest (it is bounded by 2× the candidate pairs, and
+    // pairs are batch-linear by construction), collect it and push an
+    // IN filter into the corpus text scan: at warehouse scale that is
+    // row-group skipping over the id-sorted corpus instead of a full
+    // decode of every text per ingest. Batch ids in the list simply
+    // match nothing on the corpus side (ids are disjoint). Above the
+    // gate, fall back to the full scan — a one-pass columnar read,
+    // never a shuffle.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("_cid"))
+      .distinct()
+    // ONE gate job, not count-then-collect: fetch up to gate+1 ids
+    // from the checkpointed candidate blocks; an overflow row means
+    // "too many — full scan", otherwise the gathered set IS the list
+    val probeLimit =
+      math.min(maxPushedFetchIds + 1, Int.MaxValue.toLong).toInt
+    val gathered = candIds.limit(probeLimit).collect()
+    val prunedCorpusTexts =
+      if (gathered.length <= maxPushedFetchIds)
+        corpusTexts.where(col(idCol).isin(gathered.map(_.get(0)): _*))
+      else corpusTexts
     val texts = newDocs
       .select(col(idCol), col(textCol))
-      .unionByName(corpusTexts.select(col(idCol), col(textCol)))
+      .unionByName(prunedCorpusTexts.select(col(idCol), col(textCol)))
     (verifyJaccard(texts, textCol, idCol, candidates, shingleWidth, threshold),
       capped)
   }
@@ -325,11 +359,12 @@ object Dedup {
       shingleWidth: Int = 3,
       threshold: Double = 0.5,
       maxBucket: Long = 10000L,
-      portableHash: Boolean = true
+      portableHash: Boolean = true,
+      maxPushedFetchIds: Long = 100000L
   ): DataFrame =
     incrementalLshPairsDiag(newDocs, textCol, idCol, corpusBands,
       corpusTexts, numHashes, bands, shingleWidth, threshold, maxBucket,
-      portableHash)._1
+      portableHash, maxPushedFetchIds)._1
 
   /** Exact n-gram Jaccard over candidate pairs, as a pair join: fetch
     * both documents' texts, then compute `|A∩B| / (|A|+|B|-|A∩B|)`

@@ -125,6 +125,52 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"corpus index must be broadcast-semi-probed:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+    // the verify stage fetches corpus TEXTS by candidate id: the
+    // collected id set must reach the parquet text scan as a pushed
+    // IN filter (row-group skipping — not a full corpus decode)
+    val pairsPlan = inc.queryExecution.executedPlan.toString
+    assert(pairsPlan.contains("In(doc_id"),
+      s"candidate ids must push into the corpus text scan:\n$pairsPlan")
+  }
+
+  test("incremental LSH: rolling ingest — probe, append bands, probe again") {
+    // the full production cycle across TWO ingests: batch1 probes the
+    // corpus index, its own bands are APPENDED to the index (the
+    // maintenance step is just a partitioned parquet append), batch2
+    // probes the grown index. The union of the two probes must equal
+    // the one-shot batch run minus corpus-internal pairs — no pair
+    // lost or invented across the index handoff.
+    val corpus = docs.where(col("doc_id") < 250)
+    val batch1 = docs.where(col("doc_id") >= 250 && col("doc_id") < 375)
+    val batch2 = docs.where(col("doc_id") >= 375)
+    val idxDir = tmpDir("graft-lshroll-")
+    Dedup.lshBandIndex(corpus, "text", "doc_id", 8, 4)
+      .write.mode("overwrite").partitionBy("band").parquet(idxDir)
+    val pairs1 = Dedup.incrementalLshPairs(
+      batch1, "text", "doc_id",
+      corpusBands = spark.read.parquet(idxDir),
+      corpusTexts = corpus.select("doc_id", "text"),
+      numHashes = 8, bands = 4, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.lshBandIndex(batch1, "text", "doc_id", 8, 4)
+      .write.mode("append").partitionBy("band").parquet(idxDir)
+    val grown = corpus.unionByName(batch1)
+    val pairs2 = Dedup.incrementalLshPairs(
+      batch2, "text", "doc_id",
+      corpusBands = spark.read.parquet(idxDir),
+      corpusTexts = grown.select("doc_id", "text"),
+      numHashes = 8, bands = 4, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 8, 4, 3, 0.35)
+      .where(col("id_a") >= 250 || col("id_b") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((pairs1 ++ pairs2) == want,
+      s"rolling != one-shot: extra=${(pairs1 ++ pairs2) -- want}, " +
+        s"missing=${want -- (pairs1 ++ pairs2)}")
+    // the two probes partition the batch-touching pairs: batch2 pairs
+    // only ever come from probe 2
+    assert(pairs1.intersect(pairs2).isEmpty)
   }
 
   test("incremental LSH: combined-population cap, flooded bucket in diag") {
