@@ -1580,6 +1580,24 @@ object SparkEntry {
         corpusTexts = corpus.select("doc_id", "text"),
         numHashes = 8, bands = 4, threshold = 0.35)
         .orderBy("id_a", "id_b")
+    }),
+
+    // the steady-state ingest-curation entry: gate the new half, then
+    // incremental near-dup against the standing half's persisted band
+    // index — corpus docs always win their pairs, smaller id wins
+    // within the batch; corpus×corpus is never paired
+    "q104_curate_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 250)
+      graft.pipeline.Curation.curateIncremental(
+        docs.where(col("doc_id") >= 250), "text", "doc_id",
+        corpusBands = Dedup.lshBandIndex(
+          corpus, "text", "doc_id", numHashes = 8, bands = 4),
+        corpusTexts = corpus.select("doc_id", "text"),
+        lang = "en", minQuality = 0.5, minTokens = 10, maxTokens = 5000,
+        numHashes = 8, bands = 4, threshold = 0.35)
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
     })
   )
 
@@ -3007,6 +3025,30 @@ object SparkEntry {
       s"""$lshPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE id_a >= 250 OR id_b >= 250
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // gates over the new half, LSH pairs over (standing half UNION
+    // gated batch), then the incremental drop rule: a batch doc loses
+    // to any corpus partner (side-aware, not id-order) and to a
+    // smaller-id batch partner; corpus-internal pairs are ignored
+    "q104_curate_incremental" ->
+      ("WITH " +
+        curationGateOracle(
+          "(SELECT doc_id, text FROM documents WHERE doc_id >= 250)") +
+        """, docsrc AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+          |  UNION ALL SELECT doc_id, text FROM gated
+          |), """.stripMargin +
+        lshPairsCtes.stripPrefix("WITH ")
+          .replace("FROM documents", "FROM docsrc") +
+        """
+          |SELECT doc_id, n_tokens, quality FROM gated
+          |WHERE doc_id NOT IN (
+          |  SELECT CASE WHEN id_a >= 250 THEN id_a ELSE id_b END
+          |  FROM pairs WHERE (id_a < 250) <> (id_b < 250)
+          |  UNION ALL
+          |  SELECT id_b FROM pairs WHERE id_a >= 250 AND id_b >= 250
+          |)
+          |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -102,6 +102,59 @@ object Curation {
     else Sampling.hashSample(deduped, idCol, sampleRate, seed)
   }
 
+  /** Ingest-batch curation against a STANDING corpus — the
+    * steady-state form of [[curateNear]]: the new batch is gated
+    * (language / quality / length, one fused filter), then near-dup'd
+    * INCREMENTALLY via [[Dedup.incrementalLshPairs]] against the
+    * corpus's persisted [[Dedup.lshBandIndex]] — the standing corpus
+    * is never re-hashed or re-paired. Drop rule: a batch doc loses to
+    * ANY corpus doc it near-dups (the standing corpus always wins —
+    * it is already curated), and within the batch the smaller id wins
+    * each pair. Returns the batch survivors with `n_tokens` and
+    * `quality` attached, like [[curate]].
+    *
+    * Plan shape at 100 TB: gates fuse into the batch scan; the pair
+    * stage is batch-linear (broadcast-semi index probe, pushed-id
+    * text fetch); the side-tagging joins run pairs×batch-ids (AQE
+    * broadcasts the small side) and the final anti-join streams the
+    * gated batch against the small drop set. Nothing corpus-sized
+    * moves at any point. */
+  def curateIncremental(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpusBands: DataFrame,
+      corpusTexts: DataFrame,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Long = 10000L,
+      portableHash: Boolean = true
+  ): DataFrame = {
+    val gated = gate(newDocs, textCol, lang, minQuality, minTokens, maxTokens)
+    val pairs = Dedup.incrementalLshPairs(
+      gated, textCol, idCol, corpusBands, corpusTexts,
+      numHashes, bands, shingleWidth, threshold, maxBucket, portableHash)
+    val ids = gated.select(col(idCol).as("_bid"))
+    // tag each pair side with batch membership (every pair touches
+    // the batch by construction; a null tag means that side is the
+    // standing corpus)
+    val sided = pairs
+      .join(ids.select(col("_bid").as("id_a"), lit(true).as("_a_new")),
+        Seq("id_a"), "left")
+      .join(ids.select(col("_bid").as("id_b"), lit(true).as("_b_new")),
+        Seq("id_b"), "left")
+    val drops = sided.select(
+      when(col("_a_new").isNotNull && col("_b_new").isNull, col("id_a"))
+        .otherwise(col("id_b")).as("_dup_id")).distinct()
+    gated.join(drops, gated(idCol) === col("_dup_id"), "left_anti")
+  }
+
   /** Per-stratum corpus profile — the diagnostic a mixing decision
     * reads before [[Sampling.stratifiedHashSample]] sets weights:
     * for each stratum (source, lang, …) the doc count, token total,

@@ -201,6 +201,31 @@ class PipelineSpec extends SparkSpec {
       s"diag must count the COMBINED population: ${cappedRows.mkString(",")}")
   }
 
+  test("curateIncremental: corpus wins side-aware, min id wins in batch") {
+    // ids chosen so ID ORDER CONTRADICTS the sides: the batch doc (10)
+    // is smaller than its corpus near-dup partner (500) — a naive
+    // "drop the greater id" would keep the batch doc and evict the
+    // standing corpus doc. The rule must be side-aware.
+    val base = "the system reads the data and the index stores the " +
+      "results and the pipeline writes the tables and the queries scan " +
+      "the segments while the workers merge the"
+    val corpus = Seq((500L, s"$base output")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, s"$base outputs"), // near-dups corpus 500 → dropped
+      (20L, s"unique first batch document where the engine and the planner choose the join order and the broadcast side for the query"),
+      (21L, s"unique first batch document where the engine and the planner choose the join order and the broadcast side for the queries"), // near-dups 20 → dropped
+      (30L, s"entirely different content where the scheduler and the executor exchange the shuffle blocks and the reducer combines the partial sums")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.curateIncremental(
+      fresh, "text", "doc_id",
+      corpusBands = Dedup.lshBandIndex(corpus, "text", "doc_id", 8, 4),
+      corpusTexts = corpus,
+      minQuality = 0.0, minTokens = 1,
+      numHashes = 8, bands = 4, threshold = 0.35)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(20L, 30L), s"survivors $ids")
+  }
+
   test("connected components: chain, triangle, singleton-free") {
     // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
     // triangle 10-11-12, isolated pair 20-21
