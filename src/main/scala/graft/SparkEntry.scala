@@ -1598,6 +1598,18 @@ object SparkEntry {
         numHashes = 8, bands = 4, threshold = 0.35)
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
+    }),
+
+    // the exact tier of incremental ingest dedup: batch docs whose
+    // normalized fingerprint already exists in the standing half's
+    // index are dropped; within the batch, min id per group survives
+    "q105_incremental_exact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalExactDedup(
+        docs.where(col("doc_id") >= 250), "text", "doc_id",
+        Dedup.fingerprintIndex(docs.where(col("doc_id") < 250), "text"))
+        .select("doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -3049,6 +3061,20 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT id_b FROM pairs WHERE id_a >= 250 AND id_b >= 250
           |)
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin),
+
+    "q105_incremental_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents
+        |), batch AS (
+        |  SELECT doc_id, f, min(doc_id) OVER (PARTITION BY f) AS canon
+        |  FROM fp WHERE doc_id >= 250
+        |)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id = canon
+        |  AND f NOT IN (SELECT f FROM fp WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -78,6 +78,49 @@ object Dedup {
     df.join(groups, Seq(idCol), "left_semi")
   }
 
+  /** The persistable EXACT-dedup index: one normalized-md5
+    * `fingerprint` per distinct corpus content (~16 bytes a doc on
+    * disk). The exact tier's twin of [[lshBandIndex]]: write once per
+    * corpus, and every ingest batch drops its exact dups via
+    * [[incrementalExactDedup]] without touching corpus text again. */
+  def fingerprintIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+
+  /** INCREMENTAL exact dedup: batch survivors after dropping (a) docs
+    * whose normalized fingerprint exists in the standing corpus's
+    * [[fingerprintIndex]] — the corpus copy always wins — and (b)
+    * non-canonical members of within-batch groups (min id wins, as in
+    * [[exactDedup]]). Runs the EXACT tier of an ingest pipeline before
+    * [[incrementalLshPairs]] handles the near-dups.
+    *
+    * Plan shape at 100 TB: one batch-keyed groupBy for within-batch
+    * canon, then one anti-join of the batch's distinct fingerprints
+    * against the index — batch-side keys are a tiny fraction of the
+    * index, so AQE broadcasts them and the index streams by without a
+    * shuffle; nothing corpus-sized moves. */
+  def incrementalExactDedup(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpusFingerprints: DataFrame
+  ): DataFrame = {
+    val withFp = newDocs
+      .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+    val canon = withFp
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as("_canon_id"))
+      .join(corpusFingerprints
+          .select(col("fingerprint").as("_fp")),
+        Seq("_fp"), "left_anti")
+    withFp
+      .join(canon,
+        withFp("_fp") === canon("_fp") &&
+          withFp(idCol) === canon("_canon_id"),
+        "left_semi")
+      .drop("_fp")
+  }
+
   /** Mersenne modulus for the universal-hash family (2^61 - 1). */
   val HashP: Long = 2305843009213693951L
 

@@ -201,6 +201,21 @@ class PipelineSpec extends SparkSpec {
       s"diag must count the COMBINED population: ${cappedRows.mkString(",")}")
   }
 
+  test("incremental exact dedup: corpus fingerprints win, batch canon by min id") {
+    val corpus = Seq((500L, "the standing corpus document")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "The  standing corpus DOCUMENT"), // normalizes to the corpus fp → dropped
+      (20L, "a new batch document"),
+      (21L, "A NEW batch  document"), // same normalized content as 20 → dropped
+      (30L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(
+      fresh, "text", "doc_id", Dedup.fingerprintIndex(corpus, "text"))
+    assert(out.columns.toSeq == Seq("doc_id", "text"), "schema preserved")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(20L, 30L), s"survivors $ids")
+  }
+
   test("curateIncremental: corpus wins side-aware, min id wins in batch") {
     // ids chosen so ID ORDER CONTRADICTS the sides: the batch doc (10)
     // is smaller than its corpus near-dup partner (500) — a naive
