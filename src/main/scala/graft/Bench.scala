@@ -54,8 +54,26 @@ object Bench {
       System.gc()
       r
     }
-    // Stateful metrics (append, index builds, live tail) mutate the log
-    // and must run exactly once.
+    // Stateful metrics (append, index builds, live tail) mutate their
+    // target and can't repeat against the same dir — but a SINGLE
+    // reading has no noise defense, and the round-9 capture showed
+    // exactly these metrics absorbing host-window noise worst
+    // (multilog_build +48%, kvindex_build +40% on untouched code). So
+    // they run min-of-3 like the pure metrics, each run against a
+    // FRESH pre-opened dir (f receives the run index), which also
+    // keeps per-run work identical.
+    def timedStateful[A](name: String)(f: Int => A): A = {
+      var best = Double.MaxValue
+      var r: A = null.asInstanceOf[A]
+      var i = 0
+      while (i < 3) {
+        r = once(name)(f(i))
+        best = math.min(best, results(name))
+        i += 1
+      }
+      results(name) = best
+      r
+    }
     def timedOnce[A](name: String)(f: => A): A = once(name)(f)
     // Pure queries run THREE times, reporting the MIN: the round-2/3
     // driver runs recorded 50–70 s lsh_pairs outliers (host-level
@@ -91,14 +109,14 @@ object Bench {
       .append(EngineFixtures.eventValue(events.limit(100)))
 
     // 1. append throughput: ingest events into a fresh ParquetLog
-    val log = ParquetLog.open(
-      spark,
-      s"$work/log",
-      EngineFixtures.eventValue(events).schema.head.dataType
-    )
-    timedOnce("append_events") {
-      log.append(EngineFixtures.eventValue(events))
+    // (3 fresh logs, min-of-3; later metrics read the first)
+    val valueType = EngineFixtures.eventValue(events).schema.head.dataType
+    val logs = (0 until 3).map(i =>
+      ParquetLog.open(spark, s"$work/log$i", valueType))
+    timedStateful("append_events") { i =>
+      logs(i).append(EngineFixtures.eventValue(events))
     }
+    val log = logs(0)
 
     // 2. sequential scan: full drain through the QuerySpec path
     timed("seq_scan")(log.query(SeqWrap(true)).count())
@@ -134,17 +152,19 @@ object Bench {
     timed("reverse_top100")(log.query(Reverse(true), Limit(100)).count())
 
     // 6. index build: multilog fan-out + KV last-write per user
-    val mlog = MultiLog.open(spark, s"$work/mlog")
-    val mcur = KVIndex.open(spark, s"$work/mcur")
-    timedOnce("multilog_build") {
+    // (fresh sink dirs per run, identical source log → min-of-3)
+    val mlogs = (0 until 3).map(i => MultiLog.open(spark, s"$work/mlog$i"))
+    val mcurs = (0 until 3).map(i => KVIndex.open(spark, s"$work/mcur$i"))
+    timedStateful("multilog_build") { i =>
       MultiLogSink.pump(
-        log, mlog, mcur,
+        log, mlogs(i), mcurs(i),
         b => b.select(col("value.event_type").as("addr"), col("seq")))
     }
-    val kv = KVIndex.open(spark, s"$work/kv")
-    timedOnce("kvindex_build") {
+    val mlog = mlogs(0)
+    val kvs = (0 until 3).map(i => KVIndex.open(spark, s"$work/kv$i"))
+    timedStateful("kvindex_build") { i =>
       SinkIndex.pump(
-        log, kv,
+        log, kvs(i),
         b => b.select(col("value.user_id").as("addr"),
           col("value.props").as("value"), col("seq").as("useq")))
     }
@@ -206,18 +226,34 @@ object Bench {
         numHashes = 16, bands = 2, threshold = 0.7,
         portableHash = false).count()
     }
+    // the EXACT tier of the same steady-state ingest: the corpus's
+    // fingerprint index is persisted once (untimed, amortized); the
+    // timed leg anti-joins one batch's fingerprints against it —
+    // nothing corpus-sized moves (AQE broadcasts the batch keys)
+    Dedup.fingerprintIndex(incCorpus, "text")
+      .write.mode("overwrite").parquet(s"$work/fpidx")
+    timed("incremental_exact") {
+      Dedup.incrementalExactDedup(
+        incBatch, "text", "doc_id",
+        spark.read.parquet(s"$work/fpidx")).count()
+    }
     timed("simhash")(Dedup.simhash32(docs, "text", "doc_id").count())
     // the 100 TB fingerprint tier: 64 conditional-sum columns (the
     // widest agg in the engine) and 16-bit-band Hamming pairing —
     // regression-guarded here because the 32-bit numbers say nothing
     // about either
     timed("simhash64")(Dedup.simhash64(docs, "text", "doc_id").count())
+    // pairing timed over a MATERIALIZED signature frame so this metric
+    // is the banding+verify cost alone — round 9 conflated it with a
+    // recompute of simhash64, which has its own metric above
+    val sims64 = Dedup.simhash64(docs, "text", "doc_id")
+      .select(col("id"), col("simhash").as("h"))
+      .localCheckpoint(true)
     timed("hamming64_pairs") {
       Dedup.hammingPairs(
-        Dedup.simhash64(docs, "text", "doc_id")
-          .select(col("id"), col("simhash").as("h")),
-        "h", "id", maxHamming = 3, bands = 4, bits = 64).count()
+        sims64, "h", "id", maxHamming = 3, bands = 4, bits = 64).count()
     }
+    sims64.unpersist(blocking = false)
     val emb = Tables.load(spark, sfDir, "embeddings")
     val qv = emb.where(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0)

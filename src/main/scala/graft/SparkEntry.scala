@@ -1565,37 +1565,46 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
-    // incremental dedup: the corpus half's persisted lshBandIndex is
-    // probed by the new half — never corpus×corpus — and the output
-    // must equal the full batch run minus its corpus-corpus pairs
-    // (the oracle computes exactly that; q24's parameters)
+    // incremental dedup through the MANAGED DedupIndex (round 10):
+    // the corpus half is seeded into the TableStore-backed index, the
+    // new half runs one transactional ingest, and the emitted pairs —
+    // never corpus×corpus — must equal the full batch run minus its
+    // corpus-corpus pairs (the oracle computes exactly that; q24's
+    // parameters). exactTier off so every pair, jaccard-1.0 included,
+    // is emitted as in the loose-frame path.
     "q103_incremental_lsh" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val corpus = docs.where(col("doc_id") < 250)
       val fresh = docs.where(col("doc_id") >= 250)
-      Dedup.incrementalLshPairs(
-        fresh, "text", "doc_id",
-        corpusBands = Dedup.lshBandIndex(
-          corpus, "text", "doc_id", numHashes = 8, bands = 4),
-        corpusTexts = corpus.select("doc_id", "text"),
-        numHashes = 8, bands = 4, threshold = 0.35)
+      val idx = graft.dedup.DedupIndex.open(s,
+        java.nio.file.Files.createTempDirectory("graft-q103-idx").toString,
+        graft.dedup.DedupParams(numHashes = 8, bands = 4))
+      idx.seed("corpus", corpus, "text", "doc_id")
+      idx.ingest("b1", fresh, "text", "doc_id",
+          corpusTexts = corpus.select("doc_id", "text"),
+          threshold = 0.35, exactTier = false)
+        .pairs
         .orderBy("id_a", "id_b")
     }),
 
-    // the steady-state ingest-curation entry: gate the new half, then
-    // incremental near-dup against the standing half's persisted band
-    // index — corpus docs always win their pairs, smaller id wins
-    // within the batch; corpus×corpus is never paired
+    // the steady-state ingest-curation entry over the managed index:
+    // gate the new half, then one transactional DedupIndex ingest
+    // against the seeded standing half. Drop rule (round-10 unified
+    // with curateNear): components over the batch-touching pair
+    // graph — any corpus member in a cluster drops all its batch
+    // members, an all-batch cluster keeps its min id
     "q104_curate_incremental" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val corpus = docs.where(col("doc_id") < 250)
-      graft.pipeline.Curation.curateIncremental(
-        docs.where(col("doc_id") >= 250), "text", "doc_id",
-        corpusBands = Dedup.lshBandIndex(
-          corpus, "text", "doc_id", numHashes = 8, bands = 4),
+      val idx = graft.dedup.DedupIndex.open(s,
+        java.nio.file.Files.createTempDirectory("graft-q104-idx").toString,
+        graft.dedup.DedupParams(numHashes = 8, bands = 4))
+      idx.seed("corpus", corpus, "text", "doc_id")
+      graft.pipeline.Curation.curateIngest(
+        idx, "b1", docs.where(col("doc_id") >= 250), "text", "doc_id",
         corpusTexts = corpus.select("doc_id", "text"),
         lang = "en", minQuality = 0.5, minTokens = 10, maxTokens = 5000,
-        numHashes = 8, bands = 4, threshold = 0.35)
+        threshold = 0.35)
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     }),
@@ -3040,11 +3049,12 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // gates over the new half, LSH pairs over (standing half UNION
-    // gated batch), then the incremental drop rule: a batch doc loses
-    // to any corpus partner (side-aware, not id-order) and to a
-    // smaller-id batch partner; corpus-internal pairs are ignored
+    // gated batch), then the round-10 unified drop rule: connected
+    // components over the BATCH-TOUCHING pairs (corpus-internal pairs
+    // are ignored); a cluster holding any corpus doc drops all its
+    // batch members, an all-batch cluster keeps its minimum id
     "q104_curate_incremental" ->
-      ("WITH " +
+      ("WITH RECURSIVE " +
         curationGateOracle(
           "(SELECT doc_id, text FROM documents WHERE doc_id >= 250)") +
         """, docsrc AS (
@@ -3053,14 +3063,27 @@ object SparkEntry {
           |), """.stripMargin +
         lshPairsCtes.stripPrefix("WITH ")
           .replace("FROM documents", "FROM docsrc") +
-        """
-          |SELECT doc_id, n_tokens, quality FROM gated
-          |WHERE doc_id NOT IN (
-          |  SELECT CASE WHEN id_a >= 250 THEN id_a ELSE id_b END
-          |  FROM pairs WHERE (id_a < 250) <> (id_b < 250)
-          |  UNION ALL
-          |  SELECT id_b FROM pairs WHERE id_a >= 250 AND id_b >= 250
+        """, tpairs AS (
+          |  SELECT id_a, id_b FROM pairs WHERE id_a >= 250 OR id_b >= 250
+          |), tedges AS (
+          |  SELECT id_a AS a, id_b AS b FROM tpairs
+          |  UNION ALL SELECT id_b, id_a FROM tpairs
+          |), reach(id, r) AS (
+          |  SELECT a, a FROM (SELECT DISTINCT a FROM tedges)
+          |  UNION
+          |  SELECT reach.id, e.b FROM reach JOIN tedges e ON e.a = reach.r
+          |), comp AS (
+          |  SELECT id, min(r) AS component FROM reach GROUP BY id
+          |), dropids AS (
+          |  SELECT c.id FROM comp c
+          |  WHERE c.id >= 250 AND (
+          |    EXISTS (SELECT 1 FROM comp c2
+          |            WHERE c2.component = c.component AND c2.id < 250)
+          |    OR c.id > (SELECT min(c3.id) FROM comp c3
+          |               WHERE c3.component = c.component AND c3.id >= 250))
           |)
+          |SELECT doc_id, n_tokens, quality FROM gated
+          |WHERE doc_id NOT IN (SELECT id FROM dropids)
           |ORDER BY doc_id""".stripMargin),
 
     "q105_incremental_exact" ->

@@ -195,7 +195,15 @@ object Dedup {
     * fraction of the text), and each new ingest batch probes them via
     * [[incrementalLshPairs]] instead of re-running LSH over the whole
     * corpus. Band key = md5 over the band's signature slice
-    * (oracle-portable) or xxhash64 (production). */
+    * (oracle-portable) or xxhash64 (production).
+    *
+    * INVARIANT across the persist/probe boundary: a probe is only
+    * meaningful against an index built with the SAME `numHashes`,
+    * `bands`, `shingleWidth` and `portableHash` — different parameters
+    * silently produce disjoint band keys (missing pairs), not an
+    * error. Callers persisting the raw frame own that bookkeeping;
+    * [[DedupIndex]] is the managed alternative that records the
+    * parameters next to the index and refuses a mismatched open. */
   def lshBandIndex(
       df: DataFrame,
       textCol: String,
@@ -319,16 +327,56 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Long = 10000L,
       portableHash: Boolean = true,
-      maxPushedFetchIds: Long = 100000L
+      maxPushedFetchIds: Long = 100000L,
+      maxBroadcastProbeKeys: Long = 4000000L
   ): (DataFrame, DataFrame) = {
+    // The batch is banded ONCE and materialized (executor-local
+    // blocks): the probe keys, the tagged union and — on the
+    // DedupIndex path — the index append all reuse it without
+    // re-running shingle→minhash over the batch.
     val newBands = lshBandIndex(
       newDocs, textCol, idCol, numHashes, bands, shingleWidth, portableHash)
+      .localCheckpoint(true)
+    incrementalFromBands(newBands,
+      newDocs.select(col(idCol), col(textCol)), textCol, idCol,
+      corpusBands, corpusTexts, shingleWidth, threshold, maxBucket,
+      maxPushedFetchIds, maxBroadcastProbeKeys)
+  }
+
+  /** The probe/verify core of [[incrementalLshPairsDiag]], over an
+    * ALREADY-banded, already-materialized batch (`newBands` must be a
+    * localCheckpointed `(idCol, band, bucket)` frame — it is counted
+    * and fanned into several branches here). Exposed package-private
+    * so [[DedupIndex.ingest]] can band the batch once and reuse the
+    * same frame for its index append. */
+  private[graft] def incrementalFromBands(
+      newBands: DataFrame,
+      newTexts: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpusBands: DataFrame,
+      corpusTexts: DataFrame,
+      shingleWidth: Int,
+      threshold: Double,
+      maxBucket: Long,
+      maxPushedFetchIds: Long,
+      maxBroadcastProbeKeys: Long
+  ): (DataFrame, DataFrame) = {
     // Distinct probe keys are bounded by bands × |batch| — broadcast
     // them so the corpus index is semi-joined in place (no shuffle of
-    // the index, no corpus-sized movement at any point).
+    // the index, no corpus-sized movement at any point). The
+    // broadcast is COUNT-GATED like [[verifyJaccard]]'s build side:
+    // the bound is the batch's band-row count (one count over the
+    // materialized frame, distinct keys can only be fewer), and an
+    // over-gate batch — a crawl of 10^8 docs would put the key set
+    // past Spark's broadcast/driver limits — degrades to a shuffled
+    // semi-join instead of hard-failing the driver.
+    val nBandRows = newBands.count()
     val probe = newBands.select("band", "bucket").distinct()
+    val probeSide =
+      if (nBandRows <= maxBroadcastProbeKeys) broadcast(probe) else probe
     val probedCorpus = corpusBands
-      .join(broadcast(probe), Seq("band", "bucket"), "left_semi")
+      .join(probeSide, Seq("band", "bucket"), "left_semi")
     val tagged = newBands
       .select(col(idCol).as("_id"), col("band"), col("bucket"),
         lit(true).as("_new"))
@@ -381,10 +429,13 @@ object Dedup {
       if (gathered.length <= maxPushedFetchIds)
         corpusTexts.where(col(idCol).isin(gathered.map(_.get(0)): _*))
       else corpusTexts
-    val texts = newDocs
+    val texts = newTexts
       .select(col(idCol), col(textCol))
       .unionByName(prunedCorpusTexts.select(col(idCol), col(textCol)))
-    (verifyJaccard(texts, textCol, idCol, candidates, shingleWidth, threshold),
+    // the candidate frame is already materialized above — hand it to
+    // the verify core directly instead of re-checkpointing it
+    (verifyJaccardOn(texts, textCol, idCol, candidates, candidates.count(),
+      shingleWidth, threshold, defaultMaxBroadcastPairs),
       capped)
   }
 
@@ -403,11 +454,12 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Long = 10000L,
       portableHash: Boolean = true,
-      maxPushedFetchIds: Long = 100000L
+      maxPushedFetchIds: Long = 100000L,
+      maxBroadcastProbeKeys: Long = 4000000L
   ): DataFrame =
     incrementalLshPairsDiag(newDocs, textCol, idCol, corpusBands,
       corpusTexts, numHashes, bands, shingleWidth, threshold, maxBucket,
-      portableHash, maxPushedFetchIds)._1
+      portableHash, maxPushedFetchIds, maxBroadcastProbeKeys)._1
 
   /** Exact n-gram Jaccard over candidate pairs, as a pair join: fetch
     * both documents' texts, then compute `|A∩B| / (|A|+|B|-|A∩B|)`
@@ -437,10 +489,8 @@ object Dedup {
       candidates: DataFrame,
       shingleWidth: Int,
       threshold: Double,
-      maxBroadcastPairs: Long = 1000000L
+      maxBroadcastPairs: Long = defaultMaxBroadcastPairs
   ): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
-    val b = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
     // Count-gated broadcast for the text-attachment join: the slim
     // candidate frame is always broadcast, but candidate×text is
     // data-dependent — broadcast it only while the COUNTED pair set
@@ -454,7 +504,30 @@ object Dedup {
     // probe data put that re-run at ~40% of verify cost. Blocks are
     // freed by the ContextCleaner with the plan.
     val slim = candidates.localCheckpoint(true)
-    val nPairs = slim.count()
+    verifyJaccardOn(df, textCol, idCol, slim, slim.count(),
+      shingleWidth, threshold, maxBroadcastPairs)
+  }
+
+  /** Default gate for [[verifyJaccard]]'s candidate×text broadcast. */
+  val defaultMaxBroadcastPairs: Long = 1000000L
+
+  /** [[verifyJaccard]]'s join/verify core over an ALREADY-materialized
+    * candidate frame (`slim` must be localCheckpointed and `nPairs` its
+    * count) — callers that checkpointed the candidates for their own
+    * gates ([[incrementalFromBands]]) enter here so the same slim
+    * frame is never materialized twice per run. */
+  private[graft] def verifyJaccardOn(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      slim: DataFrame,
+      nPairs: Long,
+      shingleWidth: Int,
+      threshold: Double,
+      maxBroadcastPairs: Long
+  ): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
     val withA = a.join(broadcast(slim), Seq("id_a"))
     val pairs =
       if (nPairs <= maxBroadcastPairs) b.join(broadcast(withA), Seq("id_b"))
@@ -594,6 +667,48 @@ object Dedup {
     }
     sym.unpersist(blocking = false)
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** The ingest-batch drop set given its batch-touching near-dup pair
+    * graph: connected components over ALL pairs (corpus and batch
+    * nodes together); in a cluster containing any CORPUS doc every
+    * batch member drops (the standing corpus always wins — it is
+    * already curated); in an all-batch cluster the minimum id
+    * survives. Returns one `_dup_id` column.
+    *
+    * This is the SAME components + min-canonical policy as
+    * [[clusterSurvivors]] / `Curation.curateNear`, applied to the
+    * incremental shape — unified in round 10: the previous pairwise
+    * min-id-partner rule diverged from the components rule on
+    * transitive chains (ids c &lt; a &lt; b with pairs (a,b),(b,c):
+    * pairwise kept BOTH a and c, components keeps only c), so a
+    * rolling ingest could admit docs the equivalent batch
+    * `curateNear` run would drop.
+    *
+    * Scale: components run on the PAIRS graph only (≪ batch); the
+    * batch-id tag join is pairs-graph × batch-ids — AQE broadcasts
+    * the smaller side. */
+  def incrementalDropIds(
+      pairs: DataFrame,
+      batchIds: DataFrame,
+      idCol: String
+  ): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val tagged = comp.join(
+      batchIds.select(col(idCol).cast("long").as("id"),
+        lit(true).as("_new")),
+      Seq("id"), "left")
+    val byCluster = tagged
+      .groupBy("component")
+      .agg(
+        max(when(col("_new").isNull, lit(1)).otherwise(lit(0)))
+          .as("_has_corpus"),
+        min(when(col("_new").isNotNull, col("id"))).as("_min_new"))
+    tagged
+      .join(byCluster, Seq("component"))
+      .where(col("_new").isNotNull &&
+        (col("_has_corpus") === 1 || col("id") =!= col("_min_new")))
+      .select(col("id").as("_dup_id"))
   }
 
   /** Near-dup retention: drop every clustered doc except its

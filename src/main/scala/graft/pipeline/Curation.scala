@@ -107,10 +107,13 @@ object Curation {
     * (language / quality / length, one fused filter), then near-dup'd
     * INCREMENTALLY via [[Dedup.incrementalLshPairs]] against the
     * corpus's persisted [[Dedup.lshBandIndex]] — the standing corpus
-    * is never re-hashed or re-paired. Drop rule: a batch doc loses to
-    * ANY corpus doc it near-dups (the standing corpus always wins —
-    * it is already curated), and within the batch the smaller id wins
-    * each pair. Returns the batch survivors with `n_tokens` and
+    * is never re-hashed or re-paired. Drop rule
+    * ([[Dedup.incrementalDropIds]], the SAME components+min-canonical
+    * policy as [[curateNear]], unified in round 10): connected
+    * components over the batch-touching pair graph; a cluster holding
+    * any corpus doc drops all its batch members (the standing corpus
+    * always wins — it is already curated), an all-batch cluster keeps
+    * its minimum id. Returns the batch survivors with `n_tokens` and
     * `quality` attached, like [[curate]].
     *
     * Plan shape at 100 TB: gates fuse into the batch scan; the pair
@@ -140,19 +143,39 @@ object Curation {
     val pairs = Dedup.incrementalLshPairs(
       gated, textCol, idCol, corpusBands, corpusTexts,
       numHashes, bands, shingleWidth, threshold, maxBucket, portableHash)
-    val ids = gated.select(col(idCol).as("_bid"))
-    // tag each pair side with batch membership (every pair touches
-    // the batch by construction; a null tag means that side is the
-    // standing corpus)
-    val sided = pairs
-      .join(ids.select(col("_bid").as("id_a"), lit(true).as("_a_new")),
-        Seq("id_a"), "left")
-      .join(ids.select(col("_bid").as("id_b"), lit(true).as("_b_new")),
-        Seq("id_b"), "left")
-    val drops = sided.select(
-      when(col("_a_new").isNotNull && col("_b_new").isNull, col("id_a"))
-        .otherwise(col("id_b")).as("_dup_id")).distinct()
+    val drops =
+      Dedup.incrementalDropIds(pairs, gated.select(col(idCol)), idCol)
     gated.join(drops, gated(idCol) === col("_dup_id"), "left_anti")
+  }
+
+  /** [[curateIncremental]] over a MANAGED [[graft.dedup.DedupIndex]]:
+    * gate the batch, then one transactional
+    * [[graft.dedup.DedupIndex.ingest]] — probe, survivor rule, and
+    * the index advance (the batch's bands + fingerprints) as a single
+    * versioned commit, crash-replayable exactly once. The production
+    * entry point for a standing ingest pipeline; `curateIncremental`
+    * remains for callers managing loose band frames themselves.
+    * Returns the admitted batch rows with `n_tokens` and `quality`
+    * attached. */
+  def curateIngest(
+      index: graft.dedup.DedupIndex,
+      batchId: String,
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpusTexts: DataFrame,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      threshold: Double = 0.5,
+      maxBucket: Long = 10000L
+  ): DataFrame = {
+    val gated = gate(newDocs, textCol, lang, minQuality, minTokens, maxTokens)
+    index
+      .ingest(batchId, gated, textCol, idCol, corpusTexts, threshold,
+        maxBucket)
+      .admitted
   }
 
   /** Per-stratum corpus profile — the diagnostic a mixing decision

@@ -88,9 +88,30 @@ object IncrementalProbe {
           numHashes = 16, bands = 2, threshold = 0.7,
           portableHash = false).count()
       }
+      // the EXACT tier, same two arms: a full re-run fingerprints the
+      // whole corpus every ingest; the incremental probe anti-joins
+      // the batch's fingerprints against the persisted index, so its
+      // growth is the index scan alone (the flat-slope claim of
+      // Dedup.incrementalExactDedup, measured)
+      val fpDir = s"$work/fp$copies"
+      val tFp0 = System.nanoTime()
+      Dedup.fingerprintIndex(corpus, "text")
+        .write.mode("overwrite").parquet(fpDir)
+      val tFpIdx = (System.nanoTime() - tFp0) / 1e9
+      val (tExFull, nExFull) = minOf {
+        Dedup.exactDedup(corpus.unionByName(batch), "text", "doc_id")
+          .where(col("doc_id") >= 900000000L).count()
+      }
+      val (tExInc, nExInc) = minOf {
+        Dedup.incrementalExactDedup(batch, "text", "doc_id",
+          spark.read.parquet(fpDir)).count()
+      }
       println(f"== ${copies}x corpus=$nCorpus idx_build=$tIdx%.2f s " +
         f"full_rerun=$tFull%.2f s ($nFull pairs) " +
         f"incremental=$tInc%.2f s ($nInc pairs)")
+      println(f"== ${copies}x exact: fp_idx_build=$tFpIdx%.2f s " +
+        f"full_rerun=$tExFull%.2f s ($nExFull survivors) " +
+        f"incremental=$tExInc%.2f s ($nExInc survivors)")
       corpus.unpersist()
     }
     spark.stop()
