@@ -23,6 +23,17 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * `ts div 1000` — integers on both sides for any generation.
   */
 object Tables {
+  /** NOTE — session-wide contract, not a scoped setting: `load` pins
+    * `nanosAsLong` and a UTC session timezone on the GIVEN session
+    * (graft's entry points — Bench/Verify/Demo and the test harness —
+    * already construct their sessions with both; this set is the
+    * defensive choke point for driver-OWNED sessions handed to
+    * `SparkEntry.entry`). UTC-at-load is load-bearing for the NTZ→
+    * instant cast below: the Cast captures the session timezone at
+    * analysis, so it must be UTC BEFORE the projection is built.
+    * Callers embedding graft in a session that deliberately runs a
+    * non-UTC `spark.sql.session.timeZone` should load graft tables
+    * through a separate session. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

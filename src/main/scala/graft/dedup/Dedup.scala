@@ -308,11 +308,15 @@ object Dedup {
     * `(idCol, textCol)` fetch side for exact-Jaccard verification.
     * The candidate frame is materialized eagerly (localCheckpoint,
     * like [[verifyJaccard]]'s gate) and its distinct ids — bounded by
-    * 2× the batch-linear pair count — are pushed into the corpus
-    * text scan as an IN filter when ≤ `maxPushedFetchIds`: at
-    * warehouse scale that is row-group skipping over the id-sorted
-    * corpus instead of decoding every text per ingest (full-scan
-    * fallback above the gate — one columnar pass, never a shuffle).
+    * 2× the batch-linear pair count — prune the corpus text scan in
+    * three tiers: a pushed IN literal while the set is small
+    * (row-group skipping over an id-sorted corpus; literal planning
+    * cost is linear in n, so the tier is capped at `maxInLiteralIds`),
+    * a broadcast semi-join of the candidate-id frame up to
+    * `maxPushedFetchIds` (O(1) plan, zero shuffle — measured 6.5×
+    * faster than the 100k-literal IN, whose pushed form degrades to a
+    * no-op min/max range filter anyway), and a full scan above the
+    * gate — one columnar pass, never a shuffle.
     * Returns `(pairs, capped)`: pairs as in [[minhashLshPairs]]
     * (`id_a < id_b`, jaccard >= threshold, at least one side new). */
   def incrementalLshPairsDiag(
@@ -328,7 +332,8 @@ object Dedup {
       maxBucket: Long = 10000L,
       portableHash: Boolean = true,
       maxPushedFetchIds: Long = 100000L,
-      maxBroadcastProbeKeys: Long = 4000000L
+      maxBroadcastProbeKeys: Long = 4000000L,
+      maxInLiteralIds: Long = 1000L
   ): (DataFrame, DataFrame) = {
     // The batch is banded ONCE and materialized (executor-local
     // blocks): the probe keys, the tagged union and — on the
@@ -340,7 +345,7 @@ object Dedup {
     incrementalFromBands(newBands,
       newDocs.select(col(idCol), col(textCol)), textCol, idCol,
       corpusBands, corpusTexts, shingleWidth, threshold, maxBucket,
-      maxPushedFetchIds, maxBroadcastProbeKeys)
+      maxPushedFetchIds, maxBroadcastProbeKeys, maxInLiteralIds)
   }
 
   /** The probe/verify core of [[incrementalLshPairsDiag]], over an
@@ -360,7 +365,8 @@ object Dedup {
       threshold: Double,
       maxBucket: Long,
       maxPushedFetchIds: Long,
-      maxBroadcastProbeKeys: Long
+      maxBroadcastProbeKeys: Long,
+      maxInLiteralIds: Long = 1000L
   ): (DataFrame, DataFrame) = {
     // Distinct probe keys are bounded by bands × |batch| — broadcast
     // them so the corpus index is semi-joined in place (no shuffle of
@@ -425,9 +431,24 @@ object Dedup {
     val probeLimit =
       math.min(maxPushedFetchIds + 1, Int.MaxValue.toLong).toInt
     val gathered = candIds.limit(probeLimit).collect()
+    // Three-tier text fetch, gates set from the round-10 InGateProbe
+    // (100 k-row corpus, local[32]): a pushed IN literal costs
+    // planning LINEAR in n (n=10k: 0.12 s plan / 0.40 s exec; n=100k:
+    // 1.24 s / 2.99 s) and past spark's parquet inFilterThreshold the
+    // pushed predicate degrades to a min/max RANGE filter — which
+    // prunes nothing when candidate ids spread across the corpus — so
+    // literals only earn their keep while the set is small. The
+    // middle tier broadcast-semi-joins the (already checkpointed)
+    // candidate-id frame instead: O(1) plan size, zero shuffle,
+    // n=100k exec 0.46 s vs 2.99 s. Above the fetch gate: full scan,
+    // one columnar pass.
     val prunedCorpusTexts =
-      if (gathered.length <= maxPushedFetchIds)
+      if (gathered.length <= maxInLiteralIds)
         corpusTexts.where(col(idCol).isin(gathered.map(_.get(0)): _*))
+      else if (gathered.length <= maxPushedFetchIds)
+        corpusTexts.join(
+          broadcast(candIds.select(col("_cid").as(idCol))),
+          Seq(idCol), "left_semi")
       else corpusTexts
     val texts = newTexts
       .select(col(idCol), col(textCol))
@@ -455,11 +476,13 @@ object Dedup {
       maxBucket: Long = 10000L,
       portableHash: Boolean = true,
       maxPushedFetchIds: Long = 100000L,
-      maxBroadcastProbeKeys: Long = 4000000L
+      maxBroadcastProbeKeys: Long = 4000000L,
+      maxInLiteralIds: Long = 1000L
   ): DataFrame =
     incrementalLshPairsDiag(newDocs, textCol, idCol, corpusBands,
       corpusTexts, numHashes, bands, shingleWidth, threshold, maxBucket,
-      portableHash, maxPushedFetchIds, maxBroadcastProbeKeys)._1
+      portableHash, maxPushedFetchIds, maxBroadcastProbeKeys,
+      maxInLiteralIds)._1
 
   /** Exact n-gram Jaccard over candidate pairs, as a pair join: fetch
     * both documents' texts, then compute `|A∩B| / (|A|+|B|-|A∩B|)`

@@ -133,6 +133,39 @@ class PipelineSpec extends SparkSpec {
       s"candidate ids must push into the corpus text scan:\n$pairsPlan")
   }
 
+  test("incremental LSH: text-fetch middle tier is a broadcast semi-join") {
+    // above maxInLiteralIds (forced to 0 here) but under the fetch
+    // gate, the candidate ids must prune the corpus text scan via a
+    // BROADCAST semi-join of the candidate-id frame — O(1) plan size
+    // instead of an n-ary IN literal (round-10 InGateProbe: at n=100k
+    // the IN plan costs 1.24 s planning / 2.99 s exec vs 0.46 s for
+    // the semi-join) — and the result must be identical
+    val corpus = docs.where(col("doc_id") < 250)
+    val fresh = docs.where(col("doc_id") >= 250)
+    val idxDir = tmpDir("graft-lshmid-")
+    Dedup.lshBandIndex(corpus, "text", "doc_id", 8, 4)
+      .write.mode("overwrite").partitionBy("band").parquet(idxDir)
+    def run(maxIn: Long) = Dedup.incrementalLshPairs(
+      fresh, "text", "doc_id",
+      corpusBands = spark.read.parquet(idxDir),
+      corpusTexts = corpus.select("doc_id", "text"),
+      numHashes = 8, bands = 4, threshold = 0.35,
+      maxInLiteralIds = maxIn)
+    val mid = run(maxIn = 0L)
+    val got = mid.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = run(maxIn = 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"tiers diverge: extra=${got -- want}, " +
+      s"missing=${want -- got}")
+    assert(want.nonEmpty, "no batch-touching pairs — vacuous")
+    val plan = mid.queryExecution.executedPlan.toString
+    assert(!plan.contains("In(doc_id"),
+      s"middle tier must not build an IN literal:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate ids must broadcast-semi-prune the text fetch:\n$plan")
+  }
+
   test("incremental LSH: rolling ingest — probe, append bands, probe again") {
     // the full production cycle across TWO ingests: batch1 probes the
     // corpus index, its own bands are APPENDED to the index (the
