@@ -21,6 +21,8 @@ import graft.functions.{VecOps, WordShingles}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // ordered log drains plan shuffle-free (see plans.OrderedLogScan)
+    ext.injectPlannerStrategy(_ => graft.plans.OrderedLogScan)
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (

@@ -226,13 +226,23 @@ final class GraftLogScanBuilder(
     maxBytesPerTrigger: Option[Long] = None,
     maxSegmentsPerTrigger: Option[Int] = None
 ) extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var lower = Long.MinValue
   private var upper = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
   private var pruned: StructType = schema
+  private var topN: Option[(Int, Boolean)] = None // (n, descending)
 
+  /** Seq bounds are pushed EXACTLY: the reader enforces them
+    * row-level (boundary partitions carry `loSeq`/`hiSeq` cuts; the
+    * vectorized path cuts POSITIONALLY via the dense-seq row-index
+    * mapping), so accepted bounds are not returned as residuals —
+    * Spark plans no re-filter and may prune `seq` itself from the
+    * read schema. Exactness is what makes limit/top-N pushdown
+    * composable with bounds below. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
       case GreaterThan("seq", v: Long) => lower = math.max(lower, v + 1); true
@@ -243,26 +253,80 @@ final class GraftLogScanBuilder(
         lower = math.max(lower, v); upper = math.min(upper, v); true
       case _ => false
     }
-    filters // all residual: pruning only, Spark re-applies row-level
+    filters.filterNot(accepted.contains)
   }
 
   override def pushedFilters(): Array[Filter] = accepted
+
+  /** Plain limit-n: any n rows satisfy the contract; the dense-seq
+    * cut in [[build]] delivers the FIRST n (deterministic bonus) and
+    * plans only the covering segments. */
+  override def pushLimit(n: Int): Boolean = {
+    topN = Some((n, false)); true
+  }
+
+  /** Top-N by `seq`: over a DENSE log, the top n ascending are the
+    * seq range `[first, first+n)` and the top n descending are
+    * `(last-n, last]` — a seq-range query, not a sort. Accepted only
+    * for a single seq ordering; descending additionally reverses the
+    * planned partition order and each partition's rows, so the scan
+    * emits the exact top-N IN ORDER and Spark drops both the Sort and
+    * the Limit (`isPartiallyPushed == false`). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int
+  ): Boolean = orders match {
+    case Array(o) =>
+      o.expression match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames.sameElements(Array("seq")) =>
+          val desc = o.direction ==
+            org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+          topN = Some((n, desc))
+          true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def isPartiallyPushed(): Boolean = false
 
   /** Column pruning reaches the parquet page reads: the pruned schema
     * flows through [[GraftLogReaderFactory]] into
     * [[graft.storage.SegmentRecords.iterator]]'s requested-schema
     * projection, so `select(seq)` over a log with fat values never
-    * fetches the value column chunks. Spark keeps `seq` in the
-    * required set whenever a residual seq filter needs it. */
+    * fetches the value column chunks. With exact bound pushdown, a
+    * bounded `select(value)` scan reads ONLY the value chunks — the
+    * row reader re-reads `seq` internally for its range check, the
+    * vectorized reader cuts positionally and never needs it. */
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the table's field order (parquet projection builds the
     // read schema from these fields; order must match the file)
     pruned = StructType(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
-    new GraftLogScan(dir, pruned, lower, upper, maxPartitionBytesOpt,
-      maxSeqsPerTrigger, maxBytesPerTrigger, maxSegmentsPerTrigger)
+  override def build(): Scan = {
+    // fold a pushed limit/top-N into the seq bounds (dense seqs: the
+    // answer is a contiguous seq range, resolved against the manifest
+    // ONCE at planning — concurrent appends can't shift it)
+    var lo = lower
+    var up = upper
+    var desc = false
+    topN.foreach { case (n, d) =>
+      desc = d
+      Manifest.load(dir).filter(_.segments.nonEmpty).foreach { m =>
+        val effLo = math.max(lo, m.segments.map(_.minSeq).min)
+        val effHi = math.min(up, m.segments.map(_.maxSeq).max)
+        if (effLo <= effHi) {
+          if (d) lo = math.max(lo, effHi - n + 1)
+          else up = math.min(up, effLo + n - 1)
+        }
+      }
+    }
+    new GraftLogScan(dir, pruned, lo, up, maxPartitionBytesOpt,
+      maxSeqsPerTrigger, maxBytesPerTrigger, maxSegmentsPerTrigger,
+      descending = desc)
+  }
 }
 
 /** One input partition = a PACKED run of adjacent segments (their
@@ -286,7 +350,11 @@ final case class LogSegmentPartition(
     // byte subrange of a SINGLE oversized file (row-group-aligned
     // split, see SegmentPacking.splitSegment); (0, MaxValue) = whole
     splitStart: Long = 0L,
-    splitEnd: Long = Long.MaxValue
+    splitEnd: Long = Long.MaxValue,
+    // emit rows seq-DESCENDING (pushed top-N by seq desc): the reader
+    // buffers this partition's qualifying rows (bounded by the top-N
+    // cut) and reverses
+    reversed: Boolean = false
 ) extends InputPartition {
   def isSplit: Boolean = splitStart != 0L || splitEnd != Long.MaxValue
   def byteRange: Option[(Long, Long)] =
@@ -505,8 +573,13 @@ final class GraftLogScan(
     maxPartitionBytesOpt: Option[String] = None,
     maxSeqsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxSegmentsPerTrigger: Option[Int] = None
+    maxSegmentsPerTrigger: Option[Int] = None,
+    descending: Boolean = false
 ) extends Scan with Batch with SupportsReportStatistics {
+
+  /** True when a pushed top-N-by-seq-desc turned this into a reversed
+    * tail read (see [[GraftLogScanBuilder.pushTopN]]). */
+  def isDescending: Boolean = descending
 
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
@@ -537,16 +610,24 @@ final class GraftLogScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val segs = surviving
-    SegmentPacking
+    val parts = SegmentPacking
       .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs))
       // splits carry exact per-run seq bounds, so pushed seq bounds
       // prune them the same way they pruned whole segments above
       .filter(g => g.maxSeq >= lower && g.minSeq <= upper)
       .map { g =>
+        // exact pushdown: only BOUNDARY partitions carry a row cut;
+        // interior ones stay wide open (and columnar-eligible without
+        // slicing)
         LogSegmentPartition(dir, g.paths, g.minSeq, g.maxSeq,
-          splitStart = g.splitStart, splitEnd = g.splitEnd)
+          loSeq = if (g.minSeq < lower) lower else Long.MinValue,
+          hiSeq = if (g.maxSeq > upper) upper else Long.MaxValue,
+          splitStart = g.splitStart, splitEnd = g.splitEnd,
+          reversed = descending)
       }
-      .toArray[InputPartition]
+    // descending: highest seqs first, so downstream partition-index
+    // order (collect, take) sees the global descending order
+    (if (descending) parts.reverse else parts).toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -554,7 +635,8 @@ final class GraftLogScan(
 
   override def description(): String =
     s"graft-log $dir seq∈[${if (lower == Long.MinValue) "-∞" else lower}, " +
-      s"${if (upper == Long.MaxValue) "∞" else upper}]"
+      s"${if (upper == Long.MaxValue) "∞" else upper}]" +
+      (if (descending) " order=seq DESC" else "")
 
   override def toMicroBatchStream(
       checkpointLocation: String
@@ -737,19 +819,22 @@ final class GraftLogReaderFactory(
 ) extends PartitionReaderFactory {
 
   /** Columnar (vectorized, [[org.apache.spark.sql.vectorized
-    * .ColumnarBatch]]) reads for the batch scan path: partition bounds
-    * wide open (a batch plan leaves them so — Spark re-applies the
-    * residual seq filters row-level above the scan) and every
-    * requested column an atomic type the vectorized decoder handles.
-    * Range-cut streaming micro-batches and nested value schemas stay
-    * on the row reader. The predicate depends only on (bounds,
-    * schema), so it is uniform across one scan's partitions — Spark
-    * requires all-or-nothing. `spark.graft.columnar.enabled=false`
+    * .ColumnarBatch]]) reads whenever every requested column is an
+    * atomic type the vectorized decoder handles. For `seq` logs a
+    * partition's `loSeq`/`hiSeq` cut (bounded batch scans, streaming
+    * micro-batches) stays vectorized: dense seqs map the cut to an
+    * exact ROW-INDEX range, applied positionally by
+    * [[SegmentBatches.VectorizedSegmentsReader]] without decoding
+    * `seq`. Reversed (pushed top-N desc) partitions and `_ver` cuts
+    * (versions aren't dense per row) use the row reader — both
+    * conditions are uniform across one scan's partitions, which Spark
+    * requires (all-or-nothing). `spark.graft.columnar.enabled=false`
     * (session conf, read at planning) forces the row path for A/B. */
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val seg = p.asInstanceOf[LogSegmentPartition]
-    columnar && seg.loSeq == Long.MinValue && seg.hiSeq == Long.MaxValue &&
-    SegmentBatches.supported(schema)
+    columnar && !seg.reversed && SegmentBatches.supported(schema) &&
+    (filterCol == "seq" ||
+      (seg.loSeq == Long.MinValue && seg.hiSeq == Long.MaxValue))
   }
 
   override def createColumnarReader(
@@ -757,14 +842,20 @@ final class GraftLogReaderFactory(
   ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val seg = p.asInstanceOf[LogSegmentPartition]
     val planned = seg.paths.map(java.nio.file.Paths.get(_))
-    if (planned.forall(java.nio.file.Files.exists(_)))
+    if (planned.forall(java.nio.file.Files.exists(_))) {
       // fast path: committed segment contents are within the
       // partition's seq range by the dense-seq invariant (for a
-      // byte-range split, the range itself bounds the rows), so no
-      // row-level range check is needed — pure vectorized decode
+      // byte-range split, the range itself bounds the rows); a
+      // loSeq/hiSeq cut becomes a positional row-index range
+      val lo = math.max(seg.loSeq, seg.minSeq)
+      val hi = math.min(seg.hiSeq, seg.maxSeq)
+      val rowRange =
+        if (lo > seg.minSeq || hi < seg.maxSeq)
+          Some((lo - seg.minSeq, hi - seg.minSeq + 1))
+        else None
       new SegmentBatches.VectorizedSegmentsReader(planned, schema,
-        seg.byteRange)
-    else
+        seg.byteRange, rowRange)
+    } else
       // a concurrent rewrite replaced a planned file: the ROW reader
       // owns re-resolution + range filtering + the _ver fold refusal
       // (spec-pinned); repack its rows so the committed-columnar plan
@@ -829,7 +920,7 @@ final class GraftLogReaderFactory(
           .filter(s => s.maxSeq >= lo && s.minSeq <= hi)
           .map(s => java.nio.file.Paths.get(seg.dir, s.path))
       }
-    new PartitionReader[InternalRow] {
+    val forward = new PartitionReader[InternalRow] {
       private val remaining = files.iterator
       private var it: SegmentRecords.ClosingInternalRowIterator = null
       private val colIdx = readSchema.fieldIndex(filterCol)
@@ -863,5 +954,29 @@ final class GraftLogReaderFactory(
       override def get(): InternalRow = current
       override def close(): Unit = if (it != null) it.close()
     }
+    if (!seg.reversed) forward
+    else
+      // pushed top-N desc: emit this partition's qualifying rows in
+      // reverse seq order. Rows are buffered once (they are
+      // freshly-allocated GenericInternalRows — no copy needed);
+      // memory is bounded by the top-N cut (the bounds above admit at
+      // most the n hottest seqs across ALL partitions), and in the
+      // worst case by one partition's decoded rows — the same order
+      // as a local sort's in-memory page, without the sort.
+      new PartitionReader[InternalRow] {
+        private var buffered: Iterator[InternalRow] = null
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          if (buffered == null) {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            while (forward.next()) buf += forward.get()
+            buffered = buf.reverseIterator
+          }
+          if (buffered.hasNext) { current = buffered.next(); true }
+          else false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = forward.close()
+      }
   }
 }

@@ -60,7 +60,16 @@ final class ParquetLog private (
   def seq: Long = manifest.maxSeq
 
   /** The committed log as a DataFrame `(seq, value, nulled)`.
-    * Batch visibility is manifest-scoped: only committed segments. */
+    * Batch visibility is manifest-scoped: only committed segments.
+    *
+    * Served by the `graft-log` DSv2 connector — ONE read path for the
+    * API and `spark.read`, so every engine query gets the connector's
+    * planning: manifest-level seq pruning, segment packing with
+    * row-group-aligned splits, EXACT bound pushdown (no residual
+    * re-filter), dense-seq top-N/limit pushdown (`Reverse+Limit` is a
+    * planned tail read, not a full-log TakeOrdered), vectorized reads
+    * with positional range slicing, and the shuffle-free ordered-drain
+    * strategy ([[graft.plans.OrderedLogScan]]). */
   def toDF: DataFrame =
     if (manifest.segments.isEmpty)
       spark.createDataFrame(
@@ -68,10 +77,7 @@ final class ParquetLog private (
         rowSchema
       )
     else
-      spark.read.schema(rowSchema).parquet(segmentPaths: _*)
-
-  private def segmentPaths: Seq[String] =
-    manifest.segments.map(s => Paths.get(dir, s.path).toString)
+      spark.read.format("graft-log").load(dir)
 
   /** Append a batch of values (single `value` column) and return the
     * first assigned sequence number.
@@ -468,6 +474,10 @@ object ParquetLog {
       dir: String,
       valueType: DataType = StringType
   ): ParquetLog = {
+    // session contract (like Tables.load's UTC timezone): opening a
+    // log installs the engine's ordered-drain planner strategy —
+    // idempotent, additive, a pure physical-plan optimization
+    graft.plans.OrderedLogScan.install(spark)
     // data/ exists from open so live subscriptions (liveQuery/changes)
     // can start on an empty log, matching the reference where the
     // Changes observable is available before the first append

@@ -123,15 +123,27 @@ private[graft] object SegmentBatches {
   /** Sequential vectorized scan over a partition's packed segment
     * files: one reader per file, batches streamed through. `range`
     * (set only for single-file row-group-aligned splits) limits the
-    * decode to the split's row groups. */
+    * decode to the split's row groups. `rowRange` — a half-open
+    * `[start, end)` of ROW INDICES relative to the partition's first
+    * decoded row — cuts the stream positionally: because log seqs are
+    * DENSE, a seq cut `[lo, hi]` is exactly the row-index range
+    * `[lo - minSeq, hi - minSeq + 1)`, so a bounded or streaming
+    * micro-batch read stays on the vectorized path without ever
+    * decoding the `seq` column. Batches fully outside the cut are
+    * dropped; a boundary batch is sliced zero-copy ([[SlicedBatch]]).
+    */
   final class VectorizedSegmentsReader(
       files: Seq[Path],
       schema: StructType,
-      range: Option[(Long, Long)] = None
+      range: Option[(Long, Long)] = None,
+      rowRange: Option[(Long, Long)] = None
   ) extends PartitionReader[ColumnarBatch] {
     private val remaining = files.iterator
     private var reader: VectorizedParquetRecordReader = null
     private var batch: ColumnarBatch = null
+    private var out: ColumnarBatch = null
+    // rows decoded so far across all files (index of the NEXT row)
+    private var decoded = 0L
 
     override def next(): Boolean = {
       var advanced = false
@@ -149,14 +161,73 @@ private[graft] object SegmentBatches {
           }
         }
         if (!done) {
-          if (reader.nextBatch()) advanced = true
-          else { reader.close(); reader = null; batch = null }
+          if (reader.nextBatch()) {
+            val n = batch.numRows()
+            val first = decoded
+            decoded += n
+            rowRange match {
+              case None => out = batch; advanced = true
+              case Some((start, end)) =>
+                // overlap of [first, first+n) with [start, end)
+                val s = math.max(first, start)
+                val e = math.min(first + n, end)
+                if (s < e) {
+                  out =
+                    if (s == first && e == first + n) batch
+                    else SlicedBatch(batch, (s - first).toInt, (e - s).toInt)
+                  advanced = true
+                }
+              // else: batch entirely outside the cut — keep decoding
+              // (leading skip) or drain to EOF (trailing skip)
+            }
+          } else { reader.close(); reader = null; batch = null }
         }
       }
       advanced
     }
-    override def get(): ColumnarBatch = batch
+    override def get(): ColumnarBatch = out
     override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+  }
+
+  /** Zero-copy positional slice of a boundary batch: wraps each column
+    * in an offset view and truncates the row count. Atomic types only
+    * (all [[supported]] admits — the nested getters throw loudly). */
+  private def SlicedBatch(b: ColumnarBatch, offset: Int, len: Int): ColumnarBatch = {
+    val cols = (0 until b.numCols()).map(i =>
+      new OffsetVector(b.column(i), offset): ColumnVector)
+    new ColumnarBatch(cols.toArray, len)
+  }
+
+  /** Read-only offset view over a decoded [[ColumnVector]] — row `i`
+    * here is row `i + offset` of the base vector. Only the atomic
+    * getters are real; the base vectors stay owned (and closed) by
+    * their `VectorizedParquetRecordReader`. */
+  private final class OffsetVector(base: ColumnVector, offset: Int)
+      extends ColumnVector(base.dataType()) {
+    override def close(): Unit = () // base owned by the parquet reader
+    override def hasNull: Boolean = base.hasNull
+    override def numNulls: Int =
+      // upper bound; only used for diagnostics on this path
+      base.numNulls()
+    override def isNullAt(i: Int): Boolean = base.isNullAt(i + offset)
+    override def getBoolean(i: Int): Boolean = base.getBoolean(i + offset)
+    override def getByte(i: Int): Byte = base.getByte(i + offset)
+    override def getShort(i: Int): Short = base.getShort(i + offset)
+    override def getInt(i: Int): Int = base.getInt(i + offset)
+    override def getLong(i: Int): Long = base.getLong(i + offset)
+    override def getFloat(i: Int): Float = base.getFloat(i + offset)
+    override def getDouble(i: Int): Double = base.getDouble(i + offset)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      base.getUTF8String(i + offset)
+    override def getBinary(i: Int): Array[Byte] = base.getBinary(i + offset)
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      throw new UnsupportedOperationException("sliced read of non-atomic column")
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      throw new UnsupportedOperationException("sliced read of non-atomic column")
+    override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+      throw new UnsupportedOperationException("sliced read of non-atomic column")
+    override def getChild(i: Int): ColumnVector =
+      throw new UnsupportedOperationException("sliced read of non-atomic column")
   }
 
   /** Adapts a row-based [[PartitionReader]] to batches — the rare

@@ -516,10 +516,11 @@ class GraftLogSourceSpec extends SparkSpec {
     // projection prunes: only the requested columns reach the scan
     assert(scanSchema(all.select("value")) == Seq("value"))
     assert(scanSchema(all.select("seq")) == Seq("seq"))
-    // a residual seq filter keeps seq in the scan even when the
-    // output projects it away
+    // EXACT bound pushdown: no residual re-filter, so Spark prunes
+    // seq from the read even for a bounded projection (the reader
+    // enforces the cut — positionally on the vectorized path)
     val filtered = all.where(col("seq") >= 12 && col("seq") <= 15).select("value")
-    assert(scanSchema(filtered).contains("seq"))
+    assert(scanSchema(filtered) == Seq("value"))
     // values still correct through every pruned shape
     assert(all.select("value").collect().map(_.getInt(0)).sorted.toSeq ==
       (0 until 30))
@@ -552,7 +553,7 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(viaColumnar == (0L until 30L).map(s => (s, s.toInt)))
   }
 
-  test("columnar gate: nested values and range-cut streaming stay on the row path") {
+  test("columnar gate: nested values, reversed and _ver-cut partitions stay on the row path; seq cuts slice") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     // struct value → type gate keeps the scan row-based
@@ -564,14 +565,21 @@ class GraftLogSourceSpec extends SparkSpec {
     val df = spark.read.format("graft-log").load(dir)
     assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     assert(df.select("value.a").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
-    // a streaming micro-batch partition carries seq bounds → row path
-    val seg = graft.sources.LogSegmentPartition(dir, Nil, 0, 1, loSeq = 1)
+    // a seq range cut stays COLUMNAR (dense seqs → positional slice);
+    // a reversed (top-N desc) partition is the row path; a `_ver` cut
+    // (not dense per row) is the row path
     val fac = new graft.sources.GraftLogReaderFactory(
       StructType(Seq(StructField("seq", LongType))))
-    assert(!fac.supportColumnarReads(seg))
-    // wide-open bounds + atomic schema → columnar
+    val cut = graft.sources.LogSegmentPartition(dir, Nil, 0, 1, loSeq = 1)
+    assert(fac.supportColumnarReads(cut))
+    assert(!fac.supportColumnarReads(cut.copy(reversed = true)))
+    val verFac = new graft.sources.GraftLogReaderFactory(
+      StructType(Seq(StructField("_ver", LongType))), filterCol = "_ver")
+    assert(!verFac.supportColumnarReads(cut))
+    // wide-open bounds + atomic schema → columnar on both
     val wide = graft.sources.LogSegmentPartition(dir, Nil, 0, 1)
     assert(fac.supportColumnarReads(wide))
+    assert(verFac.supportColumnarReads(wide))
   }
 
   test("columnar gate admits only types the ROW leg also handles") {

@@ -85,11 +85,14 @@ class IvfCompactSpec extends SparkSpec {
     (0 until 6).foreach(i => log.appendValues(Seq(i * 2, i * 2 + 1)))
     val before = log.checkConsistency()
     assert(before == Nil)
-    val segsBefore = log.toDF.inputFiles.length
+    // committed segment count from the manifest (toDF is a DSv2
+    // relation now, which reports no inputFiles)
+    def segCount = graft.storage.Manifest.load(log.dir).get.segments.length
+    val segsBefore = segCount
     assert(segsBefore >= 6)
     log.compact(targetRows = 100)
     assert(log.checkConsistency() == Nil)
-    val segsAfter = log.toDF.inputFiles.length
+    val segsAfter = segCount
     assert(segsAfter < segsBefore)
     // data intact and in order
     assert(

@@ -138,20 +138,24 @@ class LogSpec extends LogContractSpec {
   def openLog(valueType: DataType): Log =
     ParquetLog.open(spark, tmpDir("log"), valueType)
 
-  test("seq bounds are pushed to the parquet scan (PushedFilters)") {
+  test("seq bounds are pushed to the scan (exact, planning-time pruning)") {
     import spark.implicits._
     val log = openLog(org.apache.spark.sql.types.IntegerType)
     log.appendValues((0 until 100).toSeq)
     val q = log.query(Gte(10), Lt(20), SeqWrap(true))
     q.collect()
-    // the scan node's description carries PushedFilters (plan string —
-    // the AQE wrapper hides scan nodes from collectLeaves)
+    // the connector scan's description carries the EXACT folded bounds
+    // (no residual row-level re-filter — the reader enforces them);
+    // plan string because the AQE wrapper hides scans from collectLeaves
     val plan = q.queryExecution.executedPlan.toString
     assert(
-      plan.contains("GreaterThanOrEqual(seq,10)") &&
-        plan.contains("LessThan(seq,20)") &&
-        plan.contains("PushedFilters"),
+      plan.contains("seq∈[10, 19]"),
       s"bounds not pushed:\n$plan")
+    assert(
+      !q.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }.isDefined,
+      s"exact pushdown should plan no residual filter:\n$plan")
   }
 
   // test/simple.go "invalid querys"
