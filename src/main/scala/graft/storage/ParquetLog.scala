@@ -271,7 +271,20 @@ final class ParquetLog private (
     * Returns `(seq, value, nulled)` rows; absent seqs are simply not
     * in the result (callers needing OOB errors use [[get]]).
     * This is the Spark-idiomatic complement to the reference's
-    * one-at-a-time `Get` — at any scale, k lookups are one job. */
+    * one-at-a-time `Get` — at any scale, k lookups are one job.
+    *
+    * The predicate is TIERED by k (the IN-literal ceiling probe in
+    * BASELINE.md: a literal `isin` plan costs O(k) to build and
+    * degrades to a useless min/max range past parquet's
+    * inFilterThreshold):
+    *   - dense seqs usually coalesce point sets into few contiguous
+    *     RUNS — few enough runs become OR-of-ranges, each pushable to
+    *     row-group stats (a "read seqs 1M..1M+10k" block lookup plans
+    *     O(runs), not O(k));
+    *   - otherwise a small scattered set stays a literal `isin`;
+    *   - a large scattered set joins a broadcast seq frame (constant
+    *     plan cost, hashed probe).
+    */
   def getMany(seqNos: Seq[Long]): Array[Row] = {
     if (seqNos.isEmpty) return Array.empty
     val wanted = seqNos.distinct.sorted
@@ -279,11 +292,31 @@ final class ParquetLog private (
       wanted.exists(n => s.minSeq <= n && n <= s.maxSeq)
     )
     if (segs.isEmpty) return Array.empty
-    spark.read
+    val base = spark.read
       .schema(rowSchema)
       .parquet(segs.map(s => Paths.get(dir, s.path).toString): _*)
-      .where(col("seq").isin(wanted: _*))
-      .collect()
+    // coalesce sorted seqs into inclusive [lo, hi] runs
+    val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    wanted.foreach { n =>
+      if (runs.nonEmpty && runs.last._2 + 1 == n)
+        runs(runs.length - 1) = (runs.last._1, n)
+      else runs += ((n, n))
+    }
+    val filtered =
+      if (runs.length <= MaxRangePredicates)
+        base.where(runs.map { case (l, h) =>
+          col("seq") >= l && col("seq") <= h
+        }.reduce(_ || _))
+      else if (wanted.length <= MaxInLiteralSeqs)
+        base.where(col("seq").isin(wanted: _*))
+      else {
+        import spark.implicits._
+        base.join(
+          org.apache.spark.sql.functions
+            .broadcast(wanted.toDF("seq")),
+          Seq("seq"), "left_semi")
+      }
+    filtered.collect()
   }
 
   /** Streaming tail of the log (reference: Live(true) queries,
@@ -465,6 +498,17 @@ final class ParquetLog private (
 }
 
 object ParquetLog {
+
+  /** [[ParquetLog.getMany]] tiering (see BASELINE.md's IN-literal
+    * ceiling probe): up to this many coalesced seq RUNS, the filter is
+    * an OR of range predicates (each pushable to parquet row-group
+    * stats — the best shape for block lookups over dense seqs). */
+  val MaxRangePredicates: Int = 64
+
+  /** Scattered sets up to this size stay a literal `isin` (the probe's
+    * tie point with the broadcast join); larger sets broadcast-semi-
+    * join a seq frame instead of building an O(k) literal plan. */
+  val MaxInLiteralSeqs: Int = 1000
 
   /** Open an existing log, or create an empty one (value type fixed on
     * first append; `valueType` seeds the schema for an empty log so

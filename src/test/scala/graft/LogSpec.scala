@@ -158,6 +158,23 @@ class LogSpec extends LogContractSpec {
       s"exact pushdown should plan no residual filter:\n$plan")
   }
 
+  test("getMany tiers: range runs, literal isin, broadcast semi-join — same rows") {
+    import spark.implicits._
+    val log = openLog(org.apache.spark.sql.types.IntegerType)
+    log.appendValues((0 until 3000).toSeq)
+    def check(seqs: Seq[Long]): Unit = {
+      val got = log.getMany(seqs).map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == seqs.distinct.filter(_ < 3000)
+        .map(s => s -> s.toInt).toMap)
+    }
+    // 2 contiguous runs → OR-of-ranges tier (pushable row-group bounds)
+    check((100L to 180L) ++ (2500L to 2520L))
+    // 100 scattered seqs (100 runs > MaxRangePredicates, ≤ 1000) → isin
+    check((0 until 100).map(i => i * 7L))
+    // 1200 scattered seqs (> MaxInLiteralSeqs) → broadcast semi-join
+    check((0 until 1200).map(i => (i * 2L + 1) % 3000))
+  }
+
   // test/simple.go "invalid querys"
   test("reverse + live rejected") {
     val e = intercept[GraftErrors.InvalidQuery] {
