@@ -584,7 +584,12 @@ final class GraftLogScan(
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
 
-  private def surviving: List[graft.storage.Segment] =
+  // ONE planning-time snapshot per scan: statistics and partitions
+  // agree on the same manifest load, and a "latest 100" plan costs
+  // one JSON parse + stats for the few surviving segments — not a
+  // re-load per planner callback (a Dataset's physical plan already
+  // freezes partitions at first action; this aligns the metadata)
+  private lazy val surviving: List[graft.storage.Segment] =
     Manifest
       .load(dir)
       .map(_.segments.filter(s => s.maxSeq >= lower && s.minSeq <= upper))
