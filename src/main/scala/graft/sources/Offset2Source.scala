@@ -85,12 +85,15 @@ final class Offset2ScanBuilder(
     maxEntriesPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None
 ) extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var lower = 0L
   private var upper = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
   private var pruned: StructType = Offset2Source.schema
+  private var topN: Option[(Int, Boolean)] = None // (n, descending)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
@@ -107,13 +110,42 @@ final class Offset2ScanBuilder(
 
   override def pushedFilters(): Array[Filter] = accepted
 
+  /** PARTIAL top-N/limit pushdown (dense offset2 seqs: top n by seq
+    * is the head/tail seq range, resolved against `ofst` at planning)
+    * — the scan plans ONLY the covering frame bytes instead of the
+    * whole data file, and Spark keeps a residual Sort+Limit over the
+    * n surviving rows (`isPartiallyPushed = true`), so no reversed
+    * byte-range reader is needed on this compat path. */
+  override def pushLimit(n: Int): Boolean = {
+    topN = Some((n, false)); true
+  }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int
+  ): Boolean = orders match {
+    case Array(o) =>
+      o.expression match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames.sameElements(Array("seq")) =>
+          topN = Some((n,
+            o.direction == org.apache.spark.sql.connector.expressions
+              .SortDirection.DESCENDING))
+          true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = StructType(Offset2Source.schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan =
     new Offset2Scan(dir, pruned, lower, upper, maxPartitionBytesOpt,
-      maxEntriesPerTrigger, maxBytesPerTrigger)
+      maxEntriesPerTrigger, maxBytesPerTrigger, topN)
 }
 
 final case class Offset2Partition(
@@ -128,7 +160,8 @@ final class Offset2Scan(
     upper: Long,
     maxPartitionBytesOpt: Option[String],
     maxEntriesPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None
+    maxBytesPerTrigger: Option[Long] = None,
+    topN: Option[(Int, Boolean)] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = scanSchema
@@ -162,19 +195,34 @@ final class Offset2Scan(
         math.max(conf.filesOpenCostInBytes,
           meta.dataSize / math.max(cores, 1)))
     }
+    // a pushed (partial) top-N tightens the bounds: dense seqs make
+    // top n asc/desc the head/tail seq range — the plan covers only
+    // those frame bytes, Spark's residual Sort+Limit does the rest
+    var lo = lower
+    var up = upper
+    topN.foreach { case (n, desc) =>
+      if (meta.count > 0) {
+        val effLo = math.max(lo, 0L)
+        val effHi = math.min(up, meta.lastSeq)
+        if (effLo <= effHi) {
+          if (desc) lo = math.max(lo, effHi - n + 1)
+          else up = math.min(up, effLo + n - 1)
+        }
+      }
+    }
     // bounded scans clip BEFORE ranging: ofst maps seq -> byte
     // directly, so a point lookup plans one tiny partition over just
     // its frame bytes, not a walk of the whole log
     val ranges =
-      if (lower == 0L && upper == Long.MaxValue)
+      if (lo == 0L && up == Long.MaxValue)
         Offset2.planRanges(dir, target)
-      else if (upper < lower || lower >= meta.count) Nil
+      else if (up < lo || lo >= meta.count) Nil
       else {
-        val hi = math.min(upper, meta.lastSeq)
+        val hi = math.min(up, meta.lastSeq)
         Offset2.planRanges(dir, target)
-          .filter(r => r.endSeq > lower && r.startSeq <= hi)
+          .filter(r => r.endSeq > lo && r.startSeq <= hi)
           .map { r =>
-            val s = math.max(r.startSeq, lower)
+            val s = math.max(r.startSeq, lo)
             val e = math.min(r.endSeq, hi + 1)
             Offset2.EntryRange(s, e,
               if (s == r.startSeq) r.byteStart else seqByte(s),

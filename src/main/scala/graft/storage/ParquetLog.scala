@@ -292,6 +292,26 @@ final class ParquetLog private (
       wanted.exists(n => s.minSeq <= n && n <= s.maxSeq)
     )
     if (segs.isEmpty) return Array.empty
+    // small batches skip Spark entirely: k driver-direct page reads
+    // (the reference's per-Get cost, offset2/log.go:352-367) beat a
+    // job's fixed overhead up to well past this size; any miss
+    // (unsupported value type, file racing a rewrite) falls back to
+    // the one-job path below
+    if (wanted.length <= MaxDirectReads) {
+      val direct = wanted.flatMap { n =>
+        manifest.segments.find(s => s.minSeq <= n && n <= s.maxSeq) match {
+          case None => Some(None) // absent seq: skip, not a miss
+          case Some(seg) =>
+            DirectRead.readRow(
+              Paths.get(dir, seg.path), rowSchema, n, seg.minSeq) match {
+              case Some(r) => Some(Some(r))
+              case None => None // miss -> whole batch via Spark
+            }
+        }
+      }
+      if (direct.length == wanted.length)
+        return direct.flatten.toArray
+    }
     val base = spark.read
       .schema(rowSchema)
       .parquet(segs.map(s => Paths.get(dir, s.path).toString): _*)
@@ -498,6 +518,13 @@ final class ParquetLog private (
 }
 
 object ParquetLog {
+
+  /** [[ParquetLog.getMany]] batches up to this size are served by
+    * driver-direct page reads (one ~ms read per seq, no Spark job) —
+    * the crossover against a job's fixed overhead sits far above
+    * this; kept conservative so a large batch's parallelism isn't
+    * forfeited. */
+  val MaxDirectReads: Int = 128
 
   /** [[ParquetLog.getMany]] tiering (see BASELINE.md's IN-literal
     * ceiling probe): up to this many coalesced seq RUNS, the filter is

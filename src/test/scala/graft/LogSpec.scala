@@ -158,7 +158,7 @@ class LogSpec extends LogContractSpec {
       s"exact pushdown should plan no residual filter:\n$plan")
   }
 
-  test("getMany tiers: range runs, literal isin, broadcast semi-join — same rows") {
+  test("getMany tiers: direct reads, range runs, literal isin, broadcast semi-join — same rows") {
     import spark.implicits._
     val log = openLog(org.apache.spark.sql.types.IntegerType)
     log.appendValues((0 until 3000).toSeq)
@@ -167,10 +167,12 @@ class LogSpec extends LogContractSpec {
       assert(got == seqs.distinct.filter(_ < 3000)
         .map(s => s -> s.toInt).toMap)
     }
-    // 2 contiguous runs → OR-of-ranges tier (pushable row-group bounds)
-    check((100L to 180L) ++ (2500L to 2520L))
-    // 100 scattered seqs (100 runs > MaxRangePredicates, ≤ 1000) → isin
-    check((0 until 100).map(i => i * 7L))
+    // ≤ MaxDirectReads → driver-direct page reads (absent seq skipped)
+    check(Seq(5L, 2999L, 1500L, 5000L))
+    // 182 seqs in 2 contiguous runs → OR-of-ranges tier (pushable)
+    check((100L to 180L) ++ (2500L to 2600L))
+    // 200 scattered seqs (200 runs > MaxRangePredicates, ≤ 1000) → isin
+    check((0 until 200).map(i => i * 7L))
     // 1200 scattered seqs (> MaxInLiteralSeqs) → broadcast semi-join
     check((0 until 1200).map(i => (i * 2L + 1) % 3000))
   }

@@ -196,6 +196,32 @@ class Offset2Spec extends SparkSpec {
     assert(new String(r.getAs[Array[Byte]](1), UTF_8) == "v4999")
   }
 
+  test("top-N/limit pushdown clips the plan to head/tail frame bytes (partial: residual sort kept)") {
+    val dir = tmpDir("o2-topn")
+    val n = 5000
+    Offset2.export(
+      spark.range(n).select(col("id").as("seq"),
+        concat(lit("v"), col("id")).as("value"), lit(false).as("nulled")),
+      dir)
+    val df = spark.read.format("graft-offset2")
+      .option("maxPartitionBytes", "4096").load(dir)
+    val full = df.rdd.getNumPartitions
+    // latest-100: the scan plans only the tail seq range; Spark's
+    // residual Sort+Limit orders the n survivors
+    val tail = df.orderBy(col("seq").desc).limit(100)
+    assert(tail.rdd.getNumPartitions < full,
+      s"tail read should clip partitions (full=$full)")
+    assert(tail.collect().map(_.getLong(0)).toSeq ==
+      (n - 100L until n.toLong).reverse)
+    // head-100 and plain limit clip to the head range
+    val head = df.orderBy(col("seq")).limit(100)
+    assert(head.collect().map(_.getLong(0)).toSeq == (0L until 100L))
+    assert(df.limit(7).collect().map(_.getLong(0)).sorted.toSeq == (0L until 7L))
+    // non-seq ordering is refused → full plan, correct rows
+    val byVal = df.orderBy(col("nulled")).limit(3)
+    assert(byVal.collect().length == 3)
+  }
+
   test("the default packing target follows the session parallelism heuristic") {
     val dir = tmpDir("o2-heur")
     Offset2.export(

@@ -90,6 +90,23 @@ class OrderedScanSpec extends SparkSpec {
     assert(q.collect().map(_.getLong(0)).sorted.toSeq == (0L to 6L))
   }
 
+  test("limit after a NON-pushed filter is not folded into the scan") {
+    val dir = tmpDir("ordlimf") + "/log"
+    mkLog(dir)
+    // value predicate stays a residual Filter, so the limit must
+    // apply AFTER it — a pushed cut here would return wrong rows
+    val q = df(dir).where(col("value") >= 25).limit(3)
+    val got = q.collect().map(_.getInt(1)).toSeq
+    assert(got.length == 3 && got.forall(_ >= 25), got.toString)
+  }
+
+  test("plain limit composes with pushed seq bounds") {
+    val dir = tmpDir("ordlimb") + "/log"
+    mkLog(dir)
+    val q = df(dir).where(col("seq") >= 20).limit(4)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (20L to 23L))
+  }
+
   test("topN desc keeps nulled rows (dense seq space, reference semantics)") {
     val dir = tmpDir("ordnull") + "/log"
     val log = mkLog(dir)
