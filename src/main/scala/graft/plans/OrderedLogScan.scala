@@ -142,7 +142,17 @@ private final class ReversedPartition(val index: Int, val parent: Partition)
     extends Partition
 
 private final class ReversedPartitionsRDD(prev: RDD[InternalRow])
-    extends RDD[InternalRow](prev) {
+    extends RDD[InternalRow](
+      prev.context,
+      // an honest narrow dependency: partition i depends on parent
+      // partition n-1-i. (The one-arg RDD ctor would declare
+      // OneToOneDependency, and the scheduler's locality walk follows
+      // DECLARED dependencies — a mismatch schedules reversed-drain
+      // tasks against the wrong parent's blocks on a real cluster.)
+      Seq(new org.apache.spark.NarrowDependency[InternalRow](prev) {
+        override def getParents(partitionId: Int): Seq[Int] =
+          Seq(prev.partitions.length - 1 - partitionId)
+      })) {
   override def getPartitions: Array[Partition] = {
     val n = prev.partitions.length
     Array.tabulate[Partition](n)(i =>

@@ -47,9 +47,13 @@ import graft.storage.{Manifest, ParquetLog, SegmentBatches, SegmentRecords}
   * [[SegmentPacking.pack]]); each partition reads its immutable
   * files with parquet-mr directly.
   *
-  * Pushdown is conservative: accepted seq bounds prune partitions but
-  * are also returned as residuals, so Spark re-applies them row-level
-  * — pruning is an optimization, never a semantics change. */
+  * Pushdown is EXACT: accepted seq bounds prune partitions AND are
+  * enforced by the reader (boundary partitions carry `loSeq`/`hiSeq`
+  * row cuts — positionally sliced on the vectorized path), so Spark
+  * plans no residual re-filter and may prune `seq` from the read
+  * schema. Dense seqs additionally admit top-N/limit pushdown: the
+  * scan builder folds `orderBy(seq).limit(n)` into seq bounds, so a
+  * "latest n" is a planned tail read with Sort and Limit removed. */
 class GraftLogSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSinkProvider {
 
@@ -243,11 +247,25 @@ final class GraftLogScanBuilder(
     * Spark plans no re-filter and may prune `seq` itself from the
     * read schema. Exactness is what makes limit/top-N pushdown
     * composable with bounds below. */
+  /** `seq > Long.MaxValue` / `seq < Long.MinValue` are empty sets —
+    * without this guard the +1/−1 folding would OVERFLOW to wide-open
+    * bounds, and (bounds being exact, no residual re-filter) return
+    * every row where zero are correct. */
+  private def forceEmpty(): Unit = {
+    lower = Long.MaxValue; upper = Long.MinValue
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
-      case GreaterThan("seq", v: Long) => lower = math.max(lower, v + 1); true
+      case GreaterThan("seq", v: Long) =>
+        if (v == Long.MaxValue) forceEmpty()
+        else lower = math.max(lower, v + 1)
+        true
       case GreaterThanOrEqual("seq", v: Long) => lower = math.max(lower, v); true
-      case LessThan("seq", v: Long) => upper = math.min(upper, v - 1); true
+      case LessThan("seq", v: Long) =>
+        if (v == Long.MinValue) forceEmpty()
+        else upper = math.min(upper, v - 1)
+        true
       case LessThanOrEqual("seq", v: Long) => upper = math.min(upper, v); true
       case EqualTo("seq", v: Long) =>
         lower = math.max(lower, v); upper = math.min(upper, v); true
@@ -306,15 +324,19 @@ final class GraftLogScanBuilder(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def build(): Scan = {
+    // ONE manifest snapshot for the whole scan: the top-N cut below,
+    // estimateStatistics and planInputPartitions all read this load —
+    // a concurrent append between planner callbacks cannot shift a
+    // fully-pushed top-N's row set (Sort+Limit are already gone)
+    val snapshot = Manifest.load(dir)
     // fold a pushed limit/top-N into the seq bounds (dense seqs: the
-    // answer is a contiguous seq range, resolved against the manifest
-    // ONCE at planning — concurrent appends can't shift it)
+    // answer is a contiguous seq range)
     var lo = lower
     var up = upper
     var desc = false
     topN.foreach { case (n, d) =>
       desc = d
-      Manifest.load(dir).filter(_.segments.nonEmpty).foreach { m =>
+      snapshot.filter(_.segments.nonEmpty).foreach { m =>
         val effLo = math.max(lo, m.segments.map(_.minSeq).min)
         val effHi = math.min(up, m.segments.map(_.maxSeq).max)
         if (effLo <= effHi) {
@@ -325,7 +347,7 @@ final class GraftLogScanBuilder(
     }
     new GraftLogScan(dir, pruned, lo, up, maxPartitionBytesOpt,
       maxSeqsPerTrigger, maxBytesPerTrigger, maxSegmentsPerTrigger,
-      descending = desc)
+      descending = desc, manifestSnapshot = Some(snapshot))
   }
 }
 
@@ -334,10 +356,12 @@ final class GraftLogScanBuilder(
   * `maxPartitionBytes` — the same packing logic Spark's file source
   * applies, so a streaming-ingested log with thousands of tiny
   * per-batch segments doesn't explode into thousands of tasks.
-  * `loSeq`/`hiSeq` bound the rows the READER emits (inclusive) — the
-  * batch path leaves them wide open (Spark re-applies residual
-  * filters); the streaming path uses them to cut each micro-batch to
-  * its offset range. `dir` lets the reader re-resolve this
+  * `loSeq`/`hiSeq` bound the rows the READER emits (inclusive) and
+  * are the ONLY enforcement of pushed seq bounds (no residual filter
+  * is planned): the batch path cuts boundary partitions to the exact
+  * pushed range (interior partitions stay wide open), the streaming
+  * path cuts each micro-batch to its offset range. `dir` lets the
+  * reader re-resolve this
   * partition's seq range from the CURRENT manifest if a concurrent
   * rewrite replaced any of `paths` between planning and execution. */
 final case class LogSegmentPartition(
@@ -574,7 +598,8 @@ final class GraftLogScan(
     maxSeqsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
     maxSegmentsPerTrigger: Option[Int] = None,
-    descending: Boolean = false
+    descending: Boolean = false,
+    manifestSnapshot: Option[Option[Manifest]] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   /** True when a pushed top-N-by-seq-desc turned this into a reversed
@@ -584,14 +609,15 @@ final class GraftLogScan(
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
 
-  // ONE planning-time snapshot per scan: statistics and partitions
-  // agree on the same manifest load, and a "latest 100" plan costs
-  // one JSON parse + stats for the few surviving segments — not a
-  // re-load per planner callback (a Dataset's physical plan already
-  // freezes partitions at first action; this aligns the metadata)
+  // ONE planning-time snapshot per scan: the builder's manifest load
+  // (which also resolved any top-N cut) serves statistics and
+  // partitions, so all planner callbacks agree on one row set — a
+  // concurrent append can't widen a fully-pushed top-N (a Dataset's
+  // physical plan already freezes partitions at first action; this
+  // aligns the metadata with the pushed bounds)
   private lazy val surviving: List[graft.storage.Segment] =
-    Manifest
-      .load(dir)
+    manifestSnapshot
+      .getOrElse(Manifest.load(dir))
       .map(_.segments.filter(s => s.maxSeq >= lower && s.minSeq <= upper))
       .getOrElse(Nil)
 

@@ -315,13 +315,17 @@ final class ParquetLog private (
     val base = spark.read
       .schema(rowSchema)
       .parquet(segs.map(s => Paths.get(dir, s.path).toString): _*)
-    // coalesce sorted seqs into inclusive [lo, hi] runs
-    val runs = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
-    wanted.foreach { n =>
-      if (runs.nonEmpty && runs.last._2 + 1 == n)
-        runs(runs.length - 1) = (runs.last._1, n)
-      else runs += ((n, n))
+    // coalesce sorted seqs into inclusive [lo, hi] runs — O(k), run
+    // tracked in locals (an indexed-update loop over a linked buffer
+    // would be O(k²) on a large scattered set)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var runStart = wanted.head
+    var runEnd = wanted.head
+    wanted.tail.foreach { n =>
+      if (n == runEnd + 1) runEnd = n
+      else { runs += ((runStart, runEnd)); runStart = n; runEnd = n }
     }
+    runs += ((runStart, runEnd))
     val filtered =
       if (runs.length <= MaxRangePredicates)
         base.where(runs.map { case (l, h) =>

@@ -168,17 +168,26 @@ private[graft] object SegmentBatches {
             rowRange match {
               case None => out = batch; advanced = true
               case Some((start, end)) =>
-                // overlap of [first, first+n) with [start, end)
-                val s = math.max(first, start)
-                val e = math.min(first + n, end)
-                if (s < e) {
-                  out =
-                    if (s == first && e == first + n) batch
-                    else SlicedBatch(batch, (s - first).toInt, (e - s).toInt)
-                  advanced = true
+                if (first >= end) {
+                  // past the cut: no later batch of any later file can
+                  // overlap a fixed [start, end) — stop decoding NOW
+                  // (a point lookup must not pay a full-partition
+                  // decode for its trailing row groups)
+                  reader.close(); reader = null; batch = null
+                  done = true
+                } else {
+                  // overlap of [first, first+n) with [start, end)
+                  val s = math.max(first, start)
+                  val e = math.min(first + n, end)
+                  if (s < e) {
+                    out =
+                      if (s == first && e == first + n) batch
+                      else SlicedBatch(batch, (s - first).toInt, (e - s).toInt)
+                    advanced = true
+                  }
+                  // else: batch before the cut — keep decoding
+                  // (leading skip; parquet reads are sequential)
                 }
-              // else: batch entirely outside the cut — keep decoding
-              // (leading skip) or drain to EOF (trailing skip)
             }
           } else { reader.close(); reader = null; batch = null }
         }

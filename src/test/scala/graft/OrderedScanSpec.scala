@@ -124,6 +124,29 @@ class OrderedScanSpec extends SparkSpec {
     assert(q.collect().map(_.getInt(1)).toSeq == Seq(29, 28, 27))
   }
 
+  test("pushed top-N is pinned to the planning-time manifest snapshot") {
+    import spark.implicits._
+    val dir = tmpDir("ordsnap") + "/log"
+    val log = mkLog(dir)
+    val q = df(dir).orderBy(col("seq").desc).limit(5)
+    // force planning (scan built, snapshot taken) BEFORE appending
+    q.queryExecution.executedPlan
+    log.appendValues((100 until 110).toSeq)
+    // Sort+Limit are gone from the plan — a post-plan append must not
+    // widen the row set (the old double manifest load would return 15)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(29L, 28L, 27L, 26L, 25L))
+  }
+
+  test("bound folding at Long extremes yields an empty scan, not overflow") {
+    val dir = tmpDir("ordovf") + "/log"
+    mkLog(dir)
+    // without the guard, v+1 overflows to Long.MinValue and (bounds
+    // being exact, no residual) EVERY row would come back
+    assert(df(dir).where(col("seq") > Long.MaxValue).count() == 0)
+    assert(df(dir).where(col("seq") < Long.MinValue).count() == 0)
+    assert(df(dir).where(col("seq") >= Long.MinValue).count() == 30)
+  }
+
   // ---- exact bound pushdown + positional columnar slice ----
 
   test("exact bounds: no residual filter, seq pruned from the read schema") {
