@@ -37,18 +37,24 @@ private[graft] object SegmentBatches {
     * [[RowRepackReader]] copy and the `columnar.enabled=false` A/B
     * toggle both run [[SegmentRecords]]/[[DirectRead]], so admitting a
     * type here that the row converter throws on would make the safety
-    * valves fail exactly when they're needed. Atomic types only;
-    * nested values (structs/arrays/maps) stay on the row path.
-    * Date/Timestamp/Decimal are excluded: the row converter does not
-    * handle them, and keeping them out also keeps every columnar-read
-    * type outside parquet's datetime-rebase rules (see [[open]]). */
+    * valves fail exactly when they're needed. Atomic types plus
+    * STRUCTS of admitted types (the engine's dominant value shape —
+    * an event log's `value` is a struct of scalars; the vectorized
+    * reader decodes nested columns natively and [[writeValue]]
+    * repacks them recursively). Arrays/maps stay on the row path.
+    * Date/Timestamp/Decimal are excluded at every nesting level: the
+    * row converter does not handle them, and keeping them out also
+    * keeps every columnar-read type outside parquet's datetime-rebase
+    * rules (see [[open]]). */
   def supported(schema: StructType): Boolean =
-    schema.fields.nonEmpty && schema.fields.forall(f => atomic(f.dataType))
+    schema.fields.nonEmpty && schema.fields.forall(f => admitted(f.dataType))
 
-  private def atomic(dt: DataType): Boolean = dt match {
+  private def admitted(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
         FloatType | DoubleType | StringType | BinaryType =>
       true
+    case st: StructType =>
+      st.fields.nonEmpty && st.fields.forall(f => admitted(f.dataType))
     case _ => false
   }
 
@@ -230,13 +236,15 @@ private[graft] object SegmentBatches {
       base.getUTF8String(i + offset)
     override def getBinary(i: Int): Array[Byte] = base.getBinary(i + offset)
     override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
-      throw new UnsupportedOperationException("sliced read of non-atomic column")
+      throw new UnsupportedOperationException("sliced read of non-admitted column")
     override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
-      throw new UnsupportedOperationException("sliced read of non-atomic column")
+      throw new UnsupportedOperationException("sliced read of non-admitted column")
     override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
-      throw new UnsupportedOperationException("sliced read of non-atomic column")
+      throw new UnsupportedOperationException("sliced read of non-admitted column")
+    // struct access: getStruct (final in ColumnVector) reads through
+    // getChild — offset views compose over the children
     override def getChild(i: Int): ColumnVector =
-      throw new UnsupportedOperationException("sliced read of non-atomic column")
+      new OffsetVector(base.getChild(i), offset)
   }
 
   /** Adapts a row-based [[PartitionReader]] to batches — the rare
@@ -278,7 +286,7 @@ private[graft] object SegmentBatches {
       c: Int,
       dt: DataType
   ): Unit =
-    if (row.isNullAt(c)) v.putNull(i)
+    if (row.isNullAt(c)) putNullDeep(v, i, dt)
     else
       dt match {
         case BooleanType => v.putBoolean(i, row.getBoolean(c))
@@ -294,9 +302,38 @@ private[graft] object SegmentBatches {
         case BinaryType =>
           val b = row.getBinary(c)
           v.putByteArray(i, b, 0, b.length)
+        case st: StructType =>
+          // struct: validity on the parent, fields recursed into the
+          // child vectors at the same row index (null parent also
+          // nulls the children so every child slot is defined)
+          v.putNotNull(i)
+          val nested = row.getStruct(c, st.fields.length)
+          var j = 0
+          while (j < st.fields.length) {
+            writeValue(v.getChild(j).asInstanceOf[WritableColumnVector],
+              i, nested, j, st.fields(j).dataType)
+            j += 1
+          }
         case other =>
           // unreachable behind supported(); loud beats silent corruption
           throw new UnsupportedOperationException(
             s"columnar repack does not handle $other")
       }
+
+  /** Null a slot, recursing into struct children so no child index is
+    * ever left undefined (readers check the parent's validity first,
+    * but defined slots keep the vectors audit-clean). */
+  private def putNullDeep(v: WritableColumnVector, i: Int, dt: DataType): Unit = {
+    v.putNull(i)
+    dt match {
+      case st: StructType =>
+        var j = 0
+        while (j < st.fields.length) {
+          putNullDeep(v.getChild(j).asInstanceOf[WritableColumnVector], i,
+            st.fields(j).dataType)
+          j += 1
+        }
+      case _ => ()
+    }
+  }
 }

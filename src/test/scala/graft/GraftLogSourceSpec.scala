@@ -553,18 +553,30 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(viaColumnar == (0L until 30L).map(s => (s, s.toInt)))
   }
 
-  test("columnar gate: nested values, reversed and _ver-cut partitions stay on the row path; seq cuts slice") {
+  test("columnar gate: array values, reversed and _ver-cut partitions stay on the row path; structs and seq cuts are columnar") {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    // struct value → type gate keeps the scan row-based
+    // STRUCT value (the engine's dominant shape) rides the vectorized
+    // path — nested column decode + recursive repack both handle it
     val dir = tmpDir("dsv2colg") + "/log"
     val log = ParquetLog.open(spark, dir, StructType(Seq(
       StructField("a", IntegerType), StructField("b", StringType))))
     log.append(Seq((1, "x"), (2, "y")).toDF("a", "b")
       .select(struct(col("a"), col("b")).as("value")))
     val df = spark.read.format("graft-log").load(dir)
-    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "struct values should be vectorized")
     assert(df.select("value.a").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(df.select("value").collect().map(_.getStruct(0).getString(1)).sorted.toSeq
+      == Seq("x", "y"))
+    // ARRAY value → type gate keeps the scan row-based
+    val adir = tmpDir("dsv2cola") + "/log"
+    val alog = ParquetLog.open(spark, adir, ArrayType(IntegerType))
+    alog.append(Seq(Seq(1, 2), Seq(3)).toDF("value"))
+    val adf = spark.read.format("graft-log").load(adir)
+    assert(!adf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(adf.select("value").collect()
+      .map(_.getSeq[Int](0).sum).sorted.toSeq == Seq(3, 3))
     // a seq range cut stays COLUMNAR (dense seqs → positional slice);
     // a reversed (top-N desc) partition is the row path; a `_ver` cut
     // (not dense per row) is the row path
@@ -580,6 +592,46 @@ class GraftLogSourceSpec extends SparkSpec {
     val wide = graft.sources.LogSegmentPartition(dir, Nil, 0, 1)
     assert(fac.supportColumnarReads(wide))
     assert(verFac.supportColumnarReads(wide))
+  }
+
+  test("struct values: sliced boundary batches and the repack fallback both exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("dsv2colsl") + "/log"
+    val log = ParquetLog.open(spark, dir, StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    (0 until 3).foreach { k =>
+      log.append((k * 10 until (k + 1) * 10)
+        .map(i => (i, if (i % 7 == 0) null else s"s$i")).toDF("a", "b")
+        .select(struct(col("a"), col("b")).as("value")))
+    }
+    log.nullAt(12) // null struct row through every path
+    def expected(r: Range) = r.map { i =>
+      if (i == 12) (i.toLong, None)
+      else (i.toLong, Some((i, if (i % 7 == 0) null else s"s$i")))
+    }.toSeq
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().sortBy(_.getLong(0)).map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None
+          else Some((r.getStruct(1).getInt(0), r.getStruct(1).getString(1))))
+      }.toSeq
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir).select("seq", "value")
+    // bounded scan: struct children read through sliced offset views
+    val bounded = df.where(col("seq") >= 7 && col("seq") <= 23)
+    assert(bounded.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(got(bounded) == expected(7 to 23))
+    // rewrite after the plan committed to columnar: struct repack leg
+    val all = df
+    assert(all.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rdd = all.rdd
+    log.compact()
+    assert(rdd.collect().sortBy(_.getLong(0)).map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None
+        else Some((r.getStruct(1).getInt(0), r.getStruct(1).getString(1))))
+    }.toSeq == expected(0 until 30))
   }
 
   test("columnar gate admits only types the ROW leg also handles") {

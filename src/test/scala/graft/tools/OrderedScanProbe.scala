@@ -99,6 +99,14 @@ object OrderedScanProbe {
       raw.where(col("seq") >= lo && col("seq") < hi)
         .select("value").queryExecution.toRdd.count()
     }
+    // struct value drain: nested vectorized decode vs the row leg
+    // (same scan, A/B'd on the session columnar toggle)
+    def structDrain() =
+      df.select(sum(col("value.amount"))).collect().head.getDouble(0).toLong
+    timeMin("value_drain_columnar")(structDrain())
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    timeMin("value_drain_rowpath")(structDrain())
+    spark.conf.set("spark.graft.columnar.enabled", "true")
     spark.stop()
   }
 }
