@@ -42,8 +42,13 @@ object SinkIndex {
     val from = idx.getSeq
     val top = log.seq
     if (top <= from) return 0L
+    // Lte(top) pins the batch to EXACTLY (from, top]: the connector
+    // plans from the CURRENT manifest, so without the upper bound an
+    // append racing the pump would be applied now but re-processed
+    // next pump (idempotent, just wasted work) — bounded, the cursor
+    // math and the batch agree by construction
     val batch = log
-      .query(Gt(from), SeqWrap(true))
+      .query(Gt(from), Lte(top), SeqWrap(true))
       .where(!col("nulled")) // skip redacted entries
     val updates = proc(batch)
     if (!updates.isEmpty) idx.applyBatch(updates)
@@ -68,7 +73,7 @@ object MultiLogSink {
     val top = log.seq
     if (top <= from) return 0L
     val batch = log
-      .query(Gt(from), SeqWrap(true))
+      .query(Gt(from), Lte(top), SeqWrap(true)) // exactly (from, top]
       .where(!col("nulled"))
     val rows = fanout(batch)
     if (!rows.isEmpty) mlog.appendBatch(rows)

@@ -143,6 +143,7 @@ private[storage] object DirectRead {
       true
     case st: StructType  => st.fields.forall(f => supported(f.dataType))
     case ArrayType(e, _) => supported(e)
+    case MapType(k, v, _) => supported(k) && supported(v)
     case _               => false
   }
 
@@ -243,6 +244,24 @@ private[storage] object DirectRead {
         j += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    case MapType(kt, vt, _) =>
+      // parquet MAP: repeated key_value { required key; optional value }
+      val map = g.getGroup(idx, 0)
+      val n = map.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val kv = map.getGroup(0, j)
+        keys(j) = convertCatalyst(kv, 0, kt)
+        vals(j) =
+          if (kv.getFieldRepetitionCount(1) == 0) null
+          else convertCatalyst(kv, 1, vt)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
     case other => throw new UnsupportedOperationException(other.sql)
   }
 
@@ -273,6 +292,15 @@ private[storage] object DirectRead {
         if (el.getFieldRepetitionCount(0) == 0) null
         else convertValue(el, 0, et)
       }
+    case MapType(kt, vt, _) =>
+      val map = g.getGroup(idx, 0)
+      val n = map.getFieldRepetitionCount(0)
+      (0 until n).map { j =>
+        val kv = map.getGroup(0, j)
+        convertValue(kv, 0, kt) ->
+          (if (kv.getFieldRepetitionCount(1) == 0) null
+           else convertValue(kv, 1, vt))
+      }.toMap
     case other => throw new UnsupportedOperationException(other.sql)
   }
 }

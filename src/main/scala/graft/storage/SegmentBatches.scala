@@ -55,6 +55,17 @@ private[graft] object SegmentBatches {
       true
     case st: StructType =>
       st.fields.nonEmpty && st.fields.forall(f => admitted(f.dataType))
+    // arrays of ATOMIC elements (an embedding log's array<float>):
+    // the repack leg appends elements to the child vector; deeper
+    // nesting (array<struct>, maps) stays on the row path
+    case ArrayType(et, _) => atomicElement(et)
+    case _ => false
+  }
+
+  private def atomicElement(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | BinaryType =>
+      true
     case _ => false
   }
 
@@ -235,10 +246,12 @@ private[graft] object SegmentBatches {
     override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
       base.getUTF8String(i + offset)
     override def getBinary(i: Int): Array[Byte] = base.getBinary(i + offset)
+    // ColumnarArray/Map are self-contained (child vector + offset +
+    // length) — delegate at the shifted index, no view needed
     override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
-      throw new UnsupportedOperationException("sliced read of non-admitted column")
+      base.getArray(i + offset)
     override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
-      throw new UnsupportedOperationException("sliced read of non-admitted column")
+      base.getMap(i + offset)
     override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
       throw new UnsupportedOperationException("sliced read of non-admitted column")
     // struct access: getStruct (final in ColumnVector) reads through
@@ -314,10 +327,52 @@ private[graft] object SegmentBatches {
               i, nested, j, st.fields(j).dataType)
             j += 1
           }
+        case ArrayType(et, _) =>
+          // array: elements APPENDED to the child's tail, the parent
+          // records (offset, length) — the standard writable-vector
+          // array layout; reset() rewinds the child between batches
+          val arr = row.getArray(c)
+          val n = arr.numElements()
+          val child = v.getChild(0).asInstanceOf[WritableColumnVector]
+          val start = child.getElementsAppended
+          var j = 0
+          while (j < n) {
+            appendElement(child, arr, j, et)
+            j += 1
+          }
+          v.putArray(i, start, n)
         case other =>
           // unreachable behind supported(); loud beats silent corruption
           throw new UnsupportedOperationException(
             s"columnar repack does not handle $other")
+      }
+
+  /** Append one array element at the child vector's tail. */
+  private def appendElement(
+      child: WritableColumnVector,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      j: Int,
+      et: DataType
+  ): Unit =
+    if (arr.isNullAt(j)) child.appendNull()
+    else
+      et match {
+        case BooleanType => child.appendBoolean(arr.getBoolean(j))
+        case ByteType => child.appendByte(arr.getByte(j))
+        case ShortType => child.appendShort(arr.getShort(j))
+        case IntegerType => child.appendInt(arr.getInt(j))
+        case LongType => child.appendLong(arr.getLong(j))
+        case FloatType => child.appendFloat(arr.getFloat(j))
+        case DoubleType => child.appendDouble(arr.getDouble(j))
+        case StringType =>
+          val b = arr.getUTF8String(j).getBytes
+          child.appendByteArray(b, 0, b.length)
+        case BinaryType =>
+          val b = arr.getBinary(j)
+          child.appendByteArray(b, 0, b.length)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"columnar repack does not handle array<$other>")
       }
 
   /** Null a slot, recursing into struct children so no child index is

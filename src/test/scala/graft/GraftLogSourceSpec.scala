@@ -553,7 +553,7 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(viaColumnar == (0L until 30L).map(s => (s, s.toInt)))
   }
 
-  test("columnar gate: array values, reversed and _ver-cut partitions stay on the row path; structs and seq cuts are columnar") {
+  test("columnar gate: maps/deep nesting, reversed and _ver-cut partitions stay on the row path; structs, arrays and seq cuts are columnar") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     // STRUCT value (the engine's dominant shape) rides the vectorized
@@ -569,14 +569,23 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(df.select("value.a").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
     assert(df.select("value").collect().map(_.getStruct(0).getString(1)).sorted.toSeq
       == Seq("x", "y"))
-    // ARRAY value → type gate keeps the scan row-based
+    // ARRAY-of-atomics value (an embedding log) is vectorized too
     val adir = tmpDir("dsv2cola") + "/log"
-    val alog = ParquetLog.open(spark, adir, ArrayType(IntegerType))
-    alog.append(Seq(Seq(1, 2), Seq(3)).toDF("value"))
+    val alog = ParquetLog.open(spark, adir, ArrayType(FloatType))
+    alog.append(Seq(Seq(1f, 2f), Seq(3f), Seq.empty[Float]).toDF("value"))
     val adf = spark.read.format("graft-log").load(adir)
-    assert(!adf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(adf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "array<atomic> values should be vectorized")
     assert(adf.select("value").collect()
-      .map(_.getSeq[Int](0).sum).sorted.toSeq == Seq(3, 3))
+      .map(_.getSeq[Float](0).sum).sorted.toSeq == Seq(0f, 3f, 3f))
+    // MAP value → type gate keeps the scan row-based
+    val mdir = tmpDir("dsv2colm") + "/log"
+    val mlog = ParquetLog.open(spark, mdir, MapType(StringType, IntegerType))
+    mlog.append(Seq(Map("k" -> 1)).toDF("value"))
+    val mdf = spark.read.format("graft-log").load(mdir)
+    assert(!mdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(mdf.select("value").collect()
+      .map(_.getMap[String, Int](0)("k")).toSeq == Seq(1))
     // a seq range cut stays COLUMNAR (dense seqs → positional slice);
     // a reversed (top-N desc) partition is the row path; a `_ver` cut
     // (not dense per row) is the row path
@@ -632,6 +641,29 @@ class GraftLogSourceSpec extends SparkSpec {
         if (r.isNullAt(1)) None
         else Some((r.getStruct(1).getInt(0), r.getStruct(1).getString(1))))
     }.toSeq == expected(0 until 30))
+  }
+
+  test("array values: sliced boundary batches and the repack fallback both exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("dsv2colasl") + "/log"
+    val log = ParquetLog.open(spark, dir, ArrayType(FloatType))
+    (0 until 3).foreach { k =>
+      log.append((k * 10 until (k + 1) * 10)
+        .map(i => Seq.tabulate(i % 4)(j => (i + j).toFloat)).toDF("value"))
+    }
+    def expect(r: Range) =
+      r.map(i => (i.toLong, Seq.tabulate(i % 4)(j => (i + j).toFloat))).toSeq
+    def got(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir).select("seq", "value")
+    val bounded = df.where(col("seq") >= 7 && col("seq") <= 23)
+    assert(bounded.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(got(bounded.collect()) == expect(7 to 23))
+    val rdd = df.rdd // plan committed columnar before the rewrite
+    log.compact()
+    assert(got(rdd.collect().toArray) == expect(0 until 30))
   }
 
   test("columnar gate admits only types the ROW leg also handles") {
