@@ -378,7 +378,13 @@ final case class LogSegmentPartition(
     // emit rows seq-DESCENDING (pushed top-N by seq desc): the reader
     // buffers this partition's qualifying rows (bounded by the top-N
     // cut) and reverses
-    reversed: Boolean = false
+    reversed: Boolean = false,
+    // the loSeq/hiSeq cut is IMPLIED by the planner's file selection
+    // (graft-table streams: every planned segment's single `_ver` is
+    // inside the batch range) — present planned files need no
+    // row-level filtering, so the vectorized path may serve them; the
+    // cut still governs the vanished-file re-resolution fallback
+    cutImplied: Boolean = false
 ) extends InputPartition {
   def isSplit: Boolean = splitStart != 0L || splitEnd != Long.MaxValue
   def byteRange: Option[(Long, Long)] =
@@ -864,7 +870,7 @@ final class GraftLogReaderFactory(
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val seg = p.asInstanceOf[LogSegmentPartition]
     columnar && !seg.reversed && SegmentBatches.supported(schema) &&
-    (filterCol == "seq" ||
+    (filterCol == "seq" || seg.cutImplied ||
       (seg.loSeq == Long.MinValue && seg.hiSeq == Long.MaxValue))
   }
 
@@ -877,11 +883,14 @@ final class GraftLogReaderFactory(
       // fast path: committed segment contents are within the
       // partition's seq range by the dense-seq invariant (for a
       // byte-range split, the range itself bounds the rows); a
-      // loSeq/hiSeq cut becomes a positional row-index range
+      // loSeq/hiSeq cut becomes a positional row-index range — for
+      // `seq` only (versions aren't row-dense; a `_ver` partition is
+      // only columnar when its cut is implied by file selection,
+      // which needs no row filtering at all)
       val lo = math.max(seg.loSeq, seg.minSeq)
       val hi = math.min(seg.hiSeq, seg.maxSeq)
       val rowRange =
-        if (lo > seg.minSeq || hi < seg.maxSeq)
+        if (filterCol == "seq" && (lo > seg.minSeq || hi < seg.maxSeq))
           Some((lo - seg.minSeq, hi - seg.minSeq + 1))
         else None
       new SegmentBatches.VectorizedSegmentsReader(planned, schema,

@@ -299,9 +299,14 @@ final class GraftTableMicroBatchStream(
       .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs),
         filterCol = "_ver", sharedRangeSplits = true)
       .map { g =>
+        // cutImplied: every planned segment's single _ver is inside
+        // (lo, hi] by the selection above — present files need no row
+        // filtering, so the batch may be served vectorized; the cut
+        // still scopes the vanished-file re-resolution fallback
         LogSegmentPartition(dir, g.paths, g.minSeq, g.maxSeq,
           loSeq = lo + 1, hiSeq = hi,
-          splitStart = g.splitStart, splitEnd = g.splitEnd)
+          splitStart = g.splitStart, splitEnd = g.splitEnd,
+          cutImplied = true)
       }
       .toArray[InputPartition]
   }

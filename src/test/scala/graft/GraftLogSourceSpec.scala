@@ -597,6 +597,9 @@ class GraftLogSourceSpec extends SparkSpec {
     val verFac = new graft.sources.GraftLogReaderFactory(
       StructType(Seq(StructField("_ver", LongType))), filterCol = "_ver")
     assert(!verFac.supportColumnarReads(cut))
+    // ...unless the cut is implied by the planner's file selection
+    // (table streams: whole in-range versions) — then columnar is fine
+    assert(verFac.supportColumnarReads(cut.copy(cutImplied = true)))
     // wide-open bounds + atomic schema → columnar on both
     val wide = graft.sources.LogSegmentPartition(dir, Nil, 0, 1)
     assert(fac.supportColumnarReads(wide))
