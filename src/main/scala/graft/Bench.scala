@@ -130,6 +130,19 @@ object Bench {
         .agg(sum(col("seq"))).collect()
     }
 
+    // 2c. full STRUCT-value drain: nested vectorized decode (round 10
+    // — the struct gate; 2.5× over the row leg on the 40× probe)
+    timed("value_drain") {
+      spark.read.format("graft-log").load(log.dir)
+        .agg(sum(col("value.amount"))).collect()
+    }
+
+    // 2d. physically ORDERED drain (toRdd keeps the sort): plans via
+    // the OrderedLogScan strategy — no Exchange, no Sort (round 10)
+    timed("ordered_drain") {
+      log.query(SeqWrap(true)).queryExecution.toRdd.count()
+    }
+
     // 3. bounded scan: Gte/Lt + Limit
     timed("bounded_scan") {
       log.query(Gte(1000), Lt(50000), Limit(10000), SeqWrap(true)).count()
