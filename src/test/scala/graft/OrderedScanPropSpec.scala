@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.IntegerType
+import org.scalacheck.Gen
+
+import graft.storage.ParquetLog
+
+/** Property tests for the round-10 read paths: random segment
+  * layouts × random (bounds, limit, direction, projection) plans,
+  * connector results checked against a naive Scala model — on BOTH
+  * the vectorized path (positional slicing, struct/atomic decode,
+  * pushed top-N with reversed readers) and the row path
+  * (`spark.graft.columnar.enabled=false` A/B). One partition per
+  * segment (`maxPartitionBytes=1`) so partition-order and
+  * boundary-slice logic are exercised, not planned away. */
+class OrderedScanPropSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+
+  private case class Case(
+      segs: List[Int], // rows per segment
+      lower: Option[Long], // inclusive
+      upper: Option[Long], // inclusive
+      limit: Option[Int],
+      desc: Boolean,
+      valueOnly: Boolean
+  ) {
+    def total: Int = segs.sum
+  }
+
+  private val genCase: Gen[Case] = for {
+    nSegs <- Gen.chooseNum(2, 6)
+    segs <- Gen.listOfN(nSegs, Gen.chooseNum(1, 12))
+    n = segs.sum
+    lower <- Gen.option(Gen.chooseNum(-2L, n + 2L))
+    upper <- Gen.option(Gen.chooseNum(-2L, n + 2L))
+    limit <- Gen.option(Gen.chooseNum(0, n + 3))
+    desc <- Gen.oneOf(true, false)
+    valueOnly <- Gen.oneOf(true, false)
+  } yield Case(segs, lower, upper, limit, desc, valueOnly)
+
+  /** Naive model over seqs 0..n-1 (value = seq as Int). */
+  private def model(c: Case): Seq[Long] = {
+    var seqs: Seq[Long] = (0L until c.total).toVector
+    c.lower.foreach(l => seqs = seqs.filter(_ >= l))
+    c.upper.foreach(u => seqs = seqs.filter(_ <= u))
+    val ordered = if (c.desc) seqs.reverse else seqs
+    c.limit.fold(ordered)(ordered.take)
+  }
+
+  test("random layouts × plans: connector equals the model, columnar and row paths") {
+    import spark.implicits._
+    samples(genCase, 20).zipWithIndex.foreach { case (c, i) =>
+      val dir = tmpDir(s"ordprop$i") + "/log"
+      val log = ParquetLog.open(spark, dir, IntegerType)
+      var next = 0
+      c.segs.foreach { k =>
+        log.appendValues((next until next + k).toSeq); next += k
+      }
+      def run(): Seq[Long] = {
+        var df = spark.read.format("graft-log")
+          .option("maxPartitionBytes", "1").load(dir)
+        c.lower.foreach(l => df = df.where(col("seq") >= l))
+        c.upper.foreach(u => df = df.where(col("seq") <= u))
+        df = if (c.desc) df.orderBy(col("seq").desc) else df.orderBy(col("seq"))
+        c.limit.foreach(n => df = df.limit(n))
+        if (c.valueOnly)
+          df.select("value").collect().map(_.getInt(0).toLong).toSeq
+        else df.collect().map(_.getLong(0)).toSeq
+      }
+      val expect = model(c)
+      assert(run() == expect, s"case=$c (columnar)")
+      spark.conf.set("spark.graft.columnar.enabled", "false")
+      try assert(run() == expect, s"case=$c (row path)")
+      finally spark.conf.set("spark.graft.columnar.enabled", "true")
+    }
+  }
+}
