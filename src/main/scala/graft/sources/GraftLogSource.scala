@@ -232,13 +232,15 @@ final class GraftLogScanBuilder(
 ) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var lower = Long.MinValue
   private var upper = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
   private var pruned: StructType = schema
   private var topN: Option[(Int, Boolean)] = None // (n, descending)
+  private var aggKinds: Option[Seq[GraftLogScanBuilder.AggKind]] = None
 
   /** Seq bounds are pushed EXACTLY: the reader enforces them
     * row-level (boundary partitions carry `loSeq`/`hiSeq` cuts; the
@@ -309,6 +311,48 @@ final class GraftLogScanBuilder(
 
   override def isPartiallyPushed(): Boolean = false
 
+  /** COMPLETE aggregate pushdown for the aggregates a dense log's
+    * manifest answers with arithmetic alone — `count(*)`, `count(seq)`
+    * (seqs are unique and non-null, distinct included), `min(seq)`,
+    * `max(seq)` — composed with exact seq bounds: the answer over
+    * `[lo, hi]` is `hi − lo + 1` and the bounds themselves. A 100 TB
+    * `SELECT count(*)` is a manifest read, ZERO file IO. Anything the
+    * manifest can't answer exactly (grouping, other columns, value
+    * aggregates) is refused and Spark plans the normal scan. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean = translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggKinds = some; true
+      case None => false
+    }
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Option[Seq[GraftLogScanBuilder.AggKind]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import GraftLogScanBuilder._
+    def seqRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("seq"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) return None
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => CountAll
+      case c: Count if seqRef(c.column) => CountAll // unique + non-null
+      case m: Min if seqRef(m.column) => MinSeq
+      case m: Max if seqRef(m.column) => MaxSeq
+      case _ => return None
+    }
+    Some(kinds)
+  }
+
   /** Column pruning reaches the parquet page reads: the pruned schema
     * flows through [[GraftLogReaderFactory]] into
     * [[graft.storage.SegmentRecords.iterator]]'s requested-schema
@@ -329,6 +373,28 @@ final class GraftLogScanBuilder(
     // a concurrent append between planner callbacks cannot shift a
     // fully-pushed top-N's row set (Sort+Limit are already gone)
     val snapshot = Manifest.load(dir)
+    // fully-pushed aggregates: answered from the snapshot + bounds,
+    // no file is ever opened (dense seqs: rows in [lo, hi] = hi-lo+1)
+    aggKinds.foreach { kinds =>
+      import GraftLogScanBuilder._
+      val segs = snapshot.map(_.segments).getOrElse(Nil)
+      val effLo =
+        if (segs.isEmpty) 0L else math.max(lower, segs.map(_.minSeq).min)
+      val effHi =
+        if (segs.isEmpty) -1L else math.min(upper, segs.map(_.maxSeq).max)
+      val n = if (effLo > effHi) 0L else effHi - effLo + 1
+      val row = kinds.map {
+        case CountAll => java.lang.Long.valueOf(n)
+        case MinSeq => if (n == 0) null else java.lang.Long.valueOf(effLo)
+        case MaxSeq => if (n == 0) null else java.lang.Long.valueOf(effHi)
+      }
+      val fields = kinds.zipWithIndex.map {
+        case (CountAll, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (MinSeq, i) => StructField(s"min_$i", LongType, nullable = true)
+        case (MaxSeq, i) => StructField(s"max_$i", LongType, nullable = true)
+      }
+      return new GraftLogAggScan(dir, StructType(fields), row)
+    }
     // fold a pushed limit/top-N into the seq bounds (dense seqs: the
     // answer is a contiguous seq range)
     var lo = lower
@@ -350,6 +416,48 @@ final class GraftLogScanBuilder(
       descending = desc, manifestSnapshot = Some(snapshot))
   }
 }
+
+object GraftLogScanBuilder {
+  /** Aggregates the manifest answers exactly (see
+    * [[GraftLogScanBuilder.supportCompletePushDown]]). */
+  private[sources] sealed trait AggKind extends Serializable
+  private[sources] case object CountAll extends AggKind
+  private[sources] case object MinSeq extends AggKind
+  private[sources] case object MaxSeq extends AggKind
+}
+
+/** The scan a fully-pushed aggregation plans to: ONE partition whose
+  * reader emits the single pre-computed result row. The values were
+  * derived on the driver from the manifest snapshot + exact seq
+  * bounds — `count(*)` on a 100 TB log opens zero files. */
+final class GraftLogAggScan(
+    dir: String,
+    aggSchema: StructType,
+    row: Seq[Any]
+) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggRowPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val r = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(
+              p.asInstanceOf[AggRowPartition].values.toArray[Any])
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = r
+          override def close(): Unit = ()
+        }
+    }
+  override def description(): String =
+    s"graft-log $dir AGGREGATE(${aggSchema.fieldNames.mkString(", ")}) from manifest"
+}
+
+final case class AggRowPartition(values: Seq[Any]) extends InputPartition
 
 /** One input partition = a PACKED run of adjacent segments (their
   * dense seq ranges are contiguous) whose file bytes fit

@@ -226,6 +226,42 @@ class OrderedScanSpec extends SparkSpec {
     assert(rdd.collect().map(_.getLong(0)).toSeq == (15L to 29L).reverse)
   }
 
+  test("count/min/max over seq are answered from the manifest — zero file IO") {
+    val dir = tmpDir("ordagg") + "/log"
+    val log = mkLog(dir)
+    val d = df(dir)
+    // plan carries the manifest-aggregate scan, no segment partitions
+    val counted = d.agg(org.apache.spark.sql.functions.count("*"))
+    assert(plan(counted).contains("AGGREGATE"),
+      s"count(*) should push to the manifest:\n${plan(counted)}")
+    assert(counted.collect().head.getLong(0) == 30L)
+    // composes with exact seq bounds: pure arithmetic
+    val bounded = d.where(col("seq") >= 5 && col("seq") < 25)
+    assert(bounded.count() == 20L)
+    val mm = bounded.agg(
+      org.apache.spark.sql.functions.min("seq"),
+      org.apache.spark.sql.functions.max("seq"),
+      org.apache.spark.sql.functions.count("seq"))
+    assert(mm.collect().head.toSeq == Seq(5L, 24L, 20L))
+    // empty range: count 0, min/max null
+    val empty = d.where(col("seq") > 1000)
+    assert(empty.count() == 0L)
+    val er = empty.agg(
+      org.apache.spark.sql.functions.min("seq"),
+      org.apache.spark.sql.functions.count("*")).collect().head
+    assert(er.isNullAt(0) && er.getLong(1) == 0L)
+    // value aggregates / grouping are NOT pushed — still exact
+    assert(d.agg(org.apache.spark.sql.functions.sum("value"))
+      .collect().head.getLong(0) == (0 until 30).sum.toLong)
+    assert(d.groupBy(col("nulled")).count().collect()
+      .map(r => (r.getBoolean(0), r.getLong(1))).toMap == Map(false -> 30L))
+    // nulled rows still count (dense seq space)
+    val log2dir = tmpDir("ordaggn") + "/log"
+    val l2 = mkLog(log2dir)
+    l2.nullAt(3)
+    assert(df(log2dir).count() == 30L)
+  }
+
   // ---- ordered drain strategy ----
 
   test("orderBy(seq) full drain: no Exchange, no Sort — SeqOrderedDrain passthrough") {
