@@ -714,11 +714,33 @@ final class GraftLogScan(
     maxSegmentsPerTrigger: Option[Int] = None,
     descending: Boolean = false,
     manifestSnapshot: Option[Option[Manifest]] = None
-) extends Scan with Batch with SupportsReportStatistics {
+) extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** True when a pushed top-N-by-seq-desc turned this into a reversed
     * tail read (see [[GraftLogScanBuilder.pushTopN]]). */
   def isDescending: Boolean = descending
+
+  /** Per-partition ordering, reported to Spark: rows within every
+    * partition are seq-sorted (segments are written
+    * `sortWithinPartitions(seq)`; a reversed top-N emits descending),
+    * so EnsureRequirements drops redundant local sorts (merge joins,
+    * `sortWithinPartitions(seq)`) without the [[graft.plans
+    * .OrderedLogScan]] strategy even firing. Reported only when `seq`
+    * survives column pruning — Spark resolves the reference against
+    * the scan output. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{
+      Expressions, SortDirection
+    }
+    if (!scanSchema.fieldNames.contains("seq")) Array.empty
+    else
+      Array(Expressions.sort(
+        Expressions.column("seq"),
+        if (descending) SortDirection.DESCENDING
+        else SortDirection.ASCENDING))
+  }
 
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this

@@ -306,6 +306,19 @@ class OrderedScanSpec extends SparkSpec {
     assert(!plan(plain).contains("SeqOrderedDrain"))
   }
 
+  test("reported per-partition ordering drops redundant local sorts") {
+    val dir = tmpDir("ordrep") + "/log"
+    mkLog(dir)
+    // sortWithinPartitions(seq) over the scan: the reported ordering
+    // satisfies the requirement — no SortExec planned
+    val q = df(dir).sortWithinPartitions("seq")
+    val sorts = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty, s"local sort should be elided:\n${plan(q)}")
+    assert(q.collect().length == 30)
+  }
+
   test("log API reverse query plans shuffle-free end to end") {
     import graft.core.QuerySpec.{Reverse, SeqWrap}
     val dir = tmpDir("ordapi") + "/log"
