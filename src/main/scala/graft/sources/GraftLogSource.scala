@@ -393,7 +393,7 @@ final class GraftLogScanBuilder(
         case (MinSeq, i) => StructField(s"min_$i", LongType, nullable = true)
         case (MaxSeq, i) => StructField(s"max_$i", LongType, nullable = true)
       }
-      return new GraftLogAggScan(dir, StructType(fields), row)
+      return new GraftLogAggScan(s"graft-log $dir", StructType(fields), row)
     }
     // fold a pushed limit/top-N into the seq bounds (dense seqs: the
     // answer is a contiguous seq range)
@@ -454,7 +454,7 @@ final class GraftLogAggScan(
         }
     }
   override def description(): String =
-    s"graft-log $dir AGGREGATE(${aggSchema.fieldNames.mkString(", ")}) from manifest"
+    s"$dir AGGREGATE(${aggSchema.fieldNames.mkString(", ")}) from metadata"
 }
 
 final case class AggRowPartition(values: Seq[Any]) extends InputPartition

@@ -95,17 +95,79 @@ final class GraftTableScanBuilder(
     maxBytesPerTrigger: Option[Long],
     maxSegmentsPerTrigger: Option[Int],
     versionAsOf: Option[Long]
-) extends ScanBuilder with SupportsPushDownRequiredColumns {
+) extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pruned: StructType = schema
+  private var aggKinds: Option[Seq[Int]] = None // 0=count, 1=min ver, 2=max ver
+
+  /** COMPLETE aggregate pushdown from the manifest: the (snapshot-
+    * scoped) segment list carries exact row counts and each segment's
+    * single commit version, so count(*) / min/max(_ver) are metadata
+    * arithmetic — a table-size check or "current version" probe opens
+    * zero files. Anything else plans the normal scan. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean = translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggKinds = some; true
+      case None => false
+    }
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Option[Seq[Int]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def verRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("_ver"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) return None
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => 0
+      case c: Count if verRef(c.column) && !c.isDistinct => 0 // non-null
+      case m: Min if verRef(m.column) => 1
+      case m: Max if verRef(m.column) => 2
+      case _ => return None
+    }
+    Some(kinds)
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = StructType(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    aggKinds.foreach { kinds =>
+      val scan = new GraftTableScan(dir, schema, maxPartitionBytesOpt,
+        maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf)
+      val segs = scan.snapshotSegments
+      val n = segs.map(_.rows).sum
+      val row = kinds.map {
+        case 0 => java.lang.Long.valueOf(n)
+        case 1 =>
+          if (n == 0) null
+          else java.lang.Long.valueOf(segs.map(_.minSeq).min)
+        case _ =>
+          if (n == 0) null
+          else java.lang.Long.valueOf(segs.map(_.maxSeq).max)
+      }
+      val fields = kinds.zipWithIndex.map {
+        case (0, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (1, i) => StructField(s"min_$i", LongType, nullable = true)
+        case (_, i) => StructField(s"max_$i", LongType, nullable = true)
+      }
+      return new GraftLogAggScan(s"graft-table $dir", StructType(fields), row)
+    }
     new GraftTableScan(dir, pruned, maxPartitionBytesOpt,
       maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf)
+  }
 }
 
 final class GraftTableScan(
@@ -146,6 +208,10 @@ final class GraftTableScan(
         m.segments.filter(_.minSeq <= v)
     }
   }
+
+  /** The snapshot-scoped segment list (exact rows + version stats) —
+    * the metadata the aggregate pushdown answers from. */
+  private[sources] def snapshotSegments: List[graft.storage.Segment] = segments
 
   override def estimateStatistics(): Statistics = {
     val segs = segments

@@ -87,7 +87,8 @@ final class Offset2ScanBuilder(
 ) extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var lower = 0L
   private var upper = Long.MaxValue
@@ -139,13 +140,73 @@ final class Offset2ScanBuilder(
 
   override def isPartiallyPushed(): Boolean = true
 
+  /** COMPLETE aggregate pushdown from `ofst` metadata: entries are
+    * dense 0-based, so count(*) / count(seq) / min/max(seq) over the
+    * (possibly seq-bounded) log are arithmetic over the entry count —
+    * the reference's own O(1) `Seq()` answer, no data-file scan.
+    * Bounds here are exact (ranges are clipped byte-precisely), so
+    * composition is sound. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean = translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Boolean =
+    translateAgg(agg) match {
+      case some @ Some(_) => aggKinds = some; true
+      case None => false
+    }
+
+  private var aggKinds: Option[Seq[Int]] = None // 0=count, 1=min, 2=max
+
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  ): Option[Seq[Int]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def seqRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("seq"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) return None
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => 0
+      case c: Count if seqRef(c.column) => 0
+      case m: Min if seqRef(m.column) => 1
+      case m: Max if seqRef(m.column) => 2
+      case _ => return None
+    }
+    Some(kinds)
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = StructType(Offset2Source.schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    aggKinds.foreach { kinds =>
+      val meta = Offset2.checkReadOnly(dir)
+      val effLo = math.max(lower, 0L)
+      val effHi =
+        if (meta.count == 0) -1L else math.min(upper, meta.lastSeq)
+      val n = if (effLo > effHi) 0L else effHi - effLo + 1
+      val row = kinds.map {
+        case 0 => java.lang.Long.valueOf(n)
+        case 1 => if (n == 0) null else java.lang.Long.valueOf(effLo)
+        case _ => if (n == 0) null else java.lang.Long.valueOf(effHi)
+      }
+      val fields = kinds.zipWithIndex.map {
+        case (0, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (1, i) => StructField(s"min_$i", LongType, nullable = true)
+        case (_, i) => StructField(s"max_$i", LongType, nullable = true)
+      }
+      return new GraftLogAggScan(s"offset2 $dir", StructType(fields), row)
+    }
     new Offset2Scan(dir, pruned, lower, upper, maxPartitionBytesOpt,
       maxEntriesPerTrigger, maxBytesPerTrigger, topN)
+  }
 }
 
 final case class Offset2Partition(

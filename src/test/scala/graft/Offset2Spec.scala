@@ -222,6 +222,22 @@ class Offset2Spec extends SparkSpec {
     assert(byVal.collect().length == 3)
   }
 
+  test("count/min/max over seq answered from ofst metadata — no data scan") {
+    val dir = tmpDir("o2-agg")
+    Offset2.export(
+      spark.range(500).select(col("id").as("seq"),
+        concat(lit("v"), col("id")).as("value"), lit(false).as("nulled")),
+      dir)
+    val df = spark.read.format("graft-offset2").load(dir)
+    val counted = df.agg(count("*"))
+    assert(counted.queryExecution.executedPlan.toString.contains("AGGREGATE"),
+      counted.queryExecution.executedPlan.toString)
+    assert(counted.collect().head.getLong(0) == 500L)
+    assert(df.agg(min("seq"), max("seq")).collect().head.toSeq == Seq(0L, 499L))
+    // value aggregates still scan, still exact
+    assert(df.agg(count("value")).collect().head.getLong(0) == 500L)
+  }
+
   test("the default packing target follows the session parallelism heuristic") {
     val dir = tmpDir("o2-heur")
     Offset2.export(

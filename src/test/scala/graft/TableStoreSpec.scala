@@ -31,6 +31,29 @@ class TableStoreSpec extends SparkSpec {
     assert(!plan.contains("Union"), s"plan still unions per-commit scans:\n$plan")
   }
 
+  test("table count/min/max(_ver) answered from the manifest — zero file IO") {
+    import spark.implicits._
+    val dir = tmpDir("ts-agg")
+    val store = TableStore.open(spark, dir, schema)
+    val v1 = store.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    store.append(Seq(("a", 3L)).toDF("k", "v"))
+    val df = spark.read.format("graft-table").load(dir)
+    val counted = df.agg(count("*"))
+    assert(counted.queryExecution.executedPlan.toString.contains("AGGREGATE"),
+      counted.queryExecution.executedPlan.toString)
+    assert(counted.collect().head.getLong(0) == 3L)
+    // max(_ver) IS "current version" — a metadata probe
+    assert(df.agg(max("_ver")).collect().head.getLong(0) == 2L)
+    // snapshot-scoped: versionAsOf bounds the metadata arithmetic too
+    val snap = spark.read.format("graft-table")
+      .option("versionAsOf", v1).load(dir)
+    assert(snap.count() == 2L)
+    assert(snap.agg(max("_ver")).collect().head.getLong(0) == v1)
+    // grouping is NOT pushed — still exact
+    assert(df.groupBy("k").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("table reads are columnar: ColumnarToRow for the _ver path, row-path A/B identical") {
     val dir = tmpDir("ts-col")
     val store = TableStore.open(spark, dir, schema)
