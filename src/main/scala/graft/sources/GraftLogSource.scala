@@ -240,7 +240,7 @@ final class GraftLogScanBuilder(
   private var accepted: Array[Filter] = Array.empty
   private var pruned: StructType = schema
   private var topN: Option[(Int, Boolean)] = None // (n, descending)
-  private var aggKinds: Option[Seq[GraftLogScanBuilder.AggKind]] = None
+  private var aggKinds: Option[Seq[MetaAgg.Kind]] = None
 
   /** Seq bounds are pushed EXACTLY: the reader enforces them
     * row-level (boundary partitions carry `loSeq`/`hiSeq` cuts; the
@@ -321,37 +321,16 @@ final class GraftLogScanBuilder(
     * aggregates) is refused and Spark plans the normal scan. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-  ): Boolean = translateAgg(agg).isDefined
+  ): Boolean =
+    MetaAgg.translate(agg, "seq", keyUnique = true).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   ): Boolean =
-    translateAgg(agg) match {
+    MetaAgg.translate(agg, "seq", keyUnique = true) match {
       case some @ Some(_) => aggKinds = some; true
       case None => false
     }
-
-  private def translateAgg(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-  ): Option[Seq[GraftLogScanBuilder.AggKind]] = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate._
-    import GraftLogScanBuilder._
-    def seqRef(e: org.apache.spark.sql.connector.expressions.Expression) =
-      e match {
-        case r: NamedReference => r.fieldNames.sameElements(Array("seq"))
-        case _ => false
-      }
-    if (agg.groupByExpressions.nonEmpty) return None
-    val kinds = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => CountAll
-      case c: Count if seqRef(c.column) => CountAll // unique + non-null
-      case m: Min if seqRef(m.column) => MinSeq
-      case m: Max if seqRef(m.column) => MaxSeq
-      case _ => return None
-    }
-    Some(kinds)
-  }
 
   /** Column pruning reaches the parquet page reads: the pruned schema
     * flows through [[GraftLogReaderFactory]] into
@@ -376,24 +355,13 @@ final class GraftLogScanBuilder(
     // fully-pushed aggregates: answered from the snapshot + bounds,
     // no file is ever opened (dense seqs: rows in [lo, hi] = hi-lo+1)
     aggKinds.foreach { kinds =>
-      import GraftLogScanBuilder._
       val segs = snapshot.map(_.segments).getOrElse(Nil)
       val effLo =
         if (segs.isEmpty) 0L else math.max(lower, segs.map(_.minSeq).min)
       val effHi =
         if (segs.isEmpty) -1L else math.min(upper, segs.map(_.maxSeq).max)
       val n = if (effLo > effHi) 0L else effHi - effLo + 1
-      val row = kinds.map {
-        case CountAll => java.lang.Long.valueOf(n)
-        case MinSeq => if (n == 0) null else java.lang.Long.valueOf(effLo)
-        case MaxSeq => if (n == 0) null else java.lang.Long.valueOf(effHi)
-      }
-      val fields = kinds.zipWithIndex.map {
-        case (CountAll, i) => StructField(s"count_$i", LongType, nullable = false)
-        case (MinSeq, i) => StructField(s"min_$i", LongType, nullable = true)
-        case (MaxSeq, i) => StructField(s"max_$i", LongType, nullable = true)
-      }
-      return new GraftLogAggScan(s"graft-log $dir", StructType(fields), row)
+      return MetaAgg.scan(s"graft-log $dir", kinds, n, effLo, effHi)
     }
     // fold a pushed limit/top-N into the seq bounds (dense seqs: the
     // answer is a contiguous seq range)
@@ -415,15 +383,6 @@ final class GraftLogScanBuilder(
       maxSeqsPerTrigger, maxBytesPerTrigger, maxSegmentsPerTrigger,
       descending = desc, manifestSnapshot = Some(snapshot))
   }
-}
-
-object GraftLogScanBuilder {
-  /** Aggregates the manifest answers exactly (see
-    * [[GraftLogScanBuilder.supportCompletePushDown]]). */
-  private[sources] sealed trait AggKind extends Serializable
-  private[sources] case object CountAll extends AggKind
-  private[sources] case object MinSeq extends AggKind
-  private[sources] case object MaxSeq extends AggKind
 }
 
 /** The scan a fully-pushed aggregation plans to: ONE partition whose

@@ -99,45 +99,27 @@ final class GraftTableScanBuilder(
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pruned: StructType = schema
-  private var aggKinds: Option[Seq[Int]] = None // 0=count, 1=min ver, 2=max ver
+  private var aggKinds: Option[Seq[MetaAgg.Kind]] = None
 
   /** COMPLETE aggregate pushdown from the manifest: the (snapshot-
-    * scoped) segment list carries exact row counts and each segment's
-    * single commit version, so count(*) / min/max(_ver) are metadata
+    * scoped) segment list carries exact row counts and per-segment
+    * `_ver` stats, so count(*) / min/max(_ver) are metadata
     * arithmetic — a table-size check or "current version" probe opens
-    * zero files. Anything else plans the normal scan. */
+    * zero files. `_ver` repeats across rows, so `count(distinct)` is
+    * refused (MetaAgg keyUnique=false). Anything else plans the
+    * normal scan. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-  ): Boolean = translateAgg(agg).isDefined
+  ): Boolean =
+    MetaAgg.translate(agg, "_ver", keyUnique = false).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   ): Boolean =
-    translateAgg(agg) match {
+    MetaAgg.translate(agg, "_ver", keyUnique = false) match {
       case some @ Some(_) => aggKinds = some; true
       case None => false
     }
-
-  private def translateAgg(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-  ): Option[Seq[Int]] = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate._
-    def verRef(e: org.apache.spark.sql.connector.expressions.Expression) =
-      e match {
-        case r: NamedReference => r.fieldNames.sameElements(Array("_ver"))
-        case _ => false
-      }
-    if (agg.groupByExpressions.nonEmpty) return None
-    val kinds = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => 0
-      case c: Count if verRef(c.column) && !c.isDistinct => 0 // non-null
-      case m: Min if verRef(m.column) => 1
-      case m: Max if verRef(m.column) => 2
-      case _ => return None
-    }
-    Some(kinds)
-  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = StructType(
@@ -147,23 +129,16 @@ final class GraftTableScanBuilder(
     aggKinds.foreach { kinds =>
       val scan = new GraftTableScan(dir, schema, maxPartitionBytesOpt,
         maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf)
+      // min/max over segments that CARRY rows only: a zero-row commit
+      // (empty append, limit(0) rewrite) records a version no row
+      // has — including it would report a min/max the scan never
+      // returns. count is unaffected (0-row segments add 0).
       val segs = scan.snapshotSegments
-      val n = segs.map(_.rows).sum
-      val row = kinds.map {
-        case 0 => java.lang.Long.valueOf(n)
-        case 1 =>
-          if (n == 0) null
-          else java.lang.Long.valueOf(segs.map(_.minSeq).min)
-        case _ =>
-          if (n == 0) null
-          else java.lang.Long.valueOf(segs.map(_.maxSeq).max)
-      }
-      val fields = kinds.zipWithIndex.map {
-        case (0, i) => StructField(s"count_$i", LongType, nullable = false)
-        case (1, i) => StructField(s"min_$i", LongType, nullable = true)
-        case (_, i) => StructField(s"max_$i", LongType, nullable = true)
-      }
-      return new GraftLogAggScan(s"graft-table $dir", StructType(fields), row)
+      val occupied = segs.filter(_.rows > 0)
+      return MetaAgg.scan(s"graft-table $dir", kinds,
+        count = segs.map(_.rows).sum,
+        min = occupied.map(_.minSeq).min,
+        max = occupied.map(_.maxSeq).max)
     }
     new GraftTableScan(dir, pruned, maxPartitionBytesOpt,
       maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf)
@@ -360,6 +335,17 @@ final class GraftTableMicroBatchStream(
     val hi = end.asInstanceOf[VerOffset].ver // inclusive
     if (hi <= lo) return Array.empty
     val m = Manifest.load(dir).getOrElse(return Array.empty)
+    // a rewrite that folded any of THIS batch's versions between
+    // offset resolution and planning must fail loudly here — the
+    // reader-side fold refusal only fires when a planned file
+    // vanishes AFTER planning; landing before planning would
+    // otherwise commit a silently empty (or partial) batch
+    m.foldedBelow.filter(_ > lo + 1).foreach { f =>
+      throw new IllegalStateException(
+        s"versions in (${lo}, ${hi}] were folded into version $f by a " +
+          "concurrent rewrite (compact/delete); this stream cannot be " +
+          "served exactly-once — restart it against the current table")
+    }
     val segs = m.segments.filter(s => s.minSeq > lo && s.minSeq <= hi)
     SegmentPacking
       .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs),

@@ -141,45 +141,29 @@ final class Offset2ScanBuilder(
   override def isPartiallyPushed(): Boolean = true
 
   /** COMPLETE aggregate pushdown from `ofst` metadata: entries are
-    * dense 0-based, so count(*) / count(seq) / min/max(seq) over the
-    * (possibly seq-bounded) log are arithmetic over the entry count —
-    * the reference's own O(1) `Seq()` answer, no data-file scan.
-    * Bounds here are exact (ranges are clipped byte-precisely), so
-    * composition is sound. */
+    * dense 0-based, so count(*) / count(seq) / min/max(seq) are
+    * arithmetic over the entry count — the reference's own O(1)
+    * `Seq()` answer, no data-file scan. NOTE: this path only arises
+    * for UNBOUNDED scans — offset2 keeps its seq bounds as residual
+    * filters (the conservative compat contract), and Spark refuses
+    * aggregate pushdown while residual filters exist. The bound
+    * clamps in [[build]] are therefore defensive no-ops today; if
+    * offset2 filters ever become exact, they make the composition
+    * correct instead of silently wrong. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-  ): Boolean = translateAgg(agg).isDefined
+  ): Boolean =
+    MetaAgg.translate(agg, "seq", keyUnique = true).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   ): Boolean =
-    translateAgg(agg) match {
+    MetaAgg.translate(agg, "seq", keyUnique = true) match {
       case some @ Some(_) => aggKinds = some; true
       case None => false
     }
 
-  private var aggKinds: Option[Seq[Int]] = None // 0=count, 1=min, 2=max
-
-  private def translateAgg(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-  ): Option[Seq[Int]] = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate._
-    def seqRef(e: org.apache.spark.sql.connector.expressions.Expression) =
-      e match {
-        case r: NamedReference => r.fieldNames.sameElements(Array("seq"))
-        case _ => false
-      }
-    if (agg.groupByExpressions.nonEmpty) return None
-    val kinds = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => 0
-      case c: Count if seqRef(c.column) => 0
-      case m: Min if seqRef(m.column) => 1
-      case m: Max if seqRef(m.column) => 2
-      case _ => return None
-    }
-    Some(kinds)
-  }
+  private var aggKinds: Option[Seq[MetaAgg.Kind]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = StructType(Offset2Source.schema.fields
@@ -192,17 +176,7 @@ final class Offset2ScanBuilder(
       val effHi =
         if (meta.count == 0) -1L else math.min(upper, meta.lastSeq)
       val n = if (effLo > effHi) 0L else effHi - effLo + 1
-      val row = kinds.map {
-        case 0 => java.lang.Long.valueOf(n)
-        case 1 => if (n == 0) null else java.lang.Long.valueOf(effLo)
-        case _ => if (n == 0) null else java.lang.Long.valueOf(effHi)
-      }
-      val fields = kinds.zipWithIndex.map {
-        case (0, i) => StructField(s"count_$i", LongType, nullable = false)
-        case (1, i) => StructField(s"min_$i", LongType, nullable = true)
-        case (_, i) => StructField(s"max_$i", LongType, nullable = true)
-      }
-      return new GraftLogAggScan(s"offset2 $dir", StructType(fields), row)
+      return MetaAgg.scan(s"offset2 $dir", kinds, n, effLo, effHi)
     }
     new Offset2Scan(dir, pruned, lower, upper, maxPartitionBytesOpt,
       maxEntriesPerTrigger, maxBytesPerTrigger, topN)

@@ -230,6 +230,15 @@ private[graft] object SegmentBatches {
     * their `VectorizedParquetRecordReader`. */
   private final class OffsetVector(base: ColumnVector, offset: Int)
       extends ColumnVector(base.dataType()) {
+    // child views built once — ColumnarRow calls getChild per FIELD
+    // per ROW, so allocating there would churn the hot decode path
+    private lazy val children: Array[ColumnVector] =
+      base.dataType() match {
+        case st: StructType =>
+          Array.tabulate(st.fields.length)(i =>
+            new OffsetVector(base.getChild(i), offset))
+        case _ => Array.empty
+      }
     override def close(): Unit = () // base owned by the parquet reader
     override def hasNull: Boolean = base.hasNull
     override def numNulls: Int =
@@ -255,9 +264,8 @@ private[graft] object SegmentBatches {
     override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
       throw new UnsupportedOperationException("sliced read of non-admitted column")
     // struct access: getStruct (final in ColumnVector) reads through
-    // getChild — offset views compose over the children
-    override def getChild(i: Int): ColumnVector =
-      new OffsetVector(base.getChild(i), offset)
+    // getChild — offset views compose over the cached children
+    override def getChild(i: Int): ColumnVector = children(i)
   }
 
   /** Adapts a row-based [[PartitionReader]] to batches — the rare

@@ -52,6 +52,34 @@ class TableStoreSpec extends SparkSpec {
     // grouping is NOT pushed — still exact
     assert(df.groupBy("k").count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap == Map("a" -> 2L, "b" -> 1L))
+    // count(distinct _ver) is refused (versions repeat) — still exact
+    assert(df.agg(countDistinct("_ver")).collect().head.getLong(0) == 2L)
+    // a zero-row commit records a version NO row carries: metadata
+    // min/max must skip it (count is unaffected)
+    val v3 = store.append(Seq.empty[(String, Long)].toDF("k", "v"))
+    val df2 = spark.read.format("graft-table").load(dir)
+    assert(df2.count() == 3L)
+    val mm = df2.agg(min("_ver"), max("_ver")).collect().head
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == 2L,
+      s"zero-row version $v3 must not surface in min/max: $mm")
+  }
+
+  test("a fold racing a planned stream batch fails loudly, not silently empty") {
+    import spark.implicits._
+    val dir = tmpDir("ts-fold")
+    val store = TableStore.open(spark, dir, schema)
+    store.append(Seq(("a", 1L)).toDF("k", "v"))
+    store.append(Seq(("b", 2L)).toDF("k", "v"))
+    val stream = new graft.sources.GraftTableMicroBatchStream(dir,
+      spark.read.format("graft-table").load(dir).schema, None, None, None)
+    val lo = stream.deserializeOffset("0")
+    val hi = stream.deserializeOffset("2")
+    // fold history AFTER the offsets were resolved
+    store.rewrite(df => df)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(lo, hi)
+    }
+    assert(e.getMessage.contains("folded"), e.getMessage)
   }
 
   test("table reads are columnar: ColumnarToRow for the _ver path, row-path A/B identical") {
