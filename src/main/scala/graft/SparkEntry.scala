@@ -112,6 +112,18 @@ object SparkEntry {
       val (log, _, _) = EngineFixtures.open(s, dir)
       s.range(1).select(lit(log.seq).as("seq"))
     }),
+    // round 10: metadata-answered aggregates — count/min/max over a
+    // bounded seq range plan ZERO file reads (DSv2 complete aggregate
+    // pushdown; dense seqs make the bounded count pure arithmetic)
+    "q106_count_pushdown" -> ((s, dir) => {
+      val (log, _, _) = EngineFixtures.open(s, dir)
+      log.toDF
+        .where(col("seq") >= 100 && col("seq") <= 9999)
+        .agg(
+          count("*").as("n"),
+          min("seq").as("min_seq"),
+          max("seq").as("max_seq"))
+    }),
     // §2.4 multilog fan-out table (ops 16-17, 23)
     "q07_multilog_table" -> ((s, dir) => {
       val (_, mlog, _) = EngineFixtures.open(s, dir)
@@ -1949,6 +1961,9 @@ object SparkEntry {
     "q05_log_point" ->
       s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id = 42",
     "q06_log_seq" -> "SELECT max(event_id) AS seq FROM events",
+    "q106_count_pushdown" ->
+      """SELECT count(*) AS n, min(event_id) AS min_seq, max(event_id) AS max_seq
+        |FROM events WHERE event_id BETWEEN 100 AND 9999""".stripMargin,
     "q07_multilog_table" ->
       "SELECT event_type AS addr, event_id AS seq FROM events ORDER BY addr, seq",
     "q08_multilog_rank" ->
