@@ -51,6 +51,34 @@ class OrderedScanPropSpec extends SparkSpec {
     c.limit.fold(ordered)(ordered.take)
   }
 
+  test("getMany equals the model across tiers for random seq sets") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("gmprop") + "/log", IntegerType)
+    val n = 2500
+    log.appendValues((0 until n).toSeq)
+    // sizes straddle every tier boundary: direct (≤128), ranges (≤64
+    // runs), isin (≤1000), broadcast (>1000)
+    val genSet: Gen[Seq[Long]] = for {
+      k <- Gen.oneOf(3, 100, 140, 600, 1200)
+      mode <- Gen.oneOf("runs", "scatter", "mixed")
+      base <- Gen.chooseNum(-5L, n + 5L)
+      step <- Gen.chooseNum(1L, 7L)
+    } yield mode match {
+      case "runs" => (0 until k).map(i => base + i) // one long run
+      case "scatter" => (0 until k).map(i => (base + i * step * 13) % (n + 40))
+      case "mixed" =>
+        (0 until k / 2).map(i => base + i) ++
+          (0 until k - k / 2).map(i => (i * 17L + base) % (n + 40))
+    }
+    samples(genSet, 12).foreach { seqs =>
+      val got = log.getMany(seqs)
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = seqs.distinct.filter(s => s >= 0 && s < n)
+        .map(s => s -> s.toInt).toMap
+      assert(got == want, s"k=${seqs.length} head=${seqs.take(5)}")
+    }
+  }
+
   test("random layouts × plans: connector equals the model, columnar and row paths") {
     import spark.implicits._
     samples(genCase, 20).zipWithIndex.foreach { case (c, i) =>
