@@ -232,6 +232,24 @@ final class DedupIndex private (
     store.append(b.unionByName(f).unionByName(j))
   }
 
+  /** Maintenance: fold the index's commit history into ONE layout-
+    * sorted version. A year of daily ingests is ~365 small segment
+    * sets; folding keeps probe planning O(1) in batch count and the
+    * `(kind, band, bucket)` sort makes the probe's `kind` filter and
+    * bucket joins row-group-prunable.
+    *
+    * Contract (the TableStore snapshot contract, surfaced): compact
+    * only once every prior batch's OUTPUTS are durably persisted
+    * downstream. `appliedVersion` still answers for all batches (the
+    * journal rows survive the fold), and a NEW batch probes the same
+    * index state — but REPLAYING a pre-compaction batch needs its
+    * pre-batch snapshot, which the fold removed: that replay now
+    * fails loudly (`readAsOf` fold refusal) instead of recomputing.
+    * Rows are preserved exactly; only layout and history change. */
+  def compact(): Unit = synchronized {
+    store.rewrite(_.sort("kind", "band", "bucket", "fingerprint"))
+  }
+
   /** The committed rows as of `pre` (None = current): the snapshot
     * read is the connector's `versionAsOf` planning-time prune. */
   private def stateAt(pre: Option[Long]): DataFrame = pre match {

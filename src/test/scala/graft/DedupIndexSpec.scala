@@ -82,6 +82,51 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs1.intersect(pairs2).isEmpty)
   }
 
+  test("compact folds history; probes identical; pre-fold replay fails loudly") {
+    val corpus = docs.where(col("doc_id") < 250)
+    val batch1 = docs.where(col("doc_id") >= 250 && col("doc_id") < 375)
+    val batch2 = docs.where(col("doc_id") >= 375)
+    val dir = tmpDir("graft-didx-cpt-")
+    val idx = DedupIndex.open(spark, dir, P)
+    idx.seed("corpus", corpus, "text", "doc_id")
+    idx.ingest("b1", batch1, "text", "doc_id",
+      corpusTexts = corpus.select("doc_id", "text"),
+      threshold = 0.35, exactTier = false)
+    val bandsBefore = idx.bands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val segsBefore = graft.storage.Manifest
+      .load(java.nio.file.Paths.get(dir, "store").toString).get.segments.length
+    idx.compact()
+    val segsAfter = graft.storage.Manifest
+      .load(java.nio.file.Paths.get(dir, "store").toString).get.segments.length
+    assert(segsAfter < segsBefore,
+      s"fold should shrink segments ($segsBefore -> $segsAfter)")
+    // rows preserved exactly; journal still answers
+    assert(idx.bands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == bandsBefore)
+    assert(idx.appliedVersion("b1").isDefined)
+    // a NEW batch probes the folded index identically to the unfolded
+    // run (rolling identity still holds through the fold)
+    val grown = corpus.unionByName(batch1)
+    val pairs2 = idx.ingest("b2", batch2, "text", "doc_id",
+        corpusTexts = grown.select("doc_id", "text"),
+        threshold = 0.35, exactTier = false)
+      .pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 8, 4, 3, 0.35)
+      .where(col("id_a") >= 375 || col("id_b") >= 375)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == want,
+      s"post-fold probe diverged: extra=${pairs2 -- want}, missing=${want -- pairs2}")
+    // replaying a PRE-fold batch needs its folded-away snapshot: loud
+    val e = intercept[Exception] {
+      idx.ingest("b1", batch1, "text", "doc_id",
+        corpusTexts = corpus.select("doc_id", "text"),
+        threshold = 0.35, exactTier = false).pairs.count()
+    }
+    assert(e.getMessage.contains("folded"), e.getMessage)
+  }
+
   test("exact tier drops indexed fingerprints; admitted set is " +
     "invariant to running it") {
     val corpus = Seq((500L, "the standing corpus document")).toDF("doc_id", "text")
