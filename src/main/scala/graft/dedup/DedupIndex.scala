@@ -232,22 +232,39 @@ final class DedupIndex private (
     store.append(b.unionByName(f).unionByName(j))
   }
 
-  /** Maintenance: fold the index's commit history into ONE layout-
-    * sorted version. A year of daily ingests is ~365 small segment
-    * sets; folding keeps probe planning O(1) in batch count and the
-    * `(kind, band, bucket)` sort makes the probe's `kind` filter and
-    * bucket joins row-group-prunable.
+  /** Maintenance: fold the index's commit history into
+    * `targetPartitions` range-partitioned, internally sorted segments
+    * (explicit partitioning — NOT the session's shuffle.partitions,
+    * so the folded layout is deterministic and small). A year of
+    * daily ingests is ~365 small segment sets; folding keeps probe
+    * planning O(1) in batch count and the `(kind, band, bucket)`
+    * ordering makes the probe's `kind` filter and bucket joins
+    * row-group-prunable.
     *
-    * Contract (the TableStore snapshot contract, surfaced): compact
-    * only once every prior batch's OUTPUTS are durably persisted
-    * downstream. `appliedVersion` still answers for all batches (the
-    * journal rows survive the fold), and a NEW batch probes the same
-    * index state — but REPLAYING a pre-compaction batch needs its
-    * pre-batch snapshot, which the fold removed: that replay now
-    * fails loudly (`readAsOf` fold refusal) instead of recomputing.
+    * Contract (the TableStore snapshot contract, surfaced) — an
+    * OFFLINE maintenance op, like any compaction:
+    *   - run it from the single writer with no concurrent readers
+    *     mid-scan: the fold deletes pre-fold segment files, so an
+    *     in-flight scan planned against the old manifest (including
+    *     an unevaluated pre-fold [[IngestResult]] frame) can fail
+    *     with a missing file;
+    *   - compact only once every prior batch's OUTPUTS are durably
+    *     persisted downstream;
+    *   - `appliedVersion` still DETECTS every batch (journal rows
+    *     survive the fold) but reports the fold version for
+    *     pre-fold batches — the original commit-version lineage is
+    *     folded away with the snapshots;
+    *   - a NEW batch probes the same index state (rolling identity
+    *     is spec-pinned through the fold), while REPLAYING a
+    *     pre-fold batch needs its pre-batch snapshot, which the fold
+    *     removed: that replay fails loudly (`readAsOf` fold refusal)
+    *     instead of recomputing against the wrong state.
     * Rows are preserved exactly; only layout and history change. */
-  def compact(): Unit = synchronized {
-    store.rewrite(_.sort("kind", "band", "bucket", "fingerprint"))
+  def compact(targetPartitions: Int = 8): Unit = synchronized {
+    store.rewrite(
+      _.repartitionByRange(targetPartitions,
+          col("kind"), col("band"), col("bucket"), col("fingerprint"))
+        .sortWithinPartitions("kind", "band", "bucket", "fingerprint"))
   }
 
   /** The committed rows as of `pre` (None = current): the snapshot

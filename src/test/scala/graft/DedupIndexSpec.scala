@@ -96,11 +96,11 @@ class DedupIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     val segsBefore = graft.storage.Manifest
       .load(java.nio.file.Paths.get(dir, "store").toString).get.segments.length
-    idx.compact()
+    idx.compact(targetPartitions = 2)
     val segsAfter = graft.storage.Manifest
       .load(java.nio.file.Paths.get(dir, "store").toString).get.segments.length
-    assert(segsAfter < segsBefore,
-      s"fold should shrink segments ($segsBefore -> $segsAfter)")
+    assert(segsAfter < segsBefore && segsAfter <= 2,
+      s"fold should shrink to the explicit layout ($segsBefore -> $segsAfter)")
     // rows preserved exactly; journal still answers
     assert(idx.bands.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == bandsBefore)

@@ -70,7 +70,11 @@ class OrderedScanPropSpec extends SparkSpec {
         (0 until k / 2).map(i => base + i) ++
           (0 until k - k / 2).map(i => (i * 17L + base) % (n + 40))
     }
-    samples(genSet, 12).foreach { seqs =>
+    // one GUARANTEED broadcast-tier case (odd stride is coprime with
+    // the modulus → 1200 distinct seqs > MaxInLiteralSeqs); the
+    // generated cases may or may not reach it depending on stride/gcd
+    val guaranteedBroadcast = (0 until 1200).map(i => (i * 2L + 1) % (n + 40))
+    (samples(genSet, 12) :+ guaranteedBroadcast).foreach { seqs =>
       val got = log.getMany(seqs)
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       val want = seqs.distinct.filter(s => s >= 0 && s < n)
