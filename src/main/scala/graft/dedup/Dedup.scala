@@ -628,68 +628,94 @@ object Dedup {
   /** Connected components over an undirected pair list — the cluster
     * step every near-dup pipeline runs AFTER pairwise detection (LSH
     * emits pairs; retention policy needs whole clusters: keep one doc
-    * per component). Min-label propagation: every node starts labeled
-    * with itself; each round takes the min label over neighbors;
-    * converges in component-diameter rounds — duplicate clusters are
-    * near-cliques, so 2-3 rounds in practice, `maxIter` as the
-    * pathological-chain bound.
+    * per component). Alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14): each round every node hooks its neighbors onto the
+    * minimum of its closed neighborhood, which at least halves the
+    * height of every tree — convergence in O(log n) rounds regardless
+    * of component DIAMETER. This replaces round-10's min-label
+    * propagation, whose round count was diameter-bound: a near-dup
+    * chain deeper than `maxIter` hops (boilerplate-heavy crawls
+    * produce these) silently returned SPLIT components. Now the round
+    * bound is logarithmic, and exhausting it refuses loudly instead
+    * of shipping wrong clusters — the same checkable-consistency
+    * discipline as [[fingerprintClusters]]'s cap guard.
     *
     * Scale: runs over the PAIRS graph (≪ corpus; one row per LSH
-    * verified pair), each round one shuffle keyed on node id. For
-    * billion-edge graphs the same loop upgrades to alternating
-    * small-star/large-star (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond") without changing the contract.
-    * Returns (id, component = min id reachable). */
+    * verified pair), each round two shuffles keyed on node id, and
+    * the edge set only ever shrinks toward one star per component.
+    * Each round's frontier is eagerly localCheckpoint'ed — iterative
+    * plans MUST truncate lineage (the GraphX discipline) or round k
+    * nests k joins deep and every action recomputes the pipeline.
+    * Returns (id, component = min id reachable); a node whose only
+    * pair is a self-loop maps to itself. */
   def connectedComponents(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 50
   ): DataFrame = {
-    val e = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
-    // Iterative algorithms MUST truncate lineage each round (the GraphX
-    // discipline): without it, round k's plan nests k joins deep and
-    // any partial materialization (e.g. a limit-pruned cache fill)
-    // recomputes the whole upstream pipeline per action. Eager
-    // localCheckpoint gives a flat, fully-materialized frontier per
-    // round — the trade (recompute-on-executor-loss) is the standard
-    // one for iterative graph steps; long jobs re-run the step.
-    val sym = e
-      .union(e.select(col("b").as("a"), col("a").as("b")))
+    val raw = pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+    // Contract: every node mentioned in `pairs` appears in the output,
+    // including self-loop-only nodes the edge canonicalization drops.
+    val nodes = raw
+      .select(col("u").as("id"))
+      .union(raw.select(col("v").as("id")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym
-      .select(col("a").as("id"))
+    var edges = raw
+      .where(col("u") =!= col("v"))
+      .select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       .distinct()
-      .withColumn("comp", col("id"))
       .localCheckpoint(true)
-    var converged = false
+    var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym
-        .join(
-          labels.select(col("id").as("b"), col("comp").as("bcomp")),
-          Seq("b")
-        )
-        .groupBy(col("a").as("id"))
-        .agg(min("bcomp").as("nbrComp"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp")
-        )
-        .localCheckpoint(true) // flat + materialized
-      converged = next
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .where(col("comp") =!= col("old"))
-        .isEmpty
-      labels.unpersist(blocking = false)
-      labels = next
+      // Large-star: every node u hooks its LARGER neighbors onto
+      // min(Γ(u) ∪ {u}). Output edges all satisfy u > v.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minN = sym.groupBy("u").agg(min("v").as("mv"))
+      val ls = sym
+        .join(minN, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mv"), col("u")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // Small-star: every node u re-hooks its smaller neighbors (and
+      // itself) onto min(N_<(u)). Input/output edges all have u > v.
+      val minS = ls.groupBy("u").agg(min("v").as("mv"))
+      val ss = ls
+        .join(minS, Seq("u"))
+        .select(col("v").as("u"), col("mv").as("v"))
+        .where(col("u") =!= col("v"))
+        .union(minS.select(col("u"), col("mv").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // Fixed point = the star state (paper, Thm 1): every edge is
+      // (member, component-min). Both sides are distinct canonical
+      // sets, so count-equal + empty one-way difference ⟺ set-equal.
+      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges.unpersist(blocking = false)
+      ls.unpersist(blocking = false)
+      edges = ss
       i += 1
     }
-    sym.unpersist(blocking = false)
-    labels.select(col("id"), col("comp").as("component"))
+    // Loud refusal beats silently split clusters: this fires only on
+    // adversarial inputs (alternation converges in O(log n) rounds —
+    // ~40 covers any physically storable graph at the default).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: star contraction did not converge within " +
+          s"maxIter=$maxIter rounds — components would be split. Raise " +
+          s"maxIter (rounds needed ~ log2(largest component size)).")
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+    val out = nodes
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    out
   }
 
   /** The ingest-batch drop set given its batch-touching near-dup pair
@@ -714,9 +740,10 @@ object Dedup {
   def incrementalDropIds(
       pairs: DataFrame,
       batchIds: DataFrame,
-      idCol: String
+      idCol: String,
+      maxIter: Int = 50
   ): DataFrame = {
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponents(pairs, maxIter = maxIter)
     val tagged = comp.join(
       batchIds.select(col(idCol).cast("long").as("id"),
         lit(true).as("_new")),
@@ -741,9 +768,10 @@ object Dedup {
   def clusterSurvivors(
       df: DataFrame,
       idCol: String,
-      pairs: DataFrame
+      pairs: DataFrame,
+      maxIter: Int = 50
   ): DataFrame = {
-    val losers = connectedComponents(pairs)
+    val losers = connectedComponents(pairs, maxIter = maxIter)
       .where(col("component") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -763,9 +791,10 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      scoreCol: String
+      scoreCol: String,
+      maxIter: Int = 50
   ): DataFrame = {
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponents(pairs, maxIter = maxIter)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component")
       .orderBy(col("_score").desc, col("id").asc)
@@ -1074,7 +1103,8 @@ object Dedup {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucket: Long = 100000L,
-      bits: Int = 64
+      bits: Int = 64,
+      maxIter: Int = 50
   ): (DataFrame, DataFrame) = {
     val sh =
       if (bits == 64) simhash64(df, textCol, idCol)
@@ -1082,7 +1112,8 @@ object Dedup {
     val (pairs, capped) = hammingPairsDiag(
       sh.select(col("id"), col("simhash").as("h")),
       "h", "id", maxHamming, bands, maxBucket, bits)
-    (connectedComponents(pairs.select("id_a", "id_b")), capped)
+    (connectedComponents(pairs.select("id_a", "id_b"), maxIter = maxIter),
+      capped)
   }
 
   /** [[fingerprintClustersDiag]] with the diagnostic ENFORCED: checks
@@ -1101,10 +1132,11 @@ object Dedup {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucket: Long = 100000L,
-      bits: Int = 64
+      bits: Int = 64,
+      maxIter: Int = 50
   ): DataFrame = {
     val (clusters, capped) = fingerprintClustersDiag(
-      df, textCol, idCol, maxHamming, bands, maxBucket, bits)
+      df, textCol, idCol, maxHamming, bands, maxBucket, bits, maxIter)
     val flooded = capped.limit(3).collect()
     if (flooded.nonEmpty)
       throw new IllegalStateException(

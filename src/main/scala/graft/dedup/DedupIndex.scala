@@ -167,7 +167,8 @@ final class DedupIndex private (
       maxBucket: Long = 10000L,
       exactTier: Boolean = true,
       maxPushedFetchIds: Long = 100000L,
-      maxBroadcastProbeKeys: Long = 4000000L
+      maxBroadcastProbeKeys: Long = 4000000L,
+      maxIter: Int = 50
   ): IngestResult = synchronized {
     val applied = appliedVersion(batchId)
     // pre-batch snapshot: on a replay the index already holds this
@@ -190,7 +191,8 @@ final class DedupIndex private (
       corpusTexts, params.shingleWidth,
       threshold, maxBucket, maxPushedFetchIds, maxBroadcastProbeKeys)
     val drops =
-      Dedup.incrementalDropIds(pairs, exactSurvivors.select(col(idCol)), idCol)
+      Dedup.incrementalDropIds(
+        pairs, exactSurvivors.select(col(idCol)), idCol, maxIter)
     val admitted = exactSurvivors
       .join(drops, exactSurvivors(idCol) === drops("_dup_id"), "left_anti")
     val ver = applied.getOrElse {

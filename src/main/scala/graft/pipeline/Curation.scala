@@ -88,12 +88,13 @@ object Curation {
       maxBucket: Long = 100000L,
       bits: Int = 64,
       sampleRate: Double = 1.0,
-      seed: String = "s0"
+      seed: String = "s0",
+      maxIter: Int = 50
   ): DataFrame = {
     val gated = gate(df, textCol, lang, minQuality, minTokens, maxTokens)
     val losers = Dedup
       .fingerprintClusters(gated, textCol, idCol,
-        maxHamming, bands, maxBucket, bits)
+        maxHamming, bands, maxBucket, bits, maxIter)
       .where(col("id") =!= col("component"))
       .select(col("id").as("_dup_id"))
     val deduped =
@@ -137,14 +138,15 @@ object Curation {
       shingleWidth: Int = 3,
       threshold: Double = 0.5,
       maxBucket: Long = 10000L,
-      portableHash: Boolean = true
+      portableHash: Boolean = true,
+      maxIter: Int = 50
   ): DataFrame = {
     val gated = gate(newDocs, textCol, lang, minQuality, minTokens, maxTokens)
     val pairs = Dedup.incrementalLshPairs(
       gated, textCol, idCol, corpusBands, corpusTexts,
       numHashes, bands, shingleWidth, threshold, maxBucket, portableHash)
     val drops =
-      Dedup.incrementalDropIds(pairs, gated.select(col(idCol)), idCol)
+      Dedup.incrementalDropIds(pairs, gated.select(col(idCol)), idCol, maxIter)
     gated.join(drops, gated(idCol) === col("_dup_id"), "left_anti")
   }
 

@@ -302,6 +302,36 @@ class PipelineSpec extends SparkSpec {
     assert(surv == Set(1L, 10L, 20L, 99L))
   }
 
+  test("connected components: diameter beyond the old iteration cap " +
+      "converges (large-star/small-star), exhaustion fails loudly") {
+    // A 61-node path (diameter 60) — deeper than round-10's
+    // min-label-propagation cap of 20 rounds, where the old code
+    // silently returned SPLIT components. Star contraction needs
+    // ~log2(61) alternation rounds, so the default cap is generous.
+    val chain = (1L until 61L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup
+      .connectedComponents(chain)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(comp.size == 61)
+    assert(comp.values.forall(_ == 1L),
+      s"split components: ${comp.values.toSet}")
+    // Exhausting maxIter REFUSES instead of returning wrong clusters.
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // Self-loop-only nodes keep the one-row-per-mentioned-node contract.
+    val withSelf = Seq((5L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val selfComp = Dedup
+      .connectedComponents(withSelf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(selfComp == Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("quality-aware survivors: best-of-cluster, ties by lowest id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     // cluster {1,2,3}: 2 has the best score; cluster {10,11}: tied →
