@@ -361,16 +361,41 @@ object Ann {
   }
 
   /** [[ivfAssign]] with the codebook passed explicitly (driver-side
-    * vectors → literal arrays) — the form the training loop iterates. */
+    * vectors) — the form the training loop iterates. Two plans with
+    * identical semantics (cross-checked in IvfCompactSpec), forked on
+    * codebook size:
+    *
+    *  - k ≤ `literalMax`: k inline struct literals + array_min — the
+    *    whole argmin is visible in the plan and SQL-recomputable (the
+    *    q68 oracle surface).
+    *  - k > `literalMax`: [[graft.functions.CodebookArgmin]] — the
+    *    codebook rides the expression as primitive reference arrays
+    *    (shipped once via the broadcast task binary), so the plan
+    *    stays FLAT in k. At production IVF scale (k ~ 10⁴–10⁵) the
+    *    literal form is a tens-of-MB plan re-analyzed per query; the
+    *    native form is a constant-size plan and a tight float[][]
+    *    loop.
+    *
+    * Both paths are per-row maps over the corpus — no join, no
+    * shuffle; per-row cost is O(k·dims) either way (IVF-flat assign
+    * has no pruning structure — that is the standard FAISS-style
+    * trade at this tier). */
   def ivfAssignVectors(
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      cents: Seq[(Long, Seq[Float])]
+      cents: Seq[(Long, Seq[Float])],
+      literalMax: Int = 128
   ): DataFrame = {
+    require(cents.nonEmpty, "empty codebook")
+    if (cents.size > literalMax) {
+      val cell = graft.functions.CodebookArgmin
+        .assign(df.sparkSession, col(vecCol), cents)
+      return df.select(col(idCol), col(vecCol), cell.as("cell"))
+    }
     graft.functions.VecOps.register(df.sparkSession)
     val best = array_min(
-      array(cents.map { case (cell, cvec) =>
+      array(cents.sortBy(_._1).map { case (cell, cvec) =>
         val cLit = array(cvec.map(v => lit(v)): _*).cast("array<float>")
         val cNormSq = cvec.map(v => v.toDouble * v.toDouble).sum
         struct(

@@ -37,6 +37,53 @@ class IvfCompactSpec extends SparkSpec {
     assert(exact.intersect(top.toSet).size >= 3)
   }
 
+  test("ivf assign: native codebook path matches the literal path " +
+      "exactly; plan stays flat at k=4096") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // 200 centroids (> default literalMax=128 → native path); force
+    // the literal plan by raising the threshold — same cents, same
+    // rows, assignments must agree bit-for-bit including tie-breaks.
+    val cents = emb.limit(200).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val native = Ann.ivfAssignVectors(emb, "embedding", "vec_id", cents)
+    val literal =
+      Ann.ivfAssignVectors(emb, "embedding", "vec_id", cents, literalMax = 1000)
+    assert(native.queryExecution.executedPlan.toString.length <
+      literal.queryExecution.executedPlan.toString.length / 10)
+    val n = native.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l = literal.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == l, "native/literal assignment divergence")
+
+    // k=4096 synthetic codebook: the plan must not grow with k (the
+    // round-10 literal form was tens of MB here), and the argmin must
+    // still be exact — checked against a driver-side recomputation.
+    val dims = 16
+    val big = (0L until 4096L).map { c =>
+      (c, (0 until dims).map(d => (((c * 31 + d * 7) % 97).toFloat / 9.7f)))
+    }
+    val probe = Seq(
+      (1L, (0 until dims).map(d => ((d * 7) % 97).toFloat / 9.7f)),
+      (2L, (0 until dims).map(d => (((500 * 31 + d * 7) % 97).toFloat / 9.7f)))
+    ).toDF("vec_id", "embedding")
+    val bigAssigned = Ann.ivfAssignVectors(probe, "embedding", "vec_id", big)
+    val planLen = bigAssigned.queryExecution.executedPlan.toString.length
+    assert(planLen < 10000, s"plan grew with k: $planLen chars")
+    val got = bigAssigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def nearest(v: Seq[Float]): Long = big.minBy { case (_, c) =>
+      val dot = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val nsq = c.map(x => x.toDouble * x.toDouble).sum
+      (nsq - 2.0 * dot, 0L)
+    }._1
+    val exp = Map(
+      1L -> nearest(probe.collect().find(_.getLong(0) == 1L).get.getSeq[Float](1)),
+      2L -> nearest(probe.collect().find(_.getLong(0) == 2L).get.getSeq[Float](1)))
+    assert(got == exp, s"argmin mismatch: got $got expected $exp")
+  }
+
   test("kmeans training recovers planted blobs and reduces inertia") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
