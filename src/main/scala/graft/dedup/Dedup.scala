@@ -107,16 +107,21 @@ object Dedup {
   ): DataFrame = {
     val withFp = newDocs
       .withColumn("_fp", TextFunctions.fingerprint(col(textCol)))
+    // the canon side derives from withFp, so its columns are RENAMED
+    // before the self-join — dataframe-apply disambiguation resolves
+    // both sides of `withFp("_fp") === canon("_fp")` to the SAME
+    // attribute on a self-join lineage (Spark warns "trivially true")
     val canon = withFp
       .groupBy(col("_fp"))
       .agg(min(col(idCol)).as("_canon_id"))
       .join(corpusFingerprints
           .select(col("fingerprint").as("_fp")),
         Seq("_fp"), "left_anti")
+      .withColumnRenamed("_fp", "_canon_fp")
     withFp
       .join(canon,
-        withFp("_fp") === canon("_fp") &&
-          withFp(idCol) === canon("_canon_id"),
+        col("_fp") === col("_canon_fp") &&
+          col(idCol) === col("_canon_id"),
         "left_semi")
       .drop("_fp")
   }

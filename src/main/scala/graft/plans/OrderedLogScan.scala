@@ -99,11 +99,17 @@ object OrderedLogScan extends SparkStrategy {
     * [[graft.storage.ParquetLog.open]] calls this, so any session
     * that opens an engine log plans ordered drains shuffle-free; the
     * strategy is a pure physical-plan optimization (rewritten plans
-    * are row-for-row identical), additive and session-scoped. */
-  def install(spark: SparkSession): Unit =
+    * are row-for-row identical), additive and session-scoped.
+    *
+    * The read-modify-write on `extraStrategies` is synchronized:
+    * concurrent `ParquetLog.open` calls on one session would otherwise
+    * race the check-then-act (duplicate installs are harmless, but a
+    * concurrent unrelated strategy assignment could be lost). */
+  def install(spark: SparkSession): Unit = OrderedLogScan.synchronized {
     if (!spark.experimental.extraStrategies.contains(OrderedLogScan))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ OrderedLogScan
+  }
 }
 
 /** Ascending ordered drain: pass the child through unchanged, but

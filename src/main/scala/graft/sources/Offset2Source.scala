@@ -96,11 +96,27 @@ final class Offset2ScanBuilder(
   private var pruned: StructType = Offset2Source.schema
   private var topN: Option[(Int, Boolean)] = None // (n, descending)
 
+  /** `seq > Long.MaxValue` / `seq < Long.MinValue` are empty sets —
+    * without this guard the +1/−1 folding would overflow to wide-open
+    * bounds. Bounds here stay residual (Spark re-filters rows), so the
+    * guard is plan hygiene today, but the agg path notes they would
+    * become load-bearing if filters ever turn exact — same discipline
+    * as GraftLogScanBuilder. */
+  private def forceEmpty(): Unit = {
+    lower = Long.MaxValue; upper = Long.MinValue
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
-      case GreaterThan("seq", v: Long) => lower = math.max(lower, v + 1); true
+      case GreaterThan("seq", v: Long) =>
+        if (v == Long.MaxValue) forceEmpty()
+        else lower = math.max(lower, v + 1)
+        true
       case GreaterThanOrEqual("seq", v: Long) => lower = math.max(lower, v); true
-      case LessThan("seq", v: Long) => upper = math.min(upper, v - 1); true
+      case LessThan("seq", v: Long) =>
+        if (v == Long.MinValue) forceEmpty()
+        else upper = math.min(upper, v - 1)
+        true
       case LessThanOrEqual("seq", v: Long) => upper = math.min(upper, v); true
       case EqualTo("seq", v: Long) =>
         lower = math.max(lower, v); upper = math.min(upper, v); true

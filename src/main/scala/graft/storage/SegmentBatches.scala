@@ -216,8 +216,10 @@ private[graft] object SegmentBatches {
   }
 
   /** Zero-copy positional slice of a boundary batch: wraps each column
-    * in an offset view and truncates the row count. Atomic types only
-    * (all [[supported]] admits — the nested getters throw loudly). */
+    * in an offset view and truncates the row count. Serves every type
+    * [[supported]] admits — atomics directly, structs via cached
+    * offset child views, arrays/maps by getArray/getMap delegation;
+    * only non-admitted getters (e.g. getDecimal) throw loudly. */
   private def SlicedBatch(b: ColumnarBatch, offset: Int, len: Int): ColumnarBatch = {
     val cols = (0 until b.numCols()).map(i =>
       new OffsetVector(b.column(i), offset): ColumnVector)

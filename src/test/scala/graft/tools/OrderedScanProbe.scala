@@ -9,11 +9,12 @@ import graft.storage.ParquetLog
 /** Scale evidence for ordered-read planning (test-scope tool): builds
   * a log of `copies` × the sf events table (default 10× ≈ 6M rows at
   * sf0.1), then times (min of reps) each new plan shape against a
-  * FORCED-baseline arm. The baseline arms order by `seq + 0` — a
-  * computed key the pushdown and the strategy correctly refuse, so
-  * Spark plans exactly what it planned before this round
-  * (TakeOrderedAndProject over the full log / Exchange + Sort) over
-  * the very same data:
+  * FORCED-baseline arm. The baseline arms sort by an OPAQUE Scala-UDF
+  * identity of `seq` (`seq + 0` would be constant-folded back to
+  * `seq`, re-enabling the pushdown) — a computed key the pushdown and
+  * the strategy correctly refuse, so Spark plans exactly what it
+  * planned before this round (TakeOrderedAndProject over the full
+  * log / Exchange + Sort) over the very same data:
   *
   *   - tail100:   orderBy(seq desc).limit(100)  — pushed top-N
   *                (plans only the tail segment) vs full-scan heap
