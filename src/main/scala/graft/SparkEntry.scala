@@ -124,6 +124,59 @@ object SparkEntry {
           min("seq").as("min_seq"),
           max("seq").as("max_seq"))
     }),
+    // round 11: segment compaction under oracle — five small appends
+    // (five segments), compact folds them, and the re-read must be
+    // byte-identical to the one-shot append: same dense seqs, same
+    // values, fsck clean (reference: segment fold = the log's
+    // maintenance story; storage invariants must survive it)
+    "q107_log_compact" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val slice = events.where(col("event_id") < 500)
+      val work = tempWorkDir("graft-q107")
+      val log = graft.storage.ParquetLog.open(
+        s, s"$work/log",
+        EngineFixtures.eventValue(slice).schema.head.dataType)
+      (0L until 5L).foreach { i =>
+        log.append(EngineFixtures.eventValue(
+          slice.where(
+            col("event_id") >= i * 100 && col("event_id") < (i + 1) * 100)))
+      }
+      val segsBefore = graft.storage.Manifest.load(log.dir).get.segments.length
+      log.compact(targetRows = 1000)
+      val segsAfter = graft.storage.Manifest.load(log.dir).get.segments.length
+      require(segsAfter < segsBefore,
+        s"compact did not fold segments: $segsBefore -> $segsAfter")
+      require(log.checkConsistency() == Nil, "post-compact fsck failed")
+      log.query(SeqWrap(true))
+        .select(col("seq"), col("value.*"))
+        .withColumn("amount", round(col("amount"), 6))
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .drop("ts_ns")
+        .orderBy("seq")
+    }),
+    // round 11: the FULL Lloyd training loop under oracle (q68 covers
+    // one step): blobs planted ARITHMETICALLY from vec_id (exact in
+    // any engine — blob b = vec_id % 3, center 10·e_b in 4-d, jitter
+    // in 0.1 steps), two training rounds with 6-dp mean quantization
+    // (kmeansTrain roundTo — keeps both engines' intermediate
+    // codebooks identical), then the final integer-valued assignment:
+    // margins ~10 make the argmin immune to last-ulp divergence
+    "q108_kmeans_train" -> ((s, dir) => {
+      val ids = Tables.load(s, dir, "embeddings").select("vec_id")
+      val vecs = ids.select(
+        col("vec_id"),
+        transform(sequence(lit(0), lit(3)), d =>
+          (when(pmod(col("vec_id"), lit(3)) === d, lit(10.0))
+            .otherwise(lit(0.0))
+            + pmod(col("vec_id") * 7 + d * 3, lit(5)).cast("double") * 0.1)
+            .cast("float")).as("embedding"))
+      val trained = Ann.kmeansTrain(vecs, "embedding", "vec_id",
+        Seq(0L, 1L, 2L), iters = 2, roundTo = 6)
+      Ann.ivfAssignVectors(vecs, "embedding", "vec_id",
+          trained.toSeq.sortBy(_._1))
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    }),
     // §2.4 multilog fan-out table (ops 16-17, 23)
     "q07_multilog_table" -> ((s, dir) => {
       val (_, mlog, _) = EngineFixtures.open(s, dir)
@@ -1961,6 +2014,67 @@ object SparkEntry {
     "q05_log_point" ->
       s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id = 42",
     "q06_log_seq" -> "SELECT max(event_id) AS seq FROM events",
+    "q107_log_compact" ->
+      s"SELECT event_id AS seq, $eventCols FROM events WHERE event_id < 500 ORDER BY seq",
+    // two Lloyd rounds replayed literally: planted vecs from vec_id
+    // arithmetic, per-round argmin (dist = cnorm − 2·dot, ties to the
+    // lowest cell) and 6-dp-rounded FLOAT means (kmeansTrain stores
+    // Float centroids), then the final assignment under codebook c2
+    "q108_kmeans_train" ->
+      """WITH dimk AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |vecs AS (
+        |  SELECT vec_id, d,
+        |    CAST(CASE WHEN vec_id % 3 = d THEN 10.0 ELSE 0.0 END
+        |      + ((vec_id * 7 + d * 3) % 5) * 0.1 AS FLOAT) AS x
+        |  FROM (SELECT vec_id FROM embeddings) ids, dimk
+        |),
+        |c0 AS (SELECT vec_id AS cell, d, x AS c FROM vecs WHERE vec_id < 3),
+        |cn1 AS (SELECT cell, sum(c::DOUBLE * c::DOUBLE) AS cnorm FROM c0 GROUP BY 1),
+        |dot1 AS (
+        |  SELECT v.vec_id, c.cell, sum(v.x::DOUBLE * c.c::DOUBLE) AS dot
+        |  FROM vecs v JOIN c0 c USING (d) GROUP BY 1, 2
+        |),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |    FROM dot1 d JOIN cn1 cn USING (cell)) WHERE rn = 1
+        |),
+        |c1 AS (
+        |  SELECT c0.cell, c0.d, CAST(coalesce(m.c, c0.c) AS FLOAT) AS c
+        |  FROM c0 LEFT JOIN (
+        |    SELECT a.cell, v.d, round(avg(v.x::DOUBLE), 6) AS c
+        |    FROM a1 a JOIN vecs v USING (vec_id) GROUP BY 1, 2) m
+        |  USING (cell, d)
+        |),
+        |cn2 AS (SELECT cell, sum(c::DOUBLE * c::DOUBLE) AS cnorm FROM c1 GROUP BY 1),
+        |dot2 AS (
+        |  SELECT v.vec_id, c.cell, sum(v.x::DOUBLE * c.c::DOUBLE) AS dot
+        |  FROM vecs v JOIN c1 c USING (d) GROUP BY 1, 2
+        |),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |    FROM dot2 d JOIN cn2 cn USING (cell)) WHERE rn = 1
+        |),
+        |c2 AS (
+        |  SELECT c1.cell, c1.d, CAST(coalesce(m.c, c1.c) AS FLOAT) AS c
+        |  FROM c1 LEFT JOIN (
+        |    SELECT a.cell, v.d, round(avg(v.x::DOUBLE), 6) AS c
+        |    FROM a2 a JOIN vecs v USING (vec_id) GROUP BY 1, 2) m
+        |  USING (cell, d)
+        |),
+        |cn3 AS (SELECT cell, sum(c::DOUBLE * c::DOUBLE) AS cnorm FROM c2 GROUP BY 1),
+        |dot3 AS (
+        |  SELECT v.vec_id, c.cell, sum(v.x::DOUBLE * c.c::DOUBLE) AS dot
+        |  FROM vecs v JOIN c2 c USING (d) GROUP BY 1, 2
+        |)
+        |SELECT vec_id, cell FROM (
+        |  SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id
+        |    ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |  FROM dot3 d JOIN cn3 cn USING (cell)) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "q106_count_pushdown" ->
       """SELECT count(*) AS n, min(event_id) AS min_seq, max(event_id) AS max_seq
         |FROM events WHERE event_id BETWEEN 100 AND 9999""".stripMargin,

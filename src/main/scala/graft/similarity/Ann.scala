@@ -421,7 +421,8 @@ object Ann {
       vecCol: String,
       idCol: String,
       initIds: Seq[Long],
-      iters: Int
+      iters: Int,
+      roundTo: Int = -1
   ): Map[Long, Seq[Float]] = {
     var cents = df
       .where(col(idCol).isin(initIds: _*))
@@ -433,10 +434,15 @@ object Ann {
     require(cents.nonEmpty, "no centroid rows found for the given ids")
     var i = 0
     while (i < iters) {
+      // roundTo >= 0 quantizes each refreshed mean to that many
+      // decimals BEFORE the next round — the cross-engine-exact form
+      // (q108's DuckDB oracle replays the identical training loop;
+      // unrounded double avgs differ in the last ulp across engines)
+      val rawMean = avg(col("x").cast("double"))
       val means = ivfAssignVectors(df, vecCol, idCol, cents)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("d", "x")))
         .groupBy("cell", "d")
-        .agg(avg(col("x").cast("double")).as("c"))
+        .agg((if (roundTo >= 0) round(rawMean, roundTo) else rawMean).as("c"))
         .collect()
       val byCell = means
         .groupBy(_.getLong(0))
