@@ -41,11 +41,14 @@ private[graft] object SegmentBatches {
     * STRUCTS of admitted types (the engine's dominant value shape —
     * an event log's `value` is a struct of scalars; the vectorized
     * reader decodes nested columns natively and [[writeValue]]
-    * repacks them recursively). Arrays/maps stay on the row path.
-    * Date/Timestamp/Decimal are excluded at every nesting level: the
-    * row converter does not handle them, and keeping them out also
-    * keeps every columnar-read type outside parquet's datetime-rebase
-    * rules (see [[open]]). */
+    * repacks them recursively), ARRAYS of atomics (an embedding log's
+    * array<float>), and MAPS of atomics (an event log's string props —
+    * round 11; keys+values append to the two map children sharing one
+    * offsets array). Deeper nesting (array<struct>, map<_, struct>)
+    * stays on the row path. Date/Timestamp/Decimal are excluded at
+    * every nesting level: the row converter does not handle them, and
+    * keeping them out also keeps every columnar-read type outside
+    * parquet's datetime-rebase rules (see [[open]]). */
   def supported(schema: StructType): Boolean =
     schema.fields.nonEmpty && schema.fields.forall(f => admitted(f.dataType))
 
@@ -57,8 +60,9 @@ private[graft] object SegmentBatches {
       st.fields.nonEmpty && st.fields.forall(f => admitted(f.dataType))
     // arrays of ATOMIC elements (an embedding log's array<float>):
     // the repack leg appends elements to the child vector; deeper
-    // nesting (array<struct>, maps) stays on the row path
+    // nesting (array<struct>, map<_, struct>) stays on the row path
     case ArrayType(et, _) => atomicElement(et)
+    case MapType(kt, vt, _) => atomicElement(kt) && atomicElement(vt)
     case _ => false
   }
 
@@ -348,6 +352,26 @@ private[graft] object SegmentBatches {
           var j = 0
           while (j < n) {
             appendElement(child, arr, j, et)
+            j += 1
+          }
+          v.putArray(i, start, n)
+        case MapType(kt, vt, _) =>
+          // map: the writable-vector map layout is the array layout
+          // with TWO children (0 = keys, 1 = values) sharing the
+          // parent's offsets — append n keys and n values, record
+          // (start, n) once. Map keys are non-null by Spark's data
+          // model; values may be null (appendElement handles both).
+          val m = row.getMap(c)
+          val n = m.numElements()
+          val keys = v.getChild(0).asInstanceOf[WritableColumnVector]
+          val vals = v.getChild(1).asInstanceOf[WritableColumnVector]
+          val start = keys.getElementsAppended
+          val ka = m.keyArray()
+          val va = m.valueArray()
+          var j = 0
+          while (j < n) {
+            appendElement(keys, ka, j, kt)
+            appendElement(vals, va, j, vt)
             j += 1
           }
           v.putArray(i, start, n)

@@ -553,7 +553,7 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(viaColumnar == (0L until 30L).map(s => (s, s.toInt)))
   }
 
-  test("columnar gate: maps/deep nesting, reversed and _ver-cut partitions stay on the row path; structs, arrays and seq cuts are columnar") {
+  test("columnar gate: deep nesting, reversed and _ver-cut partitions stay on the row path; structs, arrays, maps and seq cuts are columnar") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     // STRUCT value (the engine's dominant shape) rides the vectorized
@@ -578,12 +578,14 @@ class GraftLogSourceSpec extends SparkSpec {
       "array<atomic> values should be vectorized")
     assert(adf.select("value").collect()
       .map(_.getSeq[Float](0).sum).sorted.toSeq == Seq(0f, 3f, 3f))
-    // MAP value → type gate keeps the scan row-based
+    // MAP-of-atomics value is vectorized too (round 11: keys+values
+    // repack into the two map children); deeper nesting stays row
     val mdir = tmpDir("dsv2colm") + "/log"
     val mlog = ParquetLog.open(spark, mdir, MapType(StringType, IntegerType))
     mlog.append(Seq(Map("k" -> 1)).toDF("value"))
     val mdf = spark.read.format("graft-log").load(mdir)
-    assert(!mdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(mdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "map<atomic,atomic> values should be vectorized")
     assert(mdf.select("value").collect()
       .map(_.getMap[String, Int](0)("k")).toSeq == Seq(1))
     // a seq range cut stays COLUMNAR (dense seqs → positional slice);
@@ -669,6 +671,38 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(got(rdd.collect().toArray) == expect(0 until 30))
   }
 
+  test("map values: null, empty, sliced boundary batches and the repack fallback all exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("dsv2colmsl") + "/log"
+    val log = ParquetLog.open(spark, dir, MapType(StringType, IntegerType))
+    (0 until 3).foreach { k =>
+      log.append((k * 10 until (k + 1) * 10)
+        .map(i => (0 until i % 4).map(j => s"k$j" -> (i + j)).toMap)
+        .toDF("value"))
+    }
+    log.nullAt(12) // null map row through every path (i%4==0 ⇒ empty maps)
+    def expect(r: Range) = r.map { i =>
+      if (i == 12) (i.toLong, None)
+      else (i.toLong, Some((0 until i % 4).map(j => s"k$j" -> (i + j)).toMap))
+    }.toSeq
+    def got(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(_.getLong(0)).map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getMap[String, Int](1).toMap))
+      }.toSeq
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir).select("seq", "value")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // bounded scan: boundary batches sliced through the offset view
+    val bounded = df.where(col("seq") >= 7 && col("seq") <= 23)
+    assert(got(bounded.collect()) == expect(7 to 23))
+    // rewrite after the plan committed to columnar: map repack leg
+    val rdd = df.rdd
+    log.compact()
+    assert(got(rdd.collect().toArray) == expect(0 until 30))
+  }
+
   test("columnar gate admits only types the ROW leg also handles") {
     import org.apache.spark.sql.types._
     import graft.storage.SegmentBatches
@@ -683,6 +717,12 @@ class GraftLogSourceSpec extends SparkSpec {
     for (dt <- Seq(DateType, TimestampType, TimestampNTZType,
         DecimalType(10, 2), CalendarIntervalType))
       assert(!SegmentBatches.supported(one(dt)), s"$dt must stay on the row path")
+    // maps: atomic key/value columnar; nested or datetime parts row
+    assert(SegmentBatches.supported(one(MapType(StringType, IntegerType))))
+    assert(!SegmentBatches.supported(
+      one(MapType(StringType, StructType(Seq(StructField("x", IntegerType)))))))
+    assert(!SegmentBatches.supported(one(MapType(DateType, IntegerType))))
+    assert(!SegmentBatches.supported(one(MapType(StringType, TimestampType))))
     for (dt <- Seq(BooleanType, ByteType, ShortType, IntegerType, LongType,
         FloatType, DoubleType, StringType, BinaryType)) {
       assert(SegmentBatches.supported(one(dt)))
