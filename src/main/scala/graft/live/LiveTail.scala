@@ -79,7 +79,14 @@ object LiveTail {
     * (the machinery a raw file tail would need). Each batch drains
     * through a sorted `toLocalIterator`, so catch-up over an
     * arbitrarily large backlog never materializes a whole micro-batch
-    * on the driver. */
+    * on the driver.
+    *
+    * SCALE STEER: this is the driver-funnel delivery path — the right
+    * one for a single-process consumer wanting strict total order
+    * (the reference's `luigi.Sink` contract). A cluster-scale
+    * consumer should use [[pushDistributed]] (sink on executors,
+    * per-partition order) or `SinkIndex.pump` (log→index, fully
+    * distributed). */
   def push(
       log: ParquetLog,
       specs: Seq[QuerySpec],
@@ -123,6 +130,89 @@ object LiveTail {
             }
           }
           if (plan.upper.exists(u => last >= u - 1)) completion.complete()
+        }
+        (): Unit
+      }
+      .start()
+    if (emptyRange) completion.complete()
+    completion.attach(query)
+    query
+  }
+
+  /** Partition-PARALLEL push — the cluster-scale delivery path for
+    * live queries. [[push]] drains every micro-batch through one
+    * sorted driver-side iterator, faithful to the reference's
+    * single-process sink contract (offset2/qry.go:191-320) — but a
+    * 1000-executor consumer must not funnel through the driver.
+    * Here `sink` runs ON EXECUTORS, once per partition per
+    * micro-batch, via `foreachPartition`.
+    *
+    * Contract differences from [[push]], both inherent to
+    * distribution:
+    *   - Ordering is PER PARTITION: with `partitions > 0` each
+    *     micro-batch is range-partitioned on seq (contiguous seq
+    *     span per partition) and sorted within, so every sink call
+    *     sees an ascending contiguous slice; calls themselves run
+    *     concurrently. Global total order requires the driver funnel
+    *     — that is [[push]].
+    *   - The sink closure is serialized to executors; deliveries on
+    *     a failed-then-retried task can repeat (foreachBatch is
+    *     at-least-once per batch, same as [[push]]'s replay story).
+    *
+    * Limit/upper accounting never needs executor coordination: seqs
+    * are DENSE and each micro-batch is a contiguous range, so the
+    * remaining-count cut is pure seq arithmetic on the driver — the
+    * batch is filtered to `seq < cut` BEFORE fan-out and no
+    * over-delivery can happen. Self-termination matches [[push]]
+    * (exhausted limit / reached upper bound / degenerate range stop
+    * the query). */
+  def pushDistributed(
+      log: ParquetLog,
+      specs: Seq[QuerySpec],
+      checkpoint: String,
+      sink: Iterator[Row] => Unit,
+      partitions: Int = 0
+  ): StreamingQuery = {
+    val plan = QueryPlan.of(specs: _*)
+    require(plan.live, "push requires Live(true)")
+    val remaining =
+      new AtomicLong(if (plan.limit < 0) Long.MaxValue else plan.limit)
+    val internalSpecs = specs.filterNot(_.isInstanceOf[QuerySpec.SeqWrap]) :+
+      QuerySpec.SeqWrap(true)
+    val completion = new Completion
+    val emptyRange =
+      plan.upper.exists(u => u <= plan.lower.getOrElse(0L)) ||
+        plan.limit == 0L
+
+    val stream = log.liveQuery(internalSpecs: _*)
+    val query = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (emptyRange) completion.complete()
+        else if (!completion.isDone) {
+          // one tiny driver-side agg per batch: the batch's seq span
+          val mm = batch.agg(min("seq"), max("seq")).collect().head
+          if (!mm.isNullAt(0)) {
+            val mn = mm.getLong(0)
+            val mx = mm.getLong(1)
+            // exclusive cut: the seq threshold the remaining count buys
+            // (dense seqs ⇒ rows in [mn, cut) number exactly cut − mn)
+            val cut =
+              if (remaining.get() >= mx - mn + 1) mx + 1
+              else mn + remaining.get()
+            val sliced = if (cut > mx) batch else batch.where(col("seq") < cut)
+            val parted =
+              if (partitions > 0)
+                sliced.repartitionByRange(partitions, col("seq"))
+              else sliced
+            val ordered = parted.sortWithinPartitions("seq")
+            val projected = if (plan.seqWrap) ordered else ordered.drop("seq")
+            projected.foreachPartition(sink)
+            remaining.addAndGet(-(math.min(cut, mx + 1) - mn))
+            if (remaining.get() <= 0) completion.complete()
+            if (plan.upper.exists(u => mx >= u - 1)) completion.complete()
+          }
         }
         (): Unit
       }

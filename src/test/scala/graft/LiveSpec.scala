@@ -125,6 +125,70 @@ class LiveSpec extends SparkSpec {
     } finally if (q0.isActive) q0.stop()
   }
 
+  test("pushDistributed: executor-side delivery, per-partition order, " +
+      "exact set; limit self-terminates via the driver-side seq cut") {
+    import spark.implicits._
+    val log = ParquetLog.open(spark, tmpDir("livedist"), IntegerType)
+    log.appendValues((0 until 150).map(_ * 10))
+    DistCollector.reset()
+    val q = LiveTail.pushDistributed(
+      log,
+      Seq(Live(true), SeqWrap(true)),
+      tmpDir("ckptdist"),
+      DistCollector.sink,
+      partitions = 4
+    )
+    try {
+      q.processAllAvailable()
+      val calls = DistCollector.calls.asScala.toList
+      // every row delivered exactly once, values intact
+      val all = calls.flatten
+      assert(all.map(_._1).sorted == (0L until 150L).toList)
+      assert(all.forall { case (seq, v) => v == seq * 10 })
+      // each sink call saw an ascending CONTIGUOUS seq slice
+      calls.filter(_.nonEmpty).foreach { c =>
+        val seqs = c.map(_._1)
+        assert(seqs == (seqs.head to seqs.last).toList,
+          s"partition slice not contiguous-ascending: $seqs")
+      }
+      // live appends flow too
+      log.appendValues(Seq(9990))
+      q.processAllAvailable()
+      assert(DistCollector.calls.asScala.toList.flatten.map(_._1).sorted
+        == (0L to 150L).toList)
+    } finally q.stop()
+
+    // Limit: the dense-seq cut bounds delivery EXACTLY, before fan-out,
+    // and the query stops itself
+    DistCollector.reset()
+    val q2 = LiveTail.pushDistributed(
+      log,
+      Seq(Limit(60), Live(true), SeqWrap(true)),
+      tmpDir("ckptdistlim"),
+      DistCollector.sink,
+      partitions = 4
+    )
+    try {
+      assert(q2.awaitTermination(60000), "limited push did not self-terminate")
+      assert(DistCollector.calls.asScala.toList.flatten.map(_._1).sorted
+        == (0L until 60L).toList)
+    } finally if (q2.isActive) q2.stop()
+
+    // unwrapped projection delivers bare values on executors
+    DistCollector.reset()
+    val q3 = LiveTail.pushDistributed(
+      log,
+      Seq(Lt(3), Live(true)),
+      tmpDir("ckptdistuw"),
+      DistCollector.sinkBare,
+      partitions = 2
+    )
+    try {
+      assert(q3.awaitTermination(60000), "bounded push did not self-terminate")
+      assert(DistCollector.bare.asScala.toList.sorted == List(0, 10, 20))
+    } finally if (q3.isActive) q3.stop()
+  }
+
   test("segment rewrite during an active push does not wedge delivery") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("livenull"), IntegerType)
@@ -343,5 +407,21 @@ class LiveSpec extends SparkSpec {
     intercept[graft.core.GraftErrors.InvalidQuery] {
       log.liveQuery(Live(true), Reverse(true))
     }
+  }
+}
+
+/** Executor-side sink collector for the pushDistributed vectors: a JVM
+  * singleton — local-mode executors share the JVM, so the serialized
+  * sink closure's module reference resolves back to this same object
+  * (on a real cluster the sink would talk to an external system). */
+object DistCollector {
+  val calls = new ConcurrentLinkedQueue[List[(Long, Int)]]()
+  val bare = new ConcurrentLinkedQueue[Int]()
+  def reset(): Unit = { calls.clear(); bare.clear() }
+  val sink: Iterator[org.apache.spark.sql.Row] => Unit = it => {
+    calls.add(it.map(r => (r.getLong(0), r.getInt(1))).toList); ()
+  }
+  val sinkBare: Iterator[org.apache.spark.sql.Row] => Unit = it => {
+    it.foreach(r => bare.add(r.getInt(0))); ()
   }
 }
