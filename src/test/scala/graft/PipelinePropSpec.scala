@@ -56,6 +56,44 @@ class PipelinePropSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals union-find on random graphs " +
+      "(round 11: the star-contraction rewrite)") {
+    import spark.implicits._
+    // random multigraphs over a small id space: self-loops, parallel
+    // edges, both orientations, several components — every shape the
+    // canonicalization and the contraction must absorb
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield edges
+
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical root = min member id, which find() yields because
+      // unions always attach the larger root under the smaller
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+
+    samples(gen, 12).filter(_.nonEmpty).foreach { edges =>
+      val got = Dedup
+        .connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == unionFind(edges), s"edges=$edges")
+    }
+  }
+
   test("reflowLines: split-rejoin recovers the token stream, widths bound") {
     import spark.implicits._
     val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
