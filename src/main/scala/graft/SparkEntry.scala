@@ -75,16 +75,21 @@ object SparkEntry {
 
   // ---- engine-backed log queries -----------------------------------
 
-  private def logScan(s: SparkSession, dir: String, specs: Seq[graft.core.QuerySpec]): DataFrame = {
-    val (log, _, _) = EngineFixtures.open(s, dir)
-    log
-      .query(specs :+ SeqWrap(true): _*)
-      .select(col("seq"), col("value.*"))
+  /** The oracle projection of a `(seq, value-struct)` event frame —
+    * shared by every query that compares a log read against the
+    * DuckDB `$eventCols` shape (q01–q05, q107): amounts rounded to
+    * the oracle's 6 dp, timestamps as integer µs (DuckDB reads
+    * parquet nanos at µs resolution; `div` keeps the division exact
+    * where double math would not be). */
+  private def eventOracleShape(df: DataFrame): DataFrame =
+    df.select(col("seq"), col("value.*"))
       .withColumn("amount", round(col("amount"), 6))
-      // integer µs: DuckDB reads parquet nanos at µs resolution, and
-      // `div` keeps the division exact where double math would not be
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .drop("ts_ns")
+
+  private def logScan(s: SparkSession, dir: String, specs: Seq[graft.core.QuerySpec]): DataFrame = {
+    val (log, _, _) = EngineFixtures.open(s, dir)
+    eventOracleShape(log.query(specs :+ SeqWrap(true): _*))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -98,12 +103,7 @@ object SparkEntry {
     // §2.2 Reverse + Limit (top-k from the tail)
     "q04_log_reverse_topk" -> ((s, dir) => {
       val (log, _, _) = EngineFixtures.open(s, dir)
-      log
-        .query(Reverse(true), Limit(100), SeqWrap(true))
-        .select(col("seq"), col("value.*"))
-        .withColumn("amount", round(col("amount"), 6))
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .drop("ts_ns")
+      eventOracleShape(log.query(Reverse(true), Limit(100), SeqWrap(true)))
     }),
     // §2.1 op 2 Get(seq) — point read as a 1-row query
     "q05_log_point" -> ((s, dir) => logScan(s, dir, Seq(Gte(42), Lte(42)))),
@@ -147,12 +147,7 @@ object SparkEntry {
       require(segsAfter < segsBefore,
         s"compact did not fold segments: $segsBefore -> $segsAfter")
       require(log.checkConsistency() == Nil, "post-compact fsck failed")
-      log.query(SeqWrap(true))
-        .select(col("seq"), col("value.*"))
-        .withColumn("amount", round(col("amount"), 6))
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .drop("ts_ns")
-        .orderBy("seq")
+      eventOracleShape(log.query(SeqWrap(true))).orderBy("seq")
     }),
     // round 11: the FULL Lloyd training loop under oracle (q68 covers
     // one step): blobs planted ARITHMETICALLY from vec_id (exact in
@@ -562,13 +557,7 @@ object SparkEntry {
       // the repaired log appends normally from the truncation point
       log.append(EngineFixtures.eventValue(
         events.where(col("event_id") >= 100 && col("event_id") < 110)))
-      log
-        .query(SeqWrap(true))
-        .select(col("seq"), col("value.*"))
-        .withColumn("amount", round(col("amount"), 6))
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .drop("ts_ns")
-        .orderBy("seq")
+      eventOracleShape(log.query(SeqWrap(true))).orderBy("seq")
     }),
 
     // §2.3 ops 12/14 + §2.2 Live: bounded push query runs to
@@ -969,12 +958,9 @@ object SparkEntry {
     // planning-time segment pruning must return byte-identical rows
     "q70_dsv2_scan" -> ((s, dir) => {
       val (log, _, _) = EngineFixtures.open(s, dir)
-      s.read.format("graft-log").load(log.dir)
-        .where(col("seq") >= 100 && col("seq") < 200)
-        .select(col("seq"), col("value.*"))
-        .withColumn("amount", round(col("amount"), 6))
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .drop("ts_ns")
+      eventOracleShape(
+        s.read.format("graft-log").load(log.dir)
+          .where(col("seq") >= 100 && col("seq") < 200))
         .orderBy("seq")
     }),
 
@@ -992,12 +978,7 @@ object SparkEntry {
       s.read.format("graft-log").load(log.dir)
         .where(col("seq") >= 100 && col("seq") < 200)
         .write.format("graft-log").mode("append").save(dst)
-      s.read.format("graft-log").load(dst)
-        .select(col("seq"), col("value.*"))
-        .withColumn("amount", round(col("amount"), 6))
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .drop("ts_ns")
-        .orderBy("seq")
+      eventOracleShape(s.read.format("graft-log").load(dst)).orderBy("seq")
     }),
 
     // mixing cap: at most 50 docs per language, chosen by hash rank —
@@ -1200,12 +1181,7 @@ object SparkEntry {
         .trigger(Trigger.ProcessingTime(0))
         .start(dst)
       try q.processAllAvailable() finally q.stop()
-      s.read.format("graft-log").load(dst)
-        .select(col("seq"), col("value.*"))
-        .withColumn("amount", round(col("amount"), 6))
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .drop("ts_ns")
-        .orderBy("seq")
+      eventOracleShape(s.read.format("graft-log").load(dst)).orderBy("seq")
     }),
 
     // the WATERMARK-BOUNDARY semantics of streaming dedup, pinned:
@@ -1710,12 +1686,8 @@ object SparkEntry {
       .query(graft.core.QuerySpec.SeqWrap(true))
       .select(col("seq"), col("value"), col("nulled"))
     val frames = graft.codec.Codecs.encodeWire(df, codec)
-    graft.codec.Codecs
-      .decodeWire(frames, df.schema, codec)
-      .select(col("seq"), col("value.*"))
-      .withColumn("amount", round(col("amount"), 6))
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .drop("ts_ns")
+    eventOracleShape(
+      graft.codec.Codecs.decodeWire(frames, df.schema, codec))
       .orderBy("seq")
   }
 

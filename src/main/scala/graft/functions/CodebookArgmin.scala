@@ -1,11 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Nearest-centroid assignment against a DRIVER-SIDE codebook, as a
@@ -113,16 +111,17 @@ case class CodebookArgmin(
 
 object CodebookArgmin {
 
-  /** Wrap a codebook as a Column over `vec`. Column construction from
-    * a raw Expression is private[sql] in Spark 4, so this registers a
-    * content-addressed temp function and calls it — same plan, same
-    * codegen as a direct wrap. The name hashes the codebook contents:
-    * re-registering the same codebook is a no-op replace, and two
-    * different codebooks in one session never share a name (64-bit
-    * content hash), so lazy analysis can never resolve to the wrong
-    * codebook. */
+  /** Wrap a codebook as a Column over `vec`, via the direct
+    * Expression→Column shim ([[org.apache.spark.sql.GraftExprColumn]]).
+    * Earlier drafts registered a content-addressed temp function
+    * instead (the VecOps pattern), but a DATA-CARRYING expression must
+    * not live in session registry state: every distinct codebook would
+    * be retained for the session lifetime (a 20-iteration training
+    * run at production k pins GBs), and a name-hash collision would
+    * silently resolve a plan against the wrong codebook. The shim has
+    * neither problem — the codebook lives only in this plan's
+    * expression tree. */
   def assign(
-      spark: SparkSession,
       vec: Column,
       cents: Seq[(Long, Seq[Float])]
   ): Column = {
@@ -131,16 +130,9 @@ object CodebookArgmin {
     val cells = sorted.map(_._1).toArray
     val vecs = sorted.map(_._2.toArray).toArray
     val normSq = sorted.map(_._2.map(v => v.toDouble * v.toDouble).sum).toArray
-    val h1 = java.util.Arrays.hashCode(cells)
-    val h2 = java.util.Arrays.deepHashCode(vecs.asInstanceOf[Array[AnyRef]])
-    val name = f"ivf_argmin_${h1}%08x${h2}%08x"
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(
-        name,
-        exprs => CodebookArgmin(exprs.head, cells, vecs, normSq),
-        "built-in"
-      )
-    call_function(name, vec)
+    org.apache.spark.sql.GraftExprColumn.column(
+      CodebookArgmin(
+        org.apache.spark.sql.GraftExprColumn.expression(vec),
+        cells, vecs, normSq))
   }
 }

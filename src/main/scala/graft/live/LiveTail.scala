@@ -165,7 +165,15 @@ object LiveTail {
     * batch is filtered to `seq < cut` BEFORE fan-out and no
     * over-delivery can happen. Self-termination matches [[push]]
     * (exhausted limit / reached upper bound / degenerate range stop
-    * the query). */
+    * the query).
+    *
+    * Per-batch cost: the UNBOUNDED tail (no limit, no upper bound)
+    * with `partitions = 0` is one pass — straight to delivery on the
+    * connector's own seq-contiguous partitions. A limit/upper bound
+    * adds one min/max agg pass (the cut arithmetic needs the batch's
+    * span); `partitions > 0` adds repartitionByRange's sampling pass
+    * plus the shuffle — opt in only when the connector's partition
+    * grain doesn't fit the consumer. */
   def pushDistributed(
       log: ParquetLog,
       specs: Seq[QuerySpec],
@@ -189,29 +197,35 @@ object LiveTail {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        def deliver(df: DataFrame): Unit = {
+          val parted =
+            if (partitions > 0) df.repartitionByRange(partitions, col("seq"))
+            else df
+          val ordered = parted.sortWithinPartitions("seq")
+          val projected = if (plan.seqWrap) ordered else ordered.drop("seq")
+          projected.foreachPartition(sink)
+        }
+        val bounded = plan.limit >= 0 || plan.upper.nonEmpty
         if (emptyRange) completion.complete()
         else if (!completion.isDone) {
-          // one tiny driver-side agg per batch: the batch's seq span
-          val mm = batch.agg(min("seq"), max("seq")).collect().head
-          if (!mm.isNullAt(0)) {
-            val mn = mm.getLong(0)
-            val mx = mm.getLong(1)
-            // exclusive cut: the seq threshold the remaining count buys
-            // (dense seqs ⇒ rows in [mn, cut) number exactly cut − mn)
-            val cut =
-              if (remaining.get() >= mx - mn + 1) mx + 1
-              else mn + remaining.get()
-            val sliced = if (cut > mx) batch else batch.where(col("seq") < cut)
-            val parted =
-              if (partitions > 0)
-                sliced.repartitionByRange(partitions, col("seq"))
-              else sliced
-            val ordered = parted.sortWithinPartitions("seq")
-            val projected = if (plan.seqWrap) ordered else ordered.drop("seq")
-            projected.foreachPartition(sink)
-            remaining.addAndGet(-(math.min(cut, mx + 1) - mn))
-            if (remaining.get() <= 0) completion.complete()
-            if (plan.upper.exists(u => mx >= u - 1)) completion.complete()
+          if (!bounded) deliver(batch) // unbounded tail: ONE pass
+          else {
+            // one driver-side agg per batch: the batch's seq span,
+            // needed only when a cut or bound check exists
+            val mm = batch.agg(min("seq"), max("seq")).collect().head
+            if (!mm.isNullAt(0)) {
+              val mn = mm.getLong(0)
+              val mx = mm.getLong(1)
+              // exclusive cut: the seq threshold the remaining count
+              // buys (dense seqs ⇒ rows in [mn, cut) number cut − mn)
+              val cut =
+                if (remaining.get() >= mx - mn + 1) mx + 1
+                else mn + remaining.get()
+              deliver(if (cut > mx) batch else batch.where(col("seq") < cut))
+              remaining.addAndGet(-(math.min(cut, mx + 1) - mn))
+              if (remaining.get() <= 0) completion.complete()
+              if (plan.upper.exists(u => mx >= u - 1)) completion.complete()
+            }
           }
         }
         (): Unit

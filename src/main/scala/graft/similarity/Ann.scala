@@ -389,8 +389,7 @@ object Ann {
   ): DataFrame = {
     require(cents.nonEmpty, "empty codebook")
     if (cents.size > literalMax) {
-      val cell = graft.functions.CodebookArgmin
-        .assign(df.sparkSession, col(vecCol), cents)
+      val cell = graft.functions.CodebookArgmin.assign(col(vecCol), cents)
       return df.select(col(idCol), col(vecCol), cell.as("cell"))
     }
     graft.functions.VecOps.register(df.sparkSession)

@@ -703,6 +703,54 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(got(rdd.collect().toArray) == expect(0 until 30))
   }
 
+  test("struct-with-map-field values: the composed columnar shape " +
+      "(null struct, null/empty map field, sliced, repack) all exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // admitting map<atomic,atomic> flips struct{..., m: map} columnar
+    // TOO (struct admission recurses) — this composition exercises
+    // nested vectorized decode, writeValue struct→map recursion,
+    // putNullDeep over a struct with a map child, and the struct
+    // offset-view's child getMap on sliced boundary batches
+    val dir = tmpDir("dsv2colsm") + "/log"
+    val log = ParquetLog.open(spark, dir, StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("m", MapType(StringType, IntegerType)))))
+    def mkMap(i: Int): Map[String, Int] =
+      if (i % 5 == 0) null // null map FIELD inside a live struct
+      else (0 until i % 3).map(j => s"k$j" -> (i + j)).toMap
+    (0 until 3).foreach { k =>
+      log.append((k * 10 until (k + 1) * 10)
+        .map(i => (i, mkMap(i))).toDF("a", "m")
+        .select(struct(col("a"), col("m")).as("value")))
+    }
+    log.nullAt(12) // null STRUCT row (its map child slot must stay defined)
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir).select("seq", "value")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "struct-with-map-field should be vectorized")
+    def expect(r: Range) = r.map { i =>
+      if (i == 12) (i.toLong, None)
+      else (i.toLong, Some((i, Option(mkMap(i)))))
+    }.toSeq
+    def got(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(_.getLong(0)).map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None
+          else {
+            val st = r.getStruct(1)
+            Some((st.getInt(0),
+              if (st.isNullAt(1)) Option.empty[Map[String, Int]]
+              else Some(st.getMap[String, Int](1).toMap)))
+          })
+      }.toSeq
+    val bounded = df.where(col("seq") >= 7 && col("seq") <= 23)
+    assert(got(bounded.collect()) == expect(7 to 23))
+    val rdd = df.rdd // plan committed columnar before the rewrite
+    log.compact()
+    assert(got(rdd.collect().toArray) == expect(0 until 30))
+  }
+
   test("columnar gate admits only types the ROW leg also handles") {
     import org.apache.spark.sql.types._
     import graft.storage.SegmentBatches
