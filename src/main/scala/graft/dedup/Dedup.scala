@@ -652,13 +652,25 @@ object Dedup {
     * Each round's frontier is eagerly localCheckpoint'ed — iterative
     * plans MUST truncate lineage (the GraphX discipline) or round k
     * nests k joins deep and every action recomputes the pipeline.
+    *
+    * SMALL-GRAPH FAST PATH: a canonical edge set at or below
+    * `localThreshold` rows (≈1.6 MB collected at the default 100 k)
+    * resolves with a driver-side union-find instead — the iterative
+    * distributed loop costs several jobs per ROUND in fixed overhead,
+    * which dominates exactly when the pair graph is small (the common
+    * case: near-dup pair graphs are a vanishing fraction of the
+    * corpus). Both paths produce the identical min-label contract
+    * (cross-checked in PipelinePropSpec); `localThreshold = 0` forces
+    * the distributed loop.
+    *
     * Returns (id, component = min id reachable); a node whose only
     * pair is a self-loop maps to itself. */
   def connectedComponents(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 50
+      maxIter: Int = 50,
+      localThreshold: Long = 100000L
   ): DataFrame = {
     val raw = pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
@@ -676,7 +688,30 @@ object Dedup {
         least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var converged = edges.isEmpty
+    val nEdges = edges.count()
+    if (nEdges <= localThreshold) {
+      // driver union-find over the collected canonical edges; unions
+      // attach the larger root under the smaller, so find() yields
+      // the component minimum — the same label the star state carries
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("id", "component")
+      return nodes
+        .join(labels, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+    }
+    var converged = nEdges == 0L
     var i = 0
     while (!converged && i < maxIter) {
       // Large-star: every node u hooks its LARGER neighbors onto

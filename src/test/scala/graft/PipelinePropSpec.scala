@@ -85,12 +85,18 @@ class PipelinePropSpec extends SparkSpec {
     }
 
     samples(gen, 12).filter(_.nonEmpty).foreach { edges =>
-      val got = Dedup
-        .connectedComponents(edges.toDF("id_a", "id_b"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getLong(1))
-        .toMap
-      assert(got == unionFind(edges), s"edges=$edges")
+      val model = unionFind(edges)
+      // BOTH paths must match the model: the distributed star
+      // contraction (localThreshold = 0) and the driver fast path
+      for (thr <- Seq(0L, 100000L)) {
+        val got = Dedup
+          .connectedComponents(edges.toDF("id_a", "id_b"),
+            localThreshold = thr)
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+        assert(got == model, s"thr=$thr edges=$edges")
+      }
     }
   }
 

@@ -308,9 +308,11 @@ class PipelineSpec extends SparkSpec {
     // min-label-propagation cap of 20 rounds, where the old code
     // silently returned SPLIT components. Star contraction needs
     // ~log2(61) alternation rounds, so the default cap is generous.
+    // localThreshold = 0 forces the DISTRIBUTED star-contraction loop
+    // (the default would resolve 60 edges on the driver fast path)
     val chain = (1L until 61L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = Dedup
-      .connectedComponents(chain)
+      .connectedComponents(chain, localThreshold = 0L)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
@@ -319,17 +321,21 @@ class PipelineSpec extends SparkSpec {
       s"split components: ${comp.values.toSet}")
     // Exhausting maxIter REFUSES instead of returning wrong clusters.
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 1).collect()
+      Dedup.connectedComponents(chain, maxIter = 1, localThreshold = 0L)
+        .collect()
     }
     assert(e.getMessage.contains("did not converge"))
-    // Self-loop-only nodes keep the one-row-per-mentioned-node contract.
+    // Self-loop-only nodes keep the one-row-per-mentioned-node
+    // contract — on BOTH paths
     val withSelf = Seq((5L, 5L), (7L, 8L)).toDF("id_a", "id_b")
-    val selfComp = Dedup
-      .connectedComponents(withSelf)
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .toMap
-    assert(selfComp == Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+    for (thr <- Seq(0L, 100000L)) {
+      val selfComp = Dedup
+        .connectedComponents(withSelf, localThreshold = thr)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(selfComp == Map(5L -> 5L, 7L -> 7L, 8L -> 7L), s"thr=$thr")
+    }
   }
 
   test("quality-aware survivors: best-of-cluster, ties by lowest id") {

@@ -20,11 +20,12 @@ object CCProbe {
     // components); here it must converge and label every node 0.
     // The clique-batch arm is the realistic near-dup shape (many
     // small dense clusters) at 100k scale.
-    for (n <- Seq(10000L, 100000L)) {
+    for (n <- Seq(10000L, 100000L); thr <- Seq(0L, 100000L)) {
       val chain = spark.range(n - 1)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-      val labels = t(s"chain n=$n")(
-        Dedup.connectedComponents(chain)
+      val arm = if (thr == 0L) "distributed" else "auto"
+      val labels = t(s"chain n=$n [$arm]")(
+        Dedup.connectedComponents(chain, localThreshold = thr)
           .agg(count(lit(1)), max("component")).collect())
       println(s"   nodes=${labels.head.getLong(0)} maxComp=${labels.head.getLong(1)}")
     }
@@ -33,10 +34,13 @@ object CCProbe {
       .select(col("g") * 10 + pmod(col("id"), lit(10)).cast("long"),
         col("g") * 10 + pmod(col("id") + 1, lit(10)).cast("long"))
       .toDF("id_a", "id_b") // 10k rings of 10 (diameter 5 per ring)
-    val r = t("10k rings of 10 (100k nodes)")(
-      Dedup.connectedComponents(cliques)
-        .agg(count_distinct(col("component"))).collect())
-    println(s"   components=${r.head.getLong(0)}")
+    for (thr <- Seq(0L, 100000L)) {
+      val arm = if (thr == 0L) "distributed" else "auto"
+      val r = t(s"10k rings of 10 (100k nodes) [$arm]")(
+        Dedup.connectedComponents(cliques, localThreshold = thr)
+          .agg(count_distinct(col("component"))).collect())
+      println(s"   components=${r.head.getLong(0)}")
+    }
     spark.stop()
   }
 }
