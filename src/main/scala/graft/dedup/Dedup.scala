@@ -689,19 +689,33 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     val nEdges = edges.count()
-    if (nEdges <= localThreshold) {
+    // nEdges == 0 falls through to the loop header (already
+    // converged), so `localThreshold = 0` really does bypass the
+    // driver path for every non-trivial input.
+    if (nEdges != 0 && nEdges <= localThreshold) {
       // driver union-find over the collected canonical edges; unions
-      // attach the larger root under the smaller, so find() yields
-      // the component minimum — the same label the star state carries
+      // attach the larger root under the smaller, so every root is
+      // its component minimum — the same label the star state carries
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // ITERATIVE find with two-pass path compression: a recursive
+      // find on a threshold-sized adversarially-ordered chain (every
+      // union between fresh roots) would recurse O(n) frames and
+      // overflow the driver stack. (Deliberately NOT the same
+      // implementation as PipelinePropSpec's recursive model — the
+      // property test compares both paths against that independent
+      // formulation.)
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val next = parent(c); parent(c) = r; c = next }
+        r
       }
-      edges.collect().foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      edges.collect().foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      edges.unpersist(blocking = false) // dead after the collect
       val spark = pairs.sparkSession
       import spark.implicits._
       val labels = parent.keys.toSeq.map(k => (k, find(k)))

@@ -325,6 +325,17 @@ class PipelineSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("did not converge"))
+    // The FAST PATH on a deep chain: 20k-node path through the driver
+    // union-find (default threshold) — the iterative find must absorb
+    // whatever edge order the distinct() shuffle produces without
+    // deep recursion, and still label everything 0
+    val deep = spark.range(19999L)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val deepComp = Dedup.connectedComponents(deep)
+      .agg(org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.max("component"))
+      .collect().head
+    assert(deepComp.getLong(0) == 20000L && deepComp.getLong(1) == 0L)
     // Self-loop-only nodes keep the one-row-per-mentioned-node
     // contract — on BOTH paths
     val withSelf = Seq((5L, 5L), (7L, 8L)).toDF("id_a", "id_b")
