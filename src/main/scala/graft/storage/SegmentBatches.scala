@@ -37,18 +37,17 @@ private[graft] object SegmentBatches {
     * [[RowRepackReader]] copy and the `columnar.enabled=false` A/B
     * toggle both run [[SegmentRecords]]/[[DirectRead]], so admitting a
     * type here that the row converter throws on would make the safety
-    * valves fail exactly when they're needed. Atomic types plus
-    * STRUCTS of admitted types (the engine's dominant value shape —
-    * an event log's `value` is a struct of scalars; the vectorized
-    * reader decodes nested columns natively and [[writeValue]]
-    * repacks them recursively), ARRAYS of atomics (an embedding log's
-    * array<float>), and MAPS of atomics (an event log's string props —
-    * round 11; keys+values append to the two map children sharing one
-    * offsets array). Deeper nesting (array<struct>, map<_, struct>)
-    * stays on the row path. Date/Timestamp/Decimal are excluded at
-    * every nesting level: the row converter does not handle them, and
-    * keeping them out also keeps every columnar-read type outside
-    * parquet's datetime-rebase rules (see [[open]]). */
+    * valves fail exactly when they're needed. Atomic types composed
+    * ARBITRARILY through structs, arrays, and maps (round 11 closed
+    * the nesting ladder: the vectorized reader decodes nested columns
+    * natively at any depth, [[writeValue]] repacks row-indexed levels
+    * and [[appendAt]] append-mode levels below the first array/map
+    * boundary, and the boundary-slice offset views compose over
+    * getChild / delegate self-contained getArray/getMap).
+    * Date/Timestamp/Decimal are excluded at every nesting level: the
+    * row converter does not handle them, and keeping them out also
+    * keeps every columnar-read type outside parquet's datetime-rebase
+    * rules (see [[open]]). */
   def supported(schema: StructType): Boolean =
     schema.fields.nonEmpty && schema.fields.forall(f => admitted(f.dataType))
 
@@ -58,18 +57,8 @@ private[graft] object SegmentBatches {
       true
     case st: StructType =>
       st.fields.nonEmpty && st.fields.forall(f => admitted(f.dataType))
-    // arrays of ATOMIC elements (an embedding log's array<float>):
-    // the repack leg appends elements to the child vector; deeper
-    // nesting (array<struct>, map<_, struct>) stays on the row path
-    case ArrayType(et, _) => atomicElement(et)
-    case MapType(kt, vt, _) => atomicElement(kt) && atomicElement(vt)
-    case _ => false
-  }
-
-  private def atomicElement(dt: DataType): Boolean = dt match {
-    case BooleanType | ByteType | ShortType | IntegerType | LongType |
-        FloatType | DoubleType | StringType | BinaryType =>
-      true
+    case ArrayType(et, _) => admitted(et)
+    case MapType(kt, vt, _) => admitted(kt) && admitted(vt)
     case _ => false
   }
 
@@ -351,7 +340,7 @@ private[graft] object SegmentBatches {
           val start = child.getElementsAppended
           var j = 0
           while (j < n) {
-            appendElement(child, arr, j, et)
+            appendAt(child, arr, j, et)
             j += 1
           }
           v.putArray(i, start, n)
@@ -360,7 +349,7 @@ private[graft] object SegmentBatches {
           // with TWO children (0 = keys, 1 = values) sharing the
           // parent's offsets — append n keys and n values, record
           // (start, n) once. Map keys are non-null by Spark's data
-          // model; values may be null (appendElement handles both).
+          // model; values may be null (appendAt handles both).
           val m = row.getMap(c)
           val n = m.numElements()
           val keys = v.getChild(0).asInstanceOf[WritableColumnVector]
@@ -370,8 +359,8 @@ private[graft] object SegmentBatches {
           val va = m.valueArray()
           var j = 0
           while (j < n) {
-            appendElement(keys, ka, j, kt)
-            appendElement(vals, va, j, vt)
+            appendAt(keys, ka, j, kt)
+            appendAt(vals, va, j, vt)
             j += 1
           }
           v.putArray(i, start, n)
@@ -381,32 +370,76 @@ private[graft] object SegmentBatches {
             s"columnar repack does not handle $other")
       }
 
-  /** Append one array element at the child vector's tail. */
-  private def appendElement(
+  /** Append one element at the child vector's tail, recursing through
+    * any nesting — the APPEND-mode twin of [[writeValue]], used below
+    * the first array/map boundary (where positions are element-tail
+    * indices, not row indices). Container contract, from the
+    * WritableColumnVector bytecode: `appendArray(n)` records
+    * (childTail, n) on the parent THEN the n elements append to the
+    * child(ren) — for maps the offsets come from the KEYS child, so
+    * keys and values must each append exactly n; `appendStruct(true)`
+    * nulls self AND children (alignment preserved);
+    * `appendStruct(false)` marks self non-null and the caller appends
+    * every field child exactly once. `g` is any SpecializedGetters
+    * (ArrayData or InternalRow). */
+  private def appendAt(
       child: WritableColumnVector,
-      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
       j: Int,
       et: DataType
   ): Unit =
-    if (arr.isNullAt(j)) child.appendNull()
+    if (g.isNullAt(j)) et match {
+      case _: StructType => child.appendStruct(true)
+      case _ => child.appendNull()
+    }
     else
       et match {
-        case BooleanType => child.appendBoolean(arr.getBoolean(j))
-        case ByteType => child.appendByte(arr.getByte(j))
-        case ShortType => child.appendShort(arr.getShort(j))
-        case IntegerType => child.appendInt(arr.getInt(j))
-        case LongType => child.appendLong(arr.getLong(j))
-        case FloatType => child.appendFloat(arr.getFloat(j))
-        case DoubleType => child.appendDouble(arr.getDouble(j))
+        case BooleanType => child.appendBoolean(g.getBoolean(j))
+        case ByteType => child.appendByte(g.getByte(j))
+        case ShortType => child.appendShort(g.getShort(j))
+        case IntegerType => child.appendInt(g.getInt(j))
+        case LongType => child.appendLong(g.getLong(j))
+        case FloatType => child.appendFloat(g.getFloat(j))
+        case DoubleType => child.appendDouble(g.getDouble(j))
         case StringType =>
-          val b = arr.getUTF8String(j).getBytes
+          val b = g.getUTF8String(j).getBytes
           child.appendByteArray(b, 0, b.length)
         case BinaryType =>
-          val b = arr.getBinary(j)
+          val b = g.getBinary(j)
           child.appendByteArray(b, 0, b.length)
+        case st: StructType =>
+          child.appendStruct(false)
+          val nested = g.getStruct(j, st.fields.length)
+          var k = 0
+          while (k < st.fields.length) {
+            appendAt(child.getChild(k).asInstanceOf[WritableColumnVector],
+              nested, k, st.fields(k).dataType)
+            k += 1
+          }
+        case ArrayType(inner, _) =>
+          val arr = g.getArray(j)
+          val n = arr.numElements()
+          child.appendArray(n)
+          val gc = child.getChild(0).asInstanceOf[WritableColumnVector]
+          var k = 0
+          while (k < n) { appendAt(gc, arr, k, inner); k += 1 }
+        case MapType(kt, vt, _) =>
+          val m = g.getMap(j)
+          val n = m.numElements()
+          child.appendArray(n) // offsets recorded from the keys child
+          val kc = child.getChild(0).asInstanceOf[WritableColumnVector]
+          val vc = child.getChild(1).asInstanceOf[WritableColumnVector]
+          val ka = m.keyArray()
+          val va = m.valueArray()
+          var k = 0
+          while (k < n) {
+            appendAt(kc, ka, k, kt)
+            appendAt(vc, va, k, vt)
+            k += 1
+          }
         case other =>
           throw new UnsupportedOperationException(
-            s"columnar repack does not handle array<$other>")
+            s"columnar repack does not handle nested $other")
       }
 
   /** Null a slot, recursing into struct children so no child index is

@@ -553,7 +553,7 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(viaColumnar == (0L until 30L).map(s => (s, s.toInt)))
   }
 
-  test("columnar gate: deep nesting, reversed and _ver-cut partitions stay on the row path; structs, arrays, maps and seq cuts are columnar") {
+  test("columnar gate: datetime parts, reversed and _ver-cut partitions stay on the row path; structs, arrays, maps and seq cuts are columnar") {
     import spark.implicits._
     import org.apache.spark.sql.types._
     // STRUCT value (the engine's dominant shape) rides the vectorized
@@ -751,6 +751,76 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(got(rdd.collect().toArray) == expect(0 until 30))
   }
 
+  test("array<struct> and nested-array values: deep repack + slicing " +
+      "exact (round 11: the nesting ladder closed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // array<struct<a int, s string>> — the realistic deep shape (an
+    // annotations/spans column); exercises appendStruct(false) field
+    // recursion, appendStruct(true) child alignment on null elements,
+    // and ColumnarArray's self-contained slice reads
+    val dir = tmpDir("dsv2colas") + "/log"
+    val elemT = StructType(Seq(
+      StructField("a", IntegerType), StructField("s", StringType)))
+    val log = ParquetLog.open(spark, dir, ArrayType(elemT))
+    def mkArr(i: Int): Seq[(Integer, String)] =
+      (0 until i % 4).map { j =>
+        if ((i + j) % 5 == 0) null // null struct ELEMENT
+        else (Integer.valueOf(i + j),
+          if ((i + j) % 3 == 0) null else s"s${i + j}") // null field
+      }
+    (0 until 3).foreach { k =>
+      log.append((k * 10 until (k + 1) * 10)
+        .map(i => Tuple1(mkArr(i))).toDF("value"))
+    }
+    log.nullAt(12) // null ARRAY row
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir).select("seq", "value")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "array<struct> should be vectorized")
+    def expect(r: Range) = r.map { i =>
+      if (i == 12) (i.toLong, None)
+      else (i.toLong, Some(mkArr(i).map(Option(_)
+        .map { case (a, s) => (a.intValue, Option(s)) }).toList))
+    }.toSeq
+    def got(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(_.getLong(0)).map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None
+          else Some(r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+            Option(e).map(st => (st.getInt(0), Option(st.getString(1)))))
+            .toList))
+      }.toSeq
+    val bounded = df.where(col("seq") >= 7 && col("seq") <= 23)
+    assert(got(bounded.collect()) == expect(7 to 23))
+    val rdd = df.rdd // plan committed columnar before the rewrite
+    log.compact()
+    assert(got(rdd.collect().toArray) == expect(0 until 30))
+
+    // array<array<float>> — nested appendArray offsets compose
+    val dir2 = tmpDir("dsv2colaa") + "/log"
+    val log2 = ParquetLog.open(spark, dir2, ArrayType(ArrayType(FloatType)))
+    def mkNest(i: Int): Seq[Seq[Float]] =
+      (0 until i % 3).map(j => (0 until (i + j) % 4).map(k => (i + j + k).toFloat))
+    (0 until 2).foreach { k =>
+      log2.append((k * 8 until (k + 1) * 8)
+        .map(i => Tuple1(mkNest(i))).toDF("value"))
+    }
+    val df2 = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir2).select("seq", "value")
+    assert(df2.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    def got2(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(_.getLong(0)).map(r =>
+        (r.getLong(0), r.getSeq[scala.collection.Seq[Float]](1)
+          .map(_.toList).toList)).toSeq
+    assert(got2(df2.where(col("seq") >= 3 && col("seq") <= 12).collect())
+      == (3 to 12).map(i => (i.toLong, mkNest(i).map(_.toList).toList)))
+    val rdd2 = df2.rdd
+    log2.compact()
+    assert(got2(rdd2.collect().toArray)
+      == (0 until 16).map(i => (i.toLong, mkNest(i).map(_.toList).toList)))
+  }
+
   test("columnar gate admits only types the ROW leg also handles") {
     import org.apache.spark.sql.types._
     import graft.storage.SegmentBatches
@@ -765,12 +835,18 @@ class GraftLogSourceSpec extends SparkSpec {
     for (dt <- Seq(DateType, TimestampType, TimestampNTZType,
         DecimalType(10, 2), CalendarIntervalType))
       assert(!SegmentBatches.supported(one(dt)), s"$dt must stay on the row path")
-    // maps: atomic key/value columnar; nested or datetime parts row
+    // nesting composes arbitrarily (round 11 closed the ladder);
+    // datetime parts stay row at ANY level
     assert(SegmentBatches.supported(one(MapType(StringType, IntegerType))))
-    assert(!SegmentBatches.supported(
+    assert(SegmentBatches.supported(
       one(MapType(StringType, StructType(Seq(StructField("x", IntegerType)))))))
+    assert(SegmentBatches.supported(
+      one(ArrayType(StructType(Seq(StructField("x", StringType)))))))
+    assert(SegmentBatches.supported(one(ArrayType(ArrayType(FloatType)))))
     assert(!SegmentBatches.supported(one(MapType(DateType, IntegerType))))
     assert(!SegmentBatches.supported(one(MapType(StringType, TimestampType))))
+    assert(!SegmentBatches.supported(
+      one(ArrayType(StructType(Seq(StructField("t", TimestampType)))))))
     for (dt <- Seq(BooleanType, ByteType, ShortType, IntegerType, LongType,
         FloatType, DoubleType, StringType, BinaryType)) {
       assert(SegmentBatches.supported(one(dt)))
