@@ -335,15 +335,7 @@ private[graft] object SegmentBatches {
           // records (offset, length) — the standard writable-vector
           // array layout; reset() rewinds the child between batches
           val arr = row.getArray(c)
-          val n = arr.numElements()
-          val child = v.getChild(0).asInstanceOf[WritableColumnVector]
-          val start = child.getElementsAppended
-          var j = 0
-          while (j < n) {
-            appendAt(child, arr, j, et)
-            j += 1
-          }
-          v.putArray(i, start, n)
+          v.putArray(i, appendArrayElems(v, arr, et), arr.numElements())
         case MapType(kt, vt, _) =>
           // map: the writable-vector map layout is the array layout
           // with TWO children (0 = keys, 1 = values) sharing the
@@ -351,24 +343,54 @@ private[graft] object SegmentBatches {
           // (start, n) once. Map keys are non-null by Spark's data
           // model; values may be null (appendAt handles both).
           val m = row.getMap(c)
-          val n = m.numElements()
-          val keys = v.getChild(0).asInstanceOf[WritableColumnVector]
-          val vals = v.getChild(1).asInstanceOf[WritableColumnVector]
-          val start = keys.getElementsAppended
-          val ka = m.keyArray()
-          val va = m.valueArray()
-          var j = 0
-          while (j < n) {
-            appendAt(keys, ka, j, kt)
-            appendAt(vals, va, j, vt)
-            j += 1
-          }
-          v.putArray(i, start, n)
+          v.putArray(i, appendMapEntries(v, m, kt, vt), m.numElements())
         case other =>
           // unreachable behind supported(); loud beats silent corruption
           throw new UnsupportedOperationException(
             s"columnar repack does not handle $other")
       }
+
+  /** Append every element of `arr` to the array vector's child tail;
+    * returns the child tail BEFORE the appends (the parent's offset).
+    * Shared by the row-indexed [[writeValue]] (which records the
+    * offset with putArray) and the append-mode [[appendAt]] (which
+    * records it via appendArray BEFORE calling this). */
+  private def appendArrayElems(
+      v: WritableColumnVector,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      et: DataType
+  ): Int = {
+    val child = v.getChild(0).asInstanceOf[WritableColumnVector]
+    val start = child.getElementsAppended
+    val n = arr.numElements()
+    var k = 0
+    while (k < n) { appendAt(child, arr, k, et); k += 1 }
+    start
+  }
+
+  /** Append every (key, value) of `m` to the map vector's two
+    * children in lockstep; returns the keys-child tail BEFORE the
+    * appends (map offsets are recorded from the KEYS child). */
+  private def appendMapEntries(
+      v: WritableColumnVector,
+      m: org.apache.spark.sql.catalyst.util.MapData,
+      kt: DataType,
+      vt: DataType
+  ): Int = {
+    val kc = v.getChild(0).asInstanceOf[WritableColumnVector]
+    val vc = v.getChild(1).asInstanceOf[WritableColumnVector]
+    val start = kc.getElementsAppended
+    val ka = m.keyArray()
+    val va = m.valueArray()
+    val n = m.numElements()
+    var k = 0
+    while (k < n) {
+      appendAt(kc, ka, k, kt)
+      appendAt(vc, va, k, vt)
+      k += 1
+    }
+    start
+  }
 
   /** Append one element at the child vector's tail, recursing through
     * any nesting — the APPEND-mode twin of [[writeValue]], used below
@@ -417,26 +439,15 @@ private[graft] object SegmentBatches {
             k += 1
           }
         case ArrayType(inner, _) =>
+          // appendArray records (childTail, n) and MUST run before
+          // the element appends
           val arr = g.getArray(j)
-          val n = arr.numElements()
-          child.appendArray(n)
-          val gc = child.getChild(0).asInstanceOf[WritableColumnVector]
-          var k = 0
-          while (k < n) { appendAt(gc, arr, k, inner); k += 1 }
+          child.appendArray(arr.numElements())
+          appendArrayElems(child, arr, inner)
         case MapType(kt, vt, _) =>
           val m = g.getMap(j)
-          val n = m.numElements()
-          child.appendArray(n) // offsets recorded from the keys child
-          val kc = child.getChild(0).asInstanceOf[WritableColumnVector]
-          val vc = child.getChild(1).asInstanceOf[WritableColumnVector]
-          val ka = m.keyArray()
-          val va = m.valueArray()
-          var k = 0
-          while (k < n) {
-            appendAt(kc, ka, k, kt)
-            appendAt(vc, va, k, vt)
-            k += 1
-          }
+          child.appendArray(m.numElements()) // offsets from keys child
+          appendMapEntries(child, m, kt, vt)
         case other =>
           throw new UnsupportedOperationException(
             s"columnar repack does not handle nested $other")

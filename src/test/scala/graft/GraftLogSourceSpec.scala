@@ -578,8 +578,9 @@ class GraftLogSourceSpec extends SparkSpec {
       "array<atomic> values should be vectorized")
     assert(adf.select("value").collect()
       .map(_.getSeq[Float](0).sum).sorted.toSeq == Seq(0f, 3f, 3f))
-    // MAP-of-atomics value is vectorized too (round 11: keys+values
-    // repack into the two map children); deeper nesting stays row
+    // MAP values are vectorized too (round 11: keys+values repack
+    // into the two map children; nesting composes arbitrarily —
+    // only datetime/decimal parts keep a schema on the row path)
     val mdir = tmpDir("dsv2colm") + "/log"
     val mlog = ParquetLog.open(spark, mdir, MapType(StringType, IntegerType))
     mlog.append(Seq(Map("k" -> 1)).toDF("value"))
@@ -797,11 +798,16 @@ class GraftLogSourceSpec extends SparkSpec {
     log.compact()
     assert(got(rdd.collect().toArray) == expect(0 until 30))
 
-    // array<array<float>> — nested appendArray offsets compose
+    // array<array<float>> — nested appendArray offsets compose; NULL
+    // INNER arrays exercise appendAt's null branch on an array-typed
+    // child (the offsets must stay untouched for a null slot)
     val dir2 = tmpDir("dsv2colaa") + "/log"
     val log2 = ParquetLog.open(spark, dir2, ArrayType(ArrayType(FloatType)))
     def mkNest(i: Int): Seq[Seq[Float]] =
-      (0 until i % 3).map(j => (0 until (i + j) % 4).map(k => (i + j + k).toFloat))
+      (0 until i % 3).map { j =>
+        if ((i + j) % 5 == 0) null // null inner array element
+        else (0 until (i + j) % 4).map(k => (i + j + k).toFloat)
+      }
     (0 until 2).foreach { k =>
       log2.append((k * 8 until (k + 1) * 8)
         .map(i => Tuple1(mkNest(i))).toDF("value"))
@@ -809,16 +815,57 @@ class GraftLogSourceSpec extends SparkSpec {
     val df2 = spark.read.format("graft-log")
       .option("maxPartitionBytes", "1").load(dir2).select("seq", "value")
     assert(df2.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    def asList(n: Seq[Seq[Float]]) =
+      n.map(x => Option(x).map(_.toList)).toList
     def got2(rows: Array[org.apache.spark.sql.Row]) =
       rows.sortBy(_.getLong(0)).map(r =>
         (r.getLong(0), r.getSeq[scala.collection.Seq[Float]](1)
-          .map(_.toList).toList)).toSeq
+          .map(x => Option(x).map(_.toList)).toList)).toSeq
     assert(got2(df2.where(col("seq") >= 3 && col("seq") <= 12).collect())
-      == (3 to 12).map(i => (i.toLong, mkNest(i).map(_.toList).toList)))
+      == (3 to 12).map(i => (i.toLong, asList(mkNest(i)))))
     val rdd2 = df2.rdd
     log2.compact()
     assert(got2(rdd2.collect().toArray)
-      == (0 until 16).map(i => (i.toLong, mkNest(i).map(_.toList).toList)))
+      == (0 until 16).map(i => (i.toLong, asList(mkNest(i)))))
+
+    // map<string, struct<a int, s string>> — struct-valued maps: the
+    // keys/values lockstep with appendStruct on the VALUES child,
+    // null struct values, sliced reads, and the repack leg
+    val dir3 = tmpDir("dsv2colms") + "/log"
+    val log3 = ParquetLog.open(spark, dir3, MapType(StringType, elemT))
+    def mkSMap(i: Int): Map[String, (Integer, String)] =
+      (0 until i % 3).map { j =>
+        s"k$j" -> (if ((i + j) % 5 == 0) null // null struct VALUE
+          else (Integer.valueOf(i + j),
+            if ((i + j) % 3 == 0) null else s"v${i + j}"))
+      }.toMap
+    (0 until 3).foreach { k =>
+      log3.append((k * 10 until (k + 1) * 10)
+        .map(i => Tuple1(mkSMap(i))).toDF("value"))
+    }
+    log3.nullAt(12)
+    val df3 = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir3).select("seq", "value")
+    assert(df3.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "map<string,struct> should be vectorized")
+    def expect3(r: Range) = r.map { i =>
+      if (i == 12) (i.toLong, None)
+      else (i.toLong, Some(mkSMap(i).view.mapValues(v =>
+        Option(v).map { case (a, s) => (a.intValue, Option(s)) }).toMap))
+    }.toSeq
+    def got3(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(_.getLong(0)).map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None
+          else Some(r.getMap[String, org.apache.spark.sql.Row](1).toMap
+            .view.mapValues(e => Option(e)
+              .map(st => (st.getInt(0), Option(st.getString(1))))).toMap))
+      }.toSeq
+    assert(got3(df3.where(col("seq") >= 7 && col("seq") <= 23).collect())
+      == expect3(7 to 23))
+    val rdd3 = df3.rdd
+    log3.compact()
+    assert(got3(rdd3.collect().toArray) == expect3(0 until 30))
   }
 
   test("columnar gate admits only types the ROW leg also handles") {
