@@ -143,6 +143,24 @@ object Bench {
       log.query(SeqWrap(true)).queryExecution.toRdd.count()
     }
 
+    // 2e. MAP-value drain (round 11: the nesting-ladder columnar
+    // close) — the one value shape that always paid parquet-mr row
+    // assembly before; the build is untimed setup, the drain decodes
+    // the map column through the vectorized path
+    val mapLog = ParquetLog.open(spark, s"$work/maplog",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+    mapLog.append(events.select(
+      map_from_arrays(
+        array((0 until 5).map(j => lit(s"k$j")): _*),
+        array((0 until 5).map(j =>
+          (col("event_id") * 5 + j).cast("int")): _*)).as("value")))
+    timed("map_drain") {
+      spark.read.format("graft-log").load(mapLog.dir)
+        .agg(sum(element_at(col("value"), "k0"))).collect()
+    }
+
     // 3. bounded scan: Gte/Lt + Limit
     timed("bounded_scan") {
       log.query(Gte(1000), Lt(50000), Limit(10000), SeqWrap(true)).count()
