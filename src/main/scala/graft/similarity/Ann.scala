@@ -408,12 +408,23 @@ object Ann {
   }
 
   /** Full Lloyd training loop: `iters` rounds of assign → per-cell
-    * mean → refreshed literal codebook. Each round is ONE flat job
-    * (argmin is per-row over literals; the mean is one shuffle on
+    * mean → refreshed codebook (assign forks on k per
+    * [[ivfAssignVectors]]: inline literals at small k, the
+    * CodebookArgmin broadcast expression above). Each round is ONE
+    * flat job (argmin is a per-row map; the mean is one shuffle on
     * (cell, dim); only k×dims mean values return to the driver), so
     * lineage never grows — the iterative-algorithm discipline without
     * even needing checkpoints. Cells that lose all members keep their
-    * previous centroid (the standard empty-cluster rule). Returns the
+    * previous centroid (the standard empty-cluster rule).
+    *
+    * Driver-memory envelope: the codebook intrinsically lives on the
+    * driver (it ships to executors inside the assign expression), so
+    * each round collects k×dims doubles — ~0.5 GB at the top of the
+    * production IVF range (k=65536, dims=1024), the same in-memory
+    * codebook budget FAISS training carries. Past that, IVF training
+    * wants sampled training sets and sharded codebooks, not a bigger
+    * driver. `roundTo ≥ 0` quantizes each refreshed mean (the
+    * cross-engine-exact mode the q108 oracle replays). Returns the
     * trained codebook for [[ivfAssignVectors]] / [[ivfTopK]]. */
   def kmeansTrain(
       df: DataFrame,
