@@ -44,6 +44,30 @@ case class CodebookArgmin(
   // keep the plan string flat: never print the codebook contents
   override def toString: String = s"codebook_argmin(${child}, k=${cells.length})"
 
+  // The synthesized case-class equals/hashCode would compare the Array
+  // params by REFERENCE, so two expressions built from equal codebooks
+  // would never compare equal — defeating Catalyst canonicalization /
+  // common-subexpression elimination / exchange reuse for plans that
+  // assign against the same codebook twice. Compare contents instead
+  // (k×dims bounded — cheap next to the plan work it enables).
+  override def equals(other: Any): Boolean = other match {
+    case that: CodebookArgmin =>
+      child == that.child &&
+        java.util.Arrays.equals(cells, that.cells) &&
+        vecs.length == that.vecs.length &&
+        vecs.indices.forall(i => java.util.Arrays.equals(vecs(i), that.vecs(i))) &&
+        java.util.Arrays.equals(normSq, that.normSq)
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    // normSq is derived from vecs — contents already covered
+    var h = child.hashCode()
+    h = 31 * h + java.util.Arrays.hashCode(cells)
+    vecs.foreach(v => h = 31 * h + java.util.Arrays.hashCode(v))
+    h
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()

@@ -158,6 +158,10 @@ object LiveTail {
     *   - The sink closure is serialized to executors; deliveries on
     *     a failed-then-retried task can repeat (foreachBatch is
     *     at-least-once per batch, same as [[push]]'s replay story).
+    *   - The sink is never invoked on an empty slice: empty shuffle
+    *     partitions and batches a limit cut filters to zero rows are
+    *     skipped before the call, so per-call side effects (e.g. a
+    *     transaction per invocation) fire only for real deliveries.
     *
     * Limit/upper accounting never needs executor coordination: seqs
     * are DENSE and each micro-batch is a contiguous range, so the
@@ -203,7 +207,13 @@ object LiveTail {
             else df
           val ordered = parted.sortWithinPartitions("seq")
           val projected = if (plan.seqWrap) ordered else ordered.drop("seq")
-          projected.foreachPartition(sink)
+          // empty shuffle partitions (and limit cuts that filter a
+          // batch to zero rows) never reach the sink — matching
+          // push's per-row invocation discipline, so sinks with
+          // per-call side effects see only non-empty slices
+          projected.foreachPartition { (it: Iterator[Row]) =>
+            if (it.hasNext) sink(it)
+          }
         }
         val bounded = plan.limit >= 0 || plan.upper.nonEmpty
         if (emptyRange) completion.complete()

@@ -404,7 +404,13 @@ object Ann {
         )
       }: _*)
     )
-    df.select(col(idCol), col(vecCol), best.getField("cell").as("cell"))
+    // null vector → null cell, matching the CodebookArgmin path's
+    // UnaryExpression null-safety: without this guard the null dist
+    // field would sort FIRST in array_min's struct ordering and the
+    // literal path would return the lowest cell id for null vectors
+    val cell = when(col(vecCol).isNull, lit(null).cast("long"))
+      .otherwise(best.getField("cell"))
+    df.select(col(idCol), col(vecCol), cell.as("cell"))
   }
 
   /** Full Lloyd training loop: `iters` rounds of assign → per-cell

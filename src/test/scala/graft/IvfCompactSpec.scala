@@ -84,6 +84,46 @@ class IvfCompactSpec extends SparkSpec {
     assert(got == exp, s"argmin mismatch: got $got expected $exp")
   }
 
+  test("ivf assign: null vectors yield null cells on BOTH paths") {
+    import spark.implicits._
+    val dims = 4
+    val cents = (0L until 3L).map(c =>
+      (c, (0 until dims).map(d => (c * 10 + d).toFloat)))
+    val rows = Seq(
+      (1L, Some((0 until dims).map(_.toFloat))),
+      (2L, None), // null vector — must NOT resolve to the lowest cell
+      (3L, Some((0 until dims).map(d => (20 + d).toFloat)))
+    ).toDF("vec_id", "embedding")
+    for (literalMax <- Seq(1, 100)) { // native path / literal path
+      val out = Ann
+        .ivfAssignVectors(rows, "embedding", "vec_id", cents, literalMax)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(out(2L).isEmpty, s"literalMax=$literalMax: null vec got cell ${out(2L)}")
+      assert(out(1L).contains(0L) && out(3L).contains(2L),
+        s"literalMax=$literalMax: non-null rows misassigned: $out")
+    }
+  }
+
+  test("CodebookArgmin: equal codebooks compare equal (canonicalization)") {
+    import graft.functions.CodebookArgmin
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val child = BoundReference(0, ArrayType(FloatType), nullable = true)
+    def mk() = CodebookArgmin(
+      child,
+      Array(1L, 2L),
+      Array(Array(1f, 2f), Array(3f, 4f)),
+      Array(5.0, 25.0))
+    val a = mk(); val b = mk()
+    assert(a == b, "content-equal expressions must compare equal")
+    assert(a.hashCode == b.hashCode)
+    assert(a.canonicalized == b.canonicalized)
+    val c = a.copy(cells = Array(1L, 3L))
+    assert(a != c, "different codebooks must not compare equal")
+  }
+
   test("kmeans training recovers planted blobs and reduces inertia") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

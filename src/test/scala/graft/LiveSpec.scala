@@ -145,8 +145,11 @@ class LiveSpec extends SparkSpec {
       val all = calls.flatten
       assert(all.map(_._1).sorted == (0L until 150L).toList)
       assert(all.forall { case (seq, v) => v == seq * 10 })
+      // the sink is NEVER invoked on an empty slice (empty shuffle
+      // partitions are skipped before the call — contract in scaladoc)
+      assert(calls.forall(_.nonEmpty), "sink invoked with an empty slice")
       // each sink call saw an ascending CONTIGUOUS seq slice
-      calls.filter(_.nonEmpty).foreach { c =>
+      calls.foreach { c =>
         val seqs = c.map(_._1)
         assert(seqs == (seqs.head to seqs.last).toList,
           s"partition slice not contiguous-ascending: $seqs")
@@ -156,6 +159,9 @@ class LiveSpec extends SparkSpec {
       q.processAllAvailable()
       assert(DistCollector.calls.asScala.toList.flatten.map(_._1).sorted
         == (0L to 150L).toList)
+      // the 1-row batch fanned out to 4 partitions: the 3 empty ones
+      // must have been skipped, not delivered as empty iterators
+      assert(DistCollector.calls.asScala.forall(_.nonEmpty))
     } finally q.stop()
 
     // Limit: the dense-seq cut bounds delivery EXACTLY, before fan-out,
