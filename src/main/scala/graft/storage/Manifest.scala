@@ -81,6 +81,7 @@ object Manifest {
     val tmp = Paths.get(dir, s"manifest.json.tmp")
     Files.createDirectories(p.getParent)
     Files.writeString(tmp, Serialization.writePretty(m))
+    FaultPoints.reach("manifest.tmpWritten")
     Files.move(
       tmp,
       p,

@@ -183,6 +183,7 @@ final class ParquetLog private (
       streamBatch = batchId.orElse(manifest.streamBatch),
       streamQuery = queryId.orElse(manifest.streamQuery)
     )
+    FaultPoints.reach("log.append.preCommit")
     commitOrCleanup(next, segs)
     base
   }
@@ -217,6 +218,7 @@ final class ParquetLog private (
       .option("parquet.page.row.count.limit", "1024")
       .mode(SaveMode.Overwrite)
       .parquet(tmp.toString)
+    FaultPoints.reach("log.segments.tmpWritten")
     val files = Files
       .list(tmp)
       .iterator()
@@ -227,10 +229,13 @@ final class ParquetLog private (
     val segs = files.flatMap { src =>
       ParquetLog.seqStatsFromFooter(src).map { case (minSeq, maxSeq, rows) =>
         val name = f"seg-$minSeq%012d-${UUID.randomUUID().toString.take(8)}.parquet"
+        FaultPoints.reach("log.segments.beforeMove")
         Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        FaultPoints.reach("log.segments.moved")
         Segment(s"data/$name", minSeq, maxSeq, rows)
       } // zero-row part files are skipped (and cleaned with tmp)
     }
+    FaultPoints.reach("log.segments.allMoved")
     deleteRecursively(tmp)
     segs.sortBy(_.minSeq)
   }
@@ -409,7 +414,9 @@ final class ParquetLog private (
         segments =
           (manifest.segments.filterNot(_ == seg) ++ newSegs).sortBy(_.minSeq)
       )
+      FaultPoints.reach("log.rewrite.preCommit")
       commitOrCleanup(next, newSegs)
+      FaultPoints.reach("log.rewrite.preDelete")
       Files.deleteIfExists(Paths.get(dir, seg.path))
     }
 
@@ -450,7 +457,9 @@ final class ParquetLog private (
       version = manifest.version + 1,
       segments = newSegs.sortBy(_.minSeq)
     )
+    FaultPoints.reach("log.compact.preCommit")
     commitOrCleanup(next, merged)
+    FaultPoints.reach("log.compact.preDelete")
     val kept = newSegs.map(_.path).toSet
     old.filterNot(s => kept.contains(s.path))
       .foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
@@ -515,6 +524,22 @@ final class ParquetLog private (
           problems += s"orphan data file: $rel"
           if (repair) Files.deleteIfExists(p)
         }
+      }
+    }
+    // crash litter OUTSIDE data/: an append that died before its
+    // tmp-spill cleanup leaves a whole tmp-* dir at the log root, and
+    // a commit that died between manifest-tmp write and the atomic
+    // rename leaves manifest.json.tmp (the committed manifest.json is
+    // untouched either way — these are invisible to readers but leak
+    // disk, and the fsck contract is "clean after repair")
+    Files.list(Paths.get(dir)).iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("tmp-")) {
+        problems += s"orphan tmp dir: $n"
+        if (repair) deleteRecursively(p)
+      } else if (n == "manifest.json.tmp") {
+        problems += "torn manifest tmp (crash between write and rename)"
+        if (repair) Files.deleteIfExists(p)
       }
     }
     problems.toList

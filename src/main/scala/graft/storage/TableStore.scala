@@ -47,6 +47,7 @@ final class TableStore private (
         .withColumn("_ver", lit(ver)),
       ver
     )
+    FaultPoints.reach("table.append.preCommit")
     commitOrCleanup(
       manifest.copy(version = ver, segments = manifest.segments ++ segs),
       segs
@@ -94,10 +95,12 @@ final class TableStore private (
       .withColumn("_ver", lit(ver))
     val segs = writeSegmentFiles(out, ver)
     val old = manifest.segments
+    FaultPoints.reach("table.rewrite.preCommit")
     commitOrCleanup(
       manifest.copy(version = ver, segments = segs,
         foldedBelow = Some(ver)),
       segs)
+    FaultPoints.reach("table.rewrite.preDelete")
     old.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
   }
 
@@ -169,6 +172,15 @@ final class TableStore private (
         issues += s"orphan tmp dir ${p.getFileName}"
         if (doRepair && oldEnough(p)) deleteRecursively(p)
       }
+    // a commit that died between the manifest-tmp write and the atomic
+    // rename leaves manifest.json.tmp behind (the committed manifest is
+    // untouched). Age-gated like all litter: a LIVE writer's tmp exists
+    // only for the instant between write and rename.
+    val tornTmp = Paths.get(dir, "manifest.json.tmp")
+    if (Files.exists(tornTmp)) {
+      issues += "torn manifest tmp (crash between write and rename)"
+      if (doRepair && oldEnough(tornTmp)) Files.deleteIfExists(tornTmp)
+    }
     val dataDir = Paths.get(dir, "data")
     if (Files.exists(dataDir))
       ls(dataDir)
@@ -188,6 +200,7 @@ final class TableStore private (
   private def writeSegmentFiles(out: DataFrame, ver: Long): List[Segment] = {
     val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    FaultPoints.reach("table.segments.tmpWritten")
     val listing = Files.list(tmp)
     val files =
       try listing.iterator().asScala
@@ -207,7 +220,9 @@ final class TableStore private (
             new org.apache.parquet.io.LocalInputFile(f))
           try r.getRecordCount finally r.close()
         } catch { case _: Exception => 0L }
+      FaultPoints.reach("table.segments.beforeMove")
       Files.move(f, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      FaultPoints.reach("table.segments.moved")
       Segment(s"data/$name", ver, ver, rows)
     }
     deleteRecursively(tmp)
