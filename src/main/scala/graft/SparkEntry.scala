@@ -551,7 +551,9 @@ object SparkEntry {
         dataDir.resolve("seg-999999999999-orphan.parquet"),
         Array[Byte](0, 1, 2)
       )
-      val report = log.checkConsistency(repair = true)
+      // minAgeMs = 0: this is the post-crash model (the writer that
+      // left the orphan is known dead), so fresh litter is sweepable
+      val report = log.checkConsistency(repair = true, minAgeMs = 0L)
       require(report.exists(_.contains("repaired")), s"no repair in $report")
       require(log.checkConsistency() == Nil, "log not clean after repair")
       // the repaired log appends normally from the truncation point

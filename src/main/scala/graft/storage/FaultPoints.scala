@@ -23,9 +23,13 @@ object FaultPoints {
   private[graft] def reach(point: String): Unit = hook(point)
 
   /** Install a test hook; it receives each reached point name and
-    * simulates a crash by throwing. */
-  def install(h: String => Unit): Unit =
+    * simulates a crash by throwing. `private[graft]` makes the
+    * tests-only contract structural: production code outside the graft
+    * package cannot install a throwing hook. The single global slot
+    * additionally assumes suites run sequentially (the default; do not
+    * enable forked-parallel test execution). */
+  private[graft] def install(h: String => Unit): Unit =
     hook = if (h == null) (_ => ()) else h
 
-  def clear(): Unit = hook = _ => ()
+  private[graft] def clear(): Unit = hook = _ => ()
 }

@@ -37,8 +37,14 @@ trait Log {
   /** Overwrite an entry's value in place, clearing any nulled flag. */
   def replace(seqNo: Long, newValue: Column): Unit
 
-  /** Fsck; empty list = consistent. */
-  def checkConsistency(repair: Boolean = false): List[String]
+  /** Fsck; empty list = consistent. Crash litter (orphan files, torn
+    * tmp dirs) younger than `minAgeMs` is reported but never deleted —
+    * it may belong to an in-flight writer in another process. Pass 0
+    * only when the previous writer is known dead (post-crash repair). */
+  def checkConsistency(
+      repair: Boolean = false,
+      minAgeMs: Long = 600000L
+  ): List[String]
 
   /** Typed convenience append. */
   final def appendValues[T: Encoder](values: Seq[T]): Long =

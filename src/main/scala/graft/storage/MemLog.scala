@@ -92,7 +92,10 @@ final class MemLog(
   }
 
   /** Memory is trivially consistent (and repair has nothing to do). */
-  override def checkConsistency(repair: Boolean = false): List[String] = Nil
+  override def checkConsistency(
+      repair: Boolean = false,
+      minAgeMs: Long = 600000L
+  ): List[String] = Nil
 }
 
 object MemLog {

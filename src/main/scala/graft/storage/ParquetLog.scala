@@ -480,8 +480,27 @@ final class ParquetLog private (
     *     gap), after which the log reopens and appends normally;
     *   - orphan data files (crashed append) are swept.
     */
-  override def checkConsistency(repair: Boolean): List[String] = synchronized {
+  override def checkConsistency(
+      repair: Boolean,
+      minAgeMs: Long
+  ): List[String] = synchronized {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
+    // litter younger than minAgeMs is reported but never deleted: it
+    // may be an in-flight append in another process (files landed but
+    // manifest not yet committed) — sweeping it would corrupt that
+    // commit. A crashed writer's litter only ages; post-crash callers
+    // pass minAgeMs = 0 (writer known dead). Same discipline as
+    // TableStore.checkConsistency.
+    def oldEnough(p: Path): Boolean =
+      try {
+        System.currentTimeMillis() -
+          Files.getLastModifiedTime(p).toMillis >= minAgeMs
+      } catch { case _: Exception => false }
+    def ls(p: Path): List[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList
+      finally s.close()
+    }
     manifest.segments.foreach { s =>
       if (!Files.exists(Paths.get(dir, s.path)))
         problems += s"missing segment file: ${s.path}"
@@ -518,11 +537,11 @@ final class ParquetLog private (
     }
     val known = manifest.segments.map(_.path).toSet
     if (Files.exists(dataDir)) {
-      Files.list(dataDir).iterator().asScala.foreach { p =>
+      ls(dataDir).foreach { p =>
         val rel = s"data/${p.getFileName}"
         if (!known.contains(rel)) {
           problems += s"orphan data file: $rel"
-          if (repair) Files.deleteIfExists(p)
+          if (repair && oldEnough(p)) Files.deleteIfExists(p)
         }
       }
     }
@@ -532,14 +551,14 @@ final class ParquetLog private (
     // rename leaves manifest.json.tmp (the committed manifest.json is
     // untouched either way — these are invisible to readers but leak
     // disk, and the fsck contract is "clean after repair")
-    Files.list(Paths.get(dir)).iterator().asScala.foreach { p =>
+    ls(Paths.get(dir)).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("tmp-")) {
         problems += s"orphan tmp dir: $n"
-        if (repair) deleteRecursively(p)
+        if (repair && oldEnough(p)) deleteRecursively(p)
       } else if (n == "manifest.json.tmp") {
         problems += "torn manifest tmp (crash between write and rename)"
-        if (repair) Files.deleteIfExists(p)
+        if (repair && oldEnough(p)) Files.deleteIfExists(p)
       }
     }
     problems.toList

@@ -28,7 +28,7 @@ class ConsistencySpec extends SparkSpec {
     // orphan is invisible to reads
     assert(log.query().count() == 3)
     // repair sweeps it
-    log.checkConsistency(repair = true)
+    log.checkConsistency(repair = true, minAgeMs = 0L)
     assert(log.checkConsistency() == Nil)
   }
 
@@ -59,7 +59,7 @@ class ConsistencySpec extends SparkSpec {
       .maxBy(_.getFileName.toString)
     Files.delete(tail)
     assert(log.checkConsistency().exists(_.contains("missing segment")))
-    val repaired = log.checkConsistency(repair = true)
+    val repaired = log.checkConsistency(repair = true, minAgeMs = 0L)
     assert(repaired.exists(_.contains("repaired")))
     // truncated to the dense prefix: seqs 0..4 survive
     assert(log.seq == 4)
@@ -89,7 +89,7 @@ class ConsistencySpec extends SparkSpec {
       .find(_.getFileName.toString.startsWith("seg-000000000002"))
       .get
     Files.delete(mid)
-    log.checkConsistency(repair = true)
+    log.checkConsistency(repair = true, minAgeMs = 0L)
     assert(log.seq == 1)
     assert(log.query().count() == 2)
     assert(log.checkConsistency() == Nil)
@@ -139,6 +139,34 @@ class ConsistencySpec extends SparkSpec {
     val values = rows.map(_.getInt(1)).toSet
     assert(values == (0 until 4).flatMap(t => (0 until 5).map(t * 100 + _)).toSet)
     assert(log.checkConsistency() == Nil)
+  }
+
+  test("young litter is reported but never swept (concurrent-writer guard)") {
+    // the default minAgeMs protects an in-flight writer in ANOTHER
+    // process: its segment files land in data/ before its manifest
+    // commit, so a repair running in that window must not delete them
+    val dir = tmpDir("fsck-age")
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    log.appendValues(Seq(1, 2, 3))
+    val orphan = Paths.get(dir, "data", "seg-999999999999-inflight.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    val tmpDirPath = Paths.get(dir, "tmp-inflight")
+    Files.createDirectory(tmpDirPath)
+    val tornTmp = Paths.get(dir, "manifest.json.tmp")
+    Files.write(tornTmp, Array[Byte](123))
+    // repair with the default 10-minute gate: everything reported,
+    // nothing deleted (the litter is seconds old)
+    val report = log.checkConsistency(repair = true)
+    assert(report.exists(_.contains("orphan data file")))
+    assert(report.exists(_.contains("orphan tmp dir")))
+    assert(report.exists(_.contains("torn manifest tmp")))
+    assert(Files.exists(orphan), "young orphan must survive gated repair")
+    assert(Files.exists(tmpDirPath), "young tmp dir must survive gated repair")
+    assert(Files.exists(tornTmp), "young manifest tmp must survive gated repair")
+    // post-crash repair (writer known dead): minAgeMs = 0 sweeps it all
+    log.checkConsistency(repair = true, minAgeMs = 0L)
+    assert(log.checkConsistency() == Nil)
+    assert(!Files.exists(orphan) && !Files.exists(tmpDirPath) && !Files.exists(tornTmp))
   }
 
   test("reopen after kill sees only committed state") {

@@ -107,7 +107,7 @@ class KillPointSpec extends SparkSpec {
       assert(!reported.exists(_.contains("missing segment")), reported.toString)
       assert(!reported.exists(_.contains("gap/overlap")), reported.toString)
 
-      re.checkConsistency(repair = true)
+      re.checkConsistency(repair = true, minAgeMs = 0L)
       assert(re.checkConsistency(repair = false).isEmpty,
         "fsck not clean after repair")
       assert(drain(re) == baseline, "repair touched committed data")
@@ -142,7 +142,7 @@ class KillPointSpec extends SparkSpec {
       // pre-op state: seq 3 still readable with its original value
       assert(re.get(3).getInt(1) == 3, "crashed nullAt leaked into reads")
       assert(re.checkConsistency(repair = false).nonEmpty)
-      re.checkConsistency(repair = true)
+      re.checkConsistency(repair = true, minAgeMs = 0L)
       assert(re.checkConsistency(repair = false).isEmpty)
       assert(drain(re) == (0 until 10).map(i => (i.toLong, i)))
 
@@ -170,7 +170,7 @@ class KillPointSpec extends SparkSpec {
     // the un-deleted pre-rewrite segment is orphan litter, nothing more
     val reported = re.checkConsistency(repair = false)
     assert(reported.exists(_.contains("orphan data file")), reported.toString)
-    re.checkConsistency(repair = true)
+    re.checkConsistency(repair = true, minAgeMs = 0L)
     assert(re.checkConsistency(repair = false).isEmpty)
     re.nullAt(3) // replay is idempotent
     intercept[GraftErrors.ErrNulled](re.get(3))
@@ -195,7 +195,7 @@ class KillPointSpec extends SparkSpec {
     val re = ParquetLog.open(spark, dir, IntegerType)
     assert(drain(re) == baseline)
     assert(re.checkConsistency(repair = false).nonEmpty) // orphan merged files
-    re.checkConsistency(repair = true)
+    re.checkConsistency(repair = true, minAgeMs = 0L)
     assert(re.checkConsistency(repair = false).isEmpty)
     // committed segment files survived the sweep untouched
     assert(dataFiles(dir) == filesBefore, "repair swept committed segments")
@@ -222,7 +222,7 @@ class KillPointSpec extends SparkSpec {
     assert(drain(re) == baseline) // post-op state IS the same data
     val reported = re.checkConsistency(repair = false)
     assert(reported.exists(_.contains("orphan data file")), reported.toString)
-    re.checkConsistency(repair = true)
+    re.checkConsistency(repair = true, minAgeMs = 0L)
     assert(re.checkConsistency(repair = false).isEmpty)
     assert(dataFiles(dir).length < filesBefore)
     assert(drain(re) == baseline)
