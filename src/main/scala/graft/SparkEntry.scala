@@ -596,6 +596,46 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // §2.3 op 12, cluster-scale half: the SAME bounded live range as
+    // q39 delivered through pushDistributed — sink runs on EXECUTORS
+    // (foreachPartition), range-partitioned so each call sees an
+    // ascending CONTIGUOUS seq slice; the union of slices must equal
+    // the driver-funnel result exactly (reference push mode:
+    // offset2/qry.go:191-320; the distribution contract is ours)
+    "q109_push_distributed" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val work = tempWorkDir("graft-livedist")
+      val log = graft.storage.ParquetLog.open(
+        s,
+        s"$work/log",
+        EngineFixtures.eventValue(events).schema.head.dataType
+      )
+      log.append(EngineFixtures.eventValue(events.where(col("event_id") < 200)))
+      PushDistCollect.reset()
+      val q = graft.live.LiveTail.pushDistributed(
+        log,
+        Seq(Gte(50), Lt(150), Live(true), SeqWrap(true)),
+        s"$work/ckpt",
+        PushDistCollect.sink,
+        partitions = 4
+      )
+      q.awaitTermination(180000)
+      require(!q.isActive, "bounded distributed push did not self-terminate")
+      val slices = PushDistCollect.slices.asScala.toList
+      require(slices.nonEmpty && slices.forall(_.nonEmpty),
+        "sink saw an empty slice")
+      slices.foreach { sl =>
+        val seqs = sl.map(_._1)
+        require(seqs == (seqs.head to seqs.last).toList,
+          s"slice not contiguous-ascending: $seqs")
+      }
+      import s.implicits._
+      slices.flatten
+        .toDF("seq", "event_type", "amount")
+        .withColumn("amount", round(col("amount"), 6))
+        .orderBy("seq")
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2332,6 +2372,9 @@ object SparkEntry {
     "q39_live_tail" ->
       """SELECT event_id AS seq, event_type, round(value, 6) AS amount
         |FROM events WHERE event_id >= 50 AND event_id < 150 ORDER BY seq""".stripMargin,
+    "q109_push_distributed" ->
+      """SELECT event_id AS seq, event_type, round(value, 6) AS amount
+        |FROM events WHERE event_id >= 50 AND event_id < 150 ORDER BY seq""".stripMargin,
     "q40_cursor_resume" ->
       """SELECT CAST(user_id AS VARCHAR) AS addr, props AS value FROM (
         |  SELECT user_id, props,
@@ -3203,4 +3246,23 @@ object SparkEntry {
         |  AND f NOT IN (SELECT f FROM fp WHERE doc_id < 250)
         |ORDER BY doc_id""".stripMargin
   )
+}
+
+/** Executor-side sink collector for q109 (pushDistributed oracle): a
+  * JVM singleton — local-mode executors share the JVM, so the
+  * serialized sink closure's module reference resolves back to this
+  * same object. On a real cluster the sink would write to an external
+  * system; the contract being oracled (per-slice contiguous ascending
+  * delivery, exact bounded range, no empty-slice calls) is the same. */
+private[graft] object PushDistCollect {
+  val slices =
+    new java.util.concurrent.ConcurrentLinkedQueue[List[(Long, String, Double)]]()
+  def reset(): Unit = slices.clear()
+  val sink: Iterator[org.apache.spark.sql.Row] => Unit = it => {
+    slices.add(it.map { r =>
+      val v = r.getStruct(1)
+      (r.getLong(0), v.getString(3), v.getDouble(4))
+    }.toList)
+    ()
+  }
 }

@@ -183,7 +183,8 @@ object LiveTail {
       specs: Seq[QuerySpec],
       checkpoint: String,
       sink: Iterator[Row] => Unit,
-      partitions: Int = 0
+      partitions: Int = 0,
+      sourceOptions: Map[String, String] = Map.empty
   ): StreamingQuery = {
     val plan = QueryPlan.of(specs: _*)
     require(plan.live, "push requires Live(true)")
@@ -196,7 +197,7 @@ object LiveTail {
       plan.upper.exists(u => u <= plan.lower.getOrElse(0L)) ||
         plan.limit == 0L
 
-    val stream = log.liveQuery(internalSpecs: _*)
+    val stream = log.liveQueryWith(sourceOptions, internalSpecs: _*)
     val query = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))

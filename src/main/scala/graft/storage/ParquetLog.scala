@@ -356,13 +356,24 @@ final class ParquetLog private (
     * new FILES over old seqs; seq offsets don't move). Catch-up over
     * a large backlog is paced (64 segments per trigger). Reverse+Live
     * is rejected by plan validation. */
-  def liveQuery(specs: QuerySpec*): DataFrame = {
+  def liveQuery(specs: QuerySpec*): DataFrame =
+    liveQueryWith(Map.empty, specs: _*)
+
+  /** [[liveQuery]] with explicit source options — admission control
+    * (`maxSeqsPerTrigger` / `maxBytesPerTrigger` /
+    * `maxSegmentsPerTrigger`) for consumers that need a different
+    * catch-up grain than the 64-segment default. */
+  def liveQueryWith(
+      options: Map[String, String],
+      specs: QuerySpec*
+  ): DataFrame = {
     val plan = QueryPlan.of(specs: _*)
     require(plan.live, "liveQuery requires Live(true)")
-    val stream = spark.readStream
+    var reader = spark.readStream
       .format("graft-log")
       .option("maxSegmentsPerTrigger", "64")
-      .load(dir)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val stream = reader.load(dir)
     graft.query.QueryBuilder.buildStreaming(stream, plan)
   }
 

@@ -195,6 +195,44 @@ class LiveSpec extends SparkSpec {
     } finally if (q3.isActive) q3.stop()
   }
 
+  test("pushDistributed: limit cut lands MID-backlog under " +
+      "maxSeqsPerTrigger admission control") {
+    import spark.implicits._
+    // 1000-row backlog paced into ~100-seq micro-batches: the Limit(250)
+    // cut lands inside the third batch (seqs 200..299 → cut at 250),
+    // exercising the cross-batch remaining accounting, not just the
+    // single-batch cut the earlier vector covers
+    val log = ParquetLog.open(spark, tmpDir("livedistcut"), IntegerType)
+    log.appendValues((0 until 1000).map(_ * 3))
+    DistCollector.reset()
+    val q = LiveTail.pushDistributed(
+      log,
+      Seq(Limit(250), Live(true), SeqWrap(true)),
+      tmpDir("ckptdistcut"),
+      DistCollector.sink,
+      partitions = 4,
+      sourceOptions = Map("maxSeqsPerTrigger" -> "100")
+    )
+    try {
+      assert(q.awaitTermination(120000), "paced limited push did not self-terminate")
+      val calls = DistCollector.calls.asScala.toList
+      // exact limit accounting: exactly seqs 0..249, each once
+      val all = calls.flatten
+      assert(all.map(_._1).sorted == (0L until 250L).toList)
+      assert(all.forall { case (seq, v) => v == seq * 3 })
+      // admission control actually paced: more than one sink call span
+      // (each micro-batch fans out to ≤4 slices of ≤100 seqs)
+      assert(calls.size > 4, s"expected paced multi-batch fan-out, got ${calls.size} calls")
+      // every slice non-empty, ascending, contiguous
+      assert(calls.forall(_.nonEmpty), "sink invoked with an empty slice")
+      calls.foreach { c =>
+        val seqs = c.map(_._1)
+        assert(seqs == (seqs.head to seqs.last).toList,
+          s"partition slice not contiguous-ascending: $seqs")
+      }
+    } finally if (q.isActive) q.stop()
+  }
+
   test("segment rewrite during an active push does not wedge delivery") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("livenull"), IntegerType)
