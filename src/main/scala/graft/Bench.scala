@@ -37,6 +37,18 @@ object Bench {
     // noisy host shows up as spread between repeats of the same metric
     val allRuns =
       scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // NOISE SENTINEL (round-11 verdict task): a constant-cost scan —
+    // same plan, same data volume, every time — timed after EVERY
+    // metric execution. Its spread is a pure host-noise signature: the
+    // plan cannot vary, so variance between readings is machine
+    // contention, and a judge can normalize a noisy capture against it
+    // instead of re-litigating which metric regressions are real.
+    val sentinelRuns = scala.collection.mutable.ListBuffer.empty[Double]
+    def sentinel(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0, 4000000L, 1, 8).agg(sum(col("id"))).collect()
+      sentinelRuns += (System.nanoTime() - t0) / 1e9
+    }
     // One timed execution of f, with the cache cleared afterwards so a
     // query's residue can't steal unified memory from the next metric.
     def once[A](name: String)(f: => A): A = {
@@ -44,6 +56,7 @@ object Bench {
       val r = f
       results(name) = (System.nanoTime() - t0) / 1e9
       allRuns(name) = allRuns.getOrElse(name, Nil) :+ results(name)
+      sentinel()
       spark.catalog.clearCache()
       // ContextCleaner frees a broadcast only after its driver ref is
       // GC'd, and nothing forces a full GC inside a ~1 min bench JVM
@@ -100,6 +113,10 @@ object Bench {
     // run-to-run (first query in a session otherwise pays compilation)
     events.limit(1000).select(md5(col("props"))).count()
     spark.range(100).selectExpr("sum(id)").count()
+    // warm the sentinel's own plan, then discard the warm-up readings
+    // (first execution pays codegen; the sentinel must measure the
+    // host, not compilation)
+    sentinel(); sentinel(); sentinelRuns.clear()
     // warm the WRITE path too (committer + parquet writer codegen):
     // the first append in a session otherwise pays ~2 s of one-time
     // class init that has nothing to do with append throughput
@@ -366,8 +383,19 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.values.sum
+    // sentinel summary: constant plan ⇒ spread is host noise. A clean
+    // capture shows max/min ≲ 2 on a ~15 ms scan; a contended host
+    // shows long-tail readings exactly when co-timed metrics spike.
+    val sv = sentinelRuns.toList.sorted
+    def pct(p: Double): Double =
+      if (sv.isEmpty) 0.0 else sv(math.min(sv.size - 1, (p * sv.size).toInt))
+    val sentinelJson =
+      f"""{"n":${sv.size},"min":${if (sv.isEmpty) 0.0 else sv.head}%.4f,""" +
+        f""""median":${pct(0.5)}%.4f,"p90":${pct(0.9)}%.4f,""" +
+        f""""max":${if (sv.isEmpty) 0.0 else sv.last}%.4f,""" +
+        s""""readings":${sentinelRuns.map(v => f"$v%.4f").mkString("[", ",", "]")}}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
