@@ -175,6 +175,7 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
   def setSeq(seq: Long): Unit = {
     val tmp = Paths.get(dir, "cursor.seq.tmp")
     Files.writeString(tmp, seq.toString)
+    graft.storage.FaultPoints.reach("kv.cursor.tmpWritten")
     Files.move(
       tmp,
       seqPath,

@@ -51,7 +51,13 @@ object SinkIndex {
       .query(Gt(from), Lte(top), SeqWrap(true))
       .where(!col("nulled")) // skip redacted entries
     val updates = proc(batch)
+    graft.storage.FaultPoints.reach("sink.pump.preApply")
     if (!updates.isEmpty) idx.applyBatch(updates)
+    // CURSOR-AFTER discipline (the reference's SinkIndex,
+    // indexes/sinkindex.go:39-50): a crash here re-processes (from,
+    // top] next pump — exactly-once EFFECT via the idempotent upsert
+    // (same updates, same per-addr winners), never a gap
+    graft.storage.FaultPoints.reach("sink.pump.applied")
     idx.setSeq(top)
     top - from
   }
@@ -76,7 +82,14 @@ object MultiLogSink {
       .query(Gt(from), Lte(top), SeqWrap(true)) // exactly (from, top]
       .where(!col("nulled"))
     val rows = fanout(batch)
+    graft.storage.FaultPoints.reach("mlogsink.pump.preAppend")
     if (!rows.isEmpty) mlog.appendBatch(rows)
+    // cursor-after: a crash here replays the batch next pump; the
+    // multilog dedups (addr, seq) on read, so the replayed rows are
+    // invisible — the reference instead saves its cursor FIRST and
+    // accepts losing the batch (multilog/sink.go:50-57); ours is the
+    // strictly stronger side of that trade
+    graft.storage.FaultPoints.reach("mlogsink.pump.appended")
     cursorOwner.setSeq(top)
     top - from
   }
