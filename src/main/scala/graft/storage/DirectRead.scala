@@ -31,7 +31,8 @@ import org.apache.spark.sql.types._
   * pages). Sub-millisecond after first touch of a segment, ~8 ms cold.
   *
   * Supports the value types a log can hold (primitives, strings,
-  * binary, dates, timestamps, structs, arrays). Returns None for
+  * binary, dates, timestamps, decimals, structs, arrays, maps).
+  * Returns None for
   * anything it can't convert — the caller falls back to the Spark
   * read path, so this is a pure fast path, never a semantics change.
   */
@@ -139,8 +140,9 @@ private[storage] object DirectRead {
   private[storage] def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
         FloatType | BooleanType | StringType | BinaryType | DateType |
-        TimestampType =>
+        TimestampType | TimestampNTZType =>
       true
+    case _: DecimalType  => true
     case st: StructType  => st.fields.forall(f => supported(f.dataType))
     case ArrayType(e, _) => supported(e)
     case MapType(k, v, _) => supported(k) && supported(v)
@@ -150,10 +152,13 @@ private[storage] object DirectRead {
   /** Timestamp column → epoch micros, handling every physical shape
     * Spark's parquet writer emits: INT96 (the writer default —
     * nanos-of-day + Julian day) and INT64 annotated MILLIS/MICROS/
-    * NANOS. Segments are self-written under Spark's default CORRECTED
-    * rebase modes (plain proleptic values, no Julian rebase on either
-    * side), so direct epoch arithmetic matches Spark's own reader
-    * exactly. */
+    * NANOS. INT64 values are self-written proleptic (Spark's default
+    * CORRECTED/EXCEPTION write modes), so direct epoch arithmetic is
+    * exact; INT96 carries a JULIAN day number, so the linear micros
+    * are rebased Julian→Gregorian exactly like Spark's own reader
+    * under its default `int96RebaseModeInRead=LEGACY` (identity for
+    * post-1582 values) — keeping this leg bit-identical to the
+    * vectorized leg at every epoch. */
   private def timestampMicros(g: Group, idx: Int): Long = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -166,9 +171,11 @@ private[storage] object DirectRead {
         val nanosOfDay = buf.getLong
         val julianDay = buf.getInt
         // 2440588 = Julian day of 1970-01-01
-        Math.addExact(
+        val linear = Math.addExact(
           Math.multiplyExact(julianDay - 2440588L, 86400000000L),
           nanosOfDay / 1000L)
+        org.apache.spark.sql.catalyst.util.RebaseDateTime
+          .rebaseJulianToGregorianMicros(linear)
       case INT64 =>
         val v = g.getLong(idx, 0)
         pt.getLogicalTypeAnnotation match {
@@ -184,6 +191,34 @@ private[storage] object DirectRead {
       case other =>
         throw new UnsupportedOperationException(s"timestamp stored as $other")
     }
+  }
+
+  /** Decimal column → Catalyst [[org.apache.spark.sql.types.Decimal]],
+    * handling every physical shape Spark's parquet writer emits for
+    * the precision (INT32 ≤9 digits, INT64 ≤18, FIXED_LEN_BYTE_ARRAY
+    * above — plus BINARY from foreign writers). The unscaled value is
+    * interpreted at the FILE's declared scale (the logical-type
+    * annotation), then checked into the requested precision/scale —
+    * loud on overflow, never silently truncated. */
+  private def decimalOf(g: Group, idx: Int, dt: DecimalType)
+      : org.apache.spark.sql.types.Decimal = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val pt = g.getType.getType(idx).asPrimitiveType()
+    val fileScale = pt.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => d.getScale
+      case _ => dt.scale
+    }
+    val unscaled: java.math.BigInteger = pt.getPrimitiveTypeName match {
+      case INT32 => java.math.BigInteger.valueOf(g.getInteger(idx, 0).toLong)
+      case INT64 => java.math.BigInteger.valueOf(g.getLong(idx, 0))
+      case FIXED_LEN_BYTE_ARRAY | BINARY =>
+        new java.math.BigInteger(g.getBinary(idx, 0).getBytes)
+      case other =>
+        throw new UnsupportedOperationException(s"decimal stored as $other")
+    }
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(unscaled, fileScale), dt.precision, dt.scale)
   }
 
   private[storage] def convertRow(g: Group, schema: StructType): Row = {
@@ -230,6 +265,8 @@ private[storage] object DirectRead {
     case BinaryType     => g.getBinary(idx, 0).getBytes
     case DateType       => g.getInteger(idx, 0)
     case TimestampType  => timestampMicros(g, idx)
+    case TimestampNTZType => timestampMicros(g, idx)
+    case d: DecimalType => decimalOf(g, idx, d)
     case st: StructType => convertInternalRow(g.getGroup(idx, 0), st)
     case ArrayType(et, _) =>
       val list = g.getGroup(idx, 0)
@@ -281,6 +318,10 @@ private[storage] object DirectRead {
     case TimestampType =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils
         .toJavaTimestamp(timestampMicros(g, idx))
+    case TimestampNTZType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToLocalDateTime(timestampMicros(g, idx))
+    case d: DecimalType => decimalOf(g, idx, d).toJavaBigDecimal
     case st: StructType => convertRow(g.getGroup(idx, 0), st)
     case ArrayType(et, _) =>
       // Spark's standard 3-level list layout: group(LIST) >

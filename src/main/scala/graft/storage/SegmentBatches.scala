@@ -44,17 +44,24 @@ private[graft] object SegmentBatches {
     * and [[appendAt]] append-mode levels below the first array/map
     * boundary, and the boundary-slice offset views compose over
     * getChild / delegate self-contained getArray/getMap).
-    * Date/Timestamp/Decimal are excluded at every nesting level: the
-    * row converter does not handle them, and keeping them out also
-    * keeps every columnar-read type outside parquet's datetime-rebase
-    * rules (see [[open]]). */
+    * Date/Timestamp(/NTZ)/Decimal are admitted at every nesting level
+    * (round 13 — the last row-path value shapes): the vectorized
+    * reader decodes all of them natively (days-int / micros-long /
+    * precision-tiered int/long/bytes), the row converter handles the
+    * same shapes, and the datetime-rebase question the old exclusion
+    * sidestepped is answered structurally — [[open]] pins the decode
+    * modes Spark's own file source resolves for self-written files and
+    * [[guardDatetimeEncoding]] REFUSES the one file shape those modes
+    * would mis-read (a legacy-rebase footer marker). */
   def supported(schema: StructType): Boolean =
     schema.fields.nonEmpty && schema.fields.forall(f => admitted(f.dataType))
 
   private def admitted(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
-        FloatType | DoubleType | StringType | BinaryType =>
+        FloatType | DoubleType | StringType | BinaryType | DateType |
+        TimestampType | TimestampNTZType =>
       true
+    case _: DecimalType => true
     case st: StructType =>
       st.fields.nonEmpty && st.fields.forall(f => admitted(f.dataType))
     case ArrayType(et, _) => admitted(et)
@@ -62,51 +69,72 @@ private[graft] object SegmentBatches {
     case _ => false
   }
 
+  /** Does the requested schema contain a datetime column at any
+    * nesting level (the types subject to parquet's rebase rules)? */
+  private def hasDatetime(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case st: StructType => st.fields.exists(f => hasDatetime(f.dataType))
+    case ArrayType(et, _) => hasDatetime(et)
+    case MapType(kt, vt, _) => hasDatetime(kt) || hasDatetime(vt)
+    case _ => false
+  }
+
+  /** The vectorized decode below pins CORRECTED (proleptic) handling
+    * for INT32-date/INT64-timestamp columns and LEGACY (Julian-rebase)
+    * for INT96 — exactly the modes Spark's own file source resolves
+    * for files this engine writes (Spark 4's writer emits proleptic
+    * INT32/INT64 values — its default `datetimeRebaseModeInWrite =
+    * EXCEPTION` refuses ancient values rather than rebasing — and
+    * INT96 is Julian-day by definition, which LEGACY decodes; the row
+    * leg's [[DirectRead]] applies the same rebase). The ONE file shape
+    * the pin would silently mis-read is a footer carrying Spark's
+    * legacy-rebase marker (INT64 values written under forced `LEGACY`
+    * mode, Julian-rebased pre-1582) — refused loudly. Only checked
+    * when the REQUESTED schema has datetime columns — decimal and
+    * every other admitted type is rebase-free. */
+  private def guardDatetimeEncoding(
+      meta: java.util.Map[String, String],
+      file: Path
+  ): Unit =
+    if (meta.containsKey("org.apache.spark.legacyDateTime"))
+      throw new UnsupportedOperationException(
+        s"$file was written with LEGACY (Julian) datetime rebase; " +
+          "this engine writes and reads proleptic values only — " +
+          "rewrite the data with datetimeRebaseModeInWrite=CORRECTED")
+
   /** Open ONE immutable segment file for vectorized reads, projected
     * to `schema`'s columns (unrequested chunks never decoded). The
     * caller drives `nextBatch()` / `resultBatch()` and owns `close()`.
     *
-    * The two-arg `VectorizedParquetRecordReader` constructor pins
-    * default datetime-rebase handling and a fresh Hadoop conf. That is
-    * safe here by construction, not by assumption: [[supported]]
-    * admits no Date/Timestamp/Decimal columns, so no type subject to
-    * rebase or conf-sensitive parquet logical-type rules ever reaches
-    * this decoder (pinned by SegmentBatchesSpec's gate vectors). */
-  def open(file: Path, schema: StructType): VectorizedParquetRecordReader = {
-    val reader = new VectorizedParquetRecordReader(false, Capacity)
-    var ok = false
-    try {
-      reader.initialize(file.toString, schema.fieldNames.toSeq.asJava)
-      reader.initBatch(new StructType(), InternalRow.empty)
-      reader.enableReturningBatches()
-      ok = true
-      reader
-    } finally if (!ok) reader.close()
-  }
+    * Decode-mode pinning: the `VectorizedParquetRecordReader` is
+    * initialized through the [[org.apache.spark.sql.execution
+    * .datasources.parquet.GraftVectorizedRange]] hand-off with a conf
+    * matching Spark's own file source (CORRECTED proleptic INT32/INT64
+    * datetime decode, native INT96 with its default LEGACY rebase) —
+    * exactly what this engine's writer produces under every default;
+    * the one file shape that pin would mis-read is refused by
+    * [[guardDatetimeEncoding]] before any value is decoded (checked on
+    * the same footer the open already reads, so it costs nothing). */
+  def open(file: Path, schema: StructType): VectorizedParquetRecordReader =
+    openVectorized(file, schema, None)
 
-  /** Same vectorized open, limited to the row groups whose byte
-    * MIDPOINT falls in `[start, end)` — one row-group-aligned split
-    * of an oversized segment (`SegmentPacking.splitSegment`; sibling
-    * ranges tile the file, so together the splits decode it exactly
-    * once). The row groups come from a parquet-mr reader opened with
-    * `withRange` and are handed to the vectorized decoder through
-    * [[org.apache.spark.sql.execution.datasources.parquet
-    * .GraftVectorizedRange]] (the hand-off interface is
-    * package-private in Spark). Same type-gate caveats as [[open]]:
-    * [[supported]] admits atomic non-datetime types only, so the
-    * pinned conversion flags can't diverge from the session. */
-  def openRange(
+  private def openVectorized(
       file: Path,
       schema: StructType,
-      start: Long,
-      end: Long
+      range: Option[(Long, Long)]
   ): VectorizedParquetRecordReader = {
+    val optsB = org.apache.parquet.ParquetReadOptions.builder()
+    val opts = range match {
+      case Some((s, e)) => optsB.withRange(s, e).build()
+      case None => optsB.build()
+    }
     val pr = org.apache.parquet.hadoop.ParquetFileReader.open(
-      new org.apache.parquet.io.LocalInputFile(file),
-      org.apache.parquet.ParquetReadOptions.builder()
-        .withRange(start, end).build())
+      new org.apache.parquet.io.LocalInputFile(file), opts)
     var ok = false
     try {
+      if (schema.fields.exists(f => hasDatetime(f.dataType)))
+        guardDatetimeEncoding(
+          pr.getFooter.getFileMetaData.getKeyValueMetaData, file)
       val fileSchema = pr.getFooter.getFileMetaData.getSchema
       val projected =
         if (schema.fields.length == fileSchema.getFieldCount) fileSchema
@@ -129,6 +157,25 @@ private[graft] object SegmentBatches {
       } finally if (!ok) reader.close()
     } finally if (!ok) pr.close()
   }
+
+  /** Same vectorized open, limited to the row groups whose byte
+    * MIDPOINT falls in `[start, end)` — one row-group-aligned split
+    * of an oversized segment (`SegmentPacking.splitSegment`; sibling
+    * ranges tile the file, so together the splits decode it exactly
+    * once). The row groups come from a parquet-mr reader opened with
+    * `withRange` and are handed to the vectorized decoder through
+    * [[org.apache.spark.sql.execution.datasources.parquet
+    * .GraftVectorizedRange]] (the hand-off interface is
+    * package-private in Spark). Same datetime-encoding guard as
+    * [[open]] (checked against the already-open footer, so it costs
+    * nothing here). */
+  def openRange(
+      file: Path,
+      schema: StructType,
+      start: Long,
+      end: Long
+  ): VectorizedParquetRecordReader =
+    openVectorized(file, schema, Some((start, end)))
 
   /** Sequential vectorized scan over a partition's packed segment
     * files: one reader per file, batches streamed through. `range`
@@ -210,9 +257,9 @@ private[graft] object SegmentBatches {
 
   /** Zero-copy positional slice of a boundary batch: wraps each column
     * in an offset view and truncates the row count. Serves every type
-    * [[supported]] admits — atomics directly, structs via cached
-    * offset child views, arrays/maps by getArray/getMap delegation;
-    * only non-admitted getters (e.g. getDecimal) throw loudly. */
+    * [[supported]] admits — atomics (incl. date-int / timestamp-long /
+    * decimal) directly, structs via cached offset child views,
+    * arrays/maps by getArray/getMap delegation. */
   private def SlicedBatch(b: ColumnarBatch, offset: Int, len: Int): ColumnarBatch = {
     val cols = (0 until b.numCols()).map(i =>
       new OffsetVector(b.column(i), offset): ColumnVector)
@@ -257,7 +304,7 @@ private[graft] object SegmentBatches {
     override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
       base.getMap(i + offset)
     override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
-      throw new UnsupportedOperationException("sliced read of non-admitted column")
+      base.getDecimal(i + offset, p, s)
     // struct access: getStruct (final in ColumnVector) reads through
     // getChild — offset views compose over the cached children
     override def getChild(i: Int): ColumnVector = children(i)
@@ -318,6 +365,13 @@ private[graft] object SegmentBatches {
         case BinaryType =>
           val b = row.getBinary(c)
           v.putByteArray(i, b, 0, b.length)
+        case DateType => v.putInt(i, row.getInt(c))
+        case TimestampType | TimestampNTZType => v.putLong(i, row.getLong(c))
+        case d: DecimalType =>
+          // putDecimal picks the precision-tiered physical layout
+          // (int ≤9 digits, long ≤18, unscaled bytes above) — the same
+          // tiers the vectorized parquet decoder produces
+          v.putDecimal(i, row.getDecimal(c, d.precision, d.scale), d.precision)
         case st: StructType =>
           // struct: validity on the parent, fields recursed into the
           // child vectors at the same row index (null parent also
@@ -429,6 +483,20 @@ private[graft] object SegmentBatches {
         case BinaryType =>
           val b = g.getBinary(j)
           child.appendByteArray(b, 0, b.length)
+        case DateType => child.appendInt(g.getInt(j))
+        case TimestampType | TimestampNTZType => child.appendLong(g.getLong(j))
+        case d: DecimalType =>
+          // append-mode twin of putDecimal's precision tiers (there is
+          // no appendDecimal on WritableColumnVector)
+          val dec = g.getDecimal(j, d.precision, d.scale)
+          if (d.precision <= Decimal.MAX_INT_DIGITS)
+            child.appendInt(dec.toUnscaledLong.toInt)
+          else if (d.precision <= Decimal.MAX_LONG_DIGITS)
+            child.appendLong(dec.toUnscaledLong)
+          else {
+            val b = dec.toJavaBigDecimal.unscaledValue.toByteArray
+            child.appendByteArray(b, 0, b.length)
+          }
         case st: StructType =>
           child.appendStruct(false)
           val nested = g.getStruct(j, st.fields.length)

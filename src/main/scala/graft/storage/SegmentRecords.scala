@@ -14,8 +14,8 @@ import org.apache.spark.sql.types.StructType
   * DataSourceV2 partitions (each segment = one input partition; no
   * Spark file-source machinery involved). Reuses [[DirectRead]]'s
   * record converter, so it supports the same value shapes
-  * (primitives, strings, binary, dates, timestamps, structs,
-  * arrays). */
+  * (primitives, strings, binary, dates, timestamps, decimals,
+  * structs, arrays, maps). */
 private[graft] object SegmentRecords {
 
   def supported(schema: StructType): Boolean = DirectRead.supported(schema)

@@ -875,33 +875,40 @@ class GraftLogSourceSpec extends SparkSpec {
     // concurrent-rewrite RowRepackReader — and BOTH run the parquet-mr
     // row converter. A type the row leg throws on must therefore never
     // pass the columnar gate, however well the vectorized decoder
-    // handles it. Date/Timestamp/Decimal are exactly that set (and
-    // keeping them out also keeps datetime-rebase rules out of scope
-    // for the pinned two-arg VectorizedParquetRecordReader ctor).
+    // handles it. Round 13 closed the last gap: Date/Timestamp(/NTZ)/
+    // Decimal are admitted on BOTH legs at every nesting level, so
+    // only genuinely unconvertible types (CalendarInterval, variant…)
+    // remain row-refused.
     def one(dt: DataType) = StructType(Seq(StructField("v", dt)))
     for (dt <- Seq(DateType, TimestampType, TimestampNTZType,
-        DecimalType(10, 2), CalendarIntervalType))
-      assert(!SegmentBatches.supported(one(dt)), s"$dt must stay on the row path")
+        DecimalType(5, 2), DecimalType(10, 2), DecimalType(22, 4))) {
+      assert(SegmentBatches.supported(one(dt)), s"$dt should be columnar")
+      assert(graft.storage.SegmentRecords.supported(one(dt)),
+        s"columnar admitted $dt but the row fallback cannot convert it")
+    }
+    assert(!SegmentBatches.supported(one(CalendarIntervalType)))
     // nesting composes arbitrarily (round 11 closed the ladder);
-    // datetime parts stay row at ANY level
+    // datetime/decimal parts are columnar at ANY level too (round 13)
     assert(SegmentBatches.supported(one(MapType(StringType, IntegerType))))
     assert(SegmentBatches.supported(
       one(MapType(StringType, StructType(Seq(StructField("x", IntegerType)))))))
     assert(SegmentBatches.supported(
       one(ArrayType(StructType(Seq(StructField("x", StringType)))))))
     assert(SegmentBatches.supported(one(ArrayType(ArrayType(FloatType)))))
-    assert(!SegmentBatches.supported(one(MapType(DateType, IntegerType))))
-    assert(!SegmentBatches.supported(one(MapType(StringType, TimestampType))))
-    assert(!SegmentBatches.supported(
+    assert(SegmentBatches.supported(one(MapType(DateType, IntegerType))))
+    assert(SegmentBatches.supported(one(MapType(StringType, TimestampType))))
+    assert(SegmentBatches.supported(
       one(ArrayType(StructType(Seq(StructField("t", TimestampType)))))))
+    assert(SegmentBatches.supported(
+      one(MapType(StringType, DecimalType(22, 4)))))
     for (dt <- Seq(BooleanType, ByteType, ShortType, IntegerType, LongType,
         FloatType, DoubleType, StringType, BinaryType)) {
       assert(SegmentBatches.supported(one(dt)))
       assert(graft.storage.SegmentRecords.supported(one(dt)),
         s"columnar admitted $dt but the row fallback cannot convert it")
     }
-    // end-to-end: a timestamp-valued log plans NO ColumnarToRow with
-    // the toggle on, and the row leg serves exact values
+    // end-to-end: a timestamp-valued log PLANS ColumnarToRow and the
+    // vectorized leg serves exact values; the A/B row leg agrees
     import spark.implicits._
     val dir = tmpDir("dsv2colts") + "/log"
     val log = ParquetLog.open(spark, dir,
@@ -909,9 +916,89 @@ class GraftLogSourceSpec extends SparkSpec {
     log.append(Seq(1000000L, 2000000L).toDF("us")
       .select(timestamp_micros(col("us")).as("value")))
     val df = spark.read.format("graft-log").load(dir)
-    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "timestamp values should be vectorized now")
     assert(df.select("value").collect()
       .map(_.getTimestamp(0).getTime).sorted.toSeq == Seq(1000L, 2000L))
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try
+      assert(spark.read.format("graft-log").load(dir).select("value")
+        .collect().map(_.getTimestamp(0).getTime).sorted.toSeq
+        == Seq(1000L, 2000L))
+    finally spark.conf.unset("spark.graft.columnar.enabled")
+  }
+
+  test("datetime/decimal values: columnar decode, nulls, slices and the repack fallback all exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // struct<d: date, t: timestamp, m: decimal(10,2), w: decimal(22,4)>
+    // covers the decimal int/long tier AND the unscaled-bytes tier,
+    // with per-field nulls and a nulled row, through: plain columnar
+    // drain, a mid-batch seq cut (sliced offset views), and the
+    // post-rewrite RowRepackReader leg
+    val dir = tmpDir("dsv2coldt") + "/log"
+    val valueType = StructType(Seq(
+      StructField("d", DateType), StructField("t", TimestampType),
+      StructField("m", DecimalType(10, 2), nullable = true),
+      StructField("w", DecimalType(22, 4), nullable = true)))
+    val log = ParquetLog.open(spark, dir, valueType)
+    (0 until 3).foreach { k =>
+      log.append((k * 10 until (k + 1) * 10).toDF("i").select(struct(
+        date_add(lit("2024-01-01").cast("date"), col("i")).as("d"),
+        timestamp_micros(col("i") * 1000000L).as("t"),
+        when(col("i") % 7 =!= 0,
+          (col("i").cast("decimal(8,0)") * 0.25).cast("decimal(10,2)")).as("m"),
+        (col("i").cast("decimal(18,0)") * lit("1000000000.0001")
+          .cast("decimal(22,4)")).cast("decimal(22,4)").as("w")
+      ).as("value")))
+    }
+    log.nullAt(12)
+    def expected(r: Range) = r.map { i =>
+      if (i == 12) (i.toLong, None)
+      else (i.toLong, Some((
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString,
+        i * 1000L,
+        if (i % 7 == 0) null
+        else new java.math.BigDecimal(i).multiply(
+          new java.math.BigDecimal("0.25")).setScale(2),
+        new java.math.BigDecimal(i).multiply(
+          new java.math.BigDecimal("1000000000.0001")).setScale(4))))
+    }.toSeq
+    def got(rows: Array[org.apache.spark.sql.Row]) =
+      rows.sortBy(_.getLong(0)).map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None
+          else {
+            val s = r.getStruct(1)
+            Some((s.getDate(0).toLocalDate.toString, s.getTimestamp(1).getTime,
+              s.getDecimal(2), s.getDecimal(3)))
+          })
+      }.toSeq
+    val df = spark.read.format("graft-log")
+      .option("maxPartitionBytes", "1").load(dir).select("seq", "value")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "datetime/decimal struct should be vectorized")
+    assert(got(df.collect()) == expected(0 until 30))
+    // mid-batch cut: date/timestamp/decimal through sliced offset views
+    val bounded = df.where(col("seq") >= 7 && col("seq") <= 23)
+    assert(bounded.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(got(bounded.collect()) == expected(7 to 23))
+    // A/B: the row leg returns the identical rows
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try {
+      val rowDf = spark.read.format("graft-log").load(dir).select("seq", "value")
+      assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assert(got(rowDf.collect()) == expected(0 until 30))
+    } finally spark.conf.unset("spark.graft.columnar.enabled")
+    // rewrite after the plan committed to columnar: the RowRepackReader
+    // writes date-ints, timestamp-longs and all three decimal tiers
+    val rdd = df.rdd
+    log.compact()
+    assert(got(rdd.collect().toArray) == expected(0 until 30))
+    // point read (4-tier getMany / DirectRead) serves the same shapes
+    val r5 = log.get(5).getStruct(1)
+    assert(r5.getDecimal(3) == new java.math.BigDecimal(5)
+      .multiply(new java.math.BigDecimal("1000000000.0001")).setScale(4))
   }
 
   test("columnar read survives a rewrite via the row-repack fallback") {
