@@ -428,8 +428,8 @@ object Ann {
     * each round collects k×dims doubles — ~0.5 GB at the top of the
     * production IVF range (k=65536, dims=1024), the same in-memory
     * codebook budget FAISS training carries. Past that, IVF training
-    * wants sampled training sets and sharded codebooks, not a bigger
-    * driver. `roundTo ≥ 0` quantizes each refreshed mean (the
+    * wants sampled training sets ([[kmeansTrainSampled]]) and sharded
+    * codebooks, not a bigger driver. `roundTo ≥ 0` quantizes each refreshed mean (the
     * cross-engine-exact mode the q108 oracle replays). Returns the
     * trained codebook for [[ivfAssignVectors]] / [[ivfTopK]]. */
   def kmeansTrain(
@@ -471,6 +471,42 @@ object Ann {
       i += 1
     }
     cents.toMap
+  }
+
+  /** [[kmeansTrain]] on a DETERMINISTIC sample of the corpus — the
+    * beyond-envelope training path the kmeansTrain scaladoc sketches.
+    * Lloyd quality depends on points-per-cell, not corpus size: past
+    * ~10²-10³ sampled points per centroid the refreshed means are
+    * statistically indistinguishable from full-corpus means, so at
+    * 100 TB training on everything spends the cluster re-averaging
+    * noise (FAISS trains its IVF codebooks on samples for the same
+    * reason). The sample gate is a hash of the id column — stable
+    * across runs, partitionings and executors (`.sample()` is
+    * neither), so a retrained codebook is reproducible — and the init
+    * centroid rows are ALWAYS admitted (they are point reads by id;
+    * losing one would fail the `initIds` require).
+    *
+    * `sampleFraction` sizes the training set; pick it so
+    * `rows × fraction ≈ 100-1000 × k`. Assignment of the FULL corpus
+    * afterwards is unchanged ([[ivfAssignVectors]] with the returned
+    * codebook) — only training reads the sample. */
+  def kmeansTrainSampled(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      initIds: Seq[Long],
+      iters: Int,
+      sampleFraction: Double,
+      roundTo: Int = -1,
+      seed: Long = 42L
+  ): Map[Long, Seq[Float]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val cut = math.max(1L, math.round(sampleFraction * 1000000L))
+    val sampled = df.where(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) < cut ||
+        col(idCol).isin(initIds: _*))
+    kmeansTrain(sampled, vecCol, idCol, initIds, iters, roundTo)
   }
 
   /** One Lloyd (k-means) update step over the current codebook:

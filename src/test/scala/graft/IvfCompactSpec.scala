@@ -165,6 +165,48 @@ class IvfCompactSpec extends SparkSpec {
     assert(purity.forall(_ == 1.0), s"impure blobs: ${purity.toSeq}")
   }
 
+  test("sampled kmeans training: deterministic, init-preserving, blob-pure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.similarity.Ann
+    // same 3-blob fixture, 10x the members so a 30% sample still
+    // leaves every blob well-populated
+    val centers = Seq(
+      Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f), Seq(0f, 0f, 10f, 0f))
+    val vecs = for {
+      (c, b) <- centers.zipWithIndex
+      i <- 0 until 300
+    } yield (
+      (b * 1000 + i).toLong,
+      c.zipWithIndex.map { case (v, d) => v + ((i * 7 + d * 3) % 5) * 0.1f }
+    )
+    val df = vecs.toDF("vec_id", "embedding")
+    val init = Seq(0L, 1000L, 2000L)
+    // fraction 1.0 ≡ the unsampled loop exactly (the gate admits all)
+    assert(
+      Ann.kmeansTrainSampled(df, "embedding", "vec_id", init, 3, 1.0,
+        roundTo = 6)
+        == Ann.kmeansTrain(df, "embedding", "vec_id", init, 3, roundTo = 6))
+    // 30% sample: deterministic (same seed → same codebook) and the
+    // full-corpus assignment under the sampled codebook is still pure
+    val s1 = Ann.kmeansTrainSampled(df, "embedding", "vec_id", init, 8, 0.3)
+    val s2 = Ann.kmeansTrainSampled(df, "embedding", "vec_id", init, 8, 0.3)
+    assert(s1 == s2, "hash-gate sampling must be reproducible")
+    assert(s1.keySet == init.toSet, "every init centroid must survive")
+    val assigned = Ann
+      .ivfAssignVectors(df, "embedding", "vec_id", s1.toSeq.sortBy(_._1))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0) / 1000, r.getLong(1)))
+    val purity = assigned.groupBy(_._1).values
+      .map(g => g.groupBy(_._2).values.map(_.size).max.toDouble / g.size)
+    assert(purity.forall(_ == 1.0),
+      s"sampled codebook assigns blobs impurely: ${purity.toSeq}")
+    // a tiny fraction still trains: the init rows are force-admitted
+    // even when the hash gate would drop them
+    val tiny = Ann.kmeansTrainSampled(df, "embedding", "vec_id", init, 1, 0.01)
+    assert(tiny.keySet == init.toSet)
+  }
+
   test("compact merges small segments, preserving data and seqs") {
     import spark.implicits._
     val log = ParquetLog.open(spark, tmpDir("cpt"), IntegerType)
