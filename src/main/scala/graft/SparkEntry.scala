@@ -636,6 +636,47 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // Round-13 columnar close, end-to-end: a log whose value is
+    // struct<d: date, t: timestamp, m: decimal(10,2), w: decimal(22,4)>
+    // (timestamps stored INT96 under Spark's writer default; decimals
+    // span the long and unscaled-bytes tiers) drained through the DSv2
+    // connector's VECTORIZED path — the plan must commit to columnar —
+    // with one redacted row through the null leg. Output is exact
+    // integer derivations (day number, epoch micros, unscaled decimal
+    // units) so DuckDB recomputes them engine-portably: any decode bug
+    // (scale tier, endianness, rebase) shifts the longs.
+    "q110_datetime_decimal_drain" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val work = tempWorkDir("graft-dtdec")
+      val value = events.where(col("event_id") < 500).select(struct(
+        date_add(lit("2024-01-01").cast("date"),
+          pmod(col("event_id"), lit(1000)).cast("int")).as("d"),
+        timestamp_micros(col("event_id") * 1000000L + 123456L).as("t"),
+        (col("event_id").cast("decimal(8,0)")
+          * lit("0.25").cast("decimal(3,2)")).cast("decimal(10,2)").as("m"),
+        (col("event_id").cast("decimal(18,0)")
+          * lit("1000000000.0001").cast("decimal(14,4)"))
+          .cast("decimal(22,4)").as("w")
+      ).as("value"))
+      val log = graft.storage.ParquetLog.open(
+        s, s"$work/log", value.schema.head.dataType)
+      log.append(value)
+      log.nullAt(7)
+      val df = s.read.format("graft-log").load(log.dir)
+      val drained = df.select("seq", "value", "nulled")
+      require(drained.queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"),
+        "datetime/decimal drain must plan columnar")
+      drained.select(
+        col("seq"),
+        datediff(col("value.d"), lit("1970-01-01").cast("date")).as("d_days"),
+        unix_micros(col("value.t")).as("t_us"),
+        (col("value.m") * 100).cast("long").as("m_units"),
+        (col("value.w") * 10000).cast("long").as("w_units"),
+        col("nulled")
+      ).orderBy("seq")
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2375,6 +2416,23 @@ object SparkEntry {
     "q109_push_distributed" ->
       """SELECT event_id AS seq, event_type, round(value, 6) AS amount
         |FROM events WHERE event_id >= 50 AND event_id < 150 ORDER BY seq""".stripMargin,
+    "q110_datetime_decimal_drain" ->
+      """SELECT event_id AS seq,
+        |  CASE WHEN event_id = 7 THEN NULL ELSE
+        |    (DATE '2024-01-01' + INTERVAL ((event_id % 1000)) DAY)::DATE
+        |      - DATE '1970-01-01' END AS d_days,
+        |  CASE WHEN event_id = 7 THEN NULL ELSE
+        |    event_id * 1000000 + 123456 END AS t_us,
+        |  CASE WHEN event_id = 7 THEN NULL ELSE
+        |    CAST(CAST(CAST(event_id AS DECIMAL(8,0))
+        |      * CAST('0.25' AS DECIMAL(3,2)) AS DECIMAL(10,2)) * 100
+        |      AS BIGINT) END AS m_units,
+        |  CASE WHEN event_id = 7 THEN NULL ELSE
+        |    CAST(CAST(CAST(event_id AS DECIMAL(18,0))
+        |      * CAST('1000000000.0001' AS DECIMAL(14,4)) AS DECIMAL(22,4))
+        |      * 10000 AS BIGINT) END AS w_units,
+        |  event_id = 7 AS nulled
+        |FROM events WHERE event_id < 500 ORDER BY seq""".stripMargin,
     "q40_cursor_resume" ->
       """SELECT CAST(user_id AS VARCHAR) AS addr, props AS value FROM (
         |  SELECT user_id, props,
