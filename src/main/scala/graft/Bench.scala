@@ -178,6 +178,38 @@ object Bench {
         .agg(sum(element_at(col("value"), "k0"))).collect()
     }
 
+    // 2f. DATETIME/DECIMAL drain (round 13: the gate's last exclusion
+    // closed) — INT96 timestamps (the writer default), INT32 dates and
+    // both decimal storage tiers decode through the vectorized path;
+    // the build is untimed setup, the drain materializes all four
+    // fields so a regression in any tier shows here
+    val dtLog = ParquetLog.open(spark, s"$work/dtlog",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.DecimalType(10, 2)),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DecimalType(22, 4)))))
+    dtLog.append(events.select(struct(
+      date_add(lit("2024-01-01").cast("date"),
+        pmod(col("event_id"), lit(1000)).cast("int")).as("d"),
+      timestamp_micros(col("event_id") * 1000000L).as("t"),
+      (col("event_id").cast("decimal(8,0)")
+        * lit("0.25").cast("decimal(3,2)")).cast("decimal(10,2)").as("m"),
+      (col("event_id").cast("decimal(18,0)")
+        * lit("1000000000.0001").cast("decimal(14,4)"))
+        .cast("decimal(22,4)").as("w")).as("value")))
+    timed("datetime_drain") {
+      spark.read.format("graft-log").load(dtLog.dir)
+        .agg(sum(col("value.m")), sum(col("value.w")),
+          avg(unix_micros(col("value.t"))),
+          avg(datediff(col("value.d"), lit("2024-01-01").cast("date"))))
+        .collect()
+    }
+
     // 3. bounded scan: Gte/Lt + Limit
     timed("bounded_scan") {
       log.query(Gte(1000), Lt(50000), Limit(10000), SeqWrap(true)).count()

@@ -40,9 +40,10 @@ object SparkEntry {
       var p = tempDirs.poll()
       while (p != null) {
         try {
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          val w = java.nio.file.Files.walk(p)
+          try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          finally w.close()
         } catch { case _: Exception => () }
         p = tempDirs.poll()
       }

@@ -32,8 +32,10 @@ object Verify {
       val out = Paths.get(s"$outDir/$name")
       if (Files.exists(out)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(out).sorted(java.util.Comparator.reverseOrder())
+        val w = Files.walk(out)
+        try w.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
+        finally w.close()
       }
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
