@@ -56,7 +56,6 @@ object Bench {
       val r = f
       results(name) = (System.nanoTime() - t0) / 1e9
       allRuns(name) = allRuns.getOrElse(name, Nil) :+ results(name)
-      sentinel()
       spark.catalog.clearCache()
       // ContextCleaner frees a broadcast only after its driver ref is
       // GC'd, and nothing forces a full GC inside a ~1 min bench JVM
@@ -65,6 +64,11 @@ object Bench {
       // HashedRelations in the old gen and later metrics pay the GC
       // bill (the shape of the round-2/3 lsh_pairs outliers)
       System.gc()
+      // sentinel AFTER the cleanup: a reading taken before it would
+      // absorb the just-finished metric's engine residue (pending GC,
+      // cache pressure) and a real leak-shaped regression would
+      // masquerade as co-timed host noise
+      sentinel()
       r
     }
     // Stateful metrics (append, index builds, live tail) mutate their
@@ -419,8 +423,11 @@ object Bench {
     // capture shows max/min ≲ 2 on a ~15 ms scan; a contended host
     // shows long-tail readings exactly when co-timed metrics spike.
     val sv = sentinelRuns.toList.sorted
+    // nearest-rank percentile: ceil(p*n)-1 (index (p*n).toInt is one
+    // rank high — p90 would equal max at n <= 10)
     def pct(p: Double): Double =
-      if (sv.isEmpty) 0.0 else sv(math.min(sv.size - 1, (p * sv.size).toInt))
+      if (sv.isEmpty) 0.0
+      else sv(math.max(0, math.min(sv.size - 1, math.ceil(p * sv.size).toInt - 1)))
     val sentinelJson =
       f"""{"n":${sv.size},"min":${if (sv.isEmpty) 0.0 else sv.head}%.4f,""" +
         f""""median":${pct(0.5)}%.4f,"p90":${pct(0.9)}%.4f,""" +

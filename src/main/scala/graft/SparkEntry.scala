@@ -649,7 +649,11 @@ object SparkEntry {
     "q110_datetime_decimal_drain" -> ((s, dir) => {
       val events = Tables.load(s, dir, "events")
       val work = tempWorkDir("graft-dtdec")
-      val value = events.where(col("event_id") < 500).select(struct(
+      // orderBy BEFORE the append: seq assignment follows partition
+      // scan order, and the oracle assumes seq == event_id (the same
+      // discipline as EngineFixtures.eventValue)
+      val value = events.where(col("event_id") < 500)
+        .orderBy("event_id").select(struct(
         date_add(lit("2024-01-01").cast("date"),
           pmod(col("event_id"), lit(1000)).cast("int")).as("d"),
         timestamp_micros(col("event_id") * 1000000L + 123456L).as("t"),

@@ -447,7 +447,16 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
       .toSeq
-    require(cents.nonEmpty, "no centroid rows found for the given ids")
+    // ALL init ids must resolve: a missing/mistyped id silently
+    // shrinking the codebook would over-pack cells downstream with no
+    // error (and kmeansTrainSampled's force-admit guarantee relies on
+    // this being loud)
+    val missingInit = initIds.distinct.toSet -- cents.map(_._1).toSet
+    require(missingInit.isEmpty,
+      s"no centroid rows found for init ids: " +
+        s"${missingInit.toSeq.sorted.take(10)}" +
+        (if (missingInit.size > 10) s" (+${missingInit.size - 10} more)"
+         else ""))
     var i = 0
     while (i < iters) {
       // roundTo >= 0 quantizes each refreshed mean to that many

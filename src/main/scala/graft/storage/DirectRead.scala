@@ -198,8 +198,11 @@ private[storage] object DirectRead {
     * the precision (INT32 ≤9 digits, INT64 ≤18, FIXED_LEN_BYTE_ARRAY
     * above — plus BINARY from foreign writers). The unscaled value is
     * interpreted at the FILE's declared scale (the logical-type
-    * annotation), then checked into the requested precision/scale —
-    * loud on overflow, never silently truncated. */
+    * annotation). A file scale WIDER than the requested type cannot be
+    * represented without dropping fractional digits
+    * (`Decimal.set` would silently ROUND_HALF_UP them), so it is
+    * refused loudly; integer-digit overflow throws from the
+    * precision check. Self-written segments always match exactly. */
   private def decimalOf(g: Group, idx: Int, dt: DecimalType)
       : org.apache.spark.sql.types.Decimal = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -209,6 +212,10 @@ private[storage] object DirectRead {
       case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => d.getScale
       case _ => dt.scale
     }
+    if (fileScale > dt.scale)
+      throw new UnsupportedOperationException(
+        s"decimal stored at scale $fileScale cannot be read as " +
+          s"${dt.sql} without dropping fractional digits")
     val unscaled: java.math.BigInteger = pt.getPrimitiveTypeName match {
       case INT32 => java.math.BigInteger.valueOf(g.getInteger(idx, 0).toLong)
       case INT64 => java.math.BigInteger.valueOf(g.getLong(idx, 0))

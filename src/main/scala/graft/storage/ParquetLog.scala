@@ -512,20 +512,38 @@ final class ParquetLog private (
       try s.iterator().asScala.toList
       finally s.close()
     }
-    manifest.segments.foreach { s =>
+    // orphan-ness and gap checks are judged against the ON-DISK
+    // manifest, never this handle's possibly-stale view: another
+    // process may have committed since this handle's last write, and
+    // sweeping against the stale in-memory view would classify THEIR
+    // committed segments as orphans — repair would destroy real data
+    // (the age gate alone cannot save a commit older than minAgeMs).
+    // If the on-disk manifest cannot be loaded (torn read, transient
+    // FS), repair is REFUSED outright; the in-memory fallback is fine
+    // for reporting only. Same discipline as
+    // TableStore.checkConsistency.
+    val onDisk = Manifest.load(dir)
+    val committed = onDisk.getOrElse(manifest)
+    val doRepair = repair && onDisk.isDefined
+    if (repair && onDisk.isEmpty)
+      problems += "manifest unreadable: repair refused, report-only sweep"
+    committed.segments.foreach { s =>
       if (!Files.exists(Paths.get(dir, s.path)))
         problems += s"missing segment file: ${s.path}"
     }
-    val sorted = manifest.segments.sortBy(_.minSeq)
+    val sorted = committed.segments.sortBy(_.minSeq)
     var expect = 0L
     sorted.foreach { s =>
       if (s.minSeq != expect)
         problems += s"seq gap/overlap at ${s.path}: expected $expect, found ${s.minSeq}"
       expect = s.maxSeq + 1
     }
-    if (manifest.maxSeq != expect - 1 && !(manifest.maxSeq == Seqs.SeqEmpty && sorted.isEmpty))
-      problems += s"manifest maxSeq ${manifest.maxSeq} != segment extent ${expect - 1}"
-    if (repair && problems.nonEmpty) {
+    if (committed.maxSeq != expect - 1 && !(committed.maxSeq == Seqs.SeqEmpty && sorted.isEmpty))
+      problems += s"manifest maxSeq ${committed.maxSeq} != segment extent ${expect - 1}"
+    // the view the orphan sweep below trusts: on-disk, possibly
+    // repaired by the truncation just committed
+    var trusted = committed
+    if (doRepair && problems.nonEmpty) {
       // truncate to the longest dense prefix of segments whose files
       // survive; everything after the first hole is unreachable in a
       // dense log and gets dropped
@@ -536,23 +554,32 @@ final class ParquetLog private (
         ok
       }
       val dropped = sorted.drop(prefix.length)
-      val next = manifest.copy(
-        version = manifest.version + 1,
-        maxSeq = prefix.lastOption.map(_.maxSeq).getOrElse(Seqs.SeqEmpty),
-        segments = prefix
-      )
-      Manifest.commit(dir, next)
-      manifest = next
-      dropped.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
-      problems += s"repaired: truncated to maxSeq ${next.maxSeq}, dropped ${dropped.length} segment(s)"
+      if (dropped.nonEmpty || committed.maxSeq != exp - 1) {
+        val next = committed.copy(
+          version = committed.version + 1,
+          maxSeq = prefix.lastOption.map(_.maxSeq).getOrElse(Seqs.SeqEmpty),
+          segments = prefix
+        )
+        // CAS against the disk version: a commit racing this repair
+        // surfaces as ConcurrentWriteException, never a lost update
+        Manifest.commit(dir, next)
+        manifest = next
+        trusted = next
+        dropped.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+        problems += s"repaired: truncated to maxSeq ${next.maxSeq}, dropped ${dropped.length} segment(s)"
+      }
+    } else if (onDisk.isDefined && committed.version > manifest.version) {
+      // adopt a newer committed view even without repair so this
+      // handle's reads reflect what the sweep just validated
+      manifest = committed
     }
-    val known = manifest.segments.map(_.path).toSet
+    val known = trusted.segments.map(_.path).toSet
     if (Files.exists(dataDir)) {
       ls(dataDir).foreach { p =>
         val rel = s"data/${p.getFileName}"
         if (!known.contains(rel)) {
           problems += s"orphan data file: $rel"
-          if (repair && oldEnough(p)) Files.deleteIfExists(p)
+          if (doRepair && oldEnough(p)) Files.deleteIfExists(p)
         }
       }
     }
@@ -561,15 +588,18 @@ final class ParquetLog private (
     // a commit that died between manifest-tmp write and the atomic
     // rename leaves manifest.json.tmp (the committed manifest.json is
     // untouched either way — these are invisible to readers but leak
-    // disk, and the fsck contract is "clean after repair")
+    // disk). The fsck contract is "clean after repair" under the
+    // crash model (minAgeMs = 0, previous writer known dead); under
+    // the default gate young litter is reported but deliberately left
+    // for a possibly-live writer.
     ls(Paths.get(dir)).foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("tmp-")) {
         problems += s"orphan tmp dir: $n"
-        if (repair && oldEnough(p)) deleteRecursively(p)
+        if (doRepair && oldEnough(p)) deleteRecursively(p)
       } else if (n == "manifest.json.tmp") {
         problems += "torn manifest tmp (crash between write and rename)"
-        if (repair && oldEnough(p)) Files.deleteIfExists(p)
+        if (doRepair && oldEnough(p)) Files.deleteIfExists(p)
       }
     }
     problems.toList

@@ -39,18 +39,11 @@ object GraftVectorizedRange {
     require(totalRows <= Int.MaxValue,
       s"split row count $totalRows exceeds the vectorized reader's int " +
         "counter — shrink maxPartitionBytes")
-    val conf = new org.apache.hadoop.conf.Configuration(false)
-    val sq = org.apache.spark.sql.internal.SQLConf
-    conf.setBoolean(sq.PARQUET_BINARY_AS_STRING.key, false)
-    conf.setBoolean(sq.PARQUET_INT96_AS_TIMESTAMP.key, true)
-    conf.setBoolean(sq.CASE_SENSITIVE.key, false)
-    conf.setBoolean(sq.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
-    conf.setBoolean(sq.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
-    reader.configuration = conf
+    reader.configuration = readConf
     reader.fileSchema = fileSchema
     reader.requestedSchema = requestedSchema
     reader.totalRowCount = totalRows
-    val parquetColumn = new ParquetToSparkSchemaConverter(conf)
+    val parquetColumn = new ParquetToSparkSchemaConverter(readConf)
       .convertParquetColumn(requestedSchema, scala.Option.empty)
     reader.parquetColumn = parquetColumn
     reader.sparkSchema =
@@ -59,13 +52,32 @@ object GraftVectorizedRange {
       override def readNextRowGroup(): PageReadStore = pr.readNextRowGroup()
       override def close(): Unit = pr.close()
     }
-    val m = classOf[VectorizedParquetRecordReader]
-      .getDeclaredMethod("initializeInternal")
-    m.setAccessible(true)
-    try m.invoke(reader)
+    try initInternal.invoke(reader)
     catch {
       case e: java.lang.reflect.InvocationTargetException =>
         throw e.getCause
     }
+  }
+
+  /** Shared, effectively-immutable read conf (built once — the open
+    * path runs once per segment FILE, so per-call construction was
+    * pure hot-path overhead). Nothing mutates it after init; the
+    * readers only ever read keys. */
+  private val readConf: org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    val sq = org.apache.spark.sql.internal.SQLConf
+    conf.setBoolean(sq.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(sq.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(sq.CASE_SENSITIVE.key, false)
+    conf.setBoolean(sq.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.setBoolean(sq.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf
+  }
+
+  private val initInternal: java.lang.reflect.Method = {
+    val m = classOf[VectorizedParquetRecordReader]
+      .getDeclaredMethod("initializeInternal")
+    m.setAccessible(true)
+    m
   }
 }

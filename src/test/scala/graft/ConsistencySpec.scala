@@ -169,6 +169,31 @@ class ConsistencySpec extends SparkSpec {
     assert(!Files.exists(orphan) && !Files.exists(tmpDirPath) && !Files.exists(tornTmp))
   }
 
+  test("stale handle's repair never sweeps another writer's committed segments") {
+    // A opens and idles; B appends and commits. A's in-memory manifest
+    // is now stale — its fsck must judge orphan-ness against the
+    // ON-DISK manifest, or repair would delete B's committed segment
+    // once it ages past the litter gate (real data loss: the committed
+    // manifest would reference a missing file)
+    val dir = tmpDir("fsck-stale")
+    val a = ParquetLog.open(spark, dir, IntegerType)
+    a.appendValues(Seq(1, 2))
+    val b = ParquetLog.open(spark, dir, IntegerType)
+    b.appendValues(Seq(3, 4)) // B commits; A's view is stale
+    // even with the age gate fully open (crash model), B's segment is
+    // NOT an orphan — the on-disk manifest owns it
+    val report = a.checkConsistency(repair = true, minAgeMs = 0L)
+    assert(!report.exists(_.contains("orphan data file")),
+      s"stale handle misclassified a committed segment: $report")
+    assert(a.checkConsistency() == Nil)
+    // a fresh handle sees ALL the data intact
+    val c = ParquetLog.open(spark, dir, IntegerType)
+    assert(c.seq == 3)
+    assert(c.query().count() == 4)
+    // and A adopted the committed view during the sweep
+    assert(a.seq == 3)
+  }
+
   test("reopen after kill sees only committed state") {
     val dir = tmpDir("fsck3")
     val log = ParquetLog.open(spark, dir, IntegerType)
