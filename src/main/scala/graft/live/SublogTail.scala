@@ -1,5 +1,6 @@
 package graft.live
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.DataFrame
@@ -20,6 +21,18 @@ import graft.multilog.MultiLog
   * delivered; the query SELF-TERMINATES once the upper bound or Limit
   * is exhausted, like [[LiveTail.push]].
   *
+  * The counters are CHECKPOINT-PERSISTENT: rank/high-water/remaining
+  * are snapshotted into a sidecar file under the checkpoint dir at
+  * each micro-batch boundary (pre-state at batch start, post-state at
+  * completion), so a push restarted against an existing checkpoint
+  * resumes with the exact ranks the stream's committed offset implies
+  * — a driver-local counter would silently restart ranks at 0 while
+  * the source skips already-delivered rows. A batch replayed across a
+  * restart (crash between foreachBatch completing and the offset
+  * commit) restores its PRE-state, so the replay re-delivers the same
+  * rows with the same ranks (at-least-once, matching
+  * [[LiveTail.push]]'s replay story).
+  *
   * Re-delivery guard: fan-out batches for one sublog are monotone in
   * parent seq (the sink replays the parent log cursor in order), so a
   * delivered-seq high-water mark drops BOTH idempotent re-appends and
@@ -29,10 +42,48 @@ import graft.multilog.MultiLog
   */
 object SublogTail {
 
+  /** Counter snapshot persisted beside the checkpoint: the pre-state
+    * of batch `batchId` plus, once it completed, its post-state. */
+  private final case class RankState(
+      batchId: Long,
+      preRank: Long,
+      preHigh: Long,
+      preRemaining: Long,
+      post: Option[(Long, Long, Long)]
+  )
+
+  private def stateFile(checkpoint: String) =
+    Paths.get(checkpoint, "graft-sublog-rank-state")
+
+  private def writeState(checkpoint: String, s: RankState): Unit = {
+    val p = stateFile(checkpoint)
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(p.toString + ".tmp")
+    val post = s.post.map { case (a, b, c) => s"1,$a,$b,$c" }.getOrElse("0,0,0,0")
+    Files.writeString(tmp,
+      s"${s.batchId},${s.preRank},${s.preHigh},${s.preRemaining},$post")
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readState(checkpoint: String): Option[RankState] = {
+    val p = stateFile(checkpoint)
+    if (!Files.exists(p)) None
+    else
+      try {
+        val f = Files.readString(p).trim.split(",")
+        Some(RankState(f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong,
+          if (f(4) == "1") Some((f(5).toLong, f(6).toLong, f(7).toLong))
+          else None))
+      } catch { case _: Exception => None }
+  }
+
   /** Start a push-mode rank query on `mlog`'s sublog `addr`: `sink`
     * receives `(rank, parentSeq)` pairs in rank order. Bounds / Limit /
     * SeqWrap follow the QuerySpec algebra over RANKS. Returns the
-    * running StreamingQuery; bounded queries stop themselves. */
+    * running StreamingQuery; bounded queries stop themselves
+    * (including degenerate bounds — Limit(0) or an empty rank window
+    * never waits for a row that cannot arrive). */
   def push(
       mlog: MultiLog,
       addr: String,
@@ -48,14 +99,43 @@ object SublogTail {
     val nextRank = new AtomicLong(0L)
     val highWater = new AtomicLong(Long.MinValue)
     val completion = new Completion
+    // degenerate bounds complete IMMEDIATELY (LiveTail.push's rule): an
+    // empty rank window or Limit(0) delivers nothing, and waiting for a
+    // row that can never arrive would leak a running stream
+    val emptyRange =
+      plan.upper.exists(u => u <= lower) || plan.limit == 0L
+
+    // resume: restore the persisted counters (post-state of the last
+    // completed batch, or pre-state of an interrupted one)
+    val persisted = readState(checkpoint)
+    persisted.foreach { s =>
+      val (r, h, rem) = s.post.getOrElse((s.preRank, s.preHigh, s.preRemaining))
+      nextRank.set(r); highWater.set(h); remaining.set(rem)
+    }
+    // volatile view of the last persisted record for replay detection
+    val lastState = new java.util.concurrent.atomic.AtomicReference[Option[RankState]](persisted)
 
     val query = mlog
       .liveSublog(addr)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!completion.isDone) {
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (emptyRange) completion.complete()
+        else if (!completion.isDone) {
+          lastState.get() match {
+            case Some(s) if s.batchId == bid =>
+              // cross-restart replay of this batch: rank it exactly as
+              // the original run did
+              nextRank.set(s.preRank)
+              highWater.set(s.preHigh)
+              remaining.set(s.preRemaining)
+            case _ =>
+              val pre = RankState(bid, nextRank.get(), highWater.get(),
+                remaining.get(), None)
+              writeState(checkpoint, pre)
+              lastState.set(Some(pre))
+          }
           // sorted chunked pull (see LiveTail.push): driver memory is
           // bounded by one partition, not one micro-batch
           val it = batch.sort("seq").toLocalIterator()
@@ -76,10 +156,21 @@ object SublogTail {
                 completion.complete()
             }
           }
+          lastState.get().foreach { s =>
+            val done = s.copy(post =
+              Some((nextRank.get(), highWater.get(), remaining.get())))
+            writeState(checkpoint, done)
+            lastState.set(Some(done))
+          }
         }
         (): Unit
       }
       .start()
+    // a restored bounded query may already be exhausted: without this,
+    // the delivery gate just skips rows forever and the stream leaks
+    if (emptyRange || remaining.get() == 0L ||
+      plan.upper.exists(u => nextRank.get() >= u))
+      completion.complete()
     completion.attach(query)
     query
   }

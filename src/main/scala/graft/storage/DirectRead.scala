@@ -78,6 +78,15 @@ private[storage] object DirectRead {
     r
   }
 
+  /** Drop (and close) the cached reader for a segment file that is
+    * about to be deleted — rewrite/compact/fsck call this BEFORE the
+    * delete, so the open fd neither pins the dead file's disk space
+    * (Linux) nor blocks the delete itself (Windows). */
+  private[storage] def invalidate(file: Path): Unit = cache.synchronized {
+    val r = cache.remove(file.toAbsolutePath.toString)
+    if (r != null) r.close()
+  }
+
   /** Read the row with sequence number `seqNo` from `file`. `minSeq`
     * is the segment's first seq — segments hold dense, seq-sorted rows,
     * so `seqNo - minSeq` IS the row index (verified against the

@@ -56,11 +56,23 @@ object Manifest {
 
   def manifestPath(dir: String): Path = Paths.get(dir, "manifest.json")
 
+  /** The committed manifest; None when no manifest file exists.
+    * A PRESENT-but-unreadable manifest THROWS: callers like open()
+    * must not mistake a torn/corrupt commit point for a fresh
+    * directory and silently re-initialize over real data. Recovery
+    * tooling that wants graceful degradation uses [[tryLoad]]. */
   def load(dir: String): Option[Manifest] = {
     val p = manifestPath(dir)
     if (!Files.exists(p)) None
     else Some(JsonMethods.parse(Files.readString(p)).extract[Manifest])
   }
+
+  /** [[load]] that degrades a present-but-unreadable manifest to None
+    * instead of throwing — ONLY for fsck's "repair refused,
+    * report-only sweep" fallback, where crashing the recovery tool on
+    * the very state it exists to diagnose would be self-defeating. */
+  def tryLoad(dir: String): Option[Manifest] =
+    try load(dir) catch { case _: Exception => None }
 
   /** Thrown when a stale handle tries to commit over a newer manifest
     * — the single-writer discipline made loud (the reference gets the
@@ -70,23 +82,76 @@ object Manifest {
       extends RuntimeException(
         s"manifest conflict in $dir: committing v$expected but disk has v$found — another writer is active; reopen the log")
 
+  // per-directory JVM monitor: serializes same-process committers on
+  // one dir (and prevents OverlappingFileLockException on the OS lock
+  // below — FileLock is held per JVM, not per thread)
+  private val dirMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Commit `m` as the new manifest — a real compare-and-swap, not an
+    * optimistic check: the version test, tmp write and atomic rename
+    * all run under an OS file lock (`manifest.lock`) plus a
+    * per-directory JVM monitor, so two racing committers (same process
+    * or not) serialize and the loser gets [[ConcurrentWriteException]]
+    * instead of publishing over the winner (the lost-update + shared
+    * tmp-file race a lock-free fixed-name protocol has).
+    *
+    * Durability: the tmp file is fsync'd before the rename and the
+    * directory is fsync'd after it (best-effort where the FS supports
+    * it), so an OS crash after commit() returns cannot surface an
+    * empty/garbage manifest.json — rename atomicity alone only covers
+    * process crashes. */
   def commit(dir: String, m: Manifest): Unit = {
     val p = manifestPath(dir)
-    // optimistic check: our version must be exactly disk+1 (or the
-    // initial commit). Not a distributed lock — a belt-and-braces
-    // guard against two writer handles on one log directory.
-    val diskVersion = load(dir).map(_.version).getOrElse(-1L)
-    if (m.version != diskVersion + 1 && !(m.version == 0 && diskVersion == -1L))
-      throw ConcurrentWriteException(dir, m.version, diskVersion)
-    val tmp = Paths.get(dir, s"manifest.json.tmp")
     Files.createDirectories(p.getParent)
-    Files.writeString(tmp, Serialization.writePretty(m))
-    FaultPoints.reach("manifest.tmpWritten")
-    Files.move(
-      tmp,
-      p,
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING
-    )
+    val monitor = dirMonitors.getOrElseUpdate(
+      p.getParent.toAbsolutePath.normalize.toString, new Object)
+    monitor.synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(
+        Paths.get(dir, "manifest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = lockCh.lock()
+        try {
+          // CAS: our version must be exactly disk+1 (or the initial
+          // commit) — checked INSIDE the lock, atomic with the rename
+          val diskVersion = load(dir).map(_.version).getOrElse(-1L)
+          if (m.version != diskVersion + 1 &&
+            !(m.version == 0 && diskVersion == -1L))
+            throw ConcurrentWriteException(dir, m.version, diskVersion)
+          val tmp = Paths.get(dir, "manifest.json.tmp")
+          val ch = java.nio.channels.FileChannel.open(
+            tmp,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+          try {
+            val bytes = Serialization.writePretty(m)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val buf = java.nio.ByteBuffer.wrap(bytes)
+            while (buf.hasRemaining) ch.write(buf)
+            ch.force(true)
+          } finally ch.close()
+          FaultPoints.reach("manifest.tmpWritten")
+          Files.move(
+            tmp,
+            p,
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING
+          )
+          fsyncDir(p.getParent)
+        } finally lock.release()
+      } finally lockCh.close()
+    }
   }
+
+  /** Best-effort directory fsync (makes the rename itself durable on
+    * Linux filesystems; unsupported platforms are a no-op). */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        dir, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () }
 }

@@ -71,7 +71,13 @@ final class ParquetLog private (
     * with positional range slicing, and the shuffle-free ordered-drain
     * strategy ([[graft.plans.OrderedLogScan]]). */
   def toDF: DataFrame =
-    if (manifest.segments.isEmpty)
+    // the empty/non-empty branch is decided from the ON-DISK manifest,
+    // not this handle's snapshot: a handle opened while the log was
+    // empty would otherwise return the synthetic empty frame forever,
+    // blind to another process's commits — while the connector branch
+    // (which re-reads the manifest at plan time) would see them. One
+    // tiny JSON read per toDF call, same as the connector's planning.
+    if (Manifest.tryLoad(dir).getOrElse(manifest).segments.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         rowSchema
@@ -236,7 +242,7 @@ final class ParquetLog private (
       } // zero-row part files are skipped (and cleaned with tmp)
     }
     FaultPoints.reach("log.segments.allMoved")
-    deleteRecursively(tmp)
+    FsckSweep.deleteRecursively(tmp)
     segs.sortBy(_.minSeq)
   }
 
@@ -428,6 +434,7 @@ final class ParquetLog private (
       FaultPoints.reach("log.rewrite.preCommit")
       commitOrCleanup(next, newSegs)
       FaultPoints.reach("log.rewrite.preDelete")
+      DirectRead.invalidate(Paths.get(dir, seg.path))
       Files.deleteIfExists(Paths.get(dir, seg.path))
     }
 
@@ -473,7 +480,11 @@ final class ParquetLog private (
     FaultPoints.reach("log.compact.preDelete")
     val kept = newSegs.map(_.path).toSet
     old.filterNot(s => kept.contains(s.path))
-      .foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+      .foreach { s =>
+        val p = Paths.get(dir, s.path)
+        DirectRead.invalidate(p)
+        Files.deleteIfExists(p)
+      }
   }
 
   /** Fsck: every manifest segment exists; seq ranges are dense and
@@ -496,22 +507,10 @@ final class ParquetLog private (
       minAgeMs: Long
   ): List[String] = synchronized {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
-    // litter younger than minAgeMs is reported but never deleted: it
-    // may be an in-flight append in another process (files landed but
-    // manifest not yet committed) — sweeping it would corrupt that
-    // commit. A crashed writer's litter only ages; post-crash callers
-    // pass minAgeMs = 0 (writer known dead). Same discipline as
-    // TableStore.checkConsistency.
-    def oldEnough(p: Path): Boolean =
-      try {
-        System.currentTimeMillis() -
-          Files.getLastModifiedTime(p).toMillis >= minAgeMs
-      } catch { case _: Exception => false }
-    def ls(p: Path): List[Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList
-      finally s.close()
-    }
+    // age-gate + listing + root-litter sweep live in FsckSweep (one
+    // copy shared with TableStore so the two stores' crash-recovery
+    // disciplines cannot silently diverge)
+    def oldEnough(p: Path): Boolean = FsckSweep.oldEnough(p, minAgeMs)
     // orphan-ness and gap checks are judged against the ON-DISK
     // manifest, never this handle's possibly-stale view: another
     // process may have committed since this handle's last write, and
@@ -522,7 +521,7 @@ final class ParquetLog private (
     // FS), repair is REFUSED outright; the in-memory fallback is fine
     // for reporting only. Same discipline as
     // TableStore.checkConsistency.
-    val onDisk = Manifest.load(dir)
+    val onDisk = Manifest.tryLoad(dir)
     val committed = onDisk.getOrElse(manifest)
     val doRepair = repair && onDisk.isDefined
     if (repair && onDisk.isEmpty)
@@ -565,7 +564,11 @@ final class ParquetLog private (
         Manifest.commit(dir, next)
         manifest = next
         trusted = next
-        dropped.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+        dropped.foreach { s =>
+          val dp = Paths.get(dir, s.path)
+          DirectRead.invalidate(dp)
+          Files.deleteIfExists(dp)
+        }
         problems += s"repaired: truncated to maxSeq ${next.maxSeq}, dropped ${dropped.length} segment(s)"
       }
     } else if (onDisk.isDefined && committed.version > manifest.version) {
@@ -575,7 +578,7 @@ final class ParquetLog private (
     }
     val known = trusted.segments.map(_.path).toSet
     if (Files.exists(dataDir)) {
-      ls(dataDir).foreach { p =>
+      FsckSweep.ls(dataDir).foreach { p =>
         val rel = s"data/${p.getFileName}"
         if (!known.contains(rel)) {
           problems += s"orphan data file: $rel"
@@ -583,25 +586,12 @@ final class ParquetLog private (
         }
       }
     }
-    // crash litter OUTSIDE data/: an append that died before its
-    // tmp-spill cleanup leaves a whole tmp-* dir at the log root, and
-    // a commit that died between manifest-tmp write and the atomic
-    // rename leaves manifest.json.tmp (the committed manifest.json is
-    // untouched either way — these are invisible to readers but leak
-    // disk). The fsck contract is "clean after repair" under the
-    // crash model (minAgeMs = 0, previous writer known dead); under
-    // the default gate young litter is reported but deliberately left
-    // for a possibly-live writer.
-    ls(Paths.get(dir)).foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("tmp-")) {
-        problems += s"orphan tmp dir: $n"
-        if (doRepair && oldEnough(p)) deleteRecursively(p)
-      } else if (n == "manifest.json.tmp") {
-        problems += "torn manifest tmp (crash between write and rename)"
-        if (doRepair && oldEnough(p)) Files.deleteIfExists(p)
-      }
-    }
+    // crash litter OUTSIDE data/ (shared sweep; see FsckSweep). The
+    // fsck contract is "clean after repair" under the crash model
+    // (minAgeMs = 0, previous writer known dead); under the default
+    // gate young litter is reported but deliberately left for a
+    // possibly-live writer.
+    FsckSweep.sweepRootLitter(dir, doRepair, minAgeMs, problems += _)
     problems.toList
   }
 }
@@ -653,15 +643,6 @@ object ParquetLog {
     new ParquetLog(spark, dir, m)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files
-        .walk(p)
-        .sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator()
-        .asScala
-        .foreach(Files.deleteIfExists(_))
-    }
 
   /** (min seq, max seq, row count) of one segment file, read from its
     * parquet footer — driver-side, no executor involvement. Segments

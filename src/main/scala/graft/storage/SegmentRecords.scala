@@ -76,12 +76,19 @@ private[graft] object SegmentRecords {
     (reader, columnIO, projected)
   }
 
-  final class ClosingRowIterator(
+  /** One row-group-advancing scan over an open parquet reader,
+    * converting each record via `convert` — the shared state machine
+    * behind both row shapes (external Row for the API surface,
+    * InternalRow for the connector), so the advance/close discipline
+    * exists exactly once. The iterator owns the reader and closes it
+    * on exhaustion; call `close()` on early abort. */
+  sealed class ClosingIterator[A](
       reader: ParquetFileReader,
       columnIO: org.apache.parquet.io.MessageColumnIO,
       fileSchema: org.apache.parquet.schema.MessageType,
-      schema: StructType
-  ) extends Iterator[Row] {
+      schema: StructType,
+      convert: (org.apache.parquet.example.data.Group, StructType) => A
+  ) extends Iterator[A] {
     private var pages = reader.readNextRowGroup()
     private var recordReader =
       if (pages == null) null
@@ -105,12 +112,11 @@ private[graft] object SegmentRecords {
       !closed
     }
 
-    override def next(): Row = {
+    override def next(): A = {
       advance()
       if (closed) throw new NoSuchElementException
       remaining -= 1
-      val g = recordReader.read()
-      DirectRead.convertRow(g, schema)
+      convert(recordReader.read(), schema)
     }
 
     def close(): Unit = if (!closed) {
@@ -119,47 +125,20 @@ private[graft] object SegmentRecords {
       catch { case _: Exception => () }
     }
   }
+
+  final class ClosingRowIterator(
+      reader: ParquetFileReader,
+      columnIO: org.apache.parquet.io.MessageColumnIO,
+      fileSchema: org.apache.parquet.schema.MessageType,
+      schema: StructType
+  ) extends ClosingIterator[Row](
+    reader, columnIO, fileSchema, schema, DirectRead.convertRow)
 
   final class ClosingInternalRowIterator(
       reader: ParquetFileReader,
       columnIO: org.apache.parquet.io.MessageColumnIO,
       fileSchema: org.apache.parquet.schema.MessageType,
       schema: StructType
-  ) extends Iterator[org.apache.spark.sql.catalyst.InternalRow] {
-    private var pages = reader.readNextRowGroup()
-    private var recordReader =
-      if (pages == null) null
-      else columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-    private var remaining = if (pages == null) 0L else pages.getRowCount
-    private var closed = false
-
-    private def advance(): Unit =
-      while (remaining == 0 && !closed) {
-        pages = reader.readNextRowGroup()
-        if (pages == null) close()
-        else {
-          recordReader =
-            columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-          remaining = pages.getRowCount
-        }
-      }
-
-    override def hasNext: Boolean = {
-      advance()
-      !closed
-    }
-
-    override def next(): org.apache.spark.sql.catalyst.InternalRow = {
-      advance()
-      if (closed) throw new NoSuchElementException
-      remaining -= 1
-      DirectRead.convertInternalRow(recordReader.read(), schema)
-    }
-
-    def close(): Unit = if (!closed) {
-      closed = true
-      try reader.close()
-      catch { case _: Exception => () }
-    }
-  }
+  ) extends ClosingIterator[org.apache.spark.sql.catalyst.InternalRow](
+    reader, columnIO, fileSchema, schema, DirectRead.convertInternalRow)
 }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** A small manifest-committed parquet table: append-only segments with
   * atomic visibility and copy-on-write rewrite. The shared storage
@@ -145,7 +145,7 @@ final class TableStore private (
     // rename visibility, torn read), repair is REFUSED outright: the
     // in-memory fallback is fine for reporting, but deleting against
     // it could sweep segments another process committed.
-    val onDisk = Manifest.load(dir)
+    val onDisk = Manifest.tryLoad(dir)
     val committed = onDisk.getOrElse(manifest)
     val doRepair = repair && onDisk.isDefined
     if (repair && onDisk.isEmpty)
@@ -156,38 +156,17 @@ final class TableStore private (
     // not yet committed) — deleting those corrupts its commit. A
     // crashed writer's litter only AGES; a live writer's commits
     // within minutes.
-    def oldEnough(p: java.nio.file.Path): Boolean =
-      try {
-        System.currentTimeMillis() -
-          Files.getLastModifiedTime(p).toMillis >= minAgeMs
-      } catch { case _: Exception => false }
-    def ls(p: java.nio.file.Path): List[java.nio.file.Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList
-      finally s.close()
-    }
-    ls(Paths.get(dir))
-      .filter(_.getFileName.toString.startsWith("tmp-"))
-      .foreach { p =>
-        issues += s"orphan tmp dir ${p.getFileName}"
-        if (doRepair && oldEnough(p)) deleteRecursively(p)
-      }
-    // a commit that died between the manifest-tmp write and the atomic
-    // rename leaves manifest.json.tmp behind (the committed manifest is
-    // untouched). Age-gated like all litter: a LIVE writer's tmp exists
-    // only for the instant between write and rename.
-    val tornTmp = Paths.get(dir, "manifest.json.tmp")
-    if (Files.exists(tornTmp)) {
-      issues += "torn manifest tmp (crash between write and rename)"
-      if (doRepair && oldEnough(tornTmp)) Files.deleteIfExists(tornTmp)
-    }
+    // age-gate + listing + root-litter sweep shared with ParquetLog
+    // via FsckSweep (one copy, one discipline)
+    FsckSweep.sweepRootLitter(dir, doRepair, minAgeMs, issues += _)
     val dataDir = Paths.get(dir, "data")
     if (Files.exists(dataDir))
-      ls(dataDir)
+      FsckSweep.ls(dataDir)
         .filter(f => !listed.contains(s"data/${f.getFileName}"))
         .foreach { f =>
           issues += s"orphan segment data/${f.getFileName}"
-          if (doRepair && oldEnough(f)) Files.deleteIfExists(f)
+          if (doRepair && FsckSweep.oldEnough(f, minAgeMs))
+            Files.deleteIfExists(f)
         }
     committed.segments
       .filterNot(s => Files.exists(Paths.get(dir, s.path)))
@@ -225,7 +204,7 @@ final class TableStore private (
       FaultPoints.reach("table.segments.moved")
       Segment(s"data/$name", ver, ver, rows)
     }
-    deleteRecursively(tmp)
+    FsckSweep.deleteRecursively(tmp)
     segs
   }
 
@@ -243,15 +222,6 @@ final class TableStore private (
     manifest = next
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files
-        .walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-        .asScala
-        .foreach(Files.deleteIfExists(_))
-    }
 }
 
 object TableStore {
@@ -264,6 +234,33 @@ object TableStore {
       Manifest.commit(dir, fresh)
       fresh
     }
+    // reopening with a DIFFERENT schema would silently misread every
+    // committed segment (forced .schema() turns renamed columns into
+    // all-null) and the next append would mix schemas in one file
+    // list — refuse loudly, like ParquetLog.append's value-type check.
+    // Nullability is excluded from the comparison: it drifts benignly
+    // across Spark plan shapes and never changes the physical layout.
+    val stored = DataType.fromJson(m.valueSchemaJson).asInstanceOf[StructType]
+    require(normalize(stored) == normalize(schema),
+      s"table at $dir was created with schema ${stored.simpleString}; " +
+        s"reopening with ${schema.simpleString} would misread it")
     new TableStore(spark, dir, schema, m)
+  }
+
+  /** Structural schema identity for the reopen check: nullability and
+    * field metadata drift benignly across Spark plan shapes and never
+    * change the physical layout, so both are erased before compare. */
+  private def normalize(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f => StructField(
+        f.name, normalize(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(
+        normalize(at.elementType), containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        normalize(mt.keyType), normalize(mt.valueType),
+        valueContainsNull = true)
+    case other => other
   }
 }

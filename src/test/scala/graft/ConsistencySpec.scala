@@ -194,6 +194,33 @@ class ConsistencySpec extends SparkSpec {
     assert(a.seq == 3)
   }
 
+  test("corrupt manifest: open throws loudly, fsck degrades to report-only") {
+    val dir = tmpDir("fsck-corrupt")
+    val log = ParquetLog.open(spark, dir, IntegerType)
+    log.appendValues(Seq(1, 2, 3))
+    Files.writeString(Paths.get(dir, "manifest.json"), "{torn garbage")
+    // a fresh open must NOT mistake the corrupt commit point for a
+    // fresh directory and silently re-initialize over the data
+    intercept[Exception] { ParquetLog.open(spark, dir, IntegerType) }
+    // the existing handle's fsck — the recovery tool for exactly this
+    // state — degrades to a report-only sweep instead of crashing
+    val report = log.checkConsistency(repair = true, minAgeMs = 0L)
+    assert(report.exists(_.contains("repair refused")), report.toString)
+    // nothing was deleted under the unreadable manifest
+    assert(Files.list(Paths.get(dir, "data")).count() > 0)
+  }
+
+  test("handle opened on an empty log sees another writer's commits") {
+    val dir = tmpDir("fsck-empty-vis")
+    val a = ParquetLog.open(spark, dir, IntegerType)
+    assert(a.toDF.count() == 0)
+    // writer B commits; A's toDF must see it (the branch decision is
+    // made from the on-disk manifest, not A's open-time snapshot)
+    val b = ParquetLog.open(spark, dir, IntegerType)
+    b.appendValues(Seq(1, 2, 3))
+    assert(a.toDF.count() == 3)
+  }
+
   test("reopen after kill sees only committed state") {
     val dir = tmpDir("fsck3")
     val log = ParquetLog.open(spark, dir, IntegerType)

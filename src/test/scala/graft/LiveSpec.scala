@@ -410,6 +410,62 @@ class LiveSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("sublog rank tail: degenerate bounds self-terminate immediately") {
+    import spark.implicits._
+    val mlog = graft.multilog.MultiLog.open(spark, tmpDir("degsub"))
+    mlog.appendBatch(Seq(("a", 0L), ("a", 1L)).toDF("addr", "seq"))
+    // Limit(0): nothing to deliver — must not leak a running stream
+    val q0 = graft.live.SublogTail.push(
+      mlog, "a", Seq(Limit(0), Live(true)), tmpDir("degck0"),
+      (_, _) => fail("Limit(0) must deliver nothing"))
+    try assert(q0.awaitTermination(60000), "Limit(0) push did not self-stop")
+    finally if (q0.isActive) q0.stop()
+    // empty rank window (upper <= lower): same rule
+    val q1 = graft.live.SublogTail.push(
+      mlog, "a", Seq(Gte(5), Lt(5), Live(true)), tmpDir("degck1"),
+      (_, _) => fail("empty window must deliver nothing"))
+    try assert(q1.awaitTermination(60000), "empty-window push did not self-stop")
+    finally if (q1.isActive) q1.stop()
+  }
+
+  test("sublog rank tail resumes from its checkpoint with correct ranks") {
+    import spark.implicits._
+    val mlog = graft.multilog.MultiLog.open(spark, tmpDir("ressub"))
+    val ckpt = tmpDir("resck")
+    mlog.appendBatch(Seq(("a", 10L), ("a", 20L), ("a", 30L)).toDF("addr", "seq"))
+    val seen = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = graft.live.SublogTail.push(
+      mlog, "a", Seq(Live(true)), ckpt,
+      (rank, seq) => { seen.add((rank, seq)); () })
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toList == List((0L, 10L), (1L, 20L), (2L, 30L)))
+    } finally q.stop()
+    // restart against the SAME checkpoint: the source skips the three
+    // committed rows, and the persisted counter state must make the
+    // next row rank 3 — a driver-local counter would restart at 0
+    mlog.appendBatch(Seq(("a", 40L)).toDF("addr", "seq"))
+    val seen2 = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q2 = graft.live.SublogTail.push(
+      mlog, "a", Seq(Live(true)), ckpt,
+      (rank, seq) => { seen2.add((rank, seq)); () })
+    try {
+      q2.processAllAvailable()
+      assert(seen2.asScala.toList == List((3L, 40L)),
+        s"resumed tail mis-ranked: ${seen2.asScala.toList}")
+    } finally q2.stop()
+    // a rank-WINDOW resume: only ranks >= 4 still owed
+    mlog.appendBatch(Seq(("a", 50L)).toDF("addr", "seq"))
+    val seen3 = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q3 = graft.live.SublogTail.push(
+      mlog, "a", Seq(Gte(4), Lt(5), Live(true)), ckpt,
+      (rank, seq) => { seen3.add((rank, seq)); () })
+    try {
+      assert(q3.awaitTermination(60000), "bounded resumed push did not self-stop")
+      assert(seen3.asScala.toList == List((4L, 50L)))
+    } finally if (q3.isActive) q3.stop()
+  }
+
   test("sublog tail survives delete/compact rewrites without re-delivery") {
     import spark.implicits._
     val mlog = graft.multilog.MultiLog.open(spark, tmpDir("rwsub"))

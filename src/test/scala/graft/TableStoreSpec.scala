@@ -313,6 +313,33 @@ class TableStoreSpec extends SparkSpec {
     assert(loss.exists(_.contains("MISSING")), loss.toString)
   }
 
+  test("reopening with a different schema is refused loudly") {
+    val dir = tmpDir("ts-schema")
+    val store = TableStore.open(spark, dir, schema)
+    store.append(Seq(("a", 1L)).toDF("k", "v"))
+    // renamed column: forced .schema() would read it back all-null
+    val renamed = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val e = intercept[IllegalArgumentException] {
+      TableStore.open(spark, dir, renamed)
+    }
+    assert(e.getMessage.contains("would misread"))
+    // retyped column: same refusal
+    val retyped = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("v", StringType, nullable = false)))
+    intercept[IllegalArgumentException] {
+      TableStore.open(spark, dir, retyped)
+    }
+    // nullability-only drift is benign and admitted
+    val nullableDrift = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("v", LongType, nullable = true)))
+    val re = TableStore.open(spark, dir, nullableDrift)
+    assert(re.read.count() == 1)
+  }
+
   test("rewrite collapses history into one version") {
     val store = TableStore.open(spark, tmpDir("ts-rw"), schema)
     (1 to 5).foreach(i => store.append(Seq(("a", i.toLong)).toDF("k", "v")))
