@@ -44,18 +44,51 @@ trait KV {
   protected val watcherReg =
     scala.collection.concurrent.TrieMap.empty[String, List[KV.Watcher]]
 
+  // Delivery discipline: callbacks NEVER run under the index monitor.
+  // A callback that (directly or via another thread it waits on)
+  // touches the index would otherwise deadlock against a writer
+  // holding the monitor. Instead, each commit takes a TICKET while
+  // still inside the monitor (so tickets are in commit order) and
+  // invokes the callbacks outside it, serialized in ticket order — so
+  // watchers still observe commits in the order they happened.
+  private val deliveryMonitor = new Object
+  private val ticketCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private var nextTicketToDeliver = 0L
+
+  /** Take a delivery ticket — MUST be called while holding the index
+    * monitor (ticket order = commit order). */
+  protected def takeDeliveryTicket(): Long = ticketCounter.getAndIncrement()
+
+  /** Invoke the queued deliveries for `ticket`, outside the index
+    * monitor, in strict ticket order. */
+  protected def deliverOrdered(
+      ticket: Long,
+      deliveries: Seq[(KV.Watcher, Option[String])]
+  ): Unit = deliveryMonitor.synchronized {
+    while (ticket != nextTicketToDeliver) deliveryMonitor.wait()
+    try deliveries.foreach { case (w, v) => w.deliver(v) }
+    finally {
+      nextTicketToDeliver = ticket + 1
+      deliveryMonitor.notifyAll()
+    }
+  }
+
   protected def registerWatcher(
       addr: String,
       cb: Option[String] => Unit
   ): KV.Watcher = {
     val w = new KV.Watcher(addr, this, cb)
-    synchronized {
+    // the initial snapshot is read INSIDE the monitor (atomic with the
+    // registration point, so no commit can slip between them) but
+    // delivered outside it like every other delivery
+    val (ticket, snap) = synchronized {
       watcherReg.updateWith(addr) {
         case Some(ws) => Some(w :: ws)
         case None     => Some(List(w))
       }
-      w.deliver(get(addr))
+      (takeDeliveryTicket(), get(addr))
     }
+    deliverOrdered(ticket, Seq(w -> snap))
     w
   }
 

@@ -42,40 +42,50 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
     * `useq` orders writes WITHIN the batch (e.g. the log seq that
     * produced the update); across batches the commit version orders.
     * Omitted useq = 0 (batch is unordered / single-write). */
-  def applyBatch(df: DataFrame): Unit = synchronized {
-    val cols = df.columns
-    var out = df
-    if (!cols.contains("tombstone"))
-      out = out.withColumn("tombstone", lit(false))
-    if (!cols.contains("useq"))
-      out = out.withColumn("useq", lit(0L))
-    val prepared = out.select(
-      col(cols(0)).cast(StringType).as("addr"),
-      col(cols(1)).cast(StringType).as("value"),
-      col("tombstone").cast(BooleanType),
-      col("useq").cast(LongType)
-    ).where(col("addr").isNotNull) // null key = "don't index"
-    store.append(prepared)
-    notifyWatchers(prepared)
+  def applyBatch(df: DataFrame): Unit = {
+    val (ticket, deliveries) = synchronized {
+      val cols = df.columns
+      var out = df
+      if (!cols.contains("tombstone"))
+        out = out.withColumn("tombstone", lit(false))
+      if (!cols.contains("useq"))
+        out = out.withColumn("useq", lit(0L))
+      val prepared = out.select(
+        col(cols(0)).cast(StringType).as("addr"),
+        col(cols(1)).cast(StringType).as("value"),
+        col("tombstone").cast(BooleanType),
+        col("useq").cast(LongType)
+      ).where(col("addr").isNotNull) // null key = "don't index"
+      val ver = store.append(prepared)
+      (takeDeliveryTicket(), watcherDeliveries(ver))
+    }
+    // callbacks run OUTSIDE the index monitor (KV.deliverOrdered) so a
+    // callback touching the index cannot deadlock against a writer
+    deliverOrdered(ticket, deliveries)
   }
 
-  /** After a committed batch, push each WATCHED addr's new state to its
-    * observers. The winning row per addr is the batch's highest useq
-    * (the batch is the newest commit version, so its last write IS the
-    * new current value — no snapshot recompute). Costs one tiny
-    * filtered job, only when watchers exist. */
-  private def notifyWatchers(batch: DataFrame): Unit = {
+  /** Deliveries for the watched addrs a commit touched, read back from
+    * the COMMITTED segment (`_ver = ver`) — never a re-evaluation of
+    * the caller's DataFrame, whose plan could observe state the table
+    * never had if its upstream source changed between the append and
+    * the notify (and which would cost a second full evaluation of the
+    * batch). The winning row per addr is the commit's highest useq.
+    * Costs one tiny pruned job, only when watchers exist. */
+  private def watcherDeliveries(
+      ver: Long
+  ): Seq[(KV.Watcher, Option[String])] = {
     val watched = watcherReg.keySet.toSeq
-    if (watched.isEmpty) return
-    val hits = batch
-      .where(col("addr").isin(watched: _*))
+    if (watched.isEmpty) return Nil
+    val hits = store.readVersioned
+      .where(col("_ver") === ver && col("addr").isin(watched: _*))
       .collect()
     hits
       .groupBy(_.getString(0))
-      .foreach { case (addr, rows) =>
+      .toSeq
+      .flatMap { case (addr, rows) =>
         val win = rows.maxBy(_.getLong(3))
         val v = if (win.getBoolean(2)) None else Option(win.getString(1))
-        watcherReg.getOrElse(addr, Nil).foreach(_.deliver(v))
+        watcherReg.getOrElse(addr, Nil).map(_ -> v)
       }
   }
 
@@ -137,10 +147,13 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
       .select("addr", "value")
   }
 
-  /** Point read; None = unset (the reference's `UnsetValue`). */
+  /** Point read; None = unset (the reference's `UnsetValue`). A
+    * non-tombstone row whose value is SQL NULL also reads as None —
+    * the same mapping notifyWatchers and MemKV apply, so the two
+    * backends (and get-vs-watch on one backend) agree. */
   def get(addr: String): Option[String] = {
     val rows = currentWhere(col("addr") === addr).collect()
-    rows.headOption.map(_.getString(1))
+    rows.headOption.flatMap(r => Option(r.getString(1)))
   }
 
   /** The materialized index exactly as of commit `version`: the same
@@ -155,7 +168,7 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
   def getAsOf(addr: String, version: Long): Option[String] = {
     val rows =
       foldLww(store.readAsOf(version), col("addr") === addr).collect()
-    rows.headOption.map(_.getString(1))
+    rows.headOption.flatMap(r => Option(r.getString(1)))
   }
 
   /** The store's latest commit version (pair with [[getAsOf]] /

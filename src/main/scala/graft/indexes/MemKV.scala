@@ -18,31 +18,36 @@ final class MemKV(val spark: SparkSession) extends KV {
     scala.collection.concurrent.TrieMap.empty[String, Option[String]]
   @volatile private var cursor: Long = graft.core.Seqs.SeqEmpty
 
-  def applyBatch(df: DataFrame): Unit = synchronized {
-    val cols = df.columns
-    var out = df
-    if (!cols.contains("tombstone"))
-      out = out.withColumn("tombstone", lit(false))
-    if (!cols.contains("useq"))
-      out = out.withColumn("useq", lit(0L))
-    val rows = out
-      .select(
-        col(cols(0)).cast("string").as("addr"),
-        col(cols(1)).cast("string").as("value"),
-        col("tombstone").cast("boolean"),
-        col("useq").cast("long")
-      )
-      .where(col("addr").isNotNull)
-      .collect()
-      .sortBy(_.getLong(3)) // useq orders within the batch
-    rows.foreach { r =>
-      val v = if (r.getBoolean(2)) None else Option(r.getString(1))
-      state.put(r.getString(0), v)
+  def applyBatch(df: DataFrame): Unit = {
+    val (ticket, deliveries) = synchronized {
+      val cols = df.columns
+      var out = df
+      if (!cols.contains("tombstone"))
+        out = out.withColumn("tombstone", lit(false))
+      if (!cols.contains("useq"))
+        out = out.withColumn("useq", lit(0L))
+      val rows = out
+        .select(
+          col(cols(0)).cast("string").as("addr"),
+          col(cols(1)).cast("string").as("value"),
+          col("tombstone").cast("boolean"),
+          col("useq").cast("long")
+        )
+        .where(col("addr").isNotNull)
+        .collect()
+        .sortBy(_.getLong(3)) // useq orders within the batch
+      rows.foreach { r =>
+        val v = if (r.getBoolean(2)) None else Option(r.getString(1))
+        state.put(r.getString(0), v)
+      }
+      // notify per final state, like KVIndex's winning-row notify —
+      // computed inside the monitor, invoked outside it (KV contract)
+      (takeDeliveryTicket(),
+        rows.groupBy(_.getString(0)).toSeq.flatMap { case (addr, _) =>
+          watcherReg.getOrElse(addr, Nil).map(_ -> state(addr))
+        })
     }
-    // notify per final state, like KVIndex's winning-row notify
-    rows.groupBy(_.getString(0)).foreach { case (addr, _) =>
-      watcherReg.getOrElse(addr, Nil).foreach(_.deliver(state(addr)))
-    }
+    deliverOrdered(ticket, deliveries)
   }
 
   def set(addr: String, value: String): Unit = {

@@ -260,10 +260,15 @@ final class Sublog(
         .as("rank"),
       org.apache.spark.sql.functions.col("value").as("seq")
     )
-    val threshold = parent.spark.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .replaceAll("[^-0-9]", "")
-      .toLong
+    // parse with Spark's own byte-string rules: the conf is commonly
+    // set with a unit suffix ("20MB"), which a digit-stripping regex
+    // would mangle into 20 BYTES and silently disable broadcasting.
+    // "-1" (broadcast disabled) is not a byte string — special-cased.
+    val rawThreshold = parent.spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    val threshold =
+      if (rawThreshold.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(rawThreshold)
     // ~24 bytes per (rank, seq) row of broadcast hash-table payload
     val fits = threshold > 0 &&
       parent.tableFor(addr).count() * 24L <= threshold

@@ -23,6 +23,19 @@ object RangeJoin {
     * join of `points` × `intervals` columns. Column names must not
     * collide (prefix beforehand). All three bound columns are
     * long-valued (epoch millis/micros, seqs, …). */
+  /** Per-interval bucket-span ceiling. An interval wider than this
+    * many buckets (a `hi = Long.MaxValue` open-ended sentinel being
+    * the classic case) would ask `sequence()` for billions of
+    * elements — killing the job with an opaque array-size error, or
+    * OOMing a task first. Refused loudly with actionable advice
+    * instead: widen `bucketWidth`, cap the sentinel, or route the
+    * handful of oversized intervals through a nested-loop join. */
+  val MaxBucketsPerInterval: Long = 4096L
+
+  /** All (point, interval) pairs with `lo <= pt <= hi`, as an inner
+    * join of `points` × `intervals` columns. Column names must not
+    * collide (prefix beforehand). All three bound columns are
+    * long-valued (epoch millis/micros, seqs, …). */
   def pointInInterval(
       points: DataFrame,
       ptCol: String,
@@ -33,12 +46,22 @@ object RangeJoin {
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("_b", expr(s"$ptCol div $bucketWidth"))
+    val spanGuard = raise_error(concat(
+      lit(s"interval spans more than $MaxBucketsPerInterval buckets " +
+        s"(bucketWidth=$bucketWidth, lo="), col(loCol),
+      lit(", hi="), col(hiCol),
+      lit(") — widen bucketWidth, cap open-ended intervals, or join " +
+        "oversized intervals separately")))
     val iv = intervals.withColumn(
       "_b",
-      explode(sequence(
+      explode(when(
+        expr(s"$hiCol div $bucketWidth") - expr(s"$loCol div $bucketWidth")
+          >= MaxBucketsPerInterval,
+        spanGuard.cast("array<long>")
+      ).otherwise(sequence(
         expr(s"$loCol div $bucketWidth"),
         expr(s"$hiCol div $bucketWidth")
-      ))
+      )))
     )
     p.join(iv, Seq("_b"))
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))

@@ -119,15 +119,23 @@ class GraftLogSource extends TableProvider with DataSourceRegister
         val batch = spark.createDataFrame(rowRdd, schema)
         require(batch.columns.contains("value"),
           "graft-log sink needs a `value` column")
-        if (batch.columns.contains("nulled") &&
-            !batch.where(col("nulled")).isEmpty)
-          throw new IllegalArgumentException(
-            "cannot append nulled=true rows to a graft-log; " +
-              "filter to nulled = false first")
-        val ordered =
-          if (batch.columns.contains("seq")) batch.orderBy(col("seq"))
-          else batch
-        log.appendStream(batchId, ordered.select(col("value")), queryId)
+        // persist the rebound batch: the nulled check, zipWithIndex's
+        // partition-count pass and the final write each evaluate the
+        // plan — uncached, every evaluation re-runs the upstream
+        // micro-batch decode, tripling per-batch work on the hot
+        // ingest path
+        batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (batch.columns.contains("nulled") &&
+              !batch.where(col("nulled")).isEmpty)
+            throw new IllegalArgumentException(
+              "cannot append nulled=true rows to a graft-log; " +
+                "filter to nulled = false first")
+          val ordered =
+            if (batch.columns.contains("seq")) batch.orderBy(col("seq"))
+            else batch
+          log.appendStream(batchId, ordered.select(col("value")), queryId)
+        } finally batch.unpersist(blocking = false)
         ()
       }
     }
@@ -859,8 +867,10 @@ final class GraftLogMicroBatchStream(
     if (hi <= lo) return SeqOffset(lo)
     def clamp(l: ReadLimit): Long = l match {
       case r: ReadMaxRows =>
-        // dense seqs: rows in (lo, end] == end - lo exactly
-        math.min(hi, lo + r.maxRows())
+        // dense seqs: rows in (lo, end] == end - lo exactly.
+        // SATURATING add: maxRows = Long.MaxValue ("unlimited") would
+        // wrap lo + maxRows negative and freeze the offset forever
+        if (r.maxRows() >= hi - lo) hi else lo + r.maxRows()
       case b: ReadMaxBytes =>
         // admit whole segments until the byte budget is spent; the
         // first pending segment always passes (progress guarantee)

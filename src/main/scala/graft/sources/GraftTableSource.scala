@@ -335,12 +335,18 @@ final class GraftTableMicroBatchStream(
     val hi = end.asInstanceOf[VerOffset].ver // inclusive
     if (hi <= lo) return Array.empty
     val m = Manifest.load(dir).getOrElse(return Array.empty)
-    // a rewrite that folded any of THIS batch's versions between
-    // offset resolution and planning must fail loudly here — the
-    // reader-side fold refusal only fires when a planned file
-    // vanishes AFTER planning; landing before planning would
-    // otherwise commit a silently empty (or partial) batch
-    m.foldedBelow.filter(_ > lo + 1).foreach { f =>
+    // a rewrite that folded versions this stream ALREADY DELIVERED
+    // PAST must fail loudly here — the reader-side fold refusal only
+    // fires when a planned file vanishes AFTER planning; landing
+    // before planning would otherwise commit a silently empty (or
+    // partial) batch. A stream that has not committed anything yet
+    // (lo == 0 — fresh start, or a first batch replay) is SAFE to
+    // serve: the fold segment carries all surviving history and
+    // nothing was delivered before it, so the refusal must not fire —
+    // otherwise any table that was ever compacted would refuse every
+    // NEW stream forever, and the "restart against the current table"
+    // advice below could never succeed
+    m.foldedBelow.filter(f => lo > 0 && f > lo + 1).foreach { f =>
       throw new IllegalStateException(
         s"versions in (${lo}, ${hi}] were folded into version $f by a " +
           "concurrent rewrite (compact/delete); this stream cannot be " +

@@ -375,7 +375,9 @@ final class Offset2MicroBatchStream(
     val hi = availableNowTarget.map(math.min(_, committed)).getOrElse(committed)
     if (hi <= lo) return EntryOffset(lo)
     def clamp(l: ReadLimit): Long = l match {
-      case r: ReadMaxRows => math.min(hi, lo + r.maxRows())
+      case r: ReadMaxRows =>
+        // saturating: Long.MaxValue maxRows must not wrap negative
+        if (r.maxRows() >= hi - lo) hi else lo + r.maxRows()
       case b: ReadMaxBytes =>
         math.min(hi, Offset2.clampByBytes(dir, lo, b.maxBytes()))
       case c: CompositeReadLimit => c.getReadLimits.map(clamp).min

@@ -77,6 +77,20 @@ trait KVContract { self: SparkSpec =>
       Some("so rad"), Some("wowzers"), None))
   }
 
+  test("a null non-tombstone value reads as unset everywhere") {
+    // get, watch and both backends must agree: SQL-NULL value = None
+    // (the reference's UnsetValue) — Some(null) breaks the contract
+    val idx = newKV()
+    import spark.implicits._
+    idx.applyBatch(Seq(("nk", null.asInstanceOf[String], false))
+      .toDF("addr", "value", "tombstone"))
+    assert(idx.get("nk").isEmpty, s"get returned ${idx.get("nk")}")
+    val seen = scala.collection.mutable.ListBuffer.empty[Option[String]]
+    val w = idx.watch("nk")(v => { seen.synchronized { seen += v }; () })
+    try assert(seen.synchronized(seen.toList) == List(None))
+    finally w.cancel()
+  }
+
   test("sink pump resumes from the cursor exactly once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -43,4 +43,23 @@ class RangeJoinSpec extends SparkSpec {
       .count()
     assert(j.count() == naive)
   }
+
+  test("an interval spanning too many buckets is refused loudly") {
+    import spark.implicits._
+    val points = Seq((1L, 100L)).toDF("pid", "pt")
+    // open-ended sentinel interval: would explode to ~Long.MaxValue/10
+    // sequence elements without the guard
+    val intervals = Seq((1L, 0L, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", 10L)
+        .collect()
+    }
+    def msg(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msg(t.getCause)
+    assert(msg(e).contains("buckets"), msg(e))
+    // intervals under the cap still join fine alongside
+    val ok = Seq((2L, 90L, 190L)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, "pt", ok, "lo", "hi", 10L)
+      .count() == 1L)
+  }
 }

@@ -72,14 +72,22 @@ class TableStoreSpec extends SparkSpec {
     store.append(Seq(("b", 2L)).toDF("k", "v"))
     val stream = new graft.sources.GraftTableMicroBatchStream(dir,
       spark.read.format("graft-table").load(dir).schema, None, None, None)
-    val lo = stream.deserializeOffset("0")
+    // a stream that already DELIVERED v1 (lo = 1) plans (1, 2]; the
+    // fold lands after offset resolution — v2's individual content is
+    // gone, so the plan must refuse rather than commit a silently
+    // empty batch
+    val lo = stream.deserializeOffset("1")
     val hi = stream.deserializeOffset("2")
-    // fold history AFTER the offsets were resolved
-    store.rewrite(df => df)
+    store.rewrite(df => df) // foldedBelow = 3
     val e = intercept[IllegalStateException] {
       stream.planInputPartitions(lo, hi)
     }
     assert(e.getMessage.contains("folded"), e.getMessage)
+    // a FRESH stream's raced batch (lo = 0) is safe: nothing was
+    // delivered before, the planned span is served empty and the fold
+    // segment arrives as the next batch — no refusal
+    assert(stream.planInputPartitions(
+      stream.deserializeOffset("0"), hi).isEmpty)
   }
 
   test("table reads are columnar: ColumnarToRow for the _ver path, row-path A/B identical") {
@@ -210,6 +218,65 @@ class TableStoreSpec extends SparkSpec {
       assert(batches.asScala.toSeq.flatten ==
         Seq(("a", 1L, 1L), ("b", 2L, 1L), ("c", 3L, 2L), ("d", 4L, 3L)))
     } finally q.stop()
+  }
+
+  test("a FRESH stream on a rewritten table starts cleanly; a resumed one past the fold refuses") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val store = TableStore.open(spark, tmpDir("tsfold"), schema)
+    store.append(Seq(("a", 1L)).toDF("k", "v"))
+    store.append(Seq(("a", 2L), ("b", 5L)).toDF("k", "v"))
+    store.rewrite(df => df.groupBy("k").agg(max("v").as("v"))) // fold
+    // nothing was delivered before the fold, and the fold segment
+    // carries all surviving history — a NEW stream must start (the
+    // old guard refused every fresh stream on any ever-rewritten
+    // table, making its own "restart" advice impossible)
+    val rows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = store.stream
+      .writeStream
+      .option("checkpointLocation", tmpDir("tsfoldck"))
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows.add((r.getString(0), r.getLong(1))))
+        (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(rows.asScala.toSet == Set(("a", 2L), ("b", 5L)))
+      // and live commits keep flowing on the fresh stream
+      store.append(Seq(("c", 7L)).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(rows.asScala.toSet == Set(("a", 2L), ("b", 5L), ("c", 7L)))
+    } finally q.stop()
+    // a stream that DELIVERED versions and then sees a fold past its
+    // cursor still refuses (those versions are unreconstructable)
+    val store2 = TableStore.open(spark, tmpDir("tsfold2"), schema)
+    store2.append(Seq(("a", 1L)).toDF("k", "v"))
+    val ck2 = tmpDir("tsfold2ck")
+    val q2 = store2.stream.writeStream
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try { q2.processAllAvailable() } finally q2.stop() // committed v1
+    store2.append(Seq(("b", 2L)).toDF("k", "v"))
+    store2.append(Seq(("c", 3L)).toDF("k", "v"))
+    store2.rewrite(df => df) // folds v2..v3 away, foldedBelow = 4
+    val q3 = store2.stream.writeStream
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      def msg(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " " + msg(t.getCause)
+      assert(msg(e).contains("folded"), msg(e))
+    } finally if (q3.isActive) q3.stop()
   }
 
   test("versionAsOf snapshots: exact history cut, loud after a fold") {
