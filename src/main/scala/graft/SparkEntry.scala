@@ -2585,16 +2585,23 @@ object SparkEntry {
       ("WITH RECURSIVE " + curationNearOracle("documents")),
     // near-dup cluster survivors (q51's recursive-CTE reachability)
     // piped into the q59 curation chain — the full-pipeline oracle
+    // strided starts PLUS the final clamped window start (the tail
+    // tokens a stride miss would otherwise exclude from every chunk);
+    // chunk_idx = ordinal of the start, matching posexplode
     "q69_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |  FROM documents
         |), st AS (
         |  SELECT doc_id, w,
-        |    unnest(generate_series(1, greatest(len(w) - 50, 0) + 1, 40)) AS s
+        |    unnest(list_distinct(list_append(
+        |      generate_series(1, greatest(len(w) - 50, 0) + 1, 40),
+        |      greatest(len(w) - 50, 0) + 1))) AS s
         |  FROM t
         |)
-        |SELECT doc_id, CAST((s - 1) / 40 AS INT) AS chunk_idx,
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+        |    AS chunk_idx,
         |  array_to_string(w[s:s + 49], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "q70_dsv2_scan" ->

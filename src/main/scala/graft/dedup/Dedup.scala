@@ -31,6 +31,10 @@ object Dedup {
 
   /** Word-level w-shingles of the normalized text. */
   def shingles(text: Column, w: Int = 3): Column = {
+    // w <= 0 would make every document's shingle set [""] — identical
+    // signatures, every pair verifying at jaccard 1.0, and the whole
+    // corpus silently collapsing into one duplicate cluster
+    require(w > 0, s"shingle width must be > 0 (got $w)")
     val toks = TextFunctions.tokens(text)
     val n = size(toks)
     // positions 1..n-w+1 (slice is 1-based); degenerate docs (<w
@@ -56,6 +60,9 @@ object Dedup {
       text: Column,
       w: Int
   ): Column = {
+    // same guard as [[shingles]]: w <= 0 collapses every shingle set
+    // to [""] and the whole corpus into one duplicate cluster
+    require(w > 0, s"shingle width must be > 0 (got $w)")
     graft.functions.ShingleExpr.register(df.sparkSession)
     call_function("word_shingles", text, lit(w))
   }
@@ -556,9 +563,14 @@ object Dedup {
   ): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
     val b = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
-    val withA = a.join(broadcast(slim), Seq("id_a"))
+    // the count gate covers BOTH joins: above it, broadcasting the
+    // candidate frame itself (not just the text-joined side) would
+    // collect every pair row to the driver — the exact OOM the gate
+    // exists to prevent
+    val fits = nPairs <= maxBroadcastPairs
+    val withA = a.join(if (fits) broadcast(slim) else slim, Seq("id_a"))
     val pairs =
-      if (nPairs <= maxBroadcastPairs) b.join(broadcast(withA), Seq("id_b"))
+      if (fits) b.join(broadcast(withA), Seq("id_b"))
       else b.join(withA, Seq("id_b"))
     // Shingles are computed POST-join (per pair, 2k evals for a doc in
     // k pairs) by design: the alternative — attaching pre-computed
@@ -672,6 +684,20 @@ object Dedup {
       maxIter: Int = 50,
       localThreshold: Long = 100000L
   ): DataFrame = {
+    // ids must already be integral: cast("long") maps string ids
+    // (UUIDs, "doc-123") to NULL, every edge silently drops, and the
+    // caller ships its corpus with all near-duplicates retained —
+    // refuse loudly instead (map string ids to dense longs first,
+    // e.g. xxhash64 or zipWithUniqueId)
+    Seq(idA, idB).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+        s"connectedComponents needs integral ids; column $c is $dt " +
+          "(string ids cast to NULL and clustering would silently no-op)")
+    }
     val raw = pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
     // Contract: every node mentioned in `pairs` appears in the output,

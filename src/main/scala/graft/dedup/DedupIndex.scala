@@ -133,7 +133,12 @@ final class DedupIndex private (
         .lshBandIndex(docs, textCol, idCol, params.numHashes, params.bands,
           params.shingleWidth, params.portableHash)
         .select(col(idCol).cast("long").as("id"), col("band"), col("bucket"))
-      commit(bandRows, Dedup.fingerprintIndex(docs, textCol), batchId)
+      // anti-join vs the standing index: a second seed over an
+      // overlapping corpus must not append duplicate fingerprint rows
+      commit(bandRows,
+        Dedup.fingerprintIndex(docs, textCol)
+          .join(fpsAt(None), Seq("fingerprint"), "left_anti"),
+        batchId)
     }
   }
 
@@ -196,15 +201,21 @@ final class DedupIndex private (
     val admitted = exactSurvivors
       .join(drops, exactSurvivors(idCol) === drops("_dup_id"), "left_anti")
     val ver = applied.getOrElse {
-      // every appended fingerprint is new by construction (exact
-      // survivors are one per fingerprint, none in the pre-index) —
-      // the fingerprint column stays globally distinct
+      // the appended fingerprints are explicitly deduped — distinct
+      // within the batch and anti-joined against the standing index —
+      // so the fingerprint column stays globally distinct even when
+      // exactTier = false left exact dups in the survivor set (or a
+      // replayed corpus overlaps); with exactTier = true both legs
+      // are cheap no-ops (survivors are already one per fingerprint,
+      // none in the pre-index)
       commit(
         newBands.select(col(idCol).cast("long").as("id"),
           col("band"), col("bucket")),
         exactSurvivors.select(
           graft.text.TextFunctions.fingerprint(col(textCol))
-            .as("fingerprint")),
+            .as("fingerprint"))
+          .distinct()
+          .join(idxFps, Seq("fingerprint"), "left_anti"),
         batchId)
     }
     IngestResult(exactSurvivors, pairs, admitted, capped, ver,

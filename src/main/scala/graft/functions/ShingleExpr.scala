@@ -18,9 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * slice(split(lower(trim(text)), "\\s+"), i, w))))`, which walks the
   * token array once per position and allocates a slice each time —
   * the measured hot spot of the MinHash pipeline. Here: lowercase,
-  * trim (space chars only, matching `trim()`), single regex-free
-  * tokenizer pass, shingles emitted from token offsets, first-
-  * occurrence-ordered dedup.
+  * all-whitespace edge trim (matching `TextFunctions.tokens`), single
+  * regex-free tokenizer pass, shingles emitted from token offsets,
+  * first-occurrence-ordered dedup.
   *
   * Evaluation is interpreted (CodegenFallback): the work is
   * string-building, which codegen cannot improve — avoiding the
@@ -35,11 +35,16 @@ case class WordShingles(child: Expression, width: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
-    // trim = strip leading/trailing ' ' (0x20) ONLY, matching trim()
+    // strip ALL leading/trailing whitespace, matching
+    // TextFunctions.tokens' regexp edge-trim (a bare trim() strips
+    // only 0x20 and leaves phantom "" tokens on newline-ended text)
+    def isWsEdge(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
     var s = 0
     var e = lowered.length
-    while (s < e && lowered.charAt(s) == ' ') s += 1
-    while (e > s && lowered.charAt(e - 1) == ' ') e -= 1
+    while (s < e && isWsEdge(lowered.charAt(s))) s += 1
+    while (e > s && isWsEdge(lowered.charAt(e - 1))) e -= 1
     val text = lowered.substring(s, e)
     // tokenizer matching split(text, "\\s+", -1): split on \s+ runs
     // ([ \t\n\f\r] — Java regex \s), keeping leading/trailing

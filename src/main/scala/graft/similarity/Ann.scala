@@ -141,31 +141,40 @@ object Ann {
         val heaps = Array.fill(nq)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstOnTop))
         it.foreach { case (id, v) =>
-          var n2 = 0.0
-          var i = 0
-          while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
-          val n = math.sqrt(n2)
-          var qi = 0
-          while (qi < nq) {
-            val qv = qVecs(qi)
-            // strict: a truncated dot over mismatched dims is neither
-            // the padded nor the truncated cosine — fail like the
-            // oracle (list_cosine_similarity) instead of silently
-            // returning wrong neighbors
-            if (v.length != qv.length)
-              throw new IllegalArgumentException(
-                s"dimension mismatch: corpus vector id=$id has ${v.length} " +
-                  s"dims, query ${qIds(qi)} has ${qv.length}")
-            var dot = 0.0
-            var j = 0
-            while (j < qv.length) { dot += v(j).toDouble * qv(j).toDouble; j += 1 }
-            val s =
-              if (n == 0.0 || qNorms(qi) == 0.0) 0.0
-              else round6(dot / (n * qNorms(qi)))
-            val h = heaps(qi)
-            h.enqueue((s, id))
-            if (h.size > k) { h.dequeue(); () }
-            qi += 1
+          // null vectors are skipped, matching cosineTopK's
+          // null-tolerance (its score is null there; a heap has no
+          // null slot, so the row simply never ranks)
+          if (v != null) {
+            var n2 = 0.0
+            var i = 0
+            while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+            val n = math.sqrt(n2)
+            var qi = 0
+            while (qi < nq) {
+              val qv = qVecs(qi)
+              // strict: a truncated dot over mismatched dims is neither
+              // the padded nor the truncated cosine — fail like the
+              // oracle (list_cosine_similarity) instead of silently
+              // returning wrong neighbors
+              if (v.length != qv.length)
+                throw new IllegalArgumentException(
+                  s"dimension mismatch: corpus vector id=$id has ${v.length} " +
+                    s"dims, query ${qIds(qi)} has ${qv.length}")
+              var dot = 0.0
+              var j = 0
+              while (j < qv.length) { dot += v(j).toDouble * qv(j).toDouble; j += 1 }
+              val raw =
+                if (n == 0.0 || qNorms(qi) == 0.0) 0.0
+                else dot / (n * qNorms(qi))
+              // NaN/Infinite components (corrupt embeddings) score 0
+              // instead of blowing up BigDecimal.valueOf and the heap
+              // ordering — the row stays visible but never wins
+              val s = if (java.lang.Double.isFinite(raw)) round6(raw) else 0.0
+              val h = heaps(qi)
+              h.enqueue((s, id))
+              if (h.size > k) { h.dequeue(); () }
+              qi += 1
+            }
           }
         }
         heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
@@ -243,8 +252,19 @@ object Ann {
 
   /** Dimensionality of the embedding column (one 1-row driver read —
     * vectors in a corpus are fixed-width). */
-  private[graft] def vecDims(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  private[graft] def vecDims(df: DataFrame, vecCol: String): Int = {
+    // first NON-NULL vector: head() on an empty frame throws an
+    // opaque NoSuchElementException and a null first row would NPE —
+    // both are refused with an actionable message instead
+    val rows = df
+      .where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)))
+      .limit(1)
+      .collect()
+    require(rows.nonEmpty,
+      s"cannot infer vector dimensionality: no non-null $vecCol rows")
+    rows.head.getInt(0)
+  }
 
   /** Driver-side signature of one query vector — pure Scala math, no
     * Spark job; bit-identical to [[lshSignature]]. */

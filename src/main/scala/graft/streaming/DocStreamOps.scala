@@ -48,7 +48,19 @@ object DocStreamOps {
         // the one streaming-dedup primitive (bounded state): see also
         // EventStreamOps.streamingContentDedup for dedup WITHOUT gates
         EventStreamOps.dedupWithinWatermark(gated, Seq("fp"), ts, wm)
-      case _ => gated.dropDuplicates("fp")
+      case (None, None) =>
+        // explicit opt-in to UNBOUNDED dedup state (a batch-ish
+        // stream); with both knobs absent this is what was asked for
+        gated.dropDuplicates("fp")
+      case _ =>
+        // one knob without the other is a config mistake — silently
+        // falling back to unbounded state would grow until OOM days
+        // later, the exact scale-killer this operator exists to avoid
+        throw new IllegalArgumentException(
+          "curateStream needs BOTH tsCol and dedupWatermark for " +
+            "bounded streaming dedup (or neither, to opt into " +
+            s"unbounded state): got tsCol=$tsCol, " +
+            s"dedupWatermark=$dedupWatermark")
     }
     deduped.drop("fp")
   }

@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lower-cased whitespace tokens. */
+  /** Lower-cased whitespace tokens. Edges are stripped of ALL
+    * whitespace (Spark's `trim` strips only 0x20 — a trailing newline
+    * would otherwise leave a phantom "" token in every
+    * newline-terminated document, inflating token counts, budgets and
+    * signature votes corpus-wide). */
   def tokens(text: Column): Column =
-    split(lower(trim(text)), "\\s+")
+    split(lower(regexp_replace(text, "^\\s+|\\s+$", "")), "\\s+")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+    when(length(regexp_replace(text, "^\\s+|\\s+$", "")) === 0, lit(0))
+      .otherwise(size(tokens(text)))
 
   /** Reflow whitespace tokens into fixed `width`-token lines joined
     * by newlines — imposes line structure on unsegmented text so
@@ -137,8 +142,14 @@ object TextFunctions {
     require(chunkTokens > 0, s"chunks chunkTokens must be > 0 (got $chunkTokens)")
     require(stride > 0, s"chunks stride must be > 0 (got $stride)")
     val toks = tokens(text)
-    val starts =
-      sequence(lit(1), greatest(size(toks) - chunkTokens, lit(0)) + 1, lit(stride))
+    // start positions 1, 1+stride, … plus the FINAL window start
+    // (n - chunk + 1) when the stride doesn't land on it — without
+    // it, up to stride-1 tail tokens of every document would appear
+    // in no chunk at all (never embedded, never indexed)
+    val maxStart = greatest(size(toks) - chunkTokens, lit(0)) + 1
+    val base = sequence(lit(1), maxStart, lit(stride))
+    val starts = when(element_at(base, -1) === maxStart, base)
+      .otherwise(concat(base, array(maxStart)))
     transform(starts, s => concat_ws(" ", slice(toks, s, lit(chunkTokens))))
   }
 

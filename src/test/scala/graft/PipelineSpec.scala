@@ -756,4 +756,38 @@ class PipelineSpec extends SparkSpec {
     val cf = Multimodal.extractFeatures(corrupt).collect()
     assert(cf.head.format == "corrupt")
   }
+
+  test("dedup guards refuse silent-corruption inputs loudly") {
+    import spark.implicits._
+    // string ids would cast to NULL and clustering would silently
+    // no-op — ship the corpus with every near-dup retained
+    val strPairs = Seq(("doc-1", "doc-2")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(strPairs)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // shingleWidth <= 0 would collapse the whole corpus into one
+    // duplicate cluster (every shingle set becomes [""])
+    intercept[IllegalArgumentException] { Dedup.shingles(col("text"), 0) }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashSignatures(Seq((1L, "a b c")).toDF("id", "text"),
+        "text", "id", 4, shingleWidth = 0)
+    }
+  }
+
+  test("cosineTopKBatch tolerates null vectors like cosineTopK") {
+    import spark.implicits._
+    import graft.similarity.Ann
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(0.6f, 0.8f)), (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann
+      .cosineTopKBatch(emb, "embedding", "vec_id", Seq(7L -> Seq(1f, 0f)), 3)
+      .orderBy(col("score").desc)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // the null-vector row simply never ranks; everything else does
+    assert(got.map(_._1) == Seq(0L, 2L, 3L), got.toString)
+    assert(got.head._2 == 1.0)
+  }
 }

@@ -198,6 +198,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("chunks cover every token: the final window clamps to the document end") {
+    import spark.implicits._
+    // 12 tokens, chunk=4, stride=3: strided starts 1,4,7 cover tokens
+    // 1..10 only — the tail window starting at 9 must be added so
+    // tokens 11-12 appear in a chunk
+    val doc = (1 to 12).map(i => s"t$i").mkString(" ")
+    val got = Seq(doc).toDF("text")
+      .select(TextFunctions.chunks(col("text"), 4, 3).as("c"))
+      .head().getSeq[String](0)
+    assert(got.last == "t9 t10 t11 t12", s"tail window missing: $got")
+    // every token appears in at least one chunk
+    val covered = got.flatMap(_.split(" ")).toSet
+    assert(covered == (1 to 12).map(i => s"t$i").toSet)
+    // aligned case unchanged: no duplicate final window
+    val aligned = Seq((1 to 10).map(i => s"t$i").mkString(" ")).toDF("text")
+      .select(TextFunctions.chunks(col("text"), 4, 3).as("c"))
+      .head().getSeq[String](0)
+    assert(aligned.size == 3 && aligned.last == "t7 t8 t9 t10")
+  }
+
+  test("tokens strip ALL edge whitespace, not just spaces") {
+    import spark.implicits._
+    val rows = Seq("hello world\n", "\n", "\ta b\r\n", "").toDF("text")
+      .select(TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // phantom "" tokens from a trailing newline would make these 3,2,3,0
+    assert(rows == Seq(2, 0, 2, 0), s"token counts: $rows")
+  }
+
   test("packSequences: offsets are contiguous per shard, bins respect budget") {
     val packed = Sampling
       .packSequences(docs, "doc_id", TextFunctions.tokenCount(col("text")),

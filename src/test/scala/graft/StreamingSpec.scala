@@ -278,4 +278,17 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).getAs[Int]("n_events") == 1)
     assert(got(2).getAs[Long]("user_id") == 2L)
   }
+
+  test("curateStream refuses a half-configured dedup window loudly") {
+    import graft.streaming.DocStreamOps
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("value AS doc_id", "'hello world text here' AS text",
+        "timestamp AS ts")
+    val e = intercept[IllegalArgumentException] {
+      DocStreamOps.curateStream(stream, "text", "doc_id",
+        lang = "en", minQuality = 0.0, minTokens = 1, maxTokens = 1000,
+        tsCol = Some("ts"), dedupWatermark = None)
+    }
+    assert(e.getMessage.contains("BOTH"), e.getMessage)
+  }
 }
