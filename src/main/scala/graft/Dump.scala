@@ -42,6 +42,10 @@ object Dump {
     }
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Dump <log|mlog|kv> <dir> [n]")
+      sys.exit(2)
+    }
     val Array(kind, dir) = args.take(2)
     val n = args.drop(2).headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession

@@ -48,18 +48,30 @@ object GraftExtensions {
 
   /** The engine's native SQL functions: one source of truth shared by
     * the extensions injector and the runtime registry path. */
+  private def arity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$fn takes $n argument(s), got ${exprs.length}")
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot_f" -> ((exprs: Seq[Expression]) =>
-      VecOps.FloatVecDot(exprs(0), exprs(1))),
-    "vec_norm_f" -> ((exprs: Seq[Expression]) =>
-      VecOps.FloatVecNorm(exprs.head)),
-    "word_shingles" -> ((exprs: Seq[Expression]) =>
+    "vec_dot_f" -> ((exprs: Seq[Expression]) => {
+      arity("vec_dot_f", exprs, 2)
+      VecOps.FloatVecDot(exprs(0), exprs(1))
+    }),
+    "vec_norm_f" -> ((exprs: Seq[Expression]) => {
+      arity("vec_norm_f", exprs, 1)
+      VecOps.FloatVecNorm(exprs.head)
+    }),
+    "word_shingles" -> ((exprs: Seq[Expression]) => {
+      arity("word_shingles", exprs, 2)
       exprs(1) match {
-        case Literal(v, _) => WordShingles(exprs.head, v.toString.toInt)
+        case Literal(v, _) if v != null =>
+          WordShingles(exprs.head, v.toString.toInt)
         case other =>
           throw new IllegalArgumentException(
-            s"word_shingles width must be a literal, got $other")
-      })
+            s"word_shingles width must be a non-null literal, got $other")
+      }
+    })
   )
 
   private def stringArg(e: Expression, fn: String): String = e match {

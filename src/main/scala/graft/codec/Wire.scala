@@ -68,15 +68,20 @@ object MsgPackCodec extends WireCodec {
   }
 
   private def writeLong(o: DataOutputStream, n: Long): Unit =
+    // smallest applicable family per the spec's recommendation:
+    // non-negative values use the UNSIGNED family (uint8 for 200 is
+    // 2 bytes where int16 is 3) — matching reference encoders
+    // byte-for-byte; negatives use the signed family
     if (n >= 0 && n < 128) o.writeByte(n.toInt) // positive fixint
-    else if (n < 0 && n >= -32) o.writeByte(0xe0 | (n.toInt & 0x1f)) // neg fixint
-    else if (n >= Byte.MinValue && n <= Byte.MaxValue) {
-      o.writeByte(0xd0); o.writeByte(n.toInt)
-    } else if (n >= Short.MinValue && n <= Short.MaxValue) {
-      o.writeByte(0xd1); o.writeShort(n.toInt)
-    } else if (n >= Int.MinValue && n <= Int.MaxValue) {
-      o.writeByte(0xd2); o.writeInt(n.toInt)
-    } else { o.writeByte(0xd3); o.writeLong(n) }
+    else if (n >= 0 && n <= 0xffL) { o.writeByte(0xcc); o.writeByte(n.toInt) }
+    else if (n >= 0 && n <= 0xffffL) { o.writeByte(0xcd); o.writeShort(n.toInt) }
+    else if (n >= 0 && n <= 0xffffffffL) { o.writeByte(0xce); o.writeInt(n.toInt) }
+    else if (n >= 0) { o.writeByte(0xcf); o.writeLong(n) }
+    else if (n >= -32) o.writeByte(0xe0 | (n.toInt & 0x1f)) // neg fixint
+    else if (n >= Byte.MinValue) { o.writeByte(0xd0); o.writeByte(n.toInt) }
+    else if (n >= Short.MinValue) { o.writeByte(0xd1); o.writeShort(n.toInt) }
+    else if (n >= Int.MinValue) { o.writeByte(0xd2); o.writeInt(n.toInt) }
+    else { o.writeByte(0xd3); o.writeLong(n) }
 
   def decode(bytes: Array[Byte]): Any = {
     val r = new Reader(bytes)
@@ -222,29 +227,92 @@ object CborCodec extends WireCodec {
       throw new IllegalArgumentException(s"cbor: unsupported length info $other")
   }
 
+  /** RFC 8949 half-precision (float16) → double: sign / 5-bit
+    * exponent / 10-bit mantissa, with subnormals and Inf/NaN — the
+    * spec's own reference decode (appendix D). Preferred serializers
+    * EMIT float16 for values it represents exactly, so the read side
+    * must accept it even though this writer never produces it. */
+  private def halfToDouble(h: Int): Double = {
+    val exp = (h >> 10) & 0x1f
+    val mant = h & 0x3ff
+    val v =
+      if (exp == 0) math.pow(2, -24) * mant
+      else if (exp != 31) math.pow(2, exp - 25) * (1024 + mant)
+      else if (mant == 0) Double.PositiveInfinity
+      else Double.NaN
+    if ((h & 0x8000) != 0) -v else v
+  }
+
+  /** The break stop code (0xff), returned only inside
+    * indefinite-length containers. */
+  private object Break
+
   private def read(r: Reader): Any = {
+    val v = readItem(r)
+    require(!v.isInstanceOf[Break.type], "cbor: unexpected break (0xff)")
+    v
+  }
+
+  private def readItem(r: Reader): Any = {
     val t = r.u8()
+    if (t == 0xff) return Break
     val major = t >> 5
     val info = t & 0x1f
     major match {
       case 0 => readLen(r, info)
       case 1 => -1L - readLen(r, info)
-      case 2 => r.take(readLen(r, info).toInt)
-      case 3 => new String(r.take(readLen(r, info).toInt), StandardCharsets.UTF_8)
+      case 2 =>
+        if (info == 31) {
+          // indefinite byte string: definite-length chunks until break
+          val out = new java.io.ByteArrayOutputStream()
+          var chunk = readItem(r)
+          while (!chunk.isInstanceOf[Break.type]) {
+            out.write(chunk.asInstanceOf[Array[Byte]])
+            chunk = readItem(r)
+          }
+          out.toByteArray
+        } else r.take(readLen(r, info).toInt)
+      case 3 =>
+        if (info == 31) {
+          val sb = new StringBuilder
+          var chunk = readItem(r)
+          while (!chunk.isInstanceOf[Break.type]) {
+            sb.append(chunk.asInstanceOf[String])
+            chunk = readItem(r)
+          }
+          sb.toString
+        } else
+          new String(r.take(readLen(r, info).toInt), StandardCharsets.UTF_8)
       case 4 =>
-        val n = readLen(r, info).toInt
-        Vector.fill(n)(read(r))
+        if (info == 31) {
+          val buf = Vector.newBuilder[Any]
+          var v = readItem(r)
+          while (!v.isInstanceOf[Break.type]) { buf += v; v = readItem(r) }
+          buf.result()
+        } else {
+          val n = readLen(r, info).toInt
+          Vector.fill(n)(read(r))
+        }
       case 5 =>
-        val n = readLen(r, info).toInt
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
-        var i = 0
-        while (i < n) { val k = read(r); m(k) = read(r); i += 1 }
+        if (info == 31) {
+          var k = readItem(r)
+          while (!k.isInstanceOf[Break.type]) {
+            m(k) = read(r)
+            k = readItem(r)
+          }
+        } else {
+          val n = readLen(r, info).toInt
+          var i = 0
+          while (i < n) { val k = read(r); m(k) = read(r); i += 1 }
+        }
         m
       case 7 =>
         info match {
           case 20 => false
           case 21 => true
           case 22 => null
+          case 25 => halfToDouble(r.u16())
           case 26 => java.lang.Float.intBitsToFloat(r.u32().toInt)
           case 27 => java.lang.Double.longBitsToDouble(r.i64())
           case other =>

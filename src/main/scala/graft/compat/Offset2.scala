@@ -104,7 +104,23 @@ object Offset2 {
           "offset2: seq in journal does not match element count in log " +
             s"offset file - $seqJrnl != $seqOfst")
       // crash window: jrnl is bumped BEFORE data/ofst are written —
-      // recover by writing the offset-file count back into the journal
+      // recover by writing the offset-file count back into the journal.
+      // A FIRST-append crash (jrnl = 0, ofst still empty) truncates
+      // back to the format's empty-log state (a ZERO-BYTE jrnl — an
+      // 8-byte jrnl holding -1 is not a state the reference writes)
+      if (seqOfst == SeqEmpty) {
+        // partial first-frame bytes in data are the in-flight frame of
+        // the crashed append — truncate back to the committed (empty)
+        // state, the same truncate-to-what-survives discipline as the
+        // reference's journal recovery
+        if (dataSize != 0) {
+          val dc = FileChannel.open(dp, StandardOpenOption.WRITE)
+          try dc.truncate(0L) finally dc.close()
+        }
+        val ch = FileChannel.open(jp, StandardOpenOption.WRITE)
+        try ch.truncate(0L) finally ch.close()
+        return Meta(SeqEmpty, 0L)
+      }
       val ch = FileChannel.open(jp, StandardOpenOption.WRITE)
       try {
         val buf = ByteBuffer.allocate(8).putLong(seqOfst)
@@ -216,7 +232,12 @@ object Offset2 {
     * `graft-offset2` source, whose seq-bound clipping plans the same
     * two-seek shape as ONE tiny partition. */
   def get(dir: String, seq: Long): Option[Array[Byte]] = {
-    val meta = check(dir)
+    // READ-ONLY metadata: a point read must never "recover" (rewrite
+    // jrnl) — the journal legitimately runs ahead of ofst while the
+    // REFERENCE process is mid-append, and rewriting it under a live
+    // writer corrupts its next append (checkReadOnly's contract).
+    // Recovery stays in check(), the explicit open/migration entry.
+    val meta = checkReadOnly(dir)
     if (seq < 0 || seq > meta.lastSeq)
       throw new NoSuchElementException(
         s"offset2: seq $seq out of bounds (last is ${meta.lastSeq})")
@@ -263,6 +284,7 @@ object Offset2 {
       endSeq: Long,
       targetBytes: Long
   ): Seq[EntryRange] = {
+    require(targetBytes > 0, s"targetBytes must be > 0 (got $targetBytes)")
     val meta = checkReadOnly(dir)
     val s0 = math.max(startSeq, 0L)
     val e0 = math.min(endSeq, meta.count)

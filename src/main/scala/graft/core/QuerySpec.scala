@@ -83,7 +83,11 @@ object QueryPlan {
           case Gt(s) =>
             if (p.lower.isDefined)
               Left(InvalidQuery("lower bound already set"))
-            else Right(p.copy(lower = Some(s + 1)))
+            else
+              // saturate: Gt(Long.MaxValue) means "nothing", not a
+              // wrapped Long.MinValue bound selecting everything
+              Right(p.copy(lower =
+                Some(if (s == Long.MaxValue) Long.MaxValue else s + 1)))
           case Gte(s) =>
             if (p.lower.isDefined)
               Left(InvalidQuery("lower bound already set"))
@@ -95,7 +99,11 @@ object QueryPlan {
           case Lte(s) =>
             if (p.upper.isDefined)
               Left(InvalidQuery("upper bound already set"))
-            else Right(p.copy(upper = Some(s + 1)))
+            else
+              // saturate: Lte(Long.MaxValue) means "no upper limit",
+              // not a wrapped Long.MinValue bound selecting nothing
+              Right(p.copy(upper =
+                Some(if (s == Long.MaxValue) Long.MaxValue else s + 1)))
           case Limit(n)     => Right(p.copy(limit = n))
           case Reverse(yes) => Right(p.copy(reverse = yes))
           case Live(yes)    => Right(p.copy(live = yes))

@@ -82,7 +82,17 @@ object Multimodal {
             case Some((w, h, f, payload)) =>
               val mean =
                 if (payload.isEmpty) 0.0
-                else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
+                else {
+                  // accumulate in a while loop: mapping the payload
+                  // into boxed Longs allocates O(size) per blob on
+                  // the hot decode path
+                  var acc = 0L
+                  var i = 0
+                  while (i < payload.length) {
+                    acc += (payload(i) & 0xff); i += 1
+                  }
+                  acc.toDouble / payload.length
+                }
               MediaFeatures(id, "grft", w, h, f, math.round(mean * 1e6) / 1e6, blob.length.toLong)
             case None =>
               MediaFeatures(id, "corrupt", 0, 0, 0, 0.0, if (blob == null) 0L else blob.length.toLong)
@@ -151,7 +161,10 @@ object Multimodal {
     * arithmetic so an oracle can recompute it in SQL. Cells that get
     * no pixels (plane smaller than the grid) stay 0. */
   private def gridHash(p: Array[Byte], w: Int, h: Int, gc: Int, gr: Int): Long = {
-    val n = math.min(p.length, w * h)
+    // w*h in LONG: a (corrupt or hostile) header claiming 65536x65536
+    // overflows Int to 0, yielding phash 0 with corrupt=false — every
+    // such blob would collide into one dedup bucket
+    val n = math.min(p.length.toLong, w.toLong * h.toLong).toInt
     val cells = gc * gr
     val sums = new Array[Long](cells)
     val cnts = new Array[Long](cells)

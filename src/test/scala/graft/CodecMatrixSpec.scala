@@ -74,10 +74,15 @@ class CodecMatrixSpec extends SparkSpec {
     assert(hex(MsgPackCodec.encode(-1L)) == "ff")
     assert(hex(MsgPackCodec.encode(null)) == "c0")
     assert(hex(MsgPackCodec.encode(true)) == "c3")
-    // int widths
-    assert(hex(MsgPackCodec.encode(200L)) == "d100c8")
-    assert(hex(MsgPackCodec.encode(100000L)) == "d2000186a0")
-    assert(hex(MsgPackCodec.encode(1L << 40)) == "d3000001" + "0000000000")
+    // int widths: non-negative values take the smallest UNSIGNED
+    // family (the spec's recommendation; byte-identical to reference
+    // encoders), negatives the signed one
+    assert(hex(MsgPackCodec.encode(200L)) == "ccc8")
+    assert(hex(MsgPackCodec.encode(40000L)) == "cd9c40")
+    assert(hex(MsgPackCodec.encode(100000L)) == "ce000186a0")
+    assert(hex(MsgPackCodec.encode(1L << 40)) == "cf000001" + "0000000000")
+    assert(hex(MsgPackCodec.encode(-200L)) == "d1ff38")
+    assert(hex(MsgPackCodec.encode(-100000L)) == "d2fffe7960")
     // the spec's canonical {"compact":true,"schema":0} example
     val m = scala.collection.mutable.LinkedHashMap[Any, Any](
       "compact" -> true, "schema" -> 0L)
@@ -171,5 +176,28 @@ class CodecMatrixSpec extends SparkSpec {
       .collect()
       .map(_.getString(0))
     assert(rt.forall(_.contains("\"foo\"")))
+  }
+
+  test("cbor decode accepts the RFC's preferred/indefinite forms") {
+    import graft.codec.CborCodec
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // float16 (preferred serialization for exactly-representable
+    // values): 1.5 = f9 3e00, -0.0 = f9 8000, Infinity = f9 7c00
+    assert(CborCodec.decode(b(0xf9, 0x3e, 0x00)) == 1.5)
+    assert(CborCodec.decode(b(0xf9, 0x7c, 0x00)) ==
+      Double.PositiveInfinity)
+    // subnormal: 2^-24
+    assert(CborCodec.decode(b(0xf9, 0x00, 0x01)) == math.pow(2, -24))
+    // indefinite-length array [1, 2]: 9f 01 02 ff
+    assert(CborCodec.decode(b(0x9f, 0x01, 0x02, 0xff)) ==
+      Vector(1L, 2L))
+    // indefinite-length map {"a": 1}: bf 61 61 01 ff
+    val m = CborCodec.decode(b(0xbf, 0x61, 0x61, 0x01, 0xff))
+      .asInstanceOf[scala.collection.Map[Any, Any]]
+    assert(m("a") == 1L)
+    // indefinite text string "ab" in two chunks: 7f 61 61 61 62 ff
+    assert(CborCodec.decode(b(0x7f, 0x61, 0x61, 0x61, 0x62, 0xff)) == "ab")
+    // a bare break is still refused
+    intercept[IllegalArgumentException] { CborCodec.decode(b(0xff)) }
   }
 }

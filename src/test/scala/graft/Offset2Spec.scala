@@ -366,4 +366,37 @@ class Offset2Spec extends SparkSpec {
       .orderBy("seq").select(col("value").cast("string")).as[String].collect()
     assert(out.toSeq == Seq("""{"n":0}""", """{"n":2}"""))
   }
+
+  test("first-append crash (jrnl bumped, ofst empty) recovers to the empty log") {
+    val dir = tmpDir("o2-firstcrash")
+    // the exact crash window: jrnl written (seq 0), data partially
+    // written, ofst never touched — the most basic recoverable state
+    val jrnl = new DataOutputStream(
+      Files.newOutputStream(Paths.get(dir, "jrnl")))
+    jrnl.writeLong(0L); jrnl.close()
+    Files.write(Paths.get(dir, "data"), Array[Byte](0, 0, 0)) // torn frame
+    Files.createFile(Paths.get(dir, "ofst"))
+    val meta = Offset2.check(dir)
+    assert(meta.lastSeq == Offset2.SeqEmpty && meta.dataSize == 0L)
+    // recovery restored the FORMAT's empty state: zero-byte jrnl and
+    // the torn frame truncated away — the reference reopens it clean
+    assert(Files.size(Paths.get(dir, "jrnl")) == 0L)
+    assert(Files.size(Paths.get(dir, "data")) == 0L)
+    assert(Offset2.check(dir).lastSeq == Offset2.SeqEmpty)
+  }
+
+  test("get() never rewrites the journal under a live writer") {
+    val dir = tmpDir("o2-liveget")
+    golden(dir, Seq(Some("a"), Some("b")))
+    // simulate the reference mid-append: jrnl bumped one ahead of ofst
+    val jrnl = new DataOutputStream(Files.newOutputStream(
+      Paths.get(dir, "jrnl"), StandardOpenOption.TRUNCATE_EXISTING))
+    jrnl.writeLong(2L); jrnl.close()
+    // a point read serves the COMMITTED entries and leaves jrnl alone
+    assert(Offset2.get(dir, 0).map(new String(_, UTF_8)) == Some("a"))
+    val after = java.nio.ByteBuffer
+      .wrap(Files.readAllBytes(Paths.get(dir, "jrnl"))).getLong
+    assert(after == 2L, "get() must not recover (rewrite jrnl) — " +
+      "the writer may be live")
+  }
 }
