@@ -45,6 +45,9 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
   def applyBatch(df: DataFrame): Unit = {
     val (ticket, deliveries) = synchronized {
       val cols = df.columns
+      require(cols.length >= 2,
+        s"applyBatch needs (addr, value[, tombstone][, useq]) columns, " +
+          s"got ${cols.mkString("(", ", ", ")")}")
       var out = df
       if (!cols.contains("tombstone"))
         out = out.withColumn("tombstone", lit(false))

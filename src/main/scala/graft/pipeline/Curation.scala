@@ -252,9 +252,13 @@ object Curation {
         .where(col("_pr") < keepFrac)
         .drop("_pr")
     } else {
-      val Array(cut) =
+      val cuts =
         df.stat.approxQuantile(scoreCol, Array(1.0 - keepFrac), relErr)
-      df.where(col(scoreCol) >= cut)
+      // approxQuantile returns NO quantiles for an empty (or all-null
+      // score) input — an empty corpus gates to an empty corpus, not a
+      // MatchError
+      if (cuts.isEmpty) df.limit(0)
+      else df.where(col(scoreCol) >= cuts(0))
     }
   }
 }

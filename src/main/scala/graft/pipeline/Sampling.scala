@@ -25,8 +25,14 @@ object Sampling {
     conv(substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8), 16, 10)
       .cast("long")
 
-  /** Threshold for `rate` on the 32-bit hash range. */
-  private def gate(rate: Double): Long = (rate * 4294967296.0).toLong
+  /** Threshold for `rate` on the 32-bit hash range. Rates above 1.0
+    * saturate (keep everything); negative or NaN rates would silently
+    * empty the output, so they are refused. */
+  private def gate(rate: Double): Long = {
+    require(!rate.isNaN && rate >= 0.0,
+      s"sample rate must be a non-negative number (got $rate)")
+    (rate * 4294967296.0).toLong
+  }
 
   /** Deterministic `rate`-sample: keep rows whose id-hash falls under
     * the rate gate. Pure filter — pushed to the scan, no shuffle, and

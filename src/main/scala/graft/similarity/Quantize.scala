@@ -48,6 +48,7 @@ object Quantize {
       queryVec: Seq[Float],
       k: Int
   ): DataFrame = {
+    require(queryVec.nonEmpty, "cosineTopKInt8 query vector is empty")
     // quantize the query driver-side with the same arithmetic
     val qs = queryVec.map(_.toFloat.abs).max.toDouble
     val qCodes =

@@ -210,6 +210,10 @@ object TextFunctions {
     val aggs = avg(dl).as("avgdl") +:
       terms.map(t => sum((tf(t) > 0).cast("long")).as(s"df_$t"))
     val consts = df.agg(count(lit(1)).as("n"), aggs: _*).collect()(0)
+    // empty corpus: avgdl is SQL NULL and getDouble would NPE — there
+    // is nothing to rank, return the empty (id, score) frame
+    if (consts.getLong(0) == 0L)
+      return df.select(col(idCol), lit(0.0).as("score")).limit(0)
     val n = consts.getLong(0).toDouble
     val avgdl = consts.getDouble(1)
     val score = terms.zipWithIndex

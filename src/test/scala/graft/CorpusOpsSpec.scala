@@ -208,6 +208,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(graft.pipeline.Sampling
       .tokenBudgetSample(empty, "text", "doc_id", 100L, exact = true)
       .count() == 0)
+    // bm25's corpus constants (N, avgdl, dfs) come back as one row —
+    // on an empty corpus avgdl is SQL NULL; must yield empty, not NPE
+    assert(graft.text.TextFunctions
+      .bm25(empty, "text", "doc_id", Seq("zebra")).count() == 0)
+    // approxQuantile returns no quantiles on empty input — the gate
+    // must yield empty, not a MatchError
+    val emptyScored = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    assert(Curation.qualityGate(emptyScored, "score", "doc_id", 0.3)
+      .count() == 0)
+  }
+
+  test("malformed parameters are refused loudly") {
+    val corpus = docs(1L -> "some text here")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Sampling.hashSample(corpus, "doc_id", -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Sampling.hashSample(corpus, "doc_id", Double.NaN)
+    }
+    intercept[IllegalArgumentException] {
+      graft.similarity.Quantize.cosineTopKInt8(
+        corpus.select(col("doc_id"), array().as("q")), "q", "doc_id",
+        Seq.empty[Float], 5)
+    }
   }
 
   test("unigram LM scoring joins the vocab broadcast, not shuffled") {

@@ -77,6 +77,14 @@ trait KVContract { self: SparkSpec =>
       Some("so rad"), Some("wowzers"), None))
   }
 
+  test("applyBatch refuses a frame without (addr, value) columns") {
+    val kv = newKV()
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      kv.applyBatch(Seq("only-one-col").toDF("addr"))
+    }
+  }
+
   test("a null non-tombstone value reads as unset everywhere") {
     // get, watch and both backends must agree: SQL-NULL value = None
     // (the reference's UnsetValue) — Some(null) breaks the contract
