@@ -26,9 +26,16 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * (`offset2/log.go:217-302`): an empty journal requires empty
   * `ofst`/`data`; a journal AHEAD of the offset file (the crash
   * window — the journal is bumped first) is recovered by writing the
-  * offset-file count back into the journal; a journal BEHIND is a
-  * loud error (the reference refuses too: "unclear how to handle");
-  * and the last frame's end must be exactly the end of `data`.
+  * offset-file count back into the journal — and, only when the
+  * caller passes `chopInFlight = true`, by also chopping the crashed
+  * append's in-flight frame off the tail of `data` (the recovery the
+  * reference leaves as "TODO: chop off the rest" and errors on; we
+  * keep its loud default because the on-disk state is
+  * indistinguishable from a LIVE writer mid-append, and truncating a
+  * live writer's tail would corrupt it — the caller must assert
+  * ownership explicitly); a journal BEHIND is a loud error (the
+  * reference refuses too: "unclear how to handle"); and the last
+  * frame's end must otherwise be exactly the end of `data`.
   * [[checkConsistency]] is the full-scan fsck
   * (`offset2/log.go:304-344`): walk every frame, cross-check each
   * start offset against `ofst`.
@@ -70,8 +77,17 @@ object Offset2 {
   /** `checkJournal`: validate the triple, recover the journal-ahead
     * crash window when `recover` (rewrites `jrnl` only, exactly like
     * the reference), and return the log's metadata. Loud on every
-    * other inconsistency. */
-  def check(dir: String, recover: Boolean = true): Meta = {
+    * other inconsistency.
+    *
+    * `chopInFlight` additionally truncates a crashed append's
+    * in-flight frame off the tail of `data` (journal-ahead states
+    * only). It is OFF by default and requires the caller to own the
+    * log exclusively: the same bytes are what a reader racing a LIVE
+    * writer sees, and truncating a live writer's tail corrupts its
+    * next append — which is exactly why the reference stays loud
+    * here ("TODO: chop off the rest", `offset2/log.go:296-300`). */
+  def check(dir: String, recover: Boolean = true,
+            chopInFlight: Boolean = false): Meta = {
     val jp = jrnlPath(dir); val op = ofstPath(dir); val dp = dataPath(dir)
     if (!Files.exists(jp) || !Files.exists(op) || !Files.exists(dp))
       throw new IOException(
@@ -88,7 +104,8 @@ object Offset2 {
     val ofstSize = Files.size(op)
     if (ofstSize % 8 != 0)
       throw new IOException(s"offset2: ofst size $ofstSize not a multiple of 8")
-    val dataSize = Files.size(dp)
+    var dataSize = Files.size(dp)
+    var recovered = false
     if (seqJrnl == SeqEmpty) {
       if (ofstSize != 0)
         throw new IOException("offset2: journal empty but offset file isnt")
@@ -121,14 +138,13 @@ object Offset2 {
         try ch.truncate(0L) finally ch.close()
         return Meta(SeqEmpty, 0L)
       }
-      val ch = FileChannel.open(jp, StandardOpenOption.WRITE)
-      try {
-        val buf = ByteBuffer.allocate(8).putLong(seqOfst)
-        buf.flip()
-        var off = 0L
-        while (buf.hasRemaining) off += ch.write(buf, off)
-      } finally ch.close()
+      // the journal rewrite is deferred until AFTER the data tail
+      // validates (or is chopped): rewriting first and then throwing
+      // on the size check would erase the journal-ahead marker — the
+      // very evidence that makes the state recoverable — and strand
+      // the log in a permanently-loud torn-tail state
       lastSeq = seqOfst
+      recovered = true
     }
     // the last frame must end exactly at the end of `data`
     val och = FileChannel.open(op, StandardOpenOption.READ)
@@ -136,9 +152,39 @@ object Offset2 {
     val dch = FileChannel.open(dp, StandardOpenOption.READ)
     val lastSz = try readLongAt(dch, lastOfst) finally dch.close()
     val end = lastOfst + 8 + math.abs(lastSz)
-    if (end != dataSize)
-      throw new IOException(
-        s"offset2: data file size difference ${end - dataSize}")
+    if (end != dataSize) {
+      if (recovered && chopInFlight && end < dataSize) {
+        // the crashed append's in-flight frame (torn, or complete but
+        // never committed — the ofst entry is the commit point) is
+        // still at the tail of `data`: chop it back to the committed
+        // end. The truncated triple is a byte-valid log the reference
+        // opens clean. Opt-in only (see scaladoc): without
+        // `chopInFlight` this state stays the reference's loud
+        // size-difference error, because a live writer's mid-append
+        // instant is byte-identical.
+        val dc = FileChannel.open(dp, StandardOpenOption.WRITE)
+        try dc.truncate(end) finally dc.close()
+        dataSize = end
+      } else
+        // end > dataSize means the last COMMITTED frame is torn (real
+        // data loss), and a tail past the end WITHOUT the journal-ahead
+        // marker is not a state the format's write order can produce —
+        // both stay loud, exactly like the reference
+        throw new IOException(
+          s"offset2: data file size difference ${end - dataSize}")
+    }
+    if (recovered) {
+      // data is now consistent with `ofst` — write the offset-file
+      // count back into the journal (the reference's recovery,
+      // `offset2/log.go:281-295`)
+      val ch = FileChannel.open(jp, StandardOpenOption.WRITE)
+      try {
+        val buf = ByteBuffer.allocate(8).putLong(seqOfst)
+        buf.flip()
+        var off = 0L
+        while (buf.hasRemaining) off += ch.write(buf, off)
+      } finally ch.close()
+    }
     Meta(lastSeq, dataSize)
   }
 

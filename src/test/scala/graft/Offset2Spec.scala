@@ -385,6 +385,53 @@ class Offset2Spec extends SparkSpec {
     assert(Offset2.check(dir).lastSeq == Offset2.SeqEmpty)
   }
 
+  test("mid-append crash: jrnl recovered AND the in-flight frame chopped") {
+    // crash windows after "ab" was committed, append #3 in flight:
+    // (a) torn frame bytes, (b) a complete frame that never reached
+    // ofst (ofst is the commit point) — both chop back to committed
+    for ((tail, name) <- Seq(
+        Array[Byte](0, 0, 0, 9, 1) -> "torn",
+        (java.nio.ByteBuffer.allocate(8 + 2).putLong(2L)
+          .put("zz".getBytes(UTF_8)).array()) -> "complete-uncommitted")) {
+      val dir = tmpDir(s"o2-midcrash-$name")
+      golden(dir, Seq(Some("a"), Some("ab")))
+      val committed = Files.size(Paths.get(dir, "data"))
+      val jrnl = new DataOutputStream(Files.newOutputStream(
+        Paths.get(dir, "jrnl"), StandardOpenOption.TRUNCATE_EXISTING))
+      jrnl.writeLong(2L); jrnl.close() // append #3 bumped the journal
+      Files.write(Paths.get(dir, "data"), tail,
+        StandardOpenOption.APPEND)
+      // the DEFAULT open stays the reference's loud size-difference
+      // error: these bytes are indistinguishable from a live writer
+      // mid-append, so the chop needs an explicit ownership claim
+      val e = intercept[java.io.IOException](Offset2.check(dir))
+      assert(e.getMessage.contains("size difference"), name)
+      val meta = Offset2.check(dir, recover = true, chopInFlight = true)
+      assert(meta.lastSeq == 1L && meta.dataSize == committed, name)
+      assert(Files.size(Paths.get(dir, "data")) == committed, name)
+      assert(Offset2.checkConsistency(dir).isEmpty, name)
+      assert(Offset2.get(dir, 1).map(new String(_, UTF_8)) == Some("ab"), name)
+    }
+  }
+
+  test("a torn COMMITTED frame (real data loss) stays loud") {
+    val dir = tmpDir("o2-dataloss")
+    golden(dir, Seq(Some("a"), Some("abcdef")))
+    // chop INTO the committed last frame and mark the crash window:
+    // the committed end is now past EOF — unrecoverable, must refuse
+    val dc = java.nio.channels.FileChannel.open(
+      Paths.get(dir, "data"), StandardOpenOption.WRITE)
+    try dc.truncate(Files.size(Paths.get(dir, "data")) - 3) finally dc.close()
+    val jrnl = new DataOutputStream(Files.newOutputStream(
+      Paths.get(dir, "jrnl"), StandardOpenOption.TRUNCATE_EXISTING))
+    jrnl.writeLong(2L); jrnl.close()
+    // even the opt-in chop refuses: the committed end is PAST the
+    // file, so bytes of a committed entry are gone — unrecoverable
+    intercept[java.io.IOException] {
+      Offset2.check(dir, recover = true, chopInFlight = true)
+    }
+  }
+
   test("get() never rewrites the journal under a live writer") {
     val dir = tmpDir("o2-liveget")
     golden(dir, Seq(Some("a"), Some("b")))
