@@ -127,13 +127,20 @@ object Offset2 {
       // 8-byte jrnl holding -1 is not a state the reference writes)
       if (seqOfst == SeqEmpty) {
         // partial first-frame bytes in data are the in-flight frame of
-        // the crashed append — truncate back to the committed (empty)
-        // state, the same truncate-to-what-survives discipline as the
-        // reference's journal recovery
+        // the crashed append — truncating them back to the committed
+        // (empty) state needs the same explicit ownership claim as the
+        // mid-append chop below: a live writer mid-FIRST-append leaves
+        // identical bytes, and truncating under it corrupts its log
         if (dataSize != 0) {
+          if (!chopInFlight)
+            throw new IOException(
+              s"offset2: data file size difference ${-dataSize}")
           val dc = FileChannel.open(dp, StandardOpenOption.WRITE)
           try dc.truncate(0L) finally dc.close()
         }
+        // data is (now) empty — restore the FORMAT's empty state: a
+        // ZERO-BYTE jrnl (an 8-byte jrnl holding -1 is not a state the
+        // reference writes). Journal-only, like the recovery below.
         val ch = FileChannel.open(jp, StandardOpenOption.WRITE)
         try ch.truncate(0L) finally ch.close()
         return Meta(SeqEmpty, 0L)

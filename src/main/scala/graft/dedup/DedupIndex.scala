@@ -133,9 +133,13 @@ final class DedupIndex private (
         .lshBandIndex(docs, textCol, idCol, params.numHashes, params.bands,
           params.shingleWidth, params.portableHash)
         .select(col(idCol).cast("long").as("id"), col("band"), col("bucket"))
-      // anti-join vs the standing index: a second seed over an
-      // overlapping corpus must not append duplicate fingerprint rows
-      commit(bandRows,
+      // anti-join BOTH sides vs the standing index: a second seed over
+      // an overlapping corpus (under a new batchId) must not append
+      // duplicate rows — duplicated band rows would make every later
+      // ingest() probe return each standing candidate twice
+      commit(
+        bandRows.join(bandsAt(None).select("id").distinct(),
+          Seq("id"), "left_anti"),
         Dedup.fingerprintIndex(docs, textCol)
           .join(fpsAt(None), Seq("fingerprint"), "left_anti"),
         batchId)

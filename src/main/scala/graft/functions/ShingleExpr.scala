@@ -99,18 +99,12 @@ object ShingleExpr {
     if (reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")))
       return
+    // the SAME guarded builder the extensions injector registers —
+    // arity and non-null-literal checks included, so both
+    // registration paths refuse malformed calls identically
     reg.createOrReplaceTempFunction(
       "word_shingles",
-      exprs => {
-        val w = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other =>
-            throw new IllegalArgumentException(
-              s"word_shingles width must be a literal, got $other")
-        }
-        WordShingles(exprs.head, w)
-      },
+      graft.GraftExtensions.builders.toMap.apply("word_shingles"),
       "built-in"
     )
   }

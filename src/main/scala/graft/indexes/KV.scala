@@ -54,22 +54,53 @@ trait KV {
   private val deliveryMonitor = new Object
   private val ticketCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   private var nextTicketToDeliver = 0L
+  // non-null while THIS thread is inside a delivery: a watcher
+  // callback that writes back into the index (legal — the old
+  // reentrant-synchronized delivery allowed it) parks its nested
+  // deliveries here instead of waiting on its own ticket, which
+  // would self-deadlock (the outer delivery can't finish while the
+  // callback is blocked inside the nested one)
+  private val pendingNested =
+    new ThreadLocal[java.util.ArrayDeque[(Long, Seq[(KV.Watcher, Option[String])])]]
 
   /** Take a delivery ticket — MUST be called while holding the index
-    * monitor (ticket order = commit order). */
+    * monitor (ticket order = commit order), and MUST be the LAST
+    * fallible step before the monitor is released: a ticket taken and
+    * never passed to [[deliverOrdered]] stalls every later delivery. */
   protected def takeDeliveryTicket(): Long = ticketCounter.getAndIncrement()
 
   /** Invoke the queued deliveries for `ticket`, outside the index
-    * monitor, in strict ticket order. */
+    * monitor, in strict ticket order. Reentrant-safe: called from
+    * inside a callback (same thread), the nested deliveries are
+    * queued and drained — still in ticket order — right after the
+    * outer delivery completes. */
   protected def deliverOrdered(
       ticket: Long,
       deliveries: Seq[(KV.Watcher, Option[String])]
-  ): Unit = deliveryMonitor.synchronized {
-    while (ticket != nextTicketToDeliver) deliveryMonitor.wait()
+  ): Unit = {
+    val nested = pendingNested.get()
+    if (nested != null) { nested.add(ticket -> deliveries); return }
+    deliveryMonitor.synchronized {
+      while (ticket != nextTicketToDeliver) deliveryMonitor.wait()
+    }
+    val mine =
+      new java.util.ArrayDeque[(Long, Seq[(KV.Watcher, Option[String])])]
+    pendingNested.set(mine)
     try deliveries.foreach { case (w, v) => w.deliver(v) }
     finally {
-      nextTicketToDeliver = ticket + 1
-      deliveryMonitor.notifyAll()
+      pendingNested.remove()
+      deliveryMonitor.synchronized {
+        nextTicketToDeliver = ticket + 1
+        deliveryMonitor.notifyAll()
+      }
+      // commits the callbacks made on this thread: already durable, so
+      // deliver them now as ordinary (no-longer-reentrant) deliveries.
+      // FIFO = ticket order for this thread; other threads' tickets
+      // interleave correctly because each drain waits its turn.
+      while (!mine.isEmpty) {
+        val (t, ds) = mine.poll()
+        deliverOrdered(t, ds)
+      }
     }
   }
 
@@ -86,7 +117,11 @@ trait KV {
         case Some(ws) => Some(w :: ws)
         case None     => Some(List(w))
       }
-      (takeDeliveryTicket(), get(addr))
+      // snapshot read BEFORE the ticket: if get() throws (a Spark read
+      // can), no ticket is orphaned — an orphaned ticket would stall
+      // every later delivery forever
+      val snap = get(addr)
+      (takeDeliveryTicket(), snap)
     }
     deliverOrdered(ticket, Seq(w -> snap))
     w

@@ -60,7 +60,12 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
         col("useq").cast(LongType)
       ).where(col("addr").isNotNull) // null key = "don't index"
       val ver = store.append(prepared)
-      (takeDeliveryTicket(), watcherDeliveries(ver))
+      // deliveries are computed BEFORE the ticket: watcherDeliveries
+      // runs a Spark job that can fail transiently, and a ticket taken
+      // but never passed to deliverOrdered would stall every later
+      // delivery on this index forever
+      val deliveries = watcherDeliveries(ver)
+      (takeDeliveryTicket(), deliveries)
     }
     // callbacks run OUTSIDE the index monitor (KV.deliverOrdered) so a
     // callback touching the index cannot deadlock against a writer

@@ -44,11 +44,13 @@ final class MemKV(val spark: SparkSession) extends KV {
         state.put(r.getString(0), v)
       }
       // notify per final state, like KVIndex's winning-row notify —
-      // computed inside the monitor, invoked outside it (KV contract)
-      (takeDeliveryTicket(),
+      // computed inside the monitor, invoked outside it (KV contract);
+      // ticket taken LAST so a throw here can't orphan it
+      val deliveries =
         rows.groupBy(_.getString(0)).toSeq.flatMap { case (addr, _) =>
           watcherReg.getOrElse(addr, Nil).map(_ -> state(addr))
-        })
+        }
+      (takeDeliveryTicket(), deliveries)
     }
     deliverOrdered(ticket, deliveries)
   }

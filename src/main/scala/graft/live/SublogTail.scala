@@ -1,7 +1,10 @@
 package graft.live
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -52,30 +55,57 @@ object SublogTail {
       post: Option[(Long, Long, Long)]
   )
 
+  // The sidecar lives UNDER the stream's checkpointLocation, which is
+  // a Hadoop path (file:/, hdfs://, s3a://, …) — so all state I/O goes
+  // through the checkpoint filesystem, not java.nio: a local-path
+  // sidecar beside an hdfs:// checkpoint would land in the driver's
+  // cwd and silently restore nothing after a driver move.
   private def stateFile(checkpoint: String) =
-    Paths.get(checkpoint, "graft-sublog-rank-state")
+    new HPath(checkpoint, "graft-sublog-rank-state")
 
-  private def writeState(checkpoint: String, s: RankState): Unit = {
+  private def writeState(conf: Configuration, checkpoint: String,
+      s: RankState): Unit = {
     val p = stateFile(checkpoint)
-    Files.createDirectories(p.getParent)
-    val tmp = Paths.get(p.toString + ".tmp")
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val tmp = new HPath(p.getParent, p.getName + ".tmp")
     val post = s.post.map { case (a, b, c) => s"1,$a,$b,$c" }.getOrElse("0,0,0,0")
-    Files.writeString(tmp,
-      s"${s.batchId},${s.preRank},${s.preHigh},${s.preRemaining},$post")
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"${s.batchId},${s.preRank},${s.preHigh},${s.preRemaining},$post"
+        .getBytes(UTF_8))
+    finally out.close()
+    // rename-into-place; HDFS/local rename won't overwrite, so drop
+    // the old snapshot first (the tmp file is complete at this point —
+    // a crash between delete and rename loses only the PREVIOUS
+    // snapshot, and the .tmp still holds the current one)
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
-  private def readState(checkpoint: String): Option[RankState] = {
+  private def readState(conf: Configuration, checkpoint: String):
+      Option[RankState] = {
     val p = stateFile(checkpoint)
-    if (!Files.exists(p)) None
-    else
+    val fs = p.getFileSystem(conf)
+    val target =
+      if (fs.exists(p)) Some(p)
+      else { // crash window above: fall back to the completed .tmp
+        val tmp = new HPath(p.getParent, p.getName + ".tmp")
+        if (fs.exists(tmp)) Some(tmp) else None
+      }
+    target.flatMap { q =>
       try {
-        val f = Files.readString(p).trim.split(",")
+        val in = fs.open(q)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        val f = new String(bytes, UTF_8).trim.split(",")
         Some(RankState(f(0).toLong, f(1).toLong, f(2).toLong, f(3).toLong,
           if (f(4) == "1") Some((f(5).toLong, f(6).toLong, f(7).toLong))
           else None))
       } catch { case _: Exception => None }
+    }
   }
 
   /** Start a push-mode rank query on `mlog`'s sublog `addr`: `sink`
@@ -107,7 +137,8 @@ object SublogTail {
 
     // resume: restore the persisted counters (post-state of the last
     // completed batch, or pre-state of an interrupted one)
-    val persisted = readState(checkpoint)
+    val hconf = mlog.spark.sessionState.newHadoopConf()
+    val persisted = readState(hconf, checkpoint)
     persisted.foreach { s =>
       val (r, h, rem) = s.post.getOrElse((s.preRank, s.preHigh, s.preRemaining))
       nextRank.set(r); highWater.set(h); remaining.set(rem)
@@ -133,7 +164,7 @@ object SublogTail {
             case _ =>
               val pre = RankState(bid, nextRank.get(), highWater.get(),
                 remaining.get(), None)
-              writeState(checkpoint, pre)
+              writeState(hconf, checkpoint, pre)
               lastState.set(Some(pre))
           }
           // sorted chunked pull (see LiveTail.push): driver memory is
@@ -159,7 +190,7 @@ object SublogTail {
           lastState.get().foreach { s =>
             val done = s.copy(post =
               Some((nextRank.get(), highWater.get(), remaining.get())))
-            writeState(checkpoint, done)
+            writeState(hconf, checkpoint, done)
             lastState.set(Some(done))
           }
         }

@@ -52,16 +52,22 @@ object RangeJoin {
       lit(", hi="), col(hiCol),
       lit(") — widen bucketWidth, cap open-ended intervals, or join " +
         "oversized intervals separately")))
+    val loB = expr(s"$loCol div $bucketWidth")
+    val hiB = expr(s"$hiCol div $bucketWidth")
+    // span in overflow-safe arithmetic: a plain `-` on (hiB - loB)
+    // wraps (or throws under ANSI) for extreme sentinel bounds like
+    // (Long.MinValue, Long.MaxValue), silently BYPASSING this guard —
+    // try_subtract yields NULL on overflow, which here means the span
+    // is definitely oversized. NULL lo/hi rows keep their old
+    // behavior (sequence -> NULL -> explode drops the row).
+    val span = try_subtract(hiB, loB)
     val iv = intervals.withColumn(
       "_b",
       explode(when(
-        expr(s"$hiCol div $bucketWidth") - expr(s"$loCol div $bucketWidth")
-          >= MaxBucketsPerInterval,
+        col(loCol).isNotNull && col(hiCol).isNotNull &&
+          (span.isNull || span >= MaxBucketsPerInterval),
         spanGuard.cast("array<long>")
-      ).otherwise(sequence(
-        expr(s"$loCol div $bucketWidth"),
-        expr(s"$hiCol div $bucketWidth")
-      )))
+      ).otherwise(sequence(loB, hiB)))
     )
     p.join(iv, Seq("_b"))
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))

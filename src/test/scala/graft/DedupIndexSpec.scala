@@ -56,6 +56,26 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs1.nonEmpty, "fixture has no batch-touching pairs — vacuous")
   }
 
+  test("overlapping seed under a NEW batchId appends no duplicate rows") {
+    val corpus = docs.where(col("doc_id") < 200)
+    val overlap = docs.where(col("doc_id") < 250) // 200 already seeded
+    val idx = DedupIndex.open(spark, tmpDir("graft-didx-ov-"), P)
+    idx.seed("s1", corpus, "text", "doc_id")
+    val bandsPerDoc = P.bands.toLong
+    assert(idx.bands.count() == 200 * bandsPerDoc)
+    // second seed, different batchId, 200 of 250 docs overlap: only
+    // the 50 new docs' rows may land — duplicated band rows would make
+    // every later ingest probe return standing candidates twice
+    idx.seed("s2", overlap, "text", "doc_id")
+    assert(idx.bands.count() == 250 * bandsPerDoc,
+      "overlapping seed duplicated band rows")
+    assert(idx.bands.select("id", "band").distinct().count() ==
+      250 * bandsPerDoc)
+    val fps = idx.fingerprints.collect().map(_.getString(0))
+    assert(fps.length == fps.distinct.length,
+      "overlapping seed duplicated fingerprints")
+  }
+
   test("rolling 3-batch ingest equals the one-shot batch run") {
     val corpus = docs.where(col("doc_id") < 250)
     val batch1 = docs.where(col("doc_id") >= 250 && col("doc_id") < 375)

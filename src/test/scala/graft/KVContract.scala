@@ -62,6 +62,29 @@ trait KVContract { self: SparkSpec =>
     assert(seen.toList == List(Some("v0"), Some("v1"), None)) // no more
   }
 
+  test("a watcher callback may write back into the index (reentrant)") {
+    // the pre-ticket delivery ran under a reentrant synchronized, so a
+    // callback that commits again worked; the ticket-ordered delivery
+    // must preserve that (a naive wait-for-my-ticket self-deadlocks:
+    // the outer delivery can't finish while its callback is blocked
+    // inside the nested one)
+    val kv = newKV()
+    val seen = scala.collection.mutable.ListBuffer.empty[Option[String]]
+    val echoed = scala.collection.mutable.ListBuffer.empty[Option[String]]
+    kv.watch("echo")(v => { echoed += v; () })
+    kv.watch("src") { v =>
+      seen += v
+      v.foreach(s => kv.set("echo", s"echo-$s")) // write-back, same thread
+    }
+    kv.set("src", "a")
+    kv.set("src", "b")
+    assert(seen.toList == List(None, Some("a"), Some("b")))
+    // nested commits are durable AND their watchers were notified,
+    // in commit order, after each outer delivery completed
+    assert(kv.get("echo").contains("echo-b"))
+    assert(echoed.toList == List(None, Some("echo-a"), Some("echo-b")))
+  }
+
   test("watch on an unset key: immediate UnsetValue, then the lifecycle") {
     // reference: indexes/test/setidx.go:48-107 — Register on an unset
     // key delivers UnsetValue first, then each set, then unset again

@@ -376,13 +376,32 @@ class Offset2Spec extends SparkSpec {
     jrnl.writeLong(0L); jrnl.close()
     Files.write(Paths.get(dir, "data"), Array[Byte](0, 0, 0)) // torn frame
     Files.createFile(Paths.get(dir, "ofst"))
-    val meta = Offset2.check(dir)
+    // default check stays loud — these bytes are also what a live
+    // writer mid-FIRST-append looks like; chopping needs the same
+    // explicit ownership claim as the mid-append case
+    val e = intercept[java.io.IOException](Offset2.check(dir))
+    assert(e.getMessage.contains("size difference"))
+    val meta = Offset2.check(dir, recover = true, chopInFlight = true)
     assert(meta.lastSeq == Offset2.SeqEmpty && meta.dataSize == 0L)
     // recovery restored the FORMAT's empty state: zero-byte jrnl and
     // the torn frame truncated away — the reference reopens it clean
     assert(Files.size(Paths.get(dir, "jrnl")) == 0L)
     assert(Files.size(Paths.get(dir, "data")) == 0L)
     assert(Offset2.check(dir).lastSeq == Offset2.SeqEmpty)
+  }
+
+  test("first-append crash before any data byte: journal-only recovery") {
+    // jrnl bumped, nothing in data/ofst yet — no in-flight bytes, so
+    // plain recover=true suffices (journal rewrite only, no chop)
+    val dir = tmpDir("o2-firstcrash-clean")
+    val jrnl = new DataOutputStream(
+      Files.newOutputStream(Paths.get(dir, "jrnl")))
+    jrnl.writeLong(0L); jrnl.close()
+    Files.createFile(Paths.get(dir, "data"))
+    Files.createFile(Paths.get(dir, "ofst"))
+    val meta = Offset2.check(dir)
+    assert(meta.lastSeq == Offset2.SeqEmpty && meta.dataSize == 0L)
+    assert(Files.size(Paths.get(dir, "jrnl")) == 0L)
   }
 
   test("mid-append crash: jrnl recovered AND the in-flight frame chopped") {

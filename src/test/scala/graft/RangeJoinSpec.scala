@@ -61,5 +61,19 @@ class RangeJoinSpec extends SparkSpec {
     val ok = Seq((2L, 90L, 190L)).toDF("iid", "lo", "hi")
     assert(RangeJoin.pointInInterval(points, "pt", ok, "lo", "hi", 10L)
       .count() == 1L)
+    // a (MinValue, MaxValue) sentinel overflows a plain hiB-loB span
+    // subtraction (wrapping to -1 and BYPASSING the guard) — it must
+    // still refuse with the same friendly message
+    val extreme = Seq((3L, Long.MinValue, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val e2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", extreme, "lo", "hi", 1L)
+        .collect()
+    }
+    assert(msg(e2).contains("buckets"), msg(e2))
+    // NULL bounds keep their drop-the-row behavior, not a guard trip
+    val nulls = Seq((4L, Option.empty[Long], Option(5L)))
+      .toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, "pt", nulls, "lo", "hi", 10L)
+      .count() == 0L)
   }
 }
