@@ -431,10 +431,18 @@ object Bench {
     val sentinelJson =
       f"""{"n":${sv.size},"min":${if (sv.isEmpty) 0.0 else sv.head}%.4f,""" +
         f""""median":${pct(0.5)}%.4f,"p90":${pct(0.9)}%.4f,""" +
-        f""""max":${if (sv.isEmpty) 0.0 else sv.last}%.4f,""" +
-        s""""readings":${sentinelRuns.map(v => f"$v%.4f").mkString("[", ",", "]")}}"""
+        f""""max":${if (sv.isEmpty) 0.0 else sv.last}%.4f}"""
+    // diagnostics (per-run spreads + raw sentinel readings) go on their
+    // OWN line, printed FIRST: the round-13 capture proved the driver
+    // keeps only a bounded TAIL of stdout, and folding these arrays
+    // into the headline line pushed `"value"` out of the captured
+    // window — the headline must be the LAST line and stay compact
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runsJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+      f"""{"diag":"bench","runs":$runsJson,"sentinel_readings":${
+        sentinelRuns.map(v => f"$v%.4f").mkString("[", ",", "]")}}"""
+    )
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

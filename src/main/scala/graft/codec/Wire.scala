@@ -68,19 +68,16 @@ object MsgPackCodec extends WireCodec {
   }
 
   private def writeLong(o: DataOutputStream, n: Long): Unit =
-    // smallest applicable family per the spec's recommendation:
-    // non-negative values use the UNSIGNED family (uint8 for 200 is
-    // 2 bytes where int16 is 3) — matching reference encoders
-    // byte-for-byte; negatives use the signed family
-    if (n >= 0 && n < 128) o.writeByte(n.toInt) // positive fixint
-    else if (n >= 0 && n <= 0xffL) { o.writeByte(0xcc); o.writeByte(n.toInt) }
-    else if (n >= 0 && n <= 0xffffL) { o.writeByte(0xcd); o.writeShort(n.toInt) }
-    else if (n >= 0 && n <= 0xffffffffL) { o.writeByte(0xce); o.writeInt(n.toInt) }
-    else if (n >= 0) { o.writeByte(0xcf); o.writeLong(n) }
-    else if (n >= -32) o.writeByte(0xe0 | (n.toInt & 0x1f)) // neg fixint
-    else if (n >= Byte.MinValue) { o.writeByte(0xd0); o.writeByte(n.toInt) }
-    else if (n >= Short.MinValue) { o.writeByte(0xd1); o.writeShort(n.toInt) }
-    else if (n >= Int.MinValue) { o.writeByte(0xd2); o.writeInt(n.toInt) }
+    // SIGNED family for every int, smallest signed width that fits —
+    // byte-identical to the reference's encoder (codec/msgpack/
+    // msgpack.go:21-22 uses ugorji MsgpackHandle{Canonical:true} whose
+    // PositiveIntUnsigned defaults to FALSE, so 200 encodes d100c8 in
+    // the int16 slot, not ccc8). The unsigned family (0xcc-0xcf) is
+    // accepted on decode for foreign frames but never emitted.
+    if (n >= -32 && n <= 127) o.writeByte(n.toInt) // pos/neg fixint
+    else if (n >= Byte.MinValue && n <= Byte.MaxValue) { o.writeByte(0xd0); o.writeByte(n.toInt) }
+    else if (n >= Short.MinValue && n <= Short.MaxValue) { o.writeByte(0xd1); o.writeShort(n.toInt) }
+    else if (n >= Int.MinValue && n <= Int.MaxValue) { o.writeByte(0xd2); o.writeInt(n.toInt) }
     else { o.writeByte(0xd3); o.writeLong(n) }
 
   def decode(bytes: Array[Byte]): Any = {

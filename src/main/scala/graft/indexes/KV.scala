@@ -62,6 +62,28 @@ trait KV {
   // callback is blocked inside the nested one)
   private val pendingNested =
     new ThreadLocal[java.util.ArrayDeque[(Long, Seq[(KV.Watcher, Option[String])])]]
+  // tickets abandoned by an INTERRUPTED waiter: an InterruptedException
+  // out of deliveryMonitor.wait() used to leave the ticket undelivered
+  // and nextTicketToDeliver stuck below it — every later delivery on
+  // the index then stalled forever. Abandoned tickets are skipped by
+  // the advance walk instead; the interrupted watcher misses that one
+  // notification (the commit itself is already durable).
+  private val abandonedTickets = scala.collection.mutable.Set.empty[Long]
+
+  // advance past `from` plus any consecutively-abandoned successors;
+  // MUST be called while holding deliveryMonitor
+  private def advanceLocked(from: Long): Unit = {
+    nextTicketToDeliver = from + 1
+    while (abandonedTickets.remove(nextTicketToDeliver))
+      nextTicketToDeliver += 1
+    deliveryMonitor.notifyAll()
+  }
+
+  private def abandonTicket(t: Long): Unit = deliveryMonitor.synchronized {
+    if (t == nextTicketToDeliver) advanceLocked(t)
+    else if (t > nextTicketToDeliver) abandonedTickets += t
+    // t < nextTicketToDeliver: already delivered — nothing to skip
+  }
 
   /** Take a delivery ticket — MUST be called while holding the index
     * monitor (ticket order = commit order), and MUST be the LAST
@@ -81,7 +103,15 @@ trait KV {
     val nested = pendingNested.get()
     if (nested != null) { nested.add(ticket -> deliveries); return }
     deliveryMonitor.synchronized {
-      while (ticket != nextTicketToDeliver) deliveryMonitor.wait()
+      try while (ticket != nextTicketToDeliver) deliveryMonitor.wait()
+      catch {
+        case ie: InterruptedException =>
+          // abandon the ticket (advancing past it if it is current) so
+          // later deliveries don't stall, then propagate the interrupt
+          if (ticket == nextTicketToDeliver) advanceLocked(ticket)
+          else abandonedTickets += ticket
+          throw ie
+      }
     }
     val mine =
       new java.util.ArrayDeque[(Long, Seq[(KV.Watcher, Option[String])])]
@@ -89,17 +119,21 @@ trait KV {
     try deliveries.foreach { case (w, v) => w.deliver(v) }
     finally {
       pendingNested.remove()
-      deliveryMonitor.synchronized {
-        nextTicketToDeliver = ticket + 1
-        deliveryMonitor.notifyAll()
-      }
+      deliveryMonitor.synchronized(advanceLocked(ticket))
       // commits the callbacks made on this thread: already durable, so
       // deliver them now as ordinary (no-longer-reentrant) deliveries.
       // FIFO = ticket order for this thread; other threads' tickets
       // interleave correctly because each drain waits its turn.
       while (!mine.isEmpty) {
         val (t, ds) = mine.poll()
-        deliverOrdered(t, ds)
+        try deliverOrdered(t, ds)
+        catch {
+          case ie: InterruptedException =>
+            // the rest of this thread's nested tickets would stall
+            // later deliveries if left queued — abandon them too
+            while (!mine.isEmpty) abandonTicket(mine.poll()._1)
+            throw ie
+        }
       }
     }
   }

@@ -324,8 +324,19 @@ final class GraftTableMicroBatchStream(
   override def reportLatestOffset(): Offset =
     VerOffset(Manifest.load(dir).map(_.version).getOrElse(0L))
 
-  override def deserializeOffset(json: String): Offset =
+  // flipped when Spark RESTORES an offset from the checkpoint log:
+  // deserializeOffset is only ever invoked on a restart, never on a
+  // fresh start (no offset log to read) — so "restored && lo == 0"
+  // identifies a crash-REPLAY of batch 0 (foreachBatch ran, commit log
+  // didn't advance), which must NOT get fresh-start leniency below: a
+  // fold landing in that window would make the replayed batch deliver
+  // different rows than the original
+  @volatile private var restoredFromCheckpoint = false
+
+  override def deserializeOffset(json: String): Offset = {
+    restoredFromCheckpoint = true
     VerOffset(json.trim.toLong)
+  }
 
   override def planInputPartitions(
       start: Offset,
@@ -339,14 +350,19 @@ final class GraftTableMicroBatchStream(
     // PAST must fail loudly here — the reader-side fold refusal only
     // fires when a planned file vanishes AFTER planning; landing
     // before planning would otherwise commit a silently empty (or
-    // partial) batch. A stream that has not committed anything yet
-    // (lo == 0 — fresh start, or a first batch replay) is SAFE to
-    // serve: the fold segment carries all surviving history and
-    // nothing was delivered before it, so the refusal must not fire —
-    // otherwise any table that was ever compacted would refuse every
-    // NEW stream forever, and the "restart against the current table"
-    // advice below could never succeed
-    m.foldedBelow.filter(f => lo > 0 && f > lo + 1).foreach { f =>
+    // partial) batch. A genuinely FRESH stream (lo == 0 and no offset
+    // was restored from a checkpoint) is SAFE to serve: the fold
+    // segment carries all surviving history and nothing was delivered
+    // before it, so the refusal must not fire — otherwise any table
+    // that was ever compacted would refuse every NEW stream forever,
+    // and the "restart against the current table" advice below could
+    // never succeed. A RESTORED lo == 0 is different: batch 0 was
+    // already delivered once (offset written, commit log not), so a
+    // fold landing before the replay would silently hand the
+    // at-least-once consumer a batch 0 with different rows — refused.
+    m.foldedBelow
+      .filter(f => (lo > 0 || restoredFromCheckpoint) && f > lo + 1)
+      .foreach { f =>
       throw new IllegalStateException(
         s"versions in (${lo}, ${hi}] were folded into version $f by a " +
           "concurrent rewrite (compact/delete); this stream cannot be " +

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types._
   * anything it can't convert — the caller falls back to the Spark
   * read path, so this is a pure fast path, never a semantics change.
   */
-private[storage] object DirectRead {
+private[graft] object DirectRead {
 
   private final class SegReader(val file: Path) {
     val reader: ParquetFileReader = ParquetFileReader.open(
@@ -45,6 +45,9 @@ private[storage] object DirectRead {
     )
     val schema: MessageType = reader.getFooter.getFileMetaData.getSchema
     val columnIO: MessageColumnIO = new ColumnIOFactory().getColumnIO(schema)
+    /** file-resolved INT96 decode mode (see [[DirectRead.int96RebaseMode]]) */
+    val int96Mode: String = int96RebaseMode(
+      reader.getFooter.getFileMetaData.getKeyValueMetaData)
     val blocks: Seq[BlockMetaData] = reader.getRowGroups.asScala.toSeq
     /** first row index (within the file) of each row group */
     val firstRows: Array[Long] =
@@ -134,7 +137,7 @@ private[storage] object DirectRead {
         while (n > 0) {
           val g = rr.read()
           if (g != null) {
-            val row = convertRow(g, schema)
+            val row = convertRow(g, schema, seg.int96Mode)
             if (row.getLong(seqIdx) == seqNo) return Some(row)
           }
           n -= 1
@@ -158,17 +161,48 @@ private[storage] object DirectRead {
     case _               => false
   }
 
+  /** INT96 rebase mode for a file, resolved from its footer the way
+    * Spark's own file source does (`DataSourceUtils.int96RebaseSpec`):
+    * the `org.apache.spark.legacyINT96` marker forces LEGACY
+    * (Julian→Gregorian rebase); an unmarked file written by Spark ≥
+    * 3.1 — every file THIS engine writes — is CORRECTED (values are
+    * already proleptic); unmarked pre-3.1 Spark always wrote legacy
+    * INT96, so LEGACY; and a file with no Spark provenance at all gets
+    * EXCEPTION — decode succeeds for modern values (where the two
+    * calendars agree) and refuses pre-1582 ones loudly instead of
+    * guessing a calendar, matching Spark's read-conf default. */
+  private[graft] def int96RebaseMode(
+      meta: java.util.Map[String, String]): String =
+    if (meta != null && meta.containsKey("org.apache.spark.legacyINT96"))
+      "LEGACY"
+    else {
+      val v = if (meta == null) null else meta.get("org.apache.spark.version")
+      if (v == null) "EXCEPTION"
+      else if (sparkAtLeast31(v)) "CORRECTED"
+      else "LEGACY"
+    }
+
+  private def sparkAtLeast31(v: String): Boolean = {
+    val parts = v.split("[.-]")
+    try {
+      val major = parts(0).toInt
+      val minor = if (parts.length > 1) parts(1).toInt else 0
+      major > 3 || (major == 3 && minor >= 1)
+    } catch { case _: NumberFormatException => false }
+  }
+
   /** Timestamp column → epoch micros, handling every physical shape
     * Spark's parquet writer emits: INT96 (the writer default —
     * nanos-of-day + Julian day) and INT64 annotated MILLIS/MICROS/
     * NANOS. INT64 values are self-written proleptic (Spark's default
     * CORRECTED/EXCEPTION write modes), so direct epoch arithmetic is
-    * exact; INT96 carries a JULIAN day number, so the linear micros
-    * are rebased Julian→Gregorian exactly like Spark's own reader
-    * under its default `int96RebaseModeInRead=LEGACY` (identity for
-    * post-1582 values) — keeping this leg bit-identical to the
-    * vectorized leg at every epoch. */
-  private def timestampMicros(g: Group, idx: Int): Long = {
+    * exact; INT96 decodes under the FILE's resolved
+    * [[int96RebaseMode]] — CORRECTED reads the linear micros as-is,
+    * LEGACY rebases Julian→Gregorian, and EXCEPTION (no provenance)
+    * accepts values on which the calendars agree and refuses ancient
+    * ones loudly — keeping this leg value-identical to the vectorized
+    * leg and to Spark's own resolution at every epoch. */
+  private def timestampMicros(g: Group, idx: Int, int96Mode: String): Long = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val pt = g.getType.getType(idx).asPrimitiveType()
@@ -183,8 +217,18 @@ private[storage] object DirectRead {
         val linear = Math.addExact(
           Math.multiplyExact(julianDay - 2440588L, 86400000000L),
           nanosOfDay / 1000L)
-        org.apache.spark.sql.catalyst.util.RebaseDateTime
-          .rebaseJulianToGregorianMicros(linear)
+        if (int96Mode == "CORRECTED") linear
+        else {
+          val rebased = org.apache.spark.sql.catalyst.util.RebaseDateTime
+            .rebaseJulianToGregorianMicros(linear)
+          if (int96Mode == "LEGACY" || rebased == linear) rebased
+          else
+            throw new UnsupportedOperationException(
+              "pre-1582 INT96 timestamp in a parquet file with no Spark " +
+                "provenance: the calendar it was written in cannot be " +
+                "attributed — rewrite the file with an INT64 timestamp " +
+                "type or through a Spark writer")
+        }
       case INT64 =>
         val v = g.getLong(idx, 0)
         pt.getLogicalTypeAnnotation match {
@@ -237,11 +281,14 @@ private[storage] object DirectRead {
       new java.math.BigDecimal(unscaled, fileScale), dt.precision, dt.scale)
   }
 
-  private[storage] def convertRow(g: Group, schema: StructType): Row = {
+  private[storage] def convertRow(
+      g: Group,
+      schema: StructType,
+      int96Mode: String = "LEGACY"): Row = {
     val vals = schema.fields.map { f =>
       val idx = g.getType.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(idx) == 0) null
-      else convertValue(g, idx, f.dataType)
+      else convertValue(g, idx, f.dataType, int96Mode)
     }
     new GenericRowWithSchema(vals.toArray[Any], schema)
   }
@@ -252,7 +299,8 @@ private[storage] object DirectRead {
     * UTF8String directly (no java.lang.String decode). */
   private[storage] def convertInternalRow(
       g: Group,
-      schema: StructType
+      schema: StructType,
+      int96Mode: String = "LEGACY"
   ): org.apache.spark.sql.catalyst.InternalRow = {
     val vals = new Array[Any](schema.fields.length)
     var i = 0
@@ -261,13 +309,14 @@ private[storage] object DirectRead {
       val idx = g.getType.getFieldIndex(f.name)
       vals(i) =
         if (g.getFieldRepetitionCount(idx) == 0) null
-        else convertCatalyst(g, idx, f.dataType)
+        else convertCatalyst(g, idx, f.dataType, int96Mode)
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 
-  private def convertCatalyst(g: Group, idx: Int, dt: DataType): Any = dt match {
+  private def convertCatalyst(
+      g: Group, idx: Int, dt: DataType, int96Mode: String): Any = dt match {
     case LongType    => g.getLong(idx, 0)
     case IntegerType => g.getInteger(idx, 0)
     case ShortType   => g.getInteger(idx, 0).toShort
@@ -280,10 +329,11 @@ private[storage] object DirectRead {
         .fromBytes(g.getBinary(idx, 0).getBytes)
     case BinaryType     => g.getBinary(idx, 0).getBytes
     case DateType       => g.getInteger(idx, 0)
-    case TimestampType  => timestampMicros(g, idx)
-    case TimestampNTZType => timestampMicros(g, idx)
+    case TimestampType  => timestampMicros(g, idx, int96Mode)
+    case TimestampNTZType => timestampMicros(g, idx, int96Mode)
     case d: DecimalType => decimalOf(g, idx, d)
-    case st: StructType => convertInternalRow(g.getGroup(idx, 0), st)
+    case st: StructType =>
+      convertInternalRow(g.getGroup(idx, 0), st, int96Mode)
     case ArrayType(et, _) =>
       val list = g.getGroup(idx, 0)
       val n = list.getFieldRepetitionCount(0)
@@ -293,7 +343,7 @@ private[storage] object DirectRead {
         val el = list.getGroup(0, j)
         arr(j) =
           if (el.getFieldRepetitionCount(0) == 0) null
-          else convertCatalyst(el, 0, et)
+          else convertCatalyst(el, 0, et, int96Mode)
         j += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
@@ -306,10 +356,10 @@ private[storage] object DirectRead {
       var j = 0
       while (j < n) {
         val kv = map.getGroup(0, j)
-        keys(j) = convertCatalyst(kv, 0, kt)
+        keys(j) = convertCatalyst(kv, 0, kt, int96Mode)
         vals(j) =
           if (kv.getFieldRepetitionCount(1) == 0) null
-          else convertCatalyst(kv, 1, vt)
+          else convertCatalyst(kv, 1, vt, int96Mode)
         j += 1
       }
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
@@ -318,7 +368,8 @@ private[storage] object DirectRead {
     case other => throw new UnsupportedOperationException(other.sql)
   }
 
-  private def convertValue(g: Group, idx: Int, dt: DataType): Any = dt match {
+  private def convertValue(
+      g: Group, idx: Int, dt: DataType, int96Mode: String): Any = dt match {
     case LongType    => g.getLong(idx, 0)
     case IntegerType => g.getInteger(idx, 0)
     case ShortType   => g.getInteger(idx, 0).toShort
@@ -333,12 +384,12 @@ private[storage] object DirectRead {
         .toJavaDate(g.getInteger(idx, 0))
     case TimestampType =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils
-        .toJavaTimestamp(timestampMicros(g, idx))
+        .toJavaTimestamp(timestampMicros(g, idx, int96Mode))
     case TimestampNTZType =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils
-        .microsToLocalDateTime(timestampMicros(g, idx))
+        .microsToLocalDateTime(timestampMicros(g, idx, int96Mode))
     case d: DecimalType => decimalOf(g, idx, d).toJavaBigDecimal
-    case st: StructType => convertRow(g.getGroup(idx, 0), st)
+    case st: StructType => convertRow(g.getGroup(idx, 0), st, int96Mode)
     case ArrayType(et, _) =>
       // Spark's standard 3-level list layout: group(LIST) >
       // repeated group list > optional element
@@ -347,16 +398,16 @@ private[storage] object DirectRead {
       (0 until n).map { j =>
         val el = list.getGroup(0, j)
         if (el.getFieldRepetitionCount(0) == 0) null
-        else convertValue(el, 0, et)
+        else convertValue(el, 0, et, int96Mode)
       }
     case MapType(kt, vt, _) =>
       val map = g.getGroup(idx, 0)
       val n = map.getFieldRepetitionCount(0)
       (0 until n).map { j =>
         val kv = map.getGroup(0, j)
-        convertValue(kv, 0, kt) ->
+        convertValue(kv, 0, kt, int96Mode) ->
           (if (kv.getFieldRepetitionCount(1) == 0) null
-           else convertValue(kv, 1, vt))
+           else convertValue(kv, 1, vt, int96Mode))
       }.toMap
     case other => throw new UnsupportedOperationException(other.sql)
   }

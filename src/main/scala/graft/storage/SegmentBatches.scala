@@ -80,18 +80,21 @@ private[graft] object SegmentBatches {
   }
 
   /** The vectorized decode below pins CORRECTED (proleptic) handling
-    * for INT32-date/INT64-timestamp columns and LEGACY (Julian-rebase)
-    * for INT96 — exactly the modes Spark's own file source resolves
-    * for files this engine writes (Spark 4's writer emits proleptic
-    * INT32/INT64 values — its default `datetimeRebaseModeInWrite =
-    * EXCEPTION` refuses ancient values rather than rebasing — and
-    * INT96 is Julian-day by definition, which LEGACY decodes; the row
-    * leg's [[DirectRead]] applies the same rebase). The ONE file shape
-    * the pin would silently mis-read is a footer carrying Spark's
-    * legacy-rebase marker (INT64 values written under forced `LEGACY`
-    * mode, Julian-rebased pre-1582) — refused loudly. Only checked
-    * when the REQUESTED schema has datetime columns — decimal and
-    * every other admitted type is rebase-free. */
+    * for INT32-date/INT64-timestamp columns — exactly what Spark's own
+    * file source resolves for files this engine writes (Spark 4's
+    * writer emits proleptic INT32/INT64 values; its default
+    * `datetimeRebaseModeInWrite = EXCEPTION` refuses ancient values
+    * rather than rebasing). INT96 is NOT pinned: its mode is resolved
+    * per FILE from the footer like `DataSourceUtils.int96RebaseSpec`
+    * does ([[DirectRead.int96RebaseMode]] — marker→LEGACY, Spark≥3.1→
+    * CORRECTED, no provenance→EXCEPTION) and handed to the reader, so
+    * a foreign CORRECTED-written INT96 file with pre-1582 values
+    * decodes exactly as Spark would, never silently Julian-rebased.
+    * The ONE file shape the INT32/INT64 pin would silently mis-read is
+    * a footer carrying Spark's legacy-rebase marker (values written
+    * under forced `LEGACY` mode, Julian-rebased pre-1582) — refused
+    * loudly. Only checked when the REQUESTED schema has datetime
+    * columns — decimal and every other admitted type is rebase-free. */
   private def guardDatetimeEncoding(
       meta: java.util.Map[String, String],
       file: Path
@@ -145,7 +148,16 @@ private[graft] object SegmentBatches {
               fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
       pr.setRequestedSchema(projected)
       val totalRows = pr.getRowGroups.asScala.map(_.getRowCount).sum
-      val reader = new VectorizedParquetRecordReader(false, Capacity)
+      // the 2-arg constructor pins int96RebaseMode=LEGACY; resolve it
+      // from the file's provenance instead. Other args reproduce the
+      // 2-arg defaults (no convertTz, CORRECTED proleptic INT32/INT64,
+      // on-heap) except the int96 rebase zone: UTC — the session TZ
+      // this engine pins everywhere — rather than the 2-arg ctor's
+      // JVM-default zone (only consulted for LEGACY-marked files)
+      val int96Mode = DirectRead.int96RebaseMode(
+        pr.getFooter.getFileMetaData.getKeyValueMetaData)
+      val reader = new VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", int96Mode, "UTC", false, Capacity)
       try {
         org.apache.spark.sql.execution.datasources.parquet
           .GraftVectorizedRange

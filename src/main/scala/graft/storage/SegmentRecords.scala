@@ -28,8 +28,8 @@ private[graft] object SegmentRecords {
     * the open reader and closes it on exhaustion; call `close()` on
     * early abort. */
   def iterator(file: Path, schema: StructType): ClosingRowIterator = {
-    val (reader, columnIO, projected) = open(file, schema, None)
-    new ClosingRowIterator(reader, columnIO, projected, schema)
+    val (reader, columnIO, projected, int96Mode) = open(file, schema, None)
+    new ClosingRowIterator(reader, columnIO, projected, schema, int96Mode)
   }
 
   /** Same scan, emitting Catalyst [[InternalRow]]s directly (no
@@ -46,8 +46,9 @@ private[graft] object SegmentRecords {
       schema: StructType,
       range: Option[(Long, Long)] = None
   ): ClosingInternalRowIterator = {
-    val (reader, columnIO, projected) = open(file, schema, range)
-    new ClosingInternalRowIterator(reader, columnIO, projected, schema)
+    val (reader, columnIO, projected, int96Mode) = open(file, schema, range)
+    new ClosingInternalRowIterator(
+      reader, columnIO, projected, schema, int96Mode)
   }
 
   private def open(
@@ -55,7 +56,7 @@ private[graft] object SegmentRecords {
       schema: StructType,
       range: Option[(Long, Long)]
   ): (ParquetFileReader, org.apache.parquet.io.MessageColumnIO,
-      org.apache.parquet.schema.MessageType) = {
+      org.apache.parquet.schema.MessageType, String) = {
     val opts = range match {
       case Some((start, end)) =>
         ParquetReadOptions.builder().withRange(start, end).build()
@@ -73,7 +74,11 @@ private[graft] object SegmentRecords {
         )
     reader.setRequestedSchema(projected)
     val columnIO = new ColumnIOFactory().getColumnIO(projected)
-    (reader, columnIO, projected)
+    // INT96 decode mode is a property of the FILE (footer provenance),
+    // resolved once here and closed over by the row converter
+    val int96Mode = DirectRead.int96RebaseMode(
+      reader.getFooter.getFileMetaData.getKeyValueMetaData)
+    (reader, columnIO, projected, int96Mode)
   }
 
   /** One row-group-advancing scan over an open parquet reader,
@@ -130,15 +135,19 @@ private[graft] object SegmentRecords {
       reader: ParquetFileReader,
       columnIO: org.apache.parquet.io.MessageColumnIO,
       fileSchema: org.apache.parquet.schema.MessageType,
-      schema: StructType
+      schema: StructType,
+      int96Mode: String
   ) extends ClosingIterator[Row](
-    reader, columnIO, fileSchema, schema, DirectRead.convertRow)
+    reader, columnIO, fileSchema, schema,
+    (g, s) => DirectRead.convertRow(g, s, int96Mode))
 
   final class ClosingInternalRowIterator(
       reader: ParquetFileReader,
       columnIO: org.apache.parquet.io.MessageColumnIO,
       fileSchema: org.apache.parquet.schema.MessageType,
-      schema: StructType
+      schema: StructType,
+      int96Mode: String
   ) extends ClosingIterator[org.apache.spark.sql.catalyst.InternalRow](
-    reader, columnIO, fileSchema, schema, DirectRead.convertInternalRow)
+    reader, columnIO, fileSchema, schema,
+    (g, s) => DirectRead.convertInternalRow(g, s, int96Mode))
 }

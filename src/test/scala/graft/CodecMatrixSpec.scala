@@ -74,13 +74,19 @@ class CodecMatrixSpec extends SparkSpec {
     assert(hex(MsgPackCodec.encode(-1L)) == "ff")
     assert(hex(MsgPackCodec.encode(null)) == "c0")
     assert(hex(MsgPackCodec.encode(true)) == "c3")
-    // int widths: non-negative values take the smallest UNSIGNED
-    // family (the spec's recommendation; byte-identical to reference
-    // encoders), negatives the signed one
-    assert(hex(MsgPackCodec.encode(200L)) == "ccc8")
-    assert(hex(MsgPackCodec.encode(40000L)) == "cd9c40")
-    assert(hex(MsgPackCodec.encode(100000L)) == "ce000186a0")
-    assert(hex(MsgPackCodec.encode(1L << 40)) == "cf000001" + "0000000000")
+    // int widths: EVERY int takes the smallest SIGNED slot that fits —
+    // byte-identical to the reference's ugorji MsgpackHandle with
+    // Canonical=true and PositiveIntUnsigned left false
+    // (codec/msgpack/msgpack.go:21-22): 200 is int16 d100c8, never
+    // uint8 ccc8
+    assert(hex(MsgPackCodec.encode(200L)) == "d100c8")
+    assert(hex(MsgPackCodec.encode(40000L)) == "d200009c40")
+    assert(hex(MsgPackCodec.encode(100000L)) == "d2000186a0")
+    assert(hex(MsgPackCodec.encode(1L << 40)) == "d3000001" + "0000000000")
+    // the unsigned family is still ACCEPTED on decode (foreign frames)
+    assert(MsgPackCodec.decode(Array(0xcc, 0xc8).map(_.toByte)) == 200L)
+    assert(MsgPackCodec.decode(
+      Array(0xcd, 0x9c, 0x40).map(_.toByte)) == 40000L)
     assert(hex(MsgPackCodec.encode(-200L)) == "d1ff38")
     assert(hex(MsgPackCodec.encode(-100000L)) == "d2fffe7960")
     // the spec's canonical {"compact":true,"schema":0} example

@@ -1045,4 +1045,111 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(bstats.sizeInBytes < stats.sizeInBytes)
     assert(bstats.rowCount.exists(_ < BigInt(30)))
   }
+
+  test("INT96 rebase mode resolves from file provenance like Spark's reader") {
+    import graft.storage.DirectRead
+    def meta(kv: (String, String)*): java.util.Map[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      kv.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    // the marker forces LEGACY regardless of version
+    assert(DirectRead.int96RebaseMode(meta(
+      "org.apache.spark.legacyINT96" -> "",
+      "org.apache.spark.version" -> "4.1.2")) == "LEGACY")
+    // unmarked Spark >= 3.1 (this engine's own writer) is CORRECTED
+    assert(DirectRead.int96RebaseMode(meta(
+      "org.apache.spark.version" -> "4.1.2")) == "CORRECTED")
+    assert(DirectRead.int96RebaseMode(meta(
+      "org.apache.spark.version" -> "3.1.0")) == "CORRECTED")
+    // unmarked pre-3.1 Spark always wrote legacy INT96
+    assert(DirectRead.int96RebaseMode(meta(
+      "org.apache.spark.version" -> "3.0.1")) == "LEGACY")
+    // no Spark provenance at all: EXCEPTION (refuse ancient values)
+    assert(DirectRead.int96RebaseMode(meta()) == "EXCEPTION")
+    assert(DirectRead.int96RebaseMode(null) == "EXCEPTION")
+  }
+
+  test("LEGACY-marked INT96 file: ancient timestamps decode like Spark's own reader on both legs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // force the writer into LEGACY INT96 mode: the footer gets the
+    // org.apache.spark.legacyINT96 marker and pre-1582 values are
+    // written Julian-rebased — the one file shape where the resolved
+    // LEGACY decode does real work
+    val dir = tmpDir("int96legacy") + "/log"
+    spark.conf.set("spark.sql.parquet.int96RebaseModeInWrite", "LEGACY")
+    try {
+      val log = ParquetLog.open(spark, dir, TimestampType)
+      log.append(Seq("1500-03-01 00:00:00", "2024-06-01 12:34:56")
+        .toDF("s").select(to_timestamp(col("s")).as("value")))
+    } finally spark.conf.unset("spark.sql.parquet.int96RebaseModeInWrite")
+    // compare on Catalyst MICROS (proleptic): collecting ancient
+    // timestamps as java.sql.Timestamp hybrid-calendar-shifts the
+    // instant by construction (toJavaTimestamp's rebase), which is
+    // Spark-standard but would mask what the READER returned
+    val expected = Seq(
+      java.time.LocalDateTime.of(1500, 3, 1, 0, 0, 0),
+      java.time.LocalDateTime.of(2024, 6, 1, 12, 34, 56))
+      .map(_.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+    def got(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(0)).sorted.toSeq
+    // vectorized leg
+    val df = spark.read.format("graft-log").load(dir)
+      .select(unix_micros(col("value")).as("us"))
+    assert(got(df.collect()) == expected)
+    // row leg
+    spark.conf.set("spark.graft.columnar.enabled", "false")
+    try assert(got(spark.read.format("graft-log").load(dir)
+      .select(unix_micros(col("value")).as("us")).collect()) == expected)
+    finally spark.conf.unset("spark.graft.columnar.enabled")
+    // point-read leg (DirectRead): external Timestamp carries the same
+    // calendar FIELDS (the hybrid shift is display-invariant)
+    val log2 = ParquetLog.open(spark, dir, TimestampType)
+    assert(log2.get(0L).getTimestamp(1).toString == "1500-03-01 00:00:00.0")
+  }
+
+  test("foreign INT96 file with no Spark provenance: modern values decode, ancient refuse loudly") {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{MessageTypeParser}
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    val mt = MessageTypeParser.parseMessageType(
+      "message spark_schema { optional int96 t; }")
+    def int96(julianDay: Int, nanosOfDay: Long): org.apache.parquet.io.api.Binary = {
+      val buf = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putLong(nanosOfDay); buf.putInt(julianDay)
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(buf.array())
+    }
+    def writeForeign(path: String, julianDay: Int): Unit = {
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      GroupWriteSupport.setSchema(mt, conf)
+      val w = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(path))
+        .withConf(conf)
+        .build()
+      val g = new SimpleGroup(mt)
+      g.add("t", int96(julianDay, 0L))
+      w.write(g); w.close()
+    }
+    val schema = StructType(Seq(StructField("t", TimestampType)))
+    val base = tmpDir("int96foreign")
+    // 2440589 = Julian day of 1970-01-02: calendars agree, decodes
+    writeForeign(s"$base/modern.parquet", 2440589)
+    val it = graft.storage.SegmentRecords.iterator(
+      java.nio.file.Paths.get(s"$base/modern.parquet"), schema)
+    val rows = it.toList
+    assert(rows.map(_.getTimestamp(0).getTime) == Seq(86400000L))
+    // Julian day 2268993 is deep pre-1582: calendar attribution is
+    // ambiguous for an unattributed file — refused, never guessed
+    writeForeign(s"$base/ancient.parquet", 2268993)
+    val ex = intercept[Exception] {
+      graft.storage.SegmentRecords.iterator(
+        java.nio.file.Paths.get(s"$base/ancient.parquet"), schema).toList
+    }
+    assert(ex.getMessage.contains("provenance"),
+      s"expected a provenance refusal, got: ${ex.getMessage}")
+  }
 }

@@ -141,6 +141,56 @@ trait KVContract { self: SparkSpec =>
     assert(kv.get("40").contains("3")) // value 40 at seq 3
     assert(kv.current.count() == 4)
   }
+
+  test("an interrupted delivery waiter abandons its ticket — later deliveries never stall") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val kv = newKV()
+    // watcher on "a" whose post-snapshot deliveries block until gated —
+    // holding the ordered-delivery pipeline the way a slow callback does
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val parked = new CountDownLatch(1)
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val wa = kv.watch("a") { v =>
+      if (calls.incrementAndGet() == 2) { parked.countDown(); gate.await() }
+      v.foreach(seen.add(_)); ()
+    }
+    // "b" needs a watcher too so B's commit has a real delivery to wait on
+    val wb = kv.watch("b")(_ => ())
+    try {
+      val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val tA = new Thread(() =>
+        try kv.set("a", "1") catch { case t: Throwable => aErr.set(t) })
+      tA.start()
+      assert(parked.await(30, TimeUnit.SECONDS), "A's delivery never started")
+      // B commits behind A and waits its delivery turn; interrupting it
+      // used to orphan its ticket and stall every later delivery forever
+      val bInterrupted = new CountDownLatch(1)
+      val tB = new Thread(() =>
+        try kv.set("b", "2")
+        catch { case _: InterruptedException => bInterrupted.countDown() })
+      tB.start()
+      // interrupt only once B's COMMIT is durable and it is parked on
+      // the delivery monitor (not still inside the Spark write)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((!kv.get("b").contains("2") ||
+          tB.getState != Thread.State.WAITING) &&
+          System.nanoTime() < deadline) Thread.sleep(10)
+      assert(kv.get("b").contains("2"), "B's commit never landed")
+      tB.interrupt()
+      assert(bInterrupted.await(30, TimeUnit.SECONDS),
+        "interrupted waiter should propagate InterruptedException")
+      gate.countDown()
+      tA.join(30000)
+      assert(aErr.get() == null, s"A failed: ${aErr.get()}")
+      // the pipeline must still deliver PAST the abandoned ticket
+      kv.set("a", "3")
+      val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!seen.contains("3") && System.nanoTime() < d2) Thread.sleep(10)
+      assert(seen.contains("3"),
+        s"delivery stalled behind the abandoned ticket; saw $seen")
+    } finally { gate.countDown(); wa.cancel(); wb.cancel() }
+  }
 }
 
 /** The matrix legs. */

@@ -83,11 +83,21 @@ class TableStoreSpec extends SparkSpec {
       stream.planInputPartitions(lo, hi)
     }
     assert(e.getMessage.contains("folded"), e.getMessage)
-    // a FRESH stream's raced batch (lo = 0) is safe: nothing was
-    // delivered before, the planned span is served empty and the fold
-    // segment arrives as the next batch — no refusal
-    assert(stream.planInputPartitions(
-      stream.deserializeOffset("0"), hi).isEmpty)
+    // a RESTORED lo = 0 is a crash-REPLAY of batch 0 (offset written,
+    // commit log not), NOT a fresh start: the fold landed between the
+    // original delivery and the replay, so serving it would hand the
+    // at-least-once consumer a batch 0 with different rows — refused
+    val e2 = intercept[IllegalStateException] {
+      stream.planInputPartitions(stream.deserializeOffset("0"), hi)
+    }
+    assert(e2.getMessage.contains("folded"), e2.getMessage)
+    // a genuinely FRESH stream (initialOffset, never restored from a
+    // checkpoint) is safe: nothing was delivered before, the planned
+    // span is served empty and the fold segment arrives as the next
+    // batch — no refusal
+    val fresh = new graft.sources.GraftTableMicroBatchStream(dir,
+      spark.read.format("graft-table").load(dir).schema, None, None, None)
+    assert(fresh.planInputPartitions(fresh.initialOffset(), hi).isEmpty)
   }
 
   test("table reads are columnar: ColumnarToRow for the _ver path, row-path A/B identical") {
