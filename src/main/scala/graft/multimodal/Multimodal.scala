@@ -53,12 +53,16 @@ object Multimodal {
       bb.array()
     }
 
-    /** Decode header + payload; None for corrupt/foreign blobs. */
+    /** Decode header + payload; None for corrupt/foreign blobs —
+      * including a valid-magic header with NEGATIVE dimensions, which
+      * no real codec would accept and which downstream arithmetic
+      * (ratios, frame strides, grid cells) must never see. */
     def decode(blob: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
       if (blob == null || blob.length < 16) return None
       val bb = java.nio.ByteBuffer.wrap(blob)
       if (bb.getInt() != Magic) return None
       val (w, h, f) = (bb.getInt(), bb.getInt(), bb.getInt())
+      if (w < 0 || h < 0 || f < 0) return None
       val payload = java.util.Arrays.copyOfRange(blob, 16, blob.length)
       Some((w, h, f, payload))
     }
@@ -136,8 +140,15 @@ object Multimodal {
       .flatMap { case (id, blob) =>
         FakeCodec.decode(blob) match {
           case Some((w, h, frames, payload)) if frames > 0 =>
-            val perFrame = math.max(1, payload.length / math.max(frames, 1))
-            (0 until frames by math.max(everyN, 1)).map { fi =>
+            // emitted frames are bounded by the DATA, not the header:
+            // a (corrupt or hostile) header claiming 2^31 frames over
+            // a 1 KB payload would otherwise explode this one row into
+            // billions of empty generated rows — the poison-row shape
+            // that must degrade, never dominate, a 100 TB stage
+            val realFrames =
+              math.min(frames.toLong, math.max(payload.length, 1).toLong).toInt
+            val perFrame = math.max(1, payload.length / realFrames)
+            (0 until realFrames by math.max(everyN, 1)).map { fi =>
               val start = fi * perFrame
               val end = math.min(payload.length, start + perFrame)
               val frame =

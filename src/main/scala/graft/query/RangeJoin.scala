@@ -63,11 +63,23 @@ object RangeJoin {
     val span = try_subtract(hiB, loB)
     val iv = intervals.withColumn(
       "_b",
-      explode(when(
-        col(loCol).isNotNull && col(hiCol).isNotNull &&
-          (span.isNull || span >= MaxBucketsPerInterval),
-        spanGuard.cast("array<long>")
-      ).otherwise(sequence(loB, hiB)))
+      explode(
+        // INVERTED intervals (hi < lo) first: `point ∈ [lo, hi]` is
+        // EMPTY, so they contribute no pairs — and they must never
+        // reach sequence(), which generates DESCENDING for
+        // start > stop: an interval inverted by a data bug (end
+        // before start) would otherwise explode into up to
+        // |span| buckets, sailing past the `span >= max` guard on a
+        // negative span — the exact blow-up the guard exists to stop
+        when(
+          col(loCol).isNotNull && col(hiCol).isNotNull &&
+            col(hiCol) < col(loCol),
+          lit(null).cast("array<long>") // explode drops the row
+        ).when(
+          col(loCol).isNotNull && col(hiCol).isNotNull &&
+            (span.isNull || span >= MaxBucketsPerInterval),
+          spanGuard.cast("array<long>")
+        ).otherwise(sequence(loB, hiB)))
     )
     p.join(iv, Seq("_b"))
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))

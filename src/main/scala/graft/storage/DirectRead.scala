@@ -284,7 +284,7 @@ private[graft] object DirectRead {
   private[storage] def convertRow(
       g: Group,
       schema: StructType,
-      int96Mode: String = "LEGACY"): Row = {
+      int96Mode: String): Row = {
     val vals = schema.fields.map { f =>
       val idx = g.getType.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(idx) == 0) null
@@ -300,7 +300,7 @@ private[graft] object DirectRead {
   private[storage] def convertInternalRow(
       g: Group,
       schema: StructType,
-      int96Mode: String = "LEGACY"
+      int96Mode: String
   ): org.apache.spark.sql.catalyst.InternalRow = {
     val vals = new Array[Any](schema.fields.length)
     var i = 0

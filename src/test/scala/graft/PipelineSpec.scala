@@ -755,6 +755,19 @@ class PipelineSpec extends SparkSpec {
     val corrupt = Seq((99L, Array[Byte](1, 2, 3))).toDF("id", "media")
     val cf = Multimodal.extractFeatures(corrupt).collect()
     assert(cf.head.format == "corrupt")
+    // hostile headers: negative dims decode as corrupt; an absurd
+    // frame count over a tiny payload emits DATA-bounded rows, never
+    // header-bounded ones (a 2^31-frame claim must not explode one
+    // row into billions of generated frames)
+    val negDims = Seq(
+      (100L, Multimodal.FakeCodec.encode(-4, 4, 1, Array[Byte](1, 2))))
+      .toDF("id", "media")
+    assert(Multimodal.extractFeatures(negDims).collect().head.format == "corrupt")
+    val frameBomb = Seq(
+      (101L, Multimodal.FakeCodec.encode(4, 4, Int.MaxValue,
+        Array.fill(8)(7.toByte)))).toDF("id", "media")
+    val bombRows = Multimodal.sampleFrames(frameBomb, 1).count()
+    assert(bombRows <= 8, s"frame bomb emitted $bombRows rows")
   }
 
   test("dedup guards refuse silent-corruption inputs loudly") {

@@ -75,5 +75,18 @@ class RangeJoinSpec extends SparkSpec {
       .toDF("iid", "lo", "hi")
     assert(RangeJoin.pointInInterval(points, "pt", nulls, "lo", "hi", 10L)
       .count() == 0L)
+    // INVERTED intervals (hi < lo — a data bug) are EMPTY, not a
+    // descending-sequence explosion: sequence(start, stop) generates
+    // DESCENDING when start > stop, so without the inversion drop this
+    // (1e12, 0) interval would ask for ~1e11 bucket elements — the
+    // negative span sails past the `span >= max` guard
+    val inverted = Seq((5L, 1000000000000L, 0L), (6L, 90L, 190L))
+      .toDF("iid", "lo", "hi")
+    val inv = RangeJoin
+      .pointInInterval(points, "pt", inverted, "lo", "hi", 10L)
+      .collect()
+    assert(inv.length == 1 && inv.head.getAs[Long]("iid") == 6L,
+      s"inverted interval must drop, valid sibling must match: " +
+        inv.mkString(", "))
   }
 }
