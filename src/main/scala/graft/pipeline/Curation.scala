@@ -211,8 +211,9 @@ object Curation {
     val vocabSize = df
       .select(col(strataCol),
         explode(TextFunctions.tokens(col(textCol))).as("_tok"))
-      // tokens("") is [""]: a blank doc must not add an empty-string
-      // "word" to its stratum's vocabulary
+      // tokens() yields [] for blank docs (nothing explodes), so this
+      // filter is pure defense now — kept so the vocabulary can never
+      // count an empty-string "word" if the tokenizer contract shifts
       .where(length(col("_tok")) > 0)
       .groupBy(col(strataCol))
       .agg(countDistinct(col("_tok")).as("distinct_tokens"))
