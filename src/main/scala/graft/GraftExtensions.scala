@@ -71,6 +71,24 @@ object GraftExtensions {
           throw new IllegalArgumentException(
             s"word_shingles width must be a non-null literal, got $other")
       }
+    }),
+    "minhash_signature" -> ((exprs: Seq[Expression]) => {
+      arity("minhash_signature", exprs, 4)
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other =>
+          throw new IllegalArgumentException(
+            s"minhash_signature $what must be a non-null literal, got $other")
+      }
+      val portable = exprs(3) match {
+        case Literal(v, _) if v != null => v.toString.toBoolean
+        case other =>
+          throw new IllegalArgumentException(
+            s"minhash_signature portable must be a non-null literal, got $other")
+      }
+      graft.functions.MinHashSignature(
+        exprs.head, intLit(exprs(1), "width"), intLit(exprs(2), "numHashes"),
+        portable)
     })
   )
 

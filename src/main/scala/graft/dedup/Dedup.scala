@@ -175,6 +175,36 @@ object Dedup {
       shingleWidth: Int = 3,
       portableHash: Boolean = true
   ): DataFrame = {
+    // NARROW native path (round 14): the whole signature is one
+    // per-row expression — no explode, no doc-keyed shuffle (the
+    // composed twin below documents the algebra and pins equivalence
+    // in ShingleExprSpec). Null-text rows are dropped, exactly as the
+    // composed form's explode dropped them.
+    require(numHashes > 0, s"numHashes must be > 0 (got $numHashes)")
+    require(shingleWidth > 0,
+      s"shingle width must be > 0 (got $shingleWidth)")
+    graft.functions.MinHashExpr.register(df.sparkSession)
+    df.where(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        call_function("minhash_signature", col(textCol),
+          lit(shingleWidth), lit(numHashes), lit(portableHash))
+          .as("signature"))
+  }
+
+  /** The composed (explode + K min-aggs) signature pipeline the native
+    * expression replaces — kept as the EXECUTABLE SPECIFICATION of the
+    * signature algebra: ShingleExprSpec asserts the two produce
+    * identical arrays over the edge-case matrix, so the narrow path
+    * can never drift from the oracle-checkable form. */
+  private[graft] def minhashSignaturesComposed(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      shingleWidth: Int = 3,
+      portableHash: Boolean = true
+  ): DataFrame = {
     val sh = df.select(
       col(idCol),
       explode(shinglesNative(df, col(textCol), shingleWidth)).as("s")

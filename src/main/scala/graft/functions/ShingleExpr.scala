@@ -34,27 +34,47 @@ case class WordShingles(child: Expression, width: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
-    // strip ALL leading/trailing whitespace, matching
-    // TextFunctions.tokens' regexp edge-trim (a bare trim() strips
-    // only 0x20 and leaves phantom "" tokens on newline-ended text)
-    def isWsEdge(c: Char): Boolean =
+    // first-occurrence-ordered DEDUP on top of the shared walker (the
+    // walker itself emits positional shingles, duplicates included)
+    val out = mutable.LinkedHashSet.empty[String]
+    ShingleExpr.foreachShingle(input.asInstanceOf[UTF8String], width)(out += _)
+    new GenericArrayData(out.toArray.map(UTF8String.fromString): Array[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleExpr {
+
+  /** The ONE shingle walk shared by every native text expression
+    * ([[WordShingles]], [[graft.functions.MinHashSignature]]):
+    * lowercase, strip ALL edge whitespace (matching
+    * `TextFunctions.tokens` semantics — a bare trim() strips only 0x20
+    * and leaves phantom "" tokens on newline-ended text), tokenize on
+    * `\\s+` runs exactly like `split(text, "\\s+", -1)`, and invoke
+    * `f` once per POSITIONAL width-shingle (duplicates included —
+    * dedup where set semantics matter, e.g. [[WordShingles]];
+    * min-folds don't need it). Degenerate docs (< width tokens,
+    * including empty/all-whitespace text) yield ONE shingle: all
+    * tokens joined ("" for blank docs) — so every doc is comparable. */
+  private[functions] def foreachShingle(
+      input: UTF8String,
+      width: Int
+  )(f: String => Unit): Unit = {
+    val lowered = input.toLowerCase.toString
+    def isWs(c: Char): Boolean = // Java regex \\s: [ \\t\\n\\x0B\\f\\r]
       c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
         c == '\f' || c == '\r'
     var s = 0
     var e = lowered.length
-    while (s < e && isWsEdge(lowered.charAt(s))) s += 1
-    while (e > s && isWsEdge(lowered.charAt(e - 1))) e -= 1
+    while (s < e && isWs(lowered.charAt(s))) s += 1
+    while (e > s && isWs(lowered.charAt(e - 1))) e -= 1
     val text = lowered.substring(s, e)
-    // tokenizer matching split(text, "\\s+", -1): split on \s+ runs
-    // ([ \t\n\f\r] — Java regex \s), keeping leading/trailing
-    // empty fields the way String.split with limit -1 does
     val toks = mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = text.length
     var tokenStart = 0
-    def isWs(c: Char): Boolean = // Java regex \\s: [ \\t\\n\\x0B\\f\\r]
-      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     while (i < n) {
       if (isWs(text.charAt(i))) {
         toks += text.substring(tokenStart, i)
@@ -63,7 +83,6 @@ case class WordShingles(child: Expression, width: Int)
       } else i += 1
     }
     toks += text.substring(tokenStart, n)
-    val out = mutable.LinkedHashSet.empty[String]
     if (toks.length >= width) {
       var p = 0
       val last = toks.length - width
@@ -76,20 +95,14 @@ case class WordShingles(child: Expression, width: Int)
           sb.append(toks(p + k))
           k += 1
         }
-        out += sb.toString
+        f(sb.toString)
         p += 1
       }
     } else {
-      out += toks.mkString(" ")
+      f(toks.mkString(" "))
     }
-    new GenericArrayData(out.toArray.map(UTF8String.fromString): Array[Any])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object ShingleExpr {
   /** Register `word_shingles(text, width)` — a no-op when the session
     * already has it (operators call this per-invocation; re-registering
     * would log a "replaced a previously registered function" warning

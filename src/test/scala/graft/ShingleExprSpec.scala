@@ -48,4 +48,41 @@ class ShingleExprSpec extends SparkSpec {
       )
     }
   }
+
+  test("native minhash signature equals the composed explode+agg form") {
+    // the narrow expression must be BIT-identical to the composed
+    // pipeline (the oracle-checkable executable spec) on the corpus
+    // and on the whitespace/degenerate edge matrix, for BOTH hash
+    // configs (md5-portable and xxhash64-production)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    val edge = Seq(
+      1L -> "", 2L -> " ", 3L -> "a", 4L -> "a b", 5L -> "a b c",
+      6L -> "a b c d e f", 7L -> " a\tb\nc ", 8L -> "A B C a b c",
+      9L -> "x\u000By z\fw\rq", 10L -> "dup dup dup dup dup"
+    ).toDF("id", "text")
+    for {
+      corpus <- Seq(docs.limit(200), edge)
+      portable <- Seq(true, false)
+    } {
+      val a = Dedup
+        .minhashSignatures(corpus, "text", "id", 16, 3, portable)
+        .select(col("id"), col("signature").as("sig_native"))
+      val b = Dedup
+        .minhashSignaturesComposed(corpus, "text", "id", 16, 3, portable)
+        .select(col("id"), col("signature").as("sig_composed"))
+      val joined = a.join(b, Seq("id"), "full_outer")
+      val diff = joined
+        .where(col("sig_native").isNull || col("sig_composed").isNull ||
+          not(col("sig_native") === col("sig_composed")))
+        .count()
+      assert(diff == 0, s"portable=$portable: $diff signatures diverge")
+    }
+    // null text: the composed form's explode dropped the row; the
+    // native path must preserve that row-set contract
+    val withNull = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    assert(Dedup.minhashSignatures(withNull, "text", "id", 8, 3, true)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
