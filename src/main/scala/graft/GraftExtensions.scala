@@ -89,6 +89,16 @@ object GraftExtensions {
       graft.functions.MinHashSignature(
         exprs.head, intLit(exprs(1), "width"), intLit(exprs(2), "numHashes"),
         portable)
+    }),
+    "simhash_fingerprint" -> ((exprs: Seq[Expression]) => {
+      arity("simhash_fingerprint", exprs, 2)
+      exprs(1) match {
+        case Literal(v, _) if v != null =>
+          graft.functions.SimHashFingerprint(exprs.head, v.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"simhash_fingerprint bits must be a non-null literal, got $other")
+      }
     })
   )
 

@@ -1345,6 +1345,34 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String
+  ): DataFrame = simhashNative(df, textCol, idCol, 32)
+
+  /** Shared native front for [[simhash32]]/[[simhash64]]: ONE narrow
+    * expression per row ([[graft.functions.SimHashFingerprint]] —
+    * round 14), exploded so blank docs drop from the output exactly
+    * like the composed token-explode did (and so the expression
+    * evaluates once per row — a filter over the projected alias would
+    * be pushed below the Project and evaluate it twice). The composed
+    * twins below stay as the executable specification;
+    * ShingleExprSpec pins bit-identical fingerprints. */
+  private def simhashNative(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      bits: Int
+  ): DataFrame = {
+    graft.functions.SimHashExpr.register(df.sparkSession)
+    df.where(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("id"),
+        explode(call_function("simhash_fingerprint", col(textCol),
+          lit(bits))).as("simhash"))
+  }
+
+  private[graft] def simhash32Composed(
+      df: DataFrame,
+      textCol: String,
+      idCol: String
   ): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
@@ -1391,6 +1419,12 @@ object Dedup {
     * as [[simhash32]]: one narrow aggregation per doc, 64
     * conditional-sum columns, no bit-explode. */
   def simhash64(
+      df: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = simhashNative(df, textCol, idCol, 64)
+
+  private[graft] def simhash64Composed(
       df: DataFrame,
       textCol: String,
       idCol: String

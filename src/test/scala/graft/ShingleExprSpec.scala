@@ -85,4 +85,39 @@ class ShingleExprSpec extends SparkSpec {
     assert(Dedup.minhashSignatures(withNull, "text", "id", 8, 3, true)
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("native simhash equals the composed explode+vote-agg form") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    // duplicate tokens matter (SimHash is frequency-weighted) — the
+    // matrix includes docs where dedup'd votes would flip bits
+    val edge = Seq(
+      1L -> "a", 2L -> "a a a b", 3L -> "A a\tB b\nc",
+      4L -> " xy z\fw\rq ", 5L -> "one two three four five",
+      6L -> "dup dup unique"
+    ).toDF("id", "text")
+    for (corpus <- Seq(docs.limit(200), edge)) {
+      val cases = Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+        Dedup.simhash32(corpus, "text", "id") ->
+          Dedup.simhash32Composed(corpus, "text", "id"),
+        Dedup.simhash64(corpus, "text", "id") ->
+          Dedup.simhash64Composed(corpus, "text", "id"))
+      cases.foreach { case (native, composed) =>
+        val diff = native.select(col("id"), col("simhash").as("a"))
+          .join(composed.select(col("id"), col("simhash").as("b")),
+            Seq("id"), "full_outer")
+          .where(col("a").isNull || col("b").isNull ||
+            col("a") =!= col("b"))
+          .count()
+        assert(diff == 0, s"$diff fingerprints diverge")
+      }
+    }
+    // blank and null docs drop from the output, matching the composed
+    // token-explode row-set
+    val degenerate = Seq(
+      (1L, "a b"), (2L, ""), (3L, "  \n "),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    assert(Dedup.simhash64(degenerate, "text", "id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
