@@ -120,4 +120,23 @@ class ShingleExprSpec extends SparkSpec {
     assert(Dedup.simhash64(degenerate, "text", "id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("native signature plans are NARROW: zero exchanges, zero aggregates") {
+    // the point of the native expressions: fingerprints and signatures
+    // stream at scan speed — the composed forms' doc-keyed shuffle and
+    // wide aggregation must be gone from the physical plan, so the
+    // first exchange of any dedup pipeline is its band-bucket join
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (df <- Seq(
+        Dedup.simhash32(docs, "text", "doc_id"),
+        Dedup.simhash64(docs, "text", "doc_id"),
+        Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3,
+          portableHash = true),
+        Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3,
+          portableHash = false))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(!plan.contains("Aggregate"), s"unexpected aggregate:\n$plan")
+    }
+  }
 }
