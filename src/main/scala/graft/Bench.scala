@@ -383,11 +383,14 @@ object Bench {
 
     // line-granular cross-doc dedup over an 8-token reflow of the
     // corpus (the synthetic text is newline-free); aggregate the
-    // rewrite's output so the joins can't be optimized away
+    // rewrite's output so the joins can't be optimized away.
+    // Production hash config (xxhash64 line keys — the md5 variant
+    // exists so the q85/q86 oracles can recompute keys bit-for-bit;
+    // output is hash-choice-invariant, spec-pinned)
     timed("line_dedup") {
       val lined = docs.select(col("doc_id"),
         TextFunctions.reflowLines(col("text"), 8).as("text"))
-      Dedup.dedupLines(lined, "text", "doc_id")
+      Dedup.dedupLines(lined, "text", "doc_id", portableHash = false)
         .agg(sum("n_removed")).collect()
     }
 

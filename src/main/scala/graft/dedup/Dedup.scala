@@ -1271,9 +1271,13 @@ object Dedup {
     * (margaret has no sub-document tier); this extends it for
     * training-data curation.
     *
-    * Plan shape at 100 TB: lines are keyed by md5 (16 bytes on the
-    * wire, never the line text); the frequency count is one map-side-
-    * combined shuffle over per-doc-DISTINCT keys; the duplicated-line
+    * Plan shape at 100 TB: lines are keyed by HASH (never the line
+    * text on the wire) — md5 when `portableHash` (the default the
+    * q85/q86 DuckDB oracles recompute bit-for-bit) or xxhash64 (the
+    * production config: codegen'd, no crypto hash per line; the
+    * OUTPUT is hash-choice-invariant, spec-pinned); the frequency
+    * count is one map-side-combined shuffle over per-doc-DISTINCT
+    * keys; the duplicated-line
     * dictionary (df >= minDocs survivors) is a tiny fraction of the
     * line space, so the back-join streams against a SHRUNK right side
     * (AQE picks broadcast when it fits); the rebuild aggregates per
@@ -1289,14 +1293,18 @@ object Dedup {
       textCol: String,
       idCol: String,
       minDocs: Long = 2,
-      maxBroadcastKeys: Long = 1000000L
+      maxBroadcastKeys: Long = 1000000L,
+      portableHash: Boolean = true
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val lineKey: Column =
+      if (portableHash) md5(trim(col("col")))
+      else xxhash64(trim(col("col")))
     val lines = df
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")))
       .select(col("id"), col("pos").as("p"), col("col").as("_line"),
-        md5(trim(col("col"))).as("_k"),
+        lineKey.as("_k"),
         (length(trim(col("col"))) > 0).as("_nonblank"))
     // per-doc-distinct keys first, so the count IS document frequency
     val dupKeys = lines

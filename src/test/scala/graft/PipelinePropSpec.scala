@@ -47,12 +47,18 @@ class PipelinePropSpec extends SparkSpec {
           l.trim.isEmpty || lineDf.getOrElse(l.trim, 0) < minDocs)
         id -> ((kept.mkString("\n"), ls.size.toLong, (ls.size - kept.size).toLong))
       }
-      val got = Dedup
-        .dedupLines(df, "text", "doc_id", minDocs = minDocs.toLong)
-        .collect()
-        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
-        .toMap
-      assert(got == expect, s"minDocs=$minDocs docs=$docLines")
+      // BOTH hash configs must equal the model: the line-key hash is
+      // an internal identity, never a semantics knob
+      for (portable <- Seq(true, false)) {
+        val got = Dedup
+          .dedupLines(df, "text", "doc_id", minDocs = minDocs.toLong,
+            portableHash = portable)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        assert(got == expect,
+          s"portable=$portable minDocs=$minDocs docs=$docLines")
+      }
     }
   }
 
