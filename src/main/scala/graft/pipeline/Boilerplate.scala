@@ -46,7 +46,16 @@ object Boilerplate {
 
   /** Per-document boilerplate ratio: of the doc's distinct
     * width-grams, the fraction appearing in >= minDocs docs corpus-
-    * wide. Returns (id, n_grams, n_boiler, boiler_ratio). */
+    * wide. Returns (id, n_grams, n_boiler, boiler_ratio).
+    *
+    * Internal gram identity is `xxhash64(gram)` — 8 bytes on the wire
+    * where the gram text averages ~25, so both shuffles and the
+    * semi-join right side shrink ~3× (the output carries no keys, so
+    * it is hash-invariant; a 64-bit collision — ~n²/2^65, a handful
+    * of merged doc-frequencies even at 10^10 distinct grams — can at
+    * worst nudge one gram over `minDocs`, noise for a ratio gate and
+    * unobservable at oracle scale). [[boilerplateGrams]] keeps the
+    * string-keyed form: its OUTPUT is the dictionary itself. */
   def boilerplateRatio(
       df: DataFrame,
       textCol: String,
@@ -54,13 +63,19 @@ object Boilerplate {
       width: Int = 3,
       minDocs: Long = 2L
   ): DataFrame = {
+    require(width > 0, s"boilerplate width must be > 0 (got $width)")
+    require(minDocs > 1, s"boilerplate minDocs must be > 1 (got $minDocs)")
     val grams = df
       .select(col(idCol), explode(
         Dedup.shinglesNative(df, col(textCol), width)).as("gram"))
-    val boiler = boilerplateGrams(df, textCol, idCol, width, minDocs)
-      .select(col("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("_gk"))
+    val boiler = grams
+      .groupBy(col("_gk"))
+      .agg(count(lit(1)).as("df")) // shingles distinct per doc → df
+      .where(col("df") >= minDocs)
+      .select(col("_gk"))
     val perDoc = grams
-      .join(boiler, Seq("gram"), "left_semi")
+      .join(boiler, Seq("_gk"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_boiler"))
     df.select(col(idCol),

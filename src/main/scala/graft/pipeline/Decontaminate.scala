@@ -38,9 +38,16 @@ object Decontaminate {
   ): DataFrame = {
     require(width > 0, s"decontaminate width must be > 0 (got $width)")
     require(minOverlap > 0, s"decontaminate minOverlap must be > 0 (got $minOverlap)")
+    // gram identity = xxhash64(gram): the broadcast hash relation and
+    // the corpus-side probe carry 8-byte keys instead of gram text
+    // (~3× smaller); the output carries no keys, so it is
+    // hash-invariant up to 64-bit collisions (~n²/2^65 — could at
+    // worst count one phantom overlap gram, unobservable at oracle
+    // scale and noise against a gram-count threshold)
     val evalGrams0 = evalSet
       .select(explode(
         Dedup.shinglesNative(evalSet, col(textCol), width)).as("_gram"))
+      .select(xxhash64(col("_gram")).as("_gk"))
       .distinct()
     val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
     corpus
@@ -48,7 +55,8 @@ object Decontaminate {
       // the number of distinct shared grams
       .select(col(idCol), explode(
         Dedup.shinglesNative(corpus, col(textCol), width)).as("_gram"))
-      .join(evalGrams, "_gram")
+      .select(col(idCol), xxhash64(col("_gram")).as("_gk"))
+      .join(evalGrams, "_gk")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
