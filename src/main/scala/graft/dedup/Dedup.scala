@@ -958,7 +958,11 @@ object Dedup {
       .select(col("id"), col("_toks"),
         explode(sequence(lit(0), col("_n") - width)).as("start"))
       .select(col("id"), col("start"),
-        md5(concat_ws(" ",
+        // span identity = xxhash64 (8-byte key through the count
+        // shuffle and hit join, vs a 32-char md5 hex string; "g" never
+        // surfaces in output, so results are hash-invariant up to
+        // negligible 64-bit collisions)
+        xxhash64(concat_ws(" ",
           slice(col("_toks"), col("start") + 1, lit(width)))).as("g"))
     val repeated = grams
       .groupBy("g").agg(count(lit(1)).as("_c"))
@@ -1050,7 +1054,8 @@ object Dedup {
         .select(col("id"), col("_toks"),
           explode(sequence(lit(0), col("_n") - width)).as("start"))
         .select(col("id"), col("start"),
-          md5(concat_ws(" ",
+          // same 8-byte internal span identity as stripRepeatedSpans
+          xxhash64(concat_ws(" ",
             slice(col("_toks"), col("start") + 1, lit(width)))).as("g"))
       val repeated = grams
         .groupBy("g").agg(count(lit(1)).as("_c"))
