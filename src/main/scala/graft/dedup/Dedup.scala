@@ -160,13 +160,15 @@ object Dedup {
     * K cryptographic hashes; the md5 variant is bit-for-bit
     * recomputable by the DuckDB oracle.
     *
-    * Shape: explode shingles once, then ONE aggregation computing all
-    * K minima. The naive alternative — K `array_min(transform(...))`
-    * expressions over the shingle array — re-inlines the whole
-    * tokenize/slice/distinct pipeline K times after Catalyst collapses
-    * projections (measured 16× slower); the grouped form tokenizes
-    * once and the min-agg combines map-side, so the shuffle carries
-    * only K×8 bytes per doc at any scale. */
+    * Shape (round 14): ONE narrow native expression per row
+    * ([[graft.functions.MinHashSignature]]) — no shingle explode, no
+    * doc-keyed shuffle; signatures stream at scan speed and the first
+    * exchange of an LSH pipeline is its band-bucket join. Emits one
+    * row per INPUT row (ids are document ids — a frame with duplicate
+    * ids gets duplicate signature rows, where the old grouped form
+    * silently merged them into one cross-text min; dedup ids upstream
+    * if they can repeat). Null-text rows are dropped, exactly as the
+    * composed form's explode dropped them. */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
@@ -1351,9 +1353,13 @@ object Dedup {
   }
 
   /** 32-bit SimHash from whitespace tokens: bit i of the fingerprint
-    * is the majority vote of bit i across all token md5 hashes.
-    * Pure columnar arithmetic (explode bits → conditional sum) — one
-    * narrow aggregation per doc, exactly recomputable in the oracle. */
+    * is the majority vote of bit i across all token md5 hashes
+    * (duplicate tokens vote once per occurrence — frequency-weighted).
+    * ONE narrow native expression per row (round 14 — no explode, no
+    * doc-keyed shuffle); exactly recomputable in the oracle, which
+    * recomputes the composed twin's arithmetic. One row per input row
+    * with a token; blank/null docs drop (same note on duplicate ids
+    * as [[minhashSignatures]]). */
   def simhash32(
       df: DataFrame,
       textCol: String,
