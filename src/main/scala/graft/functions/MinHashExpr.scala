@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -35,14 +35,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null text evaluates to null (callers drop null-text rows — the
   * composed form's explode made them vanish, and
-  * `minhashSignatures` preserves that contract with a filter). */
+  * `minhashSignatures` preserves that contract with a filter).
+  *
+  * Codegen: the generated code calls [[compute]] on the expression
+  * instance (shipped once via `addReferenceObj`) — the per-row work
+  * is the same compiled JVM method either way (it is md5-bound, not
+  * dispatch-bound), but a real `doGenCode` keeps the ENCLOSING stage
+  * inside WholeStageCodegen, where a CodegenFallback would demote the
+  * whole scan→project pipeline to interpreted row processing. */
 case class MinHashSignature(
     child: Expression,
     width: Int,
     numHashes: Int,
     portable: Boolean
-) extends UnaryExpression
-    with CodegenFallback {
+) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -57,11 +63,15 @@ case class MinHashSignature(
     (as, bs)
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path. */
+  def compute(input: UTF8String): ArrayData = {
     val (as, bs) = params
     val p = graft.dedup.Dedup.HashP
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    ShingleExpr.foreachShingle(input.asInstanceOf[UTF8String], width) { sh =>
+    ShingleExpr.foreachShingle(input, width) { sh =>
       val x = baseHash(sh)
       var k = 0
       while (k < numHashes) {
@@ -72,6 +82,13 @@ case class MinHashSignature(
     }
     new GenericArrayData(mins.map(java.lang.Long.valueOf): Array[Any])
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhashExpr", this,
+        classOf[MinHashSignature].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   private def baseHash(s: String): Long =
     if (portable) {

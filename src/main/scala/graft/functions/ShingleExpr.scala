@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,24 +22,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * regex-free tokenizer pass, shingles emitted from token offsets,
   * first-occurrence-ordered dedup.
   *
-  * Evaluation is interpreted (CodegenFallback): the work is
-  * string-building, which codegen cannot improve — avoiding the
-  * 16× expression re-inlining and the per-position allocations is
-  * where the win is.
+  * The per-row work is string-building, which generated code cannot
+  * improve — but a real `doGenCode` (calling [[compute]] via a
+  * reference object) keeps the ENCLOSING stage in WholeStageCodegen,
+  * where a CodegenFallback would demote the whole scan→project
+  * pipeline to interpreted row processing.
   */
 case class WordShingles(child: Expression, width: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path. */
+  def compute(input: UTF8String): ArrayData = {
     // first-occurrence-ordered DEDUP on top of the shared walker (the
     // walker itself emits positional shingles, duplicates included)
     val out = mutable.LinkedHashSet.empty[String]
-    ShingleExpr.foreachShingle(input.asInstanceOf[UTF8String], width)(out += _)
+    ShingleExpr.foreachShingle(input, width)(out += _)
     new GenericArrayData(out.toArray.map(UTF8String.fromString): Array[Any])
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shingleExpr", this,
+        classOf[WordShingles].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

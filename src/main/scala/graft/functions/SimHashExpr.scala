@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,22 +36,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * vote sum is positive. Bit 63 of a 64-bit fingerprint is the long
   * sign bit — a bit pattern, not a magnitude. */
 case class SimHashFingerprint(child: Expression, bits: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(bits == 32 || bits == 64,
     s"simhash_fingerprint bits must be 32 or 64 (got $bits)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path (see MinHashSignature's
+    * codegen note: a real doGenCode keeps the enclosing stage in
+    * WholeStageCodegen; the per-row work is this same method). */
+  def compute(input: UTF8String): ArrayData = {
     val votes = new Array[Int](bits)
     var any = false
     val digest = SimHashFingerprint.md5.get()
     // width-1 shingles ARE the tokens (positional, duplicates kept);
     // the degenerate blank-doc walk emits one "" — skipped, matching
     // TextFunctions.tokens' empty-array contract
-    ShingleExpr.foreachShingle(input.asInstanceOf[UTF8String], 1) { tok =>
+    ShingleExpr.foreachShingle(input, 1) { tok =>
       if (tok.nonEmpty) {
         any = true
         val d = digest.digest(
@@ -93,6 +98,13 @@ case class SimHashFingerprint(child: Expression, bits: Int)
       new GenericArrayData(Array[Any](java.lang.Long.valueOf(fp)))
     }
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simhashExpr", this,
+        classOf[SimHashFingerprint].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

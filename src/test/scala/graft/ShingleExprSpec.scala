@@ -139,4 +139,29 @@ class ShingleExprSpec extends SparkSpec {
       assert(!plan.contains("Aggregate"), s"unexpected aggregate:\n$plan")
     }
   }
+
+  test("native signature stages stay inside WholeStageCodegen") {
+    // the expressions codegen via a reference-object call (their work
+    // is md5/string-bound either way), so the scan→project stage must
+    // remain FUSED: a CodegenFallback would demote the whole stage to
+    // interpreted row processing — at 100 TB that costs the scan, the
+    // null filter and every co-resident expression their codegen, not
+    // just the signature itself
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (df <- Seq(
+        Dedup.simhash64(docs, "text", "doc_id"),
+        Dedup.minhashSignatures(docs, "text", "doc_id", 16, 3,
+          portableHash = true))) {
+      import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+      val plan = df.queryExecution.executedPlan
+      val fusedProjects = plan.collect {
+        case w: WholeStageCodegenExec =>
+          w.collect { case p: ProjectExec => p }.size
+      }.sum
+      val allProjects = plan.collect { case p: ProjectExec => p }.size
+      assert(allProjects > 0, s"no Project in plan:\n$plan")
+      assert(fusedProjects == allProjects,
+        s"signature Project fell out of WholeStageCodegen:\n$plan")
+    }
+  }
 }
