@@ -321,7 +321,8 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    verifyJaccard(df, textCol, idCol, candidates, shingleWidth, threshold)
+    verifyJaccard(df, textCol, idCol, candidates, shingleWidth, threshold,
+      portableHash = portableHash)
   }
 
   /** INCREMENTAL near-dup pairing: dedup a NEW ingest batch against a
@@ -389,7 +390,8 @@ object Dedup {
     incrementalFromBands(newBands,
       newDocs.select(col(idCol), col(textCol)), textCol, idCol,
       corpusBands, corpusTexts, shingleWidth, threshold, maxBucket,
-      maxPushedFetchIds, maxBroadcastProbeKeys, maxInLiteralIds)
+      maxPushedFetchIds, maxBroadcastProbeKeys, maxInLiteralIds,
+      portableHash)
   }
 
   /** The probe/verify core of [[incrementalLshPairsDiag]], over an
@@ -410,7 +412,8 @@ object Dedup {
       maxBucket: Long,
       maxPushedFetchIds: Long,
       maxBroadcastProbeKeys: Long,
-      maxInLiteralIds: Long = 1000L
+      maxInLiteralIds: Long = 1000L,
+      portableHash: Boolean = true
   ): (DataFrame, DataFrame) = {
     // Distinct probe keys are bounded by bands × |batch| — broadcast
     // them so the corpus index is semi-joined in place (no shuffle of
@@ -500,7 +503,7 @@ object Dedup {
     // the candidate frame is already materialized above — hand it to
     // the verify core directly instead of re-checkpointing it
     (verifyJaccardOn(texts, textCol, idCol, candidates, candidates.count(),
-      shingleWidth, threshold, defaultMaxBroadcastPairs),
+      shingleWidth, threshold, defaultMaxBroadcastPairs, portableHash),
       capped)
   }
 
@@ -529,7 +532,9 @@ object Dedup {
       maxInLiteralIds)._1
 
   /** Exact n-gram Jaccard over candidate pairs, as a pair join: fetch
-    * both documents' texts, then compute `|A∩B| / (|A|+|B|-|A∩B|)`
+    * both documents' texts (or, with `portableHash = false`, their
+    * per-doc xxhash64 shingle-hash arrays — see [[verifyJaccardOn]]),
+    * then compute `|A∩B| / (|A|+|B|-|A∩B|)`
     * natively with `array_intersect` over the two shingle arrays.
     * Only the SLIM (id_a, id_b) candidate frame is unconditionally
     * broadcast-hinted — it is small by LSH construction. The second
@@ -556,7 +561,8 @@ object Dedup {
       candidates: DataFrame,
       shingleWidth: Int,
       threshold: Double,
-      maxBroadcastPairs: Long = defaultMaxBroadcastPairs
+      maxBroadcastPairs: Long = defaultMaxBroadcastPairs,
+      portableHash: Boolean = true
   ): DataFrame = {
     // Count-gated broadcast for the text-attachment join: the slim
     // candidate frame is always broadcast, but candidate×text is
@@ -572,7 +578,7 @@ object Dedup {
     // freed by the ContextCleaner with the plan.
     val slim = candidates.localCheckpoint(true)
     verifyJaccardOn(df, textCol, idCol, slim, slim.count(),
-      shingleWidth, threshold, maxBroadcastPairs)
+      shingleWidth, threshold, maxBroadcastPairs, portableHash)
   }
 
   /** Default gate for [[verifyJaccard]]'s candidate×text broadcast. */
@@ -591,10 +597,34 @@ object Dedup {
       nPairs: Long,
       shingleWidth: Int,
       threshold: Double,
-      maxBroadcastPairs: Long
+      maxBroadcastPairs: Long,
+      portableHash: Boolean = true
   ): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
-    val b = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
+    // Two per-side representations, one knob with [[minhashSignatures]]:
+    //  - portable (default): sides carry TEXT; shingles are computed
+    //    POST-join (per pair, 2k evals for a doc in k pairs). Bytes in
+    //    the build side are the scarce resource, and attaching shingle
+    //    STRING arrays would triple them (a string shingle array is
+    //    ~3× its text) — recomputing per pair trades cheap distributed
+    //    CPU for that. This is the DuckDB-recomputable config.
+    //  - production (portableHash = false): sides carry per-doc
+    //    xxhash64 SHINGLE-HASH arrays — ~8 bytes per shingle (~1.3×
+    //    the text bytes, nowhere near the string arrays' 3×), shingled
+    //    ONCE per doc instead of once per pair, and the per-pair
+    //    intersection runs over longs instead of re-shingling and
+    //    hashing strings. Jaccard over the hash sets equals jaccard
+    //    over the shingle sets up to 64-bit collisions (~n²/2^65
+    //    within one doc — unobservable; output equality across both
+    //    configs on identical candidates is spec-pinned).
+    def side(sfx: String): DataFrame =
+      if (portableHash)
+        df.select(col(idCol).as(s"id_$sfx"), col(textCol).as(s"_text_$sfx"))
+      else
+        df.select(col(idCol).as(s"id_$sfx"),
+          transform(shinglesNative(df, col(textCol), shingleWidth),
+            s => xxhash64(s)).as(s"_sh_$sfx"))
+    val a = side("a")
+    val b = side("b")
     // the count gate covers BOTH joins: above it, broadcasting the
     // candidate frame itself (not just the text-joined side) would
     // collect every pair row to the driver — the exact OOM the gate
@@ -604,13 +634,12 @@ object Dedup {
     val pairs =
       if (fits) b.join(broadcast(withA), Seq("id_b"))
       else b.join(withA, Seq("id_b"))
-    // Shingles are computed POST-join (per pair, 2k evals for a doc in
-    // k pairs) by design: the alternative — attaching pre-computed
-    // shingle arrays — triples the broadcast/shuffle BYTES (a shingle
-    // array is ~3× its text), and bytes in the build side are the
-    // scarce resource here; shingling is cheap, distributed CPU.
-    val sa = shinglesNative(df, col("_text_a"), shingleWidth)
-    val sb = shinglesNative(df, col("_text_b"), shingleWidth)
+    val sa =
+      if (portableHash) shinglesNative(df, col("_text_a"), shingleWidth)
+      else col("_sh_a")
+    val sb =
+      if (portableHash) shinglesNative(df, col("_text_b"), shingleWidth)
+      else col("_sh_b")
     pairs
       .withColumn("_inter", size(array_intersect(sa, sb)))
       .withColumn("_na", size(sa))

@@ -198,7 +198,8 @@ final class DedupIndex private (
       textCol, idCol,
       bandsAt(pre).withColumnRenamed("id", idCol),
       corpusTexts, params.shingleWidth,
-      threshold, maxBucket, maxPushedFetchIds, maxBroadcastProbeKeys)
+      threshold, maxBucket, maxPushedFetchIds, maxBroadcastProbeKeys,
+      portableHash = params.portableHash)
     val drops =
       Dedup.incrementalDropIds(
         pairs, exactSurvivors.select(col(idCol)), idCol, maxIter)

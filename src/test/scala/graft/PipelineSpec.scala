@@ -40,6 +40,31 @@ class PipelineSpec extends SparkSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("hash-array verify equals text verify on identical candidates") {
+    // the production verify representation (per-doc xxhash64
+    // shingle-hash arrays, shingled once per doc) must yield the SAME
+    // verified pairs and the SAME jaccard values as the portable
+    // text-side representation (per-pair re-shingling) — the hash only
+    // changes what rides the join, never the set arithmetic
+    val banded = Dedup.lshBandIndex(docs, "text", "doc_id", 8, 4, 3, true)
+    val l = banded.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    def run(portable: Boolean): Set[(Long, Long, Double)] =
+      Dedup.verifyJaccard(docs, "text", "doc_id", candidates, 3, 0.35,
+        portableHash = portable)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .toSet
+    val portable = run(true)
+    val hashed = run(false)
+    assert(portable.nonEmpty, "degenerate fixture: no verified pairs")
+    assert(hashed == portable)
+  }
+
   test("embedding near-dup LSH: bucketed plan, no cartesian product") {
     val lsh = Dedup.embeddingNearDupLsh(
       emb, "embedding", "vec_id", threshold = 0.3, bits = 8)
