@@ -1313,12 +1313,15 @@ object Dedup {
     * production config: codegen'd, no crypto hash per line; the
     * OUTPUT is hash-choice-invariant, spec-pinned); the frequency
     * count is one map-side-combined shuffle over per-doc-DISTINCT
-    * keys; the duplicated-line
-    * dictionary (df >= minDocs survivors) is a tiny fraction of the
-    * line space, so the back-join streams against a SHRUNK right side
-    * (AQE picks broadcast when it fits); the rebuild aggregates per
-    * doc — the same two-narrow-shuffle shape as Boilerplate, but
-    * rewriting instead of scoring.
+    * keys — the ONLY shuffle of the whole operator in the common
+    * case: the duplicated-line dictionary (df >= minDocs survivors)
+    * is a tiny fraction of the line space, so it is count-gate
+    * COLLECTED and the rebuild becomes one narrow per-row expression
+    * ([[graft.functions.DedupLinesRewrite]] — the CodebookArgmin
+    * data-in-expression pattern), never re-exploding or regrouping
+    * the corpus. Past the gate it degrades to the join leg (keyed
+    * shuffle against the dict, per-doc regroup) instead of
+    * hard-failing the driver.
     *
     * Blank lines (trim-empty) are never counted and always kept:
     * removing them would mangle paragraph structure for no dedup
@@ -1342,26 +1345,65 @@ object Dedup {
       .select(col("id"), col("pos").as("p"), col("col").as("_line"),
         lineKey.as("_k"),
         (length(trim(col("col"))) > 0).as("_nonblank"))
-    // per-doc-distinct keys first, so the count IS document frequency
-    val dupKeys = lines
-      .where(col("_nonblank"))
-      .select(col("id"), col("_k")).distinct()
+    // per-doc-distinct keys computed NARROWLY per row
+    // ([[graft.functions.DistinctLineKeys]] — one codegen-fused walk),
+    // so document frequency needs ONE map-side-combined shuffle of
+    // partial counts — where a `.distinct()` over exploded (id, key)
+    // rows would shuffle every line key of the corpus a first time
+    // just to dedup within docs
+    val dupKeys = df
+      .select(explode(graft.functions.DistinctLineKeys
+        .column(col(textCol), portableHash)).as("_k"))
       .groupBy(col("_k")).agg(count(lit(1)).as("_df"))
       .where(col("_df") >= minDocs)
       .select(col("_k"))
-    // Count-gated broadcast of the dup dictionary (the jaccardVerify
-    // pattern): materialize it ONCE (eager localCheckpoint — the gate
-    // count must not re-run the explode+distinct pipeline, and the
-    // back-join must not re-run it a third time), broadcast while the
-    // counted key set is modest, else shuffle-join gracefully. A
-    // pathological corpus (billions of distinct duplicated lines)
-    // degrades to a keyed shuffle instead of hard-failing the driver.
+    // Count-gated fast path (the jaccardVerify gate discipline; the
+    // dict is materialized ONCE — eager localCheckpoint — so the gate
+    // count does not re-run the explode+distinct pipeline): while the
+    // counted dictionary is modest it is COLLECTED as sorted 64-bit
+    // keys and the whole rebuild becomes ONE narrow per-row expression
+    // ([[graft.functions.DedupLinesRewrite]]) — no line explode, no
+    // back-join, no doc-keyed re-aggregation, and crucially no second
+    // shuffle carrying every surviving line of the corpus (at 100 TB
+    // that regroup shuffle is corpus-sized; the fast path moves only
+    // the counted keys). A pathological corpus (more duplicated lines
+    // than the gate) degrades to the join leg below — broadcast-join
+    // while the dict still broadcasts, keyed shuffle past that —
+    // instead of hard-failing the driver. Both legs are spec-pinned
+    // identical (PipelinePropSpec, both hash configs).
     val dict = dupKeys.localCheckpoint(true)
+    val nKeys = dict.count()
+    if (nKeys <= maxBroadcastKeys) {
+      val keys: Array[Long] =
+        if (portableHash)
+          dict.collect().map(r =>
+            // first 16 md5-hex chars == first 8 digest bytes, the
+            // exact truncation DedupLinesRewrite recomputes per line
+            java.lang.Long.parseUnsignedLong(r.getString(0).take(16), 16))
+        else dict.collect().map(_.getLong(0))
+      val rw = graft.functions.DedupLinesRewrite
+        .rewriteColumn(col(textCol), portableHash, keys)
+      // explode(array(...)) so the rewrite evaluates ONCE per row (a
+      // bare multi-field select would re-inline it per field after
+      // projection collapse — the simhashNative discipline). A null
+      // text yields a null struct; its n_lines falls back to the join
+      // leg's exact `size(split(null))` expression so both legs agree
+      // on the null-text row shape too.
+      val fallbackN = size(split(col("_t"), "\n")).cast("long")
+      return df
+        .select(col(idCol).as("id"), col(textCol).as("_t"),
+          explode(array(rw)).as("_s"))
+        .select(
+          col("id").as(idCol),
+          coalesce(col("_s.clean_text"), lit("")).as("clean_text"),
+          coalesce(col("_s.n_lines"), fallbackN).as("n_lines"),
+          (coalesce(col("_s.n_lines"), fallbackN) -
+            coalesce(col("_s.n_kept"), lit(0L))).as("n_removed"))
+    }
+    // over-gate leg: keyed shuffle join (nKeys > maxBroadcastKeys, so
+    // the dict is past broadcast size by definition)
     val marked = dict.withColumn("_dup", lit(1))
-    val joined =
-      if (dict.count() <= maxBroadcastKeys)
-        lines.join(broadcast(marked), Seq("_k"), "left")
-      else lines.join(marked, Seq("_k"), "left")
+    val joined = lines.join(marked, Seq("_k"), "left")
     val kept = joined.where(col("_dup").isNull || !col("_nonblank"))
     val rebuilt = kept
       .groupBy("id")

@@ -47,17 +47,20 @@ class PipelinePropSpec extends SparkSpec {
           l.trim.isEmpty || lineDf.getOrElse(l.trim, 0) < minDocs)
         id -> ((kept.mkString("\n"), ls.size.toLong, (ls.size - kept.size).toLong))
       }
-      // BOTH hash configs must equal the model: the line-key hash is
-      // an internal identity, never a semantics knob
-      for (portable <- Seq(true, false)) {
+      // BOTH hash configs × BOTH rebuild legs must equal the model:
+      // the line-key hash is an internal identity, never a semantics
+      // knob, and the count gate (gate=0 forces the over-gate join
+      // leg; the default admits the narrow collected-dict leg) must
+      // be invisible in the output
+      for (portable <- Seq(true, false); gate <- Seq(1000000L, 0L)) {
         val got = Dedup
           .dedupLines(df, "text", "doc_id", minDocs = minDocs.toLong,
-            portableHash = portable)
+            maxBroadcastKeys = gate, portableHash = portable)
           .collect()
           .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
           .toMap
         assert(got == expect,
-          s"portable=$portable minDocs=$minDocs docs=$docLines")
+          s"portable=$portable gate=$gate minDocs=$minDocs docs=$docLines")
       }
     }
   }

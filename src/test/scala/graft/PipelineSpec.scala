@@ -453,11 +453,16 @@ class PipelineSpec extends SparkSpec {
       (5L, "solo doc\nsolo doc") // within-doc repeat, ONE distinct doc
     ).toDF("doc_id", "text")
     val out = Dedup.dedupLines(corpus, "text", "doc_id", minDocs = 2)
-    // the counted-small dup dictionary must take the broadcast path
-    // (the gate's whole point: no keyed shuffle of the line table)
-    assert(out.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"),
-      "small dup dictionary should broadcast")
+    // the counted-small dup dictionary must take the NARROW rebuild
+    // leg (the gate's whole point): the collected dict rides the
+    // rewrite expression, so the rebuild side has no join, no
+    // exchange, no re-aggregation of lines at all
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("dedup_lines_rewrite"),
+      s"small dup dictionary should take the narrow rewrite leg:\n$planStr")
+    for (bad <- Seq("Join", "Exchange", "Aggregate"))
+      assert(!planStr.contains(bad),
+        s"unexpected $bad in the narrow rebuild plan:\n$planStr")
     val got = out
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
