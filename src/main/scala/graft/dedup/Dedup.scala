@@ -973,7 +973,8 @@ object Dedup {
       textCol: String,
       idCol: String,
       width: Int = 10,
-      minCount: Long = 2
+      minCount: Long = 2,
+      maxBroadcastKeys: Long = 1000000L
   ): DataFrame = {
     require(width > 0, s"width must be > 0 (got $width)")
     require(minCount >= 2, s"minCount must be >= 2 (got $minCount)")
@@ -999,6 +1000,25 @@ object Dedup {
       .groupBy("g").agg(count(lit(1)).as("_c"))
       .where(col("_c") >= minCount)
       .select("g")
+    // Count-gated narrow rebuild (the dedupLines discipline): while
+    // the repeated-gram dictionary is modest, collect it and strip
+    // every doc in ONE per-row expression — no token re-explode, no
+    // coverage window, no doc-keyed regroup of the corpus. Past the
+    // gate, the join leg below degrades gracefully.
+    val dict = repeated.localCheckpoint(true)
+    if (dict.count() <= maxBroadcastKeys) {
+      val ks = dict.collect().map(_.getLong(0))
+      val rw = graft.functions.StripSpansRewrite
+        .column(col(textCol), Seq(width -> ks))
+      // explode(array(...)): evaluate ONCE per row (simhashNative note)
+      return df
+        .select(col(idCol).as("id"), explode(array(rw)).as("_s"))
+        .select(
+          col("id").as(idCol),
+          coalesce(col("_s.clean_text"), lit("")).as("clean_text"),
+          coalesce(col("_s.n_tokens") - col("_s.n_kept"), lit(0L))
+            .as("n_removed"))
+    }
     // repeated-gram START positions per doc. Coverage (the union of
     // [start, start+width) intervals) is NOT materialized by
     // exploding width positions per hit + global distinct — on a
@@ -1008,7 +1028,7 @@ object Dedup {
     // per-doc sliding-window max over hit flags — one doc-keyed
     // shuffle, rows never multiply.
     val hits = grams
-      .join(repeated, Seq("g"))
+      .join(dict, Seq("g"))
       .select(col("id"), col("start").as("p"), lit(1).as("_hit"))
     val tokenRows = base
       .where(col("_n") > 0)
@@ -1065,7 +1085,8 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      tiers: Seq[(Int, Long)]
+      tiers: Seq[(Int, Long)],
+      maxBroadcastKeys: Long = 1000000L
   ): DataFrame = {
     require(tiers.nonEmpty, "tiers must be non-empty")
     require(tiers.forall(_._1 > 0), s"widths must be > 0 (got $tiers)")
@@ -1078,8 +1099,9 @@ object Dedup {
       .withColumn("_n",
         when(length(concat_ws("", col("_toks"))) === 0, lit(0))
           .otherwise(size(col("_toks"))))
-    // per tier: repeated-gram start hits → ±1 boundary events
-    val events = tiers.map { case (width, minCount) =>
+    // per tier: the gram table and its (eagerly materialized)
+    // repeated-gram dictionary — both legs below consume these
+    val tierGrams = tiers.map { case (width, minCount) =>
       val grams = base
         .where(col("_n") >= width)
         .select(col("id"), col("_toks"),
@@ -1088,12 +1110,34 @@ object Dedup {
           // same 8-byte internal span identity as stripRepeatedSpans
           xxhash64(concat_ws(" ",
             slice(col("_toks"), col("start") + 1, lit(width)))).as("g"))
-      val repeated = grams
+      val dict = grams
         .groupBy("g").agg(count(lit(1)).as("_c"))
         .where(col("_c") >= minCount)
         .select("g")
+        .localCheckpoint(true)
+      (width, grams, dict)
+    }
+    // Count-gated narrow rebuild (the dedupLines discipline), gated on
+    // the COMBINED dictionary size; coverage union across tiers is the
+    // expression's boundary-event prefix sum — the Multi leg's exact
+    // algebra, computed per row instead of per corpus
+    if (tierGrams.map(_._3.count()).sum <= maxBroadcastKeys) {
+      val collected = tierGrams.map { case (width, _, dict) =>
+        width -> dict.collect().map(_.getLong(0))
+      }
+      val rw = graft.functions.StripSpansRewrite
+        .column(col(textCol), collected)
+      return df
+        .select(col(idCol).as("id"), explode(array(rw)).as("_s"))
+        .select(
+          col("id").as(idCol),
+          coalesce(col("_s.clean_text"), lit("")).as("clean_text"),
+          coalesce(col("_s.n_tokens") - col("_s.n_kept"), lit(0L))
+            .as("n_removed"))
+    }
+    val events = tierGrams.map { case (width, grams, dict) =>
       grams
-        .join(repeated, Seq("g"))
+        .join(dict, Seq("g"))
         .select(col("id"),
           explode(array(
             struct(col("start").as("p"), lit(1).as("_d")),

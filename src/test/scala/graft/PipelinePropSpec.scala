@@ -65,6 +65,35 @@ class PipelinePropSpec extends SparkSpec {
     }
   }
 
+  test("stripRepeatedSpans: narrow rebuild equals the join leg on random corpora") {
+    import spark.implicits._
+    // tiny token vocabulary → repeated width-grams are common, both
+    // within and across docs; the join leg is the executable spec and
+    // the narrow collected-dictionary leg must match it row-for-row
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val gen = for {
+      nd <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(nd, Gen.choose(0, 12).flatMap(Gen.listOfN(_, tokGen)))
+      width <- Gen.choose(2, 4)
+      minCount <- Gen.choose(2, 3)
+    } yield (docs, width, minCount)
+    samples(gen, 8).foreach { case (docToks, width, minCount) =>
+      val df = docToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def run(gate: Long) = Dedup
+        .stripRepeatedSpans(df, "text", "doc_id", width, minCount.toLong,
+          maxBroadcastKeys = gate)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      val narrow = run(1000000L)
+      val joinLeg = run(0L)
+      assert(narrow == joinLeg,
+        s"width=$width minCount=$minCount docs=$docToks")
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs " +
       "(round 11: the star-contraction rewrite)") {
     import spark.implicits._

@@ -399,18 +399,23 @@ class PipelineSpec extends SparkSpec {
       (4L, ""), // empty: survives untouched
       (5L, "p q r s t u p q r s t") // within-doc repeat of "p q r s t"
     ).toDF("doc_id", "text")
-    val got = Dedup
-      .stripRepeatedSpans(corpus, "text", "doc_id", width = 5)
-      .collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
-      .toMap
-    assert(got(1L) == (("x1 y1", 5L)))
-    assert(got(2L) == (("z1 w1", 5L)))
-    assert(got(3L) == (("unique words only here now", 0L)))
-    assert(got(4L) == (("", 0L)))
-    // both occurrences of the within-doc span are covered; only the
-    // separator token survives
-    assert(got(5L) == (("u", 10L)))
+    // both rebuild legs (gate default = narrow collected-dict
+    // expression; gate 0 = the over-gate join leg) must agree exactly
+    for (gate <- Seq(1000000L, 0L)) {
+      val got = Dedup
+        .stripRepeatedSpans(corpus, "text", "doc_id", width = 5,
+          maxBroadcastKeys = gate)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      assert(got(1L) == (("x1 y1", 5L)), s"gate=$gate")
+      assert(got(2L) == (("z1 w1", 5L)), s"gate=$gate")
+      assert(got(3L) == (("unique words only here now", 0L)), s"gate=$gate")
+      assert(got(4L) == (("", 0L)), s"gate=$gate")
+      // both occurrences of the within-doc span are covered; only the
+      // separator token survives
+      assert(got(5L) == (("u", 10L)), s"gate=$gate")
+    }
   }
 
   test("multi-tier span removal: per-width thresholds compose exactly") {
@@ -442,6 +447,14 @@ class PipelineSpec extends SparkSpec {
     assert(got(5L) == (("z5", 10L))) // both within-doc occurrences covered
     assert(got(6L) == (("u v w j k s6", 0L)))
     assert(got(7L) == (("t7 u v w j k", 0L)))
+    // the over-gate join leg must agree exactly with the narrow leg
+    val joined = Dedup
+      .stripRepeatedSpansMulti(corpus, "text", "doc_id",
+        tiers = Seq(5 -> 3L, 8 -> 2L), maxBroadcastKeys = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(joined == got)
   }
 
   test("line dedup: cross-doc lines removed, blanks and unique lines kept") {
