@@ -61,7 +61,8 @@ object Boilerplate {
       textCol: String,
       idCol: String,
       width: Int = 3,
-      minDocs: Long = 2L
+      minDocs: Long = 2L,
+      maxBroadcastKeys: Long = 1000000L
   ): DataFrame = {
     require(width > 0, s"boilerplate width must be > 0 (got $width)")
     require(minDocs > 1, s"boilerplate minDocs must be > 1 (got $minDocs)")
@@ -74,8 +75,34 @@ object Boilerplate {
       .agg(count(lit(1)).as("df")) // shingles distinct per doc → df
       .where(col("df") >= minDocs)
       .select(col("_gk"))
+    // Count-gated narrow scoring (the dedupLines discipline): while
+    // the boilerplate dictionary is modest, collect it and score every
+    // doc in ONE per-row expression ([[graft.functions
+    // .GramSetOverlap]]) — the gram-df count above stays the only
+    // shuffle; the hit semi-join and the doc-keyed regroup of every
+    // gram hit are gone. Past the gate, the join leg degrades
+    // gracefully (spec-pinned identical output).
+    val dict = boiler.localCheckpoint(true)
+    if (dict.count() <= maxBroadcastKeys) {
+      val keys = dict.collect().map(_.getLong(0))
+      val s = graft.functions.GramSetOverlap
+        .column(col(textCol), width, keys)
+      // explode(array(...)): evaluate ONCE per row; a null text's
+      // null struct falls back to the join leg's exact expressions
+      val fallbackN =
+        size(Dedup.shinglesNative(df, col("_t"), width)).cast("long")
+      return df
+        .select(col(idCol), col(textCol).as("_t"),
+          explode(array(s)).as("_s"))
+        .select(col(idCol),
+          coalesce(col("_s.n_grams"), fallbackN).as("n_grams"),
+          coalesce(col("_s.n_hits"), lit(0L)).as("n_boiler"))
+        .withColumn(
+          "boiler_ratio",
+          round(col("n_boiler").cast("double") / col("n_grams"), 6))
+    }
     val perDoc = grams
-      .join(boiler, Seq("_gk"), "left_semi")
+      .join(dict, Seq("_gk"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_boiler"))
     df.select(col(idCol),

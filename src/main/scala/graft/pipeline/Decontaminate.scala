@@ -34,7 +34,8 @@ object Decontaminate {
       idCol: String,
       width: Int = 3,
       minOverlap: Long = 1L,
-      broadcastEval: Boolean = true
+      broadcastEval: Boolean = true,
+      maxCollectedKeys: Long = 1000000L
   ): DataFrame = {
     require(width > 0, s"decontaminate width must be > 0 (got $width)")
     require(minOverlap > 0, s"decontaminate minOverlap must be > 0 (got $minOverlap)")
@@ -49,7 +50,47 @@ object Decontaminate {
         Dedup.shinglesNative(evalSet, col(textCol), width)).as("_gram"))
       .select(xxhash64(col("_gram")).as("_gk"))
       .distinct()
-    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    // Count-gated narrow scoring: the eval gram set was going to ride
+    // a broadcast hash relation anyway — while it is modest, COLLECT
+    // it instead and score every corpus doc in one per-row expression
+    // ([[graft.functions.GramSetOverlap]]): no corpus-side gram
+    // explode, no join, no doc-keyed regroup of hits — the whole
+    // operator is one narrow scan of the corpus. Past the gate (or
+    // with broadcastEval = false, the caller's "unusually large eval
+    // set" escape hatch) the join leg runs as before.
+    if (broadcastEval) {
+      val dict = evalGrams0.localCheckpoint(true)
+      if (dict.count() <= maxCollectedKeys) {
+        val keys = dict.collect().map(_.getLong(0))
+        val s = graft.functions.GramSetOverlap
+          .column(col(textCol), width, keys)
+        // null-text corpus rows: null struct → null overlap → dropped
+        // by the threshold filter, exactly like the join leg (whose
+        // explode dropped the doc before aggregation)
+        return corpus
+          .select(col(idCol), explode(array(s)).as("_s"))
+          .select(col(idCol), col("_s.n_hits").as("overlap"))
+          .where(col("overlap") >= minOverlap)
+      }
+      // over-gate: fall through to the join leg against the already-
+      // materialized dict
+      return overlapJoinLeg(corpus, broadcast(dict), textCol, idCol,
+        width, minOverlap)
+    }
+    overlapJoinLeg(corpus, evalGrams0, textCol, idCol, width, minOverlap)
+  }
+
+  /** The join/regroup scoring leg of [[overlapCounts]] — the over-gate
+    * fallback and the executable twin the narrow leg is spec-pinned
+    * against. */
+  private def overlapJoinLeg(
+      corpus: DataFrame,
+      evalGrams: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int,
+      minOverlap: Long
+  ): DataFrame =
     corpus
       // shingles are distinct per doc, so count(*) after the join is
       // the number of distinct shared grams
@@ -60,7 +101,6 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
-  }
 
   /** The clean corpus: `corpus` minus every doc [[overlapCounts]]
     * flags. A broadcast-able id set drives the anti join (the

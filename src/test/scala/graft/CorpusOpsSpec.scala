@@ -24,12 +24,21 @@ class CorpusOpsSpec extends SparkSpec {
       100L -> "a quick brown fox appeared",
       101L -> "ab"
     )
-    val got = Decontaminate
-      .overlapCounts(corpus, eval, "text", "doc_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // doc 3 contains "quick brown fox" twice but shingles are distinct
-    // per doc → overlap counts distinct shared grams, not occurrences
-    assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 1L))
+    // all three scoring legs must agree: the narrow collected-dict
+    // expression (default), the over-gate broadcast join
+    // (maxCollectedKeys = 0) and the unbroadcast join
+    // (broadcastEval = false)
+    for ((bc, gate) <- Seq((true, 1000000L), (true, 0L), (false, 1000000L))) {
+      val got = Decontaminate
+        .overlapCounts(corpus, eval, "text", "doc_id",
+          broadcastEval = bc, maxCollectedKeys = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // doc 3 contains "quick brown fox" twice but shingles are
+      // distinct per doc → overlap counts distinct shared grams, not
+      // occurrences
+      assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 1L),
+        s"broadcastEval=$bc gate=$gate")
+    }
 
     val clean = Decontaminate
       .decontaminate(corpus, eval, "text", "doc_id")
@@ -37,15 +46,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
-  test("decontamination joins the eval grams broadcast, not shuffled") {
+  test("decontamination scores the corpus in one narrow pass") {
     val corpus = docs(1L -> "a b c d e", 2L -> "f g h i j")
     val eval = docs(9L -> "a b c")
+    // default config: the collected eval grams ride the scoring
+    // expression — the corpus side must plan NO join, NO aggregation
+    // and NO exchange at all (the eval-gram job runs separately at
+    // build time; this plan is the corpus scan alone)
     val plan = Decontaminate
       .overlapCounts(corpus, eval, "text", "doc_id")
-      .queryExecution.executedPlan
-    val hasBroadcast = plan.toString.contains("BroadcastExchange") ||
-      plan.toString.contains("BroadcastHashJoin")
-    assert(hasBroadcast, s"expected broadcast eval side in:\n$plan")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("gram_set_overlap"),
+      s"expected the narrow scoring expression in:\n$plan")
+    for (bad <- Seq("Join", "Exchange", "Aggregate"))
+      assert(!plan.contains(bad), s"unexpected $bad in:\n$plan")
+    // the over-gate fallback still broadcasts the eval side
+    val joinPlan = Decontaminate
+      .overlapCounts(corpus, eval, "text", "doc_id", maxCollectedKeys = 0L)
+      .queryExecution.executedPlan.toString
+    assert(joinPlan.contains("BroadcastExchange") ||
+        joinPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast eval side in:\n$joinPlan")
   }
 
   test("boilerplate ratio counts corpus-frequent grams per doc") {
@@ -57,17 +78,22 @@ class CorpusOpsSpec extends SparkSpec {
       3L -> "prefix words x y z",
       4L -> "nothing shared at all"
     )
-    val out = Boilerplate
-      .boilerplateRatio(corpus, "text", "doc_id", width = 3, minDocs = 3L)
-      .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
-      .toMap
-    // docs 1-2: 6 tokens -> 4 distinct 3-grams; doc 3: 5 tokens -> 3
-    assert(out(1L) == ((4L, 1L, 0.25)))
-    assert(out(2L) == ((4L, 1L, 0.25)))
-    assert(out(3L) == ((3L, 1L, 0.333333)))
-    assert(out(4L) == ((2L, 0L, 0.0))) // present with zero boilerplate
-    assert(out.size == 4)
+    // both scoring legs (narrow collected-dict default; gate 0 forces
+    // the semi-join leg) must agree exactly
+    for (gate <- Seq(1000000L, 0L)) {
+      val out = Boilerplate
+        .boilerplateRatio(corpus, "text", "doc_id", width = 3,
+          minDocs = 3L, maxBroadcastKeys = gate)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      // docs 1-2: 6 tokens -> 4 distinct 3-grams; doc 3: 5 tokens -> 3
+      assert(out(1L) == ((4L, 1L, 0.25)), s"gate=$gate")
+      assert(out(2L) == ((4L, 1L, 0.25)), s"gate=$gate")
+      assert(out(3L) == ((3L, 1L, 0.333333)), s"gate=$gate")
+      assert(out(4L) == ((2L, 0L, 0.0)), s"gate=$gate") // zero boilerplate
+      assert(out.size == 4, s"gate=$gate")
+    }
 
     val dict = Boilerplate
       .boilerplateGrams(corpus, "text", "doc_id", width = 3, minDocs = 3L)
