@@ -262,7 +262,8 @@ object TextFunctions {
       idCol: String,
       vocabSize: Int = 65536,
       oovCount: Double = 0.5,
-      deterministic: Boolean = true
+      deterministic: Boolean = true,
+      narrowScoring: Boolean = true
   ): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be > 0 (got $vocabSize)")
     require(oovCount > 0.0, s"oovCount must be > 0 (got $oovCount)")
@@ -287,6 +288,30 @@ object TextFunctions {
       .limit(vocabSize)
       .select(col("_tok"),
         round(log(col("_c").cast("double") / lit(total)), 6).as("_logp"))
+    if (narrowScoring) {
+      // The vocab is driver-sized BY CONSTRUCTION (that is what makes
+      // it a vocab — the join leg's broadcast() collected it to the
+      // driver anyway), so collect it WITH its Spark-rounded log-probs
+      // and score each doc in ONE per-row expression
+      // ([[graft.functions.UnigramScore]]): no token explode, no
+      // probe join, no doc-keyed regroup of every token's log-prob —
+      // the token COUNT above stays the operator's only shuffle. The
+      // join leg below (`narrowScoring = false`) is the executable
+      // twin, spec-pinned equal on the deterministic config.
+      val vpairs = vocab.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+      val oovLogp = java.math.BigDecimal
+        .valueOf(math.log(oovCount / total))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val s = graft.functions.UnigramScore
+        .column(col(textCol), vpairs, oovLogp, sortedSum = deterministic)
+      // explode: zero-token docs (e.g. tab-only text that passes the
+      // blank filter but tokenizes empty) drop exactly like the join
+      // leg's token explode dropped them
+      return df
+        .where(length(trim(col(textCol))) > 0)
+        .select(col(idCol), explode(s).as("lm_logprob"))
+    }
     val scored = toks
       .join(broadcast(vocab), Seq("_tok"), "left")
       .withColumn("_logp",

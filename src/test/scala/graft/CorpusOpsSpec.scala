@@ -260,14 +260,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("unigram LM scoring joins the vocab broadcast, not shuffled") {
+  test("unigram LM scores in one narrow pass; join twin agrees exactly") {
     val corpus = docs(1L -> "a b c d e", 2L -> "a a f g h")
-    val plan = graft.text.TextFunctions
+    // default: the collected vocab rides the scoring expression — the
+    // scoring side plans no join, no aggregation, no exchange (the
+    // count/vocab jobs run at build time; this is the scoring plan)
+    val out = graft.text.TextFunctions
       .unigramLm(corpus, "text", "doc_id", vocabSize = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("unigram_score"),
+      s"expected the narrow scoring expression in:\n$plan")
+    for (bad <- Seq("Join", "Exchange", "Aggregate"))
+      assert(!plan.contains(bad), s"unexpected $bad in:\n$plan")
+    // the join leg (the executable twin) must produce the identical
+    // deterministic scores, including the OOV pseudo-count rows
+    val narrow = out.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val joined = graft.text.TextFunctions
+      .unigramLm(corpus, "text", "doc_id", vocabSize = 4,
+        narrowScoring = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(narrow == joined)
+    // the twin still broadcasts its vocab probe side
+    val joinPlan = graft.text.TextFunctions
+      .unigramLm(corpus, "text", "doc_id", vocabSize = 4,
+        narrowScoring = false)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastExchange") ||
-      plan.contains("BroadcastHashJoin"),
-      s"expected broadcast vocab side in:\n$plan")
+    assert(joinPlan.contains("BroadcastExchange") ||
+      joinPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast vocab side in:\n$joinPlan")
   }
 
   test("bm25 scores match the formula and skip non-matching docs") {
