@@ -86,8 +86,41 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: length sweet-spot, moderate
     * punctuation, presence of stopwords (prose-ness), low digit noise.
-    * Weights are arbitrary but fixed; the oracle recomputes them. */
+    * Weights are arbitrary but fixed; the oracle recomputes them.
+    *
+    * Counting is ONE native text walk ([[graft.functions
+    * .QualityStats]] — round 14; the composed ratio helpers evaluated
+    * `tokens()` three times and ran two regex engines per row); the
+    * score FORMULA below is the same Column algebra over the same
+    * integer counters, so the doubles cannot diverge from
+    * [[qualityScoreComposed]] (spec-pinned). The struct is read five
+    * times but whole-stage CSE evaluates it once per row (the
+    * expression's content-based equality is what makes the five
+    * reads recognizably identical). */
   def qualityScore(text: Column): Column = {
+    val s = graft.functions.QualityStats.column(text, stopwordsEn)
+    val nChars = s.getField("n_chars")
+    val nTokens = s.getField("n_tokens")
+    val lenScore = least(nTokens.cast("double") / 100.0, lit(1.0))
+    val pRatio = when(nChars === 0, lit(0.0))
+      .otherwise(s.getField("n_punct").cast("double") / nChars)
+    val punctOk = when(pRatio < 0.1, 1.0).otherwise(0.5)
+    val sRatio = when(nTokens === 0, lit(0.0))
+      .otherwise(s.getField("n_stop").cast("double") / nTokens)
+    val stopOk = least(sRatio * 5.0, lit(1.0))
+    val dRatio = when(nChars === 0, lit(0.0))
+      .otherwise(s.getField("n_digit").cast("double") / nChars)
+    val digitOk = when(dRatio < 0.2, 1.0).otherwise(0.3)
+    round(
+      lenScore * 0.3 + punctOk * 0.2 + stopOk * 0.3 + digitOk * 0.2,
+      6
+    )
+  }
+
+  /** The composed (multi-pass builtins) score — the executable
+    * specification [[qualityScore]]'s native counters are pinned
+    * against (ShingleExprSpec asserts bit-identical doubles). */
+  private[graft] def qualityScoreComposed(text: Column): Column = {
     val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
     val punctOk = when(punctRatio(text) < 0.1, 1.0).otherwise(0.5)
     val stopOk = least(stopwordRatio(text) * 5.0, lit(1.0))

@@ -49,6 +49,37 @@ class ShingleExprSpec extends SparkSpec {
     }
   }
 
+  test("native quality stats equal the composed score bit-for-bit") {
+    // qualityScore's counters come from ONE native walk; the score
+    // formula is identical Column algebra, so doubles must match the
+    // composed multi-pass twin exactly — corpus plus an edge matrix
+    // heavy on the class boundaries (punct runs, digit runs, unicode,
+    // supplementary chars, token-free whitespace, nulls)
+    import graft.text.TextFunctions
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val edge = Seq(
+      "", " ", "\t", "a.b,c;d:e!f?g", "'\"()[]{}-", "123 4567 89",
+      "the and of to is", "THE AND OF", "99 bottles. of beer!",
+      "é ü ß 漢字 カナ", "emoji 😀 text", "a-b-c-d",
+      "   spaced   out   ", "one\ntwo\nthree", null
+    ).toDF("text").union(docs.select(col("text")))
+    val rows = edge.select(
+      TextFunctions.qualityScore(col("text")).as("native"),
+      TextFunctions.qualityScoreComposed(col("text")).as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      val c = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      assert(n == c, s"text=${r.get(2)}")
+    }
+    // the struct is read five times by the formula but must be
+    // evaluated ONCE per row: the plan prints a single quality_stats
+    val plan = docs
+      .select(TextFunctions.qualityScore(col("text")).as("q"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("quality_stats"), s"missing native expr:\n$plan")
+  }
+
   test("native minhash signature equals the composed explode+agg form") {
     // the narrow expression must be BIT-identical to the composed
     // pipeline (the oracle-checkable executable spec) on the corpus
