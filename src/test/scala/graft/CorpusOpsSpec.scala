@@ -289,6 +289,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(joinPlan.contains("BroadcastExchange") ||
       joinPlan.contains("BroadcastHashJoin"),
       s"expected broadcast vocab side in:\n$joinPlan")
+    // and on the real corpus, with a tight vocab forcing many OOV
+    // rows, the legs still agree to the last bit
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def leg(narrow: Boolean) = graft.text.TextFunctions
+      .unigramLm(real, "text", "doc_id", vocabSize = 64,
+        narrowScoring = narrow)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(leg(true) == leg(false))
   }
 
   test("bm25 scores match the formula and skip non-matching docs") {

@@ -94,6 +94,42 @@ class PipelinePropSpec extends SparkSpec {
     }
   }
 
+  test("narrow gram scoring equals the join legs on random corpora") {
+    import spark.implicits._
+    // boilerplateRatio and overlapCounts: the collected-dictionary
+    // expression leg vs the join/regroup legs, over random corpora
+    // with heavy cross-doc gram sharing and degenerate short docs
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen = Gen.choose(0, 8).flatMap(Gen.listOfN(_, tokGen))
+    val gen = for {
+      nd <- Gen.choose(1, 6)
+      docs <- Gen.listOfN(nd, docGen)
+      ne <- Gen.choose(1, 3)
+      evals <- Gen.listOfN(ne, docGen)
+    } yield (docs, evals)
+    samples(gen, 8).foreach { case (docToks, evalToks) =>
+      val corpus = docToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val evalSet = evalToks.zipWithIndex
+        .map { case (ts, i) => (100L + i, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def boiler(gate: Long) = graft.pipeline.Boilerplate
+        .boilerplateRatio(corpus, "text", "doc_id", width = 2,
+          minDocs = 2L, maxBroadcastKeys = gate)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(boiler(1000000L) == boiler(0L), s"docs=$docToks")
+      def overlap(gate: Long) = graft.pipeline.Decontaminate
+        .overlapCounts(corpus, evalSet, "text", "doc_id", width = 2,
+          maxCollectedKeys = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(overlap(1000000L) == overlap(0L),
+        s"docs=$docToks evals=$evalToks")
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs " +
       "(round 11: the star-contraction rewrite)") {
     import spark.implicits._
