@@ -19,11 +19,23 @@ object Sampling {
 
   /** Portable 32-bit hash of (id, seed): first 8 hex chars of
     * `md5("<id>:<seed>")` as a long in [0, 2^32). The DuckDB oracle
-    * recomputes it verbatim (`('0x' || substr(md5(...),1,8))::BIGINT`);
-    * production would swap in `xxhash64` with the same plan shape. */
+    * recomputes it verbatim (`('0x' || substr(md5(...),1,8))::BIGINT`). */
   def hashOf(id: Column, seed: String): Column =
     conv(substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8), 16, 10)
       .cast("long")
+
+  /** [[hashOf]] with the production knob every other hash-keyed op
+    * carries (`portableHash = false` → Catalyst `xxhash64`, codegen'd,
+    * no crypto hash per row on what is otherwise a pure filter scan —
+    * at 100 TB the md5 IS the sample's cost). Both configs are
+    * deterministic and seed-parameterized; they draw DIFFERENT (still
+    * valid, still reproducible) samples, so the knob is a config
+    * choice, not a semantics knob — the oracle fixtures stay on the
+    * portable default. */
+  def hashOf(id: Column, seed: String, portable: Boolean): Column =
+    if (portable) hashOf(id, seed)
+    else pmod(xxhash64(concat(id.cast("string"), lit(":" + seed))),
+      lit(4294967296L))
 
   /** Threshold for `rate` on the 32-bit hash range. Rates above 1.0
     * saturate (keep everything); negative or NaN rates would silently
@@ -42,9 +54,10 @@ object Sampling {
       df: DataFrame,
       idCol: String,
       rate: Double,
-      seed: String = "s0"
+      seed: String = "s0",
+      portableHash: Boolean = true
   ): DataFrame =
-    df.where(hashOf(col(idCol), seed) < lit(gate(rate)))
+    df.where(hashOf(col(idCol), seed, portableHash) < lit(gate(rate)))
 
   /** Stratified deterministic sampling — the "data mixing" primitive:
     * per-stratum keep-rates (e.g. lang or source weights), applied as
@@ -56,13 +69,14 @@ object Sampling {
       fractions: Map[String, Double],
       defaultRate: Double,
       idCol: String,
-      seed: String = "s0"
+      seed: String = "s0",
+      portableHash: Boolean = true
   ): DataFrame = {
     val thresh = fractions.foldLeft(lit(gate(defaultRate)): Column) {
       case (elze, (stratum, rate)) =>
         when(col(strataCol) === stratum, lit(gate(rate))).otherwise(elze)
     }
-    df.where(hashOf(col(idCol), seed) < thresh)
+    df.where(hashOf(col(idCol), seed, portableHash) < thresh)
   }
 
   /** Resample a corpus to TARGET stratum proportions — the mixing
@@ -94,7 +108,8 @@ object Sampling {
       weights: Map[String, Double],
       idCol: String,
       seed: String = "s0",
-      totalRows: Option[Long] = None
+      totalRows: Option[Long] = None,
+      portableHash: Boolean = true
   ): DataFrame = {
     require(weights.nonEmpty, "mixToWeights needs at least one stratum weight")
     require(weights.values.forall(_ > 0),
@@ -104,7 +119,8 @@ object Sampling {
     // working with the same string-keyed API
     val observed = observedBy(df, strataCol, count(lit(1)))
     val rates = mixRates(observed, weights, totalRows)
-    stratifiedHashSample(df, strataCol, rates, defaultRate = 0.0, idCol, seed)
+    stratifiedHashSample(df, strataCol, rates, defaultRate = 0.0, idCol,
+      seed, portableHash)
   }
 
   /** Per-stratum totals (strata keyed as strings so non-string
@@ -171,7 +187,8 @@ object Sampling {
       textCol: String,
       idCol: String,
       seed: String = "s0",
-      budgetTokens: Option[Long] = None
+      budgetTokens: Option[Long] = None,
+      portableHash: Boolean = true
   ): DataFrame = {
     require(weights.nonEmpty, "mixToTokenWeights needs at least one stratum")
     require(weights.values.forall(_ > 0),
@@ -182,7 +199,7 @@ object Sampling {
     val observed = observedBy(withTok, strataCol, sum(col("n_tokens")))
     val rates = mixRates(observed, weights, budgetTokens)
     stratifiedHashSample(withTok, strataCol, rates, defaultRate = 0.0,
-      idCol, seed)
+      idCol, seed, portableHash)
   }
 
   /** Deterministic global interleave ("shuffle") order: position =
@@ -207,8 +224,12 @@ object Sampling {
     * (interleaveKey(col(id), seed))` runs as a range-partitioned
     * distributed sort and the written file order IS the shuffle —
     * no dense numbering pass. */
-  def interleaveKey(id: Column, seed: String = "s0"): Column =
-    hashOf(id, seed)
+  def interleaveKey(
+      id: Column,
+      seed: String = "s0",
+      portableHash: Boolean = true
+  ): Column =
+    hashOf(id, seed, portableHash)
 
   /** The interleaved CORPUS WRITE the key enables — the executable
     * 100 TB shuffle story: rows land in `numFiles` parquet files
@@ -228,10 +249,11 @@ object Sampling {
       idCol: String,
       path: String,
       numFiles: Int,
-      seed: String = "s0"
+      seed: String = "s0",
+      portableHash: Boolean = true
   ): Unit = {
     require(numFiles > 0, s"numFiles must be > 0 (got $numFiles)")
-    interleavedPlan(df, idCol, numFiles, seed)
+    interleavedPlan(df, idCol, numFiles, seed, portableHash)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -241,7 +263,8 @@ object Sampling {
       df: DataFrame,
       idCol: String,
       numFiles: Int,
-      seed: String
+      seed: String,
+      portableHash: Boolean = true
   ): DataFrame = {
     // _ikey is a reserved output column: silently overwriting one from
     // the input (e.g. a re-read of a previous writeInterleaved output)
@@ -250,7 +273,7 @@ object Sampling {
       "input already has a _ikey column (reserved for the interleave " +
         "key, e.g. from a previous writeInterleaved output) — drop or " +
         "rename it before re-interleaving")
-    df.withColumn("_ikey", interleaveKey(col(idCol), seed))
+    df.withColumn("_ikey", interleaveKey(col(idCol), seed, portableHash))
       .repartitionByRange(numFiles, col("_ikey"), col(idCol))
       .sortWithinPartitions(col("_ikey"), col(idCol))
   }
@@ -265,11 +288,12 @@ object Sampling {
       strataCol: String,
       idCol: String,
       k: Int,
-      seed: String = "s0"
+      seed: String = "s0",
+      portableHash: Boolean = true
   ): DataFrame = {
     val w = Window
       .partitionBy(col(strataCol))
-      .orderBy(hashOf(col(idCol), seed).asc, col(idCol).asc)
+      .orderBy(hashOf(col(idCol), seed, portableHash).asc, col(idCol).asc)
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
       .drop("_rn")
@@ -299,7 +323,8 @@ object Sampling {
       idCol: String,
       budgetTokens: Long,
       seed: String = "s0",
-      exact: Boolean = false
+      exact: Boolean = false,
+      portableHash: Boolean = true
   ): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0 (got $budgetTokens)")
     val withTok = df.withColumn(
@@ -307,7 +332,7 @@ object Sampling {
       graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
     if (exact) {
       val w = Window
-        .orderBy(hashOf(col(idCol), seed).asc, col(idCol).asc)
+        .orderBy(hashOf(col(idCol), seed, portableHash).asc, col(idCol).asc)
         .rowsBetween(Window.unboundedPreceding, -1)
       withTok
         .withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -318,7 +343,8 @@ object Sampling {
       // empty corpus: sum is null — everything (nothing) fits the budget
       val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
       if (total <= budgetTokens) withTok
-      else hashSample(withTok, idCol, budgetTokens.toDouble / total, seed)
+      else hashSample(withTok, idCol, budgetTokens.toDouble / total, seed,
+        portableHash)
     }
   }
 
@@ -340,11 +366,13 @@ object Sampling {
       tokenCount: Column,
       budget: Long,
       numShards: Int = 1,
-      seed: String = "s0"
+      seed: String = "s0",
+      portableHash: Boolean = true
   ): DataFrame = {
     require(budget > 0, s"packSequences budget must be > 0 (got $budget)")
     require(numShards > 0, s"packSequences numShards must be > 0 (got $numShards)")
-    val shard = pmod(hashOf(col(idCol), seed), lit(numShards)).cast("int")
+    val shard =
+      pmod(hashOf(col(idCol), seed, portableHash), lit(numShards)).cast("int")
     val w = Window
       .partitionBy(col("shard"))
       .orderBy(col(idCol).asc)

@@ -20,6 +20,19 @@ class SamplingSpec extends SparkSpec {
     val n = docs.count().toDouble
     val k = s1.count().toDouble
     assert(math.abs(k / n - 0.3) < 0.15, s"rate ${k / n} too far from 0.3")
+    // production hash config: same determinism and rate behavior, no
+    // crypto hash in the plan (xxhash64 is codegen'd; the sample it
+    // draws is a different — equally valid — one)
+    val p1 = Sampling.hashSample(docs, "doc_id", 0.3, "a",
+      portableHash = false).select("doc_id")
+    val p2 = Sampling.hashSample(docs, "doc_id", 0.3, "a",
+      portableHash = false).select("doc_id")
+    assert(p1.collect().toSet == p2.collect().toSet)
+    val kp = p1.count().toDouble
+    assert(math.abs(kp / n - 0.3) < 0.15, s"xx rate ${kp / n} far from 0.3")
+    val plan = p1.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64") && !plan.contains("md5"),
+      s"production config must hash with xxhash64, not md5:\n$plan")
   }
 
   test("tokenBudgetSample: exact greedy prefix; approx rate lands near budget") {
