@@ -142,8 +142,27 @@ object TextFunctions {
 
   /** Heuristic language ID: argmax of marker-stopword hits, ties broken
     * by the fixed language order above, "und" (undetermined) when no
-    * marker hits at all. */
+    * marker hits at all. Counting is ONE native token walk
+    * ([[graft.functions.LangMarkerHits]] — round 14; the composed form
+    * re-tokenized once per language through interpreted higher-order
+    * filters); the argmax/tie-break formula below is identical Column
+    * algebra over the same counters, so results cannot diverge from
+    * [[langIdComposed]] (spec-pinned). */
   def langId(text: Column): Column = {
+    val hitsArr = graft.functions.LangMarkerHits
+      .column(text, langMarkers.map(_._2))
+    val counts = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> hitsArr.getItem(i)
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, c), elze) =>
+      when(c === best && best > 0, lit(lang)).otherwise(elze)
+    }
+  }
+
+  /** The composed (per-language filter) form — the executable
+    * specification [[langId]]'s native counters are pinned against. */
+  private[graft] def langIdComposed(text: Column): Column = {
     val toks = tokens(text)
     val counts = langMarkers.map { case (lang, words) =>
       lang -> size(filter(toks, w => w.isin(words: _*)))

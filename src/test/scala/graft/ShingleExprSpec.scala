@@ -80,6 +80,23 @@ class ShingleExprSpec extends SparkSpec {
     assert(plan.contains("quality_stats"), s"missing native expr:\n$plan")
   }
 
+  test("native lang-marker hits equal the composed per-language filters") {
+    import graft.text.TextFunctions
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val edge = Seq(
+      "", " ", "the cat sat", "der hund ist da", "le chat est la",
+      "el perro es la", "la la la", "que sera sera", // fr/es overlaps
+      "THE DER LE EL", "xyzzy plugh", null
+    ).toDF("text").union(docs.select(col("text")))
+    val rows = edge.select(
+      TextFunctions.langId(col("text")).as("native"),
+      TextFunctions.langIdComposed(col("text")).as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"text=${r.get(2)}")
+    }
+  }
+
   test("native minhash signature equals the composed explode+agg form") {
     // the narrow expression must be BIT-identical to the composed
     // pipeline (the oracle-checkable executable spec) on the corpus
