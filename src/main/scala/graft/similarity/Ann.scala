@@ -219,10 +219,20 @@ object Ann {
   }
 
   /** b-bit random-hyperplane signature of a `dims`-dimensional vector:
-    * bit p = sign of dot(vec, plane_p), packed into a BIGINT. The
-    * planes are inlined as literal arrays — the per-row work is `bits`
-    * codegen'd fused multiply-adds over the vector, no hashing. */
-  def lshSignature(vec: Column, bits: Int, dims: Int): Column = {
+    * bit p = sign of dot(vec, plane_p), packed into a BIGINT. ONE
+    * fused native loop over all planes
+    * ([[graft.functions.LshSignatureExpr]] — round 14; the composed
+    * form evaluated `bits` interpreted `aggregate(zip_with(...))`
+    * expressions per row, one intermediate array each). Accumulation
+    * order matches, so the dots are bit-identical doubles
+    * (AnnIndexSpec pins native == composed). */
+  def lshSignature(vec: Column, bits: Int, dims: Int): Column =
+    graft.functions.LshSignatureExpr.column(vec, bits, dims)
+
+  /** The composed higher-order-function form — the executable
+    * (oracle-recomputable) specification of the signature. */
+  private[graft] def lshSignatureComposed(
+      vec: Column, bits: Int, dims: Int): Column = {
     val planes = (0 until bits).map { p =>
       val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
       // positional zip: element i of the vector pairs with component i

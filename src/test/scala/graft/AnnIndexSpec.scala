@@ -10,6 +10,40 @@ class AnnIndexSpec extends SparkSpec {
 
   private def emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
 
+  test("native lsh signature equals the composed per-plane form") {
+    // the fused loop must produce bit-identical signatures to the
+    // composed aggregate/zip_with spec (same plane constants, same
+    // left-to-right accumulation → identical doubles → same signs),
+    // including null vectors and the driver-side signatureOf twin
+    // dims must match the data, as every caller's vecDims-inferred
+    // value does (on a dims mismatch the two forms differ BY DESIGN:
+    // zip_with null-pads a short vector so the composed dot goes null
+    // and signs to 0, while the native loop truncates — neither is a
+    // shape callers can construct through lshBuckets)
+    val withNull = emb.select(col("vec_id"),
+      when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("embedding"))
+        .as("embedding"))
+    val rows = withNull.select(
+      Ann.lshSignature(col("embedding"), 12, 64).as("native"),
+      Ann.lshSignatureComposed(col("embedding"), 12, 64).as("composed"),
+      col("embedding")).collect()
+    rows.foreach { r =>
+      // composed signs a null vector to 0L (null dot → when false per
+      // plane) — the native form must keep that placement
+      val n = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      val c = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      assert(n == c, s"null-handling or sign divergence: $n vs $c")
+    }
+    // driver-side signatureOf agrees with the distributed expression
+    val one = emb.limit(1).collect().head
+    val v = one.getSeq[Float](one.fieldIndex("embedding"))
+    val driver = Ann.signatureOf(v, 12)
+    val dist = emb.where(col("vec_id") === one.getLong(0))
+      .select(Ann.lshSignature(col("embedding"), 12, 64))
+      .collect().head.getLong(0)
+    assert(driver == dist)
+  }
+
   test("indexTopK matches in-memory lshTopK and prunes partitions") {
     val path = tmpDir("annidx") + "/idx"
     Ann.writeBucketedIndex(emb, "embedding", "vec_id", path, bits = 4)
