@@ -67,7 +67,8 @@ object LshProbe {
           portableHash = false).count())
       stage(s"rep $r ${copies}x candidates")(candidatesOf(big).count())
       stage(s"rep $r ${copies}x verify-only")(
-        Dedup.verifyJaccard(big, "text", "doc_id", candidatesOf(big), 3, 0.7)
+        Dedup.verifyJaccard(big, "text", "doc_id", candidatesOf(big), 3, 0.7,
+          portableHash = false)
           .count())
       stage(s"rep $r ${copies}x full")(
         Dedup.minhashLshPairs(big, "text", "doc_id", 16, 2, 3, 0.7,
