@@ -621,8 +621,8 @@ object Dedup {
         df.select(col(idCol).as(s"id_$sfx"), col(textCol).as(s"_text_$sfx"))
       else
         df.select(col(idCol).as(s"id_$sfx"),
-          transform(shinglesNative(df, col(textCol), shingleWidth),
-            s => xxhash64(s)).as(s"_sh_$sfx"))
+          graft.functions.ShingleHashes
+            .column(col(textCol), shingleWidth).as(s"_sh_$sfx"))
     val a = side("a")
     val b = side("b")
     // the count gate covers BOTH joins: above it, broadcasting the

@@ -108,3 +108,58 @@ object GramSetOverlap {
         width, sorted))
   }
 }
+
+/** Per-doc DISTINCT shingle hashes in one walk: text → array<long>,
+  * == `transform(WordShingles(text, width), xxhash64)` (first-
+  * occurrence order, degenerate short-doc shingle included) without
+  * materializing the string array or paying the interpreted
+  * higher-order transform — the verify build side of
+  * [[graft.dedup.Dedup.verifyJaccardOn]]'s production config hashes
+  * every corpus doc exactly once through this. Spec-pinned equal to
+  * the composed form (ShingleExprSpec). Null text → null. */
+case class ShingleHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  require(width > 0, s"shingle width must be > 0 (got $width)")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    hashes(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path. */
+  def hashes(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val seen = new java.util.LinkedHashSet[String]
+    ShingleExpr.foreachShingle(input, width)(seen.add(_))
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val u = UTF8String.fromString(it.next())
+      out(i) = java.lang.Long.valueOf(XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shingleHashExpr", this,
+        classOf[ShingleHashes].getName)
+      s"${ev.value} = $ref.hashes($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def column(text: Column, width: Int): Column =
+    org.apache.spark.sql.GraftExprColumn.column(
+      ShingleHashes(
+        org.apache.spark.sql.GraftExprColumn.expression(text), width))
+}

@@ -80,6 +80,24 @@ class ShingleExprSpec extends SparkSpec {
     assert(plan.contains("quality_stats"), s"missing native expr:\n$plan")
   }
 
+  test("shingle hashes equal the composed transform(shingles, xxhash64)") {
+    import org.apache.spark.sql.functions.{transform => arrTransform, xxhash64}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val edge = Seq("", " ", "a", "a b", "a b c d", "A  B\tc", null)
+      .toDF("text").union(docs.select(col("text")))
+    val rows = edge.select(
+      graft.functions.ShingleHashes.column(col("text"), 3).as("native"),
+      arrTransform(
+        graft.dedup.Dedup.shinglesNative(edge, col("text"), 3),
+        s => xxhash64(s)).as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+      val c = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+      assert(n == c, s"text=${r.get(2)}")
+    }
+  }
+
   test("native lang-marker hits equal the composed per-language filters") {
     import graft.text.TextFunctions
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
