@@ -31,8 +31,13 @@ object Curation {
       maxTokens: Int
   ): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_tokens", TextFunctions.tokenCount(t).cast("long"))
-      .withColumn("quality", TextFunctions.qualityScore(t))
+    // n_tokens and quality both read the ONE-walk qualityStats struct
+    // (content-equal expressions → whole-stage CSE evaluates it once);
+    // langId is the second walk — two text passes per gated doc where
+    // the composed helpers ran four-plus
+    val s = TextFunctions.qualityStats(t)
+    df.withColumn("n_tokens", s.getField("n_tokens"))
+      .withColumn("quality", TextFunctions.qualityScoreOf(s))
       .where(
         TextFunctions.langId(t) === lang &&
           col("quality") >= minQuality &&

@@ -97,8 +97,18 @@ object TextFunctions {
     * times but whole-stage CSE evaluates it once per row (the
     * expression's content-based equality is what makes the five
     * reads recognizably identical). */
-  def qualityScore(text: Column): Column = {
-    val s = graft.functions.QualityStats.column(text, stopwordsEn)
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(qualityStats(text))
+
+  /** The one-walk counter struct behind [[qualityScore]] — exposed so
+    * composed pipelines (Curation's gate) can read `n_tokens` and the
+    * score from ONE evaluation (whole-stage CSE unifies the
+    * content-equal struct reads). */
+  private[graft] def qualityStats(text: Column): Column =
+    graft.functions.QualityStats.column(text, stopwordsEn)
+
+  /** The score formula over a [[qualityStats]] struct. */
+  private[graft] def qualityScoreOf(s: Column): Column = {
     val nChars = s.getField("n_chars")
     val nTokens = s.getField("n_tokens")
     val lenScore = least(nTokens.cast("double") / 100.0, lit(1.0))
