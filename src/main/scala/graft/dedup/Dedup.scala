@@ -296,22 +296,28 @@ object Dedup {
       maxBucket: Long = 10000L,
       portableHash: Boolean = true
   ): DataFrame = {
+    // ONE explicit exchange on the join keys right after the narrow
+    // signature stage: the banded table feeds three branches (bucket
+    // counts + both self-join sides), and when the signature stage
+    // ended in an AGGREGATE its shuffle was the natural reuse point —
+    // ReuseExchange computed the shingle→minhash map side once for
+    // every consumer. The round-14 narrow signature expression removed
+    // that exchange, which silently made each branch RE-EVALUATE the
+    // whole signature scan (measured at the 2 M-doc probe: full-corpus
+    // pairing 27 → 50 s). This repartition restores the single
+    // computation — the groupBy(band, bucket) and the equi-join reuse
+    // its hashpartitioning, so it adds NO extra shuffle over the old
+    // aggregate shape, and single-consumer paths (index builds) keep
+    // the exchange-free narrow plan. No manual persist: shuffle files,
+    // not cache residency (the round-2/3 bench instability was
+    // persist-related).
     val banded = lshBandIndex(
       df, textCol, idCol, numHashes, bands, shingleWidth, portableHash)
+      .repartition(col("band"), col("bucket"))
     // Mega-buckets (boilerplate shared by > maxBucket docs) would make
     // the self-join quadratic in ONE reducer — drop them up front
     // (they're near-certain duplicate clusters; collapse them by
     // fingerprint out of band instead of pairwise-verifying).
-    //
-    // No manual persist anywhere in this pipeline: the banded table
-    // feeds three branches (bucket counts + both self-join sides), but
-    // all three sit inside ONE final plan, and each branch's shuffle
-    // exchange over the signature aggregation is identical — Spark's
-    // ReuseExchange computes the expensive shingle→minhash map side
-    // once and fans the shuffle files out to every consumer. That
-    // makes the whole operator a single deterministic job with no
-    // cache residency to fight other queries for memory (the round-2/3
-    // bench instability was persist-related).
     val (within, _) =
       graft.query.Skew.capBuckets(banded, Seq("band", "bucket"), maxBucket)
     val l = within.select(col(idCol).as("id_a"), col("band"), col("bucket"))
@@ -600,6 +606,11 @@ object Dedup {
       maxBroadcastPairs: Long,
       portableHash: Boolean = true
   ): DataFrame = {
+    // the count gate covers BOTH joins: above it, broadcasting the
+    // candidate frame itself (not just the text-joined side) would
+    // collect every pair row to the driver — the exact OOM the gate
+    // exists to prevent
+    val fits = nPairs <= maxBroadcastPairs
     // Two per-side representations, one knob with [[minhashSignatures]]:
     //  - portable (default): sides carry TEXT; shingles are computed
     //    POST-join (per pair, 2k evals for a doc in k pairs). Bytes in
@@ -610,26 +621,32 @@ object Dedup {
     //  - production (portableHash = false): sides carry per-doc
     //    xxhash64 SHINGLE-HASH arrays — ~8 bytes per shingle (~1.3×
     //    the text bytes, nowhere near the string arrays' 3×), shingled
-    //    ONCE per doc instead of once per pair, and the per-pair
-    //    intersection runs over longs instead of re-shingling and
-    //    hashing strings. Jaccard over the hash sets equals jaccard
-    //    over the shingle sets up to 64-bit collisions (~n²/2^65
-    //    within one doc — unobservable; output equality across both
-    //    configs on identical candidates is spec-pinned).
+    //    ONCE per CANDIDATE doc instead of once per pair, and the
+    //    per-pair intersection runs over longs instead of re-shingling
+    //    and hashing strings. The semi-join to the candidate ids comes
+    //    BEFORE the hash walk: in the sparse-dup regime (the real
+    //    100 TB shape — most docs pair with nothing) hashing every
+    //    corpus doc costs more than all the per-pair work it saves
+    //    (measured at the 2 M-doc probe: pre-gating recovered the
+    //    full_rerun arm from 47 s to the 27 s family). Jaccard over
+    //    the hash sets equals jaccard over the shingle sets up to
+    //    64-bit collisions (~n²/2^65 within one doc — unobservable;
+    //    output equality across both configs on identical candidates
+    //    is spec-pinned).
     def side(sfx: String): DataFrame =
       if (portableHash)
         df.select(col(idCol).as(s"id_$sfx"), col(textCol).as(s"_text_$sfx"))
-      else
-        df.select(col(idCol).as(s"id_$sfx"),
-          graft.functions.ShingleHashes
-            .column(col(textCol), shingleWidth).as(s"_sh_$sfx"))
+      else {
+        val ids = slim.select(col(s"id_$sfx")).distinct()
+        df.select(col(idCol).as(s"id_$sfx"), col(textCol).as("_t"))
+          .join(if (fits) broadcast(ids) else ids, Seq(s"id_$sfx"),
+            "left_semi")
+          .select(col(s"id_$sfx"),
+            graft.functions.ShingleHashes
+              .column(col("_t"), shingleWidth).as(s"_sh_$sfx"))
+      }
     val a = side("a")
     val b = side("b")
-    // the count gate covers BOTH joins: above it, broadcasting the
-    // candidate frame itself (not just the text-joined side) would
-    // collect every pair row to the driver — the exact OOM the gate
-    // exists to prevent
-    val fits = nPairs <= maxBroadcastPairs
     val withA = a.join(if (fits) broadcast(slim) else slim, Seq("id_a"))
     val pairs =
       if (fits) b.join(broadcast(withA), Seq("id_b"))
@@ -1251,12 +1268,20 @@ object Dedup {
       if (bits == 32)
         col(hashCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
       else col(hashCol).cast("long")
+    // one explicit exchange on the band keys before the three
+    // consumers (bucket counts + both self-join sides): `df` is
+    // usually a narrow NATIVE fingerprint stage (simhash/phash) with
+    // no exchange of its own, so without this the fingerprint scan
+    // would re-evaluate per consumer (the minhashLshPairs lesson —
+    // see its banded repartition note); the groupBy and the equi-join
+    // reuse this hashpartitioning, so it adds no extra shuffle
     val banded = df
       .select(col(idCol).as("id"), h.as("_h"))
       .select(col("id"), col("_h"),
         explode(sequence(lit(0), lit(bands - 1))).as("_band"))
       .withColumn("_bits",
         expr(s"shiftright(_h, _band * $width)").bitwiseAND(lit(mask)))
+      .repartition(col("_band"), col("_bits"))
     val (kept, capped) = graft.query.Skew.capBuckets(
       banded, Seq("_band", "_bits"), maxBucket)
     val pairs = kept.as("a")
@@ -1647,16 +1672,21 @@ object Dedup {
   ): DataFrame = {
     import graft.similarity.Ann
     graft.functions.VecOps.register(df.sparkSession)
+    // one explicit exchange on the bucket key after the narrow
+    // signature+norm stage, shared by its three consumers (bucket
+    // counts + both self-join sides) — the minhashLshPairs lesson:
+    // with no exchange of its own, the per-row signature/norm scan
+    // would re-evaluate per consumer, and the per-branch projections
+    // differ so their own exchanges never ReuseExchange. The
+    // groupBy(bucket) and the equi-join reuse this hashpartitioning
+    // (projections preserve it), so no extra shuffle. No persist —
+    // shuffle files, not cache residency.
     val raw = df.select(
       col(idCol),
       col(vecCol),
       call_function("vec_norm_f", col(vecCol)).as("nrm"),
       Ann.lshSignature(col(vecCol), bits, Ann.vecDims(df, vecCol)).as("bucket")
-    )
-    // No persist: the signature is a narrow per-row projection (fused
-    // multiply-adds over literal planes), so recomputing it per branch
-    // is cheaper than cache residency — and the self-join's shuffle
-    // exchange is shared across branches via ReuseExchange anyway.
+    ).repartition(col("bucket"))
     // cap per-bucket cardinality before the self-join (see
     // minhashLshPairs): one boilerplate bucket must not go quadratic
     val (bucketed, _) =
