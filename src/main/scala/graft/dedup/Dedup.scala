@@ -436,12 +436,19 @@ object Dedup {
       if (nBandRows <= maxBroadcastProbeKeys) broadcast(probe) else probe
     val probedCorpus = corpusBands
       .join(probeSide, Seq("band", "bucket"), "left_semi")
+    // one explicit exchange on the band keys shared by the tagged
+    // frame's consumers (cap counts + cap semi-join + both pair-join
+    // sides) — without it each consumer re-runs the corpus-index
+    // semi-join probe above (the minhashLshPairs shared-exchange
+    // lesson); the cap groupBy and the pair equi-join reuse this
+    // hashpartitioning, so no net extra shuffle
     val tagged = newBands
       .select(col(idCol).as("_id"), col("band"), col("bucket"),
         lit(true).as("_new"))
       .unionByName(probedCorpus
         .select(col(idCol).as("_id"), col("band"), col("bucket"),
           lit(false).as("_new")))
+      .repartition(col("band"), col("bucket"))
     // Cap on the combined probed-bucket population: identical drop
     // decision to a batch run over corpus+new (unprobed buckets hold
     // no new docs, so they can't contribute a pair touching the batch).
