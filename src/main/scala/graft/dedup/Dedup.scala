@@ -419,7 +419,8 @@ object Dedup {
       maxPushedFetchIds: Long,
       maxBroadcastProbeKeys: Long,
       maxInLiteralIds: Long = 1000L,
-      portableHash: Boolean = true
+      portableHash: Boolean = true,
+      minProbeExchangeRows: Long = 50000L
   ): (DataFrame, DataFrame) = {
     // Distinct probe keys are bounded by bands × |batch| — broadcast
     // them so the corpus index is semi-joined in place (no shuffle of
@@ -434,21 +435,32 @@ object Dedup {
     val probe = newBands.select("band", "bucket").distinct()
     val probeSide =
       if (nBandRows <= maxBroadcastProbeKeys) broadcast(probe) else probe
-    val probedCorpus = corpusBands
+    // Count-gated reuse exchange above the probe: the tagged frame
+    // below has four consumers (cap counts + cap semi-join + both
+    // pair-join sides), and without a reuse point each re-runs this
+    // corpus-index semi-join — three extra scans of a 10^8-row
+    // standing index per ingest (the minhashLshPairs shared-exchange
+    // lesson). ReuseExchange serves every consumer from one
+    // BATCH-BOUND shuffle (only buckets the batch touches survive the
+    // semi-join). The gate uses the already-counted batch band rows —
+    // the probe reach is bucket-correlated with them: a SMALL batch
+    // probes few buckets, so re-probing per consumer is cheaper than
+    // a dedicated shuffle stage (measured at the sf0.1 bench: the
+    // unconditional exchange cost ~0.5 s of fixed stage overhead on a
+    // 5 k-doc batch), while a crawl-sized batch amortizes it (2 M-doc
+    // probe: 10.1 s → 5.2 s vs the round-11 record).
+    val probedCorpus0 = corpusBands
       .join(probeSide, Seq("band", "bucket"), "left_semi")
-    // one explicit exchange on the band keys shared by the tagged
-    // frame's consumers (cap counts + cap semi-join + both pair-join
-    // sides) — without it each consumer re-runs the corpus-index
-    // semi-join probe above (the minhashLshPairs shared-exchange
-    // lesson); the cap groupBy and the pair equi-join reuse this
-    // hashpartitioning, so no net extra shuffle
+    val probedCorpus =
+      if (nBandRows > minProbeExchangeRows)
+        probedCorpus0.repartition(col("band"), col("bucket"))
+      else probedCorpus0
     val tagged = newBands
       .select(col(idCol).as("_id"), col("band"), col("bucket"),
         lit(true).as("_new"))
       .unionByName(probedCorpus
         .select(col(idCol).as("_id"), col("band"), col("bucket"),
           lit(false).as("_new")))
-      .repartition(col("band"), col("bucket"))
     // Cap on the combined probed-bucket population: identical drop
     // decision to a batch run over corpus+new (unprobed buckets hold
     // no new docs, so they can't contribute a pair touching the batch).
