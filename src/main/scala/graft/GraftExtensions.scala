@@ -99,6 +99,37 @@ object GraftExtensions {
           throw new IllegalArgumentException(
             s"simhash_fingerprint bits must be a non-null literal, got $other")
       }
+    }),
+    "lsh_signature" -> ((exprs: Seq[Expression]) => {
+      arity("lsh_signature", exprs, 3)
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v, _) if v != null => v.toString.toInt
+        case other =>
+          throw new IllegalArgumentException(
+            s"lsh_signature $what must be a non-null literal, got $other")
+      }
+      graft.functions.LshSignatureExpr(exprs.head,
+        intLit(exprs(1), "bits"), intLit(exprs(2), "dims"))
+    }),
+    "shingle_hashes" -> ((exprs: Seq[Expression]) => {
+      arity("shingle_hashes", exprs, 2)
+      exprs(1) match {
+        case Literal(v, _) if v != null =>
+          graft.functions.ShingleHashes(exprs.head, v.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"shingle_hashes width must be a non-null literal, got $other")
+      }
+    }),
+    "distinct_line_keys" -> ((exprs: Seq[Expression]) => {
+      arity("distinct_line_keys", exprs, 2)
+      exprs(1) match {
+        case Literal(v, _) if v != null =>
+          graft.functions.DistinctLineKeys(exprs.head, v.toString.toBoolean)
+        case other =>
+          throw new IllegalArgumentException(
+            s"distinct_line_keys portable must be a non-null literal, got $other")
+      }
     })
   )
 

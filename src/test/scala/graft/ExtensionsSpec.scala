@@ -29,6 +29,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 5.0)
     assert(r.getSeq[String](2) == Seq("a b c", "b c d"))
+    // the round-14 data-free natives resolve from SQL text too, and
+    // match their programmatic twins exactly
+    val r2 = s2
+      .sql(
+        """SELECT lsh_signature(array(1.0F, -1.0F), 4, 2) AS sig,
+          |  shingle_hashes('a b c d', 3) AS sh,
+          |  distinct_line_keys('x\ny\nx', false) AS lk""".stripMargin
+      )
+      .collect()(0)
+    val progSig = graft.similarity.Ann.signatureOf(Seq(1.0f, -1.0f), 4)
+    assert(r2.getLong(0) == progSig)
+    assert(r2.getSeq[Long](1).length == 2) // "a b c", "b c d"
+    assert(r2.getSeq[Long](2).length == 2) // x, y — within-doc distinct
   }
 
   test("table-valued functions query logs from SQL text") {
