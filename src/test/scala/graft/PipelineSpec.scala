@@ -231,6 +231,98 @@ class PipelineSpec extends SparkSpec {
     assert(pairs1.intersect(pairs2).isEmpty)
   }
 
+  test("incremental LSH: over-gate shared exchange equals recompute, " +
+      "index scanned once") {
+    // `minProbeExchangeRows` picks between re-probing the corpus index
+    // per consumer (small batch) and materializing a batch-bound
+    // REPARTITION_BY_COL exchange the tagged frame's consumers reuse
+    // (crawl-sized batch). Force each branch and pin (a) identical
+    // verified pairs and (b) the plans actually switch: over the gate
+    // the probed index is served from dedicated shuffle stages and
+    // each distinct PROJECTION of the index is scanned at most once
+    // (column pruning legitimately splits the probe into a slim
+    // band/bucket scan for the cap counts and a doc-carrying scan for
+    // the pair join — two stages, each executed once, however many
+    // consumers sit above); under the gate no repartition is planned
+    // at all (re-probing beats a dedicated stage for small batches).
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val corpus = docs.where(col("doc_id") < 250)
+    val fresh = docs.where(col("doc_id") >= 250)
+    val idxDir = tmpDir("graft-lshgate-")
+    Dedup.lshBandIndex(corpus, "text", "doc_id", 8, 4)
+      .write.mode("overwrite").partitionBy("band").parquet(idxDir)
+    // the candidate frame is localCheckpointed inside
+    // incrementalFromBands (lineage truncated before the caller sees
+    // it), so its executed plan is captured at the checkpoint action
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "localCheckpoint") captured.synchronized {
+          captured += qe.executedPlan.toString
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      def run(gate: Long): Set[(Long, Long, Double)] = {
+        val newBands = Dedup.lshBandIndex(fresh, "text", "doc_id", 8, 4)
+          .localCheckpoint(true)
+        Dedup.incrementalFromBands(newBands,
+          fresh.select("doc_id", "text"), "text", "doc_id",
+          corpusBands = spark.read.parquet(idxDir),
+          corpusTexts = corpus.select("doc_id", "text"),
+          shingleWidth = 3, threshold = 0.35, maxBucket = 10000L,
+          maxPushedFetchIds = 100000L, maxBroadcastProbeKeys = 4000000L,
+          minProbeExchangeRows = gate)._1
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      }
+      val shared = run(gate = 0L) // the branch a crawl-sized batch takes
+      val recompute = run(gate = Long.MaxValue)
+      assert(shared.nonEmpty, "no batch-touching pairs — vacuous")
+      assert(shared == recompute, s"gate branches diverge: " +
+        s"extra=${shared -- recompute}, missing=${recompute -- shared}")
+      // listener delivery is async (listener bus) — wait for all four
+      // checkpoint plans (2 runs × [banded batch, candidate frame])
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.synchronized(captured.size) < 4 &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      val candPlans = captured.synchronized {
+        captured.filter(_.contains("least")).toList
+      }
+      assert(candPlans.size == 2,
+        s"expected 2 candidate-frame plans, got ${candPlans.size} of " +
+          s"${captured.size} captures")
+      // adaptive plans print the pre-execution plan after a
+      // "== Initial Plan ==" marker — only the final section executed
+      def finalSection(plan: String): String =
+        plan.split("== Initial Plan ==")(0)
+      def indexScans(plan: String): Int =
+        finalSection(plan).linesIterator.count(_.contains("FileScan parquet"))
+      def reused(plan: String): Int =
+        finalSection(plan).linesIterator.count(_.contains("ReusedExchange"))
+      def repartitions(plan: String): Int =
+        finalSection(plan).linesIterator.count(_.contains("REPARTITION_BY_COL"))
+      val (sharedPlan, recomputePlan) = (candPlans(0), candPlans(1))
+      assert(repartitions(sharedPlan) == 2,
+        s"over-gate branch must stage the probed index behind one " +
+          s"repartition per projection:\n${finalSection(sharedPlan)}")
+      assert(indexScans(sharedPlan) <= 2,
+        s"over-gate branch must scan each index projection at most " +
+          s"once:\n${finalSection(sharedPlan)}")
+      assert(reused(sharedPlan) > 0,
+        s"consumers must reuse exchanges, not recompute the probe:\n" +
+          finalSection(sharedPlan))
+      assert(repartitions(recomputePlan) == 0,
+        s"under-gate branch must not plan a dedicated probe exchange:\n" +
+          finalSection(recomputePlan))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("incremental LSH: combined-population cap, flooded bucket in diag") {
     // 60 identical docs SPLIT 30/30 across corpus and batch: neither
     // side alone exceeds maxBucket=10, so only the COMBINED count —
