@@ -155,6 +155,34 @@ object Demo {
     println(s"== offset2 export+import: rows=${o2back.count()} " +
       s"nulled=${o2back.where(col("nulled")).count()} fsck=$fsck")
 
+    // 12. Steady-state ingest-curation daemon: documents stream in on
+    // a graft-log, each micro-batch is gated + incrementally deduped
+    // against the standing index, survivors land transactionally —
+    // killed and resumed mid-corpus to show the checkpoint contract.
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val docLog = ParquetLog.open(spark, s"$work/doclog", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+    val dcfg = graft.streaming.IngestConfig(minQuality = 0.0, minTokens = 1,
+      threshold = 0.35,
+      params = graft.dedup.DedupParams(numHashes = 8, bands = 4))
+    val daemon = graft.streaming.IngestDaemon.open(spark, s"$work/daemon", dcfg)
+    def docStream = spark.readStream.format("graft-log").load(docLog.dir)
+      .select(col("value.doc_id").as("doc_id"), col("value.text").as("text"))
+    docLog.append(docs.where(col("doc_id") < 250)
+      .select(struct(col("doc_id"), col("text")).as("value")))
+    val dq1 = daemon.start(docStream, s"$work/daemonckpt")
+    dq1.processAllAvailable(); dq1.stop()
+    val mid = daemon.corpus.count()
+    // second half arrives while the daemon is down; a fresh handle on
+    // the same checkpoint resumes without re-deciding a document
+    docLog.append(docs.where(col("doc_id") >= 250)
+      .select(struct(col("doc_id"), col("text")).as("value")))
+    val daemon2 = graft.streaming.IngestDaemon.open(spark, s"$work/daemon", dcfg)
+    val dq2 = daemon2.start(docStream, s"$work/daemonckpt")
+    dq2.processAllAvailable(); dq2.stop()
+    println(s"== ingest daemon: corpus $mid -> ${daemon2.corpus.count()} " +
+      s"docs across a restart, index v${daemon2.index.version}")
+
     println("== DEMO OK")
     spark.stop()
   }

@@ -19,10 +19,11 @@ import graft.text.TextFunctions
   */
 object Curation {
 
-  /** The lang / quality / length gates shared by [[curate]] and
-    * [[curateNear]] — three narrow predicates that fuse into one
-    * codegen'd filter over the scan. */
-  private def gate(
+  /** The lang / quality / length gates shared by [[curate]],
+    * [[curateNear]] and [[graft.streaming.IngestDaemon]] — three
+    * narrow predicates that fuse into one codegen'd filter over the
+    * scan. */
+  private[graft] def gate(
       df: DataFrame,
       textCol: String,
       lang: String,

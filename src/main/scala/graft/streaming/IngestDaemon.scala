@@ -1,0 +1,215 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.dedup.{DedupIndex, DedupParams}
+import graft.pipeline.Curation
+import graft.storage.TableStore
+
+/** Gate / dedup / survivor-rule knobs of an [[IngestDaemon]]. The
+  * banding parameters live in [[DedupParams]] (persisted with the
+  * index and refused on mismatch at reopen); the gates are
+  * policy-of-the-day and intentionally NOT pinned — tightening
+  * `minQuality` mid-corpus only affects future batches. */
+final case class IngestConfig(
+    textCol: String = "text",
+    idCol: String = "doc_id",
+    lang: String = "en",
+    minQuality: Double = 0.5,
+    minTokens: Int = 10,
+    maxTokens: Int = 100000,
+    threshold: Double = 0.5,
+    maxBucket: Long = 10000L,
+    params: DedupParams = DedupParams()
+)
+
+/** The composed steady-state ingest-curation loop — the reference's
+  * resumable-derived-view discipline (SinkIndex cursor-after-apply,
+  * indexes/sinkindex.go:39-50) applied to the flagship LLM pipeline:
+  *
+  *   readStream(graft-log) → gates → incremental exact + LSH dedup
+  *   against the standing [[DedupIndex]] → survivor append + index
+  *   advance, per micro-batch, checkpointed, restart-resumable.
+  *
+  * Two managed stores under `dir`:
+  *
+  *   - `dir/index` — the [[DedupIndex]]: band keys + fingerprints of
+  *     every exact survivor ever seen, with its per-batch journal
+  *     (ONE atomic commit per batch: probe outputs are replayable
+  *     against the pre-batch snapshot).
+  *   - `dir/seen` — a [[TableStore]] holding the TEXTS behind the
+  *     index (the verify stage's fetch side must cover every indexed
+  *     doc, including near-dup LOSERS — a future batch can pair with
+  *     a loser whose canonical shares none of its buckets) plus an
+  *     `admitted` flag and its own batch journal. The curated corpus
+  *     is `seen WHERE admitted`.
+  *
+  * Crash contract (why two journals make the loop exactly-once):
+  * [[processBatch]] commits the index FIRST, the seen store second,
+  * and checks the SEEN journal up front —
+  *
+  *   - crash before the index commit: nothing visible anywhere; the
+  *     checkpointed source redelivers the identical batch (seq
+  *     offsets) and the rerun is a fresh run;
+  *   - crash between the commits: the rerun finds the index journal,
+  *     [[DedupIndex.ingest]] recomputes the identical outputs against
+  *     the PRE-batch snapshot (`readAsOf`) without appending again,
+  *     and the seen store — still in its pre-batch state, which is
+  *     exactly the fetch side the replay needs — commits once;
+  *   - crash after both (before the streaming commit log records the
+  *     batch): the rerun sees the seen journal and skips outright.
+  *
+  * Either way every document is admitted or dropped EXACTLY once, and
+  * the next batch probes an index holding this batch exactly once.
+  *
+  * Id contract: `idCol` values must be globally unique across the
+  * stream's lifetime (the graft-log `seq` is the natural choice) —
+  * the same disjointness [[DedupIndex.ingest]] requires.
+  *
+  * Plan shape at 100 TB: per batch, the gates fuse into the batch
+  * scan; the probe is batch-linear (count-gated broadcast of the
+  * batch's bucket keys into the standing index, capped buckets,
+  * pushed-id text fetch); the two commits append batch-sized parquet.
+  * Nothing corpus-sized moves, shuffles, or rewrites on the ingest
+  * path — corpus-sized work happens only in explicit [[compact]]
+  * maintenance.
+  */
+final class IngestDaemon private (
+    val spark: SparkSession,
+    val dir: String,
+    val index: DedupIndex,
+    seen: TableStore,
+    val config: IngestConfig
+) {
+
+  import IngestDaemon.seenSchema
+
+  /** Texts of every doc behind the standing index — the verify fetch
+    * side. */
+  def seenTexts: DataFrame =
+    seen.read.where(col("kind") === "doc")
+      .select(col("id").as(config.idCol), col("text").as(config.textCol))
+
+  /** The curated corpus: every admitted survivor, with the gate's
+    * `n_tokens` / `quality` columns. */
+  def corpus: DataFrame =
+    seen.read.where(col("kind") === "doc" && col("admitted"))
+      .select(col("id").as(config.idCol), col("text").as(config.textCol),
+        col("n_tokens"), col("quality"))
+
+  /** The seen-store commit that fully applied `batchId`, if any. */
+  def appliedVersion(batchId: String): Option[Long] =
+    seen.readVersioned
+      .where(col("kind") === "batch" && col("batch_id") === batchId)
+      .select(col("_ver"))
+      .collect()
+      .headOption
+      .map(_.getLong(0))
+
+  /** One transactional ingest step — callable from a foreachBatch
+    * sink (see [[start]]) or directly from batch code. Idempotent by
+    * `batchId`: a redelivered batch that was fully applied is a
+    * no-op; one whose index commit landed but whose seen commit did
+    * not is finished via the index's snapshot replay. */
+  def processBatch(batchId: String, rawDocs: DataFrame): Unit =
+    synchronized {
+      if (appliedVersion(batchId).isDefined) return // fully applied
+      val c = config
+      val gated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
+        c.textCol, c.lang, c.minQuality, c.minTokens, c.maxTokens)
+      // idle-trigger fast path: an empty gated batch the index never
+      // saw commits nothing (deterministic: its replay re-skips)
+      if (index.appliedVersion(batchId).isEmpty && gated.isEmpty) return
+      val result = index.ingest(batchId, gated, c.textCol, c.idCol,
+        corpusTexts = seenTexts, threshold = c.threshold,
+        maxBucket = c.maxBucket)
+      val adm = result.admitted
+        .select(col(c.idCol).cast("long").as("_adm_id"))
+      val nul = (t: String) => lit(null).cast(t)
+      val docRows = result.exactSurvivors
+        .select(col(c.idCol).cast("long").as("id"),
+          col(c.textCol).cast("string").as("text"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("quality").cast("double").as("quality"))
+        .join(adm, col("id") === col("_adm_id"), "left")
+        .select(lit("doc").as("kind"), col("id"), col("text"),
+          col("n_tokens"), col("quality"),
+          col("_adm_id").isNotNull.as("admitted"),
+          nul("string").as("batch_id"))
+      val journalRow = spark.range(1).select(
+        lit("batch").as("kind"), nul("long").as("id"),
+        nul("string").as("text"), nul("long").as("n_tokens"),
+        nul("double").as("quality"), nul("boolean").as("admitted"),
+        lit(batchId).as("batch_id"))
+      // evaluating docRows re-reads the seen store lazily: the read
+      // resolves against the still-pre-batch manifest (the commit
+      // below only publishes after the segment files are written), so
+      // the verify's fetch side stays the pre-batch snapshot
+      seen.append(docRows.unionByName(journalRow))
+      ()
+    }
+
+  /** Wire a STREAMING `docs` frame (carrying `config.idCol` +
+    * `config.textCol`) into the loop: one [[processBatch]] per
+    * micro-batch, batch ids taken from the checkpointed streaming
+    * batch counter (stable across restarts — the redelivery key the
+    * crash contract keys on). */
+  def start(
+      docs: DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(s"stream-$id", b)
+      }
+      .start()
+
+  /** Offline maintenance (single writer, no concurrent readers — the
+    * [[DedupIndex.compact]] contract): fold both stores' commit
+    * history into few sorted segments so probe planning stays O(1) in
+    * batch count. Journal rows survive; replaying a pre-fold batch is
+    * refused loudly rather than recomputed against the wrong state. */
+  def compact(targetPartitions: Int = 8): Unit = synchronized {
+    index.compact(targetPartitions)
+    seen.rewrite(
+      _.repartitionByRange(targetPartitions, col("kind"), col("id"))
+        .sortWithinPartitions("kind", "id"))
+  }
+}
+
+object IngestDaemon {
+
+  /** `doc` rows carry the text tier; `batch` rows are the seen-store
+    * journal. Same one-store-one-manifest trick as
+    * [[graft.dedup.DedupIndex]]: the survivor rows and the journal
+    * row that marks them applied ride ONE atomic commit. */
+  private val seenSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("id", LongType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("n_tokens", LongType, nullable = true),
+    StructField("quality", DoubleType, nullable = true),
+    StructField("admitted", BooleanType, nullable = true),
+    StructField("batch_id", StringType, nullable = true)
+  ))
+
+  /** Open (or create) the daemon's managed state under `dir`. The
+    * banding parameters are persisted with the index and refused on
+    * mismatch; the gate knobs are per-open policy. */
+  def open(spark: SparkSession, dir: String,
+      config: IngestConfig = IngestConfig()): IngestDaemon = {
+    val index =
+      DedupIndex.open(spark, Paths.get(dir, "index").toString, config.params)
+    val seen = TableStore.open(
+      spark, Paths.get(dir, "seen").toString, seenSchema)
+    new IngestDaemon(spark, dir, index, seen, config)
+  }
+}

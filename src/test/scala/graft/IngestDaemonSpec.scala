@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.dedup.{Dedup, DedupParams}
+import graft.pipeline.Curation
+import graft.storage.ParquetLog
+import graft.streaming.{IngestConfig, IngestDaemon}
+
+/** End-to-end vectors for the streaming ingest-curation daemon: the
+  * checkpointed readStream → gate → incremental-dedup → survivor-
+  * append loop must survive a kill/restart without losing, duplicating
+  * or re-deciding a document, and its corpus must equal both a
+  * one-shot daemon run and an INDEPENDENT batch composition of the
+  * same operators.
+  */
+class IngestDaemonSpec extends SparkSpec {
+
+  private val cfg = IngestConfig(
+    minQuality = 0.0, minTokens = 1, // gates open: dedup is under test
+    threshold = 0.35,
+    params = DedupParams(numHashes = 8, bands = 4))
+
+  private lazy val docs = Tables
+    .load(spark, "/root/testdata/sf0.001", "documents")
+    .select("doc_id", "text")
+
+  private val logSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def appendWave(log: ParquetLog, wave: DataFrame): Unit =
+    log.append(wave.select(struct(col("doc_id"), col("text")).as("value")))
+
+  private def streamOf(srcDir: String): DataFrame =
+    spark.readStream.format("graft-log").load(srcDir)
+      .select(col("value.doc_id").as("doc_id"),
+        col("value.text").as("text"))
+
+  private def corpusIds(d: IngestDaemon): Seq[Long] =
+    d.corpus.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("daemon: kill/restart loses nothing, corpus equals one-shot and " +
+      "independent batch composition") {
+    val srcDir = tmpDir("daemon-src-") + "/log"
+    val ckpt = tmpDir("daemon-ck-")
+    val dDir = tmpDir("daemon-state-")
+    val log = ParquetLog.open(spark, srcDir, logSchema)
+    val w1 = docs.where(col("doc_id") < 200)
+    val w2 = docs.where(col("doc_id") >= 200 && col("doc_id") < 350)
+    val w3 = docs.where(col("doc_id") >= 350)
+
+    // ── run 1: two waves, then a clean stop ──────────────────────────
+    appendWave(log, w1)
+    val d1 = IngestDaemon.open(spark, dDir, cfg)
+    val q1 = d1.start(streamOf(srcDir), ckpt, Trigger.ProcessingTime(0))
+    try {
+      q1.processAllAvailable()
+      appendWave(log, w2)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterRun1 = corpusIds(d1)
+    assert(afterRun1.nonEmpty, "run 1 admitted nothing — vacuous")
+
+    // ── data arrives while the daemon is DOWN ────────────────────────
+    appendWave(log, w3)
+
+    // ── run 2: fresh handle, same checkpoint — must resume, not replay
+    val d2 = IngestDaemon.open(spark, dDir, cfg)
+    val q2 = d2.start(streamOf(srcDir), ckpt, Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = corpusIds(d2)
+    assert(ids.distinct == ids, "duplicate survivors after restart")
+    assert(afterRun1.toSet.subsetOf(ids.toSet),
+      "restart lost already-admitted docs")
+
+    // one-shot daemon on the full corpus: batch boundaries and the
+    // restart must not change a single admit/drop decision
+    val oneshotDir = tmpDir("daemon-oneshot-")
+    val one = IngestDaemon.open(spark, oneshotDir, cfg)
+    one.processBatch("all", docs)
+    assert(ids == corpusIds(one),
+      "streamed corpus != one-shot corpus")
+
+    // index agreement: same band keys and fingerprints either way
+    // (the standing index holds every exact survivor exactly once)
+    def bandSet(d: IngestDaemon) = d.index.bands
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def fpSet(d: IngestDaemon) = d.index.fingerprints
+      .collect().map(_.getString(0)).toSet
+    assert(bandSet(d2) == bandSet(one), "band indexes diverge")
+    assert(fpSet(d2) == fpSet(one), "fingerprint indexes diverge")
+
+    // independent composition of the batch operators (gate → exact
+    // dedup → LSH pairs → min-id cluster survivors): streamed ids
+    // increase monotonically, so the rolling corpus-wins rule and the
+    // one-shot min-id rule elect the same survivors
+    val gated = Curation.gate(docs, "text", cfg.lang, cfg.minQuality,
+      cfg.minTokens, cfg.maxTokens)
+    val exact = Dedup.exactDedup(gated, "text", "doc_id")
+    val pairs = Dedup.minhashLshPairs(exact, "text", "doc_id",
+      cfg.params.numHashes, cfg.params.bands, cfg.params.shingleWidth,
+      cfg.threshold, cfg.maxBucket)
+    val independent = Dedup
+      .clusterSurvivors(exact.select("doc_id"), "doc_id",
+        pairs.select("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == independent,
+      "daemon corpus != independent batch composition")
+  }
+
+  test("daemon: redelivered and half-applied batches commit exactly once") {
+    val w1 = docs.where(col("doc_id") < 250)
+    val w2 = docs.where(col("doc_id") >= 250)
+
+    // clean two-batch reference run
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-ref-"), cfg)
+    ref.processBatch("b0", w1)
+    ref.processBatch("b1", w2)
+
+    val d = IngestDaemon.open(spark, tmpDir("daemon-replay-"), cfg)
+    d.processBatch("b0", w1)
+    val v0 = d.appliedVersion("b0")
+    // fully-applied redelivery (restart before the streaming commit
+    // log recorded the batch): must be a pure no-op
+    d.processBatch("b0", w1)
+    assert(d.appliedVersion("b0") == v0, "redelivery re-committed seen")
+    assert(d.index.appliedVersion("b0").isDefined)
+
+    // half-applied crash window: the INDEX commit landed, the seen
+    // commit did not (simulated by driving the index directly with
+    // exactly the gated frame the daemon would build)
+    val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
+      cfg.lang, cfg.minQuality, cfg.minTokens, cfg.maxTokens)
+    d.index.ingest("b1", gatedW2, "text", "doc_id",
+      corpusTexts = d.seenTexts, threshold = cfg.threshold,
+      maxBucket = cfg.maxBucket)
+    assert(d.appliedVersion("b1").isEmpty, "window setup broken")
+    // the rerun must FINISH the batch: replay the probe against the
+    // pre-batch snapshot, commit seen once, admit/drop identically
+    d.processBatch("b1", w2)
+    assert(d.appliedVersion("b1").isDefined, "seen journal not written")
+    val ids = corpusIds(d)
+    assert(ids.distinct == ids, "duplicate survivors after replay")
+    assert(ids == corpusIds(ref),
+      "replayed corpus != clean-run corpus")
+    assert(d.index.bands.count() == ref.index.bands.count(),
+      "replay appended index rows twice")
+  }
+}
