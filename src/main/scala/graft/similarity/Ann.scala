@@ -28,6 +28,33 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Deterministic clustered evaluation corpus: `n` vectors of `dims`
+    * floats around `clusters` hash-derived centers (components uniform
+    * in [-1, 1]), each dim perturbed by hash-derived noise uniform in
+    * [-sigma, sigma]. Everything derives from integer arithmetic on
+    * `vec_id` — no RNG state, bit-reproducible across runs and
+    * engines — so recall curves measured on it (tools/AnnProbe) and
+    * the recall floor pinned on it (AnnIndexSpec) are stable numbers,
+    * not seeds. `sigma` sets the overlap regime: ~0.5 is
+    * well-separated, ~1.0 heavily overlapping. Cluster of vector v is
+    * `v % clusters`. */
+  def clusteredCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long,
+      clusters: Int = 64,
+      dims: Int = 64,
+      sigma: Double = 0.8
+  ): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), d => {
+        val c = pmod(col("id"), lit(clusters))
+        val cent = pmod(c * 131 + d * 17, lit(997)) / 498.5 - 1.0
+        val noise =
+          (pmod(col("id") * 31 + d * 7 + c, lit(201)) - 100) / 100.0 * sigma
+        (cent + noise).cast("float")
+      }).as("embedding"))
+
   /** Dot product in double precision (codegen'd higher-order fns). */
   def dot(a: Column, b: Column): Column =
     aggregate(

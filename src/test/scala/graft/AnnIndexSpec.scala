@@ -70,4 +70,58 @@ class AnnIndexSpec extends SparkSpec {
       }
     assert(scanned.exists(_ <= 5), s"scanned $scanned partitions, want <=5")
   }
+
+  test("recall@10 floor at the documented defaults on clustered geometry") {
+    // The regression this pins: a silent break in the bucketing math
+    // (plane constants, signature signs, cell argmin, probe-cell
+    // selection) leaves every ANN query running and returning k rows —
+    // just the WRONG rows. On the deterministic clustered corpus
+    // (the geometry real embedding corpora have; the isotropic
+    // embeddings fixture admits no high-recall config at all — see
+    // tools/AnnProbe and BASELINE.md), the defaults measure ≈0.97–1.0,
+    // so a 0.9 floor trips on broken math, not on noise — the corpus
+    // is bit-deterministic, so the measured recall is a CONSTANT.
+    val n = 4000L
+    val corpus = Ann
+      .clusteredCorpus(spark, n, clusters = 32, dims = 32, sigma = 0.8)
+      .localCheckpoint(true)
+    val queries = Ann
+      .clusteredCorpus(spark, n + 10, clusters = 32, dims = 32, sigma = 0.8)
+      .where(col("vec_id") >= n) // held-out: fresh noise, same centers
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val truth = Ann
+      .cosineTopKBatch(corpus, "embedding", "vec_id", queries, 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    def recall(got: Map[Long, Set[Long]]): Double =
+      queries.map { case (q, _) =>
+        got(q).intersect(truth(q)).size.toDouble / 10
+      }.sum / queries.size
+
+    // IVF at the default nprobe = 2
+    val init = (0L until 32L).toSeq
+    val cents = Ann.kmeansTrain(corpus, "embedding", "vec_id", init, 3)
+    val assigned = Ann
+      .ivfAssignVectors(corpus, "embedding", "vec_id",
+        cents.toSeq.sortBy(_._1))
+      .localCheckpoint(true)
+    val ivfGot = queries.map { case (q, qv) =>
+      q -> Ann.ivfTopK(assigned, "embedding", "vec_id", qv, 10, cents)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val ivfRecall = recall(ivfGot)
+    assert(ivfRecall >= 0.9,
+      s"ivfTopK recall@10 at default nprobe=2 fell to $ivfRecall")
+
+    // LSH at the default bits = 8, probeHamming = 1
+    val bucketed = Ann.lshBuckets(corpus, "embedding", "vec_id")
+      .localCheckpoint(true)
+    val lshGot = queries.map { case (q, qv) =>
+      q -> Ann.lshTopK(bucketed, "embedding", "vec_id", qv, 10)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val lshRecall = recall(lshGot)
+    assert(lshRecall >= 0.9,
+      s"lshTopK recall@10 at default bits=8/probeHamming=1 fell to $lshRecall")
+  }
 }
