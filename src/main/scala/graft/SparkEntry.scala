@@ -682,6 +682,23 @@ object SparkEntry {
       ).orderBy("seq")
     }),
 
+    // The PRODUCTION hash config under the oracle: q86's line dedup
+    // with `portableHash = false` (xxhash64 line keys — what Bench
+    // measures). DuckDB cannot recompute xxhash64, but it never needs
+    // to: the hash is an internal GROUPING key and the output columns
+    // (doc_id, clean_text, n_lines, n_removed) are hash-free, so the
+    // dedup decision — and therefore the oracle — is hash-INVARIANT
+    // for any injective key. Same oracle SQL as q86; a divergence
+    // here means the production key path changed semantics, not just
+    // representation.
+    "q111_line_dedup_production" -> ((s, dir) => {
+      val lined = Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.reflowLines(col("text"), 8).as("text"))
+      Dedup.dedupLines(lined, "text", "doc_id", minDocs = 2,
+          portableHash = false)
+        .orderBy("doc_id")
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2896,6 +2913,46 @@ object SparkEntry {
         |FROM base b LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
     "q86_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |  FROM documents
+        |), ps AS (
+        |  SELECT unnest(generate_series(0, CAST((SELECT max(n) FROM base) / 8 AS BIGINT))) AS i
+        |), lines AS (
+        |  SELECT doc_id, i AS p, array_to_string(w[i*8 + 1 : i*8 + 8], ' ') AS line
+        |  FROM base, ps WHERE i * 8 < n
+        |), dup AS (
+        |  SELECT md5(trim(line)) AS k
+        |  FROM lines WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |), kept AS (
+        |  SELECT l.doc_id, l.p, l.line FROM lines l
+        |  LEFT JOIN dup d ON d.k = md5(trim(l.line))
+        |  WHERE d.k IS NULL OR trim(l.line) = ''
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |), nl AS (
+        |  SELECT doc_id, n,
+        |    CAST(CASE WHEN n = 0 THEN 1 ELSE CAST(ceil(n / 8.0) AS BIGINT) END AS BIGINT) AS n_lines
+        |  FROM base
+        |)
+        |SELECT b.doc_id,
+        |  coalesce(r.clean_text, '') AS clean_text,
+        |  b.n_lines,
+        |  CAST(CASE WHEN b.n = 0 THEN 0
+        |       ELSE b.n_lines - coalesce(r.n_kept, 0) END AS BIGINT) AS n_removed
+        |FROM nl b LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // the production-hash run is oracled by the SAME SQL: the oracle's
+    // md5 (like the query's xxhash64) is only an injective grouping
+    // key — every output column is hash-free, so the dedup decision is
+    // hash-invariant
+    "q111_line_dedup_production" ->
       """WITH base AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
