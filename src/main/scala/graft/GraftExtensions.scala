@@ -130,6 +130,18 @@ object GraftExtensions {
           throw new IllegalArgumentException(
             s"distinct_line_keys portable must be a non-null literal, got $other")
       }
+    }),
+    "bitmap_select" -> ((exprs: Seq[Expression]) => {
+      arity("bitmap_select", exprs, 2)
+      graft.functions.BitmapExpr.BitmapSelect(exprs(0), exprs(1))
+    }),
+    "bitmap_card" -> ((exprs: Seq[Expression]) => {
+      arity("bitmap_card", exprs, 1)
+      graft.functions.BitmapExpr.BitmapCardinality(exprs.head)
+    }),
+    "bitmap_contains" -> ((exprs: Seq[Expression]) => {
+      arity("bitmap_contains", exprs, 2)
+      graft.functions.BitmapExpr.BitmapContains(exprs(0), exprs(1))
     })
   )
 

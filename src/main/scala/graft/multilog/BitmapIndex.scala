@@ -69,22 +69,44 @@ object BitmapIndex {
       .withColumn("card", bitmapCard(col("bitmap")))
   }
 
-  /** Rank → parent seq on the serialized bitmap (bitmap Select). */
+  // The three per-row bitmap reads are native Catalyst expressions
+  // ([[graft.functions.BitmapExpr]], registered on first use like
+  // VecOps): the bitmap work itself is library code either way, but a
+  // plain UDF demoted every CONSUMING stage out of WholeStageCodegen.
+  // Column-from-raw-Expression is private[sql] in Spark 4, so the
+  // public path is registry + call_function — same plan, same codegen.
+  private def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bitmap_select")))
+      return
+    reg.createOrReplaceTempFunction("bitmap_select",
+      exprs => graft.functions.BitmapExpr.BitmapSelect(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction("bitmap_card",
+      exprs => graft.functions.BitmapExpr.BitmapCardinality(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction("bitmap_contains",
+      exprs => graft.functions.BitmapExpr.BitmapContains(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Rank → parent seq on the serialized bitmap (bitmap Select);
+    * null when the rank is out of range. */
   def bitmapSelect(bitmap: org.apache.spark.sql.Column, rank: org.apache.spark.sql.Column) = {
-    udf((bytes: Array[Byte], r: Long) => {
-      val b = deserialize(bytes)
-      if (r < 0 || r >= b.getLongCardinality) null
-      else java.lang.Long.valueOf(b.select(r))
-    }).apply(bitmap, rank)
+    register(SparkSession.active)
+    call_function("bitmap_select", bitmap, rank)
   }
 
   /** Cardinality of a serialized bitmap. */
-  def bitmapCard(bitmap: org.apache.spark.sql.Column) =
-    udf((bytes: Array[Byte]) => deserialize(bytes).getLongCardinality)
-      .apply(bitmap)
+  def bitmapCard(bitmap: org.apache.spark.sql.Column) = {
+    register(SparkSession.active)
+    call_function("bitmap_card", bitmap)
+  }
 
   /** Membership test on a serialized bitmap. */
-  def bitmapContains(bitmap: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) =
-    udf((bytes: Array[Byte], s: Long) => deserialize(bytes).contains(s))
-      .apply(bitmap, seq)
+  def bitmapContains(bitmap: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) = {
+    register(SparkSession.active)
+    call_function("bitmap_contains", bitmap, seq)
+  }
 }

@@ -49,4 +49,28 @@ class BitmapIndexSpec extends SparkSpec {
     val sizes = bt.select(length(col("bitmap"))).collect().map(_.getInt(0))
     assert(sizes.forall(_ < 4096))
   }
+
+  test("bitmap reads stay inside WholeStageCodegen (no UDF demotion)") {
+    // select/card/contains are native expressions (BitmapExpr): the
+    // roaring work is library code either way, but the former UDFs
+    // demoted every CONSUMING projection to interpreted row
+    // processing — the stage must stay fused and plan no ScalaUDF
+    val mlog = MultiLog.open(spark, tmpDir("bmpcg"))
+    mlog.appendBatch(
+      (0L until 50L).map(s => ("a", s)).toDF("addr", "seq"))
+    val df = BitmapIndex.fromTable(mlog.table)
+      .select(col("addr"), col("card"),
+        BitmapIndex.bitmapSelect(col("bitmap"), lit(3L)).as("r3"),
+        BitmapIndex.bitmapContains(col("bitmap"), lit(7L)).as("has7"))
+    assert(df.collect().length == 1)
+    // the executed (adaptive) final plan, as printed: every Project
+    // line must carry the WholeStageCodegen stage star `*(n)`
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!fin.contains("UDF"), s"ScalaUDF in plan:\n$fin")
+    val projLines = fin.linesIterator.filter(_.contains("Project [")).toList
+    assert(projLines.nonEmpty, s"no Project in plan:\n$fin")
+    assert(projLines.forall(_.contains("*(")),
+      s"bitmap Project fell out of WholeStageCodegen:\n$fin")
+  }
 }
