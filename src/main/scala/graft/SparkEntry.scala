@@ -699,6 +699,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // IVF-PQ ADC scoring, replayed END TO END in SQL: cells (argmin
+    // over 4 centroid ids), float-rounded residuals, codes (argmin
+    // over the 8 init sub-residual books — iters=0 training, the
+    // exactly-replayable form), the query's probe-cell choice, the
+    // M×ksub LUT and the final (cellDot + ΣLUT)/(‖q‖·‖v‖) score. Any
+    // slip in residual rounding, subspace slicing, LUT indexing or
+    // the probe rule shifts the scores.
+    "q112_pq_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb.where(col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+      val books = graft.similarity.Quantize.pqTrain(
+        emb, "embedding", "vec_id", cents, m = 4, ksub = 8, iters = 0)
+      val encoded = graft.similarity.Quantize.pqEncode(
+        emb, "embedding", "vec_id", cents, books)
+      val qv = emb.where(col("vec_id") === 42)
+        .select("embedding").head().getSeq[Float](0)
+      graft.similarity.Quantize
+        .pqTopK(encoded, "vec_id", qv, 10, cents.toMap, books, nprobe = 2)
+        .orderBy(col("score").desc, col("vec_id").asc)
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2947,6 +2970,75 @@ object SparkEntry {
         |       ELSE b.n_lines - coalesce(r.n_kept, 0) END AS BIGINT) AS n_removed
         |FROM nl b LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+
+    "q112_pq_topk" ->
+      """WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+        |cents AS (SELECT vec_id AS cell, embedding AS ce
+        |          FROM embeddings WHERE vec_id < 4),
+        |cn AS (SELECT cell, sum(ce[d+1]::DOUBLE * ce[d+1]::DOUBLE) AS cnorm
+        |       FROM cents, dims GROUP BY 1),
+        |dots AS (
+        |  SELECT v.vec_id, c.cell,
+        |    sum(v.embedding[d+1]::DOUBLE * c.ce[d+1]::DOUBLE) AS dot
+        |  FROM embeddings v, cents c, dims GROUP BY 1, 2
+        |), acell AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |    FROM dots d JOIN cn USING (cell)) WHERE rn = 1
+        |), resid AS (
+        |  SELECT v.vec_id, a.cell, dims.d,
+        |    CAST(CAST(v.embedding[dims.d+1] AS DOUBLE)
+        |       - CAST(c.ce[dims.d+1] AS DOUBLE) AS REAL) AS r
+        |  FROM embeddings v JOIN acell a USING (vec_id)
+        |  JOIN cents c ON c.cell = a.cell, dims
+        |), books AS (
+        |  -- d // 16: INTEGER floor division (a bare / is float
+        |  -- division in DuckDB and CAST(double AS INT) ROUNDS)
+        |  SELECT (d // 16) AS m, CAST(vec_id AS INT) AS j,
+        |    d % 16 AS sd, r
+        |  FROM resid WHERE vec_id < 8
+        |), cdist AS (
+        |  SELECT s.vec_id, (s.d // 16) AS m, b.j,
+        |    sum((CAST(s.r AS DOUBLE) - CAST(b.r AS DOUBLE))
+        |      * (CAST(s.r AS DOUBLE) - CAST(b.r AS DOUBLE))) AS dist
+        |  FROM resid s JOIN books b
+        |    ON b.m = (s.d // 16) AND b.sd = s.d % 16
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, m, j FROM (
+        |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, j) AS rn FROM cdist) WHERE rn = 1
+        |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42),
+        |qn AS (SELECT sqrt(sum(qe[d+1]::DOUBLE * qe[d+1]::DOUBLE)) AS qnorm
+        |       FROM q, dims),
+        |qd AS (SELECT c.cell, sum(q.qe[d+1]::DOUBLE * c.ce[d+1]::DOUBLE) AS qdot
+        |       FROM q, cents c, dims GROUP BY 1),
+        |probe AS (
+        |  SELECT cell, qdot FROM (
+        |    SELECT qd.cell, qd.qdot, row_number() OVER (
+        |      ORDER BY cn.cnorm - 2.0 * qd.qdot, qd.cell) AS rn
+        |    FROM qd JOIN cn USING (cell)) WHERE rn <= 2
+        |), lut AS (
+        |  SELECT b.m, b.j,
+        |    sum(CAST(q.qe[b.m*16 + b.sd + 1] AS DOUBLE)
+        |      * CAST(b.r AS DOUBLE)) AS l
+        |  FROM q, books b GROUP BY 1, 2
+        |), vn AS (
+        |  SELECT vec_id, sqrt(sum(embedding[d+1]::DOUBLE
+        |    * embedding[d+1]::DOUBLE)) AS vnorm
+        |  FROM embeddings, dims GROUP BY 1
+        |), adc AS (
+        |  SELECT c.vec_id, sum(l.l) AS s
+        |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j GROUP BY 1
+        |)
+        |SELECT a.vec_id,
+        |  round((p.qdot + adc.s) / (vn.vnorm * (SELECT qnorm FROM qn)), 6)
+        |    AS score
+        |FROM acell a JOIN probe p ON p.cell = a.cell
+        |JOIN adc ON adc.vec_id = a.vec_id
+        |JOIN vn ON vn.vec_id = a.vec_id
+        |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
 
     // the production-hash run is oracled by the SAME SQL: the oracle's
     // md5 (like the query's xxhash64) is only an injective grouping

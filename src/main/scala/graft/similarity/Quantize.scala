@@ -36,6 +36,224 @@ object Quantize {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * scale / 127.0)
 
+  // ───────────────────────── IVF-PQ tier ─────────────────────────
+  //
+  // Product quantization over IVF residuals — the memory-bound
+  // serving tier under the int8 one: a vector stores its coarse cell,
+  // M sub-codes (one byte-ish each at production ksub=256) and its
+  // exact norm, ~M+12 bytes against int8's dims+12 — 64-dim corpora
+  // compress 16→4 subspace bytes, 1024-dim ones 1024→16. Queries
+  // score by ADC (asymmetric distance computation): ONE M×ksub lookup
+  // table of query-subvector · sub-centroid dots per query, then each
+  // candidate is M table lookups + a per-cell constant — no float
+  // vector is ever read. Everything is deterministic integer/float
+  // arithmetic (residuals float-rounded explicitly, distances in
+  // double, argmin ties by code), so encode AND scoring replay
+  // exactly in DuckDB (the q112 oracle).
+
+  /** IVF residuals: `(idCol, cell, residual array<float>, vnorm)`.
+    * The residual is `v − c(cell)` computed in double (exact on float
+    * inputs) then ROUNDED to float — the explicit rounding step makes
+    * the representation engine-portable. `vnorm` is the EXACT float
+    * norm (same double accumulation as [[Ann.cosineTopK]]), stored so
+    * the ADC cosine needs no vector bytes at query time. */
+  def pqResiduals(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cents: Seq[(Long, Seq[Float])]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.VecOps.register(spark)
+    import spark.implicits._
+    val centsDf = broadcast(
+      cents.map { case (c, v) => (c, v) }.toDF("cell", "_cent"))
+    Ann.ivfAssignVectors(df, vecCol, idCol, cents)
+      .join(centsDf, Seq("cell"))
+      .select(
+        col(idCol), col("cell"),
+        zip_with(col(vecCol), col("_cent"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+          .as("residual"),
+        call_function("vec_norm_f", col(vecCol)).as("vnorm"))
+  }
+
+  /** Train PQ codebooks on the IVF residuals: `m` subspaces of
+    * `dims/m` dims each, `ksub` sub-centroids per subspace (Lloyd via
+    * [[Ann.kmeansTrain]] per subspace — each round is one flat job;
+    * `iters = 0` keeps the init sub-residuals, the exactly-replayable
+    * form the oracle uses). Init is the residual sub-vectors of the
+    * `ksub` LOWEST ids — deterministic, no RNG. Returns
+    * `books(m)(j) = sub-centroid j of subspace m` with codes `j`
+    * ordered by init id. */
+  def pqTrain(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cents: Seq[(Long, Seq[Float])],
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      roundTo: Int = -1
+  ): Seq[Seq[Seq[Float]]] = {
+    val dims = cents.head._2.length
+    require(m > 0 && dims % m == 0,
+      s"dims=$dims must split evenly into m=$m subspaces")
+    val dsub = dims / m
+    val res = pqResiduals(df, vecCol, idCol, cents)
+      .select(col(idCol), col("residual"))
+      .localCheckpoint(true) // M trainings reuse one residual pass
+    val initIds = res.select(col(idCol)).orderBy(col(idCol))
+      .limit(ksub).collect().map(_.getLong(0)).toSeq
+    require(initIds.size == ksub,
+      s"corpus has only ${initIds.size} rows for ksub=$ksub sub-centroids")
+    (0 until m).map { sub =>
+      val subDf = res.select(col(idCol),
+        slice(col("residual"), sub * dsub + 1, dsub).as("_sub"))
+      Ann.kmeansTrain(subDf, "_sub", idCol, initIds, iters, roundTo)
+        .toSeq.sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** PQ-encode the corpus: `(idCol, cell, codes array<int>, vnorm)`.
+    * Code `m` is the argmin over `books(m)` of the squared L2
+    * distance of residual subspace `m` (double arithmetic, ties by
+    * code) — built-in expressions end to end (codegen'd, SQL-
+    * replayable). Plan size is M×ksub literal structs; a production
+    * M=16/ksub=256 encode wanting a flat plan would get a
+    * CodebookArgmin-style data-carrying expression, the established
+    * escape hatch ([[Ann.ivfAssignVectors]]'s fork) — not needed at
+    * the scales measured (tools/AnnProbe encodes 20k×64d in one
+    * plan without issue). */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cents: Seq[(Long, Seq[Float])],
+      books: Seq[Seq[Seq[Float]]]
+  ): DataFrame = {
+    val dims = cents.head._2.length
+    val m = books.size
+    val dsub = dims / m
+    require(books.forall(_.forall(_.length == dsub)),
+      s"books must hold $dsub-dim sub-centroids for dims=$dims, m=$m")
+    val res = pqResiduals(df, vecCol, idCol, cents)
+    val codeCols = (0 until m).map { sub =>
+      val subVec = slice(col("residual"), sub * dsub + 1, dsub)
+      array_min(array(books(sub).zipWithIndex.map { case (b, j) =>
+        val bLit = array(b.map(v => lit(v)): _*).cast("array<float>")
+        struct(
+          aggregate(
+            zip_with(subVec, bLit,
+              (x, y) => (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, x) => acc + x).as("dist"),
+          lit(j).as("code"))
+      }: _*)).getField("code")
+    }
+    res.select(col(idCol), col("cell"),
+      array(codeCols: _*).as("codes"), col("vnorm"))
+  }
+
+  /** Approximate reconstruction `c(cell) ++ books(m)(code_m)` — the
+    * vector the ADC score is EXACTLY the dot against (the spec pins
+    * that identity). Driver-side helper for verification. */
+  def pqReconstruct(
+      cell: Long,
+      codes: Seq[Int],
+      cents: Map[Long, Seq[Float]],
+      books: Seq[Seq[Seq[Float]]]
+  ): Seq[Double] = {
+    val cent = cents(cell)
+    val dsub = books.head.head.length
+    cent.indices.map { d =>
+      cent(d).toDouble + books(d / dsub)(codes(d / dsub))(d % dsub).toDouble
+    }
+  }
+
+  /** ADC top-k over a [[pqEncode]] layout: probe the `nprobe` cells
+    * nearest the query (same rule as [[Ann.ivfTopK]]), score each
+    * candidate as
+    * `(dot(q, c_cell) + Σ_m LUT[m][code_m]) / (‖q‖ · vnorm)` — an
+    * approximate cosine whose numerator is exactly
+    * `dot(q, reconstruction)`. The LUT (M×ksub query-subvector ·
+    * sub-centroid dots) and the per-cell constants are driver
+    * arithmetic inlined as literals; per row the score is M
+    * `element_at` lookups and one stored float — the candidate's
+    * vector bytes are never read. Same
+    * narrow-scan + TakeOrderedAndProject plan as every top-k here. */
+  def pqTopK(
+      encoded: DataFrame,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      cents: Map[Long, Seq[Float]],
+      books: Seq[Seq[Seq[Float]]],
+      nprobe: Int = 2
+  ): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.length
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val probeCells = cents.toSeq
+      .sortBy { case (cid, cvec) => (d2(queryVec, cvec), cid) }
+      .take(nprobe).map(_._1)
+    val qNorm = math.sqrt(queryVec.map(v => v.toDouble * v.toDouble).sum)
+    // LUT[m][j] = dot(q_sub(m), books(m)(j)) — M×ksub doubles per query
+    def dotD(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val lut = (0 until m).map { sub =>
+      val qSub = queryVec.slice(sub * dsub, (sub + 1) * dsub)
+      books(sub).map(b => dotD(qSub, b))
+    }
+    val cellDot = probeCells.map(c => c -> dotD(queryVec, cents(c))).toMap
+    val cellDotExpr = probeCells.foldLeft(lit(0.0)) { (acc, c) =>
+      when(col("cell") === c, lit(cellDot(c))).otherwise(acc)
+    }
+    val adc = (0 until m).foldLeft(cellDotExpr) { (acc, sub) =>
+      acc + element_at(
+        array(lut(sub).map(lit): _*), col("codes").getItem(sub) + 1)
+    }
+    encoded
+      .where(col("cell").isin(probeCells: _*)) // partition-prunable
+      .select(
+        col(idCol),
+        round(
+          when(col("vnorm") === 0.0 || lit(qNorm) === 0.0, 0.0)
+            .otherwise(adc / (col("vnorm") * lit(qNorm))),
+          6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[pqTopK]] with the standard production finish: ADC shortlists
+    * `shortlist` candidates (default 10k per FAISS practice), then the
+    * float vectors of the SHORTLIST ONLY are fetched by id (a pushed
+    * IN literal — shortlist-sized by construction, row-group skipping
+    * on an id-sorted corpus) and re-scored with the exact cosine.
+    * Compressed codes prune 99%+ of the corpus; the exact tier reads
+    * only the survivors — recall approaches plain IVF at the same
+    * `nprobe` while vector bytes are read for `shortlist` rows
+    * instead of every probed row. */
+  def pqTopKRerank(
+      encoded: DataFrame,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      cents: Map[Long, Seq[Float]],
+      books: Seq[Seq[Seq[Float]]],
+      nprobe: Int = 2,
+      shortlist: Int = 0
+  ): DataFrame = {
+    val n = if (shortlist > 0) shortlist else 10 * k
+    val ids = pqTopK(encoded, idCol, queryVec, n, cents, books, nprobe)
+      .select(col(idCol)).collect().map(_.get(0))
+    Ann.cosineTopK(
+      df.where(col(idCol).isin(ids.toSeq: _*)), vecCol, idCol, queryVec, k)
+  }
+
   /** Exact-over-codes top-k: cosine of the int8 codes against one
     * quantized query (scales cancel, so this IS the quantized-tier
     * score). Integer dot products accumulate in long — no overflow

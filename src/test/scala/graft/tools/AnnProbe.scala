@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.similarity.Ann
+import graft.similarity.{Ann, Quantize}
 
 /** Recall-vs-cost curves for the approximate ANN tiers (VERDICT r14
   * task 3) — the number a user tuning a 100-TB index asks for first:
@@ -193,5 +193,55 @@ object AnnProbe {
       .toSeq
     runCurves(spark, corpus, queries,
       familyOf = identity, queryFamily = _ => -1L)
+
+    // ── compressed tiers: IVF-PQ (ADC + reranked) vs int8 ───────────
+    // recall@10 per byte of vector read: int8 full-scan reads
+    // dims bytes/vector over the WHOLE corpus; PQ reads M code bytes
+    // over the probed cells only, + dims×4 bytes for the reranked
+    // shortlist
+    val k = K
+    val fetch = K
+    val truth = Ann
+      .cosineTopKBatch(corpus, "embedding", "vec_id", queries, k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    def recallOf(f: Seq[Float] => Set[Long]): Double =
+      queries.map { case (q, qv) =>
+        f(qv).intersect(truth(q)).size.toDouble / k
+      }.sum / queries.size
+    val cents = Ann.kmeansTrain(corpus, "embedding", "vec_id",
+      (0L until 64L).toSeq, 5)
+    val centsSorted = cents.toSeq.sortBy(_._1)
+    val (m, ksub) = (8, 64)
+    val books = Quantize.pqTrain(corpus, "embedding", "vec_id",
+      centsSorted, m, ksub, iters = 2)
+    val encoded = Quantize
+      .pqEncode(corpus, "embedding", "vec_id", centsSorted, books)
+      .localCheckpoint(true)
+    val int8 = Quantize.int8(corpus, "embedding", "vec_id")
+      .localCheckpoint(true)
+    println(s"== compressed tiers (64 dims): int8 = 64 B/vec full scan; " +
+      s"PQ m=$m ksub=$ksub = $m B/vec probed cells only")
+    val int8Recall = recallOf(qv =>
+      Quantize.cosineTopKInt8(int8, "q", "vec_id", qv, fetch)
+        .collect().map(_.getLong(0)).toSet)
+    println(f"${"int8 full-scan"}%22s recall@10 $int8Recall%6.3f")
+    println(f"${"config"}%22s ${"recall@10"}%10s")
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val adc = recallOf(qv =>
+        Quantize.pqTopK(encoded, "vec_id", qv, fetch, cents, books, nprobe)
+          .collect().map(_.getLong(0)).toSet)
+      val rr = recallOf(qv =>
+        Quantize.pqTopKRerank(encoded, corpus, "embedding", "vec_id",
+            qv, k, cents, books, nprobe)
+          .collect().map(_.getLong(0)).toSet)
+      val rr40 = recallOf(qv =>
+        Quantize.pqTopKRerank(encoded, corpus, "embedding", "vec_id",
+            qv, k, cents, books, nprobe, shortlist = 40 * k)
+          .collect().map(_.getLong(0)).toSet)
+      println(f"${s"pq adc nprobe=$nprobe"}%22s $adc%10.3f")
+      println(f"${s"pq rerank nprobe=$nprobe"}%22s $rr%10.3f")
+      println(f"${s"pq rerank400 nprobe=$nprobe"}%22s $rr40%10.3f")
+    }
   }
 }
