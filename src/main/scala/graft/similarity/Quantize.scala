@@ -117,20 +117,26 @@ object Quantize {
 
   /** PQ-encode the corpus: `(idCol, cell, codes array<int>, vnorm)`.
     * Code `m` is the argmin over `books(m)` of the squared L2
-    * distance of residual subspace `m` (double arithmetic, ties by
-    * code) — built-in expressions end to end (codegen'd, SQL-
-    * replayable). Plan size is M×ksub literal structs; a production
-    * M=16/ksub=256 encode wanting a flat plan would get a
-    * CodebookArgmin-style data-carrying expression, the established
-    * escape hatch ([[Ann.ivfAssignVectors]]'s fork) — not needed at
-    * the scales measured (tools/AnnProbe encodes 20k×64d in one
-    * plan without issue). */
+    * distance of residual subspace `m` (double arithmetic in
+    * ascending dim order, ties by code). Two plans with identical
+    * semantics (spec-pinned in PqSpec), forked on codebook size like
+    * [[Ann.ivfAssignVectors]]:
+    *
+    *  - m×ksub ≤ `literalMax`: slice + literal struct argmin —
+    *    built-in expressions end to end, the SQL-replayable oracle
+    *    surface (q112);
+    *  - above: [[graft.functions.PqCodes]] — the books ride the
+    *    expression as one primitive `float[][][]` (shipped once via
+    *    the task binary) and all m codes come from ONE pass over the
+    *    residual; at production PQ scale (m=16, ksub=256 = 4096
+    *    sub-centroids) the literal form is a tens-of-MB plan. */
   def pqEncode(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       cents: Seq[(Long, Seq[Float])],
-      books: Seq[Seq[Seq[Float]]]
+      books: Seq[Seq[Seq[Float]]],
+      literalMax: Int = 128
   ): DataFrame = {
     val dims = cents.head._2.length
     val m = books.size
@@ -138,21 +144,27 @@ object Quantize {
     require(books.forall(_.forall(_.length == dsub)),
       s"books must hold $dsub-dim sub-centroids for dims=$dims, m=$m")
     val res = pqResiduals(df, vecCol, idCol, cents)
-    val codeCols = (0 until m).map { sub =>
-      val subVec = slice(col("residual"), sub * dsub + 1, dsub)
-      array_min(array(books(sub).zipWithIndex.map { case (b, j) =>
-        val bLit = array(b.map(v => lit(v)): _*).cast("array<float>")
-        struct(
-          aggregate(
-            zip_with(subVec, bLit,
-              (x, y) => (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double"))),
-            lit(0.0), (acc, x) => acc + x).as("dist"),
-          lit(j).as("code"))
-      }: _*)).getField("code")
-    }
+    val codesCol =
+      if (m * books.head.size > literalMax)
+        graft.functions.PqCodes.encode(col("residual"), books)
+      else {
+        val codeCols = (0 until m).map { sub =>
+          val subVec = slice(col("residual"), sub * dsub + 1, dsub)
+          array_min(array(books(sub).zipWithIndex.map { case (b, j) =>
+            val bLit = array(b.map(v => lit(v)): _*).cast("array<float>")
+            struct(
+              aggregate(
+                zip_with(subVec, bLit,
+                  (x, y) => (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double"))),
+                lit(0.0), (acc, x) => acc + x).as("dist"),
+              lit(j).as("code"))
+          }: _*)).getField("code")
+        }
+        array(codeCols: _*)
+      }
     res.select(col(idCol), col("cell"),
-      array(codeCols: _*).as("codes"), col("vnorm"))
+      codesCol.as("codes"), col("vnorm"))
   }
 
   /** Approximate reconstruction `c(cell) ++ books(m)(code_m)` — the

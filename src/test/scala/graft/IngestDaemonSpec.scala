@@ -150,4 +150,27 @@ class IngestDaemonSpec extends SparkSpec {
     assert(d.index.bands.count() == ref.index.bands.count(),
       "replay appended index rows twice")
   }
+
+  test("daemon: compact mid-stream preserves the rolling identity") {
+    // folding both stores between batches changes layout and history,
+    // never decisions: the post-compact batch must probe the same
+    // standing state, and the journals must survive the fold
+    val w1 = docs.where(col("doc_id") < 250)
+    val w2 = docs.where(col("doc_id") >= 250)
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-nocompact-"), cfg)
+    ref.processBatch("b0", w1)
+    ref.processBatch("b1", w2)
+    val d = IngestDaemon.open(spark, tmpDir("daemon-compact-"), cfg)
+    d.processBatch("b0", w1)
+    d.compact(targetPartitions = 2)
+    assert(d.appliedVersion("b0").isDefined,
+      "seen journal lost in the fold")
+    assert(d.index.appliedVersion("b0").isDefined,
+      "index journal lost in the fold")
+    d.processBatch("b1", w2)
+    assert(corpusIds(d) == corpusIds(ref),
+      "compaction changed admit/drop decisions")
+    assert(d.index.bands.count() == ref.index.bands.count(),
+      "compaction changed the standing index")
+  }
 }

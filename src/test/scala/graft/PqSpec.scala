@@ -63,6 +63,35 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("native PqCodes equals the literal argmin bit-for-bit, flat plan") {
+    // the production encode (books as ONE float[][][] reference
+    // object, all m codes in one residual pass) must agree with the
+    // literal struct-argmin oracle surface on every row — including
+    // ties, which both break to the LOWEST code — and keep the plan
+    // flat in m×ksub where the literal form carries every
+    // sub-centroid as plan text
+    val books = Quantize.pqTrain(corpus, "embedding", "vec_id",
+      cents.toSeq.sortBy(_._1), m, ksub, iters = 1)
+    def run(litMax: Int) = Quantize
+      .pqEncode(corpus, "embedding", "vec_id", cents.toSeq.sortBy(_._1),
+        books, literalMax = litMax)
+    val literal = run(Int.MaxValue)
+    val native = run(0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList,
+        r.getDouble(3))).toSet
+    assert(rows(native) == rows(literal),
+      "native PqCodes diverges from the literal argmin")
+    val natPlan = native.queryExecution.executedPlan.toString
+    val litPlan = literal.queryExecution.executedPlan.toString
+    assert(natPlan.contains("pq_codes"), s"native path not planned:\n$natPlan")
+    // both plans share the residual subtree; the literal form adds
+    // m×ksub sub-centroids of plan text on top (here ~4× total, and
+    // growing linearly in ksub where the native form is constant)
+    assert(natPlan.length < litPlan.length / 2,
+      s"native plan not flat: ${natPlan.length} vs literal ${litPlan.length}")
+  }
+
   test("pq codes are in range and encode covers every row") {
     val books = Quantize.pqTrain(corpus, "embedding", "vec_id",
       cents.toSeq.sortBy(_._1), m, ksub, iters = 0)

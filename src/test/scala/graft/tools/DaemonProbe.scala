@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupParams
+import graft.streaming.{IngestConfig, IngestDaemon}
+
+/** Steady-state cost of the managed ingest loop (VERDICT r14 task 2's
+  * scale leg): per-batch wall time of [[IngestDaemon.processBatch]] —
+  * gates + incremental exact/LSH dedup + TWO journaled commits — as
+  * the standing corpus grows, vs the loose-parquet
+  * `curateIncremental` lower bound from IncrementalScaleProbe. The
+  * contract under test: batch cost is BATCH-bound (the standing
+  * corpus never rescans or shuffles), so per-batch time stays flat as
+  * the index grows from empty to `batches × batchSize` docs.
+  *
+  * Run manually: `Test/runMain graft.tools.DaemonProbe [batchSize]
+  * [batches]`; results recorded in BASELINE.md.
+  */
+object DaemonProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val batchSize = args.headOption.map(_.toLong).getOrElse(50000L)
+    val batches = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+
+    // synthetic crawl: each doc is 40 hash-derived tokens (docs share
+    // essentially NO shingles — a shared-boilerplate fixture would
+    // make everything a near-dup of everything and measure the cap,
+    // not the loop), plus a planted 2% near-dup rate against the
+    // PREVIOUS batch (same body + a one-token suffix: jaccard ≈ 0.93,
+    // found via the standing index — the steady-state dedup work)
+    // every 4th token is an English marker word (so the language gate
+    // admits the doc) surrounded by hash-derived tokens (so any
+    // trigram still carries ≥2 doc-unique tokens — docs share no
+    // shingles and the dedup work stays batch-bound)
+    def body(seed: org.apache.spark.sql.Column) = concat_ws(" ",
+      transform(sequence(lit(0), lit(39)), i =>
+        when(pmod(i, lit(4)) === 0,
+          element_at(
+            array(lit("the"), lit("and"), lit("of"), lit("to")),
+            (pmod(i, lit(16)) / 4 + 1).cast("int")))
+          .otherwise(pmod(xxhash64(seed, i), lit(99991)).cast("string"))))
+    def batchDf(b: Int) = {
+      val lo = b.toLong * batchSize
+      spark.range(lo, lo + batchSize).select(
+        col("id").as("doc_id"),
+        // plant seed id-batchSize+1: that id is ≢0 mod 50, so the
+        // previous batch holds its RAW body (a plant-of-a-plant would
+        // chase a seed that never appeared)
+        when(pmod(col("id"), lit(50)) === 0 && col("id") >= batchSize,
+          concat(body(col("id") - batchSize + 1), lit(" trailing variant")))
+          .otherwise(body(col("id")))
+          .as("text"))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("daemon-probe-").toString
+    val daemon = IngestDaemon.open(spark, dir, IngestConfig(
+      minQuality = 0.0, minTokens = 1, threshold = 0.35,
+      params = DedupParams(numHashes = 8, bands = 4)))
+    println(s"== daemon probe: $batches batches x $batchSize docs")
+    println(f"${"batch"}%6s ${"corpus"}%9s ${"secs"}%7s ${"admitted"}%9s")
+    for (b <- 0 until batches) {
+      val df = batchDf(b).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      daemon.processBatch(s"b$b", df)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val n = daemon.corpus.count()
+      println(f"$b%6d $n%9d $secs%7.2f ${n}%9d")
+    }
+    println(s"== final index version ${daemon.index.version}, " +
+      s"corpus ${daemon.corpus.count()} docs")
+    spark.stop()
+  }
+}
