@@ -257,13 +257,24 @@ object Quantize {
       cents: Map[Long, Seq[Float]],
       books: Seq[Seq[Seq[Float]]],
       nprobe: Int = 2,
-      shortlist: Int = 0
+      shortlist: Int = 0,
+      maxInLiteralIds: Int = 1000
   ): DataFrame = {
     val n = if (shortlist > 0) shortlist else 10 * k
-    val ids = pqTopK(encoded, idCol, queryVec, n, cents, books, nprobe)
-      .select(col(idCol)).collect().map(_.get(0))
-    Ann.cosineTopK(
-      df.where(col(idCol).isin(ids.toSeq: _*)), vecCol, idCol, queryVec, k)
+    val short = pqTopK(encoded, idCol, queryVec, n, cents, books, nprobe)
+      .select(col(idCol))
+    // pushed IN literal while the shortlist is small (row-group
+    // skipping on an id-sorted corpus); above the gate a broadcast
+    // semi-join of the shortlist frame — IN planning cost is LINEAR
+    // in n and past parquet's inFilterThreshold the pushed predicate
+    // degrades to a useless min/max range (the round-10 InGateProbe
+    // curve, same gates as the incremental text fetch)
+    val ids = short.limit(maxInLiteralIds + 1).collect().map(_.get(0))
+    val pruned =
+      if (ids.length <= maxInLiteralIds)
+        df.where(col(idCol).isin(ids.toSeq: _*))
+      else df.join(broadcast(short), Seq(idCol), "left_semi")
+    Ann.cosineTopK(pruned, vecCol, idCol, queryVec, k)
   }
 
   /** Exact-over-codes top-k: cosine of the int8 codes against one

@@ -147,5 +147,14 @@ class PqSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet)
     assert(reranked >= 0.9, s"reranked pq recall@10 fell to $reranked")
     assert(reranked >= adc, "rerank made recall WORSE")
+    // the shortlist fetch tiers (pushed IN literal vs broadcast
+    // semi-join above the gate) must return identical rows
+    val (qid, qv) = queries.head
+    def rerank(gate: Int) = Quantize
+      .pqTopKRerank(encoded, corpus, "embedding", "vec_id", qv, 10,
+        cents, books, nprobe = 4, maxInLiteralIds = gate)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rerank(0) == rerank(1000),
+      "shortlist fetch tiers diverge")
   }
 }
