@@ -115,16 +115,24 @@ final class IngestDaemon private (
     * sink (see [[start]]) or directly from batch code. Idempotent by
     * `batchId`: a redelivered batch that was fully applied is a
     * no-op; one whose index commit landed but whose seen commit did
-    * not is finished via the index's snapshot replay. */
-  def processBatch(batchId: String, rawDocs: DataFrame): Unit =
+    * not is finished via the index's snapshot replay.
+    *
+    * Returns the batch's [[graft.dedup.IngestResult]] (None when the
+    * batch was skipped — already applied, or gated empty) so callers
+    * can observe the `capped` flooded-bucket diagnostic: a bucket
+    * past `maxBucket` is EXCLUDED from pairing (the batch-run-
+    * equivalent decision), and a pipeline that never looks at the
+    * diag is silently trading recall — IngestDaemonSpec pins that a
+    * flood IS reported; production loops should alert on it. */
+  def processBatch(batchId: String, rawDocs: DataFrame): Option[graft.dedup.IngestResult] =
     synchronized {
-      if (appliedVersion(batchId).isDefined) return // fully applied
+      if (appliedVersion(batchId).isDefined) return None // fully applied
       val c = config
       val gated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
         c.textCol, c.lang, c.minQuality, c.minTokens, c.maxTokens)
       // idle-trigger fast path: an empty gated batch the index never
       // saw commits nothing (deterministic: its replay re-skips)
-      if (index.appliedVersion(batchId).isEmpty && gated.isEmpty) return
+      if (index.appliedVersion(batchId).isEmpty && gated.isEmpty) return None
       val result = index.ingest(batchId, gated, c.textCol, c.idCol,
         corpusTexts = seenTexts, threshold = c.threshold,
         maxBucket = c.maxBucket)
@@ -151,7 +159,7 @@ final class IngestDaemon private (
       // below only publishes after the segment files are written), so
       // the verify's fetch side stays the pre-batch snapshot
       seen.append(docRows.unionByName(journalRow))
-      ()
+      Some(result)
     }
 
   /** Wire a STREAMING `docs` frame (carrying `config.idCol` +
@@ -169,6 +177,7 @@ final class IngestDaemon private (
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(s"stream-$id", b)
+        ()
       }
       .start()
 

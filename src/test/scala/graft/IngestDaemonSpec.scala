@@ -122,11 +122,14 @@ class IngestDaemonSpec extends SparkSpec {
     ref.processBatch("b1", w2)
 
     val d = IngestDaemon.open(spark, tmpDir("daemon-replay-"), cfg)
-    d.processBatch("b0", w1)
+    val first = d.processBatch("b0", w1)
+    assert(first.isDefined, "fresh batch must surface its IngestResult")
+    assert(first.get.capped.isEmpty,
+      "fixture floods no bucket — diag must be empty")
     val v0 = d.appliedVersion("b0")
     // fully-applied redelivery (restart before the streaming commit
     // log recorded the batch): must be a pure no-op
-    d.processBatch("b0", w1)
+    assert(d.processBatch("b0", w1).isEmpty, "redelivery not skipped")
     assert(d.appliedVersion("b0") == v0, "redelivery re-committed seen")
     assert(d.index.appliedVersion("b0").isDefined)
 
@@ -149,6 +152,25 @@ class IngestDaemonSpec extends SparkSpec {
       "replayed corpus != clean-run corpus")
     assert(d.index.bands.count() == ref.index.bands.count(),
       "replay appended index rows twice")
+  }
+
+  test("daemon: flooded buckets surface in the returned diag") {
+    // near-identical-but-distinct docs (the exact tier must NOT
+    // collapse them) split across two batches: the combined bucket
+    // population crosses maxBucket only when the standing index side
+    // counts — the drop must be REPORTED, not silent
+    import spark.implicits._
+    def wave(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, s"the same boilerplate text repeated again and again tok$i"))
+      .toDF("doc_id", "text")
+    val d = IngestDaemon.open(spark, tmpDir("daemon-cap-"),
+      cfg.copy(maxBucket = 10L))
+    d.processBatch("b0", wave(0L, 30L))
+    val r = d.processBatch("b1", wave(30L, 60L))
+    assert(r.isDefined)
+    val capped = r.get.capped.collect()
+    assert(capped.nonEmpty, "flooded bucket missing from the diag")
+    assert(capped.forall(_.getAs[Long]("_n") > 10L))
   }
 
   test("daemon: compact mid-stream preserves the rolling identity") {
