@@ -722,6 +722,28 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id").asc)
     }),
 
+    // batched IVF probe: 4 queries served from ONE partition-pruned
+    // pass over the union of their probed cells, per-query results
+    // identical to ivfTopK — the oracle recomputes per-query probe
+    // choice, cell-eligible candidates and the top-10 in SQL
+    "q113_ivf_topk_batch" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb
+        .where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+        .toMap
+      val qs = emb.where(col("vec_id").isin(0L, 42L, 100L, 250L))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      val assigned =
+        Ann.ivfAssign(emb, "embedding", "vec_id", (0L until 8L).toSeq)
+      Ann.ivfTopKBatch(assigned, "embedding", "vec_id", qs, 10, cents,
+          nprobe = 2)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -3039,6 +3061,48 @@ object SparkEntry {
         |JOIN adc ON adc.vec_id = a.vec_id
         |JOIN vn ON vn.vec_id = a.vec_id
         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q113_ivf_topk_batch" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+        |), dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |cn AS (
+        |  SELECT cell, sum(embedding[d + 1]::DOUBLE * embedding[d + 1]::DOUBLE) AS cnorm
+        |  FROM cents, dimk GROUP BY 1
+        |), dots AS (
+        |  SELECT v.vec_id, c.cell,
+        |    sum(v.embedding[d + 1]::DOUBLE * c.embedding[d + 1]::DOUBLE) AS dot
+        |  FROM embeddings v, cents c, dimk GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT d.vec_id, d.cell,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |  FROM dots d JOIN cn USING (cell)
+        |), qset AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |  WHERE vec_id IN (0, 42, 100, 250)
+        |), probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, d.cell, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |    FROM qset q JOIN dots d ON d.vec_id = q.query_id
+        |    JOIN cn USING (cell)) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT p.query_id, r.vec_id
+        |  FROM ranked r JOIN probes p USING (cell) WHERE r.rn = 1
+        |), scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(list_cosine_similarity(q.qe::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS score
+        |  FROM cand c JOIN embeddings b USING (vec_id)
+        |  JOIN qset q USING (query_id)
+        |)
+        |SELECT query_id, vec_id, score FROM (
+        |  SELECT scored.*, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id) AS rn FROM scored) WHERE rn <= 10
+        |ORDER BY query_id, score DESC, vec_id""".stripMargin,
 
     // the production-hash run is oracled by the SAME SQL: the oracle's
     // md5 (like the query's xxhash64) is only an injective grouping

@@ -209,10 +209,111 @@ object Ann {
         }
       }
       .toDF("query_id", "id", "score")
-    // final per-query selection: sorted-slice agg over the tiny
-    // candidate set. Sort key (1 - score) ascending ≡ score
-    // descending (stays >= 0 for cosine — no -0.0 ordering edge),
-    // ties by id ascending.
+    // final per-query selection over the tiny candidate set
+    Ann.finishTopK(local, k)
+  }
+
+  /** Top-k for EACH of a small batch of queries over an IVF
+    * assignment in ONE pass over the union of all probed cells — the
+    * retrieval-eval shape applied to the IVF tier: per-query
+    * [[ivfTopK]] scans multiply Spark jobs (and their fixed overhead)
+    * by |queries|, where the batch form plans one partition-pruned
+    * scan and keeps |Q| bounded k-heaps per partition
+    * ([[cosineTopKBatch]]'s measured pattern). Each row is scored
+    * ONLY against the queries whose probe set contains its cell, so
+    * per-query results are IDENTICAL to `ivfTopK(.., nprobe)` —
+    * same probe rule, same rounding-before-ranking, same ties
+    * (spec-pinned in PqSpec's sibling AnnIndexSpec).
+    *
+    * Returns `(query_id, vec_id, score)`, k rows per query. */
+  def ivfTopKBatch(
+      assigned: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      centroids: Map[Long, Seq[Float]],
+      nprobe: Int = 2
+  ): DataFrame = {
+    require(queries.nonEmpty, "ivfTopKBatch needs >= 1 query vector")
+    require(k > 0, s"k must be > 0 (got $k)")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val qIds = queries.map(_._1).toArray
+    val qVecs = queries.map(_._2.toArray).toArray
+    val qNorms = queries
+      .map(q => math.sqrt(q._2.map(v => v.toDouble * v.toDouble).sum))
+      .toArray
+    // driver-side probe choice per query — the ivfTopK rule verbatim
+    val probes: Array[Seq[Long]] = queries.map { case (_, qv) =>
+      centroids.toSeq
+        .sortBy { case (cid, cvec) => (d2(qv, cvec), cid) }
+        .take(nprobe).map(_._1)
+    }.toArray
+    val unionCells = probes.flatten.distinct
+    // cell → indexes of the queries probing it (ships in the closure)
+    val byCell: Map[Long, Array[Int]] = unionCells.map { c =>
+      c -> probes.indices.filter(qi => probes(qi).contains(c)).toArray
+    }.toMap
+    val worstOnTop =
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val local = assigned
+      .where(col("cell").isin(unionCells: _*)) // ONE partition-pruned scan
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col("cell").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val heaps = Array.fill(qIds.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstOnTop))
+        it.foreach { case (id, v, cell) =>
+          if (v != null) {
+            val eligible = byCell.getOrElse(cell, Array.emptyIntArray)
+            if (eligible.nonEmpty) {
+              var n2 = 0.0
+              var i = 0
+              while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+              val n = math.sqrt(n2)
+              var e = 0
+              while (e < eligible.length) {
+                val qi = eligible(e)
+                val qv = qVecs(qi)
+                if (v.length != qv.length)
+                  throw new IllegalArgumentException(
+                    s"dimension mismatch: corpus vector id=$id has " +
+                      s"${v.length} dims, query ${qIds(qi)} has ${qv.length}")
+                var dot = 0.0
+                var j = 0
+                while (j < qv.length) { dot += v(j).toDouble * qv(j).toDouble; j += 1 }
+                val raw =
+                  if (n == 0.0 || qNorms(qi) == 0.0) 0.0
+                  else dot / (n * qNorms(qi))
+                val s = if (java.lang.Double.isFinite(raw)) round6(raw) else 0.0
+                val h = heaps(qi)
+                h.enqueue((s, id))
+                if (h.size > k) { h.dequeue(); () }
+                e += 1
+              }
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, id) => (qIds(qi), id, s) }
+        }
+      }
+      .toDF("query_id", "id", "score")
+    Ann.finishTopK(local, k)
+  }
+
+  /** The shared skinny finish of the batch top-k operators: per-query
+    * sorted-slice over the partitions × k surviving candidates. Sort
+    * key (1 − score) ascending ≡ score descending (stays ≥ 0 for
+    * cosine — no -0.0 ordering edge), ties by id ascending. */
+  private[similarity] def finishTopK(local: DataFrame, k: Int): DataFrame =
     local
       .groupBy(col("query_id"))
       .agg(slice(
@@ -226,7 +327,6 @@ object Ann {
         col("query_id"),
         col("t.id").as("vec_id"),
         col("t.score").as("score"))
-  }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dimension d): md5-derived value mapped to [-0.5, 0.5). Computed

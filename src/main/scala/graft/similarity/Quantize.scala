@@ -277,6 +277,99 @@ object Quantize {
     Ann.cosineTopK(pruned, vecCol, idCol, queryVec, k)
   }
 
+  /** Top-k for EACH of a small batch of queries over a [[pqEncode]]
+    * layout in ONE pass over the union of all probed cells — the
+    * [[Ann.ivfTopKBatch]] shape applied to the compressed tier: each
+    * query's M×ksub ADC lookup table ships in the closure, each code
+    * row is scored only against the queries probing its cell (M table
+    * lookups + one stored norm per eligible query), and per-query
+    * results are IDENTICAL to [[pqTopK]] (spec-pinned). Returns
+    * `(query_id, vec_id, score)`, k rows per query. */
+  def pqTopKBatch(
+      encoded: DataFrame,
+      idCol: String,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      cents: Map[Long, Seq[Float]],
+      books: Seq[Seq[Seq[Float]]],
+      nprobe: Int = 2
+  ): DataFrame = {
+    require(queries.nonEmpty, "pqTopKBatch needs >= 1 query vector")
+    require(k > 0, s"k must be > 0 (got $k)")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val dsub = books.head.head.length
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    def dotD(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val qIds = queries.map(_._1).toArray
+    val qNorms = queries
+      .map(q => math.sqrt(q._2.map(v => v.toDouble * v.toDouble).sum))
+      .toArray
+    val probes: Array[Seq[Long]] = queries.map { case (_, qv) =>
+      cents.toSeq
+        .sortBy { case (cid, cvec) => (d2(qv, cvec), cid) }
+        .take(nprobe).map(_._1)
+    }.toArray
+    // per-query ADC LUTs and per-(query, probed-cell) constants —
+    // Q×M×ksub doubles in the closure, nothing per row
+    val luts: Array[Array[Array[Double]]] = queries.map { case (_, qv) =>
+      (0 until m).map { sub =>
+        val qSub = qv.slice(sub * dsub, (sub + 1) * dsub)
+        books(sub).map(b => dotD(qSub, b)).toArray
+      }.toArray
+    }.toArray
+    val cellDots: Array[Map[Long, Double]] = queries.zipWithIndex.map {
+      case ((_, qv), qi) =>
+        probes(qi).map(c => c -> dotD(qv, cents(c))).toMap
+    }.toArray
+    val unionCells = probes.flatten.distinct
+    val byCell: Map[Long, Array[Int]] = unionCells.map { c =>
+      c -> probes.indices.filter(qi => probes(qi).contains(c)).toArray
+    }.toMap
+    val worstOnTop =
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val local = encoded
+      .where(col("cell").isin(unionCells: _*)) // ONE partition-pruned scan
+      .select(col(idCol).cast("long"), col("cell").cast("long"),
+        col("codes"), col("vnorm").cast("double"))
+      .as[(Long, Long, Array[Int], Double)]
+      .mapPartitions { it =>
+        val heaps = Array.fill(qIds.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstOnTop))
+        it.foreach { case (id, cell, codes, vnorm) =>
+          if (codes != null) {
+            val eligible = byCell.getOrElse(cell, Array.emptyIntArray)
+            var e = 0
+            while (e < eligible.length) {
+              val qi = eligible(e)
+              var adc = cellDots(qi)(cell)
+              var sub = 0
+              while (sub < m) { adc += luts(qi)(sub)(codes(sub)); sub += 1 }
+              val raw =
+                if (vnorm == 0.0 || qNorms(qi) == 0.0) 0.0
+                else adc / (vnorm * qNorms(qi))
+              val s = if (java.lang.Double.isFinite(raw)) round6(raw) else 0.0
+              val h = heaps(qi)
+              h.enqueue((s, id))
+              if (h.size > k) { h.dequeue(); () }
+              e += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, id) => (qIds(qi), id, s) }
+        }
+      }
+      .toDF("query_id", "id", "score")
+    Ann.finishTopK(local, k)
+  }
+
   /** Exact-over-codes top-k: cosine of the int8 codes against one
     * quantized query (scales cancel, so this IS the quantized-tier
     * score). Integer dot products accumulate in long — no overflow

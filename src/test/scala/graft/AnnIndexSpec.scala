@@ -71,6 +71,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(scanned.exists(_ <= 5), s"scanned $scanned partitions, want <=5")
   }
 
+  test("ivfTopKBatch equals per-query ivfTopK, including ties") {
+    // the batch form serves Q queries from ONE pass over the union of
+    // their probed cells; each row scores only against the queries
+    // probing its cell, so results must be row-identical to the
+    // single-query operator — same probe rule, same
+    // rounding-before-ranking, same id tie-break
+    val corpus = Ann
+      .clusteredCorpus(spark, 2000L, clusters = 16, dims = 32, sigma = 0.8)
+      .localCheckpoint(true)
+    val cents = Ann.kmeansTrain(corpus, "embedding", "vec_id",
+      (0L until 16L).toSeq, 2)
+    val assigned = Ann
+      .ivfAssignVectors(corpus, "embedding", "vec_id",
+        cents.toSeq.sortBy(_._1))
+      .localCheckpoint(true)
+    val queries = Ann
+      .clusteredCorpus(spark, 2005L, clusters = 16, dims = 32, sigma = 0.8)
+      .where(col("vec_id") >= 2000L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = Ann
+      .ivfTopKBatch(assigned, "embedding", "vec_id", queries, 7, cents,
+        nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    queries.foreach { case (qid, qv) =>
+      val single = Ann
+        .ivfTopK(assigned, "embedding", "vec_id", qv, 7, cents, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"batch diverges from ivfTopK for query $qid")
+    }
+  }
+
   test("recall@10 floor at the documented defaults on clustered geometry") {
     // The regression this pins: a silent break in the bucketing math
     // (plane constants, signature signs, cell argmin, probe-cell

@@ -92,6 +92,35 @@ class PqSpec extends SparkSpec {
       s"native plan not flat: ${natPlan.length} vs literal ${litPlan.length}")
   }
 
+  test("pqTopKBatch equals per-query pqTopK, including ties") {
+    // one pass over the union of probed cells, per-query ADC LUTs in
+    // the closure — results must be row-identical to pqTopK (same
+    // probe rule, same ADC accumulation order, same rounding/ties)
+    val books = Quantize.pqTrain(corpus, "embedding", "vec_id",
+      cents.toSeq.sortBy(_._1), m, ksub, iters = 1)
+    val encoded = Quantize.pqEncode(corpus, "embedding", "vec_id",
+      cents.toSeq.sortBy(_._1), books).localCheckpoint(true)
+    val queries = Ann
+      .clusteredCorpus(spark, 4005L, clusters = 32, dims = dims, sigma = 0.8)
+      .where(col("vec_id") >= 4000L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = Quantize
+      .pqTopKBatch(encoded, "vec_id", queries, 7, cents, books, nprobe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    queries.foreach { case (qid, qv) =>
+      val single = Quantize
+        .pqTopK(encoded, "vec_id", qv, 7, cents, books, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"batch diverges from pqTopK for query $qid")
+    }
+  }
+
   test("pq codes are in range and encode covers every row") {
     val books = Quantize.pqTrain(corpus, "embedding", "vec_id",
       cents.toSeq.sortBy(_._1), m, ksub, iters = 0)
