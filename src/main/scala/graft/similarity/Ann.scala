@@ -452,6 +452,91 @@ object Ann {
       .limit(k)
   }
 
+  /** Top-k for EACH of a small batch of queries over a [[lshBuckets]]
+    * frame in ONE pass over the union of all probed buckets — the
+    * [[ivfTopKBatch]] shape on the sign-LSH tier: driver-side
+    * signatures + multi-probe neighborhoods per query, one
+    * partition-prunable bucket filter, each row scored only against
+    * the queries whose probe set contains its bucket. Per-query
+    * results are row-identical to `lshTopK(.., bits, probeHamming)`
+    * (spec-pinned). Returns `(query_id, vec_id, score)`. */
+  def lshTopKBatch(
+      bucketed: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      bits: Int = 8,
+      probeHamming: Int = 1
+  ): DataFrame = {
+    require(queries.nonEmpty, "lshTopKBatch needs >= 1 query vector")
+    require(k > 0, s"k must be > 0 (got $k)")
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    val qIds = queries.map(_._1).toArray
+    val qVecs = queries.map(_._2.toArray).toArray
+    val qNorms = queries
+      .map(q => math.sqrt(q._2.map(v => v.toDouble * v.toDouble).sum))
+      .toArray
+    val probes: Array[Seq[Long]] = queries.map { case (_, qv) =>
+      hammingNeighbors(signatureOf(qv, bits), bits, probeHamming)
+    }.toArray
+    val unionBuckets = probes.flatten.distinct
+    val byBucket: Map[Long, Array[Int]] = unionBuckets.map { b =>
+      b -> probes.indices.filter(qi => probes(qi).contains(b)).toArray
+    }.toMap
+    val worstOnTop =
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val local = bucketed
+      .where(col("bucket").isin(unionBuckets: _*)) // partition-prunable
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col("bucket").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .mapPartitions { it =>
+        val heaps = Array.fill(qIds.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstOnTop))
+        it.foreach { case (id, v, bucket) =>
+          if (v != null) {
+            val eligible = byBucket.getOrElse(bucket, Array.emptyIntArray)
+            if (eligible.nonEmpty) {
+              var n2 = 0.0
+              var i = 0
+              while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+              val n = math.sqrt(n2)
+              var e = 0
+              while (e < eligible.length) {
+                val qi = eligible(e)
+                val qv = qVecs(qi)
+                if (v.length != qv.length)
+                  throw new IllegalArgumentException(
+                    s"dimension mismatch: corpus vector id=$id has " +
+                      s"${v.length} dims, query ${qIds(qi)} has ${qv.length}")
+                var dot = 0.0
+                var j = 0
+                while (j < qv.length) { dot += v(j).toDouble * qv(j).toDouble; j += 1 }
+                val raw =
+                  if (n == 0.0 || qNorms(qi) == 0.0) 0.0
+                  else dot / (n * qNorms(qi))
+                val s = if (java.lang.Double.isFinite(raw)) round6(raw) else 0.0
+                val h = heaps(qi)
+                h.enqueue((s, id))
+                if (h.size > k) { h.dequeue(); () }
+                e += 1
+              }
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, id) => (qIds(qi), id, s) }
+        }
+      }
+      .toDF("query_id", "id", "score")
+    Ann.finishTopK(local, k)
+  }
+
   /** Persist the LSH-bucketed corpus partitioned by bucket — the
     * IVF-flat layout on disk: one directory per signature, so a probe
     * reads ONLY its bucket directories via partition pruning (at

@@ -108,6 +108,34 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("lshTopKBatch equals per-query lshTopK, including ties") {
+    val corpus = Ann
+      .clusteredCorpus(spark, 2000L, clusters = 16, dims = 32, sigma = 0.8)
+    val bucketed = Ann.lshBuckets(corpus, "embedding", "vec_id", bits = 8)
+      .localCheckpoint(true)
+    val queries = Ann
+      .clusteredCorpus(spark, 2005L, clusters = 16, dims = 32, sigma = 0.8)
+      .where(col("vec_id") >= 2000L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = Ann
+      .lshTopKBatch(bucketed, "embedding", "vec_id", queries, 7,
+        bits = 8, probeHamming = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq
+      }
+    queries.foreach { case (qid, qv) =>
+      val single = Ann
+        .lshTopK(bucketed, "embedding", "vec_id", qv, 7, bits = 8,
+          probeHamming = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"batch diverges from lshTopK for query $qid")
+    }
+  }
+
   test("recall@10 floor at the documented defaults on clustered geometry") {
     // The regression this pins: a silent break in the bucketing math
     // (plane constants, signature signs, cell argmin, probe-cell

@@ -194,6 +194,29 @@ object AnnProbe {
     runCurves(spark, corpus, queries,
       familyOf = identity, queryFamily = _ => -1L)
 
+    // ── batched probes: Q queries in one pass vs Q sequential jobs ──
+    {
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val cents0 = Ann.kmeansTrain(corpus, "embedding", "vec_id",
+        (0L until 64L).toSeq, 5)
+      val assigned0 = Ann
+        .ivfAssignVectors(corpus, "embedding", "vec_id",
+          cents0.toSeq.sortBy(_._1))
+        .localCheckpoint(true)
+      val seq = timed(queries.foreach { case (_, qv) =>
+        Ann.ivfTopK(assigned0, "embedding", "vec_id", qv, 10, cents0, 2)
+          .collect()
+      })
+      val bat = timed(
+        Ann.ivfTopKBatch(assigned0, "embedding", "vec_id", queries, 10,
+          cents0, 2).collect())
+      println(f"== batched IVF probe: ${queries.size} queries " +
+        f"sequential $seq%.2f s vs one batch pass $bat%.2f s " +
+        f"(${seq / bat}%.1fx)")
+    }
+
     // ── compressed tiers: IVF-PQ (ADC + reranked) vs int8 ───────────
     // recall@10 per byte of vector read: int8 full-scan reads
     // dims bytes/vector over the WHOLE corpus; PQ reads M code bytes
