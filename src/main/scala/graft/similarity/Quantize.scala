@@ -370,6 +370,43 @@ object Quantize {
     Ann.finishTopK(local, k)
   }
 
+  /** Persist a [[pqEncode]] layout partitioned by cell — the IVF-PQ
+    * serving layout on disk: one directory per coarse cell holding
+    * only `(id, codes, vnorm)` (~M+12 bytes a row), so a probe reads
+    * `nprobe/k` of the INDEX — itself 16-64× smaller than the float
+    * corpus — via partition pruning. At 100 TB of vectors this is the
+    * difference between serving from ~TBs of codes and re-scanning
+    * float embeddings. */
+  def writePqIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      cents: Seq[(Long, Seq[Float])],
+      books: Seq[Seq[Seq[Float]]]
+  ): Unit =
+    pqEncode(df, vecCol, idCol, cents, books).write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+
+  /** ADC top-k over a [[writePqIndex]] layout. The probed-cell
+    * predicate inside [[pqTopK]] lands on the partition column, so
+    * the scan plans only the probed directories (PartitionFilters —
+    * asserted in PqSpec). */
+  def pqIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      cents: Map[Long, Seq[Float]],
+      books: Seq[Seq[Seq[Float]]],
+      nprobe: Int = 2
+  ): DataFrame =
+    pqTopK(spark.read.parquet(path), idCol, queryVec, k, cents, books,
+      nprobe)
+
   /** Exact-over-codes top-k: cosine of the int8 codes against one
     * quantized query (scales cancel, so this IS the quantized-tier
     * score). Integer dot products accumulate in long — no overflow

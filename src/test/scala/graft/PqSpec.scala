@@ -137,6 +137,36 @@ class PqSpec extends SparkSpec {
     assert(stats.getInt(3) == m && stats.getInt(4) == m)
   }
 
+  test("pqIndexTopK matches in-memory pqTopK and prunes partitions") {
+    val books = Quantize.pqTrain(corpus, "embedding", "vec_id",
+      cents.toSeq.sortBy(_._1), m, ksub, iters = 1)
+    val path = tmpDir("pqidx") + "/idx"
+    Quantize.writePqIndex(corpus, "embedding", "vec_id", path,
+      cents.toSeq.sortBy(_._1), books)
+    val qv = corpus.where(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0)
+    val mem = Quantize
+      .pqTopK(Quantize.pqEncode(corpus, "embedding", "vec_id",
+          cents.toSeq.sortBy(_._1), books),
+        "vec_id", qv, 10, cents, books, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = Quantize.pqIndexTopK(spark, path, "vec_id", qv, 10,
+      cents, books, nprobe = 2)
+    assert(disk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == mem)
+    // the probed cells must reach the scan as PartitionFilters: the
+    // plan reads 2 of 32 cell directories, never the whole index
+    val plan = disk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell probe not pushed to partition pruning:\n$plan")
+    val scanned = disk.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.exists(_ <= 2), s"scanned $scanned partitions, want <=2")
+  }
+
   test("recall@10 floor vs exact cosine on clustered geometry") {
     // the compressed tier must still FIND the neighbors: with M=8
     // sub-bytes standing in for 32 floats (16× fewer vector bytes than
