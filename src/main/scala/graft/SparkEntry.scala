@@ -744,6 +744,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("score").desc, col("vec_id"))
     }),
 
+    // incremental EMBEDDING near-dup: a batch probes the standing
+    // bucket index and emits exactly the batch-touching pairs of the
+    // full batch run (q26's shape) — the oracle recomputes signatures,
+    // the combined cap, and the split filter in SQL
+    "q114_incremental_embed" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") < 350)
+      val fresh = emb.where(col("vec_id") >= 350)
+      Dedup.incrementalEmbeddingNearDup(fresh, "embedding", "vec_id",
+          corpusBuckets = Ann.lshBuckets(corpus, "embedding", "vec_id", 8),
+          threshold = 0.3, bits = 8, maxBucket = 1000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2353,6 +2367,36 @@ object SparkEntry {
         |JOIN embeddings ea ON ea.vec_id = a.vec_id
         |JOIN embeddings eb ON eb.vec_id = b.vec_id
         |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same signature/cap arithmetic as q26, restricted to pairs
+    // touching the batch split — the incremental probe's contract
+    "q114_incremental_embed" ->
+      """WITH planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+        |dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |comps AS (
+        |  SELECT p, d,
+        |    ('0x' || substr(md5('plane:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0 - 0.5 AS c
+        |  FROM planes, dimk
+        |), dots AS (
+        |  SELECT v.vec_id, c.p, sum(v.embedding[c.d + 1]::DOUBLE * c.c) AS dot
+        |  FROM embeddings v, comps c GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1
+        |), ok AS (
+        |  SELECT vec_id, bucket FROM sig
+        |  WHERE bucket IN (SELECT bucket FROM sig GROUP BY bucket HAVING count(*) <= 1000)
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+        |FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3
+        |  AND (a.vec_id >= 350 OR b.vec_id >= 350)
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_ann_topk" ->
       """SELECT b.vec_id, round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score

@@ -1732,6 +1732,97 @@ object Dedup {
     result
   }
 
+  /** Batch-vs-standing-corpus embedding near-dup — the
+    * [[incrementalLshPairs]] shape on the embedding tier: bucket the
+    * batch (sign-LSH, one bucket per vector), probe the PERSISTED
+    * corpus bucket index ([[graft.similarity.Ann.lshBuckets]] output /
+    * a [[graft.similarity.Ann.writeBucketedIndex]] read — the index
+    * carries the vectors, the IVF-flat layout, so the verify needs no
+    * separate fetch), score cosine within shared buckets. Emits
+    * exactly the batch-touching pairs the full batch run
+    * ([[embeddingNearDupLsh]] over corpus ∪ batch) would —
+    * corpus×corpus pairs are never generated, and the mega-bucket cap
+    * counts the COMBINED population (the batch-run-equivalent
+    * decision; the diag side reports the drops).
+    *
+    * Plan shape at 100 TB: the batch is bucketed once (narrow) and
+    * its distinct bucket keys broadcast (count-gated) into the index
+    * — a bucket-partitioned index prunes to probed directories; only
+    * probed rows shuffle (batch-bound), the standing corpus never
+    * rescans or moves. */
+  def incrementalEmbeddingNearDupDiag(
+      newVecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      corpusBuckets: DataFrame,
+      threshold: Double = 0.95,
+      bits: Int = 8,
+      maxBucket: Long = 10000L,
+      maxBroadcastProbeKeys: Long = 4000000L
+  ): (DataFrame, DataFrame) = {
+    import graft.similarity.Ann
+    val spark = newVecs.sparkSession
+    graft.functions.VecOps.register(spark)
+    val newB = Ann.lshBuckets(newVecs, vecCol, idCol, bits)
+      .localCheckpoint(true) // probe keys + tagged union reuse it
+    val nRows = newB.count()
+    val probe = newB.select("bucket").distinct()
+    val probeSide =
+      if (nRows <= maxBroadcastProbeKeys) broadcast(probe) else probe
+    val probedCorpus = corpusBuckets
+      .join(probeSide, Seq("bucket"), "left_semi")
+    val tagged = newB
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("bucket"),
+        lit(true).as("_new"))
+      .unionByName(probedCorpus
+        .select(col(idCol).as("_id"), col(vecCol).as("_v"), col("bucket"),
+          lit(false).as("_new")))
+    // combined-population cap: identical drop decision to the batch
+    // run (unprobed corpus buckets hold no batch vector, so they can
+    // never contribute a batch-touching pair)
+    val (kept, capped) =
+      graft.query.Skew.capBuckets(tagged, Seq("bucket"), maxBucket)
+    val withNrm = kept
+      .withColumn("_n", call_function("vec_norm_f", col("_v")))
+    val newSide = withNrm.where(col("_new"))
+      .select(col("bucket"), col("_id").as("id_x"),
+        col("_v").as("va"), col("_n").as("na"))
+    val allSide = withNrm
+      .select(col("bucket"), col("_id").as("id_y"),
+        col("_v").as("vb"), col("_n").as("nb"))
+    val pairs = newSide.join(allSide, Seq("bucket"))
+      .where(col("id_x") =!= col("id_y"))
+      .withColumn(
+        "cos",
+        round(
+          when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+            .otherwise(
+              call_function("vec_dot_f", col("va"), col("vb")) /
+                (col("na") * col("nb"))),
+          6))
+      .where(col("cos") >= threshold)
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        col("cos").as("cosine"))
+      .distinct() // batch×batch pairs arrive once per orientation
+    (pairs, capped)
+  }
+
+  /** [[incrementalEmbeddingNearDupDiag]] without the cap diagnostic. */
+  def incrementalEmbeddingNearDup(
+      newVecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      corpusBuckets: DataFrame,
+      threshold: Double = 0.95,
+      bits: Int = 8,
+      maxBucket: Long = 10000L,
+      maxBroadcastProbeKeys: Long = 4000000L
+  ): DataFrame =
+    incrementalEmbeddingNearDupDiag(newVecs, vecCol, idCol, corpusBuckets,
+      threshold, bits, maxBucket, maxBroadcastProbeKeys)._1
+
   /** SemDeDup-style semantic deduplication: coarse-cluster the
     * embeddings (per-row literal-codebook argmin — no shuffle), then
     * drop every vector whose cosine similarity to a LOWER-id vector

@@ -351,6 +351,40 @@ class PipelineSpec extends SparkSpec {
       s"diag must count the COMBINED population: ${cappedRows.mkString(",")}")
   }
 
+  test("incremental embedding near-dup equals batch-minus-corpus") {
+    // the embedding twin of the incremental LSH identity: a new batch
+    // probes the persisted bucket index and must find exactly the
+    // batch-touching pairs the full batch run would
+    val corpus = emb.where(col("vec_id") < 350)
+    val fresh = emb.where(col("vec_id") >= 350)
+    val idxDir = tmpDir("graft-embinc-")
+    Ann.writeBucketedIndex(corpus, "embedding", "vec_id", idxDir, bits = 8)
+    val (inc, capped) = Dedup.incrementalEmbeddingNearDupDiag(
+      fresh, "embedding", "vec_id",
+      corpusBuckets = spark.read.parquet(idxDir),
+      threshold = 0.3, bits = 8, maxBucket = 1000L)
+    val got = inc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup
+      .embeddingNearDupLsh(emb, "embedding", "vec_id",
+        threshold = 0.3, bits = 8, maxBucket = 1000L)
+      .where(col("id_a") >= 350 || col("id_b") >= 350)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture has no batch-touching pairs — vacuous")
+    assert(got == want, s"incremental != batch-minus-corpus: " +
+      s"extra=${got -- want}, missing=${want -- got}")
+    // plan shape: the index is probed via a BROADCAST semi-join (the
+    // batch's bucket keys move to the index, never the reverse — and
+    // the predicate prunes a bucket-partitioned index) and nothing
+    // plans all-pairs
+    capped.collect()
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus bucket index must be broadcast-semi-probed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+  }
+
   test("incremental exact dedup: corpus fingerprints win, batch canon by min id") {
     val corpus = Seq((500L, "the standing corpus document")).toDF("doc_id", "text")
     val fresh = Seq(
