@@ -385,6 +385,36 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
   }
 
+  test("incremental embedding near-dup: rolling probe, append, probe again") {
+    // two ingests across the index handoff: batch1 probes, its bucket
+    // rows append (a partitioned parquet append), batch2 probes the
+    // grown index — the union must equal one-shot batch-minus-corpus
+    val corpus = emb.where(col("vec_id") < 250)
+    val batch1 = emb.where(col("vec_id") >= 250 && col("vec_id") < 375)
+    val batch2 = emb.where(col("vec_id") >= 375)
+    val idxDir = tmpDir("graft-embroll-")
+    Ann.writeBucketedIndex(corpus, "embedding", "vec_id", idxDir, bits = 8)
+    def probe(batch: org.apache.spark.sql.DataFrame) = Dedup
+      .incrementalEmbeddingNearDup(batch, "embedding", "vec_id",
+        corpusBuckets = spark.read.parquet(idxDir),
+        threshold = 0.3, bits = 8, maxBucket = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs1 = probe(batch1)
+    Ann.lshBuckets(batch1, "embedding", "vec_id", bits = 8)
+      .write.mode("append").partitionBy("bucket").parquet(idxDir)
+    val pairs2 = probe(batch2)
+    val want = Dedup
+      .embeddingNearDupLsh(emb, "embedding", "vec_id",
+        threshold = 0.3, bits = 8, maxBucket = 1000L)
+      .where(col("id_a") >= 250 || col("id_b") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "no batch-touching pairs — vacuous")
+    assert((pairs1 ++ pairs2) == want,
+      s"rolling != one-shot: extra=${(pairs1 ++ pairs2) -- want}, " +
+        s"missing=${want -- (pairs1 ++ pairs2)}")
+    assert(pairs1.intersect(pairs2).isEmpty)
+  }
+
   test("incremental exact dedup: corpus fingerprints win, batch canon by min id") {
     val corpus = Seq((500L, "the standing corpus document")).toDF("doc_id", "text")
     val fresh = Seq(
