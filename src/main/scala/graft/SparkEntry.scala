@@ -758,6 +758,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental SemDeDup: the batch is admitted against a standing
+    // all-seen cell index under the pinned codebook; the oracle
+    // replays q76's assign + dominate rule and restricts to batch ids
+    "q115_incremental_semantic" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") < 350)
+      val fresh = emb.where(col("vec_id") >= 350)
+      val cents = corpus.where(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      Dedup.incrementalSemanticDedup(fresh, "embedding", "vec_id",
+          corpusCells =
+            Ann.ivfAssignVectors(corpus, "embedding", "vec_id", cents),
+          cents, threshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2924,6 +2941,39 @@ object SparkEntry {
         |SELECT s.vec_id, s.cell FROM assign s
         |LEFT JOIN dom ON s.vec_id = dom.vec_id
         |WHERE dom.vec_id IS NULL ORDER BY s.vec_id""".stripMargin,
+
+    // q76's assign + dominate arithmetic, admitted set restricted to
+    // the batch split — the incremental probe's contract
+    "q115_incremental_semantic" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+        |), dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |cn AS (
+        |  SELECT cell, sum(embedding[d + 1]::DOUBLE * embedding[d + 1]::DOUBLE) AS cnorm
+        |  FROM cents, dimk GROUP BY 1
+        |), dots AS (
+        |  SELECT v.vec_id, c.cell,
+        |    sum(v.embedding[d + 1]::DOUBLE * c.embedding[d + 1]::DOUBLE) AS dot
+        |  FROM embeddings v, cents c, dimk GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT d.vec_id, d.cell,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY cn.cnorm - 2.0 * d.dot, d.cell) AS rn
+        |  FROM dots d JOIN cn USING (cell)
+        |), assign AS (
+        |  SELECT vec_id, cell FROM ranked WHERE rn = 1
+        |), dom AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3
+        |)
+        |SELECT s.vec_id, s.cell FROM assign s
+        |LEFT JOIN dom ON s.vec_id = dom.vec_id
+        |WHERE dom.vec_id IS NULL AND s.vec_id >= 350
+        |ORDER BY s.vec_id""".stripMargin,
     // BM25(k1=1.2, b=0.75) for terms (table, join, query): constants
     // (N, avgdl, per-term df) from the corpus, fixed-order term sum
     "q77_bm25" -> s"$bm25Sql ORDER BY doc_id",

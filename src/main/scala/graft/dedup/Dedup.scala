@@ -1823,6 +1823,70 @@ object Dedup {
     incrementalEmbeddingNearDupDiag(newVecs, vecCol, idCol, corpusBuckets,
       threshold, bits, maxBucket, maxBroadcastProbeKeys)._1
 
+  /** Batch-vs-standing-corpus SemDeDup — [[semanticDedup]]'s
+    * keep-first rule applied at ingest time: assign the batch to the
+    * PINNED codebook's cells, fetch the standing docs of the cells
+    * the batch touches (a partition-prunable literal — the probe set
+    * is bounded by the codebook size, never collected from data),
+    * and drop every batch vector dominated (cosine ≥ `threshold`) by
+    * a LOWER-id vector in its cell, standing or batch.
+    *
+    * `corpusCells` must hold EVERY previously seen doc `(idCol,
+    * vecCol, cell)` — in SemDeDup the dominator need not have
+    * survived itself (b is dropped when ANY earlier a ≥ threshold,
+    * even if a was itself dropped), so indexing only survivors would
+    * re-admit near-dups of dropped docs. Batch ids must exceed all
+    * indexed ids (the daemon's monotonic-id discipline); then the
+    * admitted set equals the one-shot [[semanticDedup]] over
+    * corpus ∪ batch restricted to batch ids (spec-pinned, rolling).
+    *
+    * Plan shape at 100 TB: the batch assign is a narrow map; the
+    * standing index never moves except the probed cells' rows
+    * (cell-partitioned storage prunes the rest); the dominate join
+    * shuffles probed rows only, batch-bound. */
+  def incrementalSemanticDedup(
+      newVecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      corpusCells: DataFrame,
+      cents: Seq[(Long, Seq[Float])],
+      threshold: Double = 0.95
+  ): DataFrame = {
+    import graft.similarity.Ann
+    graft.functions.VecOps.register(newVecs.sparkSession)
+    val batchCells = Ann.ivfAssignVectors(newVecs, vecCol, idCol, cents)
+      .localCheckpoint(true) // probe keys + both join legs reuse it
+    val probeCells = batchCells
+      .select("cell").where(col("cell").isNotNull).distinct()
+      .collect().map(_.getLong(0)) // ≤ |codebook| by construction
+    val probedCorpus = corpusCells
+      .where(col("cell").isin(probeCells.toSeq: _*))
+    val dominators = batchCells
+      .select(col(idCol).as("id_a"), col("cell"), col(vecCol).as("va"))
+      .unionByName(probedCorpus
+        // a cell-partitioned parquet read can infer the partition
+        // column as int — normalize before the union
+        .select(col(idCol).as("id_a"), col("cell").cast("long").as("cell"),
+          col(vecCol).as("va")))
+      .withColumn("na", call_function("vec_norm_f", col("va")))
+    val targets = batchCells
+      .select(col(idCol).as("id_b"), col("cell"), col(vecCol).as("vb"))
+      .withColumn("nb", call_function("vec_norm_f", col("vb")))
+    val dominated = dominators.join(targets, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(
+        when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(
+            round(
+              call_function("vec_dot_f", col("va"), col("vb")) /
+                (col("na") * col("nb")), 6)) >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    batchCells
+      .join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** SemDeDup-style semantic deduplication: coarse-cluster the
     * embeddings (per-row literal-codebook argmin — no shuffle), then
     * drop every vector whose cosine similarity to a LOWER-id vector

@@ -60,6 +60,9 @@ object BitmapIndex {
     * `(addr, bitmap, card)` — one compressed bitmap per sublog. */
   def fromTable(table: DataFrame): DataFrame = {
     val spark = table.sparkSession
+    // register on the table's OWN session (the Column-only helpers
+    // below can only reach SparkSession.active)
+    register(spark)
     import spark.implicits._
     table
       .select(col("addr").as[String], col("seq").as[Long])

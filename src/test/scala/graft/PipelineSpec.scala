@@ -415,6 +415,35 @@ class PipelineSpec extends SparkSpec {
     assert(pairs1.intersect(pairs2).isEmpty)
   }
 
+  test("incremental semantic dedup equals one-shot restricted to the batch") {
+    // the standing index holds EVERY seen doc (in SemDeDup the
+    // dominator need not survive), cell-partitioned on disk; the
+    // batch's admitted set must equal the one-shot rule over
+    // corpus ∪ batch restricted to batch ids
+    val corpus = emb.where(col("vec_id") < 350)
+    val fresh = emb.where(col("vec_id") >= 350)
+    val cents = corpus.where(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val idxDir = tmpDir("graft-semidx-")
+    Ann.ivfAssignVectors(corpus, "embedding", "vec_id", cents)
+      .select("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val got = Dedup.incrementalSemanticDedup(fresh, "embedding", "vec_id",
+        corpusCells = spark.read.parquet(idxDir), cents, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup
+      .semanticDedup(emb, "embedding", "vec_id", (0L until 8L).toSeq,
+        threshold = 0.3)
+      .where(col("vec_id") >= 350)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"incremental != one-shot-restricted: " +
+      s"extra=${got -- want}, missing=${want -- got}")
+    val nBatch = fresh.count()
+    assert(want.size < nBatch,
+      "fixture dominates nothing — vacuous")
+  }
+
   test("incremental exact dedup: corpus fingerprints win, batch canon by min id") {
     val corpus = Seq((500L, "the standing corpus document")).toDF("doc_id", "text")
     val fresh = Seq(
