@@ -61,6 +61,14 @@ final class SemanticIndex private (
   /** Every vector ever seen: `(id, cell, embedding)`. */
   def cells: DataFrame = cellsAt(None)
 
+  /** The curated corpus: admitted vectors only — the admit decision
+    * rides the SAME commit as the index advance, so the corpus record
+    * can never diverge from the index (no second store, no second
+    * crash window). */
+  def corpus: DataFrame =
+    stateAt(None).where(col("kind") === "vec" && col("admitted"))
+      .select(col("id"), col("cell"), col("embedding"))
+
   /** The commit version that applied `batchId`, if any. */
   def appliedVersion(batchId: String): Option[Long] =
     store.readVersioned
@@ -88,7 +96,8 @@ final class SemanticIndex private (
           col(vecCol).cast("array<float>").as("embedding"))
       commit(
         assigned.join(cellsAt(None).select("id").distinct(),
-          Seq("id"), "left_anti"),
+          Seq("id"), "left_anti")
+          .withColumn("admitted", lit(true)), // bootstrap = curated
         batchId)
     }
   }
@@ -113,12 +122,16 @@ final class SemanticIndex private (
         .withColumnRenamed("embedding", vecCol),
       cents, threshold)
     val ver = applied.getOrElse {
+      val adm = admitted.select(col(idCol).cast("long").as("_adm_id"))
       commit(
         graft.similarity.Ann
           .ivfAssignVectors(newVecs, vecCol, idCol, cents)
           .select(col(idCol).cast("long").as("id"),
             col("cell").cast("long").as("cell"),
-            col(vecCol).cast("array<float>").as("embedding")),
+            col(vecCol).cast("array<float>").as("embedding"))
+          .join(adm, col("id") === col("_adm_id"), "left")
+          .select(col("id"), col("cell"), col("embedding"),
+            col("_adm_id").isNotNull.as("admitted")),
         batchId)
     }
     SemanticIngestResult(admitted, ver, applied.isDefined)
@@ -128,12 +141,41 @@ final class SemanticIndex private (
     val nul = (t: String) => lit(null).cast(t)
     val v = vecRows.select(
       lit("vec").as("kind"), col("id"), col("cell"), col("embedding"),
-      nul("string").as("batch_id"))
+      col("admitted"), nul("string").as("batch_id"))
     val j = spark.range(1).select(
       lit("batch").as("kind"), nul("long").as("id"), nul("long").as("cell"),
-      nul("array<float>").as("embedding"), lit(batchId).as("batch_id"))
+      nul("array<float>").as("embedding"), nul("boolean").as("admitted"),
+      lit(batchId).as("batch_id"))
     store.append(v.unionByName(j))
   }
+
+  /** Wire a STREAMING `vecs` frame (carrying `idCol` + `vecCol`) into
+    * the loop: one [[ingest]] per micro-batch, batch ids from the
+    * checkpointed streaming counter. Exactly-once is simpler than the
+    * text daemon's: there is ONE store, and the admit decision rides
+    * the index commit, so a redelivered batch just recomputes against
+    * the pre-batch snapshot and appends nothing. */
+  def start(
+      vecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      checkpointDir: String,
+      threshold: Double = 0.95,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val batchId = s"stream-$id"
+        // idle-trigger fast path: an empty batch the index never saw
+        // commits nothing (deterministic — its replay re-skips)
+        if (appliedVersion(batchId).isDefined ||
+            (b.isEmpty && appliedVersion(batchId).isEmpty)) ()
+        else { ingest(batchId, b, vecCol, idCol, threshold); () }
+      }
+      .start()
 
   /** Offline maintenance (the [[DedupIndex.compact]] contract): fold
     * commit history into few cell-sorted segments so the per-ingest
@@ -165,6 +207,7 @@ object SemanticIndex {
     StructField("id", LongType, nullable = true),
     StructField("cell", LongType, nullable = true),
     StructField("embedding", ArrayType(FloatType), nullable = true),
+    StructField("admitted", BooleanType, nullable = true),
     StructField("batch_id", StringType, nullable = true)
   ))
 

@@ -50,6 +50,46 @@ class SemanticIndexSpec extends SparkSpec {
     assert(idx.cells.count() == rows, "replay appended vector rows")
     // the index holds EVERY seen doc exactly once
     assert(rows == 500L)
+    // the corpus record (admitted flag rides the index commit) equals
+    // seed ∪ the admitted sets
+    val corpusIds = idx.corpus.select("id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == (0L until 250L).toSet ++ a1 ++ a2,
+      "corpus flag diverged from the admitted sets")
+  }
+
+  test("streaming leg: kill/restart equals the rolling batch run") {
+    import org.apache.spark.sql.types._
+    val srcDir = tmpDir("semidx-src-") + "/log"
+    val ckpt = tmpDir("semidx-ck-")
+    val dir = tmpDir("semidx-stream-")
+    val log = graft.storage.ParquetLog.open(spark, srcDir, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    def appendWave(w: org.apache.spark.sql.DataFrame): Unit =
+      log.append(w.select(struct(col("vec_id"), col("embedding")).as("value")))
+    def stream() = spark.readStream.format("graft-log").load(srcDir)
+      .select(col("value.vec_id").as("vec_id"),
+        col("value.embedding").as("embedding"))
+    val idx = SemanticIndex.open(spark, dir, cents)
+    appendWave(emb.where(col("vec_id") < 300))
+    val q1 = idx.start(stream(), "embedding", "vec_id", ckpt, threshold = 0.3)
+    try q1.processAllAvailable() finally q1.stop()
+    // the rest arrives while the loop is DOWN; a fresh handle on the
+    // same checkpoint resumes without re-deciding a vector
+    appendWave(emb.where(col("vec_id") >= 300))
+    val idx2 = SemanticIndex.open(spark, dir) // codebook reloads
+    val q2 = idx2.start(stream(), "embedding", "vec_id", ckpt, threshold = 0.3)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(idx2.cells.count() == 500L, "restart lost or duplicated vectors")
+    val got = idx2.corpus.select("id").collect().map(_.getLong(0)).toSet
+    // one-shot rule over everything (the stream seeds nothing, so the
+    // whole corpus is admit-ruled)
+    val want = Dedup
+      .semanticDedup(emb, "embedding", "vec_id", (0L until 8L).toSeq,
+        threshold = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want, s"streamed corpus != one-shot: " +
+      s"extra=${got -- want}, missing=${want -- got}")
   }
 
   test("reopen loads the pinned codebook; a different one is refused") {
