@@ -1841,9 +1841,16 @@ object Dedup {
     * corpus ∪ batch restricted to batch ids (spec-pinned, rolling).
     *
     * Plan shape at 100 TB: the batch assign is a narrow map; the
-    * standing index never moves except the probed cells' rows
-    * (cell-partitioned storage prunes the rest); the dominate join
-    * shuffles probed rows only, batch-bound. */
+    * standing index is SCANNED for the probed cells only
+    * (cell-partitioned storage prunes the rest) and never shuffles —
+    * the batch side of the dominate join is the small one, so AQE
+    * broadcasts it and the probed rows stream. Honest cost note:
+    * exact SemDeDup compares the batch against EVERY same-cell prior
+    * doc, so per-ingest cost is probed-cell-population-bound, not
+    * batch-bound — a batch touching all of a SMALL codebook's cells
+    * rescans the standing corpus. The standard trade: size k so cells
+    * stay small relative to ingest cadence (production SemDeDup runs
+    * k in the 10⁴–10⁵ range for exactly this reason). */
   def incrementalSemanticDedup(
       newVecs: DataFrame,
       vecCol: String,
