@@ -170,9 +170,10 @@ final class SemanticIndex private (
       .foreachBatch { (b: DataFrame, id: Long) =>
         val batchId = s"stream-$id"
         // idle-trigger fast path: an empty batch the index never saw
-        // commits nothing (deterministic — its replay re-skips)
-        if (appliedVersion(batchId).isDefined ||
-            (b.isEmpty && appliedVersion(batchId).isEmpty)) ()
+        // commits nothing (deterministic — its replay re-skips); one
+        // journal lookup per micro-batch, not two
+        val applied = appliedVersion(batchId)
+        if (applied.isDefined || b.isEmpty) ()
         else { ingest(batchId, b, vecCol, idCol, threshold); () }
       }
       .start()

@@ -58,6 +58,18 @@ final class VecDedupIndex private (
   /** Every vector ever seen: `(id, bucket, embedding)`. */
   def buckets: DataFrame = bucketsAt(None)
 
+  /** The curated corpus: admitted vectors only — the survivor decision
+    * rides the SAME commit as the index advance (the [[SemanticIndex]]
+    * contract), so the corpus record can never diverge from the index.
+    * NOTE: rolling admission is decided at each vector's ingest; a
+    * FUTURE doc can merge two components that a one-shot run over the
+    * final corpus would have merged up front — inherent to any
+    * streaming dedup, and pinned as "restart ≡ the uninterrupted
+    * rolling run" rather than a global one-shot identity. */
+  def corpus: DataFrame =
+    stateAt(None).where(col("kind") === "vec" && col("admitted"))
+      .select(col("id"), col("bucket"), col("embedding"))
+
   /** The commit version that applied `batchId`, if any. */
   def appliedVersion(batchId: String): Option[Long] =
     store.readVersioned
@@ -79,7 +91,8 @@ final class VecDedupIndex private (
       commit(
         bucketRows(vecs, vecCol, idCol)
           .join(bucketsAt(None).select("id").distinct(),
-            Seq("id"), "left_anti"),
+            Seq("id"), "left_anti")
+          .withColumn("admitted", lit(true)), // bootstrap = curated
         batchId)
     }
   }
@@ -110,7 +123,15 @@ final class VecDedupIndex private (
     val admitted = newVecs
       .join(drops, newVecs(idCol) === drops("_dup_id"), "left_anti")
     val ver = applied.getOrElse {
-      commit(bucketRows(newVecs, vecCol, idCol), batchId)
+      // the survivor decision rides the index commit: one store, one
+      // crash window (the SemanticIndex `admitted` contract)
+      commit(
+        bucketRows(newVecs, vecCol, idCol)
+          .join(drops.select(col("_dup_id")),
+            col("id") === col("_dup_id"), "left")
+          .select(col("id"), col("bucket"), col("embedding"),
+            col("_dup_id").isNull.as("admitted")),
+        batchId)
     }
     VecIngestResult(pairs, admitted, capped, ver, applied.isDefined)
   }
@@ -126,13 +147,46 @@ final class VecDedupIndex private (
     val nul = (t: String) => lit(null).cast(t)
     val v = rows.select(
       lit("vec").as("kind"), col("id"), col("bucket"), col("embedding"),
-      nul("string").as("batch_id"))
+      col("admitted"), nul("string").as("batch_id"))
     val j = spark.range(1).select(
       lit("batch").as("kind"), nul("long").as("id"),
       nul("long").as("bucket"), nul("array<float>").as("embedding"),
-      lit(batchId).as("batch_id"))
+      nul("boolean").as("admitted"), lit(batchId).as("batch_id"))
     store.append(v.unionByName(j))
   }
+
+  /** Wire a STREAMING `vecs` frame (carrying `idCol` + `vecCol`) into
+    * the loop: one [[ingest]] per micro-batch, batch ids from the
+    * checkpointed streaming counter — the [[SemanticIndex.start]]
+    * shape, completing the trilogy's streaming symmetry. Exactly-once
+    * holds because there is ONE store and the survivor decision rides
+    * the index commit: a redelivered batch recomputes against the
+    * pre-batch snapshot and appends nothing. */
+  def start(
+      vecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      checkpointDir: String,
+      threshold: Double = 0.95,
+      maxBucket: Long = 10000L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val batchId = s"stream-$id"
+        // idle-trigger fast path: an empty batch the index never saw
+        // commits nothing (deterministic — its replay re-skips); one
+        // journal lookup per micro-batch, not two
+        val applied = appliedVersion(batchId)
+        if (applied.isDefined || b.isEmpty) ()
+        else {
+          ingest(batchId, b, vecCol, idCol, threshold, maxBucket); ()
+        }
+      }
+      .start()
 
   /** Offline maintenance — the [[DedupIndex.compact]] contract. */
   def compact(targetPartitions: Int = 8): Unit = synchronized {
@@ -161,6 +215,7 @@ object VecDedupIndex {
     StructField("id", LongType, nullable = true),
     StructField("bucket", LongType, nullable = true),
     StructField("embedding", ArrayType(FloatType), nullable = true),
+    StructField("admitted", BooleanType, nullable = true),
     StructField("batch_id", StringType, nullable = true)
   ))
 

@@ -261,8 +261,13 @@ object Quantize {
       maxInLiteralIds: Int = 1000
   ): DataFrame = {
     val n = if (shortlist > 0) shortlist else 10 * k
+    // materialized once (executor-local blocks): the gate sample AND
+    // the over-gate broadcast semi-join both reuse this one ADC scan
+    // instead of planning the probed-cell pipeline twice — the
+    // incremental-text-fetch pattern (Dedup.verifyJaccard candidates)
     val short = pqTopK(encoded, idCol, queryVec, n, cents, books, nprobe)
       .select(col(idCol))
+      .localCheckpoint(true)
     // pushed IN literal while the shortlist is small (row-group
     // skipping on an id-sorted corpus); above the gate a broadcast
     // semi-join of the shortlist frame — IN planning cost is LINEAR

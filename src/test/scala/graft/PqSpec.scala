@@ -216,4 +216,32 @@ class PqSpec extends SparkSpec {
     assert(rerank(0) == rerank(1000),
       "shortlist fetch tiers diverge")
   }
+
+  test("over-gate rerank plans ONE ADC scan (shortlist from checkpoint)") {
+    // the shortlist frame is localCheckpointed inside pqTopKRerank, so
+    // the over-gate broadcast semi-join's build side is a scan of the
+    // checkpointed blocks — NOT a second planning of the probed-cell
+    // ADC pipeline (which the gate-count collect already executed).
+    // The ADC's signature in a plan is the per-row `codes` lookup
+    // arithmetic; the exact-rerank tier scores with the native float
+    // dot (printed `floatvecdot`) instead, so the final plan must
+    // carry the latter and none of the former.
+    val books = Quantize.pqTrain(corpus, "embedding", "vec_id",
+      cents.toSeq.sortBy(_._1), m, ksub, iters = 1)
+    val encoded = Quantize.pqEncode(corpus, "embedding", "vec_id",
+      cents.toSeq.sortBy(_._1), books).localCheckpoint(true)
+    val qv = corpus.where(col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0)
+    val out = Quantize.pqTopKRerank(encoded, corpus, "embedding",
+      "vec_id", qv, 10, cents, books, nprobe = 4,
+      maxInLiteralIds = 0) // force the over-gate branch
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"over-gate build side is not the checkpointed shortlist:\n$plan")
+    assert(!plan.contains("codes"),
+      s"ADC pipeline re-planned under the semi-join:\n$plan")
+    assert(plan.contains("floatvecdot"),
+      s"exact rerank tier missing from the final plan:\n$plan")
+    assert(out.count() == 10L)
+  }
 }
