@@ -78,7 +78,16 @@ object BitmapIndex {
   // plain UDF demoted every CONSUMING stage out of WholeStageCodegen.
   // Column-from-raw-Expression is private[sql] in Spark 4, so the
   // public path is registry + call_function — same plan, same codegen.
-  private def register(spark: SparkSession): Unit = {
+
+  /** Register the bitmap functions on `spark`. The Column helpers
+    * below self-register on `SparkSession.active` at construction — a
+    * bare Column cannot know which session will analyze it — so a
+    * Column applied to a frame owned by a DIFFERENT session resolves
+    * only if that session has the functions: sessions built with
+    * [[graft.GraftExtensions]] always do (the functions are
+    * injected), any other session can call this explicitly.
+    * Idempotent. */
+  def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("bitmap_select")))
@@ -95,19 +104,22 @@ object BitmapIndex {
   }
 
   /** Rank → parent seq on the serialized bitmap (bitmap Select);
-    * null when the rank is out of range. */
+    * null when the rank is out of range. Registers on the ACTIVE
+    * session — see [[register]] for cross-session use. */
   def bitmapSelect(bitmap: org.apache.spark.sql.Column, rank: org.apache.spark.sql.Column) = {
     register(SparkSession.active)
     call_function("bitmap_select", bitmap, rank)
   }
 
-  /** Cardinality of a serialized bitmap. */
+  /** Cardinality of a serialized bitmap. Registers on the ACTIVE
+    * session — see [[register]] for cross-session use. */
   def bitmapCard(bitmap: org.apache.spark.sql.Column) = {
     register(SparkSession.active)
     call_function("bitmap_card", bitmap)
   }
 
-  /** Membership test on a serialized bitmap. */
+  /** Membership test on a serialized bitmap. Registers on the ACTIVE
+    * session — see [[register]] for cross-session use. */
   def bitmapContains(bitmap: org.apache.spark.sql.Column, seq: org.apache.spark.sql.Column) = {
     register(SparkSession.active)
     call_function("bitmap_contains", bitmap, seq)

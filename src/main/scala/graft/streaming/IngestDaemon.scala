@@ -14,8 +14,13 @@ import graft.storage.TableStore
 /** Gate / dedup / survivor-rule knobs of an [[IngestDaemon]]. The
   * banding parameters live in [[DedupParams]] (persisted with the
   * index and refused on mismatch at reopen); the gates are
-  * policy-of-the-day and intentionally NOT pinned — tightening
-  * `minQuality` mid-corpus only affects future batches. */
+  * policy-of-the-day and intentionally NOT pinned across the corpus —
+  * tightening `minQuality` mid-corpus only affects future batches.
+  * WITHIN one batch they are pinned: [[IngestDaemon.processBatch]]
+  * records them per batch just before the index commit, and a replay
+  * of a half-applied batch gates with the knobs OF RECORD, so a
+  * config change in a crash window cannot diverge the seen store from
+  * the rows already indexed. */
 final case class IngestConfig(
     textCol: String = "text",
     idCol: String = "doc_id",
@@ -66,6 +71,11 @@ final case class IngestConfig(
   *
   * Either way every document is admitted or dropped EXACTLY once, and
   * the next batch probes an index holding this batch exactly once.
+  * The gate knobs are part of the contract: they are recorded per
+  * batch (under `dir/gates`, written just before the index commit,
+  * deleted once both commits landed), and a half-applied replay gates
+  * with the knobs OF RECORD — so changing the config between a crash
+  * and the restart affects only batches not yet index-committed.
   *
   * Id contract: `idCol` values must be globally unique across the
   * stream's lifetime (the graft-log `seq` is the natural choice) —
@@ -126,13 +136,30 @@ final class IngestDaemon private (
     * flood IS reported; production loops should alert on it. */
   def processBatch(batchId: String, rawDocs: DataFrame): Option[graft.dedup.IngestResult] =
     synchronized {
-      if (appliedVersion(batchId).isDefined) return None // fully applied
-      val c = config
+      if (appliedVersion(batchId).isDefined) { // fully applied
+        java.nio.file.Files.deleteIfExists(gateRecordPath(batchId))
+        return None
+      }
+      val idxApplied = index.appliedVersion(batchId)
+      // a HALF-APPLIED replay (index committed, seen not) must gate
+      // with the knobs the index commit was computed under — the
+      // per-batch record written below, just before that commit —
+      // or the replayed survivor set can diverge from the band rows
+      // already indexed, breaking the "seen covers every indexed doc"
+      // fetch invariant. Index commits made by driving `index`
+      // directly (outside processBatch) have no record and fall back
+      // to the current config.
+      val c =
+        if (idxApplied.isDefined) recordedGates(batchId).getOrElse(config)
+        else config
       val gated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
         c.textCol, c.lang, c.minQuality, c.minTokens, c.maxTokens)
       // idle-trigger fast path: an empty gated batch the index never
       // saw commits nothing (deterministic: its replay re-skips)
-      if (index.appliedVersion(batchId).isEmpty && gated.isEmpty) return None
+      if (idxApplied.isEmpty && gated.isEmpty) return None
+      // the record lands BEFORE the index commit: every crash window
+      // after the commit replays under the recorded knobs
+      if (idxApplied.isEmpty) recordGates(batchId)
       val result = index.ingest(batchId, gated, c.textCol, c.idCol,
         corpusTexts = seenTexts, threshold = c.threshold,
         maxBucket = c.maxBucket)
@@ -159,8 +186,50 @@ final class IngestDaemon private (
       // below only publishes after the segment files are written), so
       // the verify's fetch side stays the pre-batch snapshot
       seen.append(docRows.unionByName(journalRow))
+      // both commits landed: the record is spent (a redelivery skips
+      // on the seen journal before ever reading it)
+      java.nio.file.Files.deleteIfExists(gateRecordPath(batchId))
       Some(result)
     }
+
+  private def gatesDir = Paths.get(dir, "gates")
+
+  private[graft] def gateRecordPath(batchId: String) =
+    gatesDir.resolve(s"$batchId.properties")
+
+  /** Persist the CURRENT gate knobs as `batchId`'s knobs of record —
+    * what [[processBatch]] writes just before the index commit. */
+  private[graft] def recordGates(batchId: String): Unit = {
+    java.nio.file.Files.createDirectories(gatesDir)
+    val c = config
+    val props = new java.util.Properties()
+    props.setProperty("lang", c.lang)
+    props.setProperty("minQuality", c.minQuality.toString)
+    props.setProperty("minTokens", c.minTokens.toString)
+    props.setProperty("maxTokens", c.maxTokens.toString)
+    props.setProperty("threshold", c.threshold.toString)
+    props.setProperty("maxBucket", c.maxBucket.toString)
+    val out = new java.io.FileOutputStream(gateRecordPath(batchId).toFile)
+    try props.store(out, "graft IngestDaemon per-batch gate record")
+    finally out.close()
+  }
+
+  private def recordedGates(batchId: String): Option[IngestConfig] = {
+    val p = gateRecordPath(batchId)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(p.toFile)
+      try props.load(in) finally in.close()
+      Some(config.copy(
+        lang = props.getProperty("lang"),
+        minQuality = props.getProperty("minQuality").toDouble,
+        minTokens = props.getProperty("minTokens").toInt,
+        maxTokens = props.getProperty("maxTokens").toInt,
+        threshold = props.getProperty("threshold").toDouble,
+        maxBucket = props.getProperty("maxBucket").toLong))
+    }
+  }
 
   /** Wire a STREAMING `docs` frame (carrying `config.idCol` +
     * `config.textCol`) into the loop: one [[processBatch]] per

@@ -154,6 +154,56 @@ class IngestDaemonSpec extends SparkSpec {
       "replay appended index rows twice")
   }
 
+  test("daemon: half-applied replay gates with the knobs OF RECORD") {
+    // the crash window: index commit landed under the ORIGINAL gate
+    // knobs, seen commit did not, and the restart arrives with a
+    // TIGHTENED config. Gating the replay with the new knobs would
+    // shrink the survivor set below the band rows already indexed —
+    // breaking "seen covers every indexed doc" — so processBatch must
+    // replay under the per-batch record instead.
+    val w1 = docs.where(col("doc_id") < 250)
+    val w2 = docs.where(col("doc_id") >= 250)
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-gref-"), cfg)
+    ref.processBatch("b0", w1)
+    ref.processBatch("b1", w2)
+    val dir = tmpDir("daemon-gates-")
+    val d1 = IngestDaemon.open(spark, dir, cfg)
+    d1.processBatch("b0", w1)
+    // simulate the window exactly as processBatch produces it: record
+    // the knobs, commit the index, crash before the seen commit
+    val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
+      cfg.lang, cfg.minQuality, cfg.minTokens, cfg.maxTokens)
+    d1.recordGates("b1")
+    d1.index.ingest("b1", gatedW2, "text", "doc_id",
+      corpusTexts = d1.seenTexts, threshold = cfg.threshold,
+      maxBucket = cfg.maxBucket)
+    assert(d1.appliedVersion("b1").isEmpty, "window setup broken")
+    // restart under tightened gates — which must NOT apply to b1
+    val tightened = cfg.copy(minTokens = 40)
+    val gatedTight = Curation.gate(w2.select("doc_id", "text"), "text",
+      tightened.lang, tightened.minQuality, tightened.minTokens,
+      tightened.maxTokens)
+    assert(gatedTight.count() < gatedW2.count(),
+      "tightened gate excludes nothing — vacuous")
+    val d2 = IngestDaemon.open(spark, dir, tightened)
+    d2.processBatch("b1", w2)
+    assert(d2.appliedVersion("b1").isDefined, "replay did not finish b1")
+    // the fetch invariant the record protects: every indexed doc has
+    // its text in the seen store
+    val seenIds = d2.seenTexts.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val indexedIds = d2.index.bands.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(indexedIds.subsetOf(seenIds),
+      s"indexed docs missing from seen: ${indexedIds -- seenIds}")
+    // and the corpus equals the clean run under the original knobs
+    assert(corpusIds(d2) == corpusIds(ref),
+      "replayed corpus != clean original-knob run")
+    // the record is spent once both commits landed
+    assert(!java.nio.file.Files.exists(d2.gateRecordPath("b1")),
+      "gate record not cleaned up after the seen commit")
+  }
+
   test("daemon: flooded buckets surface in the returned diag") {
     // near-identical-but-distinct docs (the exact tier must NOT
     // collapse them) split across two batches: the combined bucket
