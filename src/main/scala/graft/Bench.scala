@@ -9,7 +9,7 @@ import graft.core.QuerySpec._
 import graft.dedup.Dedup
 import graft.indexes.{KVIndex, MultiLogSink, SinkIndex}
 import graft.multilog.MultiLog
-import graft.similarity.Ann
+import graft.similarity.{Ann, Quantize}
 import graft.storage.ParquetLog
 import graft.text.TextFunctions
 
@@ -350,6 +350,34 @@ object Bench {
     timed("batch_topk") {
       Ann.cosineTopKBatch(emb, "embedding", "vec_id", batchQs, 10)
         .agg(sum("score")).collect()
+    }
+    // batched APPROXIMATE tiers (IVF cells / PQ codes): 16 queries per
+    // single partition-pruned pass. The index builds are UNTIMED —
+    // they amortize over every future probe — so the timed legs are
+    // the steady-state serving cost the retrieval-eval loop pays.
+    locally {
+      val annQs = emb.where(col("vec_id") < 16)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq.sortBy(_._1)
+      val annCents = Ann.kmeansTrain(emb, "embedding", "vec_id",
+        (0L until 16L).toSeq, 2)
+      val sorted = annCents.toSeq.sortBy(_._1)
+      val annAssigned = Ann
+        .ivfAssignVectors(emb, "embedding", "vec_id", sorted)
+        .localCheckpoint(true)
+      timed("ivf_topk_batch") {
+        Ann.ivfTopKBatch(annAssigned, "embedding", "vec_id", annQs, 10,
+          annCents, 2).agg(sum("score")).collect()
+      }
+      val annBooks = Quantize.pqTrain(emb, "embedding", "vec_id", sorted,
+        8, 64, iters = 1)
+      val annEncoded = Quantize
+        .pqEncode(emb, "embedding", "vec_id", sorted, annBooks)
+        .localCheckpoint(true)
+      timed("pq_topk_batch") {
+        Quantize.pqTopKBatch(annEncoded, "vec_id", annQs, 10, annCents,
+          annBooks, 2).agg(sum("score")).collect()
+      }
     }
     timed("embed_neardup_lsh") {
       Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id", 0.3, bits = 4).count()

@@ -244,4 +244,64 @@ class PqSpec extends SparkSpec {
       s"exact rerank tier missing from the final plan:\n$plan")
     assert(out.count() == 10L)
   }
+
+  test("production geometry (m=16, ksub=256, 256 dims): native encode " +
+      "by default, batch ≡ per-query, rerank recall floor") {
+    // the scaladoc sells m=16/ksub=256 on high-dim vectors; this pins
+    // that geometry end to end: 4096 sub-centroids sit far above the
+    // default literalMax, so the DEFAULT encode path is the native
+    // PqCodes expression, and pqTopKBatch ships Q×16×256 closure LUTs
+    val pDims = 256
+    val pM = 16
+    val pKsub = 256
+    val pCorpus = Ann
+      .clusteredCorpus(spark, 4000L, clusters = 32, dims = pDims,
+        sigma = 0.8)
+      .localCheckpoint(true)
+    val pCents = Ann.kmeansTrain(pCorpus, "embedding", "vec_id",
+      (0L until 32L).toSeq, 1)
+    val sorted = pCents.toSeq.sortBy(_._1)
+    val books = Quantize.pqTrain(pCorpus, "embedding", "vec_id",
+      sorted, pM, pKsub, iters = 1)
+    assert(books.size == pM && books.forall(_.size == pKsub))
+    val encFrame = Quantize.pqEncode(pCorpus, "embedding", "vec_id",
+      sorted, books) // default literalMax
+    assert(encFrame.queryExecution.executedPlan.toString
+        .contains("pq_codes"),
+      "default encode at 4096 sub-centroids must take the native path")
+    val encoded = encFrame.localCheckpoint(true)
+    val queries = Ann
+      .clusteredCorpus(spark, 4025L, clusters = 32, dims = pDims,
+        sigma = 0.8)
+      .where(col("vec_id") >= 4000L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // batched ADC ≡ per-query ADC at production codebook scale
+    val bat = Quantize
+      .pqTopKBatch(encoded, "vec_id", queries, 10, pCents, books,
+        nprobe = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSet
+      }
+    queries.foreach { case (qid, qv) =>
+      val one = Quantize
+        .pqTopK(encoded, "vec_id", qv, 10, pCents, books, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(bat(qid) == one, s"batch diverges from pqTopK for $qid")
+    }
+    // the production finish holds its floor at production geometry
+    val truth = Ann
+      .cosineTopKBatch(pCorpus, "embedding", "vec_id", queries, 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val rerankRecall = queries.map { case (q, qv) =>
+      Quantize.pqTopKRerank(encoded, pCorpus, "embedding", "vec_id",
+          qv, 10, pCents, books, nprobe = 4)
+        .collect().map(_.getLong(0)).toSet
+        .intersect(truth(q)).size.toDouble / 10
+    }.sum / queries.size
+    assert(rerankRecall >= 0.9,
+      s"rerank recall@10 at production geometry fell to $rerankRecall")
+  }
 }

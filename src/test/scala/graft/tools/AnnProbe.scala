@@ -44,7 +44,90 @@ object AnnProbe {
     val sigma = args.drop(1).headOption.map(_.toDouble).getOrElse(0.8)
     if (mode == "fixture" || mode == "both") runFixture(spark)
     if (mode == "clustered" || mode == "both") runClustered(spark, sigma)
+    if (mode == "production") runProductionPq(spark, sigma)
     spark.stop()
+  }
+
+  /** PQ at PRODUCTION geometry — m=16, ksub=256 on 256-dim vectors
+    * (VERDICT r15 task 3): 4096 sub-centroids exercise the native
+    * [[graft.functions.PqCodes]] encode fork (default literalMax=128)
+    * and [[Quantize.pqTopKBatch]]'s Q×M×ksub closure LUTs; the bytes
+    * table is the 100 TB story (16 code bytes/vec vs 256 int8 vs 1024
+    * float32). */
+  private def runProductionPq(spark: SparkSession, sigma: Double): Unit = {
+    val n = 20000L
+    val dims = 256
+    val (m, ksub) = (16, 256)
+    val k = K
+    val corpus = Ann
+      .clusteredCorpus(spark, n, clusters = 64, dims = dims, sigma = sigma)
+      .localCheckpoint(true)
+    println(s"== PRODUCTION PQ: $n vectors, $dims dims, 64 clusters, " +
+      s"sigma=$sigma; m=$m ksub=$ksub (${m * ksub} sub-centroids, " +
+      s"native encode); bytes/vec: float32=${dims * 4} int8=$dims pq=$m")
+    val queries = Ann
+      .clusteredCorpus(spark, n + 25, clusters = 64, dims = dims,
+        sigma = sigma)
+      .where(col("vec_id") >= n)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val truth = Ann
+      .cosineTopKBatch(corpus, "embedding", "vec_id", queries, k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    def recallOf(f: Seq[Float] => Set[Long]): Double =
+      queries.map { case (q, qv) =>
+        f(qv).intersect(truth(q)).size.toDouble / k
+      }.sum / queries.size
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cents = Ann.kmeansTrain(corpus, "embedding", "vec_id",
+      (0L until 64L).toSeq, 5)
+    val sorted = cents.toSeq.sortBy(_._1)
+    val tTrain = timed {
+      Quantize.pqTrain(corpus, "embedding", "vec_id", sorted, m, ksub,
+        iters = 2)
+    }
+    val books = Quantize.pqTrain(corpus, "embedding", "vec_id", sorted,
+      m, ksub, iters = 2)
+    val encoded = Quantize
+      .pqEncode(corpus, "embedding", "vec_id", sorted, books)
+      .localCheckpoint(true)
+    val int8 = Quantize.int8(corpus, "embedding", "vec_id")
+      .localCheckpoint(true)
+    println(f"== train $tTrain%.1f s (m=$m subspaces, iters=2)")
+    val int8Recall = recallOf(qv =>
+      Quantize.cosineTopKInt8(int8, "q", "vec_id", qv, k)
+        .collect().map(_.getLong(0)).toSet)
+    println(f"${"int8 full-scan"}%22s recall@10 $int8Recall%6.3f " +
+      f"(${dims} B/vec, whole corpus)")
+    println(f"${"config"}%22s ${"recall@10"}%10s")
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val adc = recallOf(qv =>
+        Quantize.pqTopK(encoded, "vec_id", qv, k, cents, books, nprobe)
+          .collect().map(_.getLong(0)).toSet)
+      val rr = recallOf(qv =>
+        Quantize.pqTopKRerank(encoded, corpus, "embedding", "vec_id",
+            qv, k, cents, books, nprobe)
+          .collect().map(_.getLong(0)).toSet)
+      val rr40 = recallOf(qv =>
+        Quantize.pqTopKRerank(encoded, corpus, "embedding", "vec_id",
+            qv, k, cents, books, nprobe, shortlist = 40 * k)
+          .collect().map(_.getLong(0)).toSet)
+      println(f"${s"pq adc nprobe=$nprobe"}%22s $adc%10.3f")
+      println(f"${s"pq rerank nprobe=$nprobe"}%22s $rr%10.3f")
+      println(f"${s"pq rerank400 nprobe=$nprobe"}%22s $rr40%10.3f")
+    }
+    // batched ADC: Q queries, each query's 16×256 LUT in the closure
+    val seq = timed(queries.foreach { case (_, qv) =>
+      Quantize.pqTopK(encoded, "vec_id", qv, k, cents, books, 2).collect()
+    })
+    val bat = timed(
+      Quantize.pqTopKBatch(encoded, "vec_id", queries, k, cents, books, 2)
+        .collect())
+    println(f"== batched PQ probe: ${queries.size} queries sequential " +
+      f"$seq%.2f s vs one batch pass $bat%.2f s (${seq / bat}%.1fx; " +
+      f"${queries.size}x${m}x$ksub LUT doubles in the closure)")
   }
 
   /** Shared curve runner: exact truth once, then the IVF and LSH
