@@ -183,6 +183,55 @@ object Demo {
     println(s"== ingest daemon: corpus $mid -> ${daemon2.corpus.count()} " +
       s"docs across a restart, index v${daemon2.index.version}")
 
+    // 13. The VECTOR managed artifacts run the same checkpointed
+    // kill/resume loop: SemDeDup (SemanticIndex, pinned codebook) and
+    // embedding near-dup (VecDedupIndex, pinned signature width).
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val vecLog = ParquetLog.open(spark, s"$work/veclog", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+    def vecStream = spark.readStream.format("graft-log").load(vecLog.dir)
+      .select(col("value.vec_id").as("vec_id"),
+        col("value.embedding").as("embedding"))
+    val semCents = emb.where(col("vec_id") < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val sem = graft.dedup.SemanticIndex.open(spark, s"$work/semidx", semCents)
+    val vec = graft.dedup.VecDedupIndex.open(spark, s"$work/vecidx", bits = 8)
+    vecLog.append(emb.where(col("vec_id") < 300)
+      .select(struct(col("vec_id"), col("embedding")).as("value")))
+    val sq1 = sem.start(vecStream, "embedding", "vec_id",
+      s"$work/semckpt", threshold = 0.3)
+    sq1.processAllAvailable(); sq1.stop()
+    val vq1 = vec.start(vecStream, "embedding", "vec_id",
+      s"$work/vecckpt", threshold = 0.3, maxBucket = 1000L)
+    vq1.processAllAvailable(); vq1.stop()
+    val semMid = sem.corpus.count()
+    val vecMid = vec.corpus.count()
+    // the rest arrives while both loops are DOWN; fresh handles on the
+    // same checkpoints resume without re-deciding a vector
+    vecLog.append(emb.where(col("vec_id") >= 300)
+      .select(struct(col("vec_id"), col("embedding")).as("value")))
+    val sem2 = graft.dedup.SemanticIndex.open(spark, s"$work/semidx")
+    val sq2 = sem2.start(vecStream, "embedding", "vec_id",
+      s"$work/semckpt", threshold = 0.3)
+    sq2.processAllAvailable(); sq2.stop()
+    val vec2 = graft.dedup.VecDedupIndex.open(spark, s"$work/vecidx", bits = 8)
+    val vq2 = vec2.start(vecStream, "embedding", "vec_id",
+      s"$work/vecckpt", threshold = 0.3, maxBucket = 1000L)
+    vq2.processAllAvailable(); vq2.stop()
+    // the streamed SemDeDup corpus must equal the flat one-shot rule
+    val semWant = graft.dedup.Dedup
+      .semanticDedup(emb, "embedding", "vec_id", (0L until 8L).toSeq,
+        threshold = 0.3).count()
+    val semGot = sem2.corpus.count()
+    require(semGot == semWant,
+      s"semdedup stream != one-shot: $semGot vs $semWant")
+    println(s"== semantic index: corpus $semMid -> $semGot vectors " +
+      s"across a restart (one-shot rule holds), v${sem2.version}")
+    println(s"== vec dedup index: corpus $vecMid -> ${vec2.corpus.count()} " +
+      s"admitted of ${vec2.buckets.count()} seen, v${vec2.version}")
+
     println("== DEMO OK")
     spark.stop()
   }
