@@ -30,7 +30,16 @@ final case class IngestConfig(
     maxTokens: Int = 100000,
     threshold: Double = 0.5,
     maxBucket: Long = 10000L,
-    params: DedupParams = DedupParams()
+    params: DedupParams = DedupParams(),
+    // `Some(embeddingCol)` composes the EMBEDDING near-dup tier into
+    // the loop: a [[graft.dedup.VecDedupIndex]] under `dir/vecindex`
+    // (signature width `vecBits`, pinned at creation) ingests each
+    // batch's text-admitted survivors in the same exactly-once step,
+    // and the corpus admits only vectors that survive both tiers
+    vecCol: Option[String] = None,
+    vecThreshold: Double = 0.95,
+    vecMaxBucket: Long = 10000L,
+    vecBits: Int = 8
 )
 
 /** The composed steady-state ingest-curation loop — the reference's
@@ -77,6 +86,17 @@ final case class IngestConfig(
   * with the knobs OF RECORD — so changing the config between a crash
   * and the restart affects only batches not yet index-committed.
   *
+  * With `config.vecCol` set, a THIRD journaled store joins the loop:
+  * a [[graft.dedup.VecDedupIndex]] under `dir/vecindex` ingests the
+  * text-admitted survivors' embeddings between the text-index commit
+  * and the seen commit, and the corpus admits only both-tier
+  * survivors. Commit order text index → vector index → seen extends
+  * the same argument to every new crash window: each store's journal
+  * rides its own atomic commit, each ingest is idempotent by
+  * `batchId` with pre-batch-snapshot replays, and the vec knobs ride
+  * the same per-batch gate record — so a kill between ANY pair of
+  * commits replays to the identical final state.
+  *
   * Id contract: `idCol` values must be globally unique across the
   * stream's lifetime (the graft-log `seq` is the natural choice) —
   * the same disjointness [[DedupIndex.ingest]] requires.
@@ -94,7 +114,8 @@ final class IngestDaemon private (
     val dir: String,
     val index: DedupIndex,
     seen: TableStore,
-    val config: IngestConfig
+    val config: IngestConfig,
+    val vecIndex: Option[graft.dedup.VecDedupIndex]
 ) {
 
   import IngestDaemon.seenSchema
@@ -128,7 +149,9 @@ final class IngestDaemon private (
     * not is finished via the index's snapshot replay.
     *
     * Returns the batch's [[graft.dedup.IngestResult]] (None when the
-    * batch was skipped — already applied, or gated empty) so callers
+    * batch was skipped — already applied, or gated empty; `admitted`
+    * is the FINAL set — both tiers — when the vector tier is
+    * composed) so callers
     * can observe the `capped` flooded-bucket diagnostic: a bucket
     * past `maxBucket` is EXCLUDED from pairing (the batch-run-
     * equivalent decision), and a pipeline that never looks at the
@@ -163,7 +186,24 @@ final class IngestDaemon private (
       val result = index.ingest(batchId, gated, c.textCol, c.idCol,
         corpusTexts = seenTexts, threshold = c.threshold,
         maxBucket = c.maxBucket)
-      val adm = result.admitted
+      // composed vector tier: the text-admitted survivors' embeddings
+      // run the incremental near-dup loop against the standing
+      // VecDedupIndex — its own journaled commit, idempotent by the
+      // same batchId, so every crash window replays clean (a replay
+      // of either index recomputes against its pre-batch snapshot).
+      // The corpus admits only docs that survive BOTH tiers; the
+      // vector index holds every text-admitted vector (losers too —
+      // the recall argument of the text index applies unchanged).
+      val finalResult = (vecIndex, c.vecCol) match {
+        case (Some(vi), Some(vc)) =>
+          val withVec = result.admitted.join(
+            rawDocs.select(col(c.idCol), col(vc)), Seq(c.idCol))
+          val vr = vi.ingest(batchId, withVec, vc, c.idCol,
+            threshold = c.vecThreshold, maxBucket = c.vecMaxBucket)
+          result.copy(admitted = vr.admitted)
+        case _ => result
+      }
+      val adm = finalResult.admitted
         .select(col(c.idCol).cast("long").as("_adm_id"))
       val nul = (t: String) => lit(null).cast(t)
       val docRows = result.exactSurvivors
@@ -186,10 +226,10 @@ final class IngestDaemon private (
       // below only publishes after the segment files are written), so
       // the verify's fetch side stays the pre-batch snapshot
       seen.append(docRows.unionByName(journalRow))
-      // both commits landed: the record is spent (a redelivery skips
+      // all commits landed: the record is spent (a redelivery skips
       // on the seen journal before ever reading it)
       java.nio.file.Files.deleteIfExists(gateRecordPath(batchId))
-      Some(result)
+      Some(finalResult)
     }
 
   private def gatesDir = Paths.get(dir, "gates")
@@ -209,6 +249,8 @@ final class IngestDaemon private (
     props.setProperty("maxTokens", c.maxTokens.toString)
     props.setProperty("threshold", c.threshold.toString)
     props.setProperty("maxBucket", c.maxBucket.toString)
+    props.setProperty("vecThreshold", c.vecThreshold.toString)
+    props.setProperty("vecMaxBucket", c.vecMaxBucket.toString)
     val out = new java.io.FileOutputStream(gateRecordPath(batchId).toFile)
     try props.store(out, "graft IngestDaemon per-batch gate record")
     finally out.close()
@@ -221,13 +263,18 @@ final class IngestDaemon private (
       val props = new java.util.Properties()
       val in = new java.io.FileInputStream(p.toFile)
       try props.load(in) finally in.close()
+      def opt(k: String) = Option(props.getProperty(k))
       Some(config.copy(
         lang = props.getProperty("lang"),
         minQuality = props.getProperty("minQuality").toDouble,
         minTokens = props.getProperty("minTokens").toInt,
         maxTokens = props.getProperty("maxTokens").toInt,
         threshold = props.getProperty("threshold").toDouble,
-        maxBucket = props.getProperty("maxBucket").toLong))
+        maxBucket = props.getProperty("maxBucket").toLong,
+        vecThreshold = opt("vecThreshold").map(_.toDouble)
+          .getOrElse(config.vecThreshold),
+        vecMaxBucket = opt("vecMaxBucket").map(_.toLong)
+          .getOrElse(config.vecMaxBucket)))
     }
   }
 
@@ -257,6 +304,7 @@ final class IngestDaemon private (
     * refused loudly rather than recomputed against the wrong state. */
   def compact(targetPartitions: Int = 8): Unit = synchronized {
     index.compact(targetPartitions)
+    vecIndex.foreach(_.compact(targetPartitions))
     seen.rewrite(
       _.repartitionByRange(targetPartitions, col("kind"), col("id"))
         .sortWithinPartitions("kind", "id"))
@@ -288,6 +336,10 @@ object IngestDaemon {
       DedupIndex.open(spark, Paths.get(dir, "index").toString, config.params)
     val seen = TableStore.open(
       spark, Paths.get(dir, "seen").toString, seenSchema)
-    new IngestDaemon(spark, dir, index, seen, config)
+    val vec = config.vecCol.map { _ =>
+      graft.dedup.VecDedupIndex.open(spark,
+        Paths.get(dir, "vecindex").toString, bits = config.vecBits)
+    }
+    new IngestDaemon(spark, dir, index, seen, config, vec)
   }
 }

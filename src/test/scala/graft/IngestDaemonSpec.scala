@@ -204,6 +204,87 @@ class IngestDaemonSpec extends SparkSpec {
       "gate record not cleaned up after the seen commit")
   }
 
+  test("daemon: composed vector tier — atomic advance, independent " +
+      "composition twin, crash windows replay clean") {
+    import graft.dedup.VecDedupIndex
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val mm = docs.join(emb, Seq("doc_id")) // the multimodal ingest frame
+    val vcfg = cfg.copy(vecCol = Some("embedding"),
+      vecThreshold = 0.3, vecMaxBucket = 1000L)
+    val w1 = mm.where(col("doc_id") < 250)
+    val w2 = mm.where(col("doc_id") >= 250)
+
+    // clean composed run: both indexes advance atomically per batch
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-vref-"), vcfg)
+    val r0 = ref.processBatch("b0", w1)
+    val r1 = ref.processBatch("b1", w2)
+    assert(r0.isDefined && r1.isDefined)
+    for (b <- Seq("b0", "b1")) {
+      assert(ref.index.appliedVersion(b).isDefined, s"text index missed $b")
+      assert(ref.vecIndex.get.appliedVersion(b).isDefined,
+        s"vec index missed $b")
+      assert(ref.appliedVersion(b).isDefined, s"seen missed $b")
+    }
+    val composed = corpusIds(ref)
+
+    // independent composition twin: a TEXT-ONLY daemon plus a
+    // hand-rolled VecDedupIndex over its per-batch admitted sets must
+    // produce the identical corpus
+    val tcfg = vcfg.copy(vecCol = None)
+    val tref = IngestDaemon.open(spark, tmpDir("daemon-tref-"), tcfg)
+    val vi = VecDedupIndex.open(spark, tmpDir("daemon-vi-"),
+      bits = vcfg.vecBits)
+    def vecAdmit(b: String, w: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val ta = tref.processBatch(b, w).get.admitted
+      vi.ingest(b, ta.join(emb, Seq("doc_id")), "embedding", "doc_id",
+          threshold = vcfg.vecThreshold, maxBucket = vcfg.vecMaxBucket)
+        .admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val want = vecAdmit("b0", w1) ++ vecAdmit("b1", w2)
+    assert(composed.toSet == want, s"composed daemon != independent " +
+      s"composition: extra=${composed.toSet -- want}, " +
+      s"missing=${want -- composed.toSet}")
+    // the vector tier actually dropped something on top of the text
+    // tier, or the composition is vacuous
+    assert(composed.size < corpusIds(tref).size,
+      "vector tier dropped nothing — vacuous")
+
+    // crash window A: text index committed, vec + seen did not
+    val dA = IngestDaemon.open(spark, tmpDir("daemon-vwA-"), vcfg)
+    dA.processBatch("b0", w1)
+    val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
+      vcfg.lang, vcfg.minQuality, vcfg.minTokens, vcfg.maxTokens)
+    dA.recordGates("b1")
+    dA.index.ingest("b1", gatedW2, "text", "doc_id",
+      corpusTexts = dA.seenTexts, threshold = vcfg.threshold,
+      maxBucket = vcfg.maxBucket)
+    assert(dA.appliedVersion("b1").isEmpty &&
+      dA.vecIndex.get.appliedVersion("b1").isEmpty, "window A setup broken")
+    dA.processBatch("b1", w2)
+    assert(corpusIds(dA) == composed, "window A replay diverged")
+
+    // crash window B: text AND vec committed, seen did not
+    val dB = IngestDaemon.open(spark, tmpDir("daemon-vwB-"), vcfg)
+    dB.processBatch("b0", w1)
+    dB.recordGates("b1")
+    val tRes = dB.index.ingest("b1", gatedW2, "text", "doc_id",
+      corpusTexts = dB.seenTexts, threshold = vcfg.threshold,
+      maxBucket = vcfg.maxBucket)
+    dB.vecIndex.get.ingest("b1",
+      tRes.admitted.join(emb, Seq("doc_id")), "embedding", "doc_id",
+      threshold = vcfg.vecThreshold, maxBucket = vcfg.vecMaxBucket)
+    assert(dB.appliedVersion("b1").isEmpty &&
+      dB.vecIndex.get.appliedVersion("b1").isDefined, "window B setup broken")
+    dB.processBatch("b1", w2)
+    assert(corpusIds(dB) == composed, "window B replay diverged")
+    // exactly-once: no store grew twice
+    assert(dB.vecIndex.get.buckets.count() ==
+      ref.vecIndex.get.buckets.count(), "vec index rows duplicated")
+    // fully-applied redelivery is a pure no-op
+    assert(dB.processBatch("b1", w2).isEmpty, "redelivery not skipped")
+  }
+
   test("daemon: flooded buckets surface in the returned diag") {
     // near-identical-but-distinct docs (the exact tier must NOT
     // collapse them) split across two batches: the combined bucket
