@@ -16,7 +16,16 @@ import graft.streaming.{IngestConfig, IngestDaemon}
   * the index grows from empty to `batches × batchSize` docs.
   *
   * Run manually: `Test/runMain graft.tools.DaemonProbe [batchSize]
-  * [batches]`; results recorded in BASELINE.md.
+  * [batches] [vec]`; the optional third arg `vec` composes the
+  * embedding near-dup tier (config.vecCol) into the measured loop:
+  * each doc carries a deterministic hash-derived 32-dim embedding, a
+  * SEPARATE 2% of each batch is planted as a VECTOR near-dup of the
+  * previous batch (text-unique, so the text tier admits it and the
+  * vector tier must drop it), and `vecBits = 16` sizes the bucket
+  * geometry so per-bucket populations stay batch-bound (at 8 bits a
+  * random 50k batch touches all 256 buckets and the probe fetch
+  * approaches corpus-sized — the bits knob IS the scale story).
+  * Results recorded in BASELINE.md.
   */
 object DaemonProbe {
   def main(args: Array[String]): Unit = {
@@ -26,6 +35,7 @@ object DaemonProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val batchSize = args.headOption.map(_.toLong).getOrElse(50000L)
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(8)
+    val withVec = args.contains("vec")
 
     // synthetic crawl: each doc is 40 hash-derived tokens (docs share
     // essentially NO shingles — a shared-boilerplate fixture would
@@ -44,9 +54,16 @@ object DaemonProbe {
             array(lit("the"), lit("and"), lit("of"), lit("to")),
             (pmod(i, lit(16)) / 4 + 1).cast("int")))
           .otherwise(pmod(xxhash64(seed, i), lit(99991)).cast("string"))))
+    // hash-derived 32-dim embedding of a seed id — deterministic, and
+    // identical seeds give identical vectors (cosine 1.0), which is
+    // how the vector plants pair with the previous batch
+    def embedding(seed: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(31)), d =>
+        ((pmod(xxhash64(seed, d), lit(2001)) - 1000).cast("double") / 1000.0)
+          .cast("float"))
     def batchDf(b: Int) = {
       val lo = b.toLong * batchSize
-      spark.range(lo, lo + batchSize).select(
+      val base = spark.range(lo, lo + batchSize).select(
         col("id").as("doc_id"),
         // plant seed id-batchSize+1: that id is ≢0 mod 50, so the
         // previous batch holds its RAW body (a plant-of-a-plant would
@@ -55,13 +72,25 @@ object DaemonProbe {
           concat(body(col("id") - batchSize + 1), lit(" trailing variant")))
           .otherwise(body(col("id")))
           .as("text"))
+      if (!withVec) base
+      else base.withColumn("embedding",
+        // a DISJOINT 2% (id ≡ 25 mod 50) reuses the embedding seed of
+        // a previous-batch id that is ≢ 25 mod 50 (its vector is raw):
+        // text-unique, vector-identical — only the vec tier drops it
+        when(pmod(col("doc_id"), lit(50)) === 25 &&
+            col("doc_id") >= batchSize,
+          embedding(col("doc_id") - batchSize + 2))
+          .otherwise(embedding(col("doc_id"))))
     }
 
     val dir = java.nio.file.Files.createTempDirectory("daemon-probe-").toString
     val daemon = IngestDaemon.open(spark, dir, IngestConfig(
       minQuality = 0.0, minTokens = 1, threshold = 0.35,
-      params = DedupParams(numHashes = 8, bands = 4)))
-    println(s"== daemon probe: $batches batches x $batchSize docs")
+      params = DedupParams(numHashes = 8, bands = 4),
+      vecCol = if (withVec) Some("embedding") else None,
+      vecThreshold = 0.95, vecBits = 16))
+    println(s"== daemon probe: $batches batches x $batchSize docs" +
+      (if (withVec) " + composed vector tier (bits=16)" else ""))
     println(f"${"batch"}%6s ${"corpus"}%9s ${"secs"}%7s ${"admitted"}%9s")
     for (b <- 0 until batches) {
       val df = batchDf(b).localCheckpoint(true)
