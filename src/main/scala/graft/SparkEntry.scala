@@ -775,6 +775,25 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // the corpus-wins survivor rule (Dedup.incrementalDropIds) — the
+    // admission rule behind DedupIndex/VecDedupIndex/IngestDaemon:
+    // a batch doc drops when its near-dup component holds ANY corpus
+    // doc, else when it is not the component's min batch id. The
+    // oracle recomputes q114's batch-touching pairs, resolves
+    // components with a recursive CTE, and applies the rule in SQL.
+    "q116_survivor_rule" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") < 350)
+      val fresh = emb.where(col("vec_id") >= 350)
+      val pairs = Dedup.incrementalEmbeddingNearDup(fresh, "embedding",
+        "vec_id",
+        corpusBuckets = Ann.lshBuckets(corpus, "embedding", "vec_id", 8),
+        threshold = 0.3, bits = 8, maxBucket = 1000L)
+      Dedup.incrementalDropIds(pairs, fresh.select(col("vec_id")), "vec_id")
+        .select(col("_dup_id").as("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2415,6 +2434,52 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3
         |  AND (a.vec_id >= 350 OR b.vec_id >= 350)
         |ORDER BY id_a, id_b""".stripMargin,
+    // q114's pair pipeline + recursive connected components + the
+    // corpus-wins/min-new rule, all in SQL
+    "q116_survivor_rule" ->
+      """WITH RECURSIVE planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+        |dimk AS (SELECT unnest(generate_series(0,
+        |  (SELECT max(len(embedding)) - 1 FROM embeddings))) AS d),
+        |comps AS (
+        |  SELECT p, d,
+        |    ('0x' || substr(md5('plane:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0 - 0.5 AS c
+        |  FROM planes, dimk
+        |), dots AS (
+        |  SELECT v.vec_id, c.p, sum(v.embedding[c.d + 1]::DOUBLE * c.c) AS dot
+        |  FROM embeddings v, comps c GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1
+        |), ok AS (
+        |  SELECT vec_id, bucket FROM sig
+        |  WHERE bucket IN (SELECT bucket FROM sig GROUP BY bucket HAVING count(*) <= 1000)
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.3
+        |    AND (a.vec_id >= 350 OR b.vec_id >= 350)
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |), agg AS (
+        |  SELECT component,
+        |    max(CASE WHEN id < 350 THEN 1 ELSE 0 END) AS has_corpus,
+        |    min(CASE WHEN id >= 350 THEN id END) AS min_new
+        |  FROM comp GROUP BY component
+        |)
+        |SELECT c.id AS vec_id FROM comp c JOIN agg USING (component)
+        |WHERE c.id >= 350 AND (agg.has_corpus = 1 OR c.id <> agg.min_new)
+        |ORDER BY vec_id""".stripMargin,
     "q27_ann_topk" ->
       """SELECT b.vec_id, round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
