@@ -39,7 +39,16 @@ final case class IngestConfig(
     vecCol: Option[String] = None,
     vecThreshold: Double = 0.95,
     vecMaxBucket: Long = 10000L,
-    vecBits: Int = 8
+    vecBits: Int = 8,
+    // `Some(embeddingCol)` composes the SEMANTIC dedup tier (SemDeDup)
+    // as well: a [[graft.dedup.SemanticIndex]] under `dir/semindex`
+    // (codebook `semCents`, pinned at creation) runs AFTER the
+    // near-dup tiers on whatever they admitted. Both vector tiers may
+    // be active at once — text → near-dup → SemDeDup → seen, four
+    // journaled commits, one exactly-once step
+    semCol: Option[String] = None,
+    semCents: Seq[(Long, Seq[Float])] = Nil,
+    semThreshold: Double = 0.95
 )
 
 /** The composed steady-state ingest-curation loop — the reference's
@@ -86,16 +95,19 @@ final case class IngestConfig(
   * with the knobs OF RECORD — so changing the config between a crash
   * and the restart affects only batches not yet index-committed.
   *
-  * With `config.vecCol` set, a THIRD journaled store joins the loop:
-  * a [[graft.dedup.VecDedupIndex]] under `dir/vecindex` ingests the
-  * text-admitted survivors' embeddings between the text-index commit
-  * and the seen commit, and the corpus admits only both-tier
-  * survivors. Commit order text index → vector index → seen extends
-  * the same argument to every new crash window: each store's journal
-  * rides its own atomic commit, each ingest is idempotent by
-  * `batchId` with pre-batch-snapshot replays, and the vec knobs ride
-  * the same per-batch gate record — so a kill between ANY pair of
-  * commits replays to the identical final state.
+  * With `config.vecCol` and/or `config.semCol` set, more journaled
+  * stores join the loop: a [[graft.dedup.VecDedupIndex]] under
+  * `dir/vecindex` (embedding near-dup) and/or a
+  * [[graft.dedup.SemanticIndex]] under `dir/semindex` (SemDeDup,
+  * pinned codebook) ingest each batch's so-far-admitted survivors
+  * between the text-index commit and the seen commit, and the corpus
+  * admits only every-tier survivors. Commit order text index →
+  * vector index → semantic index → seen extends the same argument to
+  * every new crash window: each store's journal rides its own atomic
+  * commit, each ingest is idempotent by `batchId` with
+  * pre-batch-snapshot replays, and the vec/sem knobs ride the same
+  * per-batch gate record — so a kill between ANY pair of commits
+  * replays to the identical final state.
   *
   * Id contract: `idCol` values must be globally unique across the
   * stream's lifetime (the graft-log `seq` is the natural choice) —
@@ -115,7 +127,8 @@ final class IngestDaemon private (
     val index: DedupIndex,
     seen: TableStore,
     val config: IngestConfig,
-    val vecIndex: Option[graft.dedup.VecDedupIndex]
+    val vecIndex: Option[graft.dedup.VecDedupIndex],
+    val semIndex: Option[graft.dedup.SemanticIndex]
 ) {
 
   import IngestDaemon.seenSchema
@@ -194,15 +207,26 @@ final class IngestDaemon private (
       // The corpus admits only docs that survive BOTH tiers; the
       // vector index holds every text-admitted vector (losers too —
       // the recall argument of the text index applies unchanged).
-      val finalResult = (vecIndex, c.vecCol) match {
+      val afterVec = (vecIndex, c.vecCol) match {
         case (Some(vi), Some(vc)) =>
           val withVec = result.admitted.join(
             rawDocs.select(col(c.idCol), col(vc)), Seq(c.idCol))
-          val vr = vi.ingest(batchId, withVec, vc, c.idCol,
+          vi.ingest(batchId, withVec, vc, c.idCol,
             threshold = c.vecThreshold, maxBucket = c.vecMaxBucket)
-          result.copy(admitted = vr.admitted)
-        case _ => result
+            .admitted
+        case _ => result.admitted
       }
+      // SemDeDup tier, after the near-dup tiers: same journaled
+      // idempotent-ingest argument, one more commit in the chain
+      val afterSem = (semIndex, c.semCol) match {
+        case (Some(si), Some(sc)) =>
+          val withSem = afterVec.select(col(c.idCol)).join(
+            rawDocs.select(col(c.idCol), col(sc)), Seq(c.idCol))
+          si.ingest(batchId, withSem, sc, c.idCol,
+            threshold = c.semThreshold).admitted
+        case _ => afterVec
+      }
+      val finalResult = result.copy(admitted = afterSem)
       val adm = finalResult.admitted
         .select(col(c.idCol).cast("long").as("_adm_id"))
       val nul = (t: String) => lit(null).cast(t)
@@ -251,6 +275,7 @@ final class IngestDaemon private (
     props.setProperty("maxBucket", c.maxBucket.toString)
     props.setProperty("vecThreshold", c.vecThreshold.toString)
     props.setProperty("vecMaxBucket", c.vecMaxBucket.toString)
+    props.setProperty("semThreshold", c.semThreshold.toString)
     val out = new java.io.FileOutputStream(gateRecordPath(batchId).toFile)
     try props.store(out, "graft IngestDaemon per-batch gate record")
     finally out.close()
@@ -274,7 +299,9 @@ final class IngestDaemon private (
         vecThreshold = opt("vecThreshold").map(_.toDouble)
           .getOrElse(config.vecThreshold),
         vecMaxBucket = opt("vecMaxBucket").map(_.toLong)
-          .getOrElse(config.vecMaxBucket)))
+          .getOrElse(config.vecMaxBucket),
+        semThreshold = opt("semThreshold").map(_.toDouble)
+          .getOrElse(config.semThreshold)))
     }
   }
 
@@ -305,6 +332,7 @@ final class IngestDaemon private (
   def compact(targetPartitions: Int = 8): Unit = synchronized {
     index.compact(targetPartitions)
     vecIndex.foreach(_.compact(targetPartitions))
+    semIndex.foreach(_.compact(targetPartitions))
     seen.rewrite(
       _.repartitionByRange(targetPartitions, col("kind"), col("id"))
         .sortWithinPartitions("kind", "id"))
@@ -340,6 +368,12 @@ object IngestDaemon {
       graft.dedup.VecDedupIndex.open(spark,
         Paths.get(dir, "vecindex").toString, bits = config.vecBits)
     }
-    new IngestDaemon(spark, dir, index, seen, config, vec)
+    val sem = config.semCol.map { _ =>
+      require(config.semCents.nonEmpty,
+        "semCol requires semCents (the pinned SemDeDup codebook)")
+      graft.dedup.SemanticIndex.open(spark,
+        Paths.get(dir, "semindex").toString, config.semCents)
+    }
+    new IngestDaemon(spark, dir, index, seen, config, vec, sem)
   }
 }

@@ -285,6 +285,84 @@ class IngestDaemonSpec extends SparkSpec {
     assert(dB.processBatch("b1", w2).isEmpty, "redelivery not skipped")
   }
 
+  test("daemon: composed SemDeDup tier and the tri-tier chain replay clean") {
+    import graft.dedup.SemanticIndex
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val mm = docs.join(emb, Seq("doc_id"))
+    val cents = emb.where(col("doc_id") < 8)
+      .select(col("doc_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val scfg = cfg.copy(semCol = Some("embedding"), semCents = cents,
+      semThreshold = 0.3)
+    val w1 = mm.where(col("doc_id") < 250)
+    val w2 = mm.where(col("doc_id") >= 250)
+
+    // clean composed run (text + SemDeDup)
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-sref-"), scfg)
+    ref.processBatch("b0", w1)
+    ref.processBatch("b1", w2)
+    for (b <- Seq("b0", "b1"))
+      assert(ref.semIndex.get.appliedVersion(b).isDefined,
+        s"sem index missed $b")
+    val composed = corpusIds(ref)
+
+    // independent composition twin: text-only daemon + hand-rolled
+    // SemanticIndex over its per-batch admitted sets
+    val tref = IngestDaemon.open(spark, tmpDir("daemon-stref-"),
+      scfg.copy(semCol = None))
+    val si = SemanticIndex.open(spark, tmpDir("daemon-si-"), cents)
+    def semAdmit(b: String, w: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val ta = tref.processBatch(b, w).get.admitted
+      si.ingest(b, ta.select("doc_id").join(emb, Seq("doc_id")),
+          "embedding", "doc_id", threshold = scfg.semThreshold)
+        .admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val want = semAdmit("b0", w1) ++ semAdmit("b1", w2)
+    assert(composed.toSet == want, s"composed SemDeDup daemon != " +
+      s"independent composition: extra=${composed.toSet -- want}, " +
+      s"missing=${want -- composed.toSet}")
+    assert(composed.size < corpusIds(tref).size,
+      "SemDeDup tier dropped nothing — vacuous")
+
+    // crash window: text + sem committed, seen did not — the deepest
+    // window of the chain; the replay must finish under the recorded
+    // knobs and reach the identical corpus
+    val d = IngestDaemon.open(spark, tmpDir("daemon-swin-"), scfg)
+    d.processBatch("b0", w1)
+    val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
+      scfg.lang, scfg.minQuality, scfg.minTokens, scfg.maxTokens)
+    d.recordGates("b1")
+    val tRes = d.index.ingest("b1", gatedW2, "text", "doc_id",
+      corpusTexts = d.seenTexts, threshold = scfg.threshold,
+      maxBucket = scfg.maxBucket)
+    d.semIndex.get.ingest("b1",
+      tRes.admitted.select("doc_id").join(emb, Seq("doc_id")),
+      "embedding", "doc_id", threshold = scfg.semThreshold)
+    assert(d.appliedVersion("b1").isEmpty &&
+      d.semIndex.get.appliedVersion("b1").isDefined, "window setup broken")
+    d.processBatch("b1", w2)
+    assert(corpusIds(d) == composed, "deep-window replay diverged")
+    assert(d.semIndex.get.cells.count() ==
+      ref.semIndex.get.cells.count(), "sem index rows duplicated")
+
+    // tri-tier smoke: near-dup AND SemDeDup both composed — all four
+    // stores advance atomically on one batch
+    val tri = IngestDaemon.open(spark, tmpDir("daemon-tri-"),
+      scfg.copy(vecCol = Some("embedding"), vecThreshold = 0.3,
+        vecMaxBucket = 1000L))
+    val r = tri.processBatch("b0", w1)
+    assert(r.isDefined)
+    assert(tri.index.appliedVersion("b0").isDefined &&
+      tri.vecIndex.get.appliedVersion("b0").isDefined &&
+      tri.semIndex.get.appliedVersion("b0").isDefined &&
+      tri.appliedVersion("b0").isDefined, "tri-tier batch not atomic")
+    // the chain is ordered: SemDeDup saw only near-dup survivors
+    assert(tri.semIndex.get.cells.count() ==
+      tri.vecIndex.get.corpus.count(),
+      "sem tier must ingest exactly the near-dup tier's admitted set")
+  }
+
   test("daemon: flooded buckets surface in the returned diag") {
     // near-identical-but-distinct docs (the exact tier must NOT
     // collapse them) split across two batches: the combined bucket
