@@ -794,6 +794,21 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // z-order layout key (Layout.zvalue): the Morton interleave of
+    // (l_partkey, l_suppkey) recomputed bit-for-bit by the oracle as
+    // an unrolled shift/mask expression, verified through a bucketed
+    // checksum (count + sum of keys per key residue) so every key of
+    // every row participates in the hash
+    "q117_zorder_key" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.select(graft.pipeline.Layout
+          .zvalue(Seq(col("l_partkey"), col("l_suppkey")), bits = 20)
+          .as("z"))
+        .groupBy(pmod(col("z"), lit(64L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("zsum"))
+        .orderBy("bucket")
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2480,6 +2495,18 @@ object SparkEntry {
         |SELECT c.id AS vec_id FROM comp c JOIN agg USING (component)
         |WHERE c.id >= 350 AND (agg.has_corpus = 1 OR c.id <> agg.min_new)
         |ORDER BY vec_id""".stripMargin,
+    // the Morton interleave unrolled to shift/mask terms (bit b of
+    // dim i -> key bit b*2+i), identical semantics to Layout.zvalue
+    "q117_zorder_key" -> {
+      val terms = (for {
+        (c, i) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+        b <- 0 until 20
+      } yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+      s"""WITH zt AS (SELECT ($terms) AS z FROM lineitem)
+         |SELECT z % 64 AS bucket, count(*) AS n,
+         |  CAST(sum(z) AS BIGINT) AS zsum
+         |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q27_ann_topk" ->
       """SELECT b.vec_id, round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
         |FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
