@@ -809,6 +809,57 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // KMV distinct-content sketch (sketch/Kmv): per-lang k-minimum
+    // 60-bit hashes of documents.text, surfaced as sketch size, k-th
+    // hash, xor-of-sketch (order-free, overflow-free checksum over
+    // every retained hash) and the IEEE-exact estimate — DuckDB
+    // recomputes the identical k-min set with a window over distinct
+    // md5-derived hashes
+    "q118_kmv_sketch" -> ((s, dir) => {
+      val k = 100
+      graft.sketch.Kmv
+        .sketch(Tables.load(s, dir, "documents"), Seq("lang"), col("text"), k)
+        .select(
+          col("lang"),
+          size(col("kmv")).cast("long").as("n"),
+          element_at(col("kmv"), size(col("kmv"))).as("hk"),
+          aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x))
+            .as("hxor"),
+          round(graft.sketch.Kmv.estimate(col("kmv"), k), 6).as("est"))
+        .orderBy("lang")
+    }),
+
+    // mergeable corpus profile (sketch/Kmv.profileSketch): profiles
+    // of the even- and odd-doc_id halves MERGED (counters summed,
+    // content + vocab sketches folded) must equal the whole-corpus
+    // profile — the oracle computes that whole-corpus profile
+    // directly in SQL, so the cross-engine hash match IS the merge
+    // law verified end to end
+    "q119_profile_merge" -> ((s, dir) => {
+      import graft.sketch.Kmv
+      val k = 100
+      val docs = Tables.load(s, dir, "documents")
+      val parts = Seq(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+        .map(Kmv.profileSketch(_, "text", "lang", k))
+      Kmv.withEstimates(
+          Kmv.mergeProfileSketches(parts.reduce(_ unionAll _), "lang", k), k)
+        .select(
+          col("lang"), col("docs"), col("tokens"),
+          size(col("kmv")).cast("long").as("dd_n"),
+          element_at(col("kmv"), size(col("kmv"))).as("dd_hk"),
+          aggregate(col("kmv"), lit(0L), (a, x) => a.bitwiseXOR(x))
+            .as("dd_hxor"),
+          col("est_distinct_docs"),
+          size(col("vkmv")).cast("long").as("vt_n"),
+          element_at(col("vkmv"), size(col("vkmv"))).as("vt_hk"),
+          aggregate(col("vkmv"), lit(0L), (a, x) => a.bitwiseXOR(x))
+            .as("vt_hxor"),
+          col("est_distinct_tokens"))
+        .orderBy("lang")
+    }),
+
     // §2.5 op 29 resume contract: pump half the log into the KV index,
     // append the rest, pump again — the cursor makes the second pump
     // consume only the new entries and the result has no duplicates
@@ -2506,6 +2557,66 @@ object SparkEntry {
          |SELECT z % 64 AS bucket, count(*) AS n,
          |  CAST(sum(z) AS BIGINT) AS zsum
          |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // the k-min sketch recomputed as a window over distinct 60-bit
+    // md5-derived hashes; the estimate constant (k-1)*2^60 is inlined
+    // as the identical exact double literal both engines parse
+    "q118_kmv_sketch" -> {
+      val c = graft.sketch.Kmv.estimateConstLiteral(100)
+      s"""WITH h AS (
+         |  SELECT DISTINCT lang,
+         |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+         |  FROM documents
+         |), r AS (
+         |  SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |  FROM h
+         |)
+         |SELECT lang, count(*) AS n, max(h) AS hk, bit_xor(h) AS hxor,
+         |  round(CASE WHEN count(*) < 100 THEN count(*)::DOUBLE
+         |        ELSE $c / max(h)::DOUBLE END, 6) AS est
+         |FROM r WHERE rn <= 100 GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // the WHOLE-corpus profile computed directly: counters per lang,
+    // k-min sketch of normalized-content hashes, k-min sketch of
+    // vocabulary hashes — equal to Spark's merged half-profiles iff
+    // the merge law holds
+    "q119_profile_merge" -> {
+      val c = graft.sketch.Kmv.estimateConstLiteral(100)
+      s"""WITH fp AS (
+         |  SELECT lang, ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS h
+         |  FROM documents
+         |), dd AS (
+         |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT lang, h FROM fp)
+         |), dds AS (
+         |  SELECT lang, count(*) AS dd_n, max(h) AS dd_hk, bit_xor(h) AS dd_hxor,
+         |    round(CASE WHEN count(*) < 100 THEN count(*)::DOUBLE
+         |          ELSE $c / max(h)::DOUBLE END, 6) AS est_distinct_docs
+         |  FROM dd WHERE rn <= 100 GROUP BY lang
+         |), toks AS (
+         |  SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         |  FROM documents
+         |), vt AS (
+         |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT lang,
+         |          ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |        FROM toks WHERE length(tok) > 0)
+         |), vts AS (
+         |  SELECT lang, count(*) AS vt_n, max(h) AS vt_hk, bit_xor(h) AS vt_hxor,
+         |    round(CASE WHEN count(*) < 100 THEN count(*)::DOUBLE
+         |          ELSE $c / max(h)::DOUBLE END, 6) AS est_distinct_tokens
+         |  FROM vt WHERE rn <= 100 GROUP BY lang
+         |), base AS (
+         |  SELECT lang, count(*) AS docs,
+         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang
+         |)
+         |SELECT base.lang, docs, tokens, dd_n, dd_hk, dd_hxor,
+         |  est_distinct_docs, vt_n, vt_hk, vt_hxor, est_distinct_tokens
+         |FROM base JOIN dds USING (lang) JOIN vts USING (lang)
+         |ORDER BY lang""".stripMargin
     },
     "q27_ann_topk" ->
       """SELECT b.vec_id, round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
