@@ -422,6 +422,25 @@ object Bench {
         .agg(sum("n_removed")).collect()
     }
 
+    // z-order clustered rewrite of lineitem on (l_partkey, l_suppkey):
+    // the OPTIMIZE-style maintenance cost a corpus owner pays for
+    // multi-dim file skipping — one range shuffle + in-file sort
+    // (fresh out dir per run; the read-side payoff is LayoutProbe's)
+    timedStateful("zorder_write") { i =>
+      graft.pipeline.Layout.writeZOrdered(
+        li, Seq("l_partkey", "l_suppkey"), s"$work/zorder$i",
+        numFiles = 32, bits = 15)
+    }
+
+    // mergeable corpus profile: per-source counters + content/vocab
+    // KMV sketches (k=1024) in the two map-side-combined passes —
+    // the per-batch cost of keeping a standing profile current
+    timed("kmv_profile") {
+      graft.sketch.Kmv.withEstimates(
+          graft.sketch.Kmv.profileSketch(docs, "text", "source", 1024), 1024)
+        .agg(sum("est_distinct_tokens")).collect()
+    }
+
     // 9. live tail: append-after-subscribe delivery latency (one
     // trigger round, includes micro-batch scheduling)
     {

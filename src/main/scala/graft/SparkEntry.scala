@@ -809,6 +809,21 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // rank-bucketized z-order key (Layout.withZRank exact path): each
+    // dimension mapped to floor(percent_rank * 256) before the Morton
+    // interleave — the layout key for skewed / non-integer columns;
+    // DuckDB replays the percent_rank windows and the unrolled
+    // interleave, checked through the q117-style bucketed checksum
+    "q120_zrank_key" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.pipeline.Layout
+        .withZRank(li, Seq("l_extendedprice", "l_quantity"), bits = 8,
+          exact = true)
+        .groupBy(pmod(col("_zrank"), lit(64L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("_zrank")).as("zsum"))
+        .orderBy("bucket")
+    }),
+
     // KMV distinct-content sketch (sketch/Kmv): per-lang k-minimum
     // 60-bit hashes of documents.text, surfaced as sketch size, k-th
     // hash, xor-of-sketch (order-free, overflow-free checksum over
@@ -2554,6 +2569,24 @@ object SparkEntry {
         b <- 0 until 20
       } yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
       s"""WITH zt AS (SELECT ($terms) AS z FROM lineitem)
+         |SELECT z % 64 AS bucket, count(*) AS n,
+         |  CAST(sum(z) AS BIGINT) AS zsum
+         |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // percent_rank buckets (identical (rank-1)/(n-1) semantics, ties
+    // included) then the 8-bit Morton interleave unrolled to 16
+    // shift/mask terms
+    "q120_zrank_key" -> {
+      val terms = (for {
+        (c, i) <- Seq("bx", "by").zipWithIndex
+        b <- 0 until 8
+      } yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+      s"""WITH r AS (
+         |  SELECT
+         |    least(CAST(floor(percent_rank() OVER (ORDER BY l_extendedprice) * 256) AS BIGINT), 255) AS bx,
+         |    least(CAST(floor(percent_rank() OVER (ORDER BY l_quantity) * 256) AS BIGINT), 255) AS by
+         |  FROM lineitem
+         |), zt AS (SELECT ($terms) AS z FROM r)
          |SELECT z % 64 AS bucket, count(*) AS n,
          |  CAST(sum(z) AS BIGINT) AS zsum
          |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin

@@ -96,6 +96,92 @@ object Layout {
       .parquet(outDir)
   }
 
+  /** Append `_zrank`: the z-order key over ARBITRARY orderable
+    * columns, each first mapped to its RANK bucket in [0, 2^bits) so
+    * skewed or non-integer domains (prices, timestamps, scores)
+    * spread uniformly over the curve — raw [[zvalue]] on a skewed
+    * column piles the hot region into a few key values and the
+    * layout degenerates (LayoutSpec measures exactly this).
+    *
+    * THE SCALE PATH (default): per-column `approxQuantile` boundary
+    * estimation — one Greenwald-Khanna pass per column, no sort, no
+    * shuffle of rows — then bucket = count of boundaries ≤ value, a
+    * literal-array scan of 2^bits-1 comparisons inside codegen. Keep
+    * `bits` modest (default 8 → 256 buckets/dim): the grid only
+    * needs a few cells per OUTPUT FILE, not per row, so 256×256
+    * cells already over-resolves a 10⁴-file layout; the estimated
+    * boundaries only shift bucket SIZES, never break the layout.
+    *
+    * `exact = true` ranks with one `percent_rank` window per column
+    * — a global sort each, single-partition — the cross-engine-
+    * replayable twin (q120) and the tie-stable small-data path. */
+  def withZRank(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 8,
+      exact: Boolean = false,
+      relErr: Double = 0.001): DataFrame = {
+    require(cols.nonEmpty, "withZRank needs at least one column")
+    require(
+      bits > 0 && bits * cols.size <= 62,
+      s"bits*dims must fit a long: $bits*${cols.size}")
+    require(
+      !df.columns.exists(c => c == "_zrank" || c.startsWith("_zb")),
+      "withZRank reserves the _zrank/_zb* column names")
+    val buckets = 1 << bits
+    val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val b =
+        if (exact)
+          least(
+            floor(percent_rank()
+              .over(org.apache.spark.sql.expressions.Window.orderBy(col(c)))
+              * buckets),
+            lit(buckets - 1)).cast("long")
+        else {
+          val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+          // quantiles over the double cast so any orderable-castable
+          // type (timestamps included) ranks; GK pass, no sort
+          val bs = df
+            .select(col(c).cast("double").as("_q"))
+            .stat.approxQuantile("_q", probs, relErr)
+            .distinct.sorted
+          // STRICT less-than: the boundary element itself stays in
+          // the lower bucket, matching the exact path's
+          // floor(percent_rank·B) on exact quantiles (duplicates of
+          // a boundary value land in one bucket either way)
+          size(filter(typedLit(bs), x => x < col(c).cast("double")))
+            .cast("long")
+        }
+      d.withColumn(s"_zb$i", b)
+    }
+    ranked
+      .withColumn("_zrank",
+        zvalue(cols.indices.map(i => col(s"_zb$i")), bits))
+      .drop(cols.indices.map(i => s"_zb$i"): _*)
+  }
+
+  /** [[writeZOrdered]] over rank buckets: cluster `df` along the
+    * z-curve of the PER-COLUMN RANKS of `cols` — the layout for
+    * skewed / non-integer dimensions. Same cost shape: the quantile
+    * pass (scale path), one range shuffle, in-file sort, key dropped
+    * before write. */
+  def writeZOrderedRanked(
+      df: DataFrame,
+      cols: Seq[String],
+      outDir: String,
+      numFiles: Int,
+      bits: Int = 8,
+      exact: Boolean = false): Unit = {
+    require(numFiles > 0, s"numFiles must be > 0 (got $numFiles)")
+    withZRank(df, cols, bits, exact)
+      .repartitionByRange(numFiles, col("_zrank"))
+      .sortWithinPartitions("_zrank")
+      .drop("_zrank")
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+  }
+
   /** Per-file min/max of `cols` for the parquet files under `dir` —
     * the same stats a reader's footer pruning consults, computed
     * engine-side so layouts can be AUDITED (LayoutSpec) and compared

@@ -94,4 +94,85 @@ class LayoutSpec extends SparkSpec {
     assert(got == 64L)
     assert(spark.read.parquet(zDir).count() == 64L * 64)
   }
+
+  test("exact rank buckets match a Scala percent_rank reference (ties, skew)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // heavy ties + skew: 300 draws from {0,1,2,3} squared plus a tail
+    val vals = Seq.fill(300)(math.pow(rnd.nextInt(4).toDouble, 2)) ++
+      Seq(900.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val bits = 4
+    val got = Layout.withZRank(df, Seq("v"), bits, exact = true)
+      .select("id", "_zrank").as[(Long, Long)].collect().toMap
+    // reference: percent_rank = (rank-1)/(n-1), rank = 1 + count(strictly less)
+    val n = vals.size
+    val below = vals.sorted
+    def ref(v: Double): Long = {
+      val rank = below.indexWhere(_ == v) + 1
+      val pr = (rank - 1).toDouble / (n - 1)
+      math.min(math.floor(pr * (1 << bits)).toLong, (1 << bits) - 1)
+    }
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) == ref(v), s"row $i v=$v")
+    }
+  }
+
+  test("scale path agrees with exact path when quantiles are exact") {
+    import spark.implicits._
+    // distinct uniform values + tiny relErr: GK boundaries are exact,
+    // so the two paths must assign identical buckets
+    val df = scala.util.Random.shuffle((0 until 512).toList)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+      .toDF("id", "v")
+    val ex = Layout.withZRank(df, Seq("v"), bits = 4, exact = true)
+      .select("id", "_zrank").as[(Long, Long)].collect().toMap
+    val ap = Layout.withZRank(df, Seq("v"), bits = 4, exact = false,
+      relErr = 0.0001)
+      .select("id", "_zrank").as[(Long, Long)].collect().toMap
+    assert(ex == ap)
+  }
+
+  test("ranked layout prunes a quantile box on skewed doubles; naive touches all") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // lognormal-ish skew in both dims: raw zvalue cannot even apply
+    // (doubles, unbounded domain); ranks spread the curve uniformly
+    val rows = Seq.fill(4096)(
+      (math.exp(rnd.nextGaussian() * 2), math.exp(rnd.nextGaussian() * 2)))
+    val df = rows.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "price", "score")
+
+    val zDir = tmpDir("layout-ranked")
+    Layout.writeZOrderedRanked(df, Seq("price", "score"), zDir,
+      numFiles = 16, bits = 6)
+    val naiveDir = tmpDir("layout-ranked-naive")
+    df.repartition(16).write.mode("overwrite").parquet(naiveDir)
+
+    // query box: the inter-quartile hot region in both dims — the
+    // worst case for a skewed raw-value layout, routine for ranks
+    val pB = rows.map(_._1).sorted
+    val sB = rows.map(_._2).sorted
+    val (pLo, pHi) = (pB(1024), pB(2047))
+    val (sLo, sHi) = (sB(1024), sB(2047))
+    def hits(dir: String): (Long, Long) = {
+      val st = Layout.fileStats(spark, dir, Seq("price", "score"))
+      (st.where(col("price_min") <= pHi && col("price_max") >= pLo &&
+          col("score_min") <= sHi && col("score_max") >= sLo).count(),
+        st.count())
+    }
+    val (zHit, zN) = hits(zDir)
+    val (nHit, nN) = hits(naiveDir)
+    assert(zN >= 12, s"too few files: $zN")
+    assert(zHit <= zN / 2,
+      s"ranked layout: box overlaps $zHit of $zN files")
+    assert(nHit >= 12, s"naive unexpectedly tight: $nHit of $nN")
+    // correctness: same matching rows from both layouts
+    def matched(dir: String): Long = spark.read.parquet(dir)
+      .where(col("price").between(pLo, pHi) &&
+        col("score").between(sLo, sHi)).count()
+    assert(matched(zDir) == matched(naiveDir))
+  }
 }
