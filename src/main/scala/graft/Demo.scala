@@ -232,6 +232,38 @@ object Demo {
     println(s"== vec dedup index: corpus $vecMid -> ${vec2.corpus.count()} " +
       s"admitted of ${vec2.buckets.count()} seen, v${vec2.version}")
 
+    // 14. The standing corpus PROFILE as the same kind of managed
+    // artifact: each micro-batch lands its counter+sketch rows
+    // journal-keyed; the profile is the merge fold over all batches —
+    // killed and resumed on the same checkpoint like the rest.
+    val pdocs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+    val profLog = ParquetLog.open(spark, s"$work/proflog", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType))))
+    def profStream = spark.readStream.format("graft-log").load(profLog.dir)
+      .select(col("value.doc_id").as("doc_id"),
+        col("value.text").as("text"), col("value.lang").as("lang"))
+    def profWave(w: org.apache.spark.sql.DataFrame): Unit =
+      profLog.append(w.select(
+        struct(col("doc_id"), col("text"), col("lang")).as("value")))
+    val prof = graft.sketch.ProfileIndex
+      .open(spark, s"$work/profidx", 64, "lang", "text")
+    profWave(pdocs.where(col("doc_id") < 250))
+    val pq1 = prof.start(profStream, s"$work/profckpt")
+    pq1.processAllAvailable(); pq1.stop()
+    val profMid = prof.profile.agg(sum("docs")).collect()(0).getLong(0)
+    profWave(pdocs.where(col("doc_id") >= 250))
+    val prof2 = graft.sketch.ProfileIndex.open(spark, s"$work/profidx")
+    val pq2 = prof2.start(profStream, s"$work/profckpt")
+    pq2.processAllAvailable(); pq2.stop()
+    val profEst = prof2.profileEstimates
+    val profDocs = profEst.agg(sum("docs")).collect()(0).getLong(0)
+    require(profDocs == pdocs.count(),
+      s"profile counted $profDocs docs of ${pdocs.count()}")
+    println(s"== profile index: $profMid -> $profDocs docs across a " +
+      s"restart, ${profEst.count()} strata, v${prof2.version}")
+
     println("== DEMO OK")
     spark.stop()
   }

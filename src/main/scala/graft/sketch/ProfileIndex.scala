@@ -1,0 +1,203 @@
+package graft.sketch
+
+import java.nio.file.{Files, Paths}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.storage.TableStore
+
+/** The standing corpus profile as a FIRST-CLASS managed artifact —
+  * the [[graft.dedup.DedupIndex]] discipline applied to the
+  * statistics tier: per-stratum counters and KMV sketches
+  * ([[Kmv.profileSketch]]) maintained incrementally, batch by batch,
+  * in one [[TableStore]] with a per-batch journal.
+  *
+  * Store layout is APPEND-ONLY: each ingest commits the BATCH's
+  * profile rows (not a rewritten snapshot) plus its journal row in
+  * one atomic version; the standing profile is the
+  * [[Kmv.mergeProfileSketches]] fold over everything appended —
+  * merge-on-read, exact by the merge law q119 oracles cross-engine.
+  * [[compact]] folds the accumulated batch rows into one row per
+  * stratum when the history gets long (read cost between compactions
+  * is `batches × strata` sketch rows — KB-scale, corpus-free).
+  *
+  * Exactly-once is simpler than the dedup artifacts': a batch's
+  * profile depends on NOTHING but the batch (no standing-state
+  * probe), so a redelivered or half-applied `batchId` deterministically
+  * recomputes the same rows and the journal check skips the append.
+  * No pre-batch snapshot, no replay window at all.
+  *
+  * `k`, the stratum column and the text column are PINNED at
+  * creation and refused on mismatch: sketches at different k (or
+  * over different keys) are different estimators — folding them
+  * silently corrupts every future estimate.
+  *
+  * Plan shape at 100 TB: per ingest, the two map-side-combined
+  * passes of [[Kmv.profileSketch]] over the BATCH only, then a
+  * strata-sized commit. The standing corpus is never rescanned —
+  * the gap `corpusProfile`'s exact `countDistinct` cannot close. */
+final class ProfileIndex private (
+    val spark: SparkSession,
+    val dir: String,
+    store: TableStore,
+    val k: Int,
+    val strataCol: String,
+    val textCol: String
+) {
+
+  def version: Long = store.version
+
+  /** The commit version that applied `batchId`, if any. */
+  def appliedVersion(batchId: String): Option[Long] =
+    store.readVersioned
+      .where(col("kind") === "batch" && col("batch_id") === batchId)
+      .select(col("_ver"))
+      .collect()
+      .headOption
+      .map(_.getLong(0))
+
+  /** Transactional ingest: profile the batch ([[Kmv.profileSketch]]
+    * — batch-only, two map-side-combined passes), append its rows +
+    * the journal row as one commit. Idempotent by `batchId`. */
+  def ingest(batchId: String, docs: DataFrame): Long = synchronized {
+    appliedVersion(batchId).getOrElse {
+      val prof = Kmv.profileSketch(docs, textCol, strataCol, k)
+      val nul = (t: String) => lit(null).cast(t)
+      val rows = prof.select(
+        lit("profile").as("kind"),
+        col(strataCol).cast("string").as("stratum"),
+        col("docs").cast("long").as("docs"),
+        col("tokens").cast("long").as("tokens"),
+        col("kmv"), col("vkmv"),
+        nul("string").as("batch_id"))
+      val j = spark.range(1).select(
+        lit("batch").as("kind"), nul("string").as("stratum"),
+        nul("long").as("docs"), nul("long").as("tokens"),
+        nul("array<bigint>").as("kmv"), nul("array<bigint>").as("vkmv"),
+        lit(batchId).as("batch_id"))
+      store.append(rows.unionByName(j))
+    }
+  }
+
+  /** The standing profile: counters summed, sketches folded across
+    * every ingested batch (exact by the merge law). One row per
+    * stratum: `strataCol, docs, tokens, kmv, vkmv`. */
+  def profile: DataFrame =
+    Kmv.mergeProfileSketches(
+      store.read
+        .where(col("kind") === "profile")
+        .select(col("stratum").as(strataCol), col("docs"), col("tokens"),
+          col("kmv"), col("vkmv")),
+      strataCol, k)
+
+  /** [[profile]] with the distinct-count estimates appended. */
+  def profileEstimates: DataFrame = Kmv.withEstimates(profile, k)
+
+  /** Offline maintenance: fold the accumulated per-batch profile
+    * rows into ONE row per stratum (journal rows survive — replays
+    * of applied batches still skip). The fold is the same merge the
+    * read path applies, so [[profile]] is unchanged by compaction. */
+  def compact(): Unit = synchronized {
+    store.rewrite { df =>
+      val nul = (t: String) => lit(null).cast(t)
+      val folded = Kmv.mergeProfileSketches(
+        df.where(col("kind") === "profile")
+          .select(col("stratum").as(strataCol), col("docs"),
+            col("tokens"), col("kmv"), col("vkmv")),
+        strataCol, k)
+        .select(lit("profile").as("kind"),
+          col(strataCol).cast("string").as("stratum"),
+          col("docs").cast("long"), col("tokens").cast("long"),
+          col("kmv"), col("vkmv"), nul("string").as("batch_id"))
+      folded.unionByName(df.where(col("kind") === "batch"))
+    }
+  }
+
+  /** Wire a STREAMING `docs` frame into the loop: one [[ingest]] per
+    * micro-batch, ids from the checkpointed streaming counter.
+    * Redelivery is covered by the journal check; empty batches
+    * commit nothing (deterministic — a replay re-skips). */
+  def start(
+      docs: DataFrame,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val batchId = s"stream-$id"
+        val applied = appliedVersion(batchId)
+        if (applied.isDefined || b.isEmpty) ()
+        else { ingest(batchId, b); () }
+      }
+      .start()
+}
+
+object ProfileIndex {
+
+  private[sketch] val storeSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("stratum", StringType, nullable = true),
+    StructField("docs", LongType, nullable = true),
+    StructField("tokens", LongType, nullable = true),
+    StructField("kmv", ArrayType(LongType), nullable = true),
+    StructField("vkmv", ArrayType(LongType), nullable = true),
+    StructField("batch_id", StringType, nullable = true)
+  ))
+
+  /** Open (or create) the profile index at `dir`. Creation pins
+    * `(k, strataCol, textCol)` next to the store; a reopen compares
+    * and REFUSES a mismatch. */
+  def open(spark: SparkSession, dir: String, k: Int,
+      strataCol: String, textCol: String): ProfileIndex = {
+    require(k >= 2, s"kmv needs k >= 2 (got $k)")
+    storedParams(dir) match {
+      case Some((pk, ps, pt)) =>
+        require(pk == k && ps == strataCol && pt == textCol,
+          s"ProfileIndex at $dir was built with (k=$pk, strata=$ps, " +
+            s"text=$pt) — sketches under different parameters are " +
+            "different estimators; folding them corrupts every estimate")
+      case None =>
+        Files.createDirectories(Paths.get(dir))
+        writeParams(dir, k, strataCol, textCol)
+    }
+    new ProfileIndex(spark, dir,
+      TableStore.open(spark, Paths.get(dir, "store").toString, storeSchema),
+      k, strataCol, textCol)
+  }
+
+  /** Reopen with the parameters the index was built with. */
+  def open(spark: SparkSession, dir: String): ProfileIndex = {
+    val (k, s, t) = storedParams(dir).getOrElse(
+      throw new IllegalArgumentException(s"no ProfileIndex at $dir"))
+    open(spark, dir, k, s, t)
+  }
+
+  private def marker(dir: String) = Paths.get(dir, "profile.properties")
+
+  private def storedParams(dir: String): Option[(Int, String, String)] = {
+    if (!Files.exists(marker(dir))) None
+    else {
+      val props = new Properties()
+      val in = new java.io.FileInputStream(marker(dir).toFile)
+      try props.load(in) finally in.close()
+      Some((props.getProperty("k").toInt,
+        props.getProperty("strataCol"), props.getProperty("textCol")))
+    }
+  }
+
+  private def writeParams(
+      dir: String, k: Int, strataCol: String, textCol: String): Unit = {
+    val props = new Properties()
+    props.setProperty("k", k.toString)
+    props.setProperty("strataCol", strataCol)
+    props.setProperty("textCol", textCol)
+    val out = new java.io.FileOutputStream(marker(dir).toFile)
+    try props.store(out, "graft ProfileIndex parameters") finally out.close()
+  }
+}
