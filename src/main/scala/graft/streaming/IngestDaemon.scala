@@ -48,7 +48,16 @@ final case class IngestConfig(
     // journaled commits, one exactly-once step
     semCol: Option[String] = None,
     semCents: Seq[(Long, Seq[Float])] = Nil,
-    semThreshold: Double = 0.95
+    semThreshold: Double = 0.95,
+    // `Some(strataCol)` composes the STATISTICS tier: a
+    // [[graft.sketch.ProfileIndex]] under `dir/profile` (k =
+    // `profileK`, pinned at creation with the column names) ingests
+    // each batch's FINAL admitted set in the same exactly-once step,
+    // so the standing corpus profile (docs/tokens/distinct-content/
+    // vocab estimates per stratum) is always current without ever
+    // rescanning the corpus
+    profileStrataCol: Option[String] = None,
+    profileK: Int = 1024
 )
 
 /** The composed steady-state ingest-curation loop — the reference's
@@ -101,13 +110,17 @@ final case class IngestConfig(
   * [[graft.dedup.SemanticIndex]] under `dir/semindex` (SemDeDup,
   * pinned codebook) ingest each batch's so-far-admitted survivors
   * between the text-index commit and the seen commit, and the corpus
-  * admits only every-tier survivors. Commit order text index →
-  * vector index → semantic index → seen extends the same argument to
-  * every new crash window: each store's journal rides its own atomic
-  * commit, each ingest is idempotent by `batchId` with
-  * pre-batch-snapshot replays, and the vec/sem knobs ride the same
-  * per-batch gate record — so a kill between ANY pair of commits
-  * replays to the identical final state.
+  * admits only every-tier survivors; with `config.profileStrataCol`
+  * set, a [[graft.sketch.ProfileIndex]] under `dir/profile` keeps
+  * the standing corpus profile current from each batch's FINAL
+  * admitted set. Commit order text index → vector index → semantic
+  * index → profile → seen extends the same argument to every new
+  * crash window: each store's journal rides its own atomic commit,
+  * each ingest is idempotent by `batchId` with pre-batch-snapshot
+  * replays (the profile ingest is replay-window-free outright — it
+  * depends on nothing but the batch), and the vec/sem knobs ride the
+  * same per-batch gate record — so a kill between ANY pair of
+  * commits replays to the identical final state.
   *
   * Id contract: `idCol` values must be globally unique across the
   * stream's lifetime (the graft-log `seq` is the natural choice) —
@@ -128,7 +141,8 @@ final class IngestDaemon private (
     seen: TableStore,
     val config: IngestConfig,
     val vecIndex: Option[graft.dedup.VecDedupIndex],
-    val semIndex: Option[graft.dedup.SemanticIndex]
+    val semIndex: Option[graft.dedup.SemanticIndex],
+    val profileIndex: Option[graft.sketch.ProfileIndex]
 ) {
 
   import IngestDaemon.seenSchema
@@ -225,6 +239,22 @@ final class IngestDaemon private (
           si.ingest(batchId, withSem, sc, c.idCol,
             threshold = c.semThreshold).admitted
         case _ => afterVec
+      }
+      // composed statistics tier: profile the FINAL admitted set
+      // (all tiers) into the standing ProfileIndex. Its commit lands
+      // BEFORE the seen commit — the seen journal is the terminal
+      // "fully applied" marker, so every crash window replays into
+      // processBatch, where the deterministic admitted set feeds an
+      // idempotent-by-batchId profile ingest (already-applied skips).
+      // Committing after seen would leave a crash window the early
+      // return above never repairs.
+      (profileIndex, c.profileStrataCol) match {
+        case (Some(pi), Some(stratum)) =>
+          pi.ingest(batchId,
+            afterSem.select(col(c.idCol)).join(
+              rawDocs.select(col(c.idCol), col(c.textCol), col(stratum)),
+              Seq(c.idCol)))
+        case _ => ()
       }
       val finalResult = result.copy(admitted = afterSem)
       val adm = finalResult.admitted
@@ -333,6 +363,7 @@ final class IngestDaemon private (
     index.compact(targetPartitions)
     vecIndex.foreach(_.compact(targetPartitions))
     semIndex.foreach(_.compact(targetPartitions))
+    profileIndex.foreach(_.compact())
     seen.rewrite(
       _.repartitionByRange(targetPartitions, col("kind"), col("id"))
         .sortWithinPartitions("kind", "id"))
@@ -374,6 +405,11 @@ object IngestDaemon {
       graft.dedup.SemanticIndex.open(spark,
         Paths.get(dir, "semindex").toString, config.semCents)
     }
-    new IngestDaemon(spark, dir, index, seen, config, vec, sem)
+    val prof = config.profileStrataCol.map { stratum =>
+      graft.sketch.ProfileIndex.open(spark,
+        Paths.get(dir, "profile").toString, config.profileK, stratum,
+        config.textCol)
+    }
+    new IngestDaemon(spark, dir, index, seen, config, vec, sem, prof)
   }
 }

@@ -363,6 +363,67 @@ class IngestDaemonSpec extends SparkSpec {
       "sem tier must ingest exactly the near-dup tier's admitted set")
   }
 
+  test("daemon: composed profile tier — standing profile equals the " +
+      "corpus profile, crash windows replay clean") {
+    import graft.sketch.Kmv
+    val K = 32
+    val full = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang")
+    val pcfg = cfg.copy(profileStrataCol = Some("lang"), profileK = K)
+    val w1 = full.where(col("doc_id") < 250)
+    val w2 = full.where(col("doc_id") >= 250)
+    def profRows(df: DataFrame) = df
+      .select("lang", "docs", "tokens", "kmv", "vkmv")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3).toSeq, r.getSeq[Long](4).toSeq))).toMap
+
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-pref-"), pcfg)
+    assert(ref.processBatch("b0", w1).isDefined)
+    assert(ref.processBatch("b1", w2).isDefined)
+    // the profile advanced atomically with the other stores
+    for (b <- Seq("b0", "b1"))
+      assert(ref.profileIndex.get.appliedVersion(b).isDefined,
+        s"profile missed $b")
+    // the standing profile IS the one-shot profile of the corpus
+    // (merge law over the per-batch admitted sets)
+    val corpusDocs = ref.corpus.select("doc_id").join(full, Seq("doc_id"))
+      .select("doc_id", "text", "lang")
+    val want = profRows(Kmv.profileSketch(corpusDocs, "text", "lang", K))
+    assert(profRows(ref.profileIndex.get.profile) == want,
+      "standing profile != corpus profile")
+    // the profile counted the CORPUS, not the raw stream
+    val profDocs = ref.profileIndex.get.profile
+      .agg(sum("docs")).collect()(0).getLong(0)
+    assert(profDocs == ref.corpus.count() && profDocs < full.count(),
+      "profile counted dropped docs")
+
+    // crash window: text index AND profile committed, seen did not —
+    // the replay must finish the batch without double-profiling
+    val dC = IngestDaemon.open(spark, tmpDir("daemon-pwC-"), pcfg)
+    dC.processBatch("b0", w1)
+    dC.recordGates("b1")
+    val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
+      pcfg.lang, pcfg.minQuality, pcfg.minTokens, pcfg.maxTokens)
+    val tRes = dC.index.ingest("b1", gatedW2, "text", "doc_id",
+      corpusTexts = dC.seenTexts, threshold = pcfg.threshold,
+      maxBucket = pcfg.maxBucket)
+    dC.profileIndex.get.ingest("b1",
+      tRes.admitted.select("doc_id")
+        .join(full, Seq("doc_id")).select("doc_id", "text", "lang"))
+    assert(dC.appliedVersion("b1").isEmpty &&
+      dC.profileIndex.get.appliedVersion("b1").isDefined,
+      "window setup broken")
+    dC.processBatch("b1", w2)
+    assert(profRows(dC.profileIndex.get.profile) == want,
+      "crash-window replay diverged or double-profiled")
+    assert(corpusIds(dC) == corpusIds(ref), "corpus diverged")
+    // fully-applied redelivery is a pure no-op for the profile too
+    val v = dC.profileIndex.get.version
+    assert(dC.processBatch("b1", w2).isEmpty)
+    assert(dC.profileIndex.get.version == v, "redelivery advanced profile")
+  }
+
   test("daemon: flooded buckets surface in the returned diag") {
     // near-identical-but-distinct docs (the exact tier must NOT
     // collapse them) split across two batches: the combined bucket
