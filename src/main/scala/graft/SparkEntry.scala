@@ -809,6 +809,20 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // cross-corpus unigram LM (the actual CCNet shape): the model
+    // trains on the doc_id%3==0 REFERENCE slice, the rest of the
+    // corpus is scored against it — vocab cut, OOV pseudo-count and
+    // per-doc ascending-order mean all replayed in SQL
+    "q121_unigram_lm_ref" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextFunctions
+        .unigramLmFrom(
+          docs.where(col("doc_id") % 3 === 0),
+          docs.where(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", vocabSize = 16)
+        .orderBy("doc_id")
+    }),
+
     // rank-bucketized z-order key (Layout.withZRank exact path): each
     // dimension mapped to floor(percent_rank * 256) before the Morton
     // interleave — the layout key for skewed / non-integer columns;
@@ -2573,6 +2587,25 @@ object SparkEntry {
          |  CAST(sum(z) AS BIGINT) AS zsum
          |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q121_unigram_lm_ref" ->
+      """WITH rtoks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(trim(text)) > 0
+        |), cnt AS (SELECT tok, count(*) AS c FROM rtoks GROUP BY tok),
+        |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+        |vocab AS (
+        |  SELECT tok, round(ln(c / (SELECT t FROM tot)), 6) AS logp
+        |  FROM cnt ORDER BY c DESC, tok ASC LIMIT 16
+        |), stoks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id % 3 <> 0 AND length(trim(text)) > 0
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    coalesce(v.logp, round(ln(0.5 / (SELECT t FROM tot)), 6)) AS logp
+        |  FROM stoks t LEFT JOIN vocab v USING (tok)
+        |)
+        |SELECT doc_id, round(sum(logp ORDER BY logp) / count(*), 6) AS lm_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // percent_rank buckets (identical (rank-1)/(n-1) semantics, ties
     // included) then the 8-bit Morton interleave unrolled to 16
     // shift/mask terms

@@ -394,4 +394,60 @@ object TextFunctions {
         .groupBy(col(idCol))
         .agg(round(sum(col("_logp")) / count(lit(1)), 6).as("lm_logprob"))
   }
+
+  /** [[unigramLm]] in its CROSS-CORPUS form — the actual CCNet shape:
+    * train the unigram distribution on a trusted REFERENCE corpus
+    * (Wikipedia in the paper), score the crawl against it. Self-
+    * trained scoring ([[unigramLm]]) ranks docs by in-corpus
+    * typicality; reference-trained scoring ranks them by closeness
+    * to the reference's language — the gate that filters a noisy
+    * crawl toward clean text instead of toward its own mode.
+    *
+    * Same scale shape as [[unigramLm]]: the reference's token counts
+    * are one map-side-combined shuffle (over the REFERENCE only —
+    * typically orders of magnitude smaller than the corpus being
+    * scored), the vocab is driver-sized by construction, and the
+    * corpus side is scored in one narrow per-row expression
+    * ([[graft.functions.UnigramScore]]) — the 100 TB crawl is
+    * scanned once, never exploded, never shuffled. OOV tokens get
+    * `ln(oovCount / referenceTotal)`. An EMPTY reference has no
+    * model: the empty `(id, lm_logprob)` frame returns (score
+    * nothing, loudly droppable) rather than scoring everything OOV.
+    * Returns `(id, lm_logprob)` for non-empty docs, the q121 oracle
+    * recomputes both the training and the scoring in SQL. */
+  def unigramLmFrom(
+      ref: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      vocabSize: Int = 65536,
+      oovCount: Double = 0.5,
+      deterministic: Boolean = true
+  ): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0 (got $vocabSize)")
+    require(oovCount > 0.0, s"oovCount must be > 0 (got $oovCount)")
+    val counts = ref
+      .where(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // total + vocab cut reuse one shuffle
+    val totalRow = counts.agg(sum("_c")).collect().head
+    if (totalRow.isNullAt(0))
+      return df.select(col(idCol), lit(0.0).as("lm_logprob")).limit(0)
+    val total = totalRow.getLong(0).toDouble
+    val vpairs = counts
+      .orderBy(col("_c").desc, col("_tok").asc) // deterministic cut
+      .limit(vocabSize)
+      .select(col("_tok"),
+        round(log(col("_c").cast("double") / lit(total)), 6).as("_logp"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val oovLogp = java.math.BigDecimal
+      .valueOf(math.log(oovCount / total))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val s = graft.functions.UnigramScore
+      .column(col(textCol), vpairs, oovLogp, sortedSum = deterministic)
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(s).as("lm_logprob"))
+  }
 }

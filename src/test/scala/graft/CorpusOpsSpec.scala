@@ -224,6 +224,36 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus unigram LM: self-trained identity, reference ranking, empty reference") {
+    val corpus = docs(
+      1L -> "a b c a b a",
+      2L -> "c d e f",
+      3L -> "a a a a"
+    )
+    // ref == corpus: the model is identical, so unigramLmFrom must
+    // reproduce unigramLm exactly (same vocab cut, same rounding)
+    val self = graft.text.TextFunctions
+      .unigramLm(corpus, "text", "doc_id", vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val from = graft.text.TextFunctions
+      .unigramLmFrom(corpus, corpus, "text", "doc_id", vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(from == self)
+    // reference-trained ranking: a doc matching the reference's
+    // language outscores rare-token soup
+    val ref = docs(10L -> "a b a b a b a b", 11L -> "a b c")
+    val scored = graft.text.TextFunctions
+      .unigramLmFrom(ref, corpus, "text", "doc_id", vocabSize = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scored(1L) > scored(2L),
+      s"reference-like doc 1 (${scored(1L)}) should outscore " +
+        s"OOV-heavy doc 2 (${scored(2L)})")
+    // empty reference: no model — score NOTHING, loudly droppable
+    val empty = docs()
+    assert(graft.text.TextFunctions
+      .unigramLmFrom(empty, corpus, "text", "doc_id").count() == 0L)
+  }
+
   test("unigram LM and token-budget handle an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

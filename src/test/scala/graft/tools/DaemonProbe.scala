@@ -16,7 +16,7 @@ import graft.streaming.{IngestConfig, IngestDaemon}
   * the index grows from empty to `batches × batchSize` docs.
   *
   * Run manually: `Test/runMain graft.tools.DaemonProbe [batchSize]
-  * [batches] [vec]`; the optional third arg `vec` composes the
+  * [batches] [vec] [profile]`; the optional arg `vec` composes the
   * embedding near-dup tier (config.vecCol) into the measured loop:
   * each doc carries a deterministic hash-derived 32-dim embedding, a
   * SEPARATE 2% of each batch is planted as a VECTOR near-dup of the
@@ -25,6 +25,9 @@ import graft.streaming.{IngestConfig, IngestDaemon}
   * geometry so per-bucket populations stay batch-bound (at 8 bits a
   * random 50k batch touches all 256 buckets and the probe fetch
   * approaches corpus-sized — the bits knob IS the scale story).
+  * The optional arg `profile` composes the statistics tier
+  * (config.profileStrataCol over 8 synthetic strata, k=1024): one
+  * more batch-bound pass + a strata-sized commit per batch.
   * Results recorded in BASELINE.md.
   */
 object DaemonProbe {
@@ -36,6 +39,7 @@ object DaemonProbe {
     val batchSize = args.headOption.map(_.toLong).getOrElse(50000L)
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(8)
     val withVec = args.contains("vec")
+    val withProfile = args.contains("profile")
 
     // synthetic crawl: each doc is 40 hash-derived tokens (docs share
     // essentially NO shingles — a shared-boilerplate fixture would
@@ -72,8 +76,13 @@ object DaemonProbe {
           concat(body(col("id") - batchSize + 1), lit(" trailing variant")))
           .otherwise(body(col("id")))
           .as("text"))
-      if (!withVec) base
-      else base.withColumn("embedding",
+      val withSrc =
+        if (!withProfile) base
+        // 8 strata: the statistics tier sketches each batch per src
+        else base.withColumn("src",
+          concat(lit("s"), pmod(col("doc_id"), lit(8)).cast("string")))
+      if (!withVec) withSrc
+      else withSrc.withColumn("embedding",
         // a DISJOINT 2% (id ≡ 25 mod 50) reuses the embedding seed of
         // a previous-batch id that is ≢ 25 mod 50 (its vector is raw):
         // text-unique, vector-identical — only the vec tier drops it
@@ -88,9 +97,12 @@ object DaemonProbe {
       minQuality = 0.0, minTokens = 1, threshold = 0.35,
       params = DedupParams(numHashes = 8, bands = 4),
       vecCol = if (withVec) Some("embedding") else None,
-      vecThreshold = 0.95, vecBits = 16))
+      vecThreshold = 0.95, vecBits = 16,
+      profileStrataCol = if (withProfile) Some("src") else None,
+      profileK = 1024))
     println(s"== daemon probe: $batches batches x $batchSize docs" +
-      (if (withVec) " + composed vector tier (bits=16)" else ""))
+      (if (withVec) " + composed vector tier (bits=16)" else "") +
+      (if (withProfile) " + composed profile tier (k=1024)" else ""))
     println(f"${"batch"}%6s ${"corpus"}%9s ${"secs"}%7s ${"admitted"}%9s")
     for (b <- 0 until batches) {
       val df = batchDf(b).localCheckpoint(true)
@@ -102,6 +114,12 @@ object DaemonProbe {
     }
     println(s"== final index version ${daemon.index.version}, " +
       s"corpus ${daemon.corpus.count()} docs")
+    daemon.profileIndex.foreach { pi =>
+      val est = pi.profileEstimates
+        .agg(sum("docs"), round(sum("est_distinct_docs"), 1)).collect()(0)
+      println(s"== standing profile: ${est.getLong(0)} docs across " +
+        s"${pi.profile.count()} strata, est distinct ${est.getDouble(1)}")
+    }
     spark.stop()
   }
 }
