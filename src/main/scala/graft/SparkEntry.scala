@@ -809,6 +809,20 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // JSONL training-shard export (Shards.writeJsonlShards): the
+    // corpus round-trips through 8 deterministic hash-shuffled JSONL
+    // shards and back — the oracle is the corpus itself, so the hash
+    // match proves the export is lossless end to end
+    "q122_jsonl_shards" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val out = java.nio.file.Files
+        .createTempDirectory("q122-shards-").toString
+      graft.pipeline.Shards.writeJsonlShards(docs, "doc_id", out,
+        numShards = 8)
+      s.read.schema(docs.schema).json(out).orderBy("doc_id")
+    }),
+
     // cross-corpus unigram LM (the actual CCNet shape): the model
     // trains on the doc_id%3==0 REFERENCE slice, the rest of the
     // corpus is scored against it — vocab cut, OOV pseudo-count and
@@ -2587,6 +2601,9 @@ object SparkEntry {
          |  CAST(sum(z) AS BIGINT) AS zsum
          |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q122_jsonl_shards" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q121_unigram_lm_ref" ->
       """WITH rtoks AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
