@@ -96,6 +96,18 @@ final class ProfileIndex private (
   /** [[profile]] with the distinct-count estimates appended. */
   def profileEstimates: DataFrame = Kmv.withEstimates(profile, k)
 
+  /** The standing profile EXACTLY as of store commit `version` — the
+    * snapshot twin of [[profile]] for reproducible-run bookkeeping
+    * (what were the corpus statistics when the run was pinned).
+    * Fails loudly if a later [[compact]] folded that history away. */
+  def profileAsOf(version: Long): DataFrame =
+    Kmv.mergeProfileSketches(
+      store.readAsOf(version).drop("_ver")
+        .where(col("kind") === "profile")
+        .select(col("stratum").as(strataCol), col("docs"), col("tokens"),
+          col("kmv"), col("vkmv")),
+      strataCol, k)
+
   /** Offline maintenance: fold the accumulated per-batch profile
     * rows into ONE row per stratum (journal rows survive — replays
     * of applied batches still skip). The fold is the same merge the

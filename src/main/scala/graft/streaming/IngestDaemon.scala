@@ -156,7 +156,25 @@ final class IngestDaemon private (
   /** The curated corpus: every admitted survivor, with the gate's
     * `n_tokens` / `quality` columns. */
   def corpus: DataFrame =
-    seen.read.where(col("kind") === "doc" && col("admitted"))
+    corpusFrom(seen.read)
+
+  /** The seen store's current commit version — the handle a
+    * reproducible training run pins ([[corpusAsOf]]). */
+  def version: Long = seen.version
+
+  /** The curated corpus EXACTLY as of seen-store commit `version` —
+    * the reproducible-training handle: a run records
+    * `daemon.version` when it starts and reads `corpusAsOf(v)`
+    * thereafter, immune to ongoing ingest (a batch committed after
+    * `v` is invisible, including its admit flags). Pairs with
+    * [[graft.pipeline.Shards.writeJsonlShards]] for a frozen shard
+    * export. Fails loudly if a later [[compact]] folded that history
+    * away — a silent approximation would un-pin the run. */
+  def corpusAsOf(version: Long): DataFrame =
+    corpusFrom(seen.readAsOf(version).drop("_ver"))
+
+  private def corpusFrom(state: DataFrame): DataFrame =
+    state.where(col("kind") === "doc" && col("admitted"))
       .select(col("id").as(config.idCol), col("text").as(config.textCol),
         col("n_tokens"), col("quality"))
 

@@ -363,6 +363,23 @@ class IngestDaemonSpec extends SparkSpec {
       "sem tier must ingest exactly the near-dup tier's admitted set")
   }
 
+  test("daemon: corpusAsOf pins a reproducible snapshot across later ingest") {
+    val d = IngestDaemon.open(spark, tmpDir("daemon-asof-"), cfg)
+    d.processBatch("b0", docs.where(col("doc_id") < 250))
+    val v0 = d.version
+    val pinned = corpusIds(d)
+    d.processBatch("b1", docs.where(col("doc_id") >= 250))
+    // the snapshot is immune to the later batch: same ids, admit
+    // flags of record, while the live corpus moved on
+    val got = d.corpusAsOf(v0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == pinned, "snapshot drifted under later ingest")
+    assert(corpusIds(d).size > pinned.size, "fixture vacuous")
+    // a compact folds that history away LOUDLY, never approximately
+    d.compact()
+    intercept[Exception](d.corpusAsOf(v0).collect())
+  }
+
   test("daemon: composed profile tier — standing profile equals the " +
       "corpus profile, crash windows replay clean") {
     import graft.sketch.Kmv

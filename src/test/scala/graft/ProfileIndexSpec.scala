@@ -101,6 +101,22 @@ class ProfileIndexSpec extends SparkSpec {
       .select("lang", "docs", "tokens", "kmv", "vkmv")) == before)
   }
 
+  test("profileAsOf pins the profile at a commit across later ingest") {
+    val dir = tmpDir("profidx-asof-")
+    val idx = ProfileIndex.open(spark, dir, K, "lang", "text")
+    val v1 = idx.ingest("b1", docs.where(col("doc_id") < 250))
+    val pinned = profRows(idx.profile
+      .select("lang", "docs", "tokens", "kmv", "vkmv"))
+    idx.ingest("b2", docs.where(col("doc_id") >= 250))
+    val got = profRows(idx.profileAsOf(v1)
+      .select("lang", "docs", "tokens", "kmv", "vkmv"))
+    assert(got == pinned, "snapshot drifted under later ingest")
+    assert(profRows(idx.profile.select("lang", "docs", "tokens", "kmv",
+      "vkmv")) != pinned, "fixture vacuous — later batch changed nothing")
+    idx.compact()
+    intercept[Exception](idx.profileAsOf(v1).collect())
+  }
+
   test("parameters are pinned; a mismatched reopen is refused") {
     val dir = tmpDir("profidx-pin-")
     ProfileIndex.open(spark, dir, K, "lang", "text").ingest("b1", docs)
