@@ -809,6 +809,27 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // z-block partitioned layout round-trip (writeZOrderedPartitioned
+    // + zBoxFilter): lineitem lands in 256 z-block directories, a
+    // 2-dim box is decomposed into the intersecting blocks (planning-
+    // time partition pruning) and read back — the oracle is the plain
+    // box filter, so the hash match proves the decomposition loses
+    // and invents nothing
+    "q123_zbox_prune" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val out = java.nio.file.Files
+        .createTempDirectory("q123-zpart-").toString
+      graft.pipeline.Layout.writeZOrderedPartitioned(
+        li, Seq("l_partkey", "l_suppkey"), out, bits = 15, dirBits = 8)
+      s.read.parquet(out)
+        .where(graft.pipeline.Layout.zBoxFilter(
+          Seq("l_partkey", "l_suppkey"), Seq((500L, 1499L), (10L, 39L)),
+          bits = 15, dirBits = 8))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+
     // JSONL training-shard export (Shards.writeJsonlShards): the
     // corpus round-trips through 8 deterministic hash-shuffled JSONL
     // shards and back — the oracle is the corpus itself, so the hash
@@ -2604,6 +2625,12 @@ object SparkEntry {
     "q122_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q123_zbox_prune" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 500 AND 1499
+        |  AND l_suppkey BETWEEN 10 AND 39
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "q121_unigram_lm_ref" ->
       """WITH rtoks AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok

@@ -182,6 +182,98 @@ object Layout {
       .parquet(outDir)
   }
 
+  /** Write `df` PARTITIONED by z-block directories: the top `dirBits`
+    * bits of the Morton key become the `_zb` partition column, so the
+    * layout's file skipping happens at PLANNING time through stock
+    * Hive-style partition pruning — no stats catalog, no custom
+    * reader, no reliance on runtime row-group pruning. Each `_zb`
+    * directory is one aligned z-BLOCK of the grid (a contiguous key
+    * range = an axis-aligned box, the LayoutSpec contiguity
+    * property), which is exactly what makes a query box decomposable
+    * into a directory list ([[zBoxFilter]]).
+    *
+    * Within a directory, rows are sorted by the full key (tight
+    * row-group stats for the residual scan). At 100 TB: `dirBits`
+    * bounds the directory count (2^dirBits) — keep it ≤ ~12 so the
+    * namespace stays listable; resolution beyond the directory grid
+    * comes from the in-file sort, not more directories. */
+  def writeZOrderedPartitioned(
+      df: DataFrame,
+      cols: Seq[String],
+      outDir: String,
+      bits: Int,
+      dirBits: Int): Unit = {
+    require(cols.nonEmpty, "writeZOrderedPartitioned needs columns")
+    require(dirBits > 0 && dirBits <= bits * cols.size,
+      s"dirBits must be in (0, bits*dims] (got $dirBits)")
+    require(dirBits <= 20, s"2^$dirBits directories is unlistable")
+    require(
+      !df.columns.exists(c => c == "_zb" || c == "_zkey"),
+      "writeZOrderedPartitioned reserves the _zb/_zkey column names")
+    val shift = bits * cols.size - dirBits
+    df.withColumn("_zkey", zvalue(cols.map(col), bits))
+      .withColumn("_zb", shiftright(col("_zkey"), shift))
+      .repartitionByRange(1 << dirBits, col("_zb"))
+      .sortWithinPartitions("_zb", "_zkey")
+      .drop("_zkey")
+      .write
+      .partitionBy("_zb")
+      .mode("overwrite")
+      .parquet(outDir)
+  }
+
+  /** The planning-time filter for an axis-aligned query box over a
+    * [[writeZOrderedPartitioned]] layout: enumerate (on the driver —
+    * 2^dirBits candidates, a few thousand at most) every z-block
+    * whose grid region intersects `bounds`, and return
+    * `_zb IN (hits) AND the per-column box predicates`. The IN lands
+    * on the partition column, so Catalyst prunes the non-intersecting
+    * DIRECTORIES at planning time (zero tasks, zero footer reads);
+    * the residual column bounds cut rows inside the surviving
+    * blocks. `bounds` aligns with `cols` as inclusive `(lo, hi)`
+    * pairs in the written key's low-`bits` domain.
+    *
+    * Correctness does not depend on the enumeration being tight: a
+    * block is pruned ONLY when its region provably misses the box
+    * (LayoutSpec checks the result equals a plain filter bit for
+    * bit); tightness is what the pruning payoff assert measures. */
+  def zBoxFilter(
+      cols: Seq[String],
+      bounds: Seq[(Long, Long)],
+      bits: Int,
+      dirBits: Int): Column = {
+    require(cols.size == bounds.size, "one (lo, hi) per column")
+    val n = cols.size
+    val shift = bits * n - dirBits
+    // block zb covers keys [zb<<shift, (zb+1)<<shift): de-interleave
+    // the PREFIX to per-dim ranges. Key bit b*n+i is dim i's bit b;
+    // prefix bits are positions >= shift — dim i's bits b with
+    // b*n+i >= shift are fixed, lower bits free.
+    def blockRange(zb: Long, dim: Int): (Long, Long) = {
+      var lo = 0L
+      var freeMask = 0L
+      var b = 0
+      while (b < bits) {
+        val pos = b * n + dim
+        if (pos >= shift) { // fixed by the prefix
+          if (((zb >> (pos - shift)) & 1L) == 1L) lo |= 1L << b
+        } else freeMask |= 1L << b
+        b += 1
+      }
+      (lo, lo | freeMask)
+    }
+    val hits = (0L until (1L << dirBits)).filter { zb =>
+      bounds.indices.forall { i =>
+        val (blo, bhi) = blockRange(zb, i)
+        blo <= bounds(i)._2 && bhi >= bounds(i)._1
+      }
+    }
+    val residual = cols.zip(bounds)
+      .map { case (c, (lo, hi)) => col(c).between(lo, hi) }
+      .reduce(_ && _)
+    col("_zb").isin(hits: _*) && residual
+  }
+
   /** Per-file min/max of `cols` for the parquet files under `dir` —
     * the same stats a reader's footer pruning consults, computed
     * engine-side so layouts can be AUDITED (LayoutSpec) and compared

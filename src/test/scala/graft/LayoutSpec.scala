@@ -95,6 +95,58 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() == 64L * 64)
   }
 
+  test("z-block partitioned layout: box decomposition is exact and prunes at planning time") {
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"),
+        col("id").as("payload"))
+    val dir = tmpDir("layout-part")
+    // 6-bit grid, 16 z-block directories (4x4 blocks of 16x16 cells)
+    Layout.writeZOrderedPartitioned(grid, Seq("x", "y"), dir,
+      bits = 6, dirBits = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 64L * 64)
+
+    // an UNALIGNED box crossing block boundaries: results must equal
+    // the plain filter bit for bit (pruning may never drop a row)
+    val (xLo, xHi, yLo, yHi) = (13L, 34L, 7L, 20L)
+    val got = back
+      .where(Layout.zBoxFilter(Seq("x", "y"),
+        Seq((xLo, xHi), (yLo, yHi)), bits = 6, dirBits = 4))
+      .select("payload").collect().map(_.getLong(0)).sorted
+    val want = grid
+      .where(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+      .select("payload").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq, "decomposition lost or added rows")
+    assert(want.length == 22 * 14)
+
+    // planning-time pruning: the IN lands on the partition column and
+    // only the intersecting block directories are scanned — the box
+    // spans x-blocks {0,1,2} × y-blocks {0,1} = 6 of 16
+    val q = back.where(Layout.zBoxFilter(Seq("x", "y"),
+      Seq((xLo, xHi), (yLo, yHi)), bits = 6, dirBits = 4))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_zb"),
+      s"zb hits not pushed to partition pruning:\n$plan")
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.contains(6), s"scanned $scanned partitions, want 6 of 16")
+
+    // an aligned single-block box touches exactly one directory
+    val one = back.where(Layout.zBoxFilter(Seq("x", "y"),
+      Seq((16L, 31L), (48L, 63L)), bits = 6, dirBits = 4))
+    val oneScanned = one.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(oneScanned.contains(1), s"aligned block scanned $oneScanned dirs")
+    assert(one.count() == 16L * 16)
+  }
+
   test("exact rank buckets match a Scala percent_rank reference (ties, skew)") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
