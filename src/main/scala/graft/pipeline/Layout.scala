@@ -210,6 +210,42 @@ object Layout {
     require(
       !df.columns.exists(c => c == "_zb" || c == "_zkey"),
       "writeZOrderedPartitioned reserves the _zb/_zkey column names")
+    writeZPartitioned(df, cols, outDir, bits, dirBits, overwrite = true)
+  }
+
+  /** Append `batch` INTO an existing [[writeZOrderedPartitioned]]
+    * layout: new rows land in their z-block directories alongside
+    * the standing files, so [[zBoxFilter]] keeps pruning correctly
+    * while the corpus grows — ingest never rewrites the layout.
+    * Each append adds ≤ one file per TOUCHED block; run an
+    * occasional per-directory compaction (a directory is
+    * independently rewritable — it owns a disjoint key range) when
+    * small files accumulate. Caller must pass the SAME cols/bits/
+    * dirBits the layout was written with — a mismatch silently
+    * misfiles rows, so co-locate these in one config value. */
+  def appendZOrderedPartitioned(
+      batch: DataFrame,
+      cols: Seq[String],
+      outDir: String,
+      bits: Int,
+      dirBits: Int): Unit = {
+    require(cols.nonEmpty, "appendZOrderedPartitioned needs columns")
+    require(dirBits > 0 && dirBits <= bits * cols.size,
+      s"dirBits must be in (0, bits*dims] (got $dirBits)")
+    require(
+      !batch.columns.exists(c => c == "_zb" || c == "_zkey"),
+      "appendZOrderedPartitioned reserves the _zb/_zkey column names")
+    writeZPartitioned(batch, cols, outDir, bits, dirBits,
+      overwrite = false)
+  }
+
+  private def writeZPartitioned(
+      df: DataFrame,
+      cols: Seq[String],
+      outDir: String,
+      bits: Int,
+      dirBits: Int,
+      overwrite: Boolean): Unit = {
     val shift = bits * cols.size - dirBits
     df.withColumn("_zkey", zvalue(cols.map(col), bits))
       .withColumn("_zb", shiftright(col("_zkey"), shift))
@@ -218,7 +254,7 @@ object Layout {
       .drop("_zkey")
       .write
       .partitionBy("_zb")
-      .mode("overwrite")
+      .mode(if (overwrite) "overwrite" else "append")
       .parquet(outDir)
   }
 

@@ -147,6 +147,35 @@ class LayoutSpec extends SparkSpec {
     assert(one.count() == 16L * 16)
   }
 
+  test("appending into a z-block layout keeps the decomposition exact and pruned") {
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"),
+        col("id").as("payload"))
+    val dir = tmpDir("layout-append")
+    Layout.writeZOrderedPartitioned(grid.where(col("payload") % 2 === 0),
+      Seq("x", "y"), dir, bits = 6, dirBits = 4)
+    Layout.appendZOrderedPartitioned(grid.where(col("payload") % 2 === 1),
+      Seq("x", "y"), dir, bits = 6, dirBits = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 64L * 64, "append lost rows")
+    val q = back.where(Layout.zBoxFilter(Seq("x", "y"),
+      Seq((13L, 34L), (7L, 20L)), bits = 6, dirBits = 4))
+    // identical result to the plain filter over base ∪ appended
+    val want = grid
+      .where(col("x").between(13, 34) && col("y").between(7, 20))
+      .select("payload").collect().map(_.getLong(0)).sorted
+    assert(q.select("payload").collect().map(_.getLong(0)).sorted
+      .toSeq == want.toSeq)
+    // pruning unchanged: appended rows landed in the SAME directories
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.contains(6), s"scanned $scanned dirs after append, want 6")
+  }
+
   test("exact rank buckets match a Scala percent_rank reference (ties, skew)") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

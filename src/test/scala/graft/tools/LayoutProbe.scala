@@ -80,6 +80,30 @@ object LayoutProbe {
     val (nT, nRows) = scanMin3(nDir)
     println(f"== box scan (min of 3): zorder $zT%.3f s, naive $nT%.3f s " +
       s"($zRows rows both: ${zRows == nRows})")
+
+    // the PARTITIONED variant: planning-time directory pruning via
+    // zBoxFilter — report dirs scanned / total and the scan time
+    val pDir = s"$work/zpart"
+    val (tp, _) = timeIt(Layout.writeZOrderedPartitioned(
+      li, Seq("l_partkey", "l_suppkey"), pDir, bits = 15, dirBits = 8))
+    val boxed = spark.read.parquet(pDir)
+      .where(Layout.zBoxFilter(Seq("l_partkey", "l_suppkey"),
+        Seq((pLo, pHi), (sLo, sHi)), bits = 15, dirBits = 8))
+    val dirsScanned = boxed.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.getOrElse(-1)
+    var pBest = Double.MaxValue
+    var pRows = 0L
+    for (_ <- 0 until 3) {
+      val (t, _) = timeIt(
+        boxed.agg(count(lit(1)), sum(col("l_extendedprice"))).collect())
+      pBest = math.min(pBest, t)
+    }
+    pRows = boxed.count()
+    println(f"== partitioned (write $tp%.2f s): box plans $dirsScanned of " +
+      f"256 dirs, scan $pBest%.3f s ($pRows rows, matches: ${pRows == zRows})")
     spark.stop()
   }
 }
