@@ -809,6 +809,18 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // temperature-based mixing (Sampling.temperatureMix, the mT5
+    // alpha-sampling rule) at alpha = 0.5: weights are IEEE sqrt of
+    // the per-lang token totals — correctly rounded in both engines —
+    // so DuckDB recomputes the exact rates and the identical
+    // hash-gate membership
+    "q124_temperature_mix" -> ((s, dir) =>
+      graft.pipeline.Sampling.temperatureMix(
+        Tables.load(s, dir, "documents"), "lang", "text", "doc_id",
+        alpha = 0.5, seed = "s124")
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")),
+
     // z-block partitioned layout round-trip (writeZOrderedPartitioned
     // + zBoxFilter): lineitem lands in 256 z-block directories, a
     // 2-dim box is decomposed into the intersecting blocks (planning-
@@ -2625,6 +2637,27 @@ object SparkEntry {
     "q122_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // alpha = 0.5: weights are sqrt(token totals) — IEEE-correctly-
+    // rounded in both engines — then the exact q91 rate/gate replay
+    "q124_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) AS BIGINT) AS t
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT lang, sqrt(CAST(t AS DOUBLE)) AS wt, t FROM c WHERE t > 0
+        |), tm AS (
+        |  SELECT min(t / wt) AS t FROM w
+        |), r AS (
+        |  SELECT w.lang, (w.wt * tm.t) / w.t AS rate FROM w CROSS JOIN tm
+        |)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(lower(trim(d.text)), '\s+')) END AS BIGINT) AS n_tokens
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':s124'), 1, 8))::BIGINT
+        |      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     "q123_zbox_prune" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
         |FROM lineitem

@@ -202,6 +202,55 @@ object Sampling {
       idCol, seed, portableHash)
   }
 
+  /** Temperature-based stratum mixing — the mT5/XLM-R α-sampling rule:
+    * stratum s contributes tokens ∝ `T_s^alpha` (T_s its natural token
+    * count). `alpha = 1` preserves natural proportions; lowering it
+    * flattens the mix toward uniform — the standard way multilingual
+    * pipelines up-weight low-resource strata without hand-tuning a
+    * weight table. Derives `w_s = T_s^alpha` from the SAME single
+    * aggregation pass [[mixToTokenWeights]] uses and feeds the shared
+    * rate math ([[mixRates]]), so the plan shape is unchanged: tiny
+    * collected agg → literal rates → one pushed hash-gate filter.
+    *
+    * Because a filter can only DOWNSAMPLE, the flattening works from
+    * the small end: `Tmax = min_s(T_s / T_s^alpha) = min_s T_s^(1-α)`
+    * is set by the SMALLEST stratum, which keeps everything, while
+    * larger strata keep `(T_min / T_s)^(1-α)` of their tokens —
+    * natural proportions at α = 1 (every rate is 1, nothing drops),
+    * full flattening toward the smallest at α → 0. `budgetTokens`
+    * scales the whole mix down proportionally when even the flattened
+    * total is more than the run wants.
+    *
+    * Oracle geometry: at `alpha = 0.5` the weight is IEEE `sqrt` —
+    * correctly rounded in every engine — so q124 recomputes the exact
+    * rates in SQL. General `alpha` uses `Math.pow` (last-ulp
+    * engine-dependent: fine for mixing, not for an exactness oracle). */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      textCol: String,
+      idCol: String,
+      alpha: Double,
+      seed: String = "s0",
+      budgetTokens: Option[Long] = None,
+      portableHash: Boolean = true
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1] (got $alpha)")
+    val withTok = df.withColumn(
+      "n_tokens",
+      graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+    val observed = observedBy(withTok, strataCol, sum(col("n_tokens")))
+    val weights = observed.collect {
+      case (s, t) if t > 0 =>
+        s -> (if (alpha == 0.5) math.sqrt(t.toDouble)
+              else math.pow(t.toDouble, alpha))
+    }
+    require(weights.nonEmpty, "temperatureMix: corpus has no tokens")
+    val rates = mixRates(observed, weights, budgetTokens)
+    stratifiedHashSample(withTok, strataCol, rates, defaultRate = 0.0,
+      idCol, seed, portableHash)
+  }
+
   /** Deterministic global interleave ("shuffle") order: position =
     * rank of the id-hash. Training dataloaders need the corpus in a
     * fixed pseudo-random order decorrelated from ingest order; sorting

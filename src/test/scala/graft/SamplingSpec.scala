@@ -191,6 +191,40 @@ class SamplingSpec extends SparkSpec {
       s"mixToTokenWeights data pass must not shuffle:\n$plan")
   }
 
+  test("temperatureMix: alpha=1 is the identity, lower alpha flattens toward the smallest stratum") {
+    val sizes = docs
+      .groupBy("lang")
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: every rate is T_s*T/T_s... = 1 — nothing drops
+    val natural = Sampling
+      .temperatureMix(docs, "lang", "text", "doc_id", alpha = 1.0, "tm")
+    assert(natural.count() == docs.count(), "alpha=1 dropped rows")
+    // alpha = 0.5: the smallest stratum keeps everything, bigger
+    // strata downsample, and the big/small token ratio shrinks
+    val flat = Sampling
+      .temperatureMix(docs, "lang", "text", "doc_id", alpha = 0.5, "tm")
+    val smallest = sizes.minBy(_._2)._1
+    val biggest = sizes.maxBy(_._2)._1
+    assert(flat.where(col("lang") === smallest).count() ==
+      docs.where(col("lang") === smallest).count(),
+      "smallest stratum must bind (keep all)")
+    val outTok = flat.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratioBefore = sizes(biggest).toDouble / sizes(smallest)
+    val ratioAfter = outTok(biggest).toDouble / outTok(smallest)
+    assert(ratioAfter < ratioBefore,
+      s"flattening did not shrink the mix ratio: $ratioAfter vs $ratioBefore")
+    // expectation: ratio ≈ sqrt(ratioBefore) at alpha = 0.5
+    assert(math.abs(ratioAfter - math.sqrt(ratioBefore)) /
+      math.sqrt(ratioBefore) < 0.5, s"ratio $ratioAfter far from " +
+      s"sqrt(${ratioBefore}) = ${math.sqrt(ratioBefore)}")
+    // the data pass stays a pure pushed filter
+    val plan = flat.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"temperatureMix data pass must not shuffle:\n$plan")
+  }
+
   test("invalid knobs fail fast at plan construction, not deep in execution") {
     intercept[IllegalArgumentException] {
       Sampling.packSequences(
