@@ -57,7 +57,18 @@ final case class IngestConfig(
     // vocab estimates per stratum) is always current without ever
     // rescanning the corpus
     profileStrataCol: Option[String] = None,
-    profileK: Int = 1024
+    profileK: Int = 1024,
+    // `Some(dir)` composes benchmark DECONTAMINATION into the gate
+    // stage: `dir` holds a parquet of eval texts (same `textCol`);
+    // every batch drops docs sharing ≥ `decontaminateMinOverlap`
+    // `decontaminateWidth`-grams with it BEFORE dedup, so benchmark
+    // text never enters any index or the corpus. The dir and knobs
+    // ride the per-batch gate record (crash replays decontaminate
+    // identically); the eval set itself must be an immutable artifact
+    // — swap sets by writing a NEW dir and changing the config
+    decontaminateDir: Option[String] = None,
+    decontaminateWidth: Int = 3,
+    decontaminateMinOverlap: Long = 1L
 )
 
 /** The composed steady-state ingest-curation loop — the reference's
@@ -220,10 +231,23 @@ final class IngestDaemon private (
       val c =
         if (idxApplied.isDefined) recordedGates(batchId).getOrElse(config)
         else config
-      val gated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
+      val rawGated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
         c.textCol, c.lang, c.minQuality, c.minTokens, c.maxTokens)
-      // idle-trigger fast path: an empty gated batch the index never
-      // saw commits nothing (deterministic: its replay re-skips)
+      // idle-trigger fast path BEFORE the decontamination collect: an
+      // empty gated batch the index never saw commits nothing
+      // (deterministic: its replay re-skips)
+      if (idxApplied.isEmpty && rawGated.isEmpty) return None
+      // composed decontamination: drop eval-overlapping docs before
+      // any dedup tier sees them — under the knobs OF RECORD on a
+      // half-applied replay, like every other gate
+      val gated = c.decontaminateDir match {
+        case Some(ed) =>
+          graft.pipeline.Decontaminate.decontaminate(
+            rawGated, spark.read.parquet(ed).select(col(c.textCol)),
+            c.textCol, c.idCol,
+            c.decontaminateWidth, c.decontaminateMinOverlap)
+        case None => rawGated
+      }
       if (idxApplied.isEmpty && gated.isEmpty) return None
       // the record lands BEFORE the index commit: every crash window
       // after the commit replays under the recorded knobs
@@ -324,6 +348,10 @@ final class IngestDaemon private (
     props.setProperty("vecThreshold", c.vecThreshold.toString)
     props.setProperty("vecMaxBucket", c.vecMaxBucket.toString)
     props.setProperty("semThreshold", c.semThreshold.toString)
+    c.decontaminateDir.foreach(props.setProperty("decontaminateDir", _))
+    props.setProperty("decontaminateWidth", c.decontaminateWidth.toString)
+    props.setProperty("decontaminateMinOverlap",
+      c.decontaminateMinOverlap.toString)
     val out = new java.io.FileOutputStream(gateRecordPath(batchId).toFile)
     try props.store(out, "graft IngestDaemon per-batch gate record")
     finally out.close()
@@ -349,7 +377,15 @@ final class IngestDaemon private (
         vecMaxBucket = opt("vecMaxBucket").map(_.toLong)
           .getOrElse(config.vecMaxBucket),
         semThreshold = opt("semThreshold").map(_.toDouble)
-          .getOrElse(config.semThreshold)))
+          .getOrElse(config.semThreshold),
+        // absent key = the record predates the decontamination tier
+        // OR the batch ran without it: either way, replay without it
+        // unless the record names a dir
+        decontaminateDir = opt("decontaminateDir"),
+        decontaminateWidth = opt("decontaminateWidth").map(_.toInt)
+          .getOrElse(config.decontaminateWidth),
+        decontaminateMinOverlap = opt("decontaminateMinOverlap")
+          .map(_.toLong).getOrElse(config.decontaminateMinOverlap)))
     }
   }
 

@@ -363,6 +363,47 @@ class IngestDaemonSpec extends SparkSpec {
       "sem tier must ingest exactly the near-dup tier's admitted set")
   }
 
+  test("daemon: composed decontamination drops eval overlap under the knobs of record") {
+    import graft.pipeline.Decontaminate
+    // the eval set is the TEXT of every 10th doc: those docs must
+    // never reach any index or the corpus
+    val evalDir = tmpDir("daemon-eval-")
+    docs.where(col("doc_id") % 10 === 0).select("text")
+      .write.mode("overwrite").parquet(evalDir)
+    val evalSet = spark.read.parquet(evalDir).select("text")
+    val dcfg = cfg.copy(decontaminateDir = Some(evalDir))
+
+    val d = IngestDaemon.open(spark, tmpDir("daemon-decon-"), dcfg)
+    assert(d.processBatch("b0", docs).isDefined)
+    val ids = corpusIds(d)
+    assert(ids.nonEmpty && ids.forall(_ % 10 != 0),
+      "contaminated docs reached the corpus")
+    // composition twin: gate → decontaminate → plain text daemon
+    val gatedAll = Curation.gate(docs, "text", cfg.lang, cfg.minQuality,
+      cfg.minTokens, cfg.maxTokens)
+    val cleaned = Decontaminate.decontaminate(
+      gatedAll, evalSet, "text", "doc_id")
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-decon-ref-"), cfg)
+    ref.processBatch("b0", cleaned.select("doc_id", "text"))
+    assert(ids == corpusIds(ref),
+      "composed decontamination != independent composition")
+
+    // knobs of record: the index commit lands WITH decontamination,
+    // then the config loses it before the replay — the half-applied
+    // window must still decontaminate (record wins), or the seen
+    // store would cover docs the index never saw
+    val wDir = tmpDir("daemon-decon-w-")
+    val dW = IngestDaemon.open(spark, wDir, dcfg)
+    dW.recordGates("b0")
+    dW.index.ingest("b0", cleaned.select("doc_id", "text"), "text",
+      "doc_id", corpusTexts = dW.seenTexts, threshold = dcfg.threshold,
+      maxBucket = dcfg.maxBucket)
+    val dW2 = IngestDaemon.open(spark, wDir, cfg) // decon GONE from config
+    dW2.processBatch("b0", docs)
+    assert(corpusIds(dW2) == ids,
+      "half-applied replay ignored the decontamination knobs of record")
+  }
+
   test("daemon: corpusAsOf pins a reproducible snapshot across later ingest") {
     val d = IngestDaemon.open(spark, tmpDir("daemon-asof-"), cfg)
     d.processBatch("b0", docs.where(col("doc_id") < 250))
