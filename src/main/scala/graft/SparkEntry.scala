@@ -809,6 +809,21 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // span-level decontamination (Decontaminate.stripEvalSpans):
+    // every token covered by a 5-gram of the doc_id%10==0 eval slice
+    // is stripped from the REST of the corpus, docs kept — the q85
+    // coverage recompute with the hit dictionary swapped from
+    // corpus-repeated grams to eval grams
+    "q125_strip_eval_spans" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.pipeline.Decontaminate
+        .stripEvalSpans(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0),
+          "text", "doc_id", width = 5)
+        .orderBy("doc_id")
+    }),
+
     // temperature-based mixing (Sampling.temperatureMix, the mT5
     // alpha-sampling rule) at alpha = 0.5: weights are IEEE sqrt of
     // the per-lang token totals — correctly rounded in both engines —
@@ -2637,6 +2652,48 @@ object SparkEntry {
     "q122_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q85's coverage recompute, hits = membership in the eval slice's
+    // distinct 5-gram set instead of corpus-frequency >= 2
+    "q125_strip_eval_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |), ebase AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), ps AS (
+        |  SELECT unnest(generate_series(0, greatest(
+        |    (SELECT max(n) FROM base), (SELECT max(n) FROM ebase)) - 1)) AS p
+        |), egrams AS (
+        |  SELECT DISTINCT array_to_string(w[p + 1 : p + 5], ' ') AS g
+        |  FROM ebase, ps WHERE p <= n - 5
+        |), grams AS (
+        |  SELECT doc_id, p AS start,
+        |    array_to_string(w[p + 1 : p + 5], ' ') AS g
+        |  FROM base, ps WHERE p <= n - 5
+        |), hits AS (SELECT DISTINCT doc_id, start FROM grams JOIN egrams USING (g)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, start + i AS p
+        |  FROM hits, (SELECT unnest(generate_series(0, 4)) AS i) ii
+        |), toks AS (
+        |  SELECT doc_id, p, w[p + 1] AS tok FROM base, ps WHERE p < n
+        |), kept AS (
+        |  SELECT t.doc_id, t.p, t.tok FROM toks t
+        |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+        |  WHERE c.p IS NULL
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(b.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // alpha = 0.5: weights are sqrt(token totals) — IEEE-correctly-
     // rounded in both engines — then the exact q91 rate/gate replay
     "q124_temperature_mix" ->

@@ -1055,14 +1055,40 @@ object Dedup {
           coalesce(col("_s.n_tokens") - col("_s.n_kept"), lit(0L))
             .as("n_removed"))
     }
-    // repeated-gram START positions per doc. Coverage (the union of
-    // [start, start+width) intervals) is NOT materialized by
-    // exploding width positions per hit + global distinct — on a
-    // dup-heavy corpus that's width × hits rows through a shuffle
-    // (the 10× probe put it at 150 M). Instead: token p is covered
-    // iff ANY repeated start lies in [p-width+1, p], which is a
-    // per-doc sliding-window max over hit flags — one doc-keyed
-    // shuffle, rows never multiply.
+    stripSpansJoinLeg(df, textCol, idCol, width, dict)
+  }
+
+  /** The over-gate join leg shared by [[stripRepeatedSpans]] and
+    * [[graft.pipeline.Decontaminate.stripEvalSpans]]: strip every
+    * token covered by a width-gram whose xxhash64 key appears in
+    * `dict` (one `g` column). Coverage (the union of
+    * [start, start+width) intervals) is NOT materialized by
+    * exploding width positions per hit + global distinct — on a
+    * dup-heavy corpus that's width × hits rows through a shuffle
+    * (the 10× probe put it at 150 M). Instead: token p is covered
+    * iff ANY hit start lies in [p-width+1, p], which is a per-doc
+    * sliding-window max over hit flags — one doc-keyed shuffle, rows
+    * never multiply. */
+  private[graft] def stripSpansJoinLeg(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int,
+      dict: DataFrame
+  ): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      graft.text.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n",
+        when(length(concat_ws("", col("_toks"))) === 0, lit(0))
+          .otherwise(size(col("_toks"))))
+    val grams = base
+      .where(col("_n") >= width)
+      .select(col("id"), col("_toks"),
+        explode(sequence(lit(0), col("_n") - width)).as("start"))
+      .select(col("id"), col("start"),
+        xxhash64(concat_ws(" ",
+          slice(col("_toks"), col("start") + 1, lit(width)))).as("g"))
     val hits = grams
       .join(dict, Seq("g"))
       .select(col("id"), col("start").as("p"), lit(1).as("_hit"))

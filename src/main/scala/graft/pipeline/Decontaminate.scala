@@ -119,4 +119,55 @@ object Decontaminate {
         .select(col(idCol))
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /** SPAN-level decontamination (the Lee-et-al strip applied to an
+    * eval set): instead of dropping a whole document because one
+    * quoted benchmark snippet appears in it ([[decontaminate]] —
+    * right for short docs, wasteful for long ones), remove exactly
+    * the tokens covered by a `width`-gram of the eval set and keep
+    * the rest. Same machinery as
+    * [[graft.dedup.Dedup.stripRepeatedSpans]] with the hit
+    * dictionary swapped from "corpus-repeated grams" to "eval
+    * grams": the dictionary is eval-sized (collected + scored in one
+    * narrow per-row expression while it fits; past
+    * `maxBroadcastKeys` the shared join leg takes over), so the
+    * corpus pays one scan and no gram-count shuffle at all — cheaper
+    * than the repeated-span tier, not just equal to it. Returns
+    * `(id, clean_text, n_removed)`. */
+  def stripEvalSpans(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 10,
+      maxBroadcastKeys: Long = 1000000L
+  ): DataFrame = {
+    require(width > 0, s"stripEvalSpans width must be > 0 (got $width)")
+    // eval gram keys, IDENTICAL construction to the corpus side's
+    // (xxhash64 of the space-joined lowercase token slice) — the
+    // dictionaries must live in the same key space
+    val evalGrams = evalSet
+      .select(graft.text.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .where(col("_n") >= width)
+      .select(col("_toks"),
+        explode(sequence(lit(0), col("_n") - width)).as("start"))
+      .select(xxhash64(concat_ws(" ",
+        slice(col("_toks"), col("start") + 1, lit(width)))).as("g"))
+      .distinct()
+      .localCheckpoint(true)
+    if (evalGrams.count() <= maxBroadcastKeys) {
+      val ks = evalGrams.collect().map(_.getLong(0))
+      val rw = graft.functions.StripSpansRewrite
+        .column(col(textCol), Seq(width -> ks))
+      corpus
+        .select(col(idCol).as("id"), explode(array(rw)).as("_s"))
+        .select(
+          col("id").as(idCol),
+          coalesce(col("_s.clean_text"), lit("")).as("clean_text"),
+          coalesce(col("_s.n_tokens") - col("_s.n_kept"), lit(0L))
+            .as("n_removed"))
+    } else
+      Dedup.stripSpansJoinLeg(corpus, textCol, idCol, width, evalGrams)
+  }
 }

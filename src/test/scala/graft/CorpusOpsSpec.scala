@@ -224,6 +224,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("stripEvalSpans removes exactly the eval-covered spans; both legs agree") {
+    import graft.pipeline.Decontaminate
+    val eval = docs(100L -> "the secret benchmark answer sequence")
+    val corpus = docs(
+      1L -> "intro text the secret benchmark answer sequence outro text",
+      2L -> "clean document with no overlap at all",
+      3L -> "the secret benchmark unrelated continuation")
+    def run(maxKeys: Long) = Decontaminate
+      .stripEvalSpans(corpus, eval, "text", "doc_id", width = 3,
+        maxBroadcastKeys = maxKeys)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val narrow = run(1000000L)
+    assert(narrow == Seq(
+      // covered: tokens 2..6 (union of the three matching 3-grams)
+      (1L, "intro text outro text", 5L),
+      (2L, "clean document with no overlap at all", 0L),
+      // only "the secret benchmark" matches: tokens 0..2
+      (3L, "unrelated continuation", 3L)))
+    // the over-gate join leg is the executable twin
+    assert(run(0L) == narrow, "join leg diverged from the narrow leg")
+  }
+
   test("cross-corpus unigram LM: self-trained identity, reference ranking, empty reference") {
     val corpus = docs(
       1L -> "a b c a b a",
