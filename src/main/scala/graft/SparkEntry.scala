@@ -809,6 +809,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // leakage-safe splitting (Sampling.leakSafeSplit): hash-split by
+    // the simhash near-dup CLUSTER so paraphrases never straddle a
+    // split boundary — the oracle recomputes the pairs, the
+    // recursive-CTE components, and the identical cumulative hash
+    // gate over the cluster key
+    "q126_leak_safe_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.hammingPairs(
+        Dedup.simhash32(docs, "text", "doc_id").toDF("id", "h"),
+        "h", "id", maxHamming = 2, bands = 4)
+      graft.pipeline.Sampling
+        .leakSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+          seed = "s126")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // span-level decontamination (Decontaminate.stripEvalSpans):
     // every token covered by a 5-gram of the doc_id%10==0 eval slice
     // is stripped from the REST of the corpus, docs kept — the q85
@@ -2652,6 +2670,50 @@ object SparkEntry {
     "q122_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q94's pair + recursive-CTE component machinery, then the
+    // cumulative hash gate over coalesce(component, doc_id); the gate
+    // thresholds are computed in Scala with the EXACT double
+    // accumulation leakSafeSplit uses and inlined as literals
+    "q126_leak_safe_split" -> {
+      val g1 = (0.8 * 4294967296.0).toLong
+      val g2 = ((0.8 + 0.1) * 4294967296.0).toLong
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents
+         |), hashed AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+         |), bits AS (
+         |  SELECT doc_id, b.bit,
+         |    sum(CASE WHEN (CAST(floor(h / pow(2, b.bit)) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+         |  GROUP BY 1, 2
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS h
+         |  FROM bits GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.h, b.h)) <= 2
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+         |), comp AS (
+         |  SELECT id, min(r) AS component FROM reach GROUP BY id
+         |), keyed AS (
+         |  SELECT d.doc_id,
+         |    ('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR) || ':s126'), 1, 8))::BIGINT AS h
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN h < $g1 THEN 'train'
+         |       WHEN h < $g2 THEN 'valid' ELSE 'test' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin
+    },
     // q85's coverage recompute, hits = membership in the eval slice's
     // distinct 5-gram set instead of corpus-frequency >= 2
     "q125_strip_eval_spans" ->

@@ -251,6 +251,55 @@ object Sampling {
       idCol, seed, portableHash)
   }
 
+  /** Leakage-safe train/valid/test splitting: hash-split by the
+    * near-dup CLUSTER, not the document. A plain per-doc hash split
+    * leaks evaluation signal — a paraphrase of a training document
+    * lands in the test set and scores as generalization — so the
+    * split key is the doc's connected component over `pairs` (any
+    * near-dup pair frame: LSH, SimHash, embedding; `id_a`/`id_b`),
+    * with singletons their own cluster: every member of a cluster
+    * gets the SAME label, and near-dups can never straddle a split.
+    *
+    * Deterministic and retry-stable like every sampling op here: the
+    * label is a hash gate on the cluster key against the cumulative
+    * fractions (first match wins; the LAST split absorbs the hash
+    * tail, so fractions must sum to 1). Plan shape: the components
+    * run on the PAIRS graph only (pairs are rare; docs without pairs
+    * never enter the contraction), one left join attaches the key,
+    * the labeling is a narrow expression. Returns `df` + `split`. */
+  def leakSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      seed: String = "s0",
+      maxIter: Int = 50,
+      portableHash: Boolean = true
+  ): DataFrame = {
+    require(splits.size >= 2, "leakSafeSplit needs at least two splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names in ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0),
+      s"split fractions must be > 0 (got $splits)")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1 (got ${splits.map(_._2).sum})")
+    val comps = graft.dedup.Dedup
+      .connectedComponents(pairs, maxIter = maxIter)
+      .withColumnRenamed("id", idCol)
+    val keyed = df
+      .join(comps, Seq(idCol), "left")
+      .withColumn("_ckey",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+    val h = hashOf(col("_ckey"), seed, portableHash)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.zip(cum).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), c), elze) =>
+      when(h < lit(gate(c)), lit(name)).otherwise(elze)
+    }
+    keyed.withColumn("split", label).drop("_ckey")
+  }
+
   /** Deterministic global interleave ("shuffle") order: position =
     * rank of the id-hash. Training dataloaders need the corpus in a
     * fixed pseudo-random order decorrelated from ingest order; sorting

@@ -225,6 +225,40 @@ class SamplingSpec extends SparkSpec {
       s"temperatureMix data pass must not shuffle:\n$plan")
   }
 
+  test("leakSafeSplit: clusters never straddle a split, fractions hold, refusals are loud") {
+    import spark.implicits._
+    val corpus = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 3-chain and a pair of near-dups; everything else is singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L)).toDF("id_a", "id_b")
+    val out = Sampling.leakSafeSplit(corpus, "doc_id", pairs,
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), seed = "ls")
+    val byId = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == 1000)
+    // cluster-consistent labels: the whole chain shares one label
+    assert(Set(byId(1L), byId(2L), byId(3L)).size == 1, "chain straddled")
+    assert(byId(50L) == byId(51L), "pair straddled")
+    // fractions roughly hold over 1000 docs (hash noise tolerance)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(math.abs(counts("train") - 800L) < 80, s"train: ${counts("train")}")
+    // deterministic: a re-run labels identically
+    val again = Sampling.leakSafeSplit(corpus, "doc_id", pairs,
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), seed = "ls")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == byId)
+    intercept[IllegalArgumentException] { // fractions must sum to 1
+      Sampling.leakSafeSplit(corpus, "doc_id", pairs,
+        Seq("train" -> 0.8, "test" -> 0.1))
+    }
+    intercept[IllegalArgumentException] { // duplicate names
+      Sampling.leakSafeSplit(corpus, "doc_id", pairs,
+        Seq("train" -> 0.5, "train" -> 0.5))
+    }
+  }
+
   test("invalid knobs fail fast at plan construction, not deep in execution") {
     intercept[IllegalArgumentException] {
       Sampling.packSequences(
