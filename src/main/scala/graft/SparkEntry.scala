@@ -809,6 +809,21 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // unicode NFC normalization (TextFunctions.nfcNormalize, native
+    // expression): denormalized combining sequences are injected into
+    // every doc IN-QUERY (the q57 synthetic-injection pattern — the
+    // corpus is ASCII), then both engines normalize and fingerprint;
+    // matching md5s mean byte-identical NFC output
+    "q127_nfc_normalize" -> ((s, dir) => {
+      val decomposed = " cafe\u0301 A\u030A u\u0308ber"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(TextFunctions.nfcNormalize(
+            concat(col("text"), lit(decomposed)))).as("norm_md5"),
+          md5(TextFunctions.nfcNormalize(col("text"))).as("ascii_md5"))
+        .orderBy("doc_id")
+    }),
+
     // leakage-safe splitting (Sampling.leakSafeSplit): hash-split by
     // the simhash near-dup CLUSTER so paraphrases never straddle a
     // split boundary — the oracle recomputes the pairs, the
@@ -2670,6 +2685,15 @@ object SparkEntry {
     "q122_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the identical combining-sequence injection (same Scala string
+    // literal feeds both engines byte-for-byte), then nfc_normalize
+    "q127_nfc_normalize" -> {
+      val decomposed = " cafe\u0301 A\u030A u\u0308ber"
+      s"""SELECT doc_id,
+         |  md5(nfc_normalize(text || '$decomposed')) AS norm_md5,
+         |  md5(nfc_normalize(text)) AS ascii_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // q94's pair + recursive-CTE component machinery, then the
     // cumulative hash gate over coalesce(component, doc_id); the gate
     // thresholds are computed in Scala with the EXACT double

@@ -188,6 +188,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], a
+    * codegen'd native expression — no UDF): canonical composed form,
+    * so byte-keyed identity (fingerprints, line keys, gram hashes)
+    * treats "café" the same whether a source shipped U+00E9 or
+    * `e`+combining-acute. Run it BEFORE [[fingerprint]] on corpora
+    * with mixed provenance; already-NFC rows (all ASCII) return the
+    * same string with no allocation. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.NfcNormalize.column(text)
+
   /** Distinct tokens / total tokens — the low-diversity (template /
     * boilerplate) repetition signal of Gopher-style quality filters.
     * Pure columnar: no explode, no shuffle. */

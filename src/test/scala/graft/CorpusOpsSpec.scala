@@ -248,6 +248,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(run(0L) == narrow, "join leg diverged from the narrow leg")
   }
 
+  test("nfcNormalize: decomposed forms compose, NFC passes through, nulls stay null") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "cafe\u0301"),        // e + combining acute
+      (2L, "caf\u00e9"),         // already NFC
+      (3L, "A\u030A u\u0308ber"), // ring and diaeresis from marks
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String]))
+    val got = rows.toDF("id", "t")
+      .select(col("id"), graft.text.TextFunctions.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "caf\u00e9")
+    assert(got(2L) == "caf\u00e9")
+    // identical bytes after normalization: the dedup-key property
+    assert(got(1L) == got(2L))
+    assert(got(3L) == "\u00c5 \u00fcber")
+    assert(got(4L) == "plain ascii")
+    assert(got(5L) == null)
+    // fingerprints unify the two byte forms once normalized
+    val fps = rows.take(2).toDF("id", "t")
+      .select(graft.text.TextFunctions.fingerprint(
+        graft.text.TextFunctions.nfcNormalize(col("t"))).as("fp"))
+      .distinct().count()
+    assert(fps == 1L, "normalized fingerprints did not unify")
+  }
+
   test("cross-corpus unigram LM: self-trained identity, reference ranking, empty reference") {
     val corpus = docs(
       1L -> "a b c a b a",
