@@ -142,6 +142,10 @@ object GraftExtensions {
     "bitmap_contains" -> ((exprs: Seq[Expression]) => {
       arity("bitmap_contains", exprs, 2)
       graft.functions.BitmapExpr.BitmapContains(exprs(0), exprs(1))
+    }),
+    "nfc_normalize" -> ((exprs: Seq[Expression]) => {
+      arity("nfc_normalize", exprs, 1)
+      graft.functions.NfcNormalize(exprs.head)
     })
   )
 
