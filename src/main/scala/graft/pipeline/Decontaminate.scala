@@ -120,6 +120,54 @@ object Decontaminate {
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
 
+  /** The eval set's distinct gram keys, collected once — for callers
+    * that apply the SAME immutable eval set to batch after batch (the
+    * [[graft.streaming.IngestDaemon]] loop): computing the dictionary
+    * per batch would rescan and re-collect the eval set every
+    * micro-batch for no reason. Pair with [[decontaminateWithKeys]].
+    * Refuses (loudly) an eval set past `maxKeys` — a dictionary that
+    * big shouldn't be pinned on a driver across batches. */
+  def evalGramKeys(
+      evalSet: DataFrame,
+      textCol: String,
+      width: Int = 3,
+      maxKeys: Long = 1000000L): Array[Long] = {
+    require(width > 0, s"decontaminate width must be > 0 (got $width)")
+    val dict = evalSet
+      .select(explode(
+        Dedup.shinglesNative(evalSet, col(textCol), width)).as("_gram"))
+      .select(xxhash64(col("_gram")).as("_gk"))
+      .distinct()
+      .localCheckpoint(true)
+    val n = dict.count()
+    require(n <= maxKeys,
+      s"evalGramKeys: $n distinct grams exceeds maxKeys=$maxKeys — " +
+        "use overlapCounts/decontaminate per batch (join leg) instead " +
+        "of pinning the dictionary")
+    dict.collect().map(_.getLong(0))
+  }
+
+  /** [[decontaminate]] against a PRE-COLLECTED gram dictionary
+    * ([[evalGramKeys]]): one narrow corpus scan, no eval-set work at
+    * all — the steady-state form for a standing eval set. */
+  def decontaminateWithKeys(
+      corpus: DataFrame,
+      keys: Array[Long],
+      textCol: String,
+      idCol: String,
+      width: Int = 3,
+      minOverlap: Long = 1L
+  ): DataFrame = {
+    require(width > 0, s"decontaminate width must be > 0 (got $width)")
+    require(minOverlap > 0,
+      s"decontaminate minOverlap must be > 0 (got $minOverlap)")
+    val s = graft.functions.GramSetOverlap.column(col(textCol), width, keys)
+    corpus
+      .withColumn("_s", explode(array(s)))
+      .where(col("_s.n_hits").isNull || col("_s.n_hits") < minOverlap)
+      .drop("_s")
+  }
+
   /** SPAN-level decontamination (the Lee-et-al strip applied to an
     * eval set): instead of dropping a whole document because one
     * quoted benchmark snippet appears in it ([[decontaminate]] —

@@ -307,7 +307,10 @@ object Layout {
     val residual = cols.zip(bounds)
       .map { case (c, (lo, hi)) => col(c).between(lo, hi) }
       .reduce(_ && _)
-    col("_zb").isin(hits: _*) && residual
+    // a box covering every block prunes nothing: skip the IN entirely
+    // rather than shipping a 2^dirBits-literal list through the plan
+    if (hits.size == (1L << dirBits)) residual
+    else col("_zb").isin(hits: _*) && residual
   }
 
   /** Per-file min/max of `cols` for the parquet files under `dir` —

@@ -158,6 +158,18 @@ final class IngestDaemon private (
 
   import IngestDaemon.seenSchema
 
+  // the eval set is an IMMUTABLE artifact: collect its gram
+  // dictionary once per (dir, width) per handle, not once per
+  // micro-batch (keyed because a half-applied replay may run under a
+  // RECORDED dir/width differing from the current config); only read
+  // under processBatch's lock
+  @transient private val evalKeysCache =
+    scala.collection.mutable.Map.empty[(String, Int), Array[Long]]
+  private def evalKeysFor(edir: String, width: Int, textCol: String) =
+    evalKeysCache.getOrElseUpdate((edir, width),
+      graft.pipeline.Decontaminate.evalGramKeys(
+        spark.read.parquet(edir).select(col(textCol)), textCol, width))
+
   /** Texts of every doc behind the standing index — the verify fetch
     * side. */
   def seenTexts: DataFrame =
@@ -242,8 +254,8 @@ final class IngestDaemon private (
       // half-applied replay, like every other gate
       val gated = c.decontaminateDir match {
         case Some(ed) =>
-          graft.pipeline.Decontaminate.decontaminate(
-            rawGated, spark.read.parquet(ed).select(col(c.textCol)),
+          graft.pipeline.Decontaminate.decontaminateWithKeys(
+            rawGated, evalKeysFor(ed, c.decontaminateWidth, c.textCol),
             c.textCol, c.idCol,
             c.decontaminateWidth, c.decontaminateMinOverlap)
         case None => rawGated
