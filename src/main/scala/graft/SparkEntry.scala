@@ -809,6 +809,17 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // contrastive pair mining (Contrastive.minePairs): verified
+    // near-dups as positives, failed LSH candidates as hard
+    // negatives, a deterministic bucketed hash ring as random
+    // negatives — the full q24 LSH pipeline re-pointed at dataset
+    // construction, every branch replayed in SQL
+    "q128_contrastive_pairs" -> ((s, dir) =>
+      graft.pipeline.Contrastive
+        .minePairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+          numHashes = 8, bands = 4, threshold = 0.35, seed = "s128")
+        .orderBy("kind", "anchor", "other")),
+
     // unicode NFC normalization (TextFunctions.nfcNormalize, native
     // expression): denormalized combining sequences are injected into
     // every doc IN-QUERY (the q57 synthetic-injection pattern — the
@@ -2685,6 +2696,77 @@ object SparkEntry {
     "q122_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the q24 LSH chain with the verify filter REMOVED (zero-overlap
+    // candidates left-joined back as jaccard 0), split at 0.35 into
+    // positives vs hard negatives, plus the bucketed hash-ring
+    // negatives with the positive anti-join
+    "q128_contrastive_pairs" ->
+      s"""$shinglesCte, ${ksCte(8)}, ex AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM e
+         |), sig AS (
+         |  SELECT doc_id, k, min((a * x + b) % $hashPLit) AS h
+         |  FROM ex CROSS JOIN ks GROUP BY doc_id, k
+         |), sigarr AS (
+         |  SELECT doc_id, list(h ORDER BY k) AS sig FROM sig GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, b.band,
+         |    md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS bucket
+         |  FROM sigarr, (SELECT unnest(generate_series(0, 3)) AS band) b
+         |), okb AS (
+         |  SELECT band, bucket FROM banded GROUP BY band, bucket
+         |  HAVING count(*) <= 10000
+         |), bandedok AS (
+         |  SELECT banded.* FROM banded JOIN okb USING (band, bucket)
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bandedok x JOIN bandedok y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN e a ON a.doc_id = c.id_a
+         |  JOIN e b ON b.doc_id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(coalesce(i.inter, 0) /
+         |      (sa.n + sb.n - coalesce(i.inter, 0))::DOUBLE, 6) AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |), ring0 AS (
+         |  SELECT doc_id AS anchor,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s128'), 1, 8))::BIGINT AS h
+         |  FROM documents
+         |), rb AS (SELECT anchor, h, h % 64 AS rbucket FROM ring0),
+         |ringp AS (
+         |  SELECT anchor,
+         |    coalesce(
+         |      lead(anchor) OVER (PARTITION BY rbucket ORDER BY h, anchor),
+         |      first_value(anchor) OVER (PARTITION BY rbucket ORDER BY h, anchor)
+         |    ) AS other
+         |  FROM rb
+         |), ring AS (
+         |  SELECT anchor, other FROM ringp
+         |  WHERE other <> anchor AND NOT EXISTS (
+         |    SELECT 1 FROM scored s WHERE s.jaccard >= 0.35
+         |      AND least(anchor, other) = s.id_a
+         |      AND greatest(anchor, other) = s.id_b
+         |  )
+         |)
+         |SELECT anchor, other, kind, score FROM (
+         |  SELECT id_a AS anchor, id_b AS other, 'positive' AS kind,
+         |    jaccard AS score FROM scored WHERE jaccard >= 0.35
+         |  UNION ALL
+         |  SELECT id_a, id_b, 'hard_negative', jaccard
+         |  FROM scored WHERE jaccard < 0.35
+         |  UNION ALL
+         |  SELECT anchor, other, 'random_negative', NULL
+         |  FROM ring
+         |) ORDER BY kind, anchor, other""".stripMargin,
     // the identical combining-sequence injection (same Scala string
     // literal feeds both engines byte-for-byte), then nfc_normalize
     "q127_nfc_normalize" -> {

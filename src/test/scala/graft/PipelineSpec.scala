@@ -19,6 +19,44 @@ class PipelineSpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sf, "documents")
   private lazy val emb = Tables.load(spark, sf, "embeddings")
 
+  test("contrastive pairs: kinds partition the candidates, ring is clean and deterministic") {
+    import graft.pipeline.Contrastive
+    val out = Contrastive.minePairs(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, threshold = 0.35, seed = "cp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val byKind = out.groupBy(_._3)
+    // positives == minhashLshPairs at the same threshold, exactly
+    val wantPos = Dedup
+      .minhashLshPairs(docs, "text", "doc_id", numHashes = 8, bands = 4,
+        threshold = 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPos = byKind("positive").map(p => (p._1, p._2)).toSet
+    assert(gotPos == wantPos, "positives != verified LSH pairs")
+    assert(byKind("positive").forall(_._4.exists(_ >= 0.35)))
+    // hard negatives: scored below threshold, disjoint from positives
+    val hard = byKind.getOrElse("hard_negative", Array.empty[(Long, Long, String, Option[Double])])
+    assert(hard.forall(_._4.exists(_ < 0.35)))
+    assert(hard.map(p => (p._1, p._2)).toSet.intersect(gotPos).isEmpty)
+    // ring: one negative per doc (minus singleton buckets), no
+    // self-pairs, never a verified positive in either orientation
+    val ring = byKind("random_negative")
+    assert(ring.length >= 490 && ring.length <= 500, s"ring ${ring.length}")
+    assert(ring.forall(p => p._1 != p._2 && p._4.isEmpty))
+    val posUndirected = wantPos.flatMap(p => Seq(p, p.swap))
+    assert(ring.forall(p => !posUndirected.contains((p._1, p._2))),
+      "a ring negative is a verified positive")
+    // deterministic: a re-run mines the identical dataset
+    val again = Contrastive.minePairs(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, threshold = 0.35, seed = "cp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSet == again.toSet)
+  }
+
   test("LSH candidate pairs cover the exact Jaccard pairs (recall)") {
     val exact = Dedup
       .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.35)
