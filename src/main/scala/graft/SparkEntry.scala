@@ -809,6 +809,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // incremental Hamming pairing (Dedup.incrementalHammingPairs):
+    // the doc_id>=250 batch probes a standing banded fingerprint
+    // index of the rest — by the pigeonhole bound the result is
+    // EXACTLY the batch-touching slice of the all-pairs run, which
+    // is what the oracle computes
+    "q129_incr_hamming" -> ((s, dir) => {
+      val sh = Dedup
+        .simhash32(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .toDF("id", "h")
+      val idx = Dedup.hammingBandIndex(
+        sh.where(col("id") < 250), "h", "id", bands = 4, bits = 32)
+      Dedup
+        .incrementalHammingPairs(sh.where(col("id") >= 250), "h", "id",
+          idx, maxHamming = 2, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // contrastive pair mining (Contrastive.minePairs): verified
     // near-dups as positives, failed LSH candidates as hard
     // negatives, a deterministic bucketed hash ring as random
@@ -2696,6 +2713,30 @@ object SparkEntry {
     "q122_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q93's all-pairs recompute restricted to pairs whose greater id
+    // is in the batch half (id_a < id_b, so "touches the batch" ≡
+    // id_b >= 250)
+    "q129_incr_hamming" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (CAST(floor(h / pow(2, b.bit)) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        |  GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS h
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 2 AND b.doc_id >= 250
+        |ORDER BY id_a, id_b""".stripMargin,
     // the q24 LSH chain with the verify filter REMOVED (zero-overlap
     // candidates left-joined back as jaccard 0), split at 0.35 into
     // positives vs hard negatives, plus the bucketed hash-ring

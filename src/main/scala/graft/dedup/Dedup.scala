@@ -1344,6 +1344,117 @@ object Dedup {
     (pairs, capped)
   }
 
+  /** The PERSISTABLE banded fingerprint index — [[hammingPairs]]'
+    * banding materialized as `(id, band, bkey, h)` rows (h already
+    * masked for 32-bit fingerprints), so a standing corpus is banded
+    * ONCE and every future batch probes it in place
+    * ([[incrementalHammingPairs]]). bands × |corpus| rows of four
+    * numeric columns; write it partitioned/bucketed by (band, bkey)
+    * for probe-side pruning like the text tier's [[lshBandIndex]]. */
+  def hammingBandIndex(
+      df: DataFrame,
+      hashCol: String,
+      idCol: String,
+      bands: Int = 4,
+      bits: Int = 32
+  ): DataFrame = {
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64 (got $bits)")
+    require(bits % bands == 0, s"bands must divide $bits (got $bands)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val h =
+      if (bits == 32)
+        col(hashCol).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+      else col(hashCol).cast("long")
+    df.select(col(idCol).as("id"), h.as("h"))
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(h, band * $width)").bitwiseAND(lit(mask)))
+      .select("id", "band", "bkey", "h")
+  }
+
+  /** INCREMENTAL Hamming near-dup pairing — the fingerprint tier's
+    * (SimHash text dedup, pHash media dedup) steady-state form,
+    * completing the family with [[incrementalLshPairs]] (text) and
+    * [[incrementalEmbeddingNearDup]] (vectors): pair a NEW batch
+    * against a standing [[hammingBandIndex]] without ever pairing the
+    * corpus against itself.
+    *
+    * Plan shape mirrors the text tier: the batch is banded once
+    * (batch-sized), its distinct `(band, bkey)` keys — count-gated —
+    * BROADCAST-semi-probe the index (nothing corpus-sized moves), the
+    * combined probed population is capped (identical drop decision to
+    * a batch run — unprobed buckets hold no batch docs), and pairs
+    * are batch × (batch ∪ probed) only. No verify fetch at all: the
+    * fingerprints RIDE the band rows, so the Hamming check is one
+    * xor/bit_count per candidate. Pigeonhole exactness carries over:
+    * every pair within `maxHamming` that touches the batch shares an
+    * exact band with it. Returns `(pairs(id_a, id_b, hamming),
+    * cappedBuckets)`. Ids must be disjoint from the corpus's. */
+  def incrementalHammingPairsDiag(
+      newDocs: DataFrame,
+      hashCol: String,
+      idCol: String,
+      corpusIndex: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxBucket: Long = 100000L,
+      bits: Int = 32,
+      maxBroadcastProbeKeys: Long = 4000000L
+  ): (DataFrame, DataFrame) = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands > maxHamming (got $bands <= $maxHamming)")
+    val newBands = hammingBandIndex(newDocs, hashCol, idCol, bands, bits)
+      .localCheckpoint(true) // probe keys + tagged union reuse it
+    val nRows = newBands.count()
+    val probe = newBands.select("band", "bkey").distinct()
+    val probeSide =
+      if (nRows <= maxBroadcastProbeKeys) broadcast(probe) else probe
+    val probedCorpus = corpusIndex
+      .join(probeSide, Seq("band", "bkey"), "left_semi")
+    val tagged = newBands
+      .select(col("id"), col("band"), col("bkey"), col("h"),
+        lit(true).as("_new"))
+      .unionByName(probedCorpus
+        .select(col("id"), col("band"), col("bkey"), col("h"),
+          lit(false).as("_new")))
+    val (kept, capped) =
+      graft.query.Skew.capBuckets(tagged, Seq("band", "bkey"), maxBucket)
+    val newSide = kept.where(col("_new"))
+      .select(col("id").as("id_x"), col("band"), col("bkey"),
+        col("h").as("_hx"))
+    val allSide = kept
+      .select(col("id").as("id_y"), col("band"), col("bkey"),
+        col("h").as("_hy"))
+    val pairs = newSide
+      .join(allSide, Seq("band", "bkey"))
+      .where(col("id_x") =!= col("id_y"))
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        expr("bit_count(_hx ^ _hy)").cast("long").as("hamming"))
+      .distinct() // a close pair can collide in several bands
+      .where(col("hamming") <= maxHamming)
+    (pairs, capped)
+  }
+
+  /** [[incrementalHammingPairsDiag]] with the diagnostic dropped —
+    * callers that pre-collapsed identical fingerprints. */
+  def incrementalHammingPairs(
+      newDocs: DataFrame,
+      hashCol: String,
+      idCol: String,
+      corpusIndex: DataFrame,
+      maxHamming: Int,
+      bands: Int = 4,
+      maxBucket: Long = 100000L,
+      bits: Int = 32
+  ): DataFrame =
+    incrementalHammingPairsDiag(newDocs, hashCol, idCol, corpusIndex,
+      maxHamming, bands, maxBucket, bits)._1
+
   /** The fingerprint near-dup CLUSTER pipeline end to end —
     * [[simhash32]]/[[simhash64]] → [[hammingPairsDiag]] →
     * [[connectedComponents]] — with the mega-bucket cap diagnostic

@@ -19,6 +19,29 @@ class PipelineSpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sf, "documents")
   private lazy val emb = Tables.load(spark, sf, "embeddings")
 
+  test("incremental hamming pairs equal batch-touching pairs over a persisted index") {
+    val sh = Dedup.simhash32(docs, "text", "doc_id").toDF("id", "h")
+    val corpus = sh.where(col("id") < 250)
+    val batch = sh.where(col("id") >= 250)
+    val idxDir = tmpDir("hamidx-")
+    Dedup.hammingBandIndex(corpus, "h", "id", bands = 4, bits = 32)
+      .write.mode("overwrite").parquet(idxDir)
+    val got = Dedup.incrementalHammingPairs(batch, "h", "id",
+        spark.read.parquet(idxDir), maxHamming = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the rolling identity: exactly the batch-touching slice of the
+    // full batch run (pigeonhole — both are exact at d <= 2)
+    val all = Dedup.hammingPairs(sh, "h", "id", maxHamming = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = all.filter(p => p._2 >= 250)
+    assert(got == want,
+      s"extra=${got -- want}, missing=${want -- got}")
+    assert(got.nonEmpty && all.exists(_._2 < 250),
+      "fixture vacuous: need batch-touching AND corpus-only pairs")
+    // corpus×corpus never generated: every pair touches the batch
+    assert(got.forall(_._2 >= 250))
+  }
+
   test("contrastive pairs: kinds partition the candidates, ring is clean and deterministic") {
     import graft.pipeline.Contrastive
     val out = Contrastive.minePairs(docs, "text", "doc_id",
