@@ -809,6 +809,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // the managed boilerplate dictionary end to end (BoilerplateIndex):
+    // the even/odd halves are INGESTED as separate journaled batches
+    // into a fresh artifact, then every doc is scored against the
+    // STANDING merge-on-read dictionary — the oracle computes the
+    // whole-corpus statistic directly (q73's SQL at minDocs=3), so
+    // the hash match verifies the df-sum merge law cross-engine
+    "q130_boilerplate_index" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val work = java.nio.file.Files
+        .createTempDirectory("q130-boilidx-").toString
+      val idx = graft.pipeline.BoilerplateIndex.open(s, work, width = 3)
+      idx.ingest("even", docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id")
+      idx.ingest("odd", docs.where(col("doc_id") % 2 === 1),
+        "text", "doc_id")
+      idx.ratio(docs, "text", "doc_id", minDocs = 3L).orderBy("doc_id")
+    }),
+
     // incremental Hamming pairing (Dedup.incrementalHammingPairs):
     // the doc_id>=250 batch probes a standing banded fingerprint
     // index of the rest — by the pigeonhole bound the result is
@@ -2713,6 +2731,21 @@ object SparkEntry {
     "q122_jsonl_shards" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q73's whole-corpus recompute — equal to Spark's two ingested
+    // halves iff the standing dictionary's df-sum merge is exact
+    "q130_boilerplate_index" ->
+      s"""$shinglesCte, boiler AS (
+         |  SELECT s FROM e GROUP BY s HAVING count(*) >= 3
+         |), nb AS (
+         |  SELECT doc_id, count(*) AS n_boiler
+         |  FROM e JOIN boiler USING (s) GROUP BY doc_id
+         |)
+         |SELECT sh.doc_id, CAST(len(sh.shingles) AS BIGINT) AS n_grams,
+         |  coalesce(nb.n_boiler, 0) AS n_boiler,
+         |  round(coalesce(nb.n_boiler, 0) / CAST(len(sh.shingles) AS DOUBLE), 6)
+         |    AS boiler_ratio
+         |FROM sh LEFT JOIN nb ON sh.doc_id = nb.doc_id
+         |ORDER BY sh.doc_id""".stripMargin,
     // q93's all-pairs recompute restricted to pairs whose greater id
     // is in the batch half (id_a < id_b, so "touches the batch" ≡
     // id_b >= 250)
