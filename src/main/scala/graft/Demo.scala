@@ -264,6 +264,35 @@ object Demo {
     println(s"== profile index: $profMid -> $profDocs docs across a " +
       s"restart, ${profEst.count()} strata, v${prof2.version}")
 
+    // 15. The remaining managed artifacts, driven batch-style across
+    // a reopen: the Hamming-tier fingerprint index (simhash32 dedup —
+    // the pHash media case is the same machinery) and the standing
+    // boilerplate gram-df dictionary.
+    val fps = graft.dedup.Dedup
+      .simhash32(pdocs.select("doc_id", "text"), "text", "doc_id")
+      .toDF("doc_id", "h")
+    val fpIdx = graft.dedup.FingerprintIndex
+      .open(spark, s"$work/fpidx", bands = 4, bits = 32)
+    fpIdx.ingest("w1", fps.where(col("doc_id") < 250), "h", "doc_id",
+      maxHamming = 2)
+    val fpMid = fpIdx.corpus.count()
+    val fpIdx2 = graft.dedup.FingerprintIndex.open(spark, s"$work/fpidx")
+    fpIdx2.ingest("w2", fps.where(col("doc_id") >= 250), "h", "doc_id",
+      maxHamming = 2)
+    println(s"== fingerprint index: corpus $fpMid -> " +
+      s"${fpIdx2.corpus.count()} admitted of " +
+      s"${fpIdx2.bandRows.count() / 4} seen across a reopen, " +
+      s"v${fpIdx2.version}")
+    val bIdx = graft.pipeline.BoilerplateIndex
+      .open(spark, s"$work/boilidx", width = 3)
+    bIdx.ingest("w1", pdocs.where(col("doc_id") < 250), "text", "doc_id")
+    bIdx.ingest("w2", pdocs.where(col("doc_id") >= 250), "text", "doc_id")
+    val bDict = bIdx.boilerplateGrams(minDocs = 3L).count()
+    val bHot = bIdx.ratio(pdocs, "text", "doc_id", minDocs = 3L)
+      .where(col("boiler_ratio") > 0.5).count()
+    println(s"== boilerplate index: $bDict standing grams at df>=3, " +
+      s"$bHot docs over 50% boilerplate, v${bIdx.version}")
+
     println("== DEMO OK")
     spark.stop()
   }
