@@ -247,7 +247,26 @@ object Layout {
       dirBits: Int,
       overwrite: Boolean): Unit = {
     val shift = bits * cols.size - dirBits
-    df.withColumn("_zkey", zvalue(cols.map(col), bits))
+    // REFUSE out-of-domain / null values at write time: the Morton
+    // key reads each input mod 2^bits, so a value outside [0, 2^bits)
+    // would be FILED in an unrelated block — correct for the plain
+    // footer-stat layout (stats carry raw values), but a zBoxFilter
+    // read over the partitioned layout would silently LOSE those rows
+    // (its block math assumes in-domain values). A misfiled row is a
+    // wrong-results bug waiting in every future read; refuse loudly
+    // and point at withZRank for unbounded domains.
+    val lim = 1L << bits
+    val guarded = cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull || col(c) < 0 || col(c) >= lim,
+          raise_error(lit(
+            s"writeZOrderedPartitioned: column $c has a null or " +
+              s"out-of-[0, $lim) value — the z key would misfile it " +
+              "and zBoxFilter reads would silently miss it; bucketize " +
+              "unbounded domains first (withZRank)")))
+          .otherwise(col(c)))
+    }
+    guarded.withColumn("_zkey", zvalue(cols.map(col), bits))
       .withColumn("_zb", shiftright(col("_zkey"), shift))
       .repartitionByRange(1 << dirBits, col("_zb"))
       .sortWithinPartitions("_zb", "_zkey")

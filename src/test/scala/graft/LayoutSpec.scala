@@ -147,6 +147,26 @@ class LayoutSpec extends SparkSpec {
     assert(one.count() == 16L * 16)
   }
 
+  test("partitioned write refuses out-of-domain and null values loudly") {
+    import spark.implicits._
+    // a value >= 2^bits would be FILED mod 2^bits: a zBoxFilter read
+    // would silently lose the row — the write must refuse instead
+    val bad = Seq((1L, 2L), (70L, 3L)).toDF("x", "y") // 70 >= 2^6
+    val e = intercept[Exception] {
+      Layout.writeZOrderedPartitioned(bad, Seq("x", "y"),
+        tmpDir("layout-oob"), bits = 6, dirBits = 4)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + msgs(t.getCause)
+    assert(msgs(e).contains("misfile"), s"wrong failure: $e")
+    val withNull = Seq((Some(1L), 2L), (None, 3L)).toDF("x", "y")
+    val e2 = intercept[Exception] {
+      Layout.writeZOrderedPartitioned(withNull, Seq("x", "y"),
+        tmpDir("layout-null"), bits = 6, dirBits = 4)
+    }
+    assert(msgs(e2).contains("misfile"), s"wrong failure: $e2")
+  }
+
   test("appending into a z-block layout keeps the decomposition exact and pruned") {
     val grid = spark.range(64L * 64)
       .select((col("id") % 64).as("x"),
