@@ -1,14 +1,12 @@
 package graft.dedup
 
-import java.io.{FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Paths}
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.storage.TableStore
+import graft.storage.{FileIO, TableStore}
 
 /** Banding/fingerprint parameters of a [[DedupIndex]]. Recorded next
   * to the index at creation and asserted on every reopen: an index
@@ -118,6 +116,20 @@ final class DedupIndex private (
       .headOption
       .map(_.getLong(0))
 
+  /** The caller-supplied knobs-of-record payload that rode `batchId`'s
+    * journal row ([[ingest]]'s `gates`), if any — atomic with the
+    * commit it describes, it survives [[compact]] (journal rows are
+    * preserved by the fold), and unlike a side file it can never be
+    * present without its commit or vice versa. One row by the journal
+    * invariant (ingest is idempotent by batchId). */
+  def recordedGates(batchId: String): Option[String] =
+    store.read
+      .where(col("kind") === "batch" && col("batch_id") === batchId)
+      .select(col("gates"))
+      .collect()
+      .headOption
+      .flatMap(r => Option(r.getString(0)))
+
   /** Bootstrap: index `docs` (bands + fingerprints) WITHOUT deduping
     * them — the already-curated standing corpus entering the managed
     * artifact. One atomic commit; idempotent by `batchId` (a replay
@@ -142,7 +154,7 @@ final class DedupIndex private (
           Seq("id"), "left_anti"),
         Dedup.fingerprintIndex(docs, textCol)
           .join(fpsAt(None), Seq("fingerprint"), "left_anti"),
-        batchId)
+        batchId, None)
     }
   }
 
@@ -177,7 +189,10 @@ final class DedupIndex private (
       exactTier: Boolean = true,
       maxPushedFetchIds: Long = 100000L,
       maxBroadcastProbeKeys: Long = 4000000L,
-      maxIter: Int = 50
+      maxIter: Int = 50,
+      // opaque knobs-of-record payload for the batch's journal row
+      // (see [[recordedGates]]) — the IngestDaemon's replay contract
+      gates: Option[String] = None
   ): IngestResult = synchronized {
     val applied = appliedVersion(batchId)
     // pre-batch snapshot: on a replay the index already holds this
@@ -221,7 +236,7 @@ final class DedupIndex private (
             .as("fingerprint"))
           .distinct()
           .join(idxFps, Seq("fingerprint"), "left_anti"),
-        batchId)
+        batchId, gates)
     }
     IngestResult(exactSurvivors, pairs, admitted, capped, ver,
       applied.isDefined)
@@ -232,21 +247,24 @@ final class DedupIndex private (
   private def commit(
       bandRows: DataFrame,
       fpRows: DataFrame,
-      batchId: String
+      batchId: String,
+      gates: Option[String]
   ): Long = {
     val nul = (t: String) => lit(null).cast(t)
     val b = bandRows.select(
       lit("band").as("kind"), col("id"),
       col("band").cast("int").as("band"), col("bucket").cast("string").as("bucket"),
-      nul("string").as("fingerprint"), nul("string").as("batch_id"))
+      nul("string").as("fingerprint"), nul("string").as("batch_id"),
+      nul("string").as("gates"))
     val f = fpRows.select(
       lit("fp").as("kind"), nul("long").as("id"), nul("int").as("band"),
       nul("string").as("bucket"), col("fingerprint").cast("string").as("fingerprint"),
-      nul("string").as("batch_id"))
+      nul("string").as("batch_id"), nul("string").as("gates"))
     val j = spark.range(1).select(
       lit("batch").as("kind"), nul("long").as("id"), nul("int").as("band"),
       nul("string").as("bucket"), nul("string").as("fingerprint"),
-      lit(batchId).as("batch_id"))
+      lit(batchId).as("batch_id"),
+      gates.map(lit(_)).getOrElse(nul("string")).as("gates"))
     store.append(b.unionByName(f).unionByName(j))
   }
 
@@ -317,7 +335,10 @@ object DedupIndex {
     StructField("band", IntegerType, nullable = true),
     StructField("bucket", StringType, nullable = true),
     StructField("fingerprint", StringType, nullable = true),
-    StructField("batch_id", StringType, nullable = true)
+    StructField("batch_id", StringType, nullable = true),
+    // journal rows only: the opaque knobs-of-record payload the
+    // ingest's caller asked to pin with this batch's commit
+    StructField("gates", StringType, nullable = true)
   ))
 
   /** Open (or create) the index at `dir` with `params`. Creation
@@ -331,11 +352,11 @@ object DedupIndex {
           s"DedupIndex at $dir was built with $p; open requested $params — " +
             "banding parameters must match across the persist/probe boundary")
       case None =>
-        Files.createDirectories(Paths.get(dir))
+        FileIO.forPath(dir).mkdirs(dir)
         writeParams(dir, params)
     }
     new DedupIndex(spark, dir,
-      TableStore.open(spark, Paths.get(dir, "store").toString, storeSchema),
+      TableStore.open(spark, FileIO.join(dir, "store"), storeSchema),
       params)
   }
 
@@ -346,22 +367,14 @@ object DedupIndex {
     open(spark, dir, p)
   }
 
-  private def paramsPath(dir: String) = Paths.get(dir, "params.properties")
+  private def paramsPath(dir: String) = FileIO.join(dir, "params.properties")
 
-  private def storedParams(dir: String): Option[DedupParams] = {
-    val p = paramsPath(dir)
-    if (!Files.exists(p)) None
-    else {
-      val props = new Properties()
-      val in = new FileInputStream(p.toFile)
-      try props.load(in) finally in.close()
-      Some(DedupParams(
-        props.getProperty("numHashes").toInt,
-        props.getProperty("bands").toInt,
-        props.getProperty("shingleWidth").toInt,
-        props.getProperty("portableHash").toBoolean))
-    }
-  }
+  private def storedParams(dir: String): Option[DedupParams] =
+    FileIO.loadProps(paramsPath(dir)).map(props => DedupParams(
+      props.getProperty("numHashes").toInt,
+      props.getProperty("bands").toInt,
+      props.getProperty("shingleWidth").toInt,
+      props.getProperty("portableHash").toBoolean))
 
   private def writeParams(dir: String, params: DedupParams): Unit = {
     val props = new Properties()
@@ -369,8 +382,7 @@ object DedupIndex {
     props.setProperty("bands", params.bands.toString)
     props.setProperty("shingleWidth", params.shingleWidth.toString)
     props.setProperty("portableHash", params.portableHash.toString)
-    val out = new FileOutputStream(paramsPath(dir).toFile)
-    try props.store(out, "graft DedupIndex banding parameters")
-    finally out.close()
+    FileIO.storeProps(paramsPath(dir), props,
+      "graft DedupIndex banding parameters")
   }
 }

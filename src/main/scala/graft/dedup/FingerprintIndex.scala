@@ -1,13 +1,12 @@
 package graft.dedup
 
-import java.nio.file.{Files, Paths}
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.storage.TableStore
+import graft.storage.{FileIO, TableStore}
 
 /** What one [[FingerprintIndex.ingest]] produced — frames pinned to
   * the pre-batch snapshot (the [[IngestResult]] contract). */
@@ -216,16 +215,15 @@ object FingerprintIndex {
             s"— band keys under different geometry are disjoint " +
             "namespaces; probes would silently miss")
       case None =>
-        Files.createDirectories(Paths.get(dir))
+        FileIO.forPath(dir).mkdirs(dir)
         val props = new Properties()
         props.setProperty("bands", bands.toString)
         props.setProperty("bits", bits.toString)
-        val out = new java.io.FileOutputStream(marker(dir).toFile)
-        try props.store(out, "graft FingerprintIndex geometry")
-        finally out.close()
+        FileIO.storeProps(marker(dir), props,
+          "graft FingerprintIndex geometry")
     }
     new FingerprintIndex(spark, dir,
-      TableStore.open(spark, Paths.get(dir, "store").toString, storeSchema),
+      TableStore.open(spark, FileIO.join(dir, "store"), storeSchema),
       bands, bits)
   }
 
@@ -236,17 +234,9 @@ object FingerprintIndex {
     open(spark, dir, b, w)
   }
 
-  private def marker(dir: String) = Paths.get(dir, "geometry.properties")
+  private def marker(dir: String) = FileIO.join(dir, "geometry.properties")
 
-  private def storedParams(dir: String): Option[(Int, Int)] = {
-    val p = marker(dir)
-    if (!Files.exists(p)) None
-    else {
-      val props = new Properties()
-      val in = new java.io.FileInputStream(p.toFile)
-      try props.load(in) finally in.close()
-      Some((props.getProperty("bands").toInt,
-        props.getProperty("bits").toInt))
-    }
-  }
+  private def storedParams(dir: String): Option[(Int, Int)] =
+    FileIO.loadProps(marker(dir)).map(p =>
+      (p.getProperty("bands").toInt, p.getProperty("bits").toInt))
 }

@@ -1,13 +1,12 @@
 package graft.dedup
 
-import java.nio.file.{Files, Paths}
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.storage.TableStore
+import graft.storage.{FileIO, TableStore}
 
 /** What one [[SemanticIndex.ingest]] produced. `admitted` is pinned
   * to the pre-batch snapshot (same contract as [[IngestResult]]): it
@@ -226,11 +225,11 @@ object SemanticIndex {
             s"(k=${p.size}); cells assigned under different centroids " +
             "are disjoint namespaces — probes would silently miss")
       case None =>
-        Files.createDirectories(Paths.get(dir))
+        FileIO.forPath(dir).mkdirs(dir)
         writeCents(spark, dir, sorted)
     }
     new SemanticIndex(spark, dir,
-      TableStore.open(spark, Paths.get(dir, "store").toString, storeSchema),
+      TableStore.open(spark, FileIO.join(dir, "store"), storeSchema),
       sorted)
   }
 
@@ -241,12 +240,12 @@ object SemanticIndex {
     open(spark, dir, p)
   }
 
-  private def marker(dir: String) = Paths.get(dir, "codebook.properties")
-  private def cbDir(dir: String) = Paths.get(dir, "codebook").toString
+  private def marker(dir: String) = FileIO.join(dir, "codebook.properties")
+  private def cbDir(dir: String) = FileIO.join(dir, "codebook")
 
   private def storedCents(
       spark: SparkSession, dir: String): Option[Seq[(Long, Seq[Float])]] = {
-    if (!Files.exists(marker(dir))) None
+    if (FileIO.loadProps(marker(dir)).isEmpty) None
     else Some(spark.read.parquet(cbDir(dir))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -266,7 +265,6 @@ object SemanticIndex {
     val props = new Properties()
     props.setProperty("k", cents.size.toString)
     props.setProperty("dims", cents.head._2.length.toString)
-    val out = new java.io.FileOutputStream(marker(dir).toFile)
-    try props.store(out, "graft SemanticIndex codebook") finally out.close()
+    FileIO.storeProps(marker(dir), props, "graft SemanticIndex codebook")
   }
 }

@@ -1,13 +1,12 @@
 package graft.dedup
 
-import java.nio.file.{Files, Paths}
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.storage.TableStore
+import graft.storage.{FileIO, TableStore}
 
 /** What one [[VecDedupIndex.ingest]] produced — frames pinned to the
   * pre-batch snapshot (the [[IngestResult]] contract). */
@@ -229,28 +228,27 @@ object VecDedupIndex {
             s"bits=$bits — signature widths must match across the " +
             "persist/probe boundary")
       case None =>
-        Files.createDirectories(Paths.get(dir))
+        FileIO.forPath(dir).mkdirs(dir)
         val props = new Properties()
         props.setProperty("bits", bits.toString)
-        val out = new java.io.FileOutputStream(marker(dir).toFile)
-        try props.store(out, "graft VecDedupIndex signature width")
-        finally out.close()
+        FileIO.storeProps(marker(dir), props,
+          "graft VecDedupIndex signature width")
     }
     new VecDedupIndex(spark, dir,
-      TableStore.open(spark, Paths.get(dir, "store").toString, storeSchema),
+      TableStore.open(spark, FileIO.join(dir, "store"), storeSchema),
       bits)
   }
 
-  private def marker(dir: String) = Paths.get(dir, "params.properties")
-
-  private def storedBits(dir: String): Option[Int] = {
-    val p = marker(dir)
-    if (!Files.exists(p)) None
-    else {
-      val props = new Properties()
-      val in = new java.io.FileInputStream(p.toFile)
-      try props.load(in) finally in.close()
-      Some(props.getProperty("bits").toInt)
-    }
+  /** Reopen an existing index with the signature width it was built
+    * with (pinned on disk at creation). */
+  def reopen(spark: SparkSession, dir: String): VecDedupIndex = {
+    val b = storedBits(dir).getOrElse(
+      throw new IllegalArgumentException(s"no VecDedupIndex at $dir"))
+    open(spark, dir, b)
   }
+
+  private def marker(dir: String) = FileIO.join(dir, "params.properties")
+
+  private def storedBits(dir: String): Option[Int] =
+    FileIO.loadProps(marker(dir)).map(_.getProperty("bits").toInt)
 }

@@ -1,6 +1,5 @@
 package graft.indexes
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -29,7 +28,8 @@ import graft.storage.TableStore
 final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
 
   private val store = TableStore.open(spark, dir, KVIndex.schema)
-  private val seqPath = Paths.get(dir, "cursor.seq")
+  private val io = graft.storage.FileIO.forPath(dir)
+  private val seqPath = graft.storage.FileIO.join(dir, "cursor.seq")
 
   // Per-key observable registry (reference: indexes/index.go:27-38
   // returns an Observable per Get; obv.go:13-51 register/notify/GC)
@@ -193,20 +193,14 @@ final class KVIndex(val spark: SparkSession, val dir: String) extends KV {
   }
 
   /** Persisted resume cursor (SetSeq/GetSeq, indexes/index.go:63-70). */
-  def setSeq(seq: Long): Unit = {
-    val tmp = Paths.get(dir, "cursor.seq.tmp")
-    Files.writeString(tmp, seq.toString)
-    graft.storage.FaultPoints.reach("kv.cursor.tmpWritten")
-    Files.move(
-      tmp,
+  def setSeq(seq: Long): Unit =
+    io.writeAtomic(
       seqPath,
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING
-    )
-  }
+      seq.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      () => graft.storage.FaultPoints.reach("kv.cursor.tmpWritten"))
 
   def getSeq: Long =
-    if (Files.exists(seqPath)) Files.readString(seqPath).trim.toLong
+    if (io.exists(seqPath)) io.readString(seqPath).trim.toLong
     else graft.core.Seqs.SeqEmpty
 }
 

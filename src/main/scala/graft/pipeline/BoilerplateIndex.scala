@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -8,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.dedup.Dedup
-import graft.storage.TableStore
+import graft.storage.{FileIO, TableStore}
 
 /** The standing boilerplate dictionary as a MANAGED artifact — the
   * [[graft.sketch.ProfileIndex]] discipline applied to the
@@ -196,15 +195,14 @@ object BoilerplateIndex {
           s"BoilerplateIndex at $dir was built with width=$w — gram " +
             "spaces of different widths must never sum")
       case None =>
-        Files.createDirectories(Paths.get(dir))
+        FileIO.forPath(dir).mkdirs(dir)
         val props = new Properties()
         props.setProperty("width", width.toString)
-        val out = new java.io.FileOutputStream(marker(dir).toFile)
-        try props.store(out, "graft BoilerplateIndex parameters")
-        finally out.close()
+        FileIO.storeProps(marker(dir), props,
+          "graft BoilerplateIndex parameters")
     }
     new BoilerplateIndex(spark, dir,
-      TableStore.open(spark, Paths.get(dir, "store").toString, storeSchema),
+      TableStore.open(spark, FileIO.join(dir, "store"), storeSchema),
       width)
   }
 
@@ -215,15 +213,8 @@ object BoilerplateIndex {
     open(spark, dir, w)
   }
 
-  private def marker(dir: String) = Paths.get(dir, "boilerplate.properties")
+  private def marker(dir: String) = FileIO.join(dir, "boilerplate.properties")
 
-  private def storedWidth(dir: String): Option[Int] = {
-    if (!Files.exists(marker(dir))) None
-    else {
-      val props = new Properties()
-      val in = new java.io.FileInputStream(marker(dir).toFile)
-      try props.load(in) finally in.close()
-      Some(props.getProperty("width").toInt)
-    }
-  }
+  private def storedWidth(dir: String): Option[Int] =
+    FileIO.loadProps(marker(dir)).map(_.getProperty("width").toInt)
 }

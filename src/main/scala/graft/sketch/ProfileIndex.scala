@@ -1,13 +1,12 @@
 package graft.sketch
 
-import java.nio.file.{Files, Paths}
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.storage.TableStore
+import graft.storage.{FileIO, TableStore}
 
 /** The standing corpus profile as a FIRST-CLASS managed artifact —
   * the [[graft.dedup.DedupIndex]] discipline applied to the
@@ -175,11 +174,11 @@ object ProfileIndex {
             s"text=$pt) — sketches under different parameters are " +
             "different estimators; folding them corrupts every estimate")
       case None =>
-        Files.createDirectories(Paths.get(dir))
+        FileIO.forPath(dir).mkdirs(dir)
         writeParams(dir, k, strataCol, textCol)
     }
     new ProfileIndex(spark, dir,
-      TableStore.open(spark, Paths.get(dir, "store").toString, storeSchema),
+      TableStore.open(spark, FileIO.join(dir, "store"), storeSchema),
       k, strataCol, textCol)
   }
 
@@ -190,18 +189,12 @@ object ProfileIndex {
     open(spark, dir, k, s, t)
   }
 
-  private def marker(dir: String) = Paths.get(dir, "profile.properties")
+  private def marker(dir: String) = FileIO.join(dir, "profile.properties")
 
-  private def storedParams(dir: String): Option[(Int, String, String)] = {
-    if (!Files.exists(marker(dir))) None
-    else {
-      val props = new Properties()
-      val in = new java.io.FileInputStream(marker(dir).toFile)
-      try props.load(in) finally in.close()
-      Some((props.getProperty("k").toInt,
+  private def storedParams(dir: String): Option[(Int, String, String)] =
+    FileIO.loadProps(marker(dir)).map(props =>
+      (props.getProperty("k").toInt,
         props.getProperty("strataCol"), props.getProperty("textCol")))
-    }
-  }
 
   private def writeParams(
       dir: String, k: Int, strataCol: String, textCol: String): Unit = {
@@ -209,7 +202,6 @@ object ProfileIndex {
     props.setProperty("k", k.toString)
     props.setProperty("strataCol", strataCol)
     props.setProperty("textCol", textCol)
-    val out = new java.io.FileOutputStream(marker(dir).toFile)
-    try props.store(out, "graft ProfileIndex parameters") finally out.close()
+    FileIO.storeProps(marker(dir), props, "graft ProfileIndex parameters")
   }
 }

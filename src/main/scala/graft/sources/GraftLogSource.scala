@@ -519,9 +519,10 @@ private[sources] object SegmentPacking {
   /** File size of a committed segment; manifest-rows estimate (never
     * 0) when the file is momentarily unreadable mid-rewrite. */
   def segmentSize(dir: String, s: graft.storage.Segment): Long =
-    try java.nio.file.Files.size(java.nio.file.Paths.get(dir, s.path))
+    try graft.storage.FileIO.forPath(dir)
+      .size(graft.storage.FileIO.join(dir, s.path))
     catch {
-      case _: java.io.IOException => math.max(s.rows, 1L) * FallbackBytesPerRow
+      case _: Exception => math.max(s.rows, 1L) * FallbackBytesPerRow
     }
 
   /** One planned partition's worth of segment bytes: whole files
@@ -577,7 +578,7 @@ private[sources] object SegmentPacking {
     def size(s: graft.storage.Segment): Long = segmentSize(dir, s)
     def flush(): Unit = if (cur.nonEmpty) {
       groups += PackedGroup(
-        cur.map(s => java.nio.file.Paths.get(dir, s.path).toString).toSeq,
+        cur.map(s => graft.storage.FileIO.join(dir, s.path)).toSeq,
         cur.head.minSeq, cur.last.maxSeq)
       cur.clear(); curBytes = 0L
     }
@@ -600,12 +601,12 @@ private[sources] object SegmentPacking {
     * None when the file can't be read (racing rewrite) or any row
     * group lacks stats — callers fall back to a whole-file group. */
   private def blockStats(
-      file: java.nio.file.Path,
+      file: String,
       filterCol: String
   ): Option[List[(Long, Long, Long, Long)]] =
     try {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        new org.apache.parquet.io.LocalInputFile(file),
+        graft.storage.FileIO.forPath(file).inputFile(file),
         org.apache.parquet.ParquetReadOptions.builder().build())
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toList
@@ -630,8 +631,8 @@ private[sources] object SegmentPacking {
       filterCol: String,
       sharedRangeSplits: Boolean
   ): Seq[PackedGroup] = {
-    val path = java.nio.file.Paths.get(dir, s.path)
-    val whole = Seq(PackedGroup(Seq(path.toString), s.minSeq, s.maxSeq))
+    val path = graft.storage.FileIO.join(dir, s.path)
+    val whole = Seq(PackedGroup(Seq(path), s.minSeq, s.maxSeq))
     blockStats(path, filterCol) match {
       case Some(blocks) if blocks.length > 1 =>
         val ordered = blocks.lazyZip(blocks.tail).forall(_._4 < _._3)
@@ -662,7 +663,7 @@ private[sources] object SegmentPacking {
             val (lo, hi) =
               if (ordered) (r.head._3, r.last._4)
               else (s.minSeq, s.maxSeq)
-            PackedGroup(Seq(path.toString), lo, hi, start, end)
+            PackedGroup(Seq(path), lo, hi, start, end)
           }
         }
       case _ => whole
@@ -977,8 +978,8 @@ final class GraftLogReaderFactory(
       p: InputPartition
   ): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val seg = p.asInstanceOf[LogSegmentPartition]
-    val planned = seg.paths.map(java.nio.file.Paths.get(_))
-    if (planned.forall(java.nio.file.Files.exists(_))) {
+    val planned = seg.paths
+    if (planned.forall(f => graft.storage.FileIO.forPath(f).exists(f))) {
       // fast path: committed segment contents are within the
       // partition's seq range by the dense-seq invariant (for a
       // byte-range split, the range itself bounds the rows); a
@@ -1018,8 +1019,9 @@ final class GraftLogReaderFactory(
       if (hasCol) schema
       else StructType(
         StructField(filterCol, LongType, nullable = false) +: schema.fields)
-    val planned = seg.paths.map(p => java.nio.file.Paths.get(p))
-    val plannedPresent = planned.forall(java.nio.file.Files.exists(_))
+    val planned = seg.paths
+    val plannedPresent =
+      planned.forall(f => graft.storage.FileIO.forPath(f).exists(f))
     // byte-range splits read their row-group run only while the
     // planned file is the one being read — a replacement file has a
     // different layout, so the fallback drops the range and cuts by
@@ -1032,7 +1034,7 @@ final class GraftLogReaderFactory(
     // back to the current manifest for the whole (contiguous) group
     // range — per-file mixing would double-read rows a merged
     // replacement segment now covers
-    val files: Seq[java.nio.file.Path] =
+    val files: Seq[String] =
       if (plannedPresent) planned
       else {
         val m = Manifest
@@ -1057,7 +1059,7 @@ final class GraftLogReaderFactory(
           }
         m.segments
           .filter(s => s.maxSeq >= lo && s.minSeq <= hi)
-          .map(s => java.nio.file.Paths.get(seg.dir, s.path))
+          .map(s => graft.storage.FileIO.join(seg.dir, s.path))
       }
     val forward = new PartitionReader[InternalRow] {
       private val remaining = files.iterator

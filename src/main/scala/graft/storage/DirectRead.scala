@@ -1,6 +1,5 @@
 package graft.storage
 
-import java.nio.file.Path
 import java.util.{LinkedHashMap => JLinkedHashMap, Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -12,7 +11,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.metadata.BlockMetaData
 import org.apache.parquet.internal.column.columnindex.OffsetIndex
 import org.apache.parquet.internal.filter2.columnindex.RowRanges
-import org.apache.parquet.io.{ColumnIOFactory, LocalInputFile, MessageColumnIO}
+import org.apache.parquet.io.{ColumnIOFactory, MessageColumnIO}
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
@@ -38,9 +37,9 @@ import org.apache.spark.sql.types._
   */
 private[graft] object DirectRead {
 
-  private final class SegReader(val file: Path) {
+  private final class SegReader(val file: String) {
     val reader: ParquetFileReader = ParquetFileReader.open(
-      new LocalInputFile(file),
+      FileIO.forPath(file).inputFile(file),
       ParquetReadOptions.builder().build()
     )
     val schema: MessageType = reader.getFooter.getFileMetaData.getSchema
@@ -74,10 +73,9 @@ private[graft] object DirectRead {
       }
     }
 
-  private def cached(file: Path): SegReader = cache.synchronized {
-    val key = file.toAbsolutePath.toString
-    var r = cache.get(key)
-    if (r == null) { r = new SegReader(file); cache.put(key, r) }
+  private def cached(file: String): SegReader = cache.synchronized {
+    var r = cache.get(file)
+    if (r == null) { r = new SegReader(file); cache.put(file, r) }
     r
   }
 
@@ -85,8 +83,8 @@ private[graft] object DirectRead {
     * about to be deleted — rewrite/compact/fsck call this BEFORE the
     * delete, so the open fd neither pins the dead file's disk space
     * (Linux) nor blocks the delete itself (Windows). */
-  private[storage] def invalidate(file: Path): Unit = cache.synchronized {
-    val r = cache.remove(file.toAbsolutePath.toString)
+  private[storage] def invalidate(file: String): Unit = cache.synchronized {
+    val r = cache.remove(file)
     if (r != null) r.close()
   }
 
@@ -95,7 +93,7 @@ private[graft] object DirectRead {
     * so `seqNo - minSeq` IS the row index (verified against the
     * decoded row, never assumed blindly). */
   def readRow(
-      file: Path,
+      file: String,
       schema: StructType,
       seqNo: Long,
       minSeq: Long

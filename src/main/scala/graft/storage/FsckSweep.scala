@@ -1,9 +1,5 @@
 package graft.storage
 
-import java.nio.file.{Files, Path, Paths}
-
-import scala.jdk.CollectionConverters._
-
 /** Shared crash-litter sweep machinery for the two manifest stores'
   * fsck implementations ([[ParquetLog.checkConsistency]],
   * [[TableStore.checkConsistency]]). One copy, because the two sweeps
@@ -11,38 +7,32 @@ import scala.jdk.CollectionConverters._
   * `minAgeMs` (young litter may belong to a live writer in another
   * process), both judge against the on-disk manifest, and a fix to
   * either discipline that missed the other would silently diverge the
-  * stores' crash-recovery behavior. */
+  * stores' crash-recovery behavior.
+  *
+  * All paths are FileIO-routed strings, so the sweep works identically
+  * on local POSIX dirs and URI-schemed stores (HDFS/S3/`file:`).
+  * Hidden-by-convention names (`.crc` sidecars, `_SUCCESS` markers —
+  * see [[FileIO.isHidden]]) are never litter: Hadoop filesystems own
+  * them and delete them with their primary file. */
 private[storage] object FsckSweep {
 
   /** Litter younger than `minAgeMs` is never deleted: it may be an
     * in-flight writer's (files landed, manifest not yet committed) —
     * sweeping it would corrupt that commit. A crashed writer's litter
     * only AGES; post-crash callers pass 0 (writer known dead). */
-  def oldEnough(p: Path, minAgeMs: Long): Boolean =
-    try {
-      System.currentTimeMillis() -
-        Files.getLastModifiedTime(p).toMillis >= minAgeMs
-    } catch { case _: Exception => false }
+  def oldEnough(mtimeMs: Long, minAgeMs: Long): Boolean =
+    System.currentTimeMillis() - mtimeMs >= minAgeMs
 
-  /** Directory listing with the stream closed (Files.list leaks an fd
-    * per call otherwise). */
-  def ls(p: Path): List[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toList
-    finally s.close()
-  }
+  /** Shallow listing of VISIBLE entries (hidden sidecars skipped). */
+  def ls(dir: String): List[FileIO.Entry] =
+    FileIO.forPath(dir).list(dir).filterNot(e => FileIO.isHidden(e.name))
 
-  def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+  def deleteRecursively(path: String): Unit =
+    FileIO.forPath(path).deleteRecursively(path)
 
   /** Sweep ROOT-level crash litter common to both stores: `tmp-*`
     * spill dirs (append died before cleanup) and `manifest.json.tmp`
-    * (commit died between tmp write and atomic rename — the committed
+    * (commit died between staging and atomic publish — the committed
     * manifest.json is untouched either way). Problems are reported via
     * `report`; deletion happens only under `doRepair` AND the age
     * gate. */
@@ -51,15 +41,17 @@ private[storage] object FsckSweep {
       doRepair: Boolean,
       minAgeMs: Long,
       report: String => Unit
-  ): Unit =
-    ls(Paths.get(dir)).foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("tmp-")) {
-        report(s"orphan tmp dir: $n")
-        if (doRepair && oldEnough(p, minAgeMs)) deleteRecursively(p)
-      } else if (n == "manifest.json.tmp") {
+  ): Unit = {
+    val io = FileIO.forPath(dir)
+    ls(dir).foreach { e =>
+      if (e.name.startsWith("tmp-")) {
+        report(s"orphan tmp dir: ${e.name}")
+        if (doRepair && oldEnough(e.mtimeMs, minAgeMs))
+          io.deleteRecursively(e.path)
+      } else if (e.name == "manifest.json.tmp") {
         report("torn manifest tmp (crash between write and rename)")
-        if (doRepair && oldEnough(p, minAgeMs)) Files.deleteIfExists(p)
+        if (doRepair && oldEnough(e.mtimeMs, minAgeMs)) io.delete(e.path)
       }
     }
+  }
 }

@@ -1,6 +1,5 @@
 package graft.storage
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -15,11 +14,15 @@ final case class Segment(path: String, minSeq: Long, maxSeq: Long, rows: Long)
   * record that makes a set of immutable data files atomically visible
   * and carries the committed max sequence number.
   *
-  * Commit protocol: write `manifest.json.tmp` then atomically rename to
-  * `manifest.json`. Readers only trust files listed here; a crash
-  * mid-append leaves orphan parquet files that are invisible (and are
-  * swept by checkConsistency), giving the same recovery semantics as
-  * the reference's journal cross-check (offset2/log.go:217-302).
+  * Commit protocol: stage the new content, then atomically publish it
+  * over `manifest.json` — through [[FileIO]], so the staging/publish
+  * pair is fsync'd tmp + ATOMIC_MOVE on local disk, tmp +
+  * `FileContext.rename(OVERWRITE)` on HDFS, and a single atomic PUT on
+  * object stores (see [[FileIO]] for the per-backend protocol).
+  * Readers only trust files listed here; a crash mid-append leaves
+  * orphan parquet files that are invisible (and are swept by
+  * checkConsistency), giving the same recovery semantics as the
+  * reference's journal cross-check (offset2/log.go:217-302).
   *
   * At cluster scale this is one tiny JSON object on shared storage
   * maintained by the single committer — the one honest serialization
@@ -54,7 +57,7 @@ final case class Manifest(
 object Manifest {
   private implicit val fmts: Formats = DefaultFormats
 
-  def manifestPath(dir: String): Path = Paths.get(dir, "manifest.json")
+  def manifestPath(dir: String): String = FileIO.join(dir, "manifest.json")
 
   /** The committed manifest; None when no manifest file exists.
     * A PRESENT-but-unreadable manifest THROWS: callers like open()
@@ -63,8 +66,9 @@ object Manifest {
     * tooling that wants graceful degradation uses [[tryLoad]]. */
   def load(dir: String): Option[Manifest] = {
     val p = manifestPath(dir)
-    if (!Files.exists(p)) None
-    else Some(JsonMethods.parse(Files.readString(p)).extract[Manifest])
+    val io = FileIO.forPath(p)
+    if (!io.exists(p)) None
+    else Some(JsonMethods.parse(io.readString(p)).extract[Manifest])
   }
 
   /** [[load]] that degrades a present-but-unreadable manifest to None
@@ -82,76 +86,36 @@ object Manifest {
       extends RuntimeException(
         s"manifest conflict in $dir: committing v$expected but disk has v$found — another writer is active; reopen the log")
 
-  // per-directory JVM monitor: serializes same-process committers on
-  // one dir (and prevents OverlappingFileLockException on the OS lock
-  // below — FileLock is held per JVM, not per thread)
-  private val dirMonitors =
-    scala.collection.concurrent.TrieMap.empty[String, Object]
-
-  /** Commit `m` as the new manifest — a real compare-and-swap, not an
-    * optimistic check: the version test, tmp write and atomic rename
-    * all run under an OS file lock (`manifest.lock`) plus a
-    * per-directory JVM monitor, so two racing committers (same process
-    * or not) serialize and the loser gets [[ConcurrentWriteException]]
-    * instead of publishing over the winner (the lost-update + shared
-    * tmp-file race a lock-free fixed-name protocol has).
+  /** Commit `m` as the new manifest — a real compare-and-swap where
+    * the backend has locks, an optimistic CAS elsewhere: the version
+    * test, staging and atomic publish all run inside
+    * [[FileIO.withDirLock]] (per-dir JVM monitor everywhere, plus an
+    * OS file lock on local disk), so two racing committers serialize
+    * and the loser gets [[ConcurrentWriteException]] instead of
+    * publishing over the winner. On shared filesystems without
+    * advisory locks (HDFS, object stores) cross-PROCESS serialization
+    * is the single-committer deployment contract; the CAS still turns
+    * a stale handle's commit into a loud refusal, never a silently
+    * dropped segment list.
     *
-    * Durability: the tmp file is fsync'd before the rename and the
-    * directory is fsync'd after it (best-effort where the FS supports
-    * it), so an OS crash after commit() returns cannot surface an
-    * empty/garbage manifest.json — rename atomicity alone only covers
-    * process crashes. */
+    * Durability is the backend's publish contract (see [[FileIO]]):
+    * fsync + rename + dir-fsync locally, atomic rename on HDFS,
+    * atomic PUT on object stores. */
   def commit(dir: String, m: Manifest): Unit = {
-    val p = manifestPath(dir)
-    Files.createDirectories(p.getParent)
-    val monitor = dirMonitors.getOrElseUpdate(
-      p.getParent.toAbsolutePath.normalize.toString, new Object)
-    monitor.synchronized {
-      val lockCh = java.nio.channels.FileChannel.open(
-        Paths.get(dir, "manifest.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = lockCh.lock()
-        try {
-          // CAS: our version must be exactly disk+1 (or the initial
-          // commit) — checked INSIDE the lock, atomic with the rename
-          val diskVersion = load(dir).map(_.version).getOrElse(-1L)
-          if (m.version != diskVersion + 1 &&
-            !(m.version == 0 && diskVersion == -1L))
-            throw ConcurrentWriteException(dir, m.version, diskVersion)
-          val tmp = Paths.get(dir, "manifest.json.tmp")
-          val ch = java.nio.channels.FileChannel.open(
-            tmp,
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.WRITE,
-            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-          try {
-            val bytes = Serialization.writePretty(m)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val buf = java.nio.ByteBuffer.wrap(bytes)
-            while (buf.hasRemaining) ch.write(buf)
-            ch.force(true)
-          } finally ch.close()
-          FaultPoints.reach("manifest.tmpWritten")
-          Files.move(
-            tmp,
-            p,
-            StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING
-          )
-          fsyncDir(p.getParent)
-        } finally lock.release()
-      } finally lockCh.close()
+    val io = FileIO.forPath(dir)
+    io.withDirLock(dir) {
+      // CAS: our version must be exactly disk+1 (or the initial
+      // commit) — checked INSIDE the lock, atomic with the publish
+      val diskVersion = load(dir).map(_.version).getOrElse(-1L)
+      if (m.version != diskVersion + 1 &&
+        !(m.version == 0 && diskVersion == -1L))
+        throw ConcurrentWriteException(dir, m.version, diskVersion)
+      val bytes = Serialization.writePretty(m)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      io.writeAtomic(
+        manifestPath(dir),
+        bytes,
+        () => FaultPoints.reach("manifest.tmpWritten"))
     }
   }
-
-  /** Best-effort directory fsync (makes the rename itself durable on
-    * Linux filesystems; unsupported platforms are a no-op). */
-  private def fsyncDir(dir: Path): Unit =
-    try {
-      val ch = java.nio.channels.FileChannel.open(
-        dir, java.nio.file.StandardOpenOption.READ)
-      try ch.force(true) finally ch.close()
-    } catch { case _: Exception => () }
 }

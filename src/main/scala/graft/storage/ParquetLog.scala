@@ -1,6 +1,5 @@
 package graft.storage
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -50,7 +49,9 @@ final class ParquetLog private (
 ) extends Log {
   import ParquetLog._
 
-  private def dataDir: Path = Paths.get(dir, "data")
+  private val io: FileIO = FileIO.forPath(dir)
+
+  private def dataDir: String = FileIO.join(dir, "data")
 
   def valueType: DataType = DataType.fromJson(manifest.valueSchemaJson)
 
@@ -202,7 +203,7 @@ final class ParquetLog private (
     try Manifest.commit(dir, next)
     catch {
       case e: Throwable =>
-        fresh.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+        fresh.foreach(s => io.delete(FileIO.join(dir, s.path)))
         throw e
     }
     manifest = next
@@ -214,7 +215,7 @@ final class ParquetLog private (
     * metadata read — the stats the writer already computed), not an
     * extra Spark job over the data. */
   private def writeSegments(df: DataFrame): List[Segment] = {
-    val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
+    val tmp = FileIO.join(dir, s"tmp-${UUID.randomUUID()}")
     df.sortWithinPartitions("seq")
       .write
       // small pages (row-count-bounded) make the column index precise:
@@ -223,22 +224,19 @@ final class ParquetLog private (
       // and pays a negligible scan/size cost for it
       .option("parquet.page.row.count.limit", "1024")
       .mode(SaveMode.Overwrite)
-      .parquet(tmp.toString)
+      .parquet(tmp)
     FaultPoints.reach("log.segments.tmpWritten")
-    val files = Files
-      .list(tmp)
-      .iterator()
-      .asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toList
-    Files.createDirectories(dataDir)
+    val files = io.list(tmp)
+      .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
+    io.mkdirs(dataDir)
     val segs = files.flatMap { src =>
-      ParquetLog.seqStatsFromFooter(src).map { case (minSeq, maxSeq, rows) =>
-        val name = f"seg-$minSeq%012d-${UUID.randomUUID().toString.take(8)}.parquet"
-        FaultPoints.reach("log.segments.beforeMove")
-        Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        FaultPoints.reach("log.segments.moved")
-        Segment(s"data/$name", minSeq, maxSeq, rows)
+      ParquetLog.seqStatsFromFooter(io.inputFile(src.path)).map {
+        case (minSeq, maxSeq, rows) =>
+          val name = f"seg-$minSeq%012d-${UUID.randomUUID().toString.take(8)}.parquet"
+          FaultPoints.reach("log.segments.beforeMove")
+          io.rename(src.path, FileIO.join(dataDir, name))
+          FaultPoints.reach("log.segments.moved")
+          Segment(s"data/$name", minSeq, maxSeq, rows)
       } // zero-row part files are skipped (and cleaned with tmp)
     }
     FaultPoints.reach("log.segments.allMoved")
@@ -262,11 +260,11 @@ final class ParquetLog private (
       .find(s => s.minSeq <= seqNo && seqNo <= s.maxSeq)
       .getOrElse(throw GraftErrors.ErrOutOfBounds(seqNo))
     val r = DirectRead
-      .readRow(Paths.get(dir, seg.path), rowSchema, seqNo, seg.minSeq)
+      .readRow(FileIO.join(dir, seg.path), rowSchema, seqNo, seg.minSeq)
       .getOrElse {
         val rows = spark.read
           .schema(rowSchema)
-          .parquet(Paths.get(dir, seg.path).toString)
+          .parquet(FileIO.join(dir, seg.path))
           .where(col("seq") === seqNo)
           .collect()
         if (rows.isEmpty) throw GraftErrors.ErrOutOfBounds(seqNo)
@@ -314,7 +312,7 @@ final class ParquetLog private (
           case None => Some(None) // absent seq: skip, not a miss
           case Some(seg) =>
             DirectRead.readRow(
-              Paths.get(dir, seg.path), rowSchema, n, seg.minSeq) match {
+              FileIO.join(dir, seg.path), rowSchema, n, seg.minSeq) match {
               case Some(r) => Some(Some(r))
               case None => None // miss -> whole batch via Spark
             }
@@ -325,7 +323,7 @@ final class ParquetLog private (
     }
     val base = spark.read
       .schema(rowSchema)
-      .parquet(segs.map(s => Paths.get(dir, s.path).toString): _*)
+      .parquet(segs.map(s => FileIO.join(dir, s.path)): _*)
     // coalesce sorted seqs into inclusive [lo, hi] runs — O(k), run
     // tracked in locals (an indexed-update loop over a linked buffer
     // would be O(k²) on a large scattered set)
@@ -423,7 +421,7 @@ final class ParquetLog private (
         .find(s => s.minSeq <= seqNo && seqNo <= s.maxSeq)
         .getOrElse(throw GraftErrors.ErrOutOfBounds(seqNo))
       val df =
-        spark.read.schema(rowSchema).parquet(Paths.get(dir, seg.path).toString)
+        spark.read.schema(rowSchema).parquet(FileIO.join(dir, seg.path))
       val rewritten = f(df)
       val newSegs = writeSegments(rewritten)
       val next = manifest.copy(
@@ -434,8 +432,8 @@ final class ParquetLog private (
       FaultPoints.reach("log.rewrite.preCommit")
       commitOrCleanup(next, newSegs)
       FaultPoints.reach("log.rewrite.preDelete")
-      DirectRead.invalidate(Paths.get(dir, seg.path))
-      Files.deleteIfExists(Paths.get(dir, seg.path))
+      DirectRead.invalidate(FileIO.join(dir, seg.path))
+      io.delete(FileIO.join(dir, seg.path))
     }
 
   /** Merge small adjacent segments into larger ones (copy-on-write;
@@ -464,7 +462,7 @@ final class ParquetLog private (
       else {
         val df = spark.read
           .schema(rowSchema)
-          .parquet(g.map(s => Paths.get(dir, s.path).toString): _*)
+          .parquet(g.map(s => FileIO.join(dir, s.path)): _*)
           .repartitionByRange(1, col("seq"))
         writeSegments(df)
       }
@@ -481,9 +479,9 @@ final class ParquetLog private (
     val kept = newSegs.map(_.path).toSet
     old.filterNot(s => kept.contains(s.path))
       .foreach { s =>
-        val p = Paths.get(dir, s.path)
+        val p = FileIO.join(dir, s.path)
         DirectRead.invalidate(p)
-        Files.deleteIfExists(p)
+        io.delete(p)
       }
   }
 
@@ -510,7 +508,7 @@ final class ParquetLog private (
     // age-gate + listing + root-litter sweep live in FsckSweep (one
     // copy shared with TableStore so the two stores' crash-recovery
     // disciplines cannot silently diverge)
-    def oldEnough(p: Path): Boolean = FsckSweep.oldEnough(p, minAgeMs)
+
     // orphan-ness and gap checks are judged against the ON-DISK
     // manifest, never this handle's possibly-stale view: another
     // process may have committed since this handle's last write, and
@@ -527,7 +525,7 @@ final class ParquetLog private (
     if (repair && onDisk.isEmpty)
       problems += "manifest unreadable: repair refused, report-only sweep"
     committed.segments.foreach { s =>
-      if (!Files.exists(Paths.get(dir, s.path)))
+      if (!io.exists(FileIO.join(dir, s.path)))
         problems += s"missing segment file: ${s.path}"
     }
     val sorted = committed.segments.sortBy(_.minSeq)
@@ -548,7 +546,7 @@ final class ParquetLog private (
       // dense log and gets dropped
       var exp = 0L
       val prefix = sorted.takeWhile { s =>
-        val ok = s.minSeq == exp && Files.exists(Paths.get(dir, s.path))
+        val ok = s.minSeq == exp && io.exists(FileIO.join(dir, s.path))
         if (ok) exp = s.maxSeq + 1
         ok
       }
@@ -565,9 +563,9 @@ final class ParquetLog private (
         manifest = next
         trusted = next
         dropped.foreach { s =>
-          val dp = Paths.get(dir, s.path)
+          val dp = FileIO.join(dir, s.path)
           DirectRead.invalidate(dp)
-          Files.deleteIfExists(dp)
+          io.delete(dp)
         }
         problems += s"repaired: truncated to maxSeq ${next.maxSeq}, dropped ${dropped.length} segment(s)"
       }
@@ -577,13 +575,12 @@ final class ParquetLog private (
       manifest = committed
     }
     val known = trusted.segments.map(_.path).toSet
-    if (Files.exists(dataDir)) {
-      FsckSweep.ls(dataDir).foreach { p =>
-        val rel = s"data/${p.getFileName}"
-        if (!known.contains(rel)) {
-          problems += s"orphan data file: $rel"
-          if (doRepair && oldEnough(p)) Files.deleteIfExists(p)
-        }
+    FsckSweep.ls(dataDir).foreach { e =>
+      val rel = s"data/${e.name}"
+      if (!known.contains(rel)) {
+        problems += s"orphan data file: $rel"
+        if (doRepair && FsckSweep.oldEnough(e.mtimeMs, minAgeMs))
+          io.delete(e.path)
       }
     }
     // crash litter OUTSIDE data/ (shared sweep; see FsckSweep). The
@@ -631,7 +628,7 @@ object ParquetLog {
     // data/ exists from open so live subscriptions (liveQuery/changes)
     // can start on an empty log, matching the reference where the
     // Changes observable is available before the first append
-    Files.createDirectories(Paths.get(dir, "data"))
+    FileIO.forPath(dir).mkdirs(FileIO.join(dir, "data"))
     val m = Manifest
       .load(dir)
       .getOrElse {
@@ -648,10 +645,8 @@ object ParquetLog {
     * parquet footer — driver-side, no executor involvement. Segments
     * are seq-sorted, so the column min/max statistics are exact.
     * None for zero-row files. */
-  private[storage] def seqStatsFromFooter(file: Path): Option[(Long, Long, Long)] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf)
+  private[storage] def seqStatsFromFooter(
+      inputFile: org.apache.parquet.io.InputFile): Option[(Long, Long, Long)] = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
@@ -663,11 +658,11 @@ object ParquetLog {
         rows += b.getRowCount
         val seqCol = b.getColumns.asScala
           .find(_.getPath.toDotString == "seq")
-          .getOrElse(throw new IllegalStateException(s"no seq column in $file"))
+          .getOrElse(throw new IllegalStateException(s"no seq column in $inputFile"))
         val stats = seqCol.getStatistics
         require(
           stats != null && stats.hasNonNullValue,
-          s"missing seq statistics in $file"
+          s"missing seq statistics in $inputFile"
         )
         minSeq = math.min(
           minSeq,

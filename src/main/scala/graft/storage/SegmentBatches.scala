@@ -1,7 +1,5 @@
 package graft.storage
 
-import java.nio.file.Path
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -97,7 +95,7 @@ private[graft] object SegmentBatches {
     * columns — decimal and every other admitted type is rebase-free. */
   private def guardDatetimeEncoding(
       meta: java.util.Map[String, String],
-      file: Path
+      file: String
   ): Unit =
     if (meta.containsKey("org.apache.spark.legacyDateTime"))
       throw new UnsupportedOperationException(
@@ -118,11 +116,11 @@ private[graft] object SegmentBatches {
     * the one file shape that pin would mis-read is refused by
     * [[guardDatetimeEncoding]] before any value is decoded (checked on
     * the same footer the open already reads, so it costs nothing). */
-  def open(file: Path, schema: StructType): VectorizedParquetRecordReader =
+  def open(file: String, schema: StructType): VectorizedParquetRecordReader =
     openVectorized(file, schema, None)
 
   private def openVectorized(
-      file: Path,
+      file: String,
       schema: StructType,
       range: Option[(Long, Long)]
   ): VectorizedParquetRecordReader = {
@@ -132,7 +130,7 @@ private[graft] object SegmentBatches {
       case None => optsB.build()
     }
     val pr = org.apache.parquet.hadoop.ParquetFileReader.open(
-      new org.apache.parquet.io.LocalInputFile(file), opts)
+      FileIO.forPath(file).inputFile(file), opts)
     var ok = false
     try {
       if (schema.fields.exists(f => hasDatetime(f.dataType)))
@@ -182,7 +180,7 @@ private[graft] object SegmentBatches {
     * [[open]] (checked against the already-open footer, so it costs
     * nothing here). */
   def openRange(
-      file: Path,
+      file: String,
       schema: StructType,
       start: Long,
       end: Long
@@ -202,7 +200,7 @@ private[graft] object SegmentBatches {
     * dropped; a boundary batch is sliced zero-copy ([[SlicedBatch]]).
     */
   final class VectorizedSegmentsReader(
-      files: Seq[Path],
+      files: Seq[String],
       schema: StructType,
       range: Option[(Long, Long)] = None,
       rowRange: Option[(Long, Long)] = None

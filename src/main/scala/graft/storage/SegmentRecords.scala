@@ -1,11 +1,9 @@
 package graft.storage
 
-import java.nio.file.Path
-
 import org.apache.parquet.ParquetReadOptions
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.io.{ColumnIOFactory, LocalInputFile}
+import org.apache.parquet.io.ColumnIOFactory
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
 
@@ -27,7 +25,7 @@ private[graft] object SegmentRecords {
     * values reads only the seq chunks. The returned iterator owns
     * the open reader and closes it on exhaustion; call `close()` on
     * early abort. */
-  def iterator(file: Path, schema: StructType): ClosingRowIterator = {
+  def iterator(file: String, schema: StructType): ClosingRowIterator = {
     val (reader, columnIO, projected, int96Mode) = open(file, schema, None)
     new ClosingRowIterator(reader, columnIO, projected, schema, int96Mode)
   }
@@ -42,7 +40,7 @@ private[graft] object SegmentRecords {
     * `SegmentPacking.splitSegment`); sibling ranges tile the file, so
     * together the splits read it exactly once. */
   def internalIterator(
-      file: Path,
+      file: String,
       schema: StructType,
       range: Option[(Long, Long)] = None
   ): ClosingInternalRowIterator = {
@@ -52,7 +50,7 @@ private[graft] object SegmentRecords {
   }
 
   private def open(
-      file: Path,
+      file: String,
       schema: StructType,
       range: Option[(Long, Long)]
   ): (ParquetFileReader, org.apache.parquet.io.MessageColumnIO,
@@ -62,7 +60,7 @@ private[graft] object SegmentRecords {
         ParquetReadOptions.builder().withRange(start, end).build()
       case None => ParquetReadOptions.builder().build()
     }
-    val reader = ParquetFileReader.open(new LocalInputFile(file), opts)
+    val reader = ParquetFileReader.open(FileIO.forPath(file).inputFile(file), opts)
     val fileSchema = reader.getFooter.getFileMetaData.getSchema
     val projected =
       if (schema.fields.length == fileSchema.getFieldCount) fileSchema

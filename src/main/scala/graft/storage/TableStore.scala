@@ -1,8 +1,6 @@
 package graft.storage
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,6 +30,8 @@ final class TableStore private (
     val schema: StructType,
     @volatile private var manifest: Manifest
 ) {
+
+  private val io: FileIO = FileIO.forPath(dir)
 
   /** On-disk schema: the logical columns plus the physical `_ver`. */
   private val diskSchema: StructType =
@@ -64,7 +64,7 @@ final class TableStore private (
         .createDataFrame(spark.sparkContext.emptyRDD[Row], diskSchema)
     spark.read
       .schema(diskSchema)
-      .parquet(manifest.segments.map(s => Paths.get(dir, s.path).toString): _*)
+      .parquet(manifest.segments.map(s => FileIO.join(dir, s.path)): _*)
   }
 
   def read: DataFrame = readVersioned.drop("_ver")
@@ -101,7 +101,7 @@ final class TableStore private (
         foldedBelow = Some(ver)),
       segs)
     FaultPoints.reach("table.rewrite.preDelete")
-    old.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+    old.foreach(s => io.delete(FileIO.join(dir, s.path)))
   }
 
   /** Snapshot (time-travel) read: the committed table exactly as of
@@ -159,17 +159,16 @@ final class TableStore private (
     // age-gate + listing + root-litter sweep shared with ParquetLog
     // via FsckSweep (one copy, one discipline)
     FsckSweep.sweepRootLitter(dir, doRepair, minAgeMs, issues += _)
-    val dataDir = Paths.get(dir, "data")
-    if (Files.exists(dataDir))
-      FsckSweep.ls(dataDir)
-        .filter(f => !listed.contains(s"data/${f.getFileName}"))
-        .foreach { f =>
-          issues += s"orphan segment data/${f.getFileName}"
-          if (doRepair && FsckSweep.oldEnough(f, minAgeMs))
-            Files.deleteIfExists(f)
-        }
+    val dataDir = FileIO.join(dir, "data")
+    FsckSweep.ls(dataDir)
+      .filter(f => !listed.contains(s"data/${f.name}"))
+      .foreach { f =>
+        issues += s"orphan segment data/${f.name}"
+        if (doRepair && FsckSweep.oldEnough(f.mtimeMs, minAgeMs))
+          io.delete(f.path)
+      }
     committed.segments
-      .filterNot(s => Files.exists(Paths.get(dir, s.path)))
+      .filterNot(s => io.exists(FileIO.join(dir, s.path)))
       .foreach(s => issues += s"MISSING committed segment ${s.path}")
     issues.toList
   }
@@ -177,17 +176,13 @@ final class TableStore private (
   /** Write `out` as new segment files under data/ and return their
     * manifest entries (not yet committed). */
   private def writeSegmentFiles(out: DataFrame, ver: Long): List[Segment] = {
-    val tmp = Paths.get(dir, s"tmp-${UUID.randomUUID()}")
-    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val tmp = FileIO.join(dir, s"tmp-${UUID.randomUUID()}")
+    out.write.mode(SaveMode.Overwrite).parquet(tmp)
     FaultPoints.reach("table.segments.tmpWritten")
-    val listing = Files.list(tmp)
-    val files =
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toList
-      finally listing.close()
-    val dataDir = Paths.get(dir, "data")
-    Files.createDirectories(dataDir)
+    val files = io.list(tmp)
+      .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
+    val dataDir = FileIO.join(dir, "data")
+    io.mkdirs(dataDir)
     val segs = files.map { f =>
       val name = f"seg-$ver%08d-${UUID.randomUUID().toString.take(8)}.parquet"
       // exact row count from the parquet footer (one cheap metadata
@@ -196,11 +191,11 @@ final class TableStore private (
       val rows =
         try {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            new org.apache.parquet.io.LocalInputFile(f))
+            io.inputFile(f.path))
           try r.getRecordCount finally r.close()
         } catch { case _: Exception => 0L }
       FaultPoints.reach("table.segments.beforeMove")
-      Files.move(f, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      io.rename(f.path, FileIO.join(dataDir, name))
       FaultPoints.reach("table.segments.moved")
       Segment(s"data/$name", ver, ver, rows)
     }
@@ -216,7 +211,7 @@ final class TableStore private (
     try Manifest.commit(dir, next)
     catch {
       case e: Throwable =>
-        segs.foreach(s => Files.deleteIfExists(Paths.get(dir, s.path)))
+        segs.foreach(s => io.delete(FileIO.join(dir, s.path)))
         throw e
     }
     manifest = next
@@ -228,7 +223,7 @@ object TableStore {
   def open(spark: SparkSession, dir: String, schema: StructType): TableStore = {
     // data/ exists from open so `stream` can subscribe before the
     // first committed batch
-    Files.createDirectories(Paths.get(dir, "data"))
+    FileIO.forPath(dir).mkdirs(FileIO.join(dir, "data"))
     val m = Manifest.load(dir).getOrElse {
       val fresh = Manifest(0L, graft.core.Seqs.SeqEmpty, schema.json, Nil)
       Manifest.commit(dir, fresh)

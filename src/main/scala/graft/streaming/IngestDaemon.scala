@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Paths
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -9,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.dedup.{DedupIndex, DedupParams}
 import graft.pipeline.Curation
-import graft.storage.TableStore
+import graft.storage.{FileIO, TableStore}
 
 /** Gate / dedup / survivor-rule knobs of an [[IngestDaemon]]. The
   * banding parameters live in [[DedupParams]] (persisted with the
@@ -109,11 +107,12 @@ final case class IngestConfig(
   *
   * Either way every document is admitted or dropped EXACTLY once, and
   * the next batch probes an index holding this batch exactly once.
-  * The gate knobs are part of the contract: they are recorded per
-  * batch (under `dir/gates`, written just before the index commit,
-  * deleted once both commits landed), and a half-applied replay gates
-  * with the knobs OF RECORD — so changing the config between a crash
-  * and the restart affects only batches not yet index-committed.
+  * The gate knobs are part of the contract: they RIDE THE INDEX
+  * JOURNAL ROW itself ([[DedupIndex.recordedGates]]) — atomic with
+  * the very commit they describe, surviving compact, never present
+  * without their commit — and a half-applied replay gates with the
+  * knobs OF RECORD, so changing the config between a crash and the
+  * restart affects only batches not yet index-committed.
   *
   * With `config.vecCol` and/or `config.semCol` set, more journaled
   * stores join the loop: a [[graft.dedup.VecDedupIndex]] under
@@ -129,9 +128,11 @@ final case class IngestConfig(
   * crash window: each store's journal rides its own atomic commit,
   * each ingest is idempotent by `batchId` with pre-batch-snapshot
   * replays (the profile ingest is replay-window-free outright — it
-  * depends on nothing but the batch), and the vec/sem knobs ride the
-  * same per-batch gate record — so a kill between ANY pair of
-  * commits replays to the identical final state.
+  * depends on nothing but the batch), and EVERY composed tier's
+  * knobs — vec/sem thresholds, profile strata/k, decontamination —
+  * ride the same journal-row record — so a kill between ANY pair of
+  * commits replays to the identical final state, even across a
+  * config change that toggles a tier.
   *
   * Id contract: `idCol` values must be globally unique across the
   * stream's lifetime (the graft-log `seq` is the natural choice) —
@@ -227,21 +228,20 @@ final class IngestDaemon private (
     * flood IS reported; production loops should alert on it. */
   def processBatch(batchId: String, rawDocs: DataFrame): Option[graft.dedup.IngestResult] =
     synchronized {
-      if (appliedVersion(batchId).isDefined) { // fully applied
-        java.nio.file.Files.deleteIfExists(gateRecordPath(batchId))
-        return None
-      }
+      if (appliedVersion(batchId).isDefined) return None // fully applied
       val idxApplied = index.appliedVersion(batchId)
       // a HALF-APPLIED replay (index committed, seen not) must gate
       // with the knobs the index commit was computed under — the
-      // per-batch record written below, just before that commit —
-      // or the replayed survivor set can diverge from the band rows
-      // already indexed, breaking the "seen covers every indexed doc"
-      // fetch invariant. Index commits made by driving `index`
-      // directly (outside processBatch) have no record and fall back
-      // to the current config.
+      // record riding that commit's own journal row — or the replayed
+      // survivor set can diverge from the band rows already indexed,
+      // breaking the "seen covers every indexed doc" fetch invariant.
+      // Index commits made by driving `index` directly (outside
+      // processBatch) carry no record and fall back to the current
+      // config.
       val c =
-        if (idxApplied.isDefined) recordedGates(batchId).getOrElse(config)
+        if (idxApplied.isDefined)
+          index.recordedGates(batchId).map(IngestDaemon.parseGates(config, _))
+            .getOrElse(config)
         else config
       val rawGated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
         c.textCol, c.lang, c.minQuality, c.minTokens, c.maxTokens)
@@ -261,12 +261,14 @@ final class IngestDaemon private (
         case None => rawGated
       }
       if (idxApplied.isEmpty && gated.isEmpty) return None
-      // the record lands BEFORE the index commit: every crash window
-      // after the commit replays under the recorded knobs
-      if (idxApplied.isEmpty) recordGates(batchId)
+      // the knobs of record ride the index commit itself (the journal
+      // row's `gates` payload): every crash window after the commit
+      // replays under them, and the record can never exist without
+      // its commit or vice versa
       val result = index.ingest(batchId, gated, c.textCol, c.idCol,
         corpusTexts = seenTexts, threshold = c.threshold,
-        maxBucket = c.maxBucket)
+        maxBucket = c.maxBucket,
+        gates = Some(IngestDaemon.gatesString(c)))
       // composed vector tier: the text-admitted survivors' embeddings
       // run the incremental near-dup loop against the standing
       // VecDedupIndex — its own journaled commit, idempotent by the
@@ -275,7 +277,7 @@ final class IngestDaemon private (
       // The corpus admits only docs that survive BOTH tiers; the
       // vector index holds every text-admitted vector (losers too —
       // the recall argument of the text index applies unchanged).
-      val afterVec = (vecIndex, c.vecCol) match {
+      val afterVec = (vecHandleFor(c), c.vecCol) match {
         case (Some(vi), Some(vc)) =>
           val withVec = result.admitted.join(
             rawDocs.select(col(c.idCol), col(vc)), Seq(c.idCol))
@@ -286,7 +288,7 @@ final class IngestDaemon private (
       }
       // SemDeDup tier, after the near-dup tiers: same journaled
       // idempotent-ingest argument, one more commit in the chain
-      val afterSem = (semIndex, c.semCol) match {
+      val afterSem = (semHandleFor(c), c.semCol) match {
         case (Some(si), Some(sc)) =>
           val withSem = afterVec.select(col(c.idCol)).join(
             rawDocs.select(col(c.idCol), col(sc)), Seq(c.idCol))
@@ -302,7 +304,7 @@ final class IngestDaemon private (
       // idempotent-by-batchId profile ingest (already-applied skips).
       // Committing after seen would leave a crash window the early
       // return above never repairs.
-      (profileIndex, c.profileStrataCol) match {
+      (profileHandleFor(c), c.profileStrataCol) match {
         case (Some(pi), Some(stratum)) =>
           pi.ingest(batchId,
             afterSem.select(col(c.idCol)).join(
@@ -334,72 +336,32 @@ final class IngestDaemon private (
       // below only publishes after the segment files are written), so
       // the verify's fetch side stays the pre-batch snapshot
       seen.append(docRows.unionByName(journalRow))
-      // all commits landed: the record is spent (a redelivery skips
-      // on the seen journal before ever reading it)
-      java.nio.file.Files.deleteIfExists(gateRecordPath(batchId))
       Some(finalResult)
     }
 
-  private def gatesDir = Paths.get(dir, "gates")
+  /** Tier handles under the knobs OF RECORD: when a replay's recorded
+    * knobs compose a tier the CURRENT config does not (the config
+    * toggled between the crash and the restart), the artifact is
+    * reopened from its own on-disk pinned parameters — it must exist,
+    * because the daemon that wrote the record had it open. A tier the
+    * record leaves off stays off, whatever the current config says. */
+  private def vecHandleFor(c: IngestConfig) =
+    if (c.vecCol.isEmpty) None
+    else vecIndex.orElse(Some(graft.dedup.VecDedupIndex.reopen(
+      spark, FileIO.join(dir, "vecindex"))))
 
-  private[graft] def gateRecordPath(batchId: String) =
-    gatesDir.resolve(s"$batchId.properties")
+  private def semHandleFor(c: IngestConfig) =
+    if (c.semCol.isEmpty) None
+    else semIndex.orElse(Some(graft.dedup.SemanticIndex.open(
+      spark, FileIO.join(dir, "semindex"))))
 
-  /** Persist the CURRENT gate knobs as `batchId`'s knobs of record —
-    * what [[processBatch]] writes just before the index commit. */
-  private[graft] def recordGates(batchId: String): Unit = {
-    java.nio.file.Files.createDirectories(gatesDir)
-    val c = config
-    val props = new java.util.Properties()
-    props.setProperty("lang", c.lang)
-    props.setProperty("minQuality", c.minQuality.toString)
-    props.setProperty("minTokens", c.minTokens.toString)
-    props.setProperty("maxTokens", c.maxTokens.toString)
-    props.setProperty("threshold", c.threshold.toString)
-    props.setProperty("maxBucket", c.maxBucket.toString)
-    props.setProperty("vecThreshold", c.vecThreshold.toString)
-    props.setProperty("vecMaxBucket", c.vecMaxBucket.toString)
-    props.setProperty("semThreshold", c.semThreshold.toString)
-    c.decontaminateDir.foreach(props.setProperty("decontaminateDir", _))
-    props.setProperty("decontaminateWidth", c.decontaminateWidth.toString)
-    props.setProperty("decontaminateMinOverlap",
-      c.decontaminateMinOverlap.toString)
-    val out = new java.io.FileOutputStream(gateRecordPath(batchId).toFile)
-    try props.store(out, "graft IngestDaemon per-batch gate record")
-    finally out.close()
-  }
-
-  private def recordedGates(batchId: String): Option[IngestConfig] = {
-    val p = gateRecordPath(batchId)
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val props = new java.util.Properties()
-      val in = new java.io.FileInputStream(p.toFile)
-      try props.load(in) finally in.close()
-      def opt(k: String) = Option(props.getProperty(k))
-      Some(config.copy(
-        lang = props.getProperty("lang"),
-        minQuality = props.getProperty("minQuality").toDouble,
-        minTokens = props.getProperty("minTokens").toInt,
-        maxTokens = props.getProperty("maxTokens").toInt,
-        threshold = props.getProperty("threshold").toDouble,
-        maxBucket = props.getProperty("maxBucket").toLong,
-        vecThreshold = opt("vecThreshold").map(_.toDouble)
-          .getOrElse(config.vecThreshold),
-        vecMaxBucket = opt("vecMaxBucket").map(_.toLong)
-          .getOrElse(config.vecMaxBucket),
-        semThreshold = opt("semThreshold").map(_.toDouble)
-          .getOrElse(config.semThreshold),
-        // absent key = the record predates the decontamination tier
-        // OR the batch ran without it: either way, replay without it
-        // unless the record names a dir
-        decontaminateDir = opt("decontaminateDir"),
-        decontaminateWidth = opt("decontaminateWidth").map(_.toInt)
-          .getOrElse(config.decontaminateWidth),
-        decontaminateMinOverlap = opt("decontaminateMinOverlap")
-          .map(_.toLong).getOrElse(config.decontaminateMinOverlap)))
-    }
-  }
+  private def profileHandleFor(c: IngestConfig) =
+    if (c.profileStrataCol.isEmpty) None
+    else profileIndex
+      .filter(_ => c.profileStrataCol == config.profileStrataCol &&
+        c.profileK == config.profileK)
+      .orElse(Some(graft.sketch.ProfileIndex.open(
+        spark, FileIO.join(dir, "profile"))))
 
   /** Wire a STREAMING `docs` frame (carrying `config.idCol` +
     * `config.textCol`) into the loop: one [[processBatch]] per
@@ -458,24 +420,88 @@ object IngestDaemon {
   def open(spark: SparkSession, dir: String,
       config: IngestConfig = IngestConfig()): IngestDaemon = {
     val index =
-      DedupIndex.open(spark, Paths.get(dir, "index").toString, config.params)
+      DedupIndex.open(spark, FileIO.join(dir, "index"), config.params)
     val seen = TableStore.open(
-      spark, Paths.get(dir, "seen").toString, seenSchema)
+      spark, FileIO.join(dir, "seen"), seenSchema)
     val vec = config.vecCol.map { _ =>
       graft.dedup.VecDedupIndex.open(spark,
-        Paths.get(dir, "vecindex").toString, bits = config.vecBits)
+        FileIO.join(dir, "vecindex"), bits = config.vecBits)
     }
     val sem = config.semCol.map { _ =>
       require(config.semCents.nonEmpty,
         "semCol requires semCents (the pinned SemDeDup codebook)")
       graft.dedup.SemanticIndex.open(spark,
-        Paths.get(dir, "semindex").toString, config.semCents)
+        FileIO.join(dir, "semindex"), config.semCents)
     }
     val prof = config.profileStrataCol.map { stratum =>
       graft.sketch.ProfileIndex.open(spark,
-        Paths.get(dir, "profile").toString, config.profileK, stratum,
+        FileIO.join(dir, "profile"), config.profileK, stratum,
         config.textCol)
     }
     new IngestDaemon(spark, dir, index, seen, config, vec, sem, prof)
+  }
+
+  /** Serialize the gate knobs as the batch's journal-row payload —
+    * line-oriented `k=v`, Option knobs present only when set, so the
+    * replay contract covers every composed tier uniformly (vec, sem,
+    * profile, decontamination — including a tier toggled off/on by a
+    * config change in the crash window). */
+  private[graft] def gatesString(c: IngestConfig): String = {
+    val kv = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    kv += ("lang" -> c.lang)
+    kv += ("minQuality" -> c.minQuality.toString)
+    kv += ("minTokens" -> c.minTokens.toString)
+    kv += ("maxTokens" -> c.maxTokens.toString)
+    kv += ("threshold" -> c.threshold.toString)
+    kv += ("maxBucket" -> c.maxBucket.toString)
+    c.vecCol.foreach(v => kv += ("vecCol" -> v))
+    kv += ("vecThreshold" -> c.vecThreshold.toString)
+    kv += ("vecMaxBucket" -> c.vecMaxBucket.toString)
+    c.semCol.foreach(v => kv += ("semCol" -> v))
+    kv += ("semThreshold" -> c.semThreshold.toString)
+    c.profileStrataCol.foreach(v => kv += ("profileStrataCol" -> v))
+    kv += ("profileK" -> c.profileK.toString)
+    c.decontaminateDir.foreach(v => kv += ("decontaminateDir" -> v))
+    kv += ("decontaminateWidth" -> c.decontaminateWidth.toString)
+    kv += ("decontaminateMinOverlap" -> c.decontaminateMinOverlap.toString)
+    kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+  }
+
+  /** Parse a journal-row gate record back into the knobs of record.
+    * Unknown keys are ignored and absent keys fall back to `base`
+    * (records written by older builds parse compatibly) — EXCEPT the
+    * Option-valued tier switches, whose absence means the tier was
+    * off for that batch. */
+  private[graft] def parseGates(base: IngestConfig, s: String): IngestConfig = {
+    val m = s.split("\n").iterator
+      .map(_.trim).filter(l => l.nonEmpty && l.contains("="))
+      .map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }
+      .toMap
+    def opt(k: String) = m.get(k)
+    base.copy(
+      lang = opt("lang").getOrElse(base.lang),
+      minQuality = opt("minQuality").map(_.toDouble).getOrElse(base.minQuality),
+      minTokens = opt("minTokens").map(_.toInt).getOrElse(base.minTokens),
+      maxTokens = opt("maxTokens").map(_.toInt).getOrElse(base.maxTokens),
+      threshold = opt("threshold").map(_.toDouble).getOrElse(base.threshold),
+      maxBucket = opt("maxBucket").map(_.toLong).getOrElse(base.maxBucket),
+      vecCol = opt("vecCol"),
+      vecThreshold = opt("vecThreshold").map(_.toDouble)
+        .getOrElse(base.vecThreshold),
+      vecMaxBucket = opt("vecMaxBucket").map(_.toLong)
+        .getOrElse(base.vecMaxBucket),
+      semCol = opt("semCol"),
+      semThreshold = opt("semThreshold").map(_.toDouble)
+        .getOrElse(base.semThreshold),
+      profileStrataCol = opt("profileStrataCol"),
+      profileK = opt("profileK").map(_.toInt).getOrElse(base.profileK),
+      decontaminateDir = opt("decontaminateDir"),
+      decontaminateWidth = opt("decontaminateWidth").map(_.toInt)
+        .getOrElse(base.decontaminateWidth),
+      decontaminateMinOverlap = opt("decontaminateMinOverlap").map(_.toLong)
+        .getOrElse(base.decontaminateMinOverlap))
   }
 }

@@ -1,28 +1,44 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.types.IntegerType
 
-import graft.storage.ParquetLog
+import graft.storage.{FileIO, ParquetLog}
 
 /** Crash-consistency contract (reference: offset2/log.go:217-344
   * checkJournal/CheckConsistency + rw_test.go:148-191 TestRecover):
   * orphan segments from a crashed append are invisible and sweepable;
   * missing files and gaps are reported.
+  *
+  * Runs as a STORAGE-BACKEND MATRIX over both [[FileIO]]
+  * implementations (bare-path java.nio and `file:`-schemed Hadoop
+  * FileSystem — the HDFS/object-store code path on local disk); all
+  * crash-state construction goes through FileIO so the constructed
+  * states are exactly what each backend's crashes produce.
   */
-class ConsistencySpec extends SparkSpec {
+abstract class ConsistencyContract extends SparkSpec {
   import spark.implicits._
 
-  test("orphan data file (crashed append) detected and swept") {
-    val dir = tmpDir("fsck")
+  /** "" = LocalFileIO; "file:" = HadoopFileIO over local disk. */
+  def fsPrefix: String
+  def tag: String
+  private def storeDir(prefix: String): String = fsPrefix + tmpDir(prefix)
+
+  private def io(dir: String) = FileIO.forPath(dir)
+  private def writeFile(dir: String, rel: String, bytes: Array[Byte]): Unit =
+    io(dir).writeAtomic(FileIO.join(dir, rel), bytes)
+  private def exists(dir: String, rel: String): Boolean =
+    io(dir).exists(FileIO.join(dir, rel))
+  /** Visible (non-hidden) data/ segment entries. */
+  private def dataEntries(dir: String): List[FileIO.Entry] =
+    io(dir).list(FileIO.join(dir, "data"))
+      .filterNot(e => FileIO.isHidden(e.name))
+
+  test(s"[$tag] orphan data file (crashed append) detected and swept") {
+    val dir = storeDir("fsck")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(Seq(1, 2, 3))
     // simulate a crash between segment write and manifest commit
-    Files.write(
-      Paths.get(dir, "data", "seg-999999999999-orphan.parquet"),
-      Array[Byte](1, 2, 3)
-    )
+    writeFile(dir, "data/seg-999999999999-orphan.parquet", Array[Byte](1, 2, 3))
     val problems = log.checkConsistency()
     assert(problems.exists(_.contains("orphan")))
     // orphan is invisible to reads
@@ -32,32 +48,25 @@ class ConsistencySpec extends SparkSpec {
     assert(log.checkConsistency() == Nil)
   }
 
-  test("missing segment file reported") {
-    val dir = tmpDir("fsck2")
+  test(s"[$tag] missing segment file reported") {
+    val dir = storeDir("fsck2")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(Seq(1, 2, 3))
-    val seg = Files
-      .list(Paths.get(dir, "data"))
-      .iterator()
-      .next()
-    Files.delete(seg)
+    val seg = dataEntries(dir).head
+    io(dir).delete(seg.path)
     val problems = log.checkConsistency()
     assert(problems.exists(_.contains("missing segment")))
   }
 
-  test("repair truncates to the dense surviving prefix and log reopens") {
-    val dir = tmpDir("fsck-repair")
+  test(s"[$tag] repair truncates to the dense surviving prefix and log reopens") {
+    val dir = storeDir("fsck-repair")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(Seq(1, 2, 3)) // seqs 0..2
     log.appendValues(Seq(4, 5))    // seqs 3..4
     log.appendValues(Seq(6))       // seq  5
     // lose the tail segment (disk corruption / partial restore)
-    val tail = Files
-      .list(Paths.get(dir, "data"))
-      .iterator()
-      .asScalaList
-      .maxBy(_.getFileName.toString)
-    Files.delete(tail)
+    val tail = dataEntries(dir).maxBy(_.name)
+    io(dir).delete(tail.path)
     assert(log.checkConsistency().exists(_.contains("missing segment")))
     val repaired = log.checkConsistency(repair = true, minAgeMs = 0L)
     assert(repaired.exists(_.contains("repaired")))
@@ -73,8 +82,8 @@ class ConsistencySpec extends SparkSpec {
     assert(log2.checkConsistency() == Nil)
   }
 
-  test("repair drops segments stranded past the hole") {
-    val dir = tmpDir("fsck-hole")
+  test(s"[$tag] repair drops segments stranded past the hole") {
+    val dir = storeDir("fsck-hole")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(Seq(1, 2)) // seqs 0..1
     log.appendValues(Seq(3, 4)) // seqs 2..3
@@ -82,28 +91,17 @@ class ConsistencySpec extends SparkSpec {
     // lose the MIDDLE segment (the one starting at seq 2 — each append
     // opens a new segment at its base): later segments are stranded
     // past the gap
-    val mid = Files
-      .list(Paths.get(dir, "data"))
-      .iterator()
-      .asScalaList
-      .find(_.getFileName.toString.startsWith("seg-000000000002"))
-      .get
-    Files.delete(mid)
+    val mid = dataEntries(dir)
+      .find(_.name.startsWith("seg-000000000002")).get
+    io(dir).delete(mid.path)
     log.checkConsistency(repair = true, minAgeMs = 0L)
     assert(log.seq == 1)
     assert(log.query().count() == 2)
     assert(log.checkConsistency() == Nil)
   }
 
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScalaList: List[A] = {
-      import scala.jdk.CollectionConverters._
-      it.asScala.toList
-    }
-  }
-
-  test("stale second writer handle is refused, not lost-updated") {
-    val dir = tmpDir("cas")
+  test(s"[$tag] stale second writer handle is refused, not lost-updated") {
+    val dir = storeDir("cas")
     val a = ParquetLog.open(spark, dir, IntegerType)
     val b = ParquetLog.open(spark, dir, IntegerType)
     a.appendValues(Seq(1, 2))
@@ -117,11 +115,11 @@ class ConsistencySpec extends SparkSpec {
     assert(c.seq == 2)
   }
 
-  test("concurrent appenders through one handle: dense seqs, nothing lost") {
+  test(s"[$tag] concurrent appenders through one handle: dense seqs, nothing lost") {
     // twin of the reference's test/concurrent.go: many writers, one
     // log, every entry present exactly once with dense seqs (the
     // handle's synchronized append is the reference's log mutex)
-    val dir = tmpDir("conc")
+    val dir = storeDir("conc")
     val log = ParquetLog.open(spark, dir, IntegerType)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
@@ -141,41 +139,41 @@ class ConsistencySpec extends SparkSpec {
     assert(log.checkConsistency() == Nil)
   }
 
-  test("young litter is reported but never swept (concurrent-writer guard)") {
+  test(s"[$tag] young litter is reported but never swept (concurrent-writer guard)") {
     // the default minAgeMs protects an in-flight writer in ANOTHER
     // process: its segment files land in data/ before its manifest
     // commit, so a repair running in that window must not delete them
-    val dir = tmpDir("fsck-age")
+    val dir = storeDir("fsck-age")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(Seq(1, 2, 3))
-    val orphan = Paths.get(dir, "data", "seg-999999999999-inflight.parquet")
-    Files.write(orphan, Array[Byte](1, 2, 3))
-    val tmpDirPath = Paths.get(dir, "tmp-inflight")
-    Files.createDirectory(tmpDirPath)
-    val tornTmp = Paths.get(dir, "manifest.json.tmp")
-    Files.write(tornTmp, Array[Byte](123))
+    writeFile(dir, "data/seg-999999999999-inflight.parquet", Array[Byte](1, 2, 3))
+    io(dir).mkdirs(FileIO.join(dir, "tmp-inflight"))
+    writeFile(dir, "manifest.json.tmp", Array[Byte](123))
     // repair with the default 10-minute gate: everything reported,
     // nothing deleted (the litter is seconds old)
     val report = log.checkConsistency(repair = true)
     assert(report.exists(_.contains("orphan data file")))
     assert(report.exists(_.contains("orphan tmp dir")))
     assert(report.exists(_.contains("torn manifest tmp")))
-    assert(Files.exists(orphan), "young orphan must survive gated repair")
-    assert(Files.exists(tmpDirPath), "young tmp dir must survive gated repair")
-    assert(Files.exists(tornTmp), "young manifest tmp must survive gated repair")
+    assert(exists(dir, "data/seg-999999999999-inflight.parquet"),
+      "young orphan must survive gated repair")
+    assert(exists(dir, "tmp-inflight"), "young tmp dir must survive gated repair")
+    assert(exists(dir, "manifest.json.tmp"),
+      "young manifest tmp must survive gated repair")
     // post-crash repair (writer known dead): minAgeMs = 0 sweeps it all
     log.checkConsistency(repair = true, minAgeMs = 0L)
     assert(log.checkConsistency() == Nil)
-    assert(!Files.exists(orphan) && !Files.exists(tmpDirPath) && !Files.exists(tornTmp))
+    assert(!exists(dir, "data/seg-999999999999-inflight.parquet") &&
+      !exists(dir, "tmp-inflight") && !exists(dir, "manifest.json.tmp"))
   }
 
-  test("stale handle's repair never sweeps another writer's committed segments") {
+  test(s"[$tag] stale handle's repair never sweeps another writer's committed segments") {
     // A opens and idles; B appends and commits. A's in-memory manifest
     // is now stale — its fsck must judge orphan-ness against the
     // ON-DISK manifest, or repair would delete B's committed segment
     // once it ages past the litter gate (real data loss: the committed
     // manifest would reference a missing file)
-    val dir = tmpDir("fsck-stale")
+    val dir = storeDir("fsck-stale")
     val a = ParquetLog.open(spark, dir, IntegerType)
     a.appendValues(Seq(1, 2))
     val b = ParquetLog.open(spark, dir, IntegerType)
@@ -194,11 +192,11 @@ class ConsistencySpec extends SparkSpec {
     assert(a.seq == 3)
   }
 
-  test("corrupt manifest: open throws loudly, fsck degrades to report-only") {
-    val dir = tmpDir("fsck-corrupt")
+  test(s"[$tag] corrupt manifest: open throws loudly, fsck degrades to report-only") {
+    val dir = storeDir("fsck-corrupt")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(Seq(1, 2, 3))
-    Files.writeString(Paths.get(dir, "manifest.json"), "{torn garbage")
+    writeFile(dir, "manifest.json", "{torn garbage".getBytes("UTF-8"))
     // a fresh open must NOT mistake the corrupt commit point for a
     // fresh directory and silently re-initialize over the data
     intercept[Exception] { ParquetLog.open(spark, dir, IntegerType) }
@@ -207,11 +205,11 @@ class ConsistencySpec extends SparkSpec {
     val report = log.checkConsistency(repair = true, minAgeMs = 0L)
     assert(report.exists(_.contains("repair refused")), report.toString)
     // nothing was deleted under the unreadable manifest
-    assert(Files.list(Paths.get(dir, "data")).count() > 0)
+    assert(dataEntries(dir).nonEmpty)
   }
 
-  test("handle opened on an empty log sees another writer's commits") {
-    val dir = tmpDir("fsck-empty-vis")
+  test(s"[$tag] handle opened on an empty log sees another writer's commits") {
+    val dir = storeDir("fsck-empty-vis")
     val a = ParquetLog.open(spark, dir, IntegerType)
     assert(a.toDF.count() == 0)
     // writer B commits; A's toDF must see it (the branch decision is
@@ -221,8 +219,8 @@ class ConsistencySpec extends SparkSpec {
     assert(a.toDF.count() == 3)
   }
 
-  test("reopen after kill sees only committed state") {
-    val dir = tmpDir("fsck3")
+  test(s"[$tag] reopen after kill sees only committed state") {
+    val dir = storeDir("fsck3")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(Seq(1, 2, 3))
     // a fresh handle (≙ process restart) reads the manifest
@@ -230,4 +228,18 @@ class ConsistencySpec extends SparkSpec {
     assert(log2.seq == 2)
     assert(log2.checkConsistency() == Nil)
   }
+}
+
+class ConsistencySpec extends ConsistencyContract {
+  def fsPrefix = ""
+  def tag = "local"
+}
+
+/** The Hadoop FileSystem leg — every manifest read/commit, litter
+  * sweep, and existence check through [[graft.storage.HadoopFileIO]]
+  * (the HDFS/object-store deployment path), on local disk via the
+  * `file:` scheme. */
+class ConsistencyHadoopSpec extends ConsistencyContract {
+  def fsPrefix = "file:"
+  def tag = "hadoopfs"
 }

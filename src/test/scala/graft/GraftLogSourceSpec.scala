@@ -1139,7 +1139,7 @@ class GraftLogSourceSpec extends SparkSpec {
     // 2440589 = Julian day of 1970-01-02: calendars agree, decodes
     writeForeign(s"$base/modern.parquet", 2440589)
     val it = graft.storage.SegmentRecords.iterator(
-      java.nio.file.Paths.get(s"$base/modern.parquet"), schema)
+      s"$base/modern.parquet", schema)
     val rows = it.toList
     assert(rows.map(_.getTimestamp(0).getTime) == Seq(86400000L))
     // Julian day 2268993 is deep pre-1582: calendar attribution is
@@ -1147,7 +1147,7 @@ class GraftLogSourceSpec extends SparkSpec {
     writeForeign(s"$base/ancient.parquet", 2268993)
     val ex = intercept[Exception] {
       graft.storage.SegmentRecords.iterator(
-        java.nio.file.Paths.get(s"$base/ancient.parquet"), schema).toList
+        s"$base/ancient.parquet", schema).toList
     }
     assert(ex.getMessage.contains("provenance"),
       s"expected a provenance refusal, got: ${ex.getMessage}")

@@ -173,10 +173,10 @@ class IngestDaemonSpec extends SparkSpec {
     // the knobs, commit the index, crash before the seen commit
     val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
       cfg.lang, cfg.minQuality, cfg.minTokens, cfg.maxTokens)
-    d1.recordGates("b1")
     d1.index.ingest("b1", gatedW2, "text", "doc_id",
       corpusTexts = d1.seenTexts, threshold = cfg.threshold,
-      maxBucket = cfg.maxBucket)
+      maxBucket = cfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(d1.config)))
     assert(d1.appliedVersion("b1").isEmpty, "window setup broken")
     // restart under tightened gates — which must NOT apply to b1
     val tightened = cfg.copy(minTokens = 40)
@@ -199,9 +199,13 @@ class IngestDaemonSpec extends SparkSpec {
     // and the corpus equals the clean run under the original knobs
     assert(corpusIds(d2) == corpusIds(ref),
       "replayed corpus != clean original-knob run")
-    // the record is spent once both commits landed
-    assert(!java.nio.file.Files.exists(d2.gateRecordPath("b1")),
-      "gate record not cleaned up after the seen commit")
+    // the record rides the index journal row itself: present exactly
+    // when the commit is, never a side file to clean up
+    assert(d2.index.recordedGates("b1").isDefined,
+      "knobs of record missing from the index journal row")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "gates")),
+      "side-channel gates dir should no longer exist")
   }
 
   test("daemon: composed vector tier — atomic advance, independent " +
@@ -255,10 +259,10 @@ class IngestDaemonSpec extends SparkSpec {
     dA.processBatch("b0", w1)
     val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
       vcfg.lang, vcfg.minQuality, vcfg.minTokens, vcfg.maxTokens)
-    dA.recordGates("b1")
     dA.index.ingest("b1", gatedW2, "text", "doc_id",
       corpusTexts = dA.seenTexts, threshold = vcfg.threshold,
-      maxBucket = vcfg.maxBucket)
+      maxBucket = vcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(dA.config)))
     assert(dA.appliedVersion("b1").isEmpty &&
       dA.vecIndex.get.appliedVersion("b1").isEmpty, "window A setup broken")
     dA.processBatch("b1", w2)
@@ -267,10 +271,10 @@ class IngestDaemonSpec extends SparkSpec {
     // crash window B: text AND vec committed, seen did not
     val dB = IngestDaemon.open(spark, tmpDir("daemon-vwB-"), vcfg)
     dB.processBatch("b0", w1)
-    dB.recordGates("b1")
     val tRes = dB.index.ingest("b1", gatedW2, "text", "doc_id",
       corpusTexts = dB.seenTexts, threshold = vcfg.threshold,
-      maxBucket = vcfg.maxBucket)
+      maxBucket = vcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(dB.config)))
     dB.vecIndex.get.ingest("b1",
       tRes.admitted.join(emb, Seq("doc_id")), "embedding", "doc_id",
       threshold = vcfg.vecThreshold, maxBucket = vcfg.vecMaxBucket)
@@ -332,10 +336,10 @@ class IngestDaemonSpec extends SparkSpec {
     d.processBatch("b0", w1)
     val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
       scfg.lang, scfg.minQuality, scfg.minTokens, scfg.maxTokens)
-    d.recordGates("b1")
     val tRes = d.index.ingest("b1", gatedW2, "text", "doc_id",
       corpusTexts = d.seenTexts, threshold = scfg.threshold,
-      maxBucket = scfg.maxBucket)
+      maxBucket = scfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(d.config)))
     d.semIndex.get.ingest("b1",
       tRes.admitted.select("doc_id").join(emb, Seq("doc_id")),
       "embedding", "doc_id", threshold = scfg.semThreshold)
@@ -394,10 +398,10 @@ class IngestDaemonSpec extends SparkSpec {
     // store would cover docs the index never saw
     val wDir = tmpDir("daemon-decon-w-")
     val dW = IngestDaemon.open(spark, wDir, dcfg)
-    dW.recordGates("b0")
     dW.index.ingest("b0", cleaned.select("doc_id", "text"), "text",
       "doc_id", corpusTexts = dW.seenTexts, threshold = dcfg.threshold,
-      maxBucket = dcfg.maxBucket)
+      maxBucket = dcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(dW.config)))
     val dW2 = IngestDaemon.open(spark, wDir, cfg) // decon GONE from config
     dW2.processBatch("b0", docs)
     assert(corpusIds(dW2) == ids,
@@ -460,12 +464,12 @@ class IngestDaemonSpec extends SparkSpec {
     // the replay must finish the batch without double-profiling
     val dC = IngestDaemon.open(spark, tmpDir("daemon-pwC-"), pcfg)
     dC.processBatch("b0", w1)
-    dC.recordGates("b1")
     val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
       pcfg.lang, pcfg.minQuality, pcfg.minTokens, pcfg.maxTokens)
     val tRes = dC.index.ingest("b1", gatedW2, "text", "doc_id",
       corpusTexts = dC.seenTexts, threshold = pcfg.threshold,
-      maxBucket = pcfg.maxBucket)
+      maxBucket = pcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(dC.config)))
     dC.profileIndex.get.ingest("b1",
       tRes.admitted.select("doc_id")
         .join(full, Seq("doc_id")).select("doc_id", "text", "lang"))
@@ -480,6 +484,32 @@ class IngestDaemonSpec extends SparkSpec {
     val v = dC.profileIndex.get.version
     assert(dC.processBatch("b1", w2).isEmpty)
     assert(dC.profileIndex.get.version == v, "redelivery advanced profile")
+
+    // knobs-of-record cover the PROFILE tier too: index committed with
+    // the profile composed, then the config loses it before the
+    // restart — the half-applied replay must still profile (the
+    // record wins; the handle reopens from the artifact's own pinned
+    // parameters), or the standing profile silently undercounts the
+    // corpus it claims to describe
+    val wDir = tmpDir("daemon-pwT-")
+    val dT = IngestDaemon.open(spark, wDir, pcfg)
+    dT.processBatch("b0", w1)
+    val gatedT = Curation.gate(w2.select("doc_id", "text"), "text",
+      pcfg.lang, pcfg.minQuality, pcfg.minTokens, pcfg.maxTokens)
+    dT.index.ingest("b1", gatedT, "text", "doc_id",
+      corpusTexts = dT.seenTexts, threshold = pcfg.threshold,
+      maxBucket = pcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(dT.config)))
+    // restart WITHOUT the profile tier in the config
+    val dT2 = IngestDaemon.open(spark, wDir, cfg)
+    assert(dT2.profileIndex.isEmpty, "setup: profile tier must be off")
+    dT2.processBatch("b1", w2)
+    val standing = graft.sketch.ProfileIndex
+      .open(spark, graft.storage.FileIO.join(wDir, "profile"))
+    assert(standing.appliedVersion("b1").isDefined,
+      "replay under the knobs of record skipped the profile tier")
+    assert(profRows(standing.profile) == profRows(dC.profileIndex.get.profile),
+      "toggled-off replay diverged from the always-on run")
   }
 
   test("daemon: flooded buckets surface in the returned diag") {

@@ -1,14 +1,12 @@
 package graft
 
-import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 import graft.core.GraftErrors
-import graft.storage.{FaultPoints, ParquetLog, TableStore}
+import graft.storage.{FaultPoints, FileIO, ParquetLog, TableStore}
 
 /** Fault-injection kill-point matrix over the committer write paths
   * (reference contract: offset2/log.go:217-302 checkJournal/recovery,
@@ -26,7 +24,15 @@ import graft.storage.{FaultPoints, ParquetLog, TableStore}
   *   - replaying the interrupted operation yields the exact intended
   *     final state (same seqs, same values — idempotent recovery).
   */
-class KillPointSpec extends SparkSpec {
+abstract class KillPointContract extends SparkSpec {
+
+  /** "" = LocalFileIO; "file:" = HadoopFileIO over local disk — the
+    * whole kill matrix runs over BOTH storage backends, so every
+    * crash window's recovery is pinned on the HDFS/object-store code
+    * path too, not just java.nio. */
+  def fsPrefix: String
+  def tag: String
+  private def storeDir(prefix: String): String = fsPrefix + tmpDir(prefix)
 
   private final class Injected(val point: String)
       extends RuntimeException(s"injected fault at $point")
@@ -57,15 +63,10 @@ class KillPointSpec extends SparkSpec {
       .toSeq
       .map(r => (r.getLong(0), r.getInt(1)))
 
-  private def dataFiles(dir: String): List[String] = {
-    val p = Paths.get(dir, "data")
-    if (!Files.exists(p)) Nil
-    else {
-      val s = Files.list(p)
-      try s.iterator().asScala.map(_.getFileName.toString).toList.sorted
-      finally s.close()
-    }
-  }
+  private def dataFiles(dir: String): List[String] =
+    FileIO.forPath(dir).list(FileIO.join(dir, "data"))
+      .filterNot(e => FileIO.isHidden(e.name))
+      .map(_.name).sorted
 
   // ---------------------------------------------------------------
   // append: every side-effect boundary of writeSegments + the commit
@@ -81,9 +82,9 @@ class KillPointSpec extends SparkSpec {
   )
 
   for ((point, nth) <- appendKills)
-    test(s"append killed at $point#$nth: reopen=pre-op, fsck repairs, replay exact") {
+    test(s"[$tag] append killed at $point#$nth: reopen=pre-op, fsck repairs, replay exact") {
       import spark.implicits._
-      val dir = tmpDir("kp-append")
+      val dir = storeDir("kp-append")
       val log = ParquetLog.open(spark, dir, IntegerType)
       log.appendValues(0 until 10) // baseline: seqs 0..9
       val baseline = drain(log)
@@ -128,9 +129,9 @@ class KillPointSpec extends SparkSpec {
   )
 
   for ((point, nth) <- rewriteKillsPre)
-    test(s"nullAt killed at $point#$nth: pre-op reads intact, replay redacts") {
+    test(s"[$tag] nullAt killed at $point#$nth: pre-op reads intact, replay redacts") {
       import spark.implicits._
-      val dir = tmpDir("kp-null")
+      val dir = storeDir("kp-null")
       val log = ParquetLog.open(spark, dir, IntegerType)
       log.appendValues(0 until 10)
 
@@ -153,9 +154,9 @@ class KillPointSpec extends SparkSpec {
       assert(re.checkConsistency(repair = false).isEmpty)
     }
 
-  test("nullAt killed at log.rewrite.preDelete: post-op reads, old file swept, idempotent replay") {
+  test(s"[$tag] nullAt killed at log.rewrite.preDelete: post-op reads, old file swept, idempotent replay") {
     import spark.implicits._
-    val dir = tmpDir("kp-null-post")
+    val dir = storeDir("kp-null-post")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(0 until 10)
 
@@ -180,9 +181,9 @@ class KillPointSpec extends SparkSpec {
   // ---------------------------------------------------------------
   // compact
   // ---------------------------------------------------------------
-  test("compact killed at log.compact.preCommit: segments unchanged, replay compacts") {
+  test(s"[$tag] compact killed at log.compact.preCommit: segments unchanged, replay compacts") {
     import spark.implicits._
-    val dir = tmpDir("kp-compact")
+    val dir = storeDir("kp-compact")
     val log = ParquetLog.open(spark, dir, IntegerType)
     (0 until 5).foreach(i => log.appendValues(i * 3 until (i + 1) * 3))
     val baseline = drain(log)
@@ -206,9 +207,9 @@ class KillPointSpec extends SparkSpec {
     assert(re.checkConsistency(repair = false).isEmpty)
   }
 
-  test("compact killed at log.compact.preDelete: compacted view, old files swept") {
+  test(s"[$tag] compact killed at log.compact.preDelete: compacted view, old files swept") {
     import spark.implicits._
-    val dir = tmpDir("kp-compact-post")
+    val dir = storeDir("kp-compact-post")
     val log = ParquetLog.open(spark, dir, IntegerType)
     (0 until 5).foreach(i => log.appendValues(i * 3 until (i + 1) * 3))
     val baseline = drain(log)
@@ -249,9 +250,9 @@ class KillPointSpec extends SparkSpec {
   )
 
   for ((point, nth) <- tableAppendKills)
-    test(s"table append killed at $point#$nth: pre-op reads, sweep, replay exact") {
+    test(s"[$tag] table append killed at $point#$nth: pre-op reads, sweep, replay exact") {
       import spark.implicits._
-      val dir = tmpDir("kp-table")
+      val dir = storeDir("kp-table")
       val t = TableStore.open(spark, dir, tableSchema)
       t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
       val v0 = t.version
@@ -276,9 +277,9 @@ class KillPointSpec extends SparkSpec {
       assert(tableRows(re) == Set(("a", 1), ("b", 2), ("c", 3), ("d", 4)))
     }
 
-  test("table rewrite killed at table.rewrite.preCommit: pre-op table intact, replay folds") {
+  test(s"[$tag] table rewrite killed at table.rewrite.preCommit: pre-op table intact, replay folds") {
     import spark.implicits._
-    val dir = tmpDir("kp-table-rw")
+    val dir = storeDir("kp-table-rw")
     val t = TableStore.open(spark, dir, tableSchema)
     t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
     t.append(Seq(("c", 3)).toDF("k", "v"))
@@ -298,9 +299,9 @@ class KillPointSpec extends SparkSpec {
     assert(re.checkConsistency(repair = false, minAgeMs = 0L).isEmpty)
   }
 
-  test("table rewrite killed at table.rewrite.preDelete: folded view, old files swept") {
+  test(s"[$tag] table rewrite killed at table.rewrite.preDelete: folded view, old files swept") {
     import spark.implicits._
-    val dir = tmpDir("kp-table-rwpost")
+    val dir = storeDir("kp-table-rwpost")
     val t = TableStore.open(spark, dir, tableSchema)
     t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
     t.append(Seq(("c", 3)).toDF("k", "v"))
@@ -322,9 +323,9 @@ class KillPointSpec extends SparkSpec {
   // in-process failure (NOT a crash): the cleanup guard must leave
   // zero litter when the commit itself fails under a live process
   // ---------------------------------------------------------------
-  test("in-process commit failure sweeps its own fresh segments (no orphans)") {
+  test(s"[$tag] in-process commit failure sweeps its own fresh segments (no orphans)") {
     import spark.implicits._
-    val dir = tmpDir("kp-inproc")
+    val dir = storeDir("kp-inproc")
     val log = ParquetLog.open(spark, dir, IntegerType)
     log.appendValues(0 until 5)
     val filesBefore = dataFiles(dir)
@@ -343,4 +344,18 @@ class KillPointSpec extends SparkSpec {
     log.appendValues(5 until 10)
     assert(drain(log) == (0 until 10).map(i => (i.toLong, i)))
   }
+}
+
+class KillPointSpec extends KillPointContract {
+  def fsPrefix = ""
+  def tag = "local"
+}
+
+/** The same kill matrix with every metadata side effect routed through
+  * [[graft.storage.HadoopFileIO]] (`file:` scheme on local disk) —
+  * staging, publish, sweep, and recovery on the filesystem API an
+  * HDFS/object-store deployment actually uses. */
+class KillPointHadoopSpec extends KillPointContract {
+  def fsPrefix = "file:"
+  def tag = "hadoopfs"
 }

@@ -132,11 +132,16 @@ abstract class LogContractSpec extends SparkSpec {
 
 /** Durable backend leg + parquet-only behaviors (durability, direct
   * point reads, spec validation — validation is backend-independent
-  * but needs only one leg). */
-class LogSpec extends LogContractSpec {
-  def backend = "parquet"
+  * but needs only one leg). Abstract over the [[graft.storage.FileIO]]
+  * routing: the local leg uses bare POSIX paths (java.nio metadata
+  * I/O), the Hadoop leg `file:`-schemed paths (the same Hadoop
+  * FileSystem code path an hdfs:// or s3a:// store dir takes). */
+abstract class ParquetLogContract extends LogContractSpec {
+  /** "" = LocalFileIO; "file:" = HadoopFileIO over local disk. */
+  def fsPrefix: String
+  def logDir(prefix: String): String = fsPrefix + tmpDir(prefix)
   def openLog(valueType: DataType): Log =
-    ParquetLog.open(spark, tmpDir("log"), valueType)
+    ParquetLog.open(spark, logDir("log"), valueType)
 
   test("seq bounds are pushed to the scan (exact, planning-time pruning)") {
     import spark.implicits._
@@ -195,7 +200,7 @@ class LogSpec extends LogContractSpec {
 
   test("get(seq) handles struct and array values (driver direct read)") {
     import spark.implicits._
-    val slog = ParquetLog.open(spark, tmpDir("structlog"),
+    val slog = ParquetLog.open(spark, logDir("structlog"),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("a",
           org.apache.spark.sql.types.LongType),
@@ -210,7 +215,7 @@ class LogSpec extends LogContractSpec {
     val r1 = slog.get(1).getStruct(1)
     assert(r1.getLong(0) == 8L && r1.isNullAt(1))
 
-    val alog = ParquetLog.open(spark, tmpDir("arrlog"),
+    val alog = ParquetLog.open(spark, logDir("arrlog"),
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.IntegerType))
     alog.append(Seq(Seq(1, 2, 3), Seq.empty[Int]).toDF("value"))
@@ -221,7 +226,7 @@ class LogSpec extends LogContractSpec {
   // offset2/rw_test.go:66-146 TestWriteAndWriteAgain
   test("reopen continues sequence (durability)") {
     import spark.implicits._
-    val dir = tmpDir("reopen")
+    val dir = logDir("reopen")
     val log1 =
       ParquetLog.open(spark, dir, org.apache.spark.sql.types.IntegerType)
     log1.appendValues(Seq(1, 2, 3))
@@ -233,6 +238,21 @@ class LogSpec extends LogContractSpec {
     assert(
       log2.query().collect().toSeq.map(_.getInt(0)) == Seq(1, 2, 3, 4, 5, 6))
   }
+}
+
+class LogSpec extends ParquetLogContract {
+  def backend = "parquet"
+  def fsPrefix = ""
+}
+
+/** The Hadoop FileSystem leg of the storage matrix: every metadata
+  * operation (manifest commit, segment publish, fsck sweep, direct
+  * point reads) routed through [[graft.storage.HadoopFileIO]] — the
+  * code path an HDFS/object-store deployment takes — driven on local
+  * disk via the `file:` scheme. */
+class LogHadoopSpec extends ParquetLogContract {
+  def backend = "parquet-hadoopfs"
+  def fsPrefix = "file:"
 }
 
 /** In-memory backend leg (reference: mem/log.go behind the same

@@ -10,8 +10,15 @@ import graft.storage.TableStore
   * built the table (the reference's batched-flush guarantee,
   * indexes/badger/index.go:138-163, without its in-memory queue).
   */
-class TableStoreSpec extends SparkSpec {
+abstract class TableStoreContract extends SparkSpec {
   import spark.implicits._
+
+  import graft.storage.FileIO
+
+  /** "" = LocalFileIO; "file:" = HadoopFileIO over local disk — the
+    * whole TableStore contract runs over both storage backends. */
+  def fsPrefix: String
+  def storeDir(prefix: String): String = fsPrefix + tmpDir(prefix)
 
   private val schema = StructType(
     Seq(
@@ -21,7 +28,7 @@ class TableStoreSpec extends SparkSpec {
   )
 
   test("many small commits still plan as a single parquet scan") {
-    val store = TableStore.open(spark, tmpDir("ts-flat"), schema)
+    val store = TableStore.open(spark, storeDir("ts-flat"), schema)
     (1 to 40).foreach { i =>
       store.append(Seq((s"k${i % 5}", i.toLong)).toDF("k", "v"))
     }
@@ -33,7 +40,7 @@ class TableStoreSpec extends SparkSpec {
 
   test("table count/min/max(_ver) answered from the manifest — zero file IO") {
     import spark.implicits._
-    val dir = tmpDir("ts-agg")
+    val dir = storeDir("ts-agg")
     val store = TableStore.open(spark, dir, schema)
     val v1 = store.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
     store.append(Seq(("a", 3L)).toDF("k", "v"))
@@ -66,7 +73,7 @@ class TableStoreSpec extends SparkSpec {
 
   test("a fold racing a planned stream batch fails loudly, not silently empty") {
     import spark.implicits._
-    val dir = tmpDir("ts-fold")
+    val dir = storeDir("ts-fold")
     val store = TableStore.open(spark, dir, schema)
     store.append(Seq(("a", 1L)).toDF("k", "v"))
     store.append(Seq(("b", 2L)).toDF("k", "v"))
@@ -101,7 +108,7 @@ class TableStoreSpec extends SparkSpec {
   }
 
   test("table reads are columnar: ColumnarToRow for the _ver path, row-path A/B identical") {
-    val dir = tmpDir("ts-col")
+    val dir = storeDir("ts-col")
     val store = TableStore.open(spark, dir, schema)
     val v1 = store.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
     store.append(Seq(("a", 3L)).toDF("k", "v"))
@@ -141,7 +148,7 @@ class TableStoreSpec extends SparkSpec {
     // _ver — the shared-range split regime (exact-bounds cuts are
     // impossible, and unnecessary: graft-table's only rewrite folds
     // history and trips the reader's _ver refusal before any row)
-    val dir = tmpDir("ts-split")
+    val dir = storeDir("ts-split")
     val hconf = spark.sparkContext.hadoopConfiguration
     val prev = hconf.get("parquet.block.size")
     hconf.setInt("parquet.block.size", 16 * 1024)
@@ -174,7 +181,7 @@ class TableStoreSpec extends SparkSpec {
   }
 
   test("_ver carries the commit version per row (last-write-wins order)") {
-    val store = TableStore.open(spark, tmpDir("ts-ver"), schema)
+    val store = TableStore.open(spark, storeDir("ts-ver"), schema)
     val v1 = store.append(Seq(("a", 1L)).toDF("k", "v"))
     val v2 = store.append(Seq(("a", 2L), ("b", 1L)).toDF("k", "v"))
     assert(v2 == v1 + 1)
@@ -197,7 +204,7 @@ class TableStoreSpec extends SparkSpec {
   test("version-offset stream: commits arrive atomically, in order, exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     import scala.jdk.CollectionConverters._
-    val store = TableStore.open(spark, tmpDir("tstr"), schema)
+    val store = TableStore.open(spark, storeDir("tstr"), schema)
     store.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
     store.append(Seq(("c", 3L)).toDF("k", "v"))
     // each foreachBatch batch = whole commit versions, never a split
@@ -233,7 +240,7 @@ class TableStoreSpec extends SparkSpec {
   test("a FRESH stream on a rewritten table starts cleanly; a resumed one past the fold refuses") {
     import org.apache.spark.sql.streaming.Trigger
     import scala.jdk.CollectionConverters._
-    val store = TableStore.open(spark, tmpDir("tsfold"), schema)
+    val store = TableStore.open(spark, storeDir("tsfold"), schema)
     store.append(Seq(("a", 1L)).toDF("k", "v"))
     store.append(Seq(("a", 2L), ("b", 5L)).toDF("k", "v"))
     store.rewrite(df => df.groupBy("k").agg(max("v").as("v"))) // fold
@@ -262,7 +269,7 @@ class TableStoreSpec extends SparkSpec {
     } finally q.stop()
     // a stream that DELIVERED versions and then sees a fold past its
     // cursor still refuses (those versions are unreconstructable)
-    val store2 = TableStore.open(spark, tmpDir("tsfold2"), schema)
+    val store2 = TableStore.open(spark, storeDir("tsfold2"), schema)
     store2.append(Seq(("a", 1L)).toDF("k", "v"))
     val ck2 = tmpDir("tsfold2ck")
     val q2 = store2.stream.writeStream
@@ -290,7 +297,7 @@ class TableStoreSpec extends SparkSpec {
   }
 
   test("versionAsOf snapshots: exact history cut, loud after a fold") {
-    val store = TableStore.open(spark, tmpDir("ts-asof"), schema)
+    val store = TableStore.open(spark, storeDir("ts-asof"), schema)
     val v1 = store.append(Seq(("a", 1L)).toDF("k", "v"))
     val v2 = store.append(Seq(("a", 2L), ("b", 1L)).toDF("k", "v"))
     val v3 = store.append(Seq(("c", 3L)).toDF("k", "v"))
@@ -329,14 +336,13 @@ class TableStoreSpec extends SparkSpec {
 
   test("a planned _ver read racing a rewrite fails loudly, never emits empty") {
     import graft.sources.{GraftLogReaderFactory, LogSegmentPartition}
-    val store = TableStore.open(spark, tmpDir("ts-race"), schema)
+    val store = TableStore.open(spark, storeDir("ts-race"), schema)
     store.append(Seq(("a", 1L)).toDF("k", "v"))
     store.append(Seq(("b", 2L)).toDF("k", "v"))
     // plan against the CURRENT manifest (what a micro-batch or
     // snapshot scan does), resolving absolute segment paths
     val m = graft.storage.Manifest.load(store.dir).get
-    val planned = m.segments.map(s =>
-      java.nio.file.Paths.get(store.dir, s.path).toString)
+    val planned = m.segments.map(s => FileIO.join(store.dir, s.path))
     val part = LogSegmentPartition(store.dir, planned, 1L, 2L)
     // the rewrite folds versions 1-2 into version 3 and DELETES the
     // planned files — serving the stale plan from the folded segment
@@ -350,18 +356,20 @@ class TableStoreSpec extends SparkSpec {
   }
 
   test("checkConsistency sweeps crash litter, reports real loss, repairs safely") {
-    import java.nio.file.{Files, Paths}
-    val store = TableStore.open(spark, tmpDir("ts-fsck"), schema)
+    val store = TableStore.open(spark, storeDir("ts-fsck"), schema)
+    val io = FileIO.forPath(store.dir)
+    def exists(rel: String) = io.exists(FileIO.join(store.dir, rel))
     store.append(Seq(("a", 1L)).toDF("k", "v"))
     store.append(Seq(("b", 2L)).toDF("k", "v"))
     assert(store.checkConsistency() == Nil) // clean table
     // simulate a crash mid-append: orphan tmp spill dir + an orphan
     // moved file the manifest never committed
-    val tmp = Paths.get(store.dir, "tmp-deadbeef")
-    Files.createDirectories(tmp)
-    Files.writeString(tmp.resolve("part-0.parquet"), "junk")
-    val orphan = Paths.get(store.dir, "data", "seg-99999999-orphan.parquet")
-    Files.writeString(orphan, "junk")
+    io.mkdirs(FileIO.join(store.dir, "tmp-deadbeef"))
+    io.writeAtomic(FileIO.join(store.dir, "tmp-deadbeef/part-0.parquet"),
+      "junk".getBytes("UTF-8"))
+    io.writeAtomic(
+      FileIO.join(store.dir, "data/seg-99999999-orphan.parquet"),
+      "junk".getBytes("UTF-8"))
     val found = store.checkConsistency()
     assert(found.exists(_.contains("tmp-deadbeef")), found.toString)
     assert(found.exists(_.contains("seg-99999999-orphan")), found.toString)
@@ -370,11 +378,12 @@ class TableStoreSpec extends SparkSpec {
     // YOUNG litter is reported but NOT deleted (it may be another
     // process's in-flight append): default minAge protects it
     store.checkConsistency(repair = true)
-    assert(Files.exists(tmp) && Files.exists(orphan))
+    assert(exists("tmp-deadbeef") && exists("data/seg-99999999-orphan.parquet"))
     // aged litter (minAgeMs = 0 simulates age) is swept
     store.checkConsistency(repair = true, minAgeMs = 0L)
     assert(store.checkConsistency() == Nil)
-    assert(!Files.exists(tmp) && !Files.exists(orphan))
+    assert(!exists("tmp-deadbeef") &&
+      !exists("data/seg-99999999-orphan.parquet"))
     assert(store.readVersioned.count() == 2)
     // another handle's commit is never litter: the sweep judges
     // against the DISK manifest, not this handle's stale view
@@ -385,13 +394,13 @@ class TableStoreSpec extends SparkSpec {
     assert(other.readVersioned.count() == 3)
     // a missing COMMITTED file is loss: reported, never auto-deleted
     val committed = graft.storage.Manifest.load(store.dir).get.segments.head
-    Files.delete(Paths.get(store.dir, committed.path))
+    io.delete(FileIO.join(store.dir, committed.path))
     val loss = store.checkConsistency(repair = true)
     assert(loss.exists(_.contains("MISSING")), loss.toString)
   }
 
   test("reopening with a different schema is refused loudly") {
-    val dir = tmpDir("ts-schema")
+    val dir = storeDir("ts-schema")
     val store = TableStore.open(spark, dir, schema)
     store.append(Seq(("a", 1L)).toDF("k", "v"))
     // renamed column: forced .schema() would read it back all-null
@@ -418,7 +427,7 @@ class TableStoreSpec extends SparkSpec {
   }
 
   test("rewrite collapses history into one version") {
-    val store = TableStore.open(spark, tmpDir("ts-rw"), schema)
+    val store = TableStore.open(spark, storeDir("ts-rw"), schema)
     (1 to 5).foreach(i => store.append(Seq(("a", i.toLong)).toDF("k", "v")))
     store.rewrite(df => df.groupBy("k").agg(max("v").as("v")))
     val rows = store.readVersioned.collect()
@@ -427,4 +436,14 @@ class TableStoreSpec extends SparkSpec {
     val vers = store.readVersioned.select("_ver").distinct().collect()
     assert(vers.length == 1)
   }
+}
+
+class TableStoreSpec extends TableStoreContract {
+  def fsPrefix = ""
+}
+
+/** The Hadoop FileSystem leg of the TableStore contract (`file:`
+  * scheme on local disk — the HDFS/object-store code path). */
+class TableStoreHadoopSpec extends TableStoreContract {
+  def fsPrefix = "file:"
 }
