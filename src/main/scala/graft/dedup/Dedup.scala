@@ -1401,7 +1401,8 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Long = 100000L,
       bits: Int = 32,
-      maxBroadcastProbeKeys: Long = 4000000L
+      maxBroadcastProbeKeys: Long = 4000000L,
+      minProbeExchangeRows: Long = 50000L
   ): (DataFrame, DataFrame) = {
     require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
     require(bands > maxHamming,
@@ -1412,8 +1413,23 @@ object Dedup {
     val probe = newBands.select("band", "bkey").distinct()
     val probeSide =
       if (nRows <= maxBroadcastProbeKeys) broadcast(probe) else probe
-    val probedCorpus = corpusIndex
+    val probedCorpus0 = corpusIndex
       .join(probeSide, Seq("band", "bkey"), "left_semi")
+    // Count-gated reuse exchange above the probe — the
+    // incrementalFromBands lesson applied to the Hamming tier: the
+    // tagged frame below has FOUR consumers (cap counts, cap
+    // semi-join, both pair-join sides), and without a reuse point
+    // each re-runs this standing-index semi-probe — three extra
+    // scans of the standing store per ingest, the corpus-linear
+    // drift FpProbe recorded (+4 s/batch by 786k docs). With the
+    // exchange, ReuseExchange serves every consumer from ONE
+    // batch-bound shuffle of probed rows. Small batches (probe reach
+    // is bucket-correlated with the batch) skip the fixed stage cost
+    // and re-probe instead — same gate and rationale as the LSH tier.
+    val probedCorpus =
+      if (nRows > minProbeExchangeRows)
+        probedCorpus0.repartition(col("band"), col("bkey"))
+      else probedCorpus0
     val tagged = newBands
       .select(col("id"), col("band"), col("bkey"), col("h"),
         lit(true).as("_new"))
@@ -1437,6 +1453,14 @@ object Dedup {
         expr("bit_count(_hx ^ _hy)").cast("long").as("hamming"))
       .distinct() // a close pair can collide in several bands
       .where(col("hamming") <= maxHamming)
+      // materialized once (executor-local blocks), like the LSH
+      // tier's candidates checkpoint: the survivor rule's CC
+      // iterations, the admitted anti-join, the index commit's loser
+      // join and the caller's own evaluation all reuse this
+      // pair-bound frame — without it each consumer re-runs the
+      // whole standing-index probe, a corpus-linear multiplier
+      // (FpProbe measured the full ingest at 3-4x the lone probe)
+      .localCheckpoint(true)
     (pairs, capped)
   }
 

@@ -114,6 +114,9 @@ final class FingerprintIndex private (
     val drops = Dedup.incrementalDropIds(
       pairs.select("id_a", "id_b"),
       docs.select(col(idCol).cast("long").as(idCol)), idCol, maxIter)
+      // loser set: pair-bound and consumed twice (admitted anti-join
+      // + the commit's admitted-flag join) — materialize once
+      .localCheckpoint(true)
     val admitted = docs
       .join(drops, docs(idCol).cast("long") === drops("_dup_id"),
         "left_anti")
@@ -139,7 +142,19 @@ final class FingerprintIndex private (
       lit("batch").as("kind"), nul("long").as("id"), nul("int").as("band"),
       nul("long").as("bkey"), nul("long").as("h"),
       nul("boolean").as("admitted"), lit(batchId).as("batch_id"))
-    store.append(v.unionByName(j))
+    // Fresh segments land (band, bkey)-range-laid-out and sorted, not
+    // as shuffle.partitions unsorted shards: each commit writes a few
+    // range-tiled files whose row groups carry tight (kind, band,
+    // bkey) stats — so the probe's standing-side scan and the
+    // journal's pushed kind="batch" lookup prune BETWEEN compacts,
+    // not only after one (the Ann.writeBucketedIndex discipline).
+    // The range shuffle is batch-sized; nulls (the journal row) sort
+    // first, keeping journal lookups one row group deep.
+    store.append(
+      v.unionByName(j)
+        .repartitionByRange(FingerprintIndex.SegmentsPerCommit,
+          col("kind"), col("band"), col("bkey"))
+        .sortWithinPartitions("kind", "band", "bkey", "id"))
   }
 
   /** Checkpointed streaming leg — the family's [[VecDedupIndex.start]]
@@ -191,6 +206,11 @@ final class FingerprintIndex private (
 }
 
 object FingerprintIndex {
+
+  /** Range-tiled segment files per commit — few files (planning and
+    * open cost stay O(commits), not O(commits × shuffle.partitions))
+    * with tight per-file (band, bkey) stats. */
+  val SegmentsPerCommit: Int = 4
 
   private[dedup] val storeSchema: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),
