@@ -321,6 +321,37 @@ object Bench {
         incBatch, "text", "doc_id",
         spark.read.parquet(s"$work/fpidx")).count()
     }
+    // the MANAGED-ARTIFACT ingest paths, per-round regression
+    // trackers like incremental_lsh: one journaled batch ingest
+    // against a STANDING store (seeded untimed). Each of the 3 timed
+    // runs ingests a DIFFERENT tenth under a fresh batch id — ids
+    // must be disjoint from indexed ids, and a same-id rerun would
+    // measure the replay path (probe without commit), not ingest.
+    locally {
+      val fps = docs.select(col("doc_id"),
+        xxhash64(col("text"), lit("fp")).as("h"))
+      val fpi = graft.dedup.FingerprintIndex.open(
+        spark, s"$work/fpingest", bands = 4, bits = 64)
+      fpi.seed("corpus", fps.where(col("doc_id") % 10 >= 3), "h", "doc_id")
+      var fpRun = 0
+      timed("fingerprint_ingest") {
+        fpi.ingest(s"b$fpRun",
+          fps.where(col("doc_id") % 10 === fpRun % 3),
+          "h", "doc_id", maxHamming = 2)
+        fpRun += 1
+      }
+      val boil = graft.pipeline.BoilerplateIndex.open(
+        spark, s"$work/boilingest", width = 3)
+      boil.ingest("corpus",
+        docs.where(col("doc_id") % 10 >= 3), "text", "doc_id")
+      var boilRun = 0
+      timed("boilerplate_ingest") {
+        boil.ingest(s"b$boilRun",
+          docs.where(col("doc_id") % 10 === boilRun % 3),
+          "text", "doc_id")
+        boilRun += 1
+      }
+    }
     timed("simhash")(Dedup.simhash32(docs, "text", "doc_id").count())
     // the 100 TB fingerprint tier: 64 conditional-sum columns (the
     // widest agg in the engine) and 16-bit-band Hamming pairing —

@@ -817,8 +817,7 @@ object SparkEntry {
     // the hash match verifies the df-sum merge law cross-engine
     "q130_boilerplate_index" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val work = java.nio.file.Files
-        .createTempDirectory("q130-boilidx-").toString
+      val work = tempWorkDir("q130-boilidx-")
       val idx = graft.pipeline.BoilerplateIndex.open(s, work, width = 3)
       idx.ingest("even", docs.where(col("doc_id") % 2 === 0),
         "text", "doc_id")
@@ -924,8 +923,7 @@ object SparkEntry {
     "q123_zbox_prune" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-      val out = java.nio.file.Files
-        .createTempDirectory("q123-zpart-").toString
+      val out = tempWorkDir("q123-zpart-")
       graft.pipeline.Layout.writeZOrderedPartitioned(
         li, Seq("l_partkey", "l_suppkey"), out, bits = 15, dirBits = 8)
       s.read.parquet(out)
@@ -943,8 +941,7 @@ object SparkEntry {
     "q122_jsonl_shards" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
-      val out = java.nio.file.Files
-        .createTempDirectory("q122-shards-").toString
+      val out = tempWorkDir("q122-shards-")
       graft.pipeline.Shards.writeJsonlShards(docs, "doc_id", out,
         numShards = 8)
       s.read.schema(docs.schema).json(out).orderBy("doc_id")

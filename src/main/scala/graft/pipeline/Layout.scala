@@ -103,9 +103,11 @@ object Layout {
     * column piles the hot region into a few key values and the
     * layout degenerates (LayoutSpec measures exactly this).
     *
-    * THE SCALE PATH (default): per-column `approxQuantile` boundary
-    * estimation — one Greenwald-Khanna pass per column, no sort, no
-    * shuffle of rows — then bucket = count of boundaries ≤ value, a
+    * THE SCALE PATH (default): approxQuantile boundary estimation
+    * for ALL columns in ONE Greenwald-Khanna pass (the multi-column
+    * overload — a d-dim ranked layout costs one corpus scan, not d),
+    * no sort, no shuffle of rows — then bucket = count of boundaries
+    * ≤ value, a
     * literal-array scan of 2^bits-1 comparisons inside codegen. Keep
     * `bits` modest (default 8 → 256 buckets/dim): the grid only
     * needs a few cells per OUTPUT FILE, not per row, so 256×256
@@ -129,6 +131,23 @@ object Layout {
       !df.columns.exists(c => c == "_zrank" || c.startsWith("_zb")),
       "withZRank reserves the _zrank/_zb* column names")
     val buckets = 1 << bits
+    // ONE GK pass for every dimension (quantiles over the double cast
+    // so any orderable-castable type, timestamps included, ranks):
+    // the multi-column approxQuantile overload shares the scan, so a
+    // 4-dim ranked layout costs one corpus read where per-column
+    // calls would cost four
+    val boundaries: Array[Array[Double]] =
+      if (exact) Array.empty
+      else {
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val proj = df.select(cols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"_q$i")
+        }: _*)
+        proj.stat
+          .approxQuantile(cols.indices.map(i => s"_q$i").toArray,
+            probs, relErr)
+          .map(_.distinct.sorted)
+      }
     val ranked = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val b =
         if (exact)
@@ -137,21 +156,14 @@ object Layout {
               .over(org.apache.spark.sql.expressions.Window.orderBy(col(c)))
               * buckets),
             lit(buckets - 1)).cast("long")
-        else {
-          val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-          // quantiles over the double cast so any orderable-castable
-          // type (timestamps included) ranks; GK pass, no sort
-          val bs = df
-            .select(col(c).cast("double").as("_q"))
-            .stat.approxQuantile("_q", probs, relErr)
-            .distinct.sorted
+        else
           // STRICT less-than: the boundary element itself stays in
           // the lower bucket, matching the exact path's
           // floor(percent_rank·B) on exact quantiles (duplicates of
           // a boundary value land in one bucket either way)
-          size(filter(typedLit(bs), x => x < col(c).cast("double")))
+          size(filter(typedLit(boundaries(i).toSeq),
+            x => x < col(c).cast("double")))
             .cast("long")
-        }
       d.withColumn(s"_zb$i", b)
     }
     ranked
@@ -196,7 +208,15 @@ object Layout {
     * row-group stats for the residual scan). At 100 TB: `dirBits`
     * bounds the directory count (2^dirBits) — keep it ≤ ~12 so the
     * namespace stays listable; resolution beyond the directory grid
-    * comes from the in-file sort, not more directories. */
+    * comes from the in-file sort, not more directories.
+    *
+    * The geometry `(cols, bits, dirBits)` is PINNED in a
+    * `_zlayout.properties` marker inside `outDir` (underscore-named,
+    * so readers' file listings skip it) and refused on mismatch by
+    * [[appendZOrderedPartitioned]] / [[zBoxFilterAt]] — the repo's
+    * refuse-loudly discipline for artifact parameters: an append
+    * under different geometry would silently MISFILE rows and every
+    * later box read would silently miss them. */
   def writeZOrderedPartitioned(
       df: DataFrame,
       cols: Seq[String],
@@ -211,6 +231,7 @@ object Layout {
       !df.columns.exists(c => c == "_zb" || c == "_zkey"),
       "writeZOrderedPartitioned reserves the _zb/_zkey column names")
     writeZPartitioned(df, cols, outDir, bits, dirBits, overwrite = true)
+    pinGeometry(outDir, cols, bits, dirBits)
   }
 
   /** Append `batch` INTO an existing [[writeZOrderedPartitioned]]
@@ -220,9 +241,10 @@ object Layout {
     * Each append adds ≤ one file per TOUCHED block; run an
     * occasional per-directory compaction (a directory is
     * independently rewritable — it owns a disjoint key range) when
-    * small files accumulate. Caller must pass the SAME cols/bits/
-    * dirBits the layout was written with — a mismatch silently
-    * misfiles rows, so co-locate these in one config value. */
+    * small files accumulate. The geometry must MATCH the layout's
+    * pinned `_zlayout.properties` marker — a mismatch would silently
+    * misfile rows, so it is refused loudly (a marker-less pre-pin
+    * layout adopts the passed geometry on first append). */
   def appendZOrderedPartitioned(
       batch: DataFrame,
       cols: Seq[String],
@@ -235,8 +257,40 @@ object Layout {
     require(
       !batch.columns.exists(c => c == "_zb" || c == "_zkey"),
       "appendZOrderedPartitioned reserves the _zb/_zkey column names")
+    pinnedGeometry(outDir) match {
+      case Some((pc, pb, pd)) =>
+        require(pc == cols && pb == bits && pd == dirBits,
+          s"layout at $outDir was written with (cols=${pc.mkString(",")}, " +
+            s"bits=$pb, dirBits=$pd); appending with " +
+            s"(${cols.mkString(",")}, $bits, $dirBits) would misfile " +
+            "rows and zBoxFilter reads would silently miss them")
+      case None => pinGeometry(outDir, cols, bits, dirBits)
+    }
     writeZPartitioned(batch, cols, outDir, bits, dirBits,
       overwrite = false)
+  }
+
+  /** The pinned `(cols, bits, dirBits)` of a partitioned layout, if
+    * its marker exists. */
+  def pinnedGeometry(dir: String): Option[(Seq[String], Int, Int)] =
+    graft.storage.FileIO.loadProps(
+      graft.storage.FileIO.join(dir, "_zlayout.properties")).map { p =>
+      (p.getProperty("cols").split(",").toSeq,
+        p.getProperty("bits").toInt,
+        p.getProperty("dirBits").toInt)
+    }
+
+  private def pinGeometry(
+      dir: String, cols: Seq[String], bits: Int, dirBits: Int): Unit = {
+    require(cols.forall(!_.contains(",")),
+      "z-layout column names must not contain commas")
+    val props = new java.util.Properties()
+    props.setProperty("cols", cols.mkString(","))
+    props.setProperty("bits", bits.toString)
+    props.setProperty("dirBits", dirBits.toString)
+    graft.storage.FileIO.storeProps(
+      graft.storage.FileIO.join(dir, "_zlayout.properties"), props,
+      "graft z-layout geometry")
   }
 
   private def writeZPartitioned(
@@ -330,6 +384,28 @@ object Layout {
     // rather than shipping a 2^dirBits-literal list through the plan
     if (hits.size == (1L << dirBits)) residual
     else col("_zb").isin(hits: _*) && residual
+  }
+
+  /** [[zBoxFilter]] against a layout's PINNED geometry: reads
+    * `(bits, dirBits)` — and validates `cols` — from the
+    * `_zlayout.properties` marker the write pinned, so the box math
+    * can never run under a different geometry than the rows were
+    * filed with (the silent-miss failure mode the pin exists for).
+    * Refuses a marker-less dir: pass the geometry explicitly through
+    * [[zBoxFilter]] only when you own both sides. */
+  def zBoxFilterAt(
+      dir: String,
+      cols: Seq[String],
+      bounds: Seq[(Long, Long)]): Column = {
+    val (pc, bits, dirBits) = pinnedGeometry(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no pinned z-layout geometry at $dir (missing " +
+          "_zlayout.properties) — was this dir written by " +
+          "writeZOrderedPartitioned?"))
+    require(pc == cols,
+      s"layout at $dir is keyed on (${pc.mkString(",")}); a box over " +
+        s"(${cols.mkString(",")}) cannot prune it")
+    zBoxFilter(cols, bounds, bits, dirBits)
   }
 
   /** Per-file min/max of `cols` for the parquet files under `dir` —

@@ -1,7 +1,6 @@
 package graft.sketch
 
 import java.{lang => jl}
-import java.util.TreeSet
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -68,43 +67,69 @@ object Kmv {
       .cast("long")
 
   /** Fold 60-bit hashes into the sorted array of the k smallest
-    * distinct values seen. The buffer is a bounded TreeSet — O(log k)
-    * per row, size ≤ k — kept as a live object within a partition
-    * (ObjectHashAggregate) and serialized only across the partial→
-    * final exchange. */
+    * distinct values seen. The buffer IS the sorted `Array[Long]` —
+    * kept as a live object within a partition (ObjectHashAggregate)
+    * and crossing the partial→final exchange as a plain long array
+    * (8 bytes/hash; the earlier java-serialized TreeSet paid ~3-4×
+    * that per entry at strata × k × partitions scale). Once the
+    * sketch is full, a row hashing above the current max is rejected
+    * in O(1); the bounded number of accepted inserts (≈ k·ln(N/k)
+    * per partition) each pay one O(k) arraycopy.
+    *
+    * NULL inputs contribute NOTHING — matching `corpusProfile`'s
+    * `countDistinct` (which skips nulls) and the DuckDB replay
+    * formula; a null would otherwise decode as a phantom hash 0 and
+    * poison every estimate of a stratum containing one null text. */
   class KmvAgg(k: Int)
-      extends Aggregator[Long, TreeSet[jl.Long], Array[Long]] {
+      extends Aggregator[jl.Long, Array[Long], Array[Long]] {
     require(k >= 2, s"kmv needs k >= 2 (got $k)")
-    override def zero: TreeSet[jl.Long] = new TreeSet[jl.Long]()
-    override def reduce(s: TreeSet[jl.Long], h: Long): TreeSet[jl.Long] = {
-      if (s.size < k) s.add(h)
-      else if (h < s.last && s.add(h)) s.pollLast()
-      s
-    }
-    override def merge(
-        a: TreeSet[jl.Long],
-        b: TreeSet[jl.Long]): TreeSet[jl.Long] = {
-      val it = b.iterator()
-      while (it.hasNext) reduce(a, it.next())
-      a
-    }
-    override def finish(s: TreeSet[jl.Long]): Array[Long] = {
-      val out = new Array[Long](s.size)
-      val it = s.iterator()
-      var i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(s: Array[Long], hBoxed: jl.Long): Array[Long] = {
+      if (hBoxed == null) return s // null value → no hash (see above)
+      val h = hBoxed.longValue()
+      val n = s.length
+      if (n == k && h >= s(n - 1)) return s // full and not smaller: O(1)
+      val idx = java.util.Arrays.binarySearch(s, h)
+      if (idx >= 0) return s // already present (distinct semantics)
+      val ins = -idx - 1
+      val outLen = if (n < k) n + 1 else k
+      val out = new Array[Long](outLen)
+      System.arraycopy(s, 0, out, 0, ins)
+      out(ins) = h
+      System.arraycopy(s, ins, out, ins + 1, outLen - 1 - ins)
       out
     }
-    override def bufferEncoder: Encoder[TreeSet[jl.Long]] =
-      Encoders.javaSerialization[TreeSet[jl.Long]]
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      // two-pointer sorted merge with dedup, truncated at k — the
+      // k smallest of kmin(A) ∪ kmin(B) ARE the k smallest of A ∪ B
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var m = 0
+      while (m < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (b(j) < a(i)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v } // equal: keep one
+        out(m) = take; m += 1
+      }
+      if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+    }
+    override def finish(s: Array[Long]): Array[Long] = s
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Array[Long]] =
       ExpressionEncoder[Array[Long]]()
   }
 
   /** The KMV aggregate as a column function: apply to a [[hash60]]
-    * column under any `groupBy`. */
+    * column under any `groupBy`. Boxed-long input so a NULL hash is
+    * visible to the aggregator (and skipped) instead of decoding as
+    * a phantom 0. */
   def sketchAgg(k: Int): UserDefinedFunction =
-    udaf(new KmvAgg(k), Encoders.scalaLong)
+    udaf(new KmvAgg(k), Encoders.LONG)
 
   /** Per-stratum KMV sketch of `value`: one map-side-combined pass,
     * output `strata… , kmv` (ascending array of ≤ k hashes). */

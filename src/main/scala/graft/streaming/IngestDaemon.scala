@@ -15,10 +15,11 @@ import graft.storage.{FileIO, TableStore}
   * policy-of-the-day and intentionally NOT pinned across the corpus —
   * tightening `minQuality` mid-corpus only affects future batches.
   * WITHIN one batch they are pinned: [[IngestDaemon.processBatch]]
-  * records them per batch just before the index commit, and a replay
-  * of a half-applied batch gates with the knobs OF RECORD, so a
-  * config change in a crash window cannot diverge the seen store from
-  * the rows already indexed. */
+  * records them ON the index commit's own journal row
+  * ([[graft.dedup.DedupIndex.recordedGates]]), and a replay of a
+  * half-applied batch gates with the knobs OF RECORD, so a config
+  * change in a crash window cannot diverge the seen store from the
+  * rows already indexed. */
 final case class IngestConfig(
     textCol: String = "text",
     idCol: String = "doc_id",
@@ -56,6 +57,24 @@ final case class IngestConfig(
     // rescanning the corpus
     profileStrataCol: Option[String] = None,
     profileK: Int = 1024,
+    // `Some(fpCol)` composes the HAMMING (fingerprint) tier: a
+    // [[graft.dedup.FingerprintIndex]] under `dir/fpindex` (geometry
+    // `fpBands`/`fpBits`, pinned at creation) ingests the
+    // so-far-admitted survivors' 64/32-bit fingerprints (SimHash,
+    // pHash) after the semantic tier, and the corpus admits only
+    // every-tier survivors — the media-dedup leg of the loop
+    fpCol: Option[String] = None,
+    fpMaxHamming: Int = 2,
+    fpMaxBucket: Long = 100000L,
+    fpBands: Int = 4,
+    fpBits: Int = 64,
+    // true composes the BOILERPLATE tier: a
+    // [[graft.pipeline.BoilerplateIndex]] under `dir/boilerplate`
+    // (gram width pinned at creation) accumulates the FINAL admitted
+    // set's per-gram document frequencies each batch, keeping the
+    // standing boilerplate dictionary current without corpus rescans
+    boilerplate: Boolean = false,
+    boilerplateWidth: Int = 3,
     // `Some(dir)` composes benchmark DECONTAMINATION into the gate
     // stage: `dir` holds a parquet of eval texts (same `textCol`);
     // every batch drops docs sharing ≥ `decontaminateMinOverlap`
@@ -120,11 +139,18 @@ final case class IngestConfig(
   * [[graft.dedup.SemanticIndex]] under `dir/semindex` (SemDeDup,
   * pinned codebook) ingest each batch's so-far-admitted survivors
   * between the text-index commit and the seen commit, and the corpus
-  * admits only every-tier survivors; with `config.profileStrataCol`
+  * admits only every-tier survivors; `config.fpCol` adds the HAMMING
+  * tier (a [[graft.dedup.FingerprintIndex]] under `dir/fpindex`,
+  * pinned geometry) after them; with `config.profileStrataCol`
   * set, a [[graft.sketch.ProfileIndex]] under `dir/profile` keeps
   * the standing corpus profile current from each batch's FINAL
-  * admitted set. Commit order text index → vector index → semantic
-  * index → profile → seen extends the same argument to every new
+  * admitted set, and `config.boilerplate` keeps the standing
+  * gram-df dictionary ([[graft.pipeline.BoilerplateIndex]] under
+  * `dir/boilerplate`) current the same way — up to SIX journaled
+  * stores and the seen store advancing in one exactly-once step.
+  * Commit order text index → vector index → semantic index →
+  * fingerprint index → profile → boilerplate → seen extends the
+  * same argument to every new
   * crash window: each store's journal rides its own atomic commit,
   * each ingest is idempotent by `batchId` with pre-batch-snapshot
   * replays (the profile ingest is replay-window-free outright — it
@@ -154,7 +180,9 @@ final class IngestDaemon private (
     val config: IngestConfig,
     val vecIndex: Option[graft.dedup.VecDedupIndex],
     val semIndex: Option[graft.dedup.SemanticIndex],
-    val profileIndex: Option[graft.sketch.ProfileIndex]
+    val profileIndex: Option[graft.sketch.ProfileIndex],
+    val fpIndex: Option[graft.dedup.FingerprintIndex],
+    val boilIndex: Option[graft.pipeline.BoilerplateIndex]
 ) {
 
   import IngestDaemon.seenSchema
@@ -269,6 +297,25 @@ final class IngestDaemon private (
         corpusTexts = seenTexts, threshold = c.threshold,
         maxBucket = c.maxBucket,
         gates = Some(IngestDaemon.gatesString(c)))
+      // Tier chaining: each tier's admitted set is reduced to the id
+      // column and MATERIALIZED once (executor-local blocks) before
+      // the next tier consumes it — downstream tiers, the stats
+      // tiers and the seen append otherwise re-run the ENTIRE
+      // upstream probe lineage per consumer (the six-store
+      // DaemonProbe measured the un-pinned chain at ~2x the
+      // four-store cost from exactly this). Skipped when no tier is
+      // composed: the plain loop keeps its lazy single-evaluation
+      // shape.
+      val tiersOn = (vecHandleFor(c), c.vecCol, semHandleFor(c), c.semCol,
+        fpHandleFor(c), c.fpCol) match {
+        case (Some(_), Some(_), _, _, _, _) => true
+        case (_, _, Some(_), Some(_), _, _) => true
+        case (_, _, _, _, Some(_), Some(_)) => true
+        case _ => false
+      }
+      def pinIds(df: DataFrame): DataFrame =
+        if (tiersOn) df.select(col(c.idCol)).localCheckpoint(true) else df
+      val textAdmitted = pinIds(result.admitted)
       // composed vector tier: the text-admitted survivors' embeddings
       // run the incremental near-dup loop against the standing
       // VecDedupIndex — its own journaled commit, idempotent by the
@@ -279,12 +326,12 @@ final class IngestDaemon private (
       // the recall argument of the text index applies unchanged).
       val afterVec = (vecHandleFor(c), c.vecCol) match {
         case (Some(vi), Some(vc)) =>
-          val withVec = result.admitted.join(
+          val withVec = textAdmitted.select(col(c.idCol)).join(
             rawDocs.select(col(c.idCol), col(vc)), Seq(c.idCol))
-          vi.ingest(batchId, withVec, vc, c.idCol,
+          pinIds(vi.ingest(batchId, withVec, vc, c.idCol,
             threshold = c.vecThreshold, maxBucket = c.vecMaxBucket)
-            .admitted
-        case _ => result.admitted
+            .admitted)
+        case _ => textAdmitted
       }
       // SemDeDup tier, after the near-dup tiers: same journaled
       // idempotent-ingest argument, one more commit in the chain
@@ -292,9 +339,23 @@ final class IngestDaemon private (
         case (Some(si), Some(sc)) =>
           val withSem = afterVec.select(col(c.idCol)).join(
             rawDocs.select(col(c.idCol), col(sc)), Seq(c.idCol))
-          si.ingest(batchId, withSem, sc, c.idCol,
-            threshold = c.semThreshold).admitted
+          pinIds(si.ingest(batchId, withSem, sc, c.idCol,
+            threshold = c.semThreshold).admitted)
         case _ => afterVec
+      }
+      // Hamming (fingerprint) tier, after the other admission tiers:
+      // the so-far-admitted survivors' fingerprints run the
+      // incremental Hamming loop against the standing
+      // FingerprintIndex — its own journaled commit, idempotent by
+      // batchId, pre-batch-snapshot replays, the same crash argument
+      val afterFp = (fpHandleFor(c), c.fpCol) match {
+        case (Some(fi), Some(fc)) =>
+          val withFp = afterSem.select(col(c.idCol)).join(
+            rawDocs.select(col(c.idCol), col(fc)), Seq(c.idCol))
+          pinIds(fi.ingest(batchId, withFp, fc, c.idCol,
+            maxHamming = c.fpMaxHamming, maxBucket = c.fpMaxBucket)
+            .admitted)
+        case _ => afterSem
       }
       // composed statistics tier: profile the FINAL admitted set
       // (all tiers) into the standing ProfileIndex. Its commit lands
@@ -307,12 +368,22 @@ final class IngestDaemon private (
       (profileHandleFor(c), c.profileStrataCol) match {
         case (Some(pi), Some(stratum)) =>
           pi.ingest(batchId,
-            afterSem.select(col(c.idCol)).join(
+            afterFp.select(col(c.idCol)).join(
               rawDocs.select(col(c.idCol), col(c.textCol), col(stratum)),
               Seq(c.idCol)))
         case _ => ()
       }
-      val finalResult = result.copy(admitted = afterSem)
+      // boilerplate tier: accumulate the FINAL admitted set's gram-df
+      // rows into the standing dictionary — replay-window-free like
+      // the profile (a batch's gram counts depend only on the batch),
+      // committed before seen for the same terminal-marker reason
+      boilHandleFor(c).foreach { bi =>
+        bi.ingest(batchId,
+          afterFp.select(col(c.idCol)).join(
+            rawDocs.select(col(c.idCol), col(c.textCol)), Seq(c.idCol)),
+          c.textCol, c.idCol)
+      }
+      val finalResult = result.copy(admitted = afterFp)
       val adm = finalResult.admitted
         .select(col(c.idCol).cast("long").as("_adm_id"))
       val nul = (t: String) => lit(null).cast(t)
@@ -363,6 +434,16 @@ final class IngestDaemon private (
       .orElse(Some(graft.sketch.ProfileIndex.open(
         spark, FileIO.join(dir, "profile"))))
 
+  private def fpHandleFor(c: IngestConfig) =
+    if (c.fpCol.isEmpty) None
+    else fpIndex.orElse(Some(graft.dedup.FingerprintIndex.open(
+      spark, FileIO.join(dir, "fpindex"))))
+
+  private def boilHandleFor(c: IngestConfig) =
+    if (!c.boilerplate) None
+    else boilIndex.orElse(Some(graft.pipeline.BoilerplateIndex.open(
+      spark, FileIO.join(dir, "boilerplate"))))
+
   /** Wire a STREAMING `docs` frame (carrying `config.idCol` +
     * `config.textCol`) into the loop: one [[processBatch]] per
     * micro-batch, batch ids taken from the checkpointed streaming
@@ -392,6 +473,8 @@ final class IngestDaemon private (
     vecIndex.foreach(_.compact(targetPartitions))
     semIndex.foreach(_.compact(targetPartitions))
     profileIndex.foreach(_.compact())
+    fpIndex.foreach(_.compact(targetPartitions))
+    boilIndex.foreach(_.compact())
     seen.rewrite(
       _.repartitionByRange(targetPartitions, col("kind"), col("id"))
         .sortWithinPartitions("kind", "id"))
@@ -438,7 +521,16 @@ object IngestDaemon {
         FileIO.join(dir, "profile"), config.profileK, stratum,
         config.textCol)
     }
-    new IngestDaemon(spark, dir, index, seen, config, vec, sem, prof)
+    val fp = config.fpCol.map { _ =>
+      graft.dedup.FingerprintIndex.open(spark,
+        FileIO.join(dir, "fpindex"), config.fpBands, config.fpBits)
+    }
+    val boil =
+      if (!config.boilerplate) None
+      else Some(graft.pipeline.BoilerplateIndex.open(spark,
+        FileIO.join(dir, "boilerplate"), config.boilerplateWidth))
+    new IngestDaemon(spark, dir, index, seen, config, vec, sem, prof,
+      fp, boil)
   }
 
   /** Serialize the gate knobs as the batch's journal-row payload —
@@ -461,6 +553,11 @@ object IngestDaemon {
     kv += ("semThreshold" -> c.semThreshold.toString)
     c.profileStrataCol.foreach(v => kv += ("profileStrataCol" -> v))
     kv += ("profileK" -> c.profileK.toString)
+    c.fpCol.foreach(v => kv += ("fpCol" -> v))
+    kv += ("fpMaxHamming" -> c.fpMaxHamming.toString)
+    kv += ("fpMaxBucket" -> c.fpMaxBucket.toString)
+    kv += ("boilerplate" -> c.boilerplate.toString)
+    kv += ("boilerplateWidth" -> c.boilerplateWidth.toString)
     c.decontaminateDir.foreach(v => kv += ("decontaminateDir" -> v))
     kv += ("decontaminateWidth" -> c.decontaminateWidth.toString)
     kv += ("decontaminateMinOverlap" -> c.decontaminateMinOverlap.toString)
@@ -498,6 +595,16 @@ object IngestDaemon {
         .getOrElse(base.semThreshold),
       profileStrataCol = opt("profileStrataCol"),
       profileK = opt("profileK").map(_.toInt).getOrElse(base.profileK),
+      fpCol = opt("fpCol"),
+      fpMaxHamming = opt("fpMaxHamming").map(_.toInt)
+        .getOrElse(base.fpMaxHamming),
+      fpMaxBucket = opt("fpMaxBucket").map(_.toLong)
+        .getOrElse(base.fpMaxBucket),
+      // absent = the record predates the tier OR the batch ran
+      // without it: off either way
+      boilerplate = opt("boilerplate").exists(_.toBoolean),
+      boilerplateWidth = opt("boilerplateWidth").map(_.toInt)
+        .getOrElse(base.boilerplateWidth),
       decontaminateDir = opt("decontaminateDir"),
       decontaminateWidth = opt("decontaminateWidth").map(_.toInt)
         .getOrElse(base.decontaminateWidth),

@@ -512,6 +512,99 @@ class IngestDaemonSpec extends SparkSpec {
       "toggled-off replay diverged from the always-on run")
   }
 
+  test("daemon: composed fingerprint + boilerplate tiers — six-store " +
+      "step, independent composition twin, crash window replays clean") {
+    import graft.dedup.FingerprintIndex
+    import graft.pipeline.BoilerplateIndex
+    // hash-derived 64-bit fingerprints; a planted 10% of w2 carries a
+    // hamming-1 variant of a w1 doc's fingerprint (text-unique, so
+    // only the Hamming tier can drop it)
+    val mm = docs.withColumn("fph",
+      when(pmod(col("doc_id"), lit(50)) === 25 && col("doc_id") >= 250,
+        xxhash64(col("doc_id") - 250 + 2, lit("fp"))
+          .bitwiseXOR(lit(1L)))
+        .otherwise(xxhash64(col("doc_id"), lit("fp"))))
+    val fcfg = cfg.copy(fpCol = Some("fph"), fpMaxHamming = 2,
+      fpBands = 4, fpBits = 64, boilerplate = true, boilerplateWidth = 3)
+    val w1 = mm.where(col("doc_id") < 250)
+    val w2 = mm.where(col("doc_id") >= 250)
+
+    // clean composed run: text + fp + boilerplate + seen advance
+    // atomically per batch
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-fref-"), fcfg)
+    assert(ref.processBatch("b0", w1).isDefined)
+    assert(ref.processBatch("b1", w2).isDefined)
+    for (b <- Seq("b0", "b1")) {
+      assert(ref.index.appliedVersion(b).isDefined, s"text index missed $b")
+      assert(ref.fpIndex.get.appliedVersion(b).isDefined,
+        s"fp index missed $b")
+      assert(ref.boilIndex.get.appliedVersion(b).isDefined,
+        s"boilerplate index missed $b")
+      assert(ref.appliedVersion(b).isDefined, s"seen missed $b")
+    }
+    val composed = corpusIds(ref)
+
+    // independent composition twin: text-only daemon + hand-rolled
+    // FingerprintIndex + BoilerplateIndex over its per-batch admitted
+    // sets must reach the identical corpus and dictionary
+    val tref = IngestDaemon.open(spark, tmpDir("daemon-ftref-"),
+      fcfg.copy(fpCol = None, boilerplate = false))
+    val fi = FingerprintIndex.open(spark, tmpDir("daemon-fi-"),
+      bands = 4, bits = 64)
+    val bi = BoilerplateIndex.open(spark, tmpDir("daemon-bi-"), width = 3)
+    def fpAdmit(b: String, w: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val ta = tref.processBatch(b, w).get.admitted
+      val adm = fi.ingest(b,
+        ta.select("doc_id").join(mm.select("doc_id", "fph"), Seq("doc_id")),
+        "fph", "doc_id", maxHamming = fcfg.fpMaxHamming)
+        .admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+      bi.ingest(b, mm.where(col("doc_id").isin(adm.toSeq: _*))
+        .select("doc_id", "text"), "text", "doc_id")
+      adm
+    }
+    val want = fpAdmit("b0", w1) ++ fpAdmit("b1", w2)
+    assert(composed.toSet == want, s"composed daemon != independent " +
+      s"composition: extra=${composed.toSet -- want}, " +
+      s"missing=${want -- composed.toSet}")
+    assert(composed.size < corpusIds(tref).size,
+      "fingerprint tier dropped nothing — vacuous")
+    // the standing dictionaries agree gram for gram
+    def dict(x: BoilerplateIndex) = x.boilerplateGrams(3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dict(ref.boilIndex.get) == dict(bi),
+      "composed boilerplate dictionary != independent composition")
+
+    // crash window: text + fp committed, seen not — then the config
+    // LOSES both tiers before the restart; the knobs of record must
+    // still finish the batch through them
+    val wDir = tmpDir("daemon-fwin-")
+    val dW = IngestDaemon.open(spark, wDir, fcfg)
+    dW.processBatch("b0", w1)
+    val gatedW2 = Curation.gate(w2.select("doc_id", "text"), "text",
+      fcfg.lang, fcfg.minQuality, fcfg.minTokens, fcfg.maxTokens)
+    val tRes = dW.index.ingest("b1", gatedW2, "text", "doc_id",
+      corpusTexts = dW.seenTexts, threshold = fcfg.threshold,
+      maxBucket = fcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(dW.config)))
+    dW.fpIndex.get.ingest("b1",
+      tRes.admitted.select("doc_id")
+        .join(mm.select("doc_id", "fph"), Seq("doc_id")),
+      "fph", "doc_id", maxHamming = fcfg.fpMaxHamming)
+    assert(dW.appliedVersion("b1").isEmpty &&
+      dW.fpIndex.get.appliedVersion("b1").isDefined, "window setup broken")
+    val dW2 = IngestDaemon.open(spark, wDir,
+      fcfg.copy(fpCol = None, boilerplate = false)) // tiers GONE
+    dW2.processBatch("b1", w2)
+    assert(corpusIds(dW2) == composed,
+      "crash-window replay with toggled-off tiers diverged")
+    val standingBoil = BoilerplateIndex.open(spark,
+      graft.storage.FileIO.join(wDir, "boilerplate"))
+    assert(standingBoil.appliedVersion("b1").isDefined,
+      "replay under the knobs of record skipped the boilerplate tier")
+    assert(dict(standingBoil) == dict(bi),
+      "replayed boilerplate dictionary diverged")
+  }
+
   test("daemon: flooded buckets surface in the returned diag") {
     // near-identical-but-distinct docs (the exact tier must NOT
     // collapse them) split across two batches: the combined bucket

@@ -276,4 +276,76 @@ class LayoutSpec extends SparkSpec {
         col("score").between(sLo, sHi)).count()
     assert(matched(zDir) == matched(naiveDir))
   }
+
+  test("scale-path ranking: 4-dim quantile pass costs no more jobs than 1-dim") {
+    import spark.implicits._
+    val df = spark.range(4096).select(col("id"),
+      (col("id") % 97).cast("double").as("a"),
+      (col("id") % 89).cast("double").as("b"),
+      (col("id") % 83).cast("double").as("c"),
+      (col("id") % 79).cast("double").as("d"))
+      .localCheckpoint(true) // isolate the quantile pass from range's jobs
+    def jobsOf(body: => Unit): Int = {
+      Thread.sleep(300) // let previous async job events drain
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        val deadline = System.nanoTime() + 5000000000L
+        while (jobs.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        Thread.sleep(300) // catch any trailing extra jobs
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val one = jobsOf(Layout.withZRank(df, Seq("a"), bits = 4))
+    val four = jobsOf(Layout.withZRank(df, Seq("a", "b", "c", "d"), bits = 4))
+    // the multi-column approxQuantile overload shares one GK scan —
+    // a d-dim ranked layout must not pay d corpus reads
+    assert(one >= 1, s"1-dim pass launched no job?")
+    assert(four == one,
+      s"4-dim quantile pass cost $four jobs vs $one for 1-dim — " +
+        "the boundary estimation is not a single shared scan")
+  }
+
+  test("partitioned layout pins its geometry; mismatched appends and box reads refuse") {
+    val grid = spark.range(32L * 32)
+      .select((col("id") % 32).as("x"),
+        (col("id") / 32).cast("long").as("y"),
+        col("id").as("payload"))
+    val dir = tmpDir("layout-pin")
+    Layout.writeZOrderedPartitioned(grid, Seq("x", "y"), dir,
+      bits = 5, dirBits = 4)
+    // the geometry of record
+    assert(Layout.pinnedGeometry(dir).contains((Seq("x", "y"), 5, 4)))
+    // a mismatched append is refused loudly (it would misfile rows)
+    val more = grid.withColumn("payload", col("payload") + 10000)
+    intercept[IllegalArgumentException](
+      Layout.appendZOrderedPartitioned(more, Seq("x", "y"), dir,
+        bits = 4, dirBits = 4))
+    intercept[IllegalArgumentException](
+      Layout.appendZOrderedPartitioned(more, Seq("y", "x"), dir,
+        bits = 5, dirBits = 4))
+    // the matching append still lands
+    Layout.appendZOrderedPartitioned(more, Seq("x", "y"), dir,
+      bits = 5, dirBits = 4)
+    assert(spark.read.parquet(dir).count() == 2L * 32 * 32)
+    // box reads against the PIN need no geometry args — and refuse
+    // a column set the layout is not keyed on
+    val q = spark.read.parquet(dir)
+      .where(Layout.zBoxFilterAt(dir, Seq("x", "y"),
+        Seq((3L, 9L), (4L, 11L))))
+    val want = 7L * 8 * 2
+    assert(q.count() == want, s"boxed count ${q.count()} != $want")
+    intercept[IllegalArgumentException](
+      Layout.zBoxFilterAt(dir, Seq("x", "payload"), Seq((0L, 1L), (0L, 1L))))
+    intercept[IllegalArgumentException](
+      Layout.zBoxFilterAt(tmpDir("layout-nopin"), Seq("x"), Seq((0L, 1L))))
+  }
 }

@@ -16,7 +16,7 @@ import graft.streaming.{IngestConfig, IngestDaemon}
   * the index grows from empty to `batches × batchSize` docs.
   *
   * Run manually: `Test/runMain graft.tools.DaemonProbe [batchSize]
-  * [batches] [vec] [profile]`; the optional arg `vec` composes the
+  * [batches] [vec] [profile] [fp] [boil]`; the optional arg `vec` composes the
   * embedding near-dup tier (config.vecCol) into the measured loop:
   * each doc carries a deterministic hash-derived 32-dim embedding, a
   * SEPARATE 2% of each batch is planted as a VECTOR near-dup of the
@@ -28,6 +28,12 @@ import graft.streaming.{IngestConfig, IngestDaemon}
   * The optional arg `profile` composes the statistics tier
   * (config.profileStrataCol over 8 synthetic strata, k=1024): one
   * more batch-bound pass + a strata-sized commit per batch.
+  * `fp` composes the HAMMING tier (config.fpCol, 64-bit hash-derived
+  * fingerprints, a disjoint 2% planted hamming-1 vs the previous
+  * batch so only this tier drops them); `boil` the standing
+  * boilerplate dictionary. With all four flags the loop advances SIX
+  * journaled stores (text index, vec index, profile, fingerprint,
+  * boilerplate, seen) in one exactly-once step per batch.
   * Results recorded in BASELINE.md.
   */
 object DaemonProbe {
@@ -40,6 +46,8 @@ object DaemonProbe {
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(8)
     val withVec = args.contains("vec")
     val withProfile = args.contains("profile")
+    val withFp = args.contains("fp")
+    val withBoil = args.contains("boil")
 
     // synthetic crawl: each doc is 40 hash-derived tokens (docs share
     // essentially NO shingles — a shared-boilerplate fixture would
@@ -81,8 +89,19 @@ object DaemonProbe {
         // 8 strata: the statistics tier sketches each batch per src
         else base.withColumn("src",
           concat(lit("s"), pmod(col("doc_id"), lit(8)).cast("string")))
-      if (!withVec) withSrc
-      else withSrc.withColumn("embedding",
+      val withFph =
+        if (!withFp) withSrc
+        // a THIRD disjoint 2% (id ≡ 37 mod 50) carries a hamming-1
+        // variant of a previous-batch id's raw fingerprint —
+        // text-unique and vector-unique, only the Hamming tier drops it
+        else withSrc.withColumn("fph",
+          when(pmod(col("doc_id"), lit(50)) === 37 &&
+              col("doc_id") >= batchSize,
+            xxhash64(col("doc_id") - batchSize + 3, lit("fp"))
+              .bitwiseXOR(lit(1L)))
+            .otherwise(xxhash64(col("doc_id"), lit("fp"))))
+      if (!withVec) withFph
+      else withFph.withColumn("embedding",
         // a DISJOINT 2% (id ≡ 25 mod 50) reuses the embedding seed of
         // a previous-batch id that is ≢ 25 mod 50 (its vector is raw):
         // text-unique, vector-identical — only the vec tier drops it
@@ -99,10 +118,15 @@ object DaemonProbe {
       vecCol = if (withVec) Some("embedding") else None,
       vecThreshold = 0.95, vecBits = 16,
       profileStrataCol = if (withProfile) Some("src") else None,
-      profileK = 1024))
+      profileK = 1024,
+      fpCol = if (withFp) Some("fph") else None,
+      fpMaxHamming = 2, fpBands = 4, fpBits = 64,
+      boilerplate = withBoil))
     println(s"== daemon probe: $batches batches x $batchSize docs" +
       (if (withVec) " + composed vector tier (bits=16)" else "") +
-      (if (withProfile) " + composed profile tier (k=1024)" else ""))
+      (if (withProfile) " + composed profile tier (k=1024)" else "") +
+      (if (withFp) " + composed fingerprint tier (4x16-bit bands)" else "") +
+      (if (withBoil) " + composed boilerplate tier (width=3)" else ""))
     println(f"${"batch"}%6s ${"corpus"}%9s ${"secs"}%7s ${"admitted"}%9s")
     for (b <- 0 until batches) {
       val df = batchDf(b).localCheckpoint(true)
@@ -114,6 +138,14 @@ object DaemonProbe {
     }
     println(s"== final index version ${daemon.index.version}, " +
       s"corpus ${daemon.corpus.count()} docs")
+    daemon.fpIndex.foreach { fi =>
+      println(s"== standing fingerprint index: ${fi.bandRows.count()} " +
+        s"band rows, ${fi.corpus.count()} admitted, v${fi.version}")
+    }
+    daemon.boilIndex.foreach { bi =>
+      println(s"== standing boilerplate dictionary: " +
+        s"${bi.boilerplateGrams(2).count()} grams at df>=2, v${bi.version}")
+    }
     daemon.profileIndex.foreach { pi =>
       val est = pi.profileEstimates
         .agg(sum("docs"), round(sum("est_distinct_docs"), 1)).collect()(0)
