@@ -920,6 +920,67 @@ object SparkEntry {
     // time partition pruning) and read back — the oracle is the plain
     // box filter, so the hash match proves the decomposition loses
     // and invents nothing
+    // deterministic weighted sampling WITHOUT replacement — priority
+    // sampling (Duffield/Lund/Thorup): k smallest hash/weight
+    // priorities per language; the oracle replays the identical
+    // division and row_number, so the hash match proves the engines
+    // pick the SAME k docs per stratum
+    "q131_priority_sample" -> ((s, dir) =>
+      graft.pipeline.Sampling.prioritySample(
+        Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", col("n_chars") + 1, k = 20, "doc_id", seed = "s131")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // fractional-epoch materialization (DoReMi/Pile-style domain
+    // reweighting): epochs 1.0/1.5/2.0 by doc_id mod 3 — floor(e)
+    // copies plus a hash-gated extra, emitted as (doc_id, epoch_idx)
+    "q132_epoch_repeat" -> ((s, dir) =>
+      graft.pipeline.Sampling.epochRepeat(
+        Tables.load(s, dir, "documents").select("doc_id"),
+        lit(1.0) + (col("doc_id") % 3).cast("double") * 0.5,
+        "doc_id", seed = "s132")
+        .select("doc_id", "epoch_idx")
+        .orderBy("doc_id", "epoch_idx")),
+
+    // the Hadoop-FileSystem metadata plane inside the correctness
+    // gate: the whole log lifecycle (open → append → manifest commit
+    // → connector read) over a `file:`-schemed store dir, so every
+    // FileIO operation runs the HDFS/object-store code path — the
+    // oracle is the corpus itself
+    "q133_fileio_log" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val work = "file:" + tempWorkDir("q133-fileio-") + "/log"
+      val log = graft.storage.ParquetLog.open(s, work,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      log.append(docs.select(struct(col("doc_id"), col("text")).as("value")))
+      log.toDF
+        .select(col("value.doc_id").as("doc_id"),
+          col("value.text").as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // pinned-geometry box read: the layout's (cols, bits, dirBits)
+    // come from the _zlayout.properties marker the write pinned
+    // (zBoxFilterAt), not from the caller — the silent-miss guard in
+    // the oracle gate
+    "q134_zbox_pinned" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val out = tempWorkDir("q134-zpin-")
+      graft.pipeline.Layout.writeZOrderedPartitioned(
+        li, Seq("l_partkey", "l_suppkey"), out, bits = 15, dirBits = 8)
+      s.read.parquet(out)
+        .where(graft.pipeline.Layout.zBoxFilterAt(out,
+          Seq("l_partkey", "l_suppkey"), Seq((200L, 799L), (25L, 60L))))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+
     "q123_zbox_prune" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
@@ -2954,6 +3015,33 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':s124'), 1, 8))::BIGINT
         |      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    "q131_priority_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s131'), 1, 8))::BIGINT
+        |             / (4294967296.0 * (n_chars + 1)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "q132_epoch_repeat" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(floor(1.0 + (doc_id % 3) * 0.5) AS BIGINT) +
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s132'), 1, 8))::BIGINT AS DOUBLE)
+        |         < ((1.0 + (doc_id % 3) * 0.5) - floor(1.0 + (doc_id % 3) * 0.5)) * 4294967296.0
+        |      THEN 1 ELSE 0 END AS reps
+        |  FROM documents
+        |)
+        |SELECT doc_id, unnest(generate_series(0, reps - 1)) AS epoch_idx
+        |FROM r WHERE reps > 0 ORDER BY doc_id, epoch_idx""".stripMargin,
+    "q133_fileio_log" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "q134_zbox_pinned" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 200 AND 799
+        |  AND l_suppkey BETWEEN 25 AND 60
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
     "q123_zbox_prune" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
         |FROM lineitem

@@ -481,4 +481,81 @@ object Sampling {
       .withColumn("bin", floor(col("start_tok") / lit(budget)))
       .select(col("shard"), col(idCol), col("n_tokens"), col("start_tok"), col("bin"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement — priority
+    * sampling (Duffield, Lund, Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007): each row gets
+    * priority `u / w` with `u = hash(id, seed) / 2^32` uniform in
+    * [0,1), and the k SMALLEST priorities per stratum are the sample
+    * — higher weight ⇒ smaller expected priority ⇒ more likely in.
+    * Unlike the rate gates above this draws an EXACT-size sample per
+    * stratum (k rows, or all of a stratum smaller than k), and unlike
+    * `DataFrame.sample` it is deterministic and retry-stable: the
+    * priority is pure hash arithmetic, so re-runs, retries and other
+    * engines (the DuckDB oracle replays the identical division) pick
+    * the identical rows.
+    *
+    * Plan shape at 100 TB: one shuffle by the stratum key (the
+    * row_number window) over rows carrying only (id, stratum, weight)
+    * — strata are few by definition (languages, sources), so the
+    * window state is k ids per stratum; a skew-prone single stratum
+    * can be pre-cut with [[hashSample]] to O(k·log) candidates first
+    * (priorities are uniform: the k smallest survive any unbiased
+    * pre-cut that keeps ≫ k rows). Weights must be strictly
+    * positive. */
+  def prioritySample(
+      df: DataFrame,
+      strataCol: String,
+      weight: Column,
+      k: Int,
+      idCol: String,
+      seed: String = "s0",
+      portableHash: Boolean = true
+  ): DataFrame = {
+    require(k > 0, s"prioritySample k must be > 0 (got $k)")
+    val priority = hashOf(col(idCol), seed, portableHash).cast("double") /
+      (lit(4294967296.0) * weight.cast("double"))
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(priority.asc, col(idCol).asc)
+    df.withColumn("_prio_rn", row_number().over(w))
+      .where(col("_prio_rn") <= k)
+      .drop("_prio_rn")
+  }
+
+  /** Materialize FRACTIONAL training epochs — the mixing action for
+    * weights above 1 (DoReMi / Pile-style domain reweighting, where
+    * an upweighted domain is seen more than once per pass): each row
+    * is emitted `floor(e)` times plus one more with probability
+    * `frac(e)`, decided by the deterministic id-hash gate — so the
+    * realized epoch count is exact in expectation, reproducible, and
+    * retry-stable. `epochs` is any non-negative double column
+    * (per-stratum literals, a quality score, a learned weight);
+    * rows with `e < 1` become a downsample (kept with probability
+    * e), making this the one-op generalization of [[hashSample]] to
+    * weights on BOTH sides of 1.
+    *
+    * Output: the input columns plus `epoch_idx` (0-based copy
+    * number). Plan shape: a narrow explode of a per-row
+    * `sequence(0, repeats-1)` — no shuffle, no driver state; the
+    * blow-up factor is the mixture's own epoch mass. */
+  def epochRepeat(
+      df: DataFrame,
+      epochs: Column,
+      idCol: String,
+      seed: String = "s0",
+      portableHash: Boolean = true
+  ): DataFrame = {
+    require(!df.columns.contains("epoch_idx"),
+      "epochRepeat reserves the epoch_idx column name")
+    val e = epochs.cast("double")
+    val extra = (hashOf(col(idCol), seed, portableHash).cast("double") <
+      (e - floor(e)) * lit(4294967296.0)).cast("long")
+    val repeats = floor(e).cast("long") + extra
+    df.withColumn("_reps", repeats)
+      .where(col("_reps") > 0)
+      .withColumn("epoch_idx",
+        explode(sequence(lit(0L), col("_reps") - 1)))
+      .drop("_reps")
+  }
 }

@@ -433,4 +433,70 @@ class SamplingSpec extends SparkSpec {
     val plan = full.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+  test("prioritySample: exact per-stratum size, deterministic, weight-responsive") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "lang", "n_chars")
+    val k = 15
+    val got = Sampling.prioritySample(base, "lang", col("n_chars") + 1,
+      k, "doc_id", "sp1")
+    // exact-size: min(k, stratum size) per stratum
+    val sizes = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = base.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(sizes.getOrElse(lang, 0L) == math.min(k.toLong, n),
+        s"stratum $lang: ${sizes.get(lang)} of $n (k=$k)")
+    }
+    // deterministic across re-runs
+    val again = Sampling.prioritySample(base, "lang", col("n_chars") + 1,
+      k, "doc_id", "sp1")
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // weight-responsive: a row whose weight dwarfs every other is
+    // (essentially) always drawn — its priority u/w is pushed toward 0
+    val boosted = base.withColumn("w",
+      when(col("doc_id") === 7, lit(1e12)).otherwise(lit(1.0)))
+    val drawn = Sampling.prioritySample(boosted, "lang", col("w"),
+      k = 2, "doc_id", "sp2")
+      .where(col("doc_id") === 7).count()
+    assert(drawn == 1L, "a dominant weight must be sampled")
+    // without replacement trivially: ids unique
+    val ids = got.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("epochRepeat: floor+gate copy counts, dense epoch_idx, e<1 is a downsample") {
+    import spark.implicits._
+    val base = docs.select("doc_id")
+    val e = lit(1.0) + (col("doc_id") % 3).cast("double") * 0.5
+    val out = Sampling.epochRepeat(base, e, "doc_id", "se1")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"),
+        max("epoch_idx").as("mx"), min("epoch_idx").as("mn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val gate = Sampling.hashOf(col("doc_id"), "se1")
+    val gates = base.select(col("doc_id"), gate.as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, n, mx, mn) =>
+      val ev = 1.0 + (id % 3) * 0.5
+      val want = math.floor(ev).toLong +
+        (if (gates(id).toDouble < (ev - math.floor(ev)) * 4294967296.0) 1L
+         else 0L)
+      assert(n == want, s"doc $id: $n copies, want $want (e=$ev)")
+      assert(mn == 0L && mx == n - 1, s"doc $id: epoch_idx not dense")
+    }
+    // every mod-0 doc (e=1.0) appears exactly once; mod-2 (e=2.0) twice
+    out.filter(_._1 % 3 == 0).foreach(t => assert(t._2 == 1L))
+    out.filter(_._1 % 3 == 2).foreach(t => assert(t._2 == 2L))
+    // e < 1: pure downsample near the rate, single copies only
+    val down = Sampling.epochRepeat(base, lit(0.4), "doc_id", "se2")
+    val rate = down.count().toDouble / base.count()
+    assert(math.abs(rate - 0.4) < 0.15, s"e=0.4 kept $rate")
+    assert(down.agg(max("epoch_idx")).collect()(0).getLong(0) == 0L)
+    // narrow plan: no shuffle in the explode path
+    val plan = Sampling.epochRepeat(base, e, "doc_id", "se1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epochRepeat must not shuffle:\n$plan")
+  }
 }
