@@ -925,6 +925,28 @@ object SparkEntry {
     // priorities per language; the oracle replays the identical
     // division and row_number, so the hash match proves the engines
     // pick the SAME k docs per stratum
+    // cross-corpus BIGRAM LM with add-0.5 smoothing (one conditioning
+    // order up from q121's unigram form): counts and vocabulary from
+    // the mod-3 reference slice, the rest scored per doc as the
+    // sorted-fold mean of 6-dp bigram logprobs
+    "q135_bigram_lm" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.text.TextFunctions.bigramLmFrom(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 3 =!= 0),
+        "text", "doc_id", alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // DIRECTED n-gram containment (quote/superset detection): a short
+    // doc quoted whole inside a long one has tiny jaccard but
+    // containment ≈ 1 — both directions emitted at the threshold
+    "q136_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(
+        Tables.load(s, dir, "documents"),
+        "text", "doc_id", shingleWidth = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
     "q131_priority_sample" -> ((s, dir) =>
       graft.pipeline.Sampling.prioritySample(
         Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars"),
@@ -3015,6 +3037,48 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':s124'), 1, 8))::BIGINT
         |      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    "q135_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), rb AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |  FROM t WHERE doc_id % 3 = 0
+        |), rt AS (
+        |  SELECT unnest(w) AS tok FROM t WHERE doc_id % 3 = 0
+        |), cb AS (SELECT bg, count(*) AS c FROM rb GROUP BY bg),
+        |cu AS (SELECT tok, count(*) AS c FROM rt GROUP BY tok),
+        |vv AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM rt),
+        |sb AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |  FROM t WHERE doc_id % 3 <> 0
+        |), scored AS (
+        |  SELECT sb.doc_id,
+        |    round(ln((coalesce(cb.c, 0) + 0.5) /
+        |             (coalesce(cu.c, 0) + 0.5 * (SELECT v FROM vv))), 6) AS logp
+        |  FROM sb LEFT JOIN cb USING (bg)
+        |  LEFT JOIN cu ON string_split(sb.bg, ' ')[1] = cu.tok
+        |)
+        |SELECT doc_id, round(sum(logp ORDER BY logp) / count(*), 6) AS lm_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q136_containment" ->
+      s"""$shinglesCte, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_x, b.doc_id AS id_y, count(*) AS inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), dirs AS (
+         |  SELECT id_x AS id_a, id_y AS id_b,
+         |    round(inter / sx.n::DOUBLE, 6) AS containment
+         |  FROM pairs JOIN sizes sx ON sx.doc_id = id_x
+         |  UNION ALL
+         |  SELECT id_y AS id_a, id_x AS id_b,
+         |    round(inter / sy.n::DOUBLE, 6) AS containment
+         |  FROM pairs JOIN sizes sy ON sy.doc_id = id_y
+         |)
+         |SELECT id_a, id_b, containment FROM dirs
+         |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
     "q131_priority_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (

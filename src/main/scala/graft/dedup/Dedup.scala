@@ -739,6 +739,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** DIRECTED n-gram containment pairs: C(a→b) = |S(a) ∩ S(b)| /
+    * |S(a)| over the shingle sets — the asymmetric twin of
+    * [[ngramJaccardPairs]]. Symmetric jaccard MISSES the
+    * quote/superset relation a curation pipeline cares about: a short
+    * document quoted whole inside a long one has jaccard ≈ |short| /
+    * |long| (tiny) but containment(short→long) ≈ 1. Emits one row per
+    * DIRECTION at or above `threshold` (`id_a`'s grams inside
+    * `id_b`), 6-dp rounded like every cross-engine score here.
+    *
+    * Plan shape: identical to the jaccard operator — narrow set
+    * sizes, one self-join on the exploded gram index keyed by the
+    * gram, one count aggregate; both directions derive from the SAME
+    * unordered-pair intersection count, so the asymmetry costs
+    * nothing extra. The LSH-candidate composition applies unchanged
+    * when all-pairs is too big: band first, contain-verify after. */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleWidth: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val sizes = df.select(
+      col(idCol).as("id"),
+      size(shinglesNative(df, col(textCol), shingleWidth)).as("n")
+    )
+    val sh = df.select(
+      col(idCol).as("id"),
+      explode(shinglesNative(df, col(textCol), shingleWidth)).as("shingle")
+    )
+    val inter = sh
+      .select(col("id").as("id_x"), col("shingle"))
+      .join(sh.select(col("id").as("id_y"), col("shingle")), Seq("shingle"))
+      .where(col("id_x") < col("id_y"))
+      .groupBy("id_x", "id_y")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_x"), col("n").as("n_x")), Seq("id_x"))
+      .join(sizes.select(col("id").as("id_y"), col("n").as("n_y")), Seq("id_y"))
+      .where(col("n_x") > 0 && col("n_y") > 0)
+    // both directions from the one intersection count
+    val fwd = inter.select(
+      col("id_x").as("id_a"), col("id_y").as("id_b"),
+      round(col("inter").cast("double") / col("n_x"), 6).as("containment"))
+    val rev = inter.select(
+      col("id_y").as("id_a"), col("id_x").as("id_b"),
+      round(col("inter").cast("double") / col("n_y"), 6).as("containment"))
+    fwd.unionByName(rev).where(col("containment") >= threshold)
+  }
+
   /** Connected components over an undirected pair list — the cluster
     * step every near-dup pipeline runs AFTER pairwise detection (LSH
     * emits pairs; retention policy needs whole clusters: keep one doc

@@ -331,8 +331,12 @@ private[graft] object HadoopFileIO extends FileIO {
     if (DirectPutSchemes.contains(
         Option(hp.toUri.getScheme).getOrElse("file"))) {
       // object store: one PUT, published atomically on close — a
-      // crash (or injected fault) before close aborts the upload and
-      // the old object survives untouched
+      // crash (or injected fault) before close leaves the old object
+      // untouched. The failure path must NOT plain-close (close IS
+      // the publish on these stores): abort the upload where the
+      // stream supports it (Hadoop 3.3+ Abortable), else just drop
+      // it — a never-completed multipart upload is invisible and the
+      // store's lifecycle rules reap it
       val out = f.create(hp, true)
       var published = false
       try {
@@ -341,7 +345,7 @@ private[graft] object HadoopFileIO extends FileIO {
         out.close()
         published = true
       } finally if (!published) {
-        try out.close() catch { case _: Exception => () }
+        try out.abort() catch { case _: Exception => () }
       }
     } else {
       val tmp = new HPath(path + ".tmp")

@@ -460,4 +460,76 @@ object TextFunctions {
     df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol), explode(s).as("lm_logprob"))
   }
+
+  /** Cross-corpus BIGRAM language-model scoring with add-α smoothing
+    * — one conditioning order up from [[unigramLmFrom]] (the CCNet
+    * shape: score candidate text against a trusted reference corpus;
+    * bigrams separate fluent text from shuffled-word soup that a
+    * unigram model scores identically). Per document:
+    * `avg over bigrams (w1,w2) of ln((c(w1 w2) + α) / (c(w1) + α·V))`
+    * with counts from the REFERENCE corpus and `V` its distinct
+    * vocabulary — add-α smoothing keeps unseen bigrams (and unseen
+    * contexts) finite. Each bigram logprob is 6-dp rounded and the
+    * per-doc mean sums in sorted order, so both engines fold the
+    * identical IEEE doubles in the identical order (the q121
+    * discipline).
+    *
+    * Plan shape at 100 TB: everything is keyed joins and map-side
+    * aggregates — the reference dictionary is (distinct ref bigrams)
+    * rows, never collected; the scored side explodes to one row per
+    * bigram, joins the dictionary on the bigram string and the
+    * context count on the first token, and folds back per doc. No
+    * windows, no driver-side state beyond V and the token total. */
+  def bigramLmFrom(
+      ref: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
+    def bigramsOf(d: DataFrame): Column = {
+      val toks = tokens(col(textCol))
+      // guard: sequence(1, 0) would infer step -1 and index 0 (an
+      // error) — single-token docs have NO bigrams
+      when(size(toks) >= 2,
+        transform(
+          sequence(lit(1), size(toks) - 1),
+          j => concat_ws(" ", element_at(toks, j), element_at(toks, j + 1))))
+        .otherwise(typedLit(Array.empty[String]))
+    }
+    val refToks = ref
+      .where(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("_tok"))
+    val vRow = refToks.agg(countDistinct(col("_tok"))).collect().head
+    val v = vRow.getLong(0)
+    if (v == 0L)
+      return df.select(col(idCol), lit(0.0).as("lm_logprob")).limit(0)
+    val ctxCounts = refToks
+      .groupBy(col("_tok").as("_w1"))
+      .agg(count(lit(1)).as("_cu"))
+    val bigramCounts = ref
+      .where(length(trim(col(textCol))) > 0)
+      .select(explode(bigramsOf(ref)).as("_bg"))
+      .groupBy("_bg")
+      .agg(count(lit(1)).as("_cb"))
+    val scored = df
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(bigramsOf(df)).as("_bg"))
+      .withColumn("_w1", split(col("_bg"), " ").getItem(0))
+      .join(bigramCounts, Seq("_bg"), "left")
+      .join(ctxCounts, Seq("_w1"), "left")
+      .select(col(idCol),
+        round(log(
+          (coalesce(col("_cb"), lit(0L)).cast("double") + lit(alpha)) /
+            (coalesce(col("_cu"), lit(0L)).cast("double") +
+              lit(alpha) * lit(v.toDouble))), 6).as("_logp"))
+    scored
+      .groupBy(col(idCol))
+      .agg(
+        round(
+          aggregate(sort_array(collect_list(col("_logp"))), lit(0.0),
+            (acc, x) => acc + x) / count(lit(1)),
+          6).as("lm_logprob"))
+  }
 }

@@ -305,6 +305,39 @@ class CorpusOpsSpec extends SparkSpec {
       .unigramLmFrom(empty, corpus, "text", "doc_id").count() == 0L)
   }
 
+  test("cross-corpus bigram LM: hand-checked logprobs, order sensitivity, empty reference") {
+    // reference: bigrams "a b" x2, "b a" x1; unigrams a:2(+1 trailing)=3? count:
+    // "a b a b" -> tokens a,b,a,b: bigrams (a b),(b a),(a b); cu: a=2? no: a appears 2x, b 2x; V=2
+    val ref = docs(10L -> "a b a b")
+    val scored = graft.text.TextFunctions
+      .bigramLmFrom(ref, docs(
+        1L -> "a b",      // one bigram, seen twice in ref
+        2L -> "b a",      // one bigram, seen once
+        3L -> "b b",      // unseen bigram, seen context
+        4L -> "z q"       // unseen bigram, unseen context
+      ), "text", "doc_id", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // V=2, cu(a)=2, cu(b)=2: doc1 = ln((2+.5)/(2+1)); doc2 = ln(1.5/3);
+    // doc3 = ln(.5/3); doc4 = ln(.5/1)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(scored(1L) == r6(math.log(2.5 / 3.0)), scored.toString)
+    assert(scored(2L) == r6(math.log(1.5 / 3.0)))
+    assert(scored(3L) == r6(math.log(0.5 / 3.0)))
+    assert(scored(4L) == r6(math.log(0.5 / 1.0)))
+    // in-order beats shuffled: the property a unigram model CANNOT
+    // express (both docs have identical token counts)
+    assert(scored(1L) > scored(3L))
+    // single-token docs have no bigrams: absent from the output
+    assert(!graft.text.TextFunctions
+      .bigramLmFrom(ref, docs(7L -> "a"), "text", "doc_id")
+      .collect().map(_.getLong(0)).contains(7L))
+    // empty reference: no model — score nothing
+    assert(graft.text.TextFunctions
+      .bigramLmFrom(docs(), docs(1L -> "a b"), "text", "doc_id")
+      .count() == 0L)
+  }
+
   test("unigram LM and token-budget handle an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -80,6 +80,48 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("directed containment: a quoted subset scores ~1 one way, jaccard-low both ways") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(df, "text", "doc_id",
+      shingleWidth = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every trigram of the short doc appears in the long one
+    val fwd = got.find(t => t._1 == 1L && t._2 == 2L)
+    assert(fwd.exists(_._3 == 1.0), s"containment(short→long) != 1: $got")
+    // the reverse direction is |inter|/|long-grams| — far below the
+    // threshold, so it must NOT appear (directedness)
+    assert(!got.exists(t => t._1 == 2L && t._2 == 1L), got.toString)
+    // and symmetric jaccard misses the pair entirely at the same bar
+    val jac = Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.5)
+    assert(jac.where(col("id_a") === 1L && col("id_b") === 2L).count() == 0L,
+      "fixture broken: jaccard should be low for the quote pair")
+    // set-reference agreement on real docs (both directions)
+    val sub = docs.where(col("doc_id") < 60)
+    val gotReal = Dedup.ngramContainmentPairs(sub, "text", "doc_id", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def grams(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      (if (w.size >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+       else Set(w.mkString(" ")))
+    }
+    val texts = sub.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1))).toMap
+    val want = (for {
+      (a, ga) <- texts.toSeq; (b, gb) <- texts.toSeq
+      if a != b && ga.nonEmpty
+      c = (ga & gb).size.toDouble / ga.size
+      r6 = java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if r6 >= 0.3
+    } yield (a, b, r6)).toSet
+    assert(gotReal == want,
+      s"extra=${gotReal -- want} missing=${want -- gotReal}")
+  }
+
   test("LSH candidate pairs cover the exact Jaccard pairs (recall)") {
     val exact = Dedup
       .ngramJaccardPairs(docs, "text", "doc_id", 3, 0.35)
