@@ -278,6 +278,23 @@ object Bench {
         TextFunctions.fingerprint(col("text"))
       ).count()
     }
+    // the eleven-signal Gopher repetition panel: one narrow per-row
+    // expression tree (9 per-size sorts per doc) — tracks the cost of
+    // the standard pre-training repetition gate per round
+    timed("repetition_stats") {
+      docs.select(TextFunctions.repetitionStats(col("text")).as("rs"))
+        .select(sum(col("rs.dup_line_frac") + col("rs.dup_5gram_char_frac")))
+        .collect()
+    }
+    // DSIR importance weights at production config (xxhash64 buckets,
+    // B=8192): two bucket-count shuffles + one broadcast-scored pass
+    timed("dsir_weights") {
+      graft.pipeline.Importance.dsirLogWeights(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "text", "doc_id", buckets = 8192, portableHash = false)
+        .count()
+    }
     // Production hash config (xxhash64, codegen'd): the md5 variant
     // exists solely so the DuckDB oracle can recompute signatures
     // bit-for-bit (exercised by q22/q24 in Verify); throughput is

@@ -146,6 +146,10 @@ object GraftExtensions {
     "nfc_normalize" -> ((exprs: Seq[Expression]) => {
       arity("nfc_normalize", exprs, 1)
       graft.functions.NfcNormalize(exprs.head)
+    }),
+    "repetition_stats" -> ((exprs: Seq[Expression]) => {
+      arity("repetition_stats", exprs, 1)
+      graft.functions.RepetitionStats(exprs.head)
     })
   )
 

@@ -947,6 +947,69 @@ object SparkEntry {
         "text", "doc_id", shingleWidth = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")),
 
+    // the full Gopher repetition panel (Rae et al. 2021 Table A1):
+    // eleven per-doc repetition signals in ONE narrow per-row
+    // expression tree (sorted-array adjacency — no explode, no
+    // shuffle); the oracle recomputes each the set-theoretic way
+    "q137_repetition_stats" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.repetitionStats(col("text")).as("_rs"))
+        .select("doc_id", "_rs.*")
+        .orderBy("doc_id")),
+
+    // DSIR hashed-gram importance weights (Xie et al. 2023): target =
+    // every third doc, raw = the rest; 64 buckets so the oracle's md5
+    // replay stays cheap (production default is 8192 + xxhash64)
+    "q138_dsir_logw" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.pipeline.Importance.dsirLogWeights(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 3 === 0),
+        "text", "doc_id", buckets = 64, bigrams = true, alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // mergeable bottom-k value sample (quantile sketch): per-lang
+    // n_chars distribution built from TWO half-corpus sketches folded
+    // by the union law — the oracle computes the whole corpus
+    // directly, so the hash match IS the merge law verified
+    // cross-engine (the q119 pattern, for quantiles)
+    "q140_value_sketch" -> ((s, dir) => {
+      import graft.sketch.SampleSketch
+      val docs = Tables.load(s, dir, "documents")
+      val k = 64
+      def half(p: Int) = SampleSketch.valueSketch(
+        docs.where(col("doc_id") % 2 === p),
+        Seq("lang"), col("doc_id"), col("n_chars"), k)
+      val merged = SampleSketch
+        .mergeValueSketches(half(0).unionByName(half(1)), Seq("lang"), k)
+      merged.select(
+        col("lang"),
+        size(col("vs_hashes")).as("m"),
+        aggregate(col("vs_hashes"), lit(0L),
+          (a, x) => a.bitwiseXOR(x)).as("hxor"),
+        round(SampleSketch.estimateQuantile(col("vs_values"), 0.5), 6)
+          .as("p50"),
+        round(SampleSketch.estimateQuantile(col("vs_values"), 0.9), 6)
+          .as("p90"),
+        round(SampleSketch.estimateMean(col("vs_values")), 6).as("mean_v"))
+        .orderBy("lang")
+    }),
+
+    // the importance RESAMPLE: k docs without replacement with
+    // probability ∝ exp(dsir_logw), drawn by the priority rule in log
+    // space (ln u − logw ascending) — deterministic, retry-stable
+    "q139_dsir_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.pipeline.Importance.dsirSample(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 3 === 0),
+        "text", "doc_id", k = 40, buckets = 64, bigrams = true,
+        alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+
     "q131_priority_sample" -> ((s, dir) =>
       graft.pipeline.Sampling.prioritySample(
         Tables.load(s, dir, "documents").select("doc_id", "lang", "n_chars"),
@@ -2318,6 +2381,42 @@ object SparkEntry {
       |  FROM tf, c
       |) WHERE score > 0""".stripMargin
 
+  /** q138/q139's shared DSIR replay: hashed-gram (unigram+bigram)
+    * bucket counts for target (doc_id%3=0) and raw (the rest), the
+    * add-alpha log-ratio dictionary (alpha=0.5, B=64 → alpha·B=32),
+    * and the per-(doc,gram) scored rows. */
+  private lazy val dsirLogwCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_concat(toks,
+      |    CASE WHEN len(toks) >= 2
+      |      THEN list_transform(generate_series(1, len(toks) - 1),
+      |        i -> array_to_string(toks[i:i+1], ' '))
+      |      ELSE []::VARCHAR[] END)) AS g
+      |  FROM toks
+      |), bk AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 64 AS b
+      |  FROM grams
+      |), tcnt AS (SELECT b, count(*) AS ct FROM bk WHERE doc_id % 3 = 0 GROUP BY 1),
+      |rcnt AS (SELECT b, count(*) AS cr FROM bk WHERE doc_id % 3 <> 0 GROUP BY 1),
+      |tot AS (SELECT (SELECT sum(ct) FROM tcnt)::DOUBLE AS t,
+      |               (SELECT sum(cr) FROM rcnt)::DOUBLE AS r),
+      |dict AS (
+      |  SELECT coalesce(tc.b, rc.b) AS b,
+      |    round(ln((coalesce(ct, 0) + 0.5) / (t + 32.0)) -
+      |          ln((coalesce(cr, 0) + 0.5) / (r + 32.0)), 6) AS lr
+      |  FROM tcnt tc FULL JOIN rcnt rc ON tc.b = rc.b, tot
+      |), scored AS (
+      |  SELECT bb.doc_id,
+      |    coalesce(d.lr, (SELECT round(ln(0.5 / (t + 32.0)) - ln(0.5 / (r + 32.0)), 6) FROM tot)) AS lr
+      |  FROM bk bb LEFT JOIN dict d USING (b)
+      |  WHERE bb.doc_id % 3 <> 0
+      |)""".stripMargin
+
   private lazy val clusterCtes: String =
     s"""${lshPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")}, edges AS (
        |  SELECT id_a AS a, id_b AS b FROM pairs
@@ -3079,6 +3178,124 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, containment FROM dirs
          |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    // the eleven Gopher repetition signals, each recomputed the
+    // set-theoretic way (unnest + per-doc group-by counts — the
+    // engine's sorted-adjacency algebra and count-per-value are the
+    // same predicate); per-n CTEs are generated, not hand-typed
+    "q137_repetition_stats" -> {
+      val gramCtes = (2 to 10).map { n =>
+        s"""g$n AS (
+           |  SELECT doc_id, gram, count(*) AS c FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      generate_series(1, len(toks) - ${n - 1}),
+           |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
+           |    FROM toks WHERE len(toks) >= $n)
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }
+      val topCtes = (2 to 4).map { n =>
+        s"""tf$n AS (
+           |  SELECT t.doc_id,
+           |    round(least((t.c * length(t.gram))::DOUBLE / k.tlen, 1.0), 6) AS v
+           |  FROM (
+           |    SELECT doc_id, c, gram, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+           |    FROM g$n) t JOIN toks k USING (doc_id)
+           |  WHERE t.rn = 1
+           |)""".stripMargin
+      }
+      val dupCtes = (5 to 10).map { n =>
+        s"""df$n AS (
+           |  SELECT doc_id,
+           |    round(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::DOUBLE
+           |      / sum(c * length(gram)), 6) AS v
+           |  FROM g$n GROUP BY 1
+           |)""".stripMargin
+      }
+      val selects =
+        Seq(
+          "coalesce(l.dlf, 0.0) AS dup_line_frac",
+          "coalesce(l.dlcf, 0.0) AS dup_line_char_frac") ++
+          (2 to 4).map(n => s"coalesce(tf$n.v, 0.0) AS top_${n}gram_char_frac") ++
+          (5 to 10).map(n => s"coalesce(df$n.v, 0.0) AS dup_${n}gram_char_frac")
+      val joins =
+        (2 to 4).map(n => s"LEFT JOIN tf$n ON tf$n.doc_id = d.doc_id") ++
+          (5 to 10).map(n => s"LEFT JOIN df$n ON df$n.doc_id = d.doc_id")
+      s"""WITH toks AS (
+         |  SELECT doc_id, length(text) AS tlen,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+         |  FROM documents
+         |), lc AS (
+         |  SELECT doc_id, ln, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents)
+         |  WHERE trim(ln) <> '' GROUP BY 1, 2
+         |), lstat AS (
+         |  SELECT doc_id,
+         |    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dlf,
+         |    round(sum(CASE WHEN c >= 2 THEN c * length(ln) ELSE 0 END)::DOUBLE
+         |      / sum(c * length(ln)), 6) AS dlcf
+         |  FROM lc GROUP BY 1
+         |), ${(gramCtes ++ topCtes ++ dupCtes).mkString(", ")}
+         |SELECT d.doc_id, ${selects.mkString(", ")}
+         |FROM documents d
+         |LEFT JOIN lstat l ON l.doc_id = d.doc_id
+         |${joins.mkString("\n")}
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    // DSIR replay: the same md5 bucket hash, add-alpha smoothing and
+    // sorted per-doc sum; alpha=0.5, B=64 → alpha*B = 32
+    "q138_dsir_logw" -> (dsirLogwCtes +
+      """
+        |SELECT doc_id, round(sum(lr ORDER BY lr), 6) AS dsir_logw
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q139_dsir_sample" -> (dsirLogwCtes +
+      """
+        |, w AS (
+        |  SELECT doc_id, round(sum(lr ORDER BY lr), 6) AS dsir_logw
+        |  FROM scored GROUP BY doc_id
+        |), prio AS (
+        |  SELECT doc_id, dsir_logw,
+        |    round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 8))::BIGINT + 1)
+        |      / 4294967296.0), 6) - dsir_logw AS p
+        |  FROM w
+        |)
+        |SELECT doc_id, dsir_logw FROM (
+        |  SELECT doc_id, dsir_logw FROM prio ORDER BY p, doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin),
+    // the bottom-k sample recomputed over the WHOLE corpus (Spark
+    // folds two half sketches — the hash match proves the merge law);
+    // quantiles via the same percentile_cont interpolation formula
+    "q140_value_sketch" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh,
+        |    n_chars::DOUBLE AS v
+        |  FROM documents
+        |), dd AS (SELECT lang, hh, min(v) AS v FROM h GROUP BY 1, 2),
+        |bk AS (SELECT lang, hh, v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY hh) AS rn FROM dd),
+        |samp AS (SELECT lang, hh, v FROM bk WHERE rn <= 64),
+        |agg AS (
+        |  SELECT lang, count(*) AS m, bit_xor(hh) AS hxor,
+        |    list(v ORDER BY v) AS vs,
+        |    round(sum(v ORDER BY v) / count(*), 6) AS mean_v
+        |  FROM samp GROUP BY 1
+        |), q AS (
+        |  SELECT lang, m, hxor, mean_v,
+        |    0.5 * (m - 1) AS p50pos, 0.9 * (m - 1) AS p90pos, vs
+        |  FROM agg
+        |)
+        |SELECT lang, m, hxor,
+        |  round(vs[CAST(floor(p50pos) AS INT) + 1] +
+        |    (vs[least(CAST(floor(p50pos) AS INT) + 2, m)] -
+        |     vs[CAST(floor(p50pos) AS INT) + 1]) * (p50pos - floor(p50pos)),
+        |    6) AS p50,
+        |  round(vs[CAST(floor(p90pos) AS INT) + 1] +
+        |    (vs[least(CAST(floor(p90pos) AS INT) + 2, m)] -
+        |     vs[CAST(floor(p90pos) AS INT) + 1]) * (p90pos - floor(p90pos)),
+        |    6) AS p90,
+        |  mean_v
+        |FROM q ORDER BY lang""".stripMargin,
     "q131_priority_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (

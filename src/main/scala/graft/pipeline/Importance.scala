@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** DSIR-style data selection — "Data Selection for Language Models
+  * via Importance Resampling" (Xie et al., NeurIPS 2023): score every
+  * raw document by how much more likely its hashed-n-gram features are
+  * under a trusted TARGET corpus than under the raw corpus itself,
+  * then resample the raw corpus proportionally to those importance
+  * weights. The cheap, embarrassingly-parallel way to steer a 100 TB
+  * crawl toward a reference distribution (Wikipedia, curated books)
+  * without running a model over it.
+  *
+  * Scale shape: features are hashed into a FIXED number of buckets
+  * (the paper's trick — no vocabulary, no OOV, bounded state), so each
+  * side's distribution is ONE map-side-combined explode+groupBy whose
+  * result is `buckets` rows; the log-ratio dictionary is
+  * broadcast-joined to the scoring pass; the resample is the priority
+  * rule in log space (no `exp` under/overflow) planned as
+  * TakeOrderedAndProject — nothing corpus-sized shuffles and no global
+  * sort materializes.
+  */
+object Importance {
+
+  /** Per-doc feature grams: unigrams, plus word bigrams when
+    * `bigrams` (the paper's feature set). Single-token docs get no
+    * bigram (ngramsAll would fold them to the full text — a unigram
+    * duplicate, not a bigram). */
+  private def featureGrams(text: Column, bigrams: Boolean): Column = {
+    val toks = TextFunctions.tokens(text)
+    if (!bigrams) toks
+    else
+      concat(
+        toks,
+        when(size(toks) >= 2, TextFunctions.ngramsAll(text, 2))
+          .otherwise(typedLit(Array.empty[String])))
+  }
+
+  private def bucketOf(
+      gram: Column, buckets: Int, seed: String, portable: Boolean): Column =
+    Sampling.hashOf(gram, seed, portable) % buckets
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** DSIR log importance weights: for each raw doc,
+    * `Σ_grams ln p_target(bucket) − ln p_raw(bucket)` under add-`alpha`
+    * smoothed hashed-gram bag distributions (sum, not mean — the
+    * weight is the likelihood RATIO of the whole doc, so longer docs
+    * legitimately move further from 0). Returns `(idCol, dsir_logw)`
+    * for non-blank raw docs; an empty target or raw side has no model
+    * and returns the empty frame loudly rather than scoring noise.
+    *
+    * Determinism for the oracle: per-bucket log ratios are rounded to
+    * 6 dp, each doc's terms are summed in ascending-value order
+    * (collect_list order is not deterministic; the sort makes it so),
+    * and the sum is rounded to 6 dp — the exact discipline of
+    * [[graft.text.TextFunctions.unigramLm]]. `portableHash = false`
+    * swaps the md5 bucket hash for codegen'd xxhash64 (different,
+    * equally valid buckets — the production knob every hash-keyed op
+    * here carries). */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 8192,
+      bigrams: Boolean = true,
+      alpha: Double = 1.0,
+      seed: String = "dsir",
+      portableHash: Boolean = true
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0 (got $buckets)")
+    require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
+    val nonBlank = length(trim(col(textCol))) > 0
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.where(nonBlank)
+        .select(explode(featureGrams(col(textCol), bigrams)).as("_g"))
+        .select(bucketOf(col("_g"), buckets, seed, portableHash).as("_b"))
+        .groupBy("_b")
+        .agg(count(lit(1)).as("_c"))
+    val tc = bucketCounts(target).withColumnRenamed("_c", "_ct")
+      .localCheckpoint(true)
+    val rc = bucketCounts(raw).withColumnRenamed("_c", "_cr")
+      .localCheckpoint(true)
+    val tTotRow = tc.agg(sum("_ct")).collect().head
+    val rTotRow = rc.agg(sum("_cr")).collect().head
+    if (tTotRow.isNullAt(0) || rTotRow.isNullAt(0))
+      return raw.select(col(idCol), lit(0.0).as("dsir_logw")).limit(0)
+    val tTot = tTotRow.getLong(0).toDouble
+    val rTot = rTotRow.getLong(0).toDouble
+    val tDen = tTot + alpha * buckets
+    val rDen = rTot + alpha * buckets
+    // buckets unseen on BOTH sides share one default ratio — computed
+    // driver-side with the same HALF_UP 6-dp rounding the dictionary
+    // rows get, so the left-join coalesce is bit-identical to a
+    // hypothetical zero-count dictionary row
+    val defaultLr =
+      round6(math.log(alpha / tDen) - math.log(alpha / rDen))
+    val dict = tc
+      .join(rc, Seq("_b"), "full")
+      .select(
+        col("_b"),
+        round(
+          log((coalesce(col("_ct"), lit(0L)).cast("double") + alpha) / tDen) -
+            log((coalesce(col("_cr"), lit(0L)).cast("double") + alpha) / rDen),
+          6).as("_lr"))
+    raw
+      .where(nonBlank)
+      .select(col(idCol), explode(featureGrams(col(textCol), bigrams)).as("_g"))
+      .select(col(idCol), bucketOf(col("_g"), buckets, seed, portableHash).as("_b"))
+      .join(broadcast(dict), Seq("_b"), "left")
+      .withColumn("_lr", coalesce(col("_lr"), lit(defaultLr)))
+      .groupBy(col(idCol))
+      .agg(
+        round(
+          aggregate(sort_array(collect_list(col("_lr"))), lit(0.0),
+            (acc, x) => acc + x),
+          6).as("dsir_logw"))
+  }
+
+  /** Importance RESAMPLE: the `k` raw docs drawn without replacement
+    * with probability ∝ exp(dsir_logw) — the paper's Gumbel-top-k,
+    * expressed as the [[Sampling.prioritySample]] rule in LOG space:
+    * priority `ln(u) − logw` (u = the deterministic id-hash mapped to
+    * (0,1]), k smallest win. Monotone-identical to `u / w` but immune
+    * to exp overflow at |logw| in the hundreds (any real document).
+    * Planned as TakeOrderedAndProject — a distributed top-k, no global
+    * sort, no window over one partition. Returns `(idCol, dsir_logw)`
+    * for the selected docs; ties (astronomically unlikely) break by
+    * id for retry-stable determinism. */
+  def dsirSample(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      buckets: Int = 8192,
+      bigrams: Boolean = true,
+      alpha: Double = 1.0,
+      seed: String = "dsir",
+      sampleSeed: String = "s0",
+      portableHash: Boolean = true
+  ): DataFrame = {
+    require(k > 0, s"dsirSample k must be > 0 (got $k)")
+    val w = dsirLogWeights(
+      raw, target, textCol, idCol, buckets, bigrams, alpha, seed,
+      portableHash)
+    val u = (Sampling.hashOf(col(idCol), sampleSeed, portableHash) + 1)
+      .cast("double") / lit(4294967296.0)
+    w.withColumn("_prio", round(log(u), 6) - col("dsir_logw"))
+      .orderBy(col("_prio").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("dsir_logw"))
+  }
+}

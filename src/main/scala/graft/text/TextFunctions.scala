@@ -532,4 +532,186 @@ object TextFunctions {
             (acc, x) => acc + x) / count(lit(1)),
           6).as("lm_logprob"))
   }
+
+  // --- Gopher-style repetition signals (Rae et al. 2021, Table A1) ---
+
+  /** The full Gopher repetition panel as one struct: duplicated-line
+    * fraction + char fraction, top-{2,3,4}-gram char fraction,
+    * dup-{5..10}-gram char fraction. Eleven signals, ONE native text
+    * walk per row ([[graft.functions.RepetitionStats]] — a hash-count
+    * pass per gram size over a token array built once; no explode, no
+    * shuffle, scan-speed at 100 TB). The standard pre-training
+    * repetition gate evaluates all of them per document and
+    * thresholds each. The Column-algebra twins below are the
+    * executable semantics, spec-pinned bit-identical. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.RepetitionStats.column(text)
+
+  /** Fraction of lines that are duplicates of another line in the SAME
+    * document (instance-counted: all k copies of a k≥2 line count;
+    * blank-after-trim lines are structure, not content). The
+    * template/boilerplate page signal; 0.0 for docs with no non-empty
+    * lines. Reads the [[repetitionStats]] struct — several signal
+    * reads per row still cost ONE walk (whole-stage CSE unifies the
+    * content-equal struct evaluations). */
+  def dupLineFrac(text: Column): Column =
+    repetitionStats(text).getField("dup_line_frac")
+
+  /** Character-mass companion of [[dupLineFrac]]: chars in duplicated
+    * lines / chars in all non-empty lines — one long duplicated
+    * footer weighs its true share, not one line-count vote. */
+  def dupLineCharFrac(text: Column): Column =
+    repetitionStats(text).getField("dup_line_char_frac")
+
+  /** Fraction of the document's characters covered by its single most
+    * frequent word `n`-gram (count × gram chars / text chars, clamped
+    * to 1.0 — overlapping occurrences can oversubscribe on degenerate
+    * "a a a …" docs; ties break to the UTF-8-byte-largest gram,
+    * deterministically in both engines). The Gopher top-2/3/4-gram
+    * gates; 0.0 when the doc has fewer than `n` tokens. */
+  def topNgramCharFrac(text: Column, n: Int): Column = {
+    require(n >= 2 && n <= 4,
+      s"topNgramCharFrac panel covers n in 2..4 (got $n); " +
+        "use topNgramCharFracComposed for other widths")
+    repetitionStats(text).getField(s"top_${n}gram_char_frac")
+  }
+
+  /** Fraction of the doc's `n`-gram character MASS (Σ count × chars)
+    * sitting in n-grams that occur at least twice — the Gopher
+    * dup-5..10-gram family. Mass-normalized rather than
+    * position-normalized (a position-coverage bitmap needs per-token
+    * state; the mass form bounds the same behavior and stays in
+    * [0,1]). 0.0 below `n` tokens. */
+  def dupNgramCharFrac(text: Column, n: Int): Column = {
+    require(n >= 5 && n <= 10,
+      s"dupNgramCharFrac panel covers n in 5..10 (got $n); " +
+        "use dupNgramCharFracComposed for other widths")
+    repetitionStats(text).getField(s"dup_${n}gram_char_frac")
+  }
+
+  // Executable Column-algebra twins of the native panel, spec-pinned
+  // bit-identical (TextRepetitionSpec). Duplicate instances of a
+  // SORTED array are exactly the instances equal to a neighbor; value
+  // runs are the spans between inequality boundaries. Every array
+  // here is built in ARGUMENT position (zip_with/arrays_zip inputs) —
+  // a captured array inside a higher-order lambda re-evaluates per
+  // element (the O(m² log m) trap the native expression exists to
+  // avoid); these twins stay O(m log m) and generalize to any n, but
+  // the native walk is still ~an order faster (no per-row sorts, no
+  // boxed index arrays).
+
+  /** Non-empty lines of `text` (split on `\n`; lines that trim to ""
+    * are structural paragraph breaks, not content). */
+  private def contentLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** For sorted array `s` of size `m`: a boolean mask, element i true
+    * iff instance i equals a neighbor (belongs to a value with c≥2).
+    * Built from shifted copies in argument position — the lambdas
+    * bind only their own elements. */
+  private def dupMaskOf(s: Column, m: Column): Column = {
+    val sNext = concat(
+      slice(s, lit(2), greatest(m - 1, lit(0))),
+      array(lit(null).cast("string")))
+    val eqNext = zip_with(s, sNext, (a, b) => a <=> b)
+    val eqPrev = concat(
+      array(lit(false)),
+      slice(eqNext, lit(1), greatest(m - 1, lit(0))))
+    zip_with(eqNext, eqPrev, (a, b) => a || b)
+  }
+
+  private[graft] def dupLineFracComposed(text: Column): Column = {
+    val s = sort_array(contentLines(text))
+    val m = size(s)
+    when(m === 0, lit(0.0)).otherwise(
+      round(
+        size(filter(dupMaskOf(s, m), x => x)).cast("double") / m,
+        6))
+  }
+
+  private[graft] def dupLineCharFracComposed(text: Column): Column = {
+    val s = sort_array(contentLines(text))
+    val m = size(s)
+    when(m === 0, lit(0.0)).otherwise {
+      val dupChars = aggregate(
+        zip_with(dupMaskOf(s, m), s,
+          (d, l) => when(d, length(l).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      val totChars = aggregate(
+        transform(s, l => length(l).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      when(totChars === 0, lit(0.0))
+        .otherwise(round(dupChars.cast("double") / totChars, 6))
+    }
+  }
+
+  /** Value runs of the doc's sorted `n`-gram multiset, as
+    * `struct(c, gram)`. Run starts are the inequality boundaries;
+    * each run's count is the gap to the next start's index. Callers
+    * guard `tokenCount >= n`. */
+  private def gramRuns(text: Column, n: Int): Column = {
+    val g = sort_array(ngramsAll(text, n))
+    val m = size(g)
+    val gPrev = concat(
+      array(lit(null).cast("string")),
+      slice(g, lit(1), greatest(m - 1, lit(0))))
+    // (gram, new-run flag, 1-based idx), zipped ONCE in argument
+    // position; field names degrade to "0","1","2" for computed inputs
+    val zipped = arrays_zip(
+      g,
+      zip_with(g, gPrev, (a, b) => a <=> b),
+      sequence(lit(1), m))
+    val starts = filter(zipped, t => !t.getField("1"))
+    val nextIdx = concat(
+      transform(
+        slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+        t => t.getField("2")),
+      array(m + 1))
+    zip_with(starts, nextIdx, (a, e) =>
+      struct(
+        (e - a.getField("2")).as("c"),
+        a.getField("0").as("gram")))
+  }
+
+  private[graft] def topNgramCharFracComposed(text: Column, n: Int): Column = {
+    require(n > 0, s"topNgramCharFracComposed n must be > 0 (got $n)")
+    val toks = tokens(text)
+    when(size(toks) < n, lit(0.0)).otherwise {
+      val top = array_max(gramRuns(text, n))
+      round(
+        least(
+          (top.getField("c") * length(top.getField("gram"))).cast("double") /
+            length(text),
+          lit(1.0)),
+        6)
+    }
+  }
+
+  private[graft] def dupNgramCharFracComposed(text: Column, n: Int): Column = {
+    require(n > 0, s"dupNgramCharFracComposed n must be > 0 (got $n)")
+    val toks = tokens(text)
+    when(size(toks) < n, lit(0.0)).otherwise {
+      val runs = gramRuns(text, n)
+      val masses = transform(runs, r =>
+        struct(
+          (r.getField("c") * length(r.getField("gram"))).cast("long").as("m"),
+          (r.getField("c") >= 2).as("dup")))
+      val dupMass = aggregate(masses, lit(0L), (a, r) =>
+        a + when(r.getField("dup"), r.getField("m")).otherwise(lit(0L)))
+      val totMass = aggregate(masses, lit(0L),
+        (a, r) => a + r.getField("m"))
+      when(totMass === 0, lit(0.0))
+        .otherwise(round(dupMass.cast("double") / totMass, 6))
+    }
+  }
+
+  private[graft] def repetitionStatsComposed(text: Column): Column =
+    struct(
+      (Seq(
+        dupLineFracComposed(text).as("dup_line_frac"),
+        dupLineCharFracComposed(text).as("dup_line_char_frac")) ++
+        (2 to 4).map(n =>
+          topNgramCharFracComposed(text, n).as(s"top_${n}gram_char_frac")) ++
+        (5 to 10).map(n =>
+          dupNgramCharFracComposed(text, n).as(s"dup_${n}gram_char_frac"))): _*)
 }

@@ -42,6 +42,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(r2.getLong(0) == progSig)
     assert(r2.getSeq[Long](1).length == 2) // "a b c", "b c d"
     assert(r2.getSeq[Long](2).length == 2) // x, y — within-doc distinct
+    // the repetition panel resolves from SQL text and matches the
+    // programmatic form field-for-field
+    val r3 = s2
+      .sql("SELECT repetition_stats('aa\naa\nbb') AS rs")
+      .collect()(0).getStruct(0)
+    assert(r3.getDouble(0) == 0.666667) // dup_line_frac: 2 of 3
+    assert(r3.getDouble(1) == 0.666667) // dup chars 4 of 6
   }
 
   test("table-valued functions query logs from SQL text") {
