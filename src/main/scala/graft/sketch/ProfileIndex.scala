@@ -44,8 +44,37 @@ final class ProfileIndex private (
     store: TableStore,
     val k: Int,
     val strataCol: String,
-    val textCol: String
+    val textCol: String,
+    val valueCol: Option[String]
 ) {
+
+  import ProfileIndex.nulCol
+
+  /** Fold stored profile rows (counters + KMV + value samples) into
+    * one row per stratum — the same merges the write path's sketches
+    * obey, so read-time folding is exact. */
+  private def foldRows(rows: DataFrame): DataFrame = {
+    val merged = Kmv.mergeProfileSketches(
+      rows.drop("vs_hashes", "vs_values"), strataCol, k)
+    if (valueCol.isEmpty)
+      merged
+        .withColumn("vs_hashes", nulCol("array<bigint>"))
+        .withColumn("vs_values", nulCol("array<double>"))
+    else {
+      val vs = SampleSketch.mergeValueSketches(
+        rows.select(col(strataCol),
+          coalesce(col("vs_hashes"), typedLit(Array.empty[Long]))
+            .as("vs_hashes"),
+          coalesce(col("vs_values"), typedLit(Array.empty[Double]))
+            .as("vs_values")),
+        Seq(strataCol), k)
+      merged.join(vs, Seq(strataCol), "left")
+        .withColumn("vs_hashes",
+          coalesce(col("vs_hashes"), typedLit(Array.empty[Long])))
+        .withColumn("vs_values",
+          coalesce(col("vs_values"), typedLit(Array.empty[Double])))
+    }
+  }
 
   def version: Long = store.version
 
@@ -59,53 +88,90 @@ final class ProfileIndex private (
       .map(_.getLong(0))
 
   /** Transactional ingest: profile the batch ([[Kmv.profileSketch]]
-    * — batch-only, two map-side-combined passes), append its rows +
-    * the journal row as one commit. Idempotent by `batchId`. */
+    * — batch-only, two map-side-combined passes; plus one
+    * [[SampleSketch.valueSketch]] pass when `valueCol` is pinned,
+    * keyed by the content fingerprint so no id column is needed and
+    * cross-batch duplicates resolve deterministically), append its
+    * rows + the journal row as one commit. Idempotent by `batchId`. */
   def ingest(batchId: String, docs: DataFrame): Long = synchronized {
     appliedVersion(batchId).getOrElse {
       val prof = Kmv.profileSketch(docs, textCol, strataCol, k)
-      val nul = (t: String) => lit(null).cast(t)
-      val rows = prof.select(
-        lit("profile").as("kind"),
+      val nul = nulCol
+      val base = prof.select(
         col(strataCol).cast("string").as("stratum"),
         col("docs").cast("long").as("docs"),
         col("tokens").cast("long").as("tokens"),
-        col("kmv"), col("vkmv"),
+        col("kmv"), col("vkmv"))
+      val withVals = valueCol match {
+        case Some(vc) =>
+          val vs = SampleSketch.valueSketch(
+              docs, Seq(strataCol),
+              graft.text.TextFunctions.fingerprint(col(textCol)),
+              col(vc), k)
+            .select(col(strataCol).cast("string").as("stratum"),
+              col("vs_hashes"), col("vs_values"))
+          base.join(vs, Seq("stratum"), "left")
+        case None =>
+          base
+            .withColumn("vs_hashes", nul("array<bigint>"))
+            .withColumn("vs_values", nul("array<double>"))
+      }
+      val rows = withVals.select(
+        lit("profile").as("kind"), col("stratum"), col("docs"),
+        col("tokens"), col("kmv"), col("vkmv"),
+        col("vs_hashes"), col("vs_values"),
         nul("string").as("batch_id"))
       val j = spark.range(1).select(
         lit("batch").as("kind"), nul("string").as("stratum"),
         nul("long").as("docs"), nul("long").as("tokens"),
         nul("array<bigint>").as("kmv"), nul("array<bigint>").as("vkmv"),
+        nul("array<bigint>").as("vs_hashes"),
+        nul("array<double>").as("vs_values"),
         lit(batchId).as("batch_id"))
       store.append(rows.unionByName(j))
     }
   }
 
   /** The standing profile: counters summed, sketches folded across
-    * every ingested batch (exact by the merge law). One row per
-    * stratum: `strataCol, docs, tokens, kmv, vkmv`. */
+    * every ingested batch (exact by the merge laws). One row per
+    * stratum: `strataCol, docs, tokens, kmv, vkmv, vs_hashes,
+    * vs_values` (the value-sample columns null when no `valueCol` is
+    * pinned). */
   def profile: DataFrame =
-    Kmv.mergeProfileSketches(
+    foldRows(
       store.read
         .where(col("kind") === "profile")
         .select(col("stratum").as(strataCol), col("docs"), col("tokens"),
-          col("kmv"), col("vkmv")),
-      strataCol, k)
+          col("kmv"), col("vkmv"), col("vs_hashes"), col("vs_values")))
 
-  /** [[profile]] with the distinct-count estimates appended. */
-  def profileEstimates: DataFrame = Kmv.withEstimates(profile, k)
+  /** [[profile]] with the distinct-count estimates appended — plus,
+    * when a `valueCol` is pinned, the standing value distribution
+    * (`<valueCol>_p50/_p90/_mean` from the folded bottom-k sample). */
+  def profileEstimates: DataFrame = {
+    val base = Kmv.withEstimates(profile, k)
+    valueCol match {
+      case Some(vc) =>
+        base
+          .withColumn(s"${vc}_p50",
+            round(SampleSketch.estimateQuantile(col("vs_values"), 0.5), 6))
+          .withColumn(s"${vc}_p90",
+            round(SampleSketch.estimateQuantile(col("vs_values"), 0.9), 6))
+          .withColumn(s"${vc}_mean",
+            round(SampleSketch.estimateMean(col("vs_values")), 6))
+      case None => base
+    }
+  }
 
   /** The standing profile EXACTLY as of store commit `version` — the
     * snapshot twin of [[profile]] for reproducible-run bookkeeping
     * (what were the corpus statistics when the run was pinned).
     * Fails loudly if a later [[compact]] folded that history away. */
   def profileAsOf(version: Long): DataFrame =
-    Kmv.mergeProfileSketches(
+    foldRows(
       store.readAsOf(version).drop("_ver")
         .where(col("kind") === "profile")
         .select(col("stratum").as(strataCol), col("docs"), col("tokens"),
-          col("kmv"), col("vkmv")),
-      strataCol, k)
+          col("kmv"), col("vkmv"), col("vs_hashes"), col("vs_values")))
 
   /** Offline maintenance: fold the accumulated per-batch profile
     * rows into ONE row per stratum (journal rows survive — replays
@@ -113,16 +179,16 @@ final class ProfileIndex private (
     * read path applies, so [[profile]] is unchanged by compaction. */
   def compact(): Unit = synchronized {
     store.rewrite { df =>
-      val nul = (t: String) => lit(null).cast(t)
-      val folded = Kmv.mergeProfileSketches(
+      val folded = foldRows(
         df.where(col("kind") === "profile")
           .select(col("stratum").as(strataCol), col("docs"),
-            col("tokens"), col("kmv"), col("vkmv")),
-        strataCol, k)
+            col("tokens"), col("kmv"), col("vkmv"),
+            col("vs_hashes"), col("vs_values")))
         .select(lit("profile").as("kind"),
           col(strataCol).cast("string").as("stratum"),
           col("docs").cast("long"), col("tokens").cast("long"),
-          col("kmv"), col("vkmv"), nul("string").as("batch_id"))
+          col("kmv"), col("vkmv"), col("vs_hashes"), col("vs_values"),
+          nulCol("string").as("batch_id"))
       folded.unionByName(df.where(col("kind") === "batch"))
     }
   }
@@ -151,6 +217,9 @@ final class ProfileIndex private (
 
 object ProfileIndex {
 
+  private[sketch] val nulCol: String => org.apache.spark.sql.Column =
+    t => lit(null).cast(t)
+
   private[sketch] val storeSchema: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),
     StructField("stratum", StringType, nullable = true),
@@ -158,50 +227,63 @@ object ProfileIndex {
     StructField("tokens", LongType, nullable = true),
     StructField("kmv", ArrayType(LongType), nullable = true),
     StructField("vkmv", ArrayType(LongType), nullable = true),
+    StructField("vs_hashes", ArrayType(LongType), nullable = true),
+    StructField("vs_values", ArrayType(DoubleType), nullable = true),
     StructField("batch_id", StringType, nullable = true)
   ))
 
   /** Open (or create) the profile index at `dir`. Creation pins
-    * `(k, strataCol, textCol)` next to the store; a reopen compares
-    * and REFUSES a mismatch. */
+    * `(k, strataCol, textCol, valueCol)` next to the store; a reopen
+    * compares and REFUSES a mismatch. `valueCol` (optional) adds a
+    * standing VALUE-DISTRIBUTION sample per stratum
+    * ([[SampleSketch]] — quantiles/mean of e.g. `n_chars` or a
+    * quality score, maintained by the same corpus-free fold). */
   def open(spark: SparkSession, dir: String, k: Int,
-      strataCol: String, textCol: String): ProfileIndex = {
+      strataCol: String, textCol: String,
+      valueCol: Option[String] = None): ProfileIndex = {
     require(k >= 2, s"kmv needs k >= 2 (got $k)")
+    val vcStr = valueCol.getOrElse("")
     storedParams(dir) match {
-      case Some((pk, ps, pt)) =>
-        require(pk == k && ps == strataCol && pt == textCol,
+      case Some((pk, ps, pt, pv)) =>
+        require(pk == k && ps == strataCol && pt == textCol && pv == vcStr,
           s"ProfileIndex at $dir was built with (k=$pk, strata=$ps, " +
-            s"text=$pt) — sketches under different parameters are " +
-            "different estimators; folding them corrupts every estimate")
+            s"text=$pt, value=${if (pv.isEmpty) "<none>" else pv}) — " +
+            "sketches under different parameters are different " +
+            "estimators; folding them corrupts every estimate")
       case None =>
         FileIO.forPath(dir).mkdirs(dir)
-        writeParams(dir, k, strataCol, textCol)
+        writeParams(dir, k, strataCol, textCol, vcStr)
     }
     new ProfileIndex(spark, dir,
       TableStore.open(spark, FileIO.join(dir, "store"), storeSchema),
-      k, strataCol, textCol)
+      k, strataCol, textCol, valueCol)
   }
 
   /** Reopen with the parameters the index was built with. */
   def open(spark: SparkSession, dir: String): ProfileIndex = {
-    val (k, s, t) = storedParams(dir).getOrElse(
+    val (k, s, t, v) = storedParams(dir).getOrElse(
       throw new IllegalArgumentException(s"no ProfileIndex at $dir"))
-    open(spark, dir, k, s, t)
+    open(spark, dir, k, s, t, Some(v).filter(_.nonEmpty))
   }
 
   private def marker(dir: String) = FileIO.join(dir, "profile.properties")
 
-  private def storedParams(dir: String): Option[(Int, String, String)] =
+  private def storedParams(dir: String): Option[(Int, String, String, String)] =
     FileIO.loadProps(marker(dir)).map(props =>
       (props.getProperty("k").toInt,
-        props.getProperty("strataCol"), props.getProperty("textCol")))
+        props.getProperty("strataCol"), props.getProperty("textCol"),
+        // markers written before the value tier have no valueCol —
+        // absent means none, matching their actual contents
+        Option(props.getProperty("valueCol")).getOrElse("")))
 
   private def writeParams(
-      dir: String, k: Int, strataCol: String, textCol: String): Unit = {
+      dir: String, k: Int, strataCol: String, textCol: String,
+      valueCol: String): Unit = {
     val props = new Properties()
     props.setProperty("k", k.toString)
     props.setProperty("strataCol", strataCol)
     props.setProperty("textCol", textCol)
+    props.setProperty("valueCol", valueCol)
     FileIO.storeProps(marker(dir), props, "graft ProfileIndex parameters")
   }
 }

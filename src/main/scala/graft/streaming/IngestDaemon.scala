@@ -57,6 +57,12 @@ final case class IngestConfig(
     // rescanning the corpus
     profileStrataCol: Option[String] = None,
     profileK: Int = 1024,
+    // `Some(col)` adds the VALUE-DISTRIBUTION leg to the statistics
+    // tier: the ProfileIndex also maintains a mergeable bottom-k
+    // sample of this numeric column per stratum (standing
+    // quantiles/mean — [[graft.sketch.SampleSketch]]), pinned with
+    // the other profile parameters
+    profileValueCol: Option[String] = None,
     // `Some(fpCol)` composes the HAMMING (fingerprint) tier: a
     // [[graft.dedup.FingerprintIndex]] under `dir/fpindex` (geometry
     // `fpBands`/`fpBits`, pinned at creation) ingests the
@@ -367,9 +373,11 @@ final class IngestDaemon private (
       // return above never repairs.
       (profileHandleFor(c), c.profileStrataCol) match {
         case (Some(pi), Some(stratum)) =>
+          val cols = (Seq(c.idCol, c.textCol, stratum) ++
+            c.profileValueCol).distinct
           pi.ingest(batchId,
             afterFp.select(col(c.idCol)).join(
-              rawDocs.select(col(c.idCol), col(c.textCol), col(stratum)),
+              rawDocs.select(cols.map(col): _*),
               Seq(c.idCol)))
         case _ => ()
       }
@@ -430,7 +438,8 @@ final class IngestDaemon private (
     if (c.profileStrataCol.isEmpty) None
     else profileIndex
       .filter(_ => c.profileStrataCol == config.profileStrataCol &&
-        c.profileK == config.profileK)
+        c.profileK == config.profileK &&
+        c.profileValueCol == config.profileValueCol)
       .orElse(Some(graft.sketch.ProfileIndex.open(
         spark, FileIO.join(dir, "profile"))))
 
@@ -519,7 +528,7 @@ object IngestDaemon {
     val prof = config.profileStrataCol.map { stratum =>
       graft.sketch.ProfileIndex.open(spark,
         FileIO.join(dir, "profile"), config.profileK, stratum,
-        config.textCol)
+        config.textCol, config.profileValueCol)
     }
     val fp = config.fpCol.map { _ =>
       graft.dedup.FingerprintIndex.open(spark,
@@ -553,6 +562,7 @@ object IngestDaemon {
     kv += ("semThreshold" -> c.semThreshold.toString)
     c.profileStrataCol.foreach(v => kv += ("profileStrataCol" -> v))
     kv += ("profileK" -> c.profileK.toString)
+    c.profileValueCol.foreach(v => kv += ("profileValueCol" -> v))
     c.fpCol.foreach(v => kv += ("fpCol" -> v))
     kv += ("fpMaxHamming" -> c.fpMaxHamming.toString)
     kv += ("fpMaxBucket" -> c.fpMaxBucket.toString)
@@ -595,6 +605,7 @@ object IngestDaemon {
         .getOrElse(base.semThreshold),
       profileStrataCol = opt("profileStrataCol"),
       profileK = opt("profileK").map(_.toInt).getOrElse(base.profileK),
+      profileValueCol = opt("profileValueCol"),
       fpCol = opt("fpCol"),
       fpMaxHamming = opt("fpMaxHamming").map(_.toInt)
         .getOrElse(base.fpMaxHamming),

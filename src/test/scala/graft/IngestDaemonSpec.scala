@@ -425,6 +425,40 @@ class IngestDaemonSpec extends SparkSpec {
     intercept[Exception](d.corpusAsOf(v0).collect())
   }
 
+  test("daemon: profile value leg — the standing quantile sample " +
+      "tracks the corpus and rides the knobs of record") {
+    import graft.sketch.SampleSketch
+    import graft.text.TextFunctions
+    val K = 32
+    val full = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+    val pcfg = cfg.copy(profileStrataCol = Some("lang"), profileK = K,
+      profileValueCol = Some("n_chars"))
+    val d = IngestDaemon.open(spark, tmpDir("daemon-pval-"), pcfg)
+    assert(d.processBatch("b0", full.where(col("doc_id") < 250)).isDefined)
+    assert(d.processBatch("b1", full.where(col("doc_id") >= 250)).isDefined)
+    def valRows(df: DataFrame) = df
+      .select("lang", "vs_hashes", "vs_values").collect()
+      .map(r => r.getString(0) ->
+        ((r.getSeq[Long](1).toSeq, r.getSeq[Double](2).toSeq))).toMap
+    // standing sample == one-shot sample of the daemon's OWN corpus
+    val corpusDocs = d.corpus.select("doc_id").join(full, Seq("doc_id"))
+    val want = valRows(SampleSketch.valueSketch(corpusDocs, Seq("lang"),
+      TextFunctions.fingerprint(col("text")), col("n_chars"), K))
+    assert(valRows(d.profileIndex.get.profile) == want,
+      "standing value sample != corpus sample")
+    // the distribution estimates are exposed on the standing profile
+    val est = d.profileIndex.get.profileEstimates
+      .select("lang", "n_chars_p50", "n_chars_p90", "n_chars_mean")
+      .collect()
+    assert(est.nonEmpty && est.forall(r => r.getDouble(1) <= r.getDouble(2)))
+    // the value leg is part of the knobs of record
+    val parsed = IngestDaemon.parseGates(cfg, IngestDaemon.gatesString(pcfg))
+    assert(parsed.profileValueCol == Some("n_chars"))
+    assert(IngestDaemon.parseGates(pcfg,
+      IngestDaemon.gatesString(cfg)).profileValueCol.isEmpty)
+  }
+
   test("daemon: composed profile tier — standing profile equals the " +
       "corpus profile, crash windows replay clean") {
     import graft.sketch.Kmv

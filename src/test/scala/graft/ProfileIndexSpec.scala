@@ -117,6 +117,46 @@ class ProfileIndexSpec extends SparkSpec {
     intercept[Exception](idx.profileAsOf(v1).collect())
   }
 
+  test("value tier: rolling sample equals the whole-corpus sketch; " +
+      "estimates and compact ride along; valueCol is pinned") {
+    import graft.sketch.SampleSketch
+    import graft.text.TextFunctions
+    val dir = tmpDir("profidx-val-")
+    val idx = ProfileIndex.open(spark, dir, K, "lang", "text",
+      valueCol = Some("n_chars"))
+    val withN = docs.withColumn("n_chars", length(col("text")).cast("long"))
+    idx.ingest("b1", withN.where(col("doc_id") % 2 === 0))
+    idx.ingest("b2", withN.where(col("doc_id") % 2 =!= 0))
+    def valRows(df: DataFrame): Map[String, (Seq[Long], Seq[Double])] =
+      df.select("lang", "vs_hashes", "vs_values").collect().map { r =>
+        r.getString(0) ->
+          ((r.getSeq[Long](1).toSeq, r.getSeq[Double](2).toSeq))
+      }.toMap
+    val whole = valRows(SampleSketch.valueSketch(
+      withN, Seq("lang"),
+      TextFunctions.fingerprint(col("text")), col("n_chars"), K))
+    assert(valRows(idx.profile) == whole,
+      "rolling value sample diverges from the whole-corpus sketch")
+    // the distribution estimates ride profileEstimates
+    val est = idx.profileEstimates
+      .select("lang", "n_chars_p50", "n_chars_p90", "n_chars_mean")
+      .collect()
+    assert(est.nonEmpty && est.forall(r =>
+      r.getDouble(1) <= r.getDouble(2) && r.getDouble(3) > 0))
+    // compact folds value samples without changing the profile
+    idx.compact()
+    assert(valRows(idx.profile) == whole, "compact changed the sample")
+    // the counter/KMV tiers are untouched by the value tier
+    assertSameProfile(idx.profile,
+      Kmv.profileSketch(withN, "text", "lang", K))
+    // valueCol is part of the pin
+    intercept[IllegalArgumentException](
+      ProfileIndex.open(spark, dir, K, "lang", "text"))
+    intercept[IllegalArgumentException](
+      ProfileIndex.open(spark, dir, K, "lang", "text", Some("tokens")))
+    assert(ProfileIndex.open(spark, dir).valueCol == Some("n_chars"))
+  }
+
   test("parameters are pinned; a mismatched reopen is refused") {
     val dir = tmpDir("profidx-pin-")
     ProfileIndex.open(spark, dir, K, "lang", "text").ingest("b1", docs)
