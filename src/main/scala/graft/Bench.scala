@@ -292,7 +292,8 @@ object Bench {
       graft.pipeline.Importance.dsirLogWeights(
         docs.where(col("doc_id") % 10 =!= 0),
         docs.where(col("doc_id") % 10 === 0),
-        "text", "doc_id", buckets = 8192, portableHash = false)
+        "text", "doc_id", buckets = 8192, portableHash = false,
+        deterministic = false)
         .count()
     }
     // Production hash config (xxhash64, codegen'd): the md5 variant

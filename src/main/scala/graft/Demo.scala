@@ -237,18 +237,21 @@ object Demo {
     // journal-keyed; the profile is the merge fold over all batches —
     // killed and resumed on the same checkpoint like the rest.
     val pdocs = Tables.load(spark, sfDir, "documents")
-      .select("doc_id", "text", "lang")
+      .select("doc_id", "text", "lang", "n_chars")
     val profLog = ParquetLog.open(spark, s"$work/proflog", StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType))))
+      StructField("lang", StringType), StructField("n_chars", LongType))))
     def profStream = spark.readStream.format("graft-log").load(profLog.dir)
       .select(col("value.doc_id").as("doc_id"),
-        col("value.text").as("text"), col("value.lang").as("lang"))
+        col("value.text").as("text"), col("value.lang").as("lang"),
+        col("value.n_chars").as("n_chars"))
     def profWave(w: org.apache.spark.sql.DataFrame): Unit =
       profLog.append(w.select(
-        struct(col("doc_id"), col("text"), col("lang")).as("value")))
+        struct(col("doc_id"), col("text"), col("lang"),
+          col("n_chars").cast("long").as("n_chars")).as("value")))
     val prof = graft.sketch.ProfileIndex
-      .open(spark, s"$work/profidx", 64, "lang", "text")
+      .open(spark, s"$work/profidx", 64, "lang", "text",
+        valueCol = Some("n_chars"))
     profWave(pdocs.where(col("doc_id") < 250))
     val pq1 = prof.start(profStream, s"$work/profckpt")
     pq1.processAllAvailable(); pq1.stop()
@@ -261,8 +264,13 @@ object Demo {
     val profDocs = profEst.agg(sum("docs")).collect()(0).getLong(0)
     require(profDocs == pdocs.count(),
       s"profile counted $profDocs docs of ${pdocs.count()}")
+    val pq = profEst
+      .select("n_chars_p50", "n_chars_p90").collect()
+    require(pq.forall(r => r.getDouble(0) <= r.getDouble(1)),
+      "standing quantiles out of order")
     println(s"== profile index: $profMid -> $profDocs docs across a " +
-      s"restart, ${profEst.count()} strata, v${prof2.version}")
+      s"restart, ${profEst.count()} strata (standing n_chars p50<=p90 " +
+      s"on each), v${prof2.version}")
 
     // 15. The remaining managed artifacts, driven batch-style across
     // a reopen: the Hamming-tier fingerprint index (simhash32 dedup —

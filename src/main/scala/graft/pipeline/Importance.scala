@@ -55,14 +55,19 @@ object Importance {
     * for non-blank raw docs; an empty target or raw side has no model
     * and returns the empty frame loudly rather than scoring noise.
     *
-    * Determinism for the oracle: per-bucket log ratios are rounded to
-    * 6 dp, each doc's terms are summed in ascending-value order
-    * (collect_list order is not deterministic; the sort makes it so),
-    * and the sum is rounded to 6 dp — the exact discipline of
-    * [[graft.text.TextFunctions.unigramLm]]. `portableHash = false`
-    * swaps the md5 bucket hash for codegen'd xxhash64 (different,
-    * equally valid buckets — the production knob every hash-keyed op
-    * here carries). */
+    * Determinism for the oracle (`deterministic = true`, default):
+    * per-bucket log ratios are rounded to 6 dp, each doc's terms are
+    * summed in ascending-value order (collect_list order is not
+    * deterministic; the sort makes it so), and the sum is rounded to
+    * 6 dp — the exact discipline of
+    * [[graft.text.TextFunctions.unigramLm]]. `deterministic = false`
+    * is the production scale path: a plain codegen'd partial-agg sum
+    * per doc (no list materialization, no per-row sort) — same value
+    * up to float summation order (≤ last-ulp wobble), measurably
+    * cheaper at probe scale. `portableHash = false` swaps the md5
+    * bucket hash for codegen'd xxhash64 (different, equally valid
+    * buckets — the production knob every hash-keyed op here
+    * carries). */
   def dsirLogWeights(
       raw: DataFrame,
       target: DataFrame,
@@ -72,7 +77,8 @@ object Importance {
       bigrams: Boolean = true,
       alpha: Double = 1.0,
       seed: String = "dsir",
-      portableHash: Boolean = true
+      portableHash: Boolean = true,
+      deterministic: Boolean = true
   ): DataFrame = {
     require(buckets > 0, s"buckets must be > 0 (got $buckets)")
     require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
@@ -109,18 +115,24 @@ object Importance {
           log((coalesce(col("_ct"), lit(0L)).cast("double") + alpha) / tDen) -
             log((coalesce(col("_cr"), lit(0L)).cast("double") + alpha) / rDen),
           6).as("_lr"))
-    raw
+    val scored = raw
       .where(nonBlank)
       .select(col(idCol), explode(featureGrams(col(textCol), bigrams)).as("_g"))
       .select(col(idCol), bucketOf(col("_g"), buckets, seed, portableHash).as("_b"))
       .join(broadcast(dict), Seq("_b"), "left")
       .withColumn("_lr", coalesce(col("_lr"), lit(defaultLr)))
-      .groupBy(col(idCol))
-      .agg(
-        round(
-          aggregate(sort_array(collect_list(col("_lr"))), lit(0.0),
-            (acc, x) => acc + x),
-          6).as("dsir_logw"))
+    if (deterministic)
+      scored
+        .groupBy(col(idCol))
+        .agg(
+          round(
+            aggregate(sort_array(collect_list(col("_lr"))), lit(0.0),
+              (acc, x) => acc + x),
+            6).as("dsir_logw"))
+    else
+      scored
+        .groupBy(col(idCol))
+        .agg(round(sum(col("_lr")), 6).as("dsir_logw"))
   }
 
   /** Importance RESAMPLE: the `k` raw docs drawn without replacement

@@ -76,6 +76,21 @@ class ImportanceSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("the plain-sum production path agrees with the sorted fold") {
+    val det = Importance.dsirLogWeights(
+      rawDocs.toDF("doc_id", "text"), targetDocs.toDF("doc_id", "text"),
+      "text", "doc_id", buckets = B, alpha = Alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fast = Importance.dsirLogWeights(
+      rawDocs.toDF("doc_id", "text"), targetDocs.toDF("doc_id", "text"),
+      "text", "doc_id", buckets = B, alpha = Alpha, deterministic = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(det.keySet == fast.keySet)
+    det.foreach { case (id, w) =>
+      assert(math.abs(fast(id) - w) < 1e-6, s"doc $id: $w vs ${fast(id)}")
+    }
+  }
+
   test("empty target or empty raw → the empty frame, loudly typed") {
     val raw = rawDocs.toDF("doc_id", "text")
     val blank = Seq(9L -> "  ").toDF("doc_id", "text")

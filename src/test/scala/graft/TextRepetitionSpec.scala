@@ -139,6 +139,26 @@ class TextRepetitionSpec extends SparkSpec {
     }
   }
 
+  test("ngramsAll (zipped shifted slices) equals the positional reference") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "single", "", "  spaced   out\ttokens\nhere  ",
+      ("x " * 40).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- 1 to 5) {
+      val got = df.orderBy("id")
+        .select(TextFunctions.ngramsAll(col("text"), n))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+      val want = texts.map { t =>
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.size >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      }
+      assert(got == want, s"n=$n diverged from the positional reference")
+    }
+  }
+
   test("the panel plans NARROW: no Exchange, no Aggregate, no Join") {
     // spark.range (not a LocalRelation — ConvertToLocalRelation would
     // fold the project away and the assert would pass vacuously)
