@@ -21,15 +21,24 @@ object Quantize {
   /** Per-vector symmetric int8 codes: (id, scale, q array<int>).
     * Zero vectors quantize to all-zero codes with scale 0. */
   def int8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    // scale is PROJECTED first so the codes lambda captures a plain
+    // attribute (O(1) per element) — referencing the array_max
+    // expression directly inside the lambda re-reduces the whole
+    // vector once per component (higher-order functions re-evaluate
+    // captured subtrees per element)
     val sc = array_max(transform(col(vecCol), x => abs(x))).cast("double")
-    val codes = transform(
-      col(vecCol),
-      x =>
-        when(sc === 0.0, lit(0L))
-          .otherwise(floor(x.cast("double") / sc * 127.0 + lit(0.5)))
-          .cast("int")
-    )
-    df.select(col(idCol), sc.as("scale"), codes.as("q"))
+    df.select(col(idCol), col(vecCol), sc.as("scale"))
+      .select(
+        col(idCol),
+        col("scale"),
+        transform(
+          col(vecCol),
+          x =>
+            when(col("scale") === 0.0, lit(0L))
+              .otherwise(
+                floor(x.cast("double") / col("scale") * 127.0 + lit(0.5)))
+              .cast("int")
+        ).as("q"))
   }
 
   /** Reconstruct approximate floats from codes: `q_i * scale / 127`. */

@@ -217,16 +217,27 @@ object TextFunctions {
   def chunks(text: Column, chunkTokens: Int, stride: Int): Column = {
     require(chunkTokens > 0, s"chunks chunkTokens must be > 0 (got $chunkTokens)")
     require(stride > 0, s"chunks stride must be > 0 (got $stride)")
-    val toks = tokens(text)
-    // start positions 1, 1+stride, … plus the FINAL window start
-    // (n - chunk + 1) when the stride doesn't land on it — without
-    // it, up to stride-1 tail tokens of every document would appear
-    // in no chunk at all (never embedded, never indexed)
-    val maxStart = greatest(size(toks) - chunkTokens, lit(0)) + 1
-    val base = sequence(lit(1), maxStart, lit(stride))
-    val starts = when(element_at(base, -1) === maxStart, base)
-      .otherwise(concat(base, array(maxStart)))
-    transform(starts, s => concat_ws(" ", slice(toks, s, lit(chunkTokens))))
+    // Every candidate window is a chunkTokens-gram ([[ngramsAll]],
+    // capture-free); a window survives when its start is on the
+    // stride grid OR it is the FINAL window (reverse index 1 — kept
+    // so the up-to-stride-1 tail tokens of every document appear in
+    // SOME chunk; a tail window that is also on the grid passes both
+    // predicates and is emitted once). The forward/reverse index
+    // arrays are zipped in ARGUMENT position — the filter lambda
+    // binds only its element, so nothing re-evaluates per window
+    // (the slice-per-start form captured the token array and paid a
+    // re-tokenize per chunk). Docs shorter than one chunk yield
+    // themselves (ngramsAll's degenerate whole-text gram).
+    val grams = ngramsAll(text, chunkTokens)
+    val g = size(grams)
+    val zipped = arrays_zip(
+      grams,
+      sequence(lit(1), g),
+      sequence(g, lit(1), lit(-1)))
+    transform(
+      filter(zipped, t =>
+        ((t.getField("1") - 1) % stride === 0) || t.getField("2") === 1),
+      t => t.getField("0"))
   }
 
   /** PII scrubbing: replace emails, URLs, and long digit runs (ids,
