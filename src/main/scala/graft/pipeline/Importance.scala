@@ -79,15 +79,44 @@ object Importance {
       seed: String = "dsir",
       portableHash: Boolean = true,
       deterministic: Boolean = true
-  ): DataFrame = {
+  ): DataFrame =
+    dsirDict(raw, target, textCol, buckets, bigrams, alpha, seed,
+      portableHash) match {
+      case None =>
+        raw.select(col(idCol), lit(0.0).as("dsir_logw")).limit(0)
+      case Some(dict) =>
+        dsirScoreWith(raw, dict, textCol, idCol, deterministic,
+          buckets, bigrams, seed, portableHash)
+    }
+
+  /** The persistable half of [[dsirLogWeights]]: the `(bucket,
+    * log-ratio, default)` dictionary as a `buckets`-row frame —
+    * columns `bucket`, `lr`, `default_lr` (the shared smoothing ratio
+    * for buckets unseen on both sides, carried on every row so the
+    * frame is self-contained). Write it once (it is KB-scale parquet)
+    * and score every future ingest batch with [[dsirScoreWith]] —
+    * the steady-state form: the 100 TB raw corpus and the target are
+    * each scanned ONCE ever; per batch only the batch moves. `None`
+    * when either side has no grams (no model — score nothing,
+    * loudly). */
+  def dsirDict(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 8192,
+      bigrams: Boolean = true,
+      alpha: Double = 1.0,
+      seed: String = "dsir",
+      portableHash: Boolean = true
+  ): Option[DataFrame] = {
     require(buckets > 0, s"buckets must be > 0 (got $buckets)")
     require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
     val nonBlank = length(trim(col(textCol))) > 0
     def bucketCounts(df: DataFrame): DataFrame =
       df.where(nonBlank)
         .select(explode(featureGrams(col(textCol), bigrams)).as("_g"))
-        .select(bucketOf(col("_g"), buckets, seed, portableHash).as("_b"))
-        .groupBy("_b")
+        .select(bucketOf(col("_g"), buckets, seed, portableHash).as("bucket"))
+        .groupBy("bucket")
         .agg(count(lit(1)).as("_c"))
     val tc = bucketCounts(target).withColumnRenamed("_c", "_ct")
       .localCheckpoint(true)
@@ -95,34 +124,81 @@ object Importance {
       .localCheckpoint(true)
     val tTotRow = tc.agg(sum("_ct")).collect().head
     val rTotRow = rc.agg(sum("_cr")).collect().head
-    if (tTotRow.isNullAt(0) || rTotRow.isNullAt(0))
-      return raw.select(col(idCol), lit(0.0).as("dsir_logw")).limit(0)
-    val tTot = tTotRow.getLong(0).toDouble
-    val rTot = rTotRow.getLong(0).toDouble
-    val tDen = tTot + alpha * buckets
-    val rDen = rTot + alpha * buckets
+    if (tTotRow.isNullAt(0) || rTotRow.isNullAt(0)) return None
+    val tDen = tTotRow.getLong(0).toDouble + alpha * buckets
+    val rDen = rTotRow.getLong(0).toDouble + alpha * buckets
     // buckets unseen on BOTH sides share one default ratio — computed
     // driver-side with the same HALF_UP 6-dp rounding the dictionary
-    // rows get, so the left-join coalesce is bit-identical to a
+    // rows get, so the scoring coalesce is bit-identical to a
     // hypothetical zero-count dictionary row
     val defaultLr =
       round6(math.log(alpha / tDen) - math.log(alpha / rDen))
-    val dict = tc
-      .join(rc, Seq("_b"), "full")
+    Some(tc
+      .join(rc, Seq("bucket"), "full")
       .select(
-        col("_b"),
+        col("bucket"),
         round(
           log((coalesce(col("_ct"), lit(0L)).cast("double") + alpha) / tDen) -
             log((coalesce(col("_cr"), lit(0L)).cast("double") + alpha) / rDen),
-          6).as("_lr"))
-    val scored = raw
+          6).as("lr"),
+        lit(defaultLr).as("default_lr"),
+        // the hash configuration, PINNED on every row: a dictionary
+        // scored under different knobs is silent garbage (the batch's
+        // buckets land in the wrong rows) — dsirScoreWith refuses a
+        // mismatch instead
+        lit(buckets).as("buckets"),
+        lit(bigrams).as("bigrams"),
+        lit(seed).as("seed"),
+        lit(portableHash).as("portable")))
+  }
+
+  /** Score any batch against a standing [[dsirDict]] frame: one
+    * broadcast join over the batch's exploded grams, nothing
+    * corpus-sized moves. The dictionary carries its hash
+    * configuration on every row ([[dsirDict]] pins it); a call whose
+    * knobs disagree is REFUSED — under mismatched knobs the batch's
+    * buckets land in the wrong rows and every weight is silent
+    * garbage. */
+  def dsirScoreWith(
+      batch: DataFrame,
+      dict: DataFrame,
+      textCol: String,
+      idCol: String,
+      deterministic: Boolean = true,
+      buckets: Int = 8192,
+      bigrams: Boolean = true,
+      seed: String = "dsir",
+      portableHash: Boolean = true
+  ): DataFrame = {
+    val nonBlank = length(trim(col(textCol))) > 0
+    // the dictionary is driver-sized by construction (≤ buckets
+    // rows); its pinned knobs and shared default are one scalar
+    // read, then the scoring pass is a broadcast join + per-doc
+    // aggregate over the batch
+    val head = dict
+      .select(col("default_lr"), col("buckets"), col("bigrams"),
+        col("seed"), col("portable"))
+      .limit(1).collect().headOption
+    head.foreach { h =>
+      require(
+        h.getInt(1) == buckets && h.getBoolean(2) == bigrams &&
+          h.getString(3) == seed && h.getBoolean(4) == portableHash,
+        s"dsirScoreWith knobs (buckets=$buckets, bigrams=$bigrams, " +
+          s"seed=$seed, portable=$portableHash) do not match the " +
+          s"dictionary's pinned (buckets=${h.getInt(1)}, " +
+          s"bigrams=${h.getBoolean(2)}, seed=${h.getString(3)}, " +
+          s"portable=${h.getBoolean(4)}) — scoring under mismatched " +
+          "knobs buckets the batch wrongly and every weight is garbage")
+    }
+    val default = head.map(_.getDouble(0))
+    val withDefault = batch
       .where(nonBlank)
       .select(col(idCol), explode(featureGrams(col(textCol), bigrams)).as("_g"))
-      .select(col(idCol), bucketOf(col("_g"), buckets, seed, portableHash).as("_b"))
-      .join(broadcast(dict), Seq("_b"), "left")
-      .withColumn("_lr", coalesce(col("_lr"), lit(defaultLr)))
+      .select(col(idCol), bucketOf(col("_g"), buckets, seed, portableHash).as("bucket"))
+      .join(broadcast(dict.select(col("bucket"), col("lr"))), Seq("bucket"), "left")
+      .withColumn("_lr", coalesce(col("lr"), lit(default.getOrElse(0.0))))
     if (deterministic)
-      scored
+      withDefault
         .groupBy(col(idCol))
         .agg(
           round(
@@ -130,7 +206,7 @@ object Importance {
               (acc, x) => acc + x),
             6).as("dsir_logw"))
     else
-      scored
+      withDefault
         .groupBy(col(idCol))
         .agg(round(sum(col("_lr")), 6).as("dsir_logw"))
   }

@@ -102,6 +102,42 @@ class ImportanceSpec extends SparkSpec {
     assert(b.count() == 0)
   }
 
+  test("a persisted dictionary scores batches identically to the one-shot") {
+    val raw = rawDocs.toDF("doc_id", "text")
+    val target = targetDocs.toDF("doc_id", "text")
+    val dict = Importance.dsirDict(raw, target, "text",
+      buckets = B, alpha = Alpha).get
+    // round-trip through parquet — the steady-state ingest shape
+    val dir = tmpDir("dsir-dict-")
+    dict.write.mode("overwrite").parquet(dir)
+    val standing = spark.read.parquet(dir)
+    val oneShot = Importance.dsirLogWeights(raw, target, "text", "doc_id",
+      buckets = B, alpha = Alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scored whole and in two batches — identical either way (a
+    // batch's weight depends on nothing but the batch and the dict)
+    val whole = Importance.dsirScoreWith(raw, standing, "text", "doc_id",
+      buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(whole == oneShot)
+    val batched = Seq(0, 1).flatMap { p =>
+      Importance.dsirScoreWith(raw.where(col("doc_id") % 2 === p),
+        standing, "text", "doc_id", buckets = B)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    }.toMap
+    assert(batched == oneShot)
+    // no model → None, loudly
+    assert(Importance.dsirDict(raw, raw.where(lit(false)), "text",
+      buckets = B, alpha = Alpha).isEmpty)
+    // mismatched knobs are refused, not silently mis-bucketed
+    intercept[IllegalArgumentException](
+      Importance.dsirScoreWith(raw, standing, "text", "doc_id",
+        buckets = B * 2))
+    intercept[IllegalArgumentException](
+      Importance.dsirScoreWith(raw, standing, "text", "doc_id",
+        buckets = B, seed = "other"))
+  }
+
   test("dsirSample draws the k smallest log-space priorities") {
     val w = refWeights(rawDocs, targetDocs)
     val want = w.toSeq.map { case (id, lw) =>
