@@ -970,6 +970,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the Gopher repetition GATE: all eleven thresholds at the
+    // paper's published cut-offs, one native walk per row — the
+    // oracle filters the same panel it recomputes for q137
+    "q141_repetition_gate" -> ((s, dir) =>
+      graft.pipeline.Curation.repetitionGate(
+        Tables.load(s, dir, "documents"), "text")
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // mergeable bottom-k value sample (quantile sketch): per-lang
     // n_chars distribution built from TWO half-corpus sketches folded
     // by the union law — the oracle computes the whole corpus
@@ -2381,6 +2390,71 @@ object SparkEntry {
       |  FROM tf, c
       |) WHERE score > 0""".stripMargin
 
+  /** q137/q141's shared panel: the eleven Gopher repetition signals
+    * recomputed the set-theoretic way (unnest + per-doc group-by
+    * counts); per-n CTEs are generated, not hand-typed. Yields one
+    * row per document: doc_id + the eleven fractions (0.0 defaults
+    * via the left joins). */
+  private lazy val repetitionPanelSql: String = {
+    val gramCtes = (2 to 10).map { n =>
+      s"""g$n AS (
+         |  SELECT doc_id, gram, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(toks) - ${n - 1}),
+         |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
+         |    FROM toks WHERE len(toks) >= $n)
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }
+    val topCtes = (2 to 4).map { n =>
+      s"""tf$n AS (
+         |  SELECT t.doc_id,
+         |    round(least((t.c * length(t.gram))::DOUBLE / k.tlen, 1.0), 6) AS v
+         |  FROM (
+         |    SELECT doc_id, c, gram, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+         |    FROM g$n) t JOIN toks k USING (doc_id)
+         |  WHERE t.rn = 1
+         |)""".stripMargin
+    }
+    val dupCtes = (5 to 10).map { n =>
+      s"""df$n AS (
+         |  SELECT doc_id,
+         |    round(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::DOUBLE
+         |      / sum(c * length(gram)), 6) AS v
+         |  FROM g$n GROUP BY 1
+         |)""".stripMargin
+    }
+    val selects =
+      Seq(
+        "coalesce(l.dlf, 0.0) AS dup_line_frac",
+        "coalesce(l.dlcf, 0.0) AS dup_line_char_frac") ++
+        (2 to 4).map(n => s"coalesce(tf$n.v, 0.0) AS top_${n}gram_char_frac") ++
+        (5 to 10).map(n => s"coalesce(df$n.v, 0.0) AS dup_${n}gram_char_frac")
+    val joins =
+      (2 to 4).map(n => s"LEFT JOIN tf$n ON tf$n.doc_id = d.doc_id") ++
+        (5 to 10).map(n => s"LEFT JOIN df$n ON df$n.doc_id = d.doc_id")
+    s"""WITH toks AS (
+       |  SELECT doc_id, length(text) AS tlen,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents
+       |), lc AS (
+       |  SELECT doc_id, ln, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents)
+       |  WHERE trim(ln) <> '' GROUP BY 1, 2
+       |), lstat AS (
+       |  SELECT doc_id,
+       |    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dlf,
+       |    round(sum(CASE WHEN c >= 2 THEN c * length(ln) ELSE 0 END)::DOUBLE
+       |      / sum(c * length(ln)), 6) AS dlcf
+       |  FROM lc GROUP BY 1
+       |), ${(gramCtes ++ topCtes ++ dupCtes).mkString(", ")}
+       |SELECT d.doc_id, ${selects.mkString(", ")}
+       |FROM documents d
+       |LEFT JOIN lstat l ON l.doc_id = d.doc_id
+       |${joins.mkString("\n")}""".stripMargin
+  }
+
   /** q138/q139's shared DSIR replay: hashed-gram (unigram+bigram)
     * bucket counts for target (doc_id%3=0) and raw (the rest), the
     * add-alpha log-ratio dictionary (alpha=0.5, B=64 → alpha·B=32),
@@ -3180,68 +3254,20 @@ object SparkEntry {
          |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
     // the eleven Gopher repetition signals, each recomputed the
     // set-theoretic way (unnest + per-doc group-by counts — the
-    // engine's sorted-adjacency algebra and count-per-value are the
+    // engine's one-walk hash counting and count-per-value are the
     // same predicate); per-n CTEs are generated, not hand-typed
-    "q137_repetition_stats" -> {
-      val gramCtes = (2 to 10).map { n =>
-        s"""g$n AS (
-           |  SELECT doc_id, gram, count(*) AS c FROM (
-           |    SELECT doc_id, unnest(list_transform(
-           |      generate_series(1, len(toks) - ${n - 1}),
-           |      i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram
-           |    FROM toks WHERE len(toks) >= $n)
-           |  GROUP BY 1, 2
-           |)""".stripMargin
-      }
-      val topCtes = (2 to 4).map { n =>
-        s"""tf$n AS (
-           |  SELECT t.doc_id,
-           |    round(least((t.c * length(t.gram))::DOUBLE / k.tlen, 1.0), 6) AS v
-           |  FROM (
-           |    SELECT doc_id, c, gram, row_number() OVER (
-           |      PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
-           |    FROM g$n) t JOIN toks k USING (doc_id)
-           |  WHERE t.rn = 1
-           |)""".stripMargin
-      }
-      val dupCtes = (5 to 10).map { n =>
-        s"""df$n AS (
-           |  SELECT doc_id,
-           |    round(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::DOUBLE
-           |      / sum(c * length(gram)), 6) AS v
-           |  FROM g$n GROUP BY 1
-           |)""".stripMargin
-      }
-      val selects =
-        Seq(
-          "coalesce(l.dlf, 0.0) AS dup_line_frac",
-          "coalesce(l.dlcf, 0.0) AS dup_line_char_frac") ++
-          (2 to 4).map(n => s"coalesce(tf$n.v, 0.0) AS top_${n}gram_char_frac") ++
-          (5 to 10).map(n => s"coalesce(df$n.v, 0.0) AS dup_${n}gram_char_frac")
-      val joins =
-        (2 to 4).map(n => s"LEFT JOIN tf$n ON tf$n.doc_id = d.doc_id") ++
-          (5 to 10).map(n => s"LEFT JOIN df$n ON df$n.doc_id = d.doc_id")
-      s"""WITH toks AS (
-         |  SELECT doc_id, length(text) AS tlen,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
-         |  FROM documents
-         |), lc AS (
-         |  SELECT doc_id, ln, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents)
-         |  WHERE trim(ln) <> '' GROUP BY 1, 2
-         |), lstat AS (
-         |  SELECT doc_id,
-         |    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dlf,
-         |    round(sum(CASE WHEN c >= 2 THEN c * length(ln) ELSE 0 END)::DOUBLE
-         |      / sum(c * length(ln)), 6) AS dlcf
-         |  FROM lc GROUP BY 1
-         |), ${(gramCtes ++ topCtes ++ dupCtes).mkString(", ")}
-         |SELECT d.doc_id, ${selects.mkString(", ")}
-         |FROM documents d
-         |LEFT JOIN lstat l ON l.doc_id = d.doc_id
-         |${joins.mkString("\n")}
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "q137_repetition_stats" ->
+      s"SELECT * FROM ($repetitionPanelSql) ORDER BY doc_id",
+    // the gate = the same panel under the paper's thresholds
+    "q141_repetition_gate" ->
+      s"""SELECT doc_id FROM ($repetitionPanelSql)
+         |WHERE dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+         |  AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+         |  AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+         |  AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+         |  AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+         |  AND dup_10gram_char_frac <= 0.10
+         |ORDER BY doc_id""".stripMargin,
     // DSIR replay: the same md5 bucket hash, add-alpha smoothing and
     // sorted per-doc sum; alpha=0.5, B=64 → alpha*B = 32
     "q138_dsir_logw" -> (dsirLogwCtes +

@@ -46,6 +46,41 @@ object Curation {
       )
   }
 
+  /** The Gopher repetition gate (Rae et al. 2021 Table A1): keep
+    * documents under ALL eleven repetition thresholds — duplicated
+    * lines, top-{2,3,4}-gram char share, dup-{5..10}-gram mass. The
+    * defaults are the paper's published cut-offs. One native text
+    * walk per row ([[TextFunctions.repetitionStats]] — the eleven
+    * field reads are content-equal expressions, whole-stage CSE
+    * evaluates the struct once); pure filter, pushed to the scan, no
+    * shuffle — composes before/after [[curate]]'s quality gate. */
+  def repetitionGate(
+      df: DataFrame,
+      textCol: String,
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxTopNgramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      maxDupNgramCharFrac: Seq[Double] =
+        Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+  ): DataFrame = {
+    require(maxTopNgramCharFrac.size == 3,
+      s"maxTopNgramCharFrac covers n in 2..4 (got ${maxTopNgramCharFrac.size} thresholds)")
+    require(maxDupNgramCharFrac.size == 6,
+      s"maxDupNgramCharFrac covers n in 5..10 (got ${maxDupNgramCharFrac.size} thresholds)")
+    val rs = TextFunctions.repetitionStats(col(textCol))
+    val checks =
+      Seq(
+        rs.getField("dup_line_frac") <= maxDupLineFrac,
+        rs.getField("dup_line_char_frac") <= maxDupLineCharFrac) ++
+        maxTopNgramCharFrac.zipWithIndex.map { case (t, i) =>
+          rs.getField(s"top_${i + 2}gram_char_frac") <= t
+        } ++
+        maxDupNgramCharFrac.zipWithIndex.map { case (t, i) =>
+          rs.getField(s"dup_${i + 5}gram_char_frac") <= t
+        }
+    df.where(checks.reduce(_ && _))
+  }
+
   /** Returns the curated rows of `df` plus `n_tokens` and `quality`
     * columns. `sampleRate = 1.0` keeps every survivor. */
   def curate(

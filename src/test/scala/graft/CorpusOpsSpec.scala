@@ -443,4 +443,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Sort"), s"approx gate must not sort:\n$plan")
     assert(!plan.contains("Window"), s"approx gate must not window:\n$plan")
   }
+
+  test("repetition gate drops repetitive docs, keeps prose, stays a filter") {
+    val corpus = Seq(
+      // clean prose, LONG enough that a once-occurring 4-gram stays
+      // under 16% of the chars (the panel measures share-of-doc, so
+      // very short docs trip the top-n cuts — Gopher pairs this gate
+      // with its min-length gate for exactly that reason)
+      1L -> ("many different words appear here and nothing repeats " +
+        "because each clause says something new about the subject " +
+        "while later sentences keep introducing fresh vocabulary so " +
+        "every window over this document covers only a small part " +
+        "of its total character count as real prose generally does"),
+      // duplicated-line page: dup_line_frac 2/3 > 0.30
+      2L -> "same footer line\nsame footer line\nactual content here",
+      // 2-gram loop: top_2gram_char_frac ≈ 1 > 0.20
+      3L -> ("click here click here click here click here click here"),
+      4L -> "" // empty: all signals 0.0 → passes
+    ).toDF("doc_id", "text")
+    val kept = Curation.repetitionGate(corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"gate kept $kept")
+    // custom thresholds: loosening the gram cuts readmits doc 3 (its
+    // periodic text trips the dup-n mass signals too, so both families
+    // must open for it to pass)
+    val loose = Curation.repetitionGate(corpus, "text",
+      maxTopNgramCharFrac = Seq(1.0, 1.0, 1.0),
+      maxDupNgramCharFrac = Seq.fill(6)(1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 3L, 4L))
+    // wrong threshold arity is refused
+    intercept[IllegalArgumentException](
+      Curation.repetitionGate(corpus, "text", maxTopNgramCharFrac = Seq(0.2)))
+    // a pure filter: no shuffle, no aggregate
+    val plan = Curation.repetitionGate(corpus, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
+      s"repetition gate must stay a narrow filter:\n$plan")
+  }
 }
