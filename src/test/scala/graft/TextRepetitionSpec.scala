@@ -139,6 +139,43 @@ class TextRepetitionSpec extends SparkSpec {
     }
   }
 
+  test("random corpora: native walk ≡ Column-algebra twin, incl. unicode") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("the", "cat", "sat", "mat", "dog", "ran", "far",
+      "zebra", "café", "naïve", "日本", "a")
+    def randDoc(): String = {
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        val w = vocab(rnd.nextInt(vocab.size))
+        // sprinkle newlines and stray whitespace between tokens
+        val sep = rnd.nextInt(10) match {
+          case 0 => "\n"
+          case 1 => "\n\n"
+          case 2 => "  "
+          case 3 => "\t"
+          case _ => " "
+        }
+        w + sep
+      }.mkString
+    }
+    // surrogate-pair doc pins code-point (not UTF-16-unit) counting
+    val docs = (0 until 40).map(i => (i.toLong, randDoc())) :+
+      (40L -> "x 😀😀 y\nx 😀😀 y\nz 😀 w") :+
+      (41L -> "line one\nline one\n\t\nline two")
+    val df = docs.toDF("doc_id", "text")
+    val native = df
+      .select(col("doc_id"),
+        TextFunctions.repetitionStats(col("text")).as("rs"))
+      .select("doc_id", "rs.*").orderBy("doc_id").collect()
+    val composed = df
+      .select(col("doc_id"),
+        TextFunctions.repetitionStatsComposed(col("text")).as("rs"))
+      .select("doc_id", "rs.*").orderBy("doc_id").collect()
+    native.zip(composed).foreach { case (n, c) =>
+      assert(n.toSeq == c.toSeq, s"doc ${n.getLong(0)} diverged:\n$n\n$c")
+    }
+  }
+
   test("ngramsAll (zipped shifted slices) equals the positional reference") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
