@@ -970,6 +970,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the STEADY-STATE DSIR path inside the gate: the dictionary is
+    // built once, round-tripped through parquet, and two ingest
+    // batches are scored against the standing copy — the oracle is
+    // q138's ONE-SHOT recompute, so the hash match proves per-batch
+    // scoring against a persisted dict ≡ the one-shot weights
+    "q142_dsir_standing_dict" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val raw = docs.where(col("doc_id") % 3 =!= 0)
+      val target = docs.where(col("doc_id") % 3 === 0)
+      val dictDir = tempWorkDir("q142-dsir-dict-")
+      graft.pipeline.Importance.dsirDict(
+        raw, target, "text", buckets = 64, bigrams = true, alpha = 0.5)
+        .get.write.mode("overwrite").parquet(dictDir)
+      val standing = s.read.parquet(dictDir)
+      Seq(0, 1)
+        .map(p => graft.pipeline.Importance.dsirScoreWith(
+          raw.where(col("doc_id") % 2 === p), standing, "text", "doc_id",
+          buckets = 64))
+        .reduce(_ unionByName _)
+        .orderBy("doc_id")
+    }),
+
     // the Gopher repetition GATE: all eleven thresholds at the
     // paper's published cut-offs, one native walk per row — the
     // oracle filters the same panel it recomputes for q137
@@ -3268,6 +3290,12 @@ object SparkEntry {
          |  AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
          |  AND dup_10gram_char_frac <= 0.10
          |ORDER BY doc_id""".stripMargin,
+    // the standing-dict batches must reproduce the ONE-SHOT weights
+    // exactly — same oracle as q138
+    "q142_dsir_standing_dict" -> (dsirLogwCtes +
+      """
+        |SELECT doc_id, round(sum(lr ORDER BY lr), 6) AS dsir_logw
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // DSIR replay: the same md5 bucket hash, add-alpha smoothing and
     // sorted per-doc sum; alpha=0.5, B=64 → alpha*B = 32
     "q138_dsir_logw" -> (dsirLogwCtes +
