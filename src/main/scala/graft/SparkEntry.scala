@@ -970,6 +970,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // drift detection: exact two-sample KS between the two halves'
+    // standing n_chars samples per lang — the oracle recomputes both
+    // bottom-k samples and the RANGE-frame CDF gap in SQL
+    "q143_profile_drift_ks" -> ((s, dir) => {
+      import graft.sketch.{Drift, SampleSketch}
+      val docs = Tables.load(s, dir, "documents")
+      def half(p: Int, tag: String) = SampleSketch.valueSketch(
+        docs.where(col("doc_id") % 2 === p),
+        Seq("lang"), col("doc_id"), col("n_chars"), k = 64)
+        .select(col("lang"), col("vs_values").as(tag))
+      Drift.ksStat(
+        half(0, "a").join(half(1, "b"), Seq("lang")),
+        "lang", "a", "b")
+        .orderBy("lang")
+    }),
+
     // the STEADY-STATE DSIR path inside the gate: the dictionary is
     // built once, round-tripped through parquet, and two ingest
     // batches are scored against the standing copy — the oracle is
@@ -3290,6 +3306,35 @@ object SparkEntry {
          |  AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
          |  AND dup_10gram_char_frac <= 0.10
          |ORDER BY doc_id""".stripMargin,
+    // both halves' bottom-k samples + the RANGE-frame CDF gap (the
+    // frame counts every tie ≤ the current value — CDFs evaluated
+    // after whole tie groups, the exact KS treatment both engines share)
+    "q143_profile_drift_ks" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id % 2 AS side,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh,
+        |    n_chars::DOUBLE AS v
+        |  FROM documents
+        |), dd AS (SELECT lang, side, hh, min(v) AS v FROM h GROUP BY 1, 2, 3),
+        |bk AS (SELECT lang, side, v,
+        |  row_number() OVER (PARTITION BY lang, side ORDER BY hh) AS rn FROM dd),
+        |samp AS (SELECT lang, side, v FROM bk WHERE rn <= 64),
+        |n AS (SELECT lang,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::DOUBLE AS na,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::DOUBLE AS nb
+        |  FROM samp GROUP BY 1),
+        |cdf AS (
+        |  SELECT lang,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY lang ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS ca,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY lang ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS cb
+        |  FROM samp
+        |)
+        |SELECT c.lang, round(max(abs(ca / na - cb / nb)), 6) AS ks
+        |FROM cdf c JOIN n USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
     // the standing-dict batches must reproduce the ONE-SHOT weights
     // exactly — same oracle as q138
     "q142_dsir_standing_dict" -> (dsirLogwCtes +
