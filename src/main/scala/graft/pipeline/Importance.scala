@@ -232,12 +232,13 @@ object Importance {
       alpha: Double = 1.0,
       seed: String = "dsir",
       sampleSeed: String = "s0",
-      portableHash: Boolean = true
+      portableHash: Boolean = true,
+      deterministic: Boolean = true
   ): DataFrame = {
     require(k > 0, s"dsirSample k must be > 0 (got $k)")
     val w = dsirLogWeights(
       raw, target, textCol, idCol, buckets, bigrams, alpha, seed,
-      portableHash)
+      portableHash, deterministic)
     val u = (Sampling.hashOf(col(idCol), sampleSeed, portableHash) + 1)
       .cast("double") / lit(4294967296.0)
     w.withColumn("_prio", round(log(u), 6) - col("dsir_logw"))

@@ -78,18 +78,14 @@ object Drift {
       strataCol: String): DataFrame = {
     val hasVals = before.columns.contains("vs_values") &&
       after.columns.contains("vs_values")
-    def side(df: DataFrame, tag: String): DataFrame = {
-      val base = df.select(
-        col(strataCol),
-        col("docs").cast("double").as(s"_docs$tag"),
-        col("tokens").cast("double").as(s"_tokens$tag"),
-        col("est_distinct_docs").as(s"_dist$tag"))
-      if (hasVals)
-        base.join(
-          df.select(col(strataCol), col("vs_values").as(s"_vs$tag")),
-          Seq(strataCol))
-      else base
-    }
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(
+        (Seq(
+          col(strataCol),
+          col("docs").cast("double").as(s"_docs$tag"),
+          col("tokens").cast("double").as(s"_tokens$tag"),
+          col("est_distinct_docs").as(s"_dist$tag")) ++
+          (if (hasVals) Seq(col("vs_values").as(s"_vs$tag")) else Nil)): _*)
     val joined = side(before, "B").join(side(after, "A"),
       Seq(strataCol), "full")
     val status = when(col("_docsB").isNull, lit("new"))
