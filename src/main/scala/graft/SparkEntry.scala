@@ -953,6 +953,10 @@ object SparkEntry {
     // shuffle); the oracle recomputes each the set-theoretic way
     "q137_repetition_stats" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
+        // NULL text yields a NULL panel struct engine-side but an
+        // all-zero row from the oracle's LEFT JOINs — agree by
+        // construction: neither engine reports a panel for it
+        .where(col("text").isNotNull)
         .select(col("doc_id"),
           graft.text.TextFunctions.repetitionStats(col("text")).as("_rs"))
         .select("doc_id", "_rs.*")
@@ -2474,7 +2478,7 @@ object SparkEntry {
         (5 to 10).map(n => s"LEFT JOIN df$n ON df$n.doc_id = d.doc_id")
     s"""WITH toks AS (
        |  SELECT doc_id, length(text) AS tlen,
-       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+       |    list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '') AS toks
        |  FROM documents
        |), lc AS (
        |  SELECT doc_id, ln, count(*) AS c FROM (
@@ -2490,7 +2494,8 @@ object SparkEntry {
        |SELECT d.doc_id, ${selects.mkString(", ")}
        |FROM documents d
        |LEFT JOIN lstat l ON l.doc_id = d.doc_id
-       |${joins.mkString("\n")}""".stripMargin
+       |${joins.mkString("\n")}
+       |WHERE d.text IS NOT NULL""".stripMargin
   }
 
   /** q138/q139's shared DSIR replay: hashed-gram (unigram+bigram)
@@ -2595,7 +2600,7 @@ object SparkEntry {
       .map(l => s"WHEN c_$l = $best AND $best > 0 THEN '$l'")
       .mkString(" ")
     s"""tok AS (
-       |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
        |  FROM $source
        |), feat AS (
        |  SELECT doc_id, text, w,
@@ -2616,7 +2621,7 @@ object SparkEntry {
        |      + least(stopword_ratio * 5.0, 1.0) * 0.3
        |      + (CASE WHEN digit_ratio < 0.2 THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
        |    CASE $chain ELSE 'und' END AS lang_pred,
-       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |    md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
        |  FROM feat
        |), gated AS (
        |  SELECT * FROM scored
@@ -2690,13 +2695,13 @@ object SparkEntry {
        |FROM (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+       |         ELSE len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
        |    CASE WHEN length(text) = 0 THEN 0.0
        |         ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE END AS punct_ratio,
        |    CASE WHEN length(text) = 0 THEN 0.0
        |         ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE END AS digit_ratio,
        |    CASE WHEN length(trim(text)) = 0 THEN 0.0
-       |         ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN ($stop))) / len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE END AS stopword_ratio
+       |         ELSE len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), w -> w IN ($stop))) / len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'))::DOUBLE END AS stopword_ratio
        |  FROM documents
        |)""".stripMargin
   }
@@ -2820,14 +2825,14 @@ object SparkEntry {
       val stop = TextFunctions.stopwordsEn.map(w => s"'$w'").mkString(", ")
       s"""SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0
-         |       ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
-         |  len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9\\s]')) AS n_bpe,
+         |       ELSE len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9 \\t\\n\\x0b\\f\\r]')) AS n_bpe,
          |  CASE WHEN length(text) = 0 THEN 0.0
          |       ELSE round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g'))) / length(text)::DOUBLE, 6) END AS punct_ratio,
          |  CASE WHEN length(text) = 0 THEN 0.0
          |       ELSE round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)::DOUBLE, 6) END AS digit_ratio,
          |  CASE WHEN length(trim(text)) = 0 THEN 0.0
-         |       ELSE round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w IN ($stop))) / len(string_split_regex(lower(trim(text)), '\\s+'))::DOUBLE, 6) END AS stopword_ratio
+         |       ELSE round(len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), w -> w IN ($stop))) / len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'))::DOUBLE, 6) END AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q17_lang_id" -> {
@@ -2843,7 +2848,7 @@ object SparkEntry {
         .map(l => s"WHEN c_$l = $best AND $best > 0 THEN '$l'")
         .mkString(" ")
       s"""SELECT doc_id, CASE $chain ELSE 'und' END AS lang_pred FROM (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
          |  FROM documents
          |), LATERAL (SELECT $cases)
          |ORDER BY doc_id""".stripMargin
@@ -3149,7 +3154,7 @@ object SparkEntry {
       val g1 = (0.8 * 4294967296.0).toLong
       val g2 = ((0.8 + 0.1) * 4294967296.0).toLong
       s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
          |  FROM documents
          |), hashed AS (
          |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
@@ -3334,7 +3339,9 @@ object SparkEntry {
         |  FROM samp
         |)
         |SELECT c.lang, round(max(abs(ca / na - cb / nb)), 6) AS ks
-        |FROM cdf c JOIN n USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM cdf c JOIN n USING (lang)
+        |WHERE na > 0 AND nb > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the standing-dict batches must reproduce the ONE-SHOT weights
     // exactly — same oracle as q138
     "q142_dsir_standing_dict" -> (dsirLogwCtes +
@@ -3491,7 +3498,7 @@ object SparkEntry {
     "q119_profile_merge" -> {
       val c = graft.sketch.Kmv.estimateConstLiteral(100)
       s"""WITH fp AS (
-         |  SELECT lang, ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS h
+         |  SELECT lang, ('0x' || substr(md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 15))::BIGINT AS h
          |  FROM documents
          |), dd AS (
          |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
@@ -3502,7 +3509,7 @@ object SparkEntry {
          |          ELSE $c / max(h)::DOUBLE END, 6) AS est_distinct_docs
          |  FROM dd WHERE rn <= 100 GROUP BY lang
          |), toks AS (
-         |  SELECT lang, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         |  SELECT lang, unnest(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
          |  FROM documents
          |), vt AS (
          |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
@@ -3517,7 +3524,7 @@ object SparkEntry {
          |), base AS (
          |  SELECT lang, count(*) AS docs,
          |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END) AS BIGINT) AS tokens
+         |         ELSE len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) END) AS BIGINT) AS tokens
          |  FROM documents GROUP BY lang
          |)
          |SELECT base.lang, docs, tokens, dd_n, dd_hk, dd_hxor,
