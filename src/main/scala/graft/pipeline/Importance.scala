@@ -111,30 +111,67 @@ object Importance {
   ): Option[DataFrame] = {
     require(buckets > 0, s"buckets must be > 0 (got $buckets)")
     require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
-    val nonBlank = length(trim(col(textCol))) > 0
-    def bucketCounts(df: DataFrame): DataFrame =
-      df.where(nonBlank)
-        .select(explode(featureGrams(col(textCol), bigrams)).as("_g"))
-        .select(bucketOf(col("_g"), buckets, seed, portableHash).as("bucket"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("_c"))
-    val tc = bucketCounts(target).withColumnRenamed("_c", "_ct")
-      .localCheckpoint(true)
-    val rc = bucketCounts(raw).withColumnRenamed("_c", "_cr")
-      .localCheckpoint(true)
+    val tc = bucketCounts(target, textCol, buckets, bigrams, seed,
+      portableHash).withColumnRenamed("_c", "_ct").localCheckpoint(true)
+    val rc = bucketCounts(raw, textCol, buckets, bigrams, seed,
+      portableHash).withColumnRenamed("_c", "_cr").localCheckpoint(true)
+    val tEmpty = tc.agg(sum("_ct")).collect().head.isNullAt(0)
+    val rEmpty = rc.agg(sum("_cr")).collect().head.isNullAt(0)
+    if (tEmpty || rEmpty) None
+    else Some(dictFromCounts(tc, rc, buckets, bigrams, alpha, seed,
+      portableHash))
+  }
+
+  /** Per-bucket gram counts of `df` — the mergeable half of a DSIR
+    * model (counts ADD across disjoint corpora; the standing
+    * [[DsirIndex]] accumulates exactly these rows batch by batch).
+    * Columns `(bucket, _c)`; blank docs contribute nothing. */
+  private[graft] def bucketCounts(
+      df: DataFrame,
+      textCol: String,
+      buckets: Int,
+      bigrams: Boolean,
+      seed: String,
+      portableHash: Boolean
+  ): DataFrame =
+    df.where(length(trim(col(textCol))) > 0)
+      .select(explode(featureGrams(col(textCol), bigrams)).as("_g"))
+      .select(bucketOf(col("_g"), buckets, seed, portableHash).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("_c"))
+
+  /** The add-`alpha` log-ratio dictionary from two bucket-count
+    * frames (`tc`: (bucket, _ct); `rc`: (bucket, _cr)) — the shared
+    * math of [[dsirDict]] and [[DsirIndex.dict]], so the standing
+    * artifact's dictionary is bit-identical to the one-shot build at
+    * equal counts. An absent raw side (zero rows) is a UNIFORM raw
+    * model (every bucket at the smoothing floor) — the standing
+    * artifact's cold start; [[dsirDict]] still refuses it (a one-shot
+    * build with no raw corpus is a caller bug, not a cold start). */
+  private[graft] def dictFromCounts(
+      tc: DataFrame,
+      rc: DataFrame,
+      buckets: Int,
+      bigrams: Boolean,
+      alpha: Double,
+      seed: String,
+      portableHash: Boolean
+  ): DataFrame = {
     val tTotRow = tc.agg(sum("_ct")).collect().head
     val rTotRow = rc.agg(sum("_cr")).collect().head
-    if (tTotRow.isNullAt(0) || rTotRow.isNullAt(0)) return None
-    val tDen = tTotRow.getLong(0).toDouble + alpha * buckets
-    val rDen = rTotRow.getLong(0).toDouble + alpha * buckets
+    val tDen =
+      (if (tTotRow.isNullAt(0)) 0L else tTotRow.getLong(0)).toDouble +
+        alpha * buckets
+    val rDen =
+      (if (rTotRow.isNullAt(0)) 0L else rTotRow.getLong(0)).toDouble +
+        alpha * buckets
     // buckets unseen on BOTH sides share one default ratio — computed
     // driver-side with the same HALF_UP 6-dp rounding the dictionary
     // rows get, so the scoring coalesce is bit-identical to a
     // hypothetical zero-count dictionary row
     val defaultLr =
       round6(math.log(alpha / tDen) - math.log(alpha / rDen))
-    Some(tc
-      .join(rc, Seq("bucket"), "full")
+    tc.join(rc, Seq("bucket"), "full")
       .select(
         col("bucket"),
         round(
@@ -149,7 +186,7 @@ object Importance {
         lit(buckets).as("buckets"),
         lit(bigrams).as("bigrams"),
         lit(seed).as("seed"),
-        lit(portableHash).as("portable")))
+        lit(portableHash).as("portable"))
   }
 
   /** Score any batch against a standing [[dsirDict]] frame: one
@@ -179,6 +216,13 @@ object Importance {
       .select(col("default_lr"), col("buckets"), col("bigrams"),
         col("seed"), col("portable"))
       .limit(1).collect().headOption
+    // an EMPTY dictionary frame (wrong path, zero-row parquet) has no
+    // pinned knobs to check and no model to score under — defaulting
+    // every weight to 0.0 would be silent garbage, the exact failure
+    // mode the pinned-knob refusal exists to prevent
+    require(head.nonEmpty,
+      "dsirScoreWith: empty DSIR dictionary — a dictionary frame with " +
+        "no rows has no model (wrong path?); build one with dsirDict")
     head.foreach { h =>
       require(
         h.getInt(1) == buckets && h.getBoolean(2) == bigrams &&
