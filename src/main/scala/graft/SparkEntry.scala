@@ -1012,6 +1012,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the COMPOSED ingest daemon inside the correctness gate: one
+    // exactly-once batch through language/quality + repetition gates,
+    // exact + LSH dedup, raw-side DSIR accumulation into the standing
+    // model and scoring of the admitted set — the corpus rows carry
+    // their importance weights. The oracle recomputes every stage
+    // (gates, panel thresholds, min-id exact canon, LSH pair graph +
+    // components, hashed-gram dictionary + sorted per-doc sums) in SQL
+    "q144_daemon_curation" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val work = tempWorkDir("q144-daemon-")
+      val cfg = graft.streaming.IngestConfig(
+        lang = "en", minQuality = 0.5, minTokens = 10, maxTokens = 5000,
+        threshold = 0.35,
+        params = graft.dedup.DedupParams(numHashes = 8, bands = 4),
+        repetition = true,
+        dsir = true, dsirBuckets = 64, dsirAlpha = 0.5)
+      val d = graft.streaming.IngestDaemon.open(s, work, cfg)
+      d.dsirIndex.get.ingestTarget("tgt",
+        docs.where(col("doc_id") % 3 === 0), "text")
+      d.processBatch("b1", docs.where(col("doc_id") % 3 =!= 0))
+      d.corpus
+        .select("doc_id", "n_tokens", "quality", "dsir_logw")
+        .orderBy("doc_id")
+    }),
+
     // the Gopher repetition GATE: all eleven thresholds at the
     // paper's published cut-offs, one native walk per row — the
     // oracle filters the same panel it recomputes for q137
@@ -2328,7 +2353,7 @@ object SparkEntry {
 
   private val shinglesCte =
     """WITH t AS (
-      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id,
@@ -2404,9 +2429,9 @@ object SparkEntry {
   private lazy val bm25Sql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    string_split_regex(lower(trim(text)), '\s+') AS w,
+      |    string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w,
       |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS dl
+      |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS dl
       |  FROM documents
       |), tf AS (
       |  SELECT doc_id, dl::DOUBLE AS dl,
@@ -2505,7 +2530,7 @@ object SparkEntry {
   private lazy val dsirLogwCtes: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> t <> '') AS toks
       |  FROM documents WHERE length(trim(text)) > 0
       |), grams AS (
       |  SELECT doc_id, unnest(list_concat(toks,
@@ -2855,16 +2880,16 @@ object SparkEntry {
     },
     "q18_quality" -> s"$qualityScoreSql ORDER BY doc_id",
     "q19_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q20_dedup_exact_groups" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      """SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint,
         |  count(*) AS n_docs, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q21_dedup_exact_survivors" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, min(doc_id) OVER (
-        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'))
         |  ) AS canon FROM documents
         |) WHERE doc_id = canon ORDER BY doc_id""".stripMargin,
     "q22_minhash_sig" ->
@@ -2893,7 +2918,7 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "q25_simhash" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents
         |), hashed AS (
         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
@@ -3047,7 +3072,7 @@ object SparkEntry {
     // id_b >= 250)
     "q129_incr_hamming" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents
         |), hashed AS (
         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
@@ -3194,14 +3219,14 @@ object SparkEntry {
     // distinct 5-gram set instead of corpus-frequency >= 2
     "q125_strip_eval_spans" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n
         |  FROM documents WHERE doc_id % 10 <> 0
         |), ebase AS (
-        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  SELECT string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n
         |  FROM documents WHERE doc_id % 10 = 0
         |), ps AS (
         |  SELECT unnest(generate_series(0, greatest(
@@ -3237,7 +3262,7 @@ object SparkEntry {
     "q124_temperature_mix" ->
       """WITH c AS (
         |  SELECT lang, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) AS BIGINT) AS t
+        |       ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END) AS BIGINT) AS t
         |  FROM documents GROUP BY 1
         |), w AS (
         |  SELECT lang, sqrt(CAST(t AS DOUBLE)) AS wt, t FROM c WHERE t > 0
@@ -3248,14 +3273,14 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, d.lang,
         |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(lower(trim(d.text)), '\s+')) END AS BIGINT) AS n_tokens
+        |       ELSE len(string_split_regex(lower(trim(d.text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens
         |FROM documents d JOIN r USING (lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':s124'), 1, 8))::BIGINT
         |      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
     "q135_bigram_lm" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w
         |  FROM documents WHERE length(trim(text)) > 0
         |), rb AS (
         |  SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
@@ -3342,6 +3367,92 @@ object SparkEntry {
         |FROM cdf c JOIN n USING (lang)
         |WHERE na > 0 AND nb > 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the composed daemon batch: gates (incl. the repetition panel at
+    // the paper's thresholds) → min-id exact canon → LSH pair graph →
+    // component survivors → DSIR weights from the standing model
+    // (target = every third doc; raw = THIS batch's gated docs, the
+    // counts the daemon accumulated in the same exactly-once step)
+    "q144_daemon_curation" ->
+      ("WITH RECURSIVE " +
+        curationGateOracle(
+          "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)") +
+        s""", rep AS (
+           |  SELECT doc_id FROM ($repetitionPanelSql)
+           |  WHERE dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+           |    AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+           |    AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+           |    AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+           |    AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+           |    AND dup_10gram_char_frac <= 0.10
+           |), gated2 AS (
+           |  SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM rep)
+           |), exact AS (
+           |  SELECT * FROM (
+           |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canon
+           |    FROM gated2)
+           |  WHERE doc_id = canon
+           |), """.stripMargin +
+        lshPairsCtes.stripPrefix("WITH ")
+          .replace("FROM documents", "FROM exact") +
+        """, edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs
+          |), reach(id, r) AS (
+          |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          |  UNION
+          |  SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+          |), comp AS (
+          |  SELECT id, min(r) AS component FROM reach GROUP BY id
+          |), survivors AS (
+          |  SELECT doc_id, n_tokens, quality FROM exact
+          |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+          |), dtokt AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
+          |  FROM documents WHERE doc_id % 3 = 0 AND length(trim(text)) > 0
+          |), dtokr AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
+          |  FROM gated2 WHERE length(trim(text)) > 0
+          |), dbkt AS (
+          |  SELECT ('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 64 AS b FROM (
+          |    SELECT unnest(list_concat(toks,
+          |      CASE WHEN len(toks) >= 2
+          |        THEN list_transform(generate_series(1, len(toks) - 1),
+          |          i -> array_to_string(toks[i:i+1], ' '))
+          |        ELSE []::VARCHAR[] END)) AS g
+          |    FROM dtokt)
+          |), dbkr AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 64 AS b FROM (
+          |    SELECT doc_id, unnest(list_concat(toks,
+          |      CASE WHEN len(toks) >= 2
+          |        THEN list_transform(generate_series(1, len(toks) - 1),
+          |          i -> array_to_string(toks[i:i+1], ' '))
+          |        ELSE []::VARCHAR[] END)) AS g
+          |    FROM dtokr)
+          |), dtcnt AS (SELECT b, count(*) AS ct FROM dbkt GROUP BY 1),
+          |drcnt AS (SELECT b, count(*) AS cr FROM dbkr GROUP BY 1),
+          |dtot AS (SELECT (SELECT sum(ct) FROM dtcnt)::DOUBLE AS t,
+          |                (SELECT sum(cr) FROM drcnt)::DOUBLE AS r),
+          |ddict AS (
+          |  SELECT coalesce(tc.b, rc.b) AS b,
+          |    round(ln((coalesce(ct, 0) + 0.5) / (t + 32.0)) -
+          |          ln((coalesce(cr, 0) + 0.5) / (r + 32.0)), 6) AS lr
+          |  FROM dtcnt tc FULL JOIN drcnt rc ON tc.b = rc.b, dtot
+          |), dscored AS (
+          |  SELECT bb.doc_id,
+          |    coalesce(d2.lr, (SELECT round(ln(0.5 / (t + 32.0)) - ln(0.5 / (r + 32.0)), 6) FROM dtot)) AS lr
+          |  FROM dbkr bb LEFT JOIN ddict d2 USING (b)
+          |  WHERE bb.doc_id IN (SELECT doc_id FROM survivors)
+          |), dw AS (
+          |  SELECT doc_id, round(sum(lr ORDER BY lr), 6) AS dsir_logw
+          |  FROM dscored GROUP BY doc_id
+          |)
+          |SELECT s.doc_id, s.n_tokens, s.quality, dw.dsir_logw
+          |FROM survivors s JOIN dw USING (doc_id)
+          |ORDER BY s.doc_id""".stripMargin),
+
     // the standing-dict batches must reproduce the ONE-SHOT weights
     // exactly — same oracle as q138
     "q142_dsir_standing_dict" -> (dsirLogwCtes +
@@ -3437,7 +3548,7 @@ object SparkEntry {
         |ORDER BY 1, 2, 3, 4""".stripMargin,
     "q121_unigram_lm_ref" ->
       """WITH rtoks AS (
-        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents WHERE doc_id % 3 = 0 AND length(trim(text)) > 0
         |), cnt AS (SELECT tok, count(*) AS c FROM rtoks GROUP BY tok),
         |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
@@ -3445,7 +3556,7 @@ object SparkEntry {
         |  SELECT tok, round(ln(c / (SELECT t FROM tot)), 6) AS logp
         |  FROM cnt ORDER BY c DESC, tok ASC LIMIT 16
         |), stoks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents WHERE doc_id % 3 <> 0 AND length(trim(text)) > 0
         |), scored AS (
         |  SELECT t.doc_id,
@@ -3572,7 +3683,7 @@ object SparkEntry {
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q36_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w
         |  FROM documents
         |), grams AS (
         |  SELECT doc_id, unnest(
@@ -3792,7 +3903,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s56'), 1, 8))::BIGINT % 4 AS INT) AS shard,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens
         |  FROM documents
         |), packed AS (
         |  SELECT shard, doc_id, n_tokens,
@@ -3812,7 +3923,7 @@ object SparkEntry {
         |          || '@mail.example.com via https://ex.io/' || source
         |          || ' acct ' || CAST(doc_id * 1000000007 + 123456789 AS VARCHAR),
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      'https?://[^ \t\n\x0b\f\r]+', '<URL>', 'g'),
         |    '[0-9]{9,}', '<NUM>', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q58_interleave" ->
@@ -3830,7 +3941,7 @@ object SparkEntry {
     // chunk_idx = ordinal of the start, matching posexplode
     "q69_chunking" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w
         |  FROM documents
         |), st AS (
         |  SELECT doc_id, w,
@@ -3993,7 +4104,7 @@ object SparkEntry {
         |WHERE event_id >= 100 AND event_id < 300 GROUP BY m ORDER BY m""".stripMargin,
     "q80_unigram_lm" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents WHERE length(trim(text)) > 0
         |), cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
         |tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
@@ -4118,8 +4229,8 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT source,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n,
+        |    md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp,
         |    text
         |  FROM documents
         |), base AS (
@@ -4129,7 +4240,7 @@ object SparkEntry {
         |  FROM t GROUP BY source
         |), vocab AS (
         |  SELECT source, count(DISTINCT tok) AS distinct_tokens FROM (
-        |    SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |    SELECT source, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |    FROM documents
         |  ) WHERE length(tok) > 0 GROUP BY source
         |)
@@ -4138,9 +4249,9 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
     "q85_strip_spans" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n
         |  FROM documents
         |), ps AS (
         |  SELECT unnest(generate_series(0, (SELECT max(n) - 1 FROM base))) AS p
@@ -4170,9 +4281,9 @@ object SparkEntry {
         |ORDER BY b.doc_id""".stripMargin,
     "q86_line_dedup" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n
         |  FROM documents
         |), ps AS (
         |  SELECT unnest(generate_series(0, CAST((SELECT max(n) FROM base) / 8 AS BIGINT))) AS i
@@ -4321,9 +4432,9 @@ object SparkEntry {
     // hash-invariant
     "q111_line_dedup_production" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n
         |  FROM documents
         |), ps AS (
         |  SELECT unnest(generate_series(0, CAST((SELECT max(n) FROM base) / 8 AS BIGINT))) AS i
@@ -4398,12 +4509,12 @@ object SparkEntry {
     // one row per distinct normalized-content fingerprint: exactly
     // what an exactly-once streaming dedup must deliver
     "q88_stream_dedup" ->
-      """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
 
     "q94_simhash_clusters" ->
       """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents
         |), hashed AS (
         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
@@ -4434,7 +4545,7 @@ object SparkEntry {
 
     "q93_hamming_pairs" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents
         |), hashed AS (
         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
@@ -4456,9 +4567,9 @@ object SparkEntry {
 
     "q100_strip_spans_multi" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w,
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n
         |  FROM documents
         |), ps AS (
         |  SELECT unnest(generate_series(0, (SELECT max(n) - 1 FROM base))) AS p
@@ -4504,7 +4615,7 @@ object SparkEntry {
 
     "q96_simhash64" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents
         |), hashed AS (
         |  SELECT doc_id,
@@ -4528,7 +4639,7 @@ object SparkEntry {
 
     "q97_hamming64_pairs" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents
         |), hashed AS (
         |  SELECT doc_id,
@@ -4612,7 +4723,7 @@ object SparkEntry {
         |  ('zh', CAST(0.125 AS DOUBLE))
         |), c AS (
         |  SELECT lang, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) AS BIGINT) AS t
+        |       ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END) AS BIGINT) AS t
         |  FROM documents GROUP BY 1
         |), tm AS (
         |  SELECT min(c.t / w.wt) AS t FROM w JOIN c USING (lang)
@@ -4622,7 +4733,7 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, d.lang,
         |  CAST(CASE WHEN length(trim(d.text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(lower(trim(d.text)), '\s+')) END AS BIGINT) AS n_tokens
+        |       ELSE len(string_split_regex(lower(trim(d.text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens
         |FROM documents d JOIN r USING (lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':s91'), 1, 8))::BIGINT
         |      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
@@ -4656,7 +4767,7 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens,
+        |         ELSE len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_tokens,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s83'), 1, 8))::BIGINT AS h
         |  FROM documents
         |), c AS (
@@ -4729,7 +4840,7 @@ object SparkEntry {
     "q105_incremental_exact" ->
       """WITH fp AS (
         |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |    md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS f
         |  FROM documents
         |), batch AS (
         |  SELECT doc_id, f, min(doc_id) OVER (PARTITION BY f) AS canon

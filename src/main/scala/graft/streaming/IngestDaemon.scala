@@ -91,7 +91,41 @@ final case class IngestConfig(
     // — swap sets by writing a NEW dir and changing the config
     decontaminateDir: Option[String] = None,
     decontaminateWidth: Int = 3,
-    decontaminateMinOverlap: Long = 1L
+    decontaminateMinOverlap: Long = 1L,
+    // true composes the Gopher REPETITION gate (Rae et al. 2021 Table
+    // A1 — [[graft.pipeline.Curation.repetitionGate]]) into the gate
+    // stage, after the language/quality gate and before
+    // decontamination: one more narrow predicate fused into the batch
+    // scan. The eleven thresholds ride the per-batch gate record like
+    // every other knob (a crash-window replay gates with the
+    // thresholds OF RECORD)
+    repetition: Boolean = false,
+    repMaxDupLineFrac: Double = 0.30,
+    repMaxDupLineCharFrac: Double = 0.20,
+    repMaxTopNgramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16),
+    repMaxDupNgramCharFrac: Seq[Double] =
+      Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10),
+    // true composes the DSIR tier: a [[graft.pipeline.DsirIndex]]
+    // under `dir/dsir` (hash knobs pinned at creation) accumulates
+    // each GATED batch's raw-side bucket counts in the same
+    // exactly-once step and scores the FINAL admitted set against the
+    // standing dictionary — the score lands on the seen store's doc
+    // rows (`dsir_logw`), so the curated corpus carries its importance
+    // weights without ever rescanning. The TARGET side is ingested
+    // out-of-band, once per trusted-corpus version
+    // (`daemon.dsirIndex.get.ingestTarget(...)`) BEFORE the first
+    // scored batch — scoring refuses loudly with no target model
+    dsir: Boolean = false,
+    dsirBuckets: Int = 8192,
+    dsirBigrams: Boolean = true,
+    dsirAlpha: Double = 1.0,
+    dsirSeed: String = "dsir",
+    dsirPortable: Boolean = true,
+    // true (default) sums each doc's log-ratios in sorted order —
+    // bit-identical scores on a crash-window replay (and under the
+    // oracle). false is the production scale knob: plain partial-agg
+    // sum, ≤ last-ulp wobble between a run and its replay
+    dsirDeterministic: Boolean = true
 )
 
 /** The composed steady-state ingest-curation loop — the reference's
@@ -152,10 +186,13 @@ final case class IngestConfig(
   * the standing corpus profile current from each batch's FINAL
   * admitted set, and `config.boilerplate` keeps the standing
   * gram-df dictionary ([[graft.pipeline.BoilerplateIndex]] under
-  * `dir/boilerplate`) current the same way — up to SIX journaled
+  * `dir/boilerplate`) current the same way; `config.dsir` keeps the
+  * standing DSIR raw-pool model ([[graft.pipeline.DsirIndex]] under
+  * `dir/dsir`) current and lands each admitted doc's importance
+  * weight on its seen row — up to SEVEN journaled
   * stores and the seen store advancing in one exactly-once step.
   * Commit order text index → vector index → semantic index →
-  * fingerprint index → profile → boilerplate → seen extends the
+  * fingerprint index → profile → boilerplate → dsir → seen extends the
   * same argument to every new
   * crash window: each store's journal rides its own atomic commit,
   * each ingest is idempotent by `batchId` with pre-batch-snapshot
@@ -188,7 +225,8 @@ final class IngestDaemon private (
     val semIndex: Option[graft.dedup.SemanticIndex],
     val profileIndex: Option[graft.sketch.ProfileIndex],
     val fpIndex: Option[graft.dedup.FingerprintIndex],
-    val boilIndex: Option[graft.pipeline.BoilerplateIndex]
+    val boilIndex: Option[graft.pipeline.BoilerplateIndex],
+    val dsirIndex: Option[graft.pipeline.DsirIndex]
 ) {
 
   import IngestDaemon.seenSchema
@@ -204,6 +242,31 @@ final class IngestDaemon private (
     evalKeysCache.getOrElseUpdate((edir, width),
       graft.pipeline.Decontaminate.evalGramKeys(
         spark.read.parquet(edir).select(col(textCol)), textCol, width))
+
+  /** Durable, batch-sized recomputation pin — the scale-safe stand-in
+    * for `localCheckpoint` in the daemon's tier chain. Checkpoint
+    * blocks are executor-local: on a preemptible cluster an executor
+    * death mid-chain loses them UNRECOVERABLY and the whole
+    * multi-commit batch fails back to the top. A parquet pin under
+    * `dir/pins` survives any executor, costs one batch-sized write,
+    * and reads back columnar. One slot per stage, overwritten per
+    * batch (a replay recomputes identical rows), so pin storage is
+    * bounded by ONE batch regardless of ingest history — which also
+    * means frames returned in an [[graft.dedup.IngestResult]] remain
+    * valid only until the NEXT processBatch call.
+    *
+    * The library-internal `localCheckpoint` sites the chain still
+    * crosses (e.g. the banded batch inside
+    * [[graft.dedup.DedupIndex.ingest]], candidate frames inside
+    * [[graft.dedup.Dedup]]) are short-lived WITHIN one store's ingest
+    * call: a lost block there fails that one job, which the streaming
+    * retry re-runs from the durable gated pin — they never bridge
+    * commits the way the tier-chain pins do. */
+  private def pinFrame(stage: String, df: DataFrame): DataFrame = {
+    val path = FileIO.join(FileIO.join(dir, "pins"), stage)
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 
   /** Texts of every doc behind the standing index — the verify fetch
     * side. */
@@ -234,7 +297,7 @@ final class IngestDaemon private (
   private def corpusFrom(state: DataFrame): DataFrame =
     state.where(col("kind") === "doc" && col("admitted"))
       .select(col("id").as(config.idCol), col("text").as(config.textCol),
-        col("n_tokens"), col("quality"))
+        col("n_tokens"), col("quality"), col("dsir_logw"))
 
   /** The seen-store commit that fully applied `batchId`, if any. */
   def appliedVersion(batchId: String): Option[Long] =
@@ -277,8 +340,15 @@ final class IngestDaemon private (
           index.recordedGates(batchId).map(IngestDaemon.parseGates(config, _))
             .getOrElse(config)
         else config
-      val rawGated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
+      val langGated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
         c.textCol, c.lang, c.minQuality, c.minTokens, c.maxTokens)
+      // composed repetition gate: one more narrow predicate fused
+      // into the same batch scan, under the knobs of record
+      val rawGated =
+        if (!c.repetition) langGated
+        else Curation.repetitionGate(langGated, c.textCol,
+          c.repMaxDupLineFrac, c.repMaxDupLineCharFrac,
+          c.repMaxTopNgramCharFrac, c.repMaxDupNgramCharFrac)
       // idle-trigger fast path BEFORE the decontamination collect: an
       // empty gated batch the index never saw commits nothing
       // (deterministic: its replay re-skips)
@@ -295,33 +365,51 @@ final class IngestDaemon private (
         case None => rawGated
       }
       if (idxApplied.isEmpty && gated.isEmpty) return None
+      // Pin the GATED batch to a durable, batch-sized parquet under
+      // the artifact dir: the gate chain (quality walk + optional
+      // repetition panel + decontamination) is otherwise re-evaluated
+      // by every downstream consumer — the index ingest alone reads
+      // its input ~5 times (exact tier, banding, fetch, drop rule,
+      // commit), and the dsir tier adds two more. One write, then
+      // every consumer reads columnar parquet instead of re-walking
+      // the text.
+      val gatedPinned = pinFrame("gated", gated
+        .select(col(c.idCol), col(c.textCol), col("n_tokens"),
+          col("quality")))
       // the knobs of record ride the index commit itself (the journal
       // row's `gates` payload): every crash window after the commit
       // replays under them, and the record can never exist without
       // its commit or vice versa
-      val result = index.ingest(batchId, gated, c.textCol, c.idCol,
+      val result = index.ingest(batchId, gatedPinned, c.textCol, c.idCol,
         corpusTexts = seenTexts, threshold = c.threshold,
         maxBucket = c.maxBucket,
         gates = Some(IngestDaemon.gatesString(c)))
       // Tier chaining: each tier's admitted set is reduced to the id
-      // column and MATERIALIZED once (executor-local blocks) before
-      // the next tier consumes it — downstream tiers, the stats
-      // tiers and the seen append otherwise re-run the ENTIRE
-      // upstream probe lineage per consumer (the six-store
-      // DaemonProbe measured the un-pinned chain at ~2x the
-      // four-store cost from exactly this). Skipped when no tier is
-      // composed: the plain loop keeps its lazy single-evaluation
-      // shape.
+      // column and MATERIALIZED once before the next tier consumes
+      // it — downstream tiers, the stats tiers and the seen append
+      // otherwise re-run the ENTIRE upstream probe lineage per
+      // consumer (the six-store DaemonProbe measured the un-pinned
+      // chain at ~2x the four-store cost from exactly this). The pin
+      // is a STORE-BACKED parquet, not localCheckpoint: checkpoint
+      // blocks are executor-local and unrecoverable on executor
+      // death, so on a preemptible cluster a lost block strands the
+      // long multi-commit chain mid-batch; a batch-sized parquet
+      // under the artifact dir survives any executor and costs one
+      // small write. Skipped when no tier is composed: the plain loop
+      // keeps its lazy single-evaluation shape.
       val tiersOn = (vecHandleFor(c), c.vecCol, semHandleFor(c), c.semCol,
         fpHandleFor(c), c.fpCol) match {
         case (Some(_), Some(_), _, _, _, _) => true
         case (_, _, Some(_), Some(_), _, _) => true
         case (_, _, _, _, Some(_), Some(_)) => true
-        case _ => false
+        // the DSIR tier adds a second consumer of the admitted set
+        // (the scoring join, besides the seen append) — pin the chain
+        // for it too
+        case _ => c.dsir
       }
-      def pinIds(df: DataFrame): DataFrame =
-        if (tiersOn) df.select(col(c.idCol)).localCheckpoint(true) else df
-      val textAdmitted = pinIds(result.admitted)
+      def pinIds(stage: String)(df: DataFrame): DataFrame =
+        if (tiersOn) pinFrame(stage, df.select(col(c.idCol))) else df
+      val textAdmitted = pinIds("admit-text")(result.admitted)
       // composed vector tier: the text-admitted survivors' embeddings
       // run the incremental near-dup loop against the standing
       // VecDedupIndex — its own journaled commit, idempotent by the
@@ -334,7 +422,7 @@ final class IngestDaemon private (
         case (Some(vi), Some(vc)) =>
           val withVec = textAdmitted.select(col(c.idCol)).join(
             rawDocs.select(col(c.idCol), col(vc)), Seq(c.idCol))
-          pinIds(vi.ingest(batchId, withVec, vc, c.idCol,
+          pinIds("admit-vec")(vi.ingest(batchId, withVec, vc, c.idCol,
             threshold = c.vecThreshold, maxBucket = c.vecMaxBucket)
             .admitted)
         case _ => textAdmitted
@@ -345,7 +433,7 @@ final class IngestDaemon private (
         case (Some(si), Some(sc)) =>
           val withSem = afterVec.select(col(c.idCol)).join(
             rawDocs.select(col(c.idCol), col(sc)), Seq(c.idCol))
-          pinIds(si.ingest(batchId, withSem, sc, c.idCol,
+          pinIds("admit-sem")(si.ingest(batchId, withSem, sc, c.idCol,
             threshold = c.semThreshold).admitted)
         case _ => afterVec
       }
@@ -358,7 +446,7 @@ final class IngestDaemon private (
         case (Some(fi), Some(fc)) =>
           val withFp = afterSem.select(col(c.idCol)).join(
             rawDocs.select(col(c.idCol), col(fc)), Seq(c.idCol))
-          pinIds(fi.ingest(batchId, withFp, fc, c.idCol,
+          pinIds("admit-fp")(fi.ingest(batchId, withFp, fc, c.idCol,
             maxHamming = c.fpMaxHamming, maxBucket = c.fpMaxBucket)
             .admitted)
         case _ => afterSem
@@ -391,24 +479,51 @@ final class IngestDaemon private (
             rawDocs.select(col(c.idCol), col(c.textCol)), Seq(c.idCol)),
           c.textCol, c.idCol)
       }
+      // composed DSIR tier: accumulate the GATED batch's raw-side
+      // bucket counts into the standing model (its own journaled
+      // commit, idempotent by batchId, replay-window-free — the
+      // counts depend on nothing but the gated batch under the knobs
+      // of record), then score the FINAL admitted set against the
+      // standing dictionary. The dict the score reads INCLUDES this
+      // batch's raw counts on a first run and on every replay alike
+      // (the ingest either just appended them or already had them),
+      // and batches are serial, so a crash-window replay re-derives
+      // bit-identical scores (dsirDeterministic pins the sum order).
+      val dsirScores = dsirHandleFor(c).map { di =>
+        di.ingestRaw(batchId, gated, c.textCol)
+        di.score(
+          afterFp.select(col(c.idCol)).join(
+            rawDocs.select(col(c.idCol), col(c.textCol)), Seq(c.idCol)),
+          c.textCol, c.idCol, c.dsirDeterministic)
+          .select(col(c.idCol).cast("long").as("_dsir_id"),
+            col("dsir_logw"))
+      }
       val finalResult = result.copy(admitted = afterFp)
       val adm = finalResult.admitted
         .select(col(c.idCol).cast("long").as("_adm_id"))
       val nul = (t: String) => lit(null).cast(t)
-      val docRows = result.exactSurvivors
+      val docBase = result.exactSurvivors
         .select(col(c.idCol).cast("long").as("id"),
           col(c.textCol).cast("string").as("text"),
           col("n_tokens").cast("long").as("n_tokens"),
           col("quality").cast("double").as("quality"))
         .join(adm, col("id") === col("_adm_id"), "left")
+      val docScored = dsirScores match {
+        case Some(sc) =>
+          docBase.join(sc, col("id") === col("_dsir_id"), "left")
+        case None => docBase.withColumn("dsir_logw", nul("double"))
+      }
+      val docRows = docScored
         .select(lit("doc").as("kind"), col("id"), col("text"),
           col("n_tokens"), col("quality"),
           col("_adm_id").isNotNull.as("admitted"),
+          col("dsir_logw").cast("double").as("dsir_logw"),
           nul("string").as("batch_id"))
       val journalRow = spark.range(1).select(
         lit("batch").as("kind"), nul("long").as("id"),
         nul("string").as("text"), nul("long").as("n_tokens"),
         nul("double").as("quality"), nul("boolean").as("admitted"),
+        nul("double").as("dsir_logw"),
         lit(batchId).as("batch_id"))
       // evaluating docRows re-reads the seen store lazily: the read
       // resolves against the still-pre-batch manifest (the commit
@@ -453,6 +568,11 @@ final class IngestDaemon private (
     else boilIndex.orElse(Some(graft.pipeline.BoilerplateIndex.open(
       spark, FileIO.join(dir, "boilerplate"))))
 
+  private def dsirHandleFor(c: IngestConfig) =
+    if (!c.dsir) None
+    else dsirIndex.orElse(Some(graft.pipeline.DsirIndex.open(
+      spark, FileIO.join(dir, "dsir"))))
+
   /** Wire a STREAMING `docs` frame (carrying `config.idCol` +
     * `config.textCol`) into the loop: one [[processBatch]] per
     * micro-batch, batch ids taken from the checkpointed streaming
@@ -484,6 +604,7 @@ final class IngestDaemon private (
     profileIndex.foreach(_.compact())
     fpIndex.foreach(_.compact(targetPartitions))
     boilIndex.foreach(_.compact())
+    dsirIndex.foreach(_.compact())
     seen.rewrite(
       _.repartitionByRange(targetPartitions, col("kind"), col("id"))
         .sortWithinPartitions("kind", "id"))
@@ -503,6 +624,9 @@ object IngestDaemon {
     StructField("n_tokens", LongType, nullable = true),
     StructField("quality", DoubleType, nullable = true),
     StructField("admitted", BooleanType, nullable = true),
+    // the DSIR importance weight of an admitted doc, when the tier is
+    // composed; NULL otherwise (and on journal rows)
+    StructField("dsir_logw", DoubleType, nullable = true),
     StructField("batch_id", StringType, nullable = true)
   ))
 
@@ -538,8 +662,13 @@ object IngestDaemon {
       if (!config.boilerplate) None
       else Some(graft.pipeline.BoilerplateIndex.open(spark,
         FileIO.join(dir, "boilerplate"), config.boilerplateWidth))
+    val dsir =
+      if (!config.dsir) None
+      else Some(graft.pipeline.DsirIndex.open(spark,
+        FileIO.join(dir, "dsir"), config.dsirBuckets, config.dsirBigrams,
+        config.dsirAlpha, config.dsirSeed, config.dsirPortable))
     new IngestDaemon(spark, dir, index, seen, config, vec, sem, prof,
-      fp, boil)
+      fp, boil, dsir)
   }
 
   /** Serialize the gate knobs as the batch's journal-row payload —
@@ -571,6 +700,15 @@ object IngestDaemon {
     c.decontaminateDir.foreach(v => kv += ("decontaminateDir" -> v))
     kv += ("decontaminateWidth" -> c.decontaminateWidth.toString)
     kv += ("decontaminateMinOverlap" -> c.decontaminateMinOverlap.toString)
+    kv += ("repetition" -> c.repetition.toString)
+    kv += ("repMaxDupLineFrac" -> c.repMaxDupLineFrac.toString)
+    kv += ("repMaxDupLineCharFrac" -> c.repMaxDupLineCharFrac.toString)
+    kv += ("repMaxTopNgramCharFrac" ->
+      c.repMaxTopNgramCharFrac.mkString(","))
+    kv += ("repMaxDupNgramCharFrac" ->
+      c.repMaxDupNgramCharFrac.mkString(","))
+    kv += ("dsir" -> c.dsir.toString)
+    kv += ("dsirDeterministic" -> c.dsirDeterministic.toString)
     kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
   }
 
@@ -620,6 +758,22 @@ object IngestDaemon {
       decontaminateWidth = opt("decontaminateWidth").map(_.toInt)
         .getOrElse(base.decontaminateWidth),
       decontaminateMinOverlap = opt("decontaminateMinOverlap").map(_.toLong)
-        .getOrElse(base.decontaminateMinOverlap))
+        .getOrElse(base.decontaminateMinOverlap),
+      // absent = the record predates the tier: off (the batch ran
+      // without it), matching the boilerplate convention
+      repetition = opt("repetition").exists(_.toBoolean),
+      repMaxDupLineFrac = opt("repMaxDupLineFrac").map(_.toDouble)
+        .getOrElse(base.repMaxDupLineFrac),
+      repMaxDupLineCharFrac = opt("repMaxDupLineCharFrac").map(_.toDouble)
+        .getOrElse(base.repMaxDupLineCharFrac),
+      repMaxTopNgramCharFrac = opt("repMaxTopNgramCharFrac")
+        .map(_.split(",").toSeq.map(_.toDouble))
+        .getOrElse(base.repMaxTopNgramCharFrac),
+      repMaxDupNgramCharFrac = opt("repMaxDupNgramCharFrac")
+        .map(_.split(",").toSeq.map(_.toDouble))
+        .getOrElse(base.repMaxDupNgramCharFrac),
+      dsir = opt("dsir").exists(_.toBoolean),
+      dsirDeterministic = opt("dsirDeterministic").map(_.toBoolean)
+        .getOrElse(base.dsirDeterministic))
   }
 }

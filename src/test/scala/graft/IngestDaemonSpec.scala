@@ -680,4 +680,122 @@ class IngestDaemonSpec extends SparkSpec {
     assert(d.index.bands.count() == ref.index.bands.count(),
       "compaction changed the standing index")
   }
+
+  test("daemon: composed repetition gate + standing DSIR tier — " +
+      "independent composition twin, crash windows replay clean") {
+    import graft.pipeline.{Curation => C, DsirIndex}
+    val target = docs.where(col("doc_id") % 3 === 0)
+    val raw = docs.where(col("doc_id") % 3 =!= 0)
+    val w1 = raw.where(col("doc_id") < 250)
+    val w2 = raw.where(col("doc_id") >= 250)
+    // tight repetition thresholds so the gate provably drops docs on
+    // this fixture (the paper's cut-offs pass most synthetic text)
+    val reps = cfg.copy(repetition = true,
+      repMaxDupLineFrac = 0.05, repMaxDupLineCharFrac = 0.05,
+      repMaxTopNgramCharFrac = Seq(0.08, 0.06, 0.05),
+      repMaxDupNgramCharFrac = Seq(0.10, 0.09, 0.08, 0.07, 0.06, 0.05))
+    val dcfg = reps.copy(dsir = true, dsirBuckets = 64, dsirAlpha = 0.5)
+
+    def gateOf(c: graft.streaming.IngestConfig, w: DataFrame) =
+      C.repetitionGate(
+        C.gate(w.select("doc_id", "text"), "text", c.lang, c.minQuality,
+          c.minTokens, c.maxTokens),
+        "text", c.repMaxDupLineFrac, c.repMaxDupLineCharFrac,
+        c.repMaxTopNgramCharFrac, c.repMaxDupNgramCharFrac)
+
+    // clean composed run: target ingested once, two scored batches
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-dsir-ref-"), dcfg)
+    ref.dsirIndex.get.ingestTarget("tgt", target, "text")
+    assert(ref.processBatch("b0", w1).isDefined)
+    assert(ref.processBatch("b1", w2).isDefined)
+    val composed = corpusIds(ref)
+    def scoresOf(d: IngestDaemon): Map[Long, Double] =
+      d.corpus.select("doc_id", "dsir_logw").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refScores = scoresOf(ref)
+    assert(refScores.nonEmpty, "no admitted docs — vacuous")
+    assert(refScores.keySet == composed.toSet,
+      "an admitted doc is missing its importance weight")
+
+    // the repetition gate actually dropped something on top of the
+    // language/quality gate, or the composition is vacuous
+    val noRep = IngestDaemon.open(spark, tmpDir("daemon-norep-"), cfg)
+    noRep.processBatch("b0", w1)
+    noRep.processBatch("b1", w2)
+    assert(composed.size < corpusIds(noRep).size,
+      "repetition gate dropped nothing — vacuous")
+
+    // independent composition twin: a repetition-gated text daemon
+    // (no dsir) plus a hand-rolled DsirIndex replaying the same
+    // sequence — ingestRaw(gated batch) then score that batch's
+    // admitted set — must reproduce every weight bit for bit
+    val tref = IngestDaemon.open(spark, tmpDir("daemon-dsir-t-"), reps)
+    val di = DsirIndex.open(spark, tmpDir("daemon-dsir-i-"),
+      buckets = 64, alpha = 0.5)
+    di.ingestTarget("tgt", target, "text")
+    def twinScores(b: String, w: DataFrame): Map[Long, Double] = {
+      val admitted = tref.processBatch(b, w).get.admitted
+      di.ingestRaw(b, gateOf(reps, w), "text")
+      di.score(admitted.select("doc_id").join(
+          w.select("doc_id", "text"), Seq("doc_id")), "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val want = twinScores("b0", w1) ++ twinScores("b1", w2)
+    assert(refScores == want,
+      "composed daemon scores != independent composition")
+
+    // crash window A: index committed under the knobs of record, dsir
+    // and seen did not — the replay must gate (incl. repetition),
+    // accumulate and score identically even under a CHANGED config
+    val wDir = tmpDir("daemon-dsir-wA-")
+    val dA = IngestDaemon.open(spark, wDir, dcfg)
+    dA.dsirIndex.get.ingestTarget("tgt", target, "text")
+    dA.processBatch("b0", w1)
+    dA.index.ingest("b1", gateOf(dcfg, w2), "text", "doc_id",
+      corpusTexts = dA.seenTexts, threshold = dcfg.threshold,
+      maxBucket = dcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(dA.config)))
+    assert(dA.appliedVersion("b1").isEmpty &&
+      dA.dsirIndex.get.appliedVersion("r", "b1").isEmpty,
+      "window A setup broken")
+    // restart with LOOSENED repetition thresholds — must not apply
+    val dA2 = IngestDaemon.open(spark, wDir, cfg.copy(dsir = true,
+      dsirBuckets = 64, dsirAlpha = 0.5))
+    dA2.processBatch("b1", w2)
+    assert(corpusIds(dA2) == composed, "window A replay diverged")
+    assert(scoresOf(dA2) == refScores, "window A scores diverged")
+
+    // crash window B: index AND dsir committed, seen did not — the
+    // replay must skip the dsir re-append and still score against the
+    // identical standing dict (which already holds b1's counts)
+    val wB = tmpDir("daemon-dsir-wB-")
+    val dB = IngestDaemon.open(spark, wB, dcfg)
+    dB.dsirIndex.get.ingestTarget("tgt", target, "text")
+    dB.processBatch("b0", w1)
+    dB.index.ingest("b1", gateOf(dcfg, w2), "text", "doc_id",
+      corpusTexts = dB.seenTexts, threshold = dcfg.threshold,
+      maxBucket = dcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(dB.config)))
+    dB.dsirIndex.get.ingestRaw("b1", gateOf(dcfg, w2), "text")
+    assert(dB.appliedVersion("b1").isEmpty &&
+      dB.dsirIndex.get.appliedVersion("r", "b1").isDefined,
+      "window B setup broken")
+    dB.processBatch("b1", w2)
+    assert(corpusIds(dB) == composed, "window B replay diverged")
+    assert(scoresOf(dB) == refScores, "window B scores diverged")
+    // exactly-once: the count store did not grow twice
+    assert(dB.dsirIndex.get.version == ref.dsirIndex.get.version,
+      "dsir count rows duplicated on replay")
+    // fully-applied redelivery is a pure no-op
+    assert(dB.processBatch("b1", w2).isEmpty, "redelivery not skipped")
+
+    // the new knobs ride the gate record
+    val parsed = IngestDaemon.parseGates(cfg, IngestDaemon.gatesString(dcfg))
+    assert(parsed.repetition && parsed.dsir &&
+      parsed.repMaxTopNgramCharFrac == dcfg.repMaxTopNgramCharFrac &&
+      parsed.repMaxDupNgramCharFrac == dcfg.repMaxDupNgramCharFrac)
+    assert(!IngestDaemon.parseGates(dcfg,
+      IngestDaemon.gatesString(cfg)).repetition,
+      "a record without the tier must leave it off")
+  }
 }
