@@ -56,23 +56,62 @@ case class WordShingles(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** One-pass sliding-window token chunking: string → array<string> of
+  * `width`-token windows at `stride`-grid starts plus the clamped
+  * final window ([[ShingleExpr.foreachChunk]] — the
+  * `TextFunctions.chunks` contract). Exists because the composed
+  * zip_with-ladder form builds an expression tree `width` nodes deep:
+  * fine at the repetition panel's n ≤ 10, a planner StackOverflow at
+  * the 512–2048-token windows an embedding/packing pipeline actually
+  * uses. Same codegen posture as [[WordShingles]]: real `doGenCode`
+  * via a reference object keeps the enclosing stage whole-stage
+  * compiled. */
+case class TokenChunks(child: Expression, width: Int, stride: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path. */
+  def compute(input: UTF8String): ArrayData = {
+    val out = mutable.ArrayBuffer.empty[Any]
+    ShingleExpr.foreachChunk(input, width, stride)(s =>
+      out += UTF8String.fromString(s))
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("chunksExpr", this,
+        classOf[TokenChunks].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenChunks {
+  /** Wrap as a Column (the data-carrying-expression shim). */
+  def column(text: org.apache.spark.sql.Column, width: Int, stride: Int)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftExprColumn.column(
+      TokenChunks(
+        org.apache.spark.sql.GraftExprColumn.expression(text),
+        width, stride))
+}
+
 object ShingleExpr {
 
-  /** The ONE shingle walk shared by every native text expression
-    * ([[WordShingles]], [[graft.functions.MinHashSignature]]):
-    * lowercase, strip ALL edge whitespace (matching
-    * `TextFunctions.tokens` semantics — a bare trim() strips only 0x20
-    * and leaves phantom "" tokens on newline-ended text), tokenize on
-    * `\\s+` runs exactly like `split(text, "\\s+", -1)`, and invoke
-    * `f` once per POSITIONAL width-shingle (duplicates included —
-    * dedup where set semantics matter, e.g. [[WordShingles]];
-    * min-folds don't need it). Degenerate docs (< width tokens,
-    * including empty/all-whitespace text) yield ONE shingle: all
-    * tokens joined ("" for blank docs) — so every doc is comparable. */
-  private[functions] def foreachShingle(
-      input: UTF8String,
-      width: Int
-  )(f: String => Unit): Unit = {
+  /** Lowercase + all-edge-whitespace trim + `\\s+`-run tokenization —
+    * the exact `TextFunctions.tokens` semantics (a bare trim() strips
+    * only 0x20 and leaves phantom "" tokens on newline-ended text;
+    * `split(text, "\\s+", -1)` semantics otherwise), shared by every
+    * native text walker here. Blank docs yield ONE "" token. */
+  private[functions] def tokenize(
+      input: UTF8String): mutable.ArrayBuffer[String] = {
     val lowered = input.toLowerCase.toString
     def isWs(c: Char): Boolean = // Java regex \\s: [ \\t\\n\\x0B\\f\\r]
       c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
@@ -94,21 +133,71 @@ object ShingleExpr {
       } else i += 1
     }
     toks += text.substring(tokenStart, n)
+    toks
+  }
+
+  private def joined(
+      toks: mutable.ArrayBuffer[String], p: Int, width: Int,
+      sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var k = 0
+    while (k < width) {
+      if (k > 0) sb.append(' ')
+      sb.append(toks(p + k))
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** The ONE shingle walk shared by every native text expression
+    * ([[WordShingles]], [[graft.functions.MinHashSignature]]):
+    * [[tokenize]], then invoke `f` once per POSITIONAL width-shingle
+    * (duplicates included — dedup where set semantics matter, e.g.
+    * [[WordShingles]]; min-folds don't need it). Degenerate docs
+    * (< width tokens, including empty/all-whitespace text) yield ONE
+    * shingle: all tokens joined ("" for blank docs) — so every doc is
+    * comparable. */
+  private[functions] def foreachShingle(
+      input: UTF8String,
+      width: Int
+  )(f: String => Unit): Unit = {
+    val toks = tokenize(input)
     if (toks.length >= width) {
       var p = 0
       val last = toks.length - width
       val sb = new java.lang.StringBuilder(64)
       while (p <= last) {
-        sb.setLength(0)
-        var k = 0
-        while (k < width) {
-          if (k > 0) sb.append(' ')
-          sb.append(toks(p + k))
-          k += 1
-        }
-        f(sb.toString)
+        f(joined(toks, p, width, sb))
         p += 1
       }
+    } else {
+      f(toks.mkString(" "))
+    }
+  }
+
+  /** Sliding-window chunk walk: width-token windows at starts on the
+    * `stride` grid, plus the FINAL window (start = tokens − width)
+    * when it is off-grid — `TextFunctions.chunks` semantics, emitted
+    * in ascending start order. Degenerate docs (< width tokens) yield
+    * themselves (all tokens joined; "" for blank docs). Linear in the
+    * EMITTED character count — the composed zip_with-ladder form was
+    * expression-tree-depth `width`, which overflows the planner stack
+    * at production packing widths (512–2048 tokens). */
+  private[functions] def foreachChunk(
+      input: UTF8String,
+      width: Int,
+      stride: Int
+  )(f: String => Unit): Unit = {
+    val toks = tokenize(input)
+    if (toks.length >= width) {
+      val last = toks.length - width
+      val sb = new java.lang.StringBuilder(64)
+      var p = 0
+      while (p <= last) {
+        f(joined(toks, p, width, sb))
+        p += stride
+      }
+      if (last % stride != 0) f(joined(toks, last, width, sb))
     } else {
       f(toks.mkString(" "))
     }

@@ -217,27 +217,17 @@ object TextFunctions {
   def chunks(text: Column, chunkTokens: Int, stride: Int): Column = {
     require(chunkTokens > 0, s"chunks chunkTokens must be > 0 (got $chunkTokens)")
     require(stride > 0, s"chunks stride must be > 0 (got $stride)")
-    // Every candidate window is a chunkTokens-gram ([[ngramsAll]],
-    // capture-free); a window survives when its start is on the
-    // stride grid OR it is the FINAL window (reverse index 1 — kept
-    // so the up-to-stride-1 tail tokens of every document appear in
-    // SOME chunk; a tail window that is also on the grid passes both
-    // predicates and is emitted once). The forward/reverse index
-    // arrays are zipped in ARGUMENT position — the filter lambda
-    // binds only its element, so nothing re-evaluates per window
-    // (the slice-per-start form captured the token array and paid a
-    // re-tokenize per chunk). Docs shorter than one chunk yield
-    // themselves (ngramsAll's degenerate whole-text gram).
-    val grams = ngramsAll(text, chunkTokens)
-    val g = size(grams)
-    val zipped = arrays_zip(
-      grams,
-      sequence(lit(1), g),
-      sequence(g, lit(1), lit(-1)))
-    transform(
-      filter(zipped, t =>
-        ((t.getField("1") - 1) % stride === 0) || t.getField("2") === 1),
-      t => t.getField("0"))
+    // A window starts on the stride grid, plus the FINAL window
+    // (kept so the up-to-stride-1 tail tokens of every document
+    // appear in SOME chunk; a tail window that is also on the grid is
+    // emitted once). Docs shorter than one chunk yield themselves.
+    // Native one-pass walk ([[graft.functions.TokenChunks]]): the
+    // previous composed form was a zip_with ladder `chunkTokens`
+    // expressions deep — fine for the repetition panel's n ≤ 10, a
+    // planner StackOverflow at the 512–2048-token windows packing
+    // pipelines actually use — and the pre-fix transform-with-slice
+    // form re-tokenized the text once per window.
+    graft.functions.TokenChunks.column(text, chunkTokens, stride)
   }
 
   /** PII scrubbing: replace emails, URLs, and long digit runs (ids,
