@@ -121,6 +121,34 @@ object Bench {
     // (first execution pays codegen; the sentinel must measure the
     // host, not compilation)
     sentinel(); sentinel(); sentinelRuns.clear()
+    // PRE-RUN WINDOW GATE (round-17 verdict task): four rounds of
+    // official captures landed on contended host windows, costing a
+    // round of is-this-a-regression analysis each time. Measure the
+    // host BEFORE committing to the run: 11 sentinel readings; if the
+    // median exceeds the clean-window bar (0.055 s — every clean
+    // capture sits at 0.050–0.071, contended windows at 0.08+), wait
+    // out the contention and retry, up to 3 attempts. The run then
+    // proceeds REGARDLESS (a number on a noisy window beats no
+    // number), but the gate's attempt history rides the headline JSON
+    // so the capture is self-evidently clean or self-evidently
+    // annotated — no forensic sentinel correlation needed after the
+    // fact.
+    val gateAttempts = scala.collection.mutable.ListBuffer.empty[Double]
+    val gateBar = 0.055
+    var gateTry = 0
+    var gateClean = false
+    while (gateTry < 3 && !gateClean) {
+      if (gateTry > 0) Thread.sleep(20000)
+      val reads = (0 until 11).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 4000000L, 1, 8).agg(sum(col("id"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val med = reads(reads.size / 2)
+      gateAttempts += med
+      gateClean = med <= gateBar
+      gateTry += 1
+    }
     // warm the WRITE path too (committer + parquet writer codegen):
     // the first append in a session otherwise pays ~2 s of one-time
     // class init that has nothing to do with append throughput
@@ -530,7 +558,10 @@ object Bench {
     val sentinelJson =
       f"""{"n":${sv.size},"min":${if (sv.isEmpty) 0.0 else sv.head}%.4f,""" +
         f""""median":${pct(0.5)}%.4f,"p90":${pct(0.9)}%.4f,""" +
-        f""""max":${if (sv.isEmpty) 0.0 else sv.last}%.4f}"""
+        f""""max":${if (sv.isEmpty) 0.0 else sv.last}%.4f,""" +
+        s""""pregate":{"bar":$gateBar,"clean":$gateClean,""" +
+        s""""attempt_medians":${
+          gateAttempts.map(v => f"$v%.4f").mkString("[", ",", "]")}}}"""
     // diagnostics (per-run spreads + raw sentinel readings) go on their
     // OWN line, printed FIRST: the round-13 capture proved the driver
     // keeps only a bounded TAIL of stdout, and folding these arrays

@@ -48,6 +48,16 @@ object DaemonProbe {
     val withProfile = args.contains("profile")
     val withFp = args.contains("fp")
     val withBoil = args.contains("boil")
+    // `rep` composes the Gopher repetition gate (one more native text
+    // walk fused into the gate scan — the synthetic bodies pass its
+    // thresholds, so it measures gate COST, not drops); `dsir`
+    // composes the standing-DSIR tier at the production hash config
+    // (xxhash64, B=8192, plain-sum scoring): per batch, one raw-side
+    // count commit + one broadcast-scored pass over the admitted set.
+    // With all six flags the loop advances SEVEN journaled stores +
+    // seen in one exactly-once step per batch.
+    val withRep = args.contains("rep")
+    val withDsir = args.contains("dsir")
 
     // synthetic crawl: each doc is 40 hash-derived tokens (docs share
     // essentially NO shingles — a shared-boilerplate fixture would
@@ -121,12 +131,23 @@ object DaemonProbe {
       profileK = 1024,
       fpCol = if (withFp) Some("fph") else None,
       fpMaxHamming = 2, fpBands = 4, fpBits = 64,
-      boilerplate = withBoil))
+      boilerplate = withBoil,
+      repetition = withRep,
+      dsir = withDsir, dsirPortable = false, dsirDeterministic = false))
+    // the DSIR target model: one out-of-band ingest of a synthetic
+    // trusted corpus (distinct seed range), scanned exactly once ever
+    if (withDsir)
+      daemon.dsirIndex.get.ingestTarget("target",
+        spark.range(-20000L, 0L).select(col("id").as("doc_id"),
+          body(col("id")).as("text")),
+        "text")
     println(s"== daemon probe: $batches batches x $batchSize docs" +
       (if (withVec) " + composed vector tier (bits=16)" else "") +
       (if (withProfile) " + composed profile tier (k=1024)" else "") +
       (if (withFp) " + composed fingerprint tier (4x16-bit bands)" else "") +
-      (if (withBoil) " + composed boilerplate tier (width=3)" else ""))
+      (if (withBoil) " + composed boilerplate tier (width=3)" else "") +
+      (if (withRep) " + composed repetition gate (Gopher thresholds)" else "") +
+      (if (withDsir) " + composed DSIR tier (B=8192, xxhash64)" else ""))
     println(f"${"batch"}%6s ${"corpus"}%9s ${"secs"}%7s ${"admitted"}%9s")
     for (b <- 0 until batches) {
       val df = batchDf(b).localCheckpoint(true)
@@ -151,6 +172,11 @@ object DaemonProbe {
         .agg(sum("docs"), round(sum("est_distinct_docs"), 1)).collect()(0)
       println(s"== standing profile: ${est.getLong(0)} docs across " +
         s"${pi.profile.count()} strata, est distinct ${est.getDouble(1)}")
+    }
+    daemon.dsirIndex.foreach { di =>
+      val scored = daemon.corpus.where(col("dsir_logw").isNotNull).count()
+      println(s"== standing DSIR model: v${di.version}, " +
+        s"$scored corpus docs carry weights")
     }
     spark.stop()
   }
