@@ -125,7 +125,24 @@ final case class IngestConfig(
     // bit-identical scores on a crash-window replay (and under the
     // oracle). false is the production scale knob: plain partial-agg
     // sum, ≤ last-ulp wobble between a run and its replay
-    dsirDeterministic: Boolean = true
+    dsirDeterministic: Boolean = true,
+    // DRIFT → ACTION (requires the profile tier's VALUE leg:
+    // profileStrataCol + profileValueCol). Before a fresh batch's
+    // first commit, the GATED batch's per-stratum value distribution
+    // is KS-compared against the STANDING profile's bottom-k samples
+    // ([[graft.sketch.Drift.ksStat]] — profile-sized work, the corpus
+    // is never touched). The measured max KS is recorded on the index
+    // journal row (`driftMaxKs`, read back via
+    // [[IngestDaemon.recordedDrift]]); past `driftWarnKs` the record
+    // adds `driftWarned=true`; past `driftAbortKs` the batch is
+    // REFUSED before anything commits — a deterministic abort the
+    // operator clears by raising the knob or accepting the new shape.
+    // The batch side is deliberately the gated (pre-dedup) batch: the
+    // monitor asks whether today's INCOMING data is shaped
+    // differently, and it must decide before the first commit so an
+    // abort leaves no partial state
+    driftWarnKs: Option[Double] = None,
+    driftAbortKs: Option[Double] = None
 )
 
 /** The composed steady-state ingest-curation loop — the reference's
@@ -299,6 +316,21 @@ final class IngestDaemon private (
       .select(col("id").as(config.idCol), col("text").as(config.textCol),
         col("n_tokens"), col("quality"), col("dsir_logw"))
 
+  /** The drift measurement recorded on `batchId`'s index journal row,
+    * if the drift monitor ran for it: `(maxKs, warned)`. The record is
+    * the monitor's audit trail — atomic with the commit it gated,
+    * surviving compaction like the rest of the knobs of record. */
+  def recordedDrift(batchId: String): Option[(Double, Boolean)] =
+    index.recordedGates(batchId).flatMap { s =>
+      val m = s.split("\n").iterator.map(_.trim)
+        .filter(_.contains("=")).map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      m.get("driftMaxKs").map(ks =>
+        (ks.toDouble, m.get("driftWarned").exists(_.toBoolean)))
+    }
+
   /** The seen-store commit that fully applied `batchId`, if any. */
   def appliedVersion(batchId: String): Option[Long] =
     seen.readVersioned
@@ -376,6 +408,53 @@ final class IngestDaemon private (
       val gatedPinned = pinFrame("gated", gated
         .select(col(c.idCol), col(c.textCol), col("n_tokens"),
           col("quality")))
+      // Drift gate — FRESH runs only: a half-applied replay's drift
+      // decision already happened (an aborted batch has no index
+      // commit to replay) and its measurement rides the record it
+      // replays under; recomputing here would compare against a
+      // standing profile that may already include this batch.
+      val driftMax: Option[Double] =
+        if (idxApplied.isDefined ||
+          (c.driftWarnKs.isEmpty && c.driftAbortKs.isEmpty)) None
+        else (c.profileStrataCol, c.profileValueCol) match {
+          case (Some(stratum), Some(vc)) =>
+            profileHandleFor(c).flatMap { pi =>
+              val standing = pi.profile
+                .select(col(stratum), col("vs_values").as("_pv"))
+              val batchRows = gatedPinned.select(col(c.idCol)).join(
+                rawDocs.select(col(c.idCol), col(c.textCol),
+                  col(stratum), col(vc)),
+                Seq(c.idCol))
+              val batchSide = graft.sketch.SampleSketch
+                .valueSketch(batchRows, Seq(stratum),
+                  graft.text.TextFunctions.fingerprint(col(c.textCol)),
+                  col(vc), c.profileK)
+                .select(col(stratum), col("vs_values").as("_bv"))
+              val m = graft.sketch.Drift
+                .ksStat(standing.join(batchSide, Seq(stratum)),
+                  stratum, "_pv", "_bv")
+                .agg(max(col("ks"))).collect().head
+              if (m.isNullAt(0)) None else Some(m.getDouble(0))
+            }
+          case _ => throw new IllegalArgumentException(
+            "driftWarnKs/driftAbortKs require the profile tier's value " +
+              "leg (profileStrataCol + profileValueCol) — there is no " +
+              "standing distribution to compare against otherwise")
+        }
+      driftMax.foreach { m =>
+        c.driftAbortKs.foreach { t =>
+          if (m >= t) throw new IllegalStateException(
+            f"ingest batch $batchId refused: per-stratum value drift " +
+              f"KS=$m%.6f >= driftAbortKs=$t — the incoming batch is " +
+              "shaped unlike the standing corpus; nothing was " +
+              "committed (raise the knob or accept the new shape to " +
+              "proceed)")
+        }
+      }
+      val driftRecord = driftMax.map { m =>
+        s"\ndriftMaxKs=$m" +
+          (if (c.driftWarnKs.exists(m >= _)) "\ndriftWarned=true" else "")
+      }.getOrElse("")
       // the knobs of record ride the index commit itself (the journal
       // row's `gates` payload): every crash window after the commit
       // replays under them, and the record can never exist without
@@ -383,7 +462,7 @@ final class IngestDaemon private (
       val result = index.ingest(batchId, gatedPinned, c.textCol, c.idCol,
         corpusTexts = seenTexts, threshold = c.threshold,
         maxBucket = c.maxBucket,
-        gates = Some(IngestDaemon.gatesString(c)))
+        gates = Some(IngestDaemon.gatesString(c) + driftRecord))
       // Tier chaining: each tier's admitted set is reduced to the id
       // column and MATERIALIZED once before the next tier consumes
       // it — downstream tiers, the stats tiers and the seen append
@@ -635,6 +714,13 @@ object IngestDaemon {
     * mismatch; the gate knobs are per-open policy. */
   def open(spark: SparkSession, dir: String,
       config: IngestConfig = IngestConfig()): IngestDaemon = {
+    require(
+      (config.driftWarnKs.isEmpty && config.driftAbortKs.isEmpty) ||
+        (config.profileStrataCol.nonEmpty &&
+          config.profileValueCol.nonEmpty),
+      "driftWarnKs/driftAbortKs require the profile tier's value leg " +
+        "(profileStrataCol + profileValueCol) — there is no standing " +
+        "distribution to compare against otherwise")
     val index =
       DedupIndex.open(spark, FileIO.join(dir, "index"), config.params)
     val seen = TableStore.open(
@@ -709,6 +795,8 @@ object IngestDaemon {
       c.repMaxDupNgramCharFrac.mkString(","))
     kv += ("dsir" -> c.dsir.toString)
     kv += ("dsirDeterministic" -> c.dsirDeterministic.toString)
+    c.driftWarnKs.foreach(v => kv += ("driftWarnKs" -> v.toString))
+    c.driftAbortKs.foreach(v => kv += ("driftAbortKs" -> v.toString))
     kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
   }
 
@@ -774,6 +862,8 @@ object IngestDaemon {
         .getOrElse(base.repMaxDupNgramCharFrac),
       dsir = opt("dsir").exists(_.toBoolean),
       dsirDeterministic = opt("dsirDeterministic").map(_.toBoolean)
-        .getOrElse(base.dsirDeterministic))
+        .getOrElse(base.dsirDeterministic),
+      driftWarnKs = opt("driftWarnKs").map(_.toDouble),
+      driftAbortKs = opt("driftAbortKs").map(_.toDouble))
   }
 }

@@ -798,4 +798,55 @@ class IngestDaemonSpec extends SparkSpec {
       IngestDaemon.gatesString(cfg)).repetition,
       "a record without the tier must leave it off")
   }
+
+  test("daemon: drift monitor — measured KS rides the journal row, " +
+      "warn past threshold, abort refuses before any commit") {
+    val full = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+    // the knobs refuse a daemon without the profile value leg
+    intercept[IllegalArgumentException] {
+      IngestDaemon.open(spark, tmpDir("daemon-driftbad-"),
+        cfg.copy(driftWarnKs = Some(0.5)))
+    }
+    val dcfg = cfg.copy(profileStrataCol = Some("lang"), profileK = 64,
+      profileValueCol = Some("n_chars"),
+      driftWarnKs = Some(0.5), driftAbortKs = Some(0.9))
+    val dir = tmpDir("daemon-drift-")
+    val d = IngestDaemon.open(spark, dir, dcfg)
+    // batch 0: no standing distribution yet — nothing to measure
+    d.processBatch("b0", full.where(col("doc_id") < 250))
+    assert(d.recordedDrift("b0").isEmpty,
+      "drift measured against an empty standing profile")
+    // batch 1, same shape: measured, recorded, under the warn bar
+    d.processBatch("b1",
+      full.where(col("doc_id") >= 250 && col("doc_id") < 400))
+    val (ks1, warned1) = d.recordedDrift("b1").getOrElse(
+      fail("no drift record on b1"))
+    assert(ks1 >= 0.0 && ks1 <= 1.0)
+    assert(!warned1, s"same-shape batch warned at ks=$ks1")
+    // batch 2, disjoint value range (KS = 1.0): the abort knob
+    // refuses it BEFORE anything commits
+    val shifted = full.where(col("doc_id") >= 400)
+      .withColumn("n_chars", col("n_chars") + 1000000)
+    val e = intercept[IllegalStateException](d.processBatch("b2", shifted))
+    assert(e.getMessage.contains("refused"))
+    assert(d.index.appliedVersion("b2").isEmpty &&
+      d.appliedVersion("b2").isEmpty &&
+      d.profileIndex.get.appliedVersion("b2").isEmpty,
+      "abort left partial state")
+    // raising the knob admits the batch, with the measurement and the
+    // warn flag on the record
+    val d2 = IngestDaemon.open(spark, dir,
+      dcfg.copy(driftAbortKs = Some(1.1)))
+    d2.processBatch("b2", shifted)
+    val (ks2, warned2) = d2.recordedDrift("b2").getOrElse(
+      fail("no drift record on b2"))
+    assert(ks2 > ks1 && ks2 >= 0.9, s"disjoint shift measured ks=$ks2")
+    assert(warned2, "shifted batch not flagged past the warn bar")
+    // the drift payload never confuses the knobs-of-record parser
+    val rec = d2.index.recordedGates("b2").get
+    assert(rec.contains("driftMaxKs="))
+    val reparsed = IngestDaemon.parseGates(cfg, rec)
+    assert(reparsed.profileStrataCol.contains("lang"))
+  }
 }
