@@ -1037,6 +1037,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the standing EVAL-SET artifact: two benchmark suites registered
+    // into one EvalIndex (keys union, journaled per set), then the
+    // corpus decontaminated against the STANDING dictionary — the
+    // oracle decontaminates against the union of both suites directly
+    "q145_eval_index_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idx = graft.pipeline.EvalIndex.open(
+        s, tempWorkDir("q145-eval-"), width = 3)
+      idx.ingest("suite-a", docs.where(col("doc_id") % 10 === 0), "text")
+      idx.ingest("suite-b", docs.where(col("doc_id") % 10 === 5), "text")
+      // minOverlap = 4: the threshold itself is under test (1 would
+      // drop nearly everything on this synthetic corpus — a 5-row
+      // survivor set is a weak hash)
+      idx.decontaminate(
+        docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+        "text", "doc_id", minOverlap = 4)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // the Gopher repetition GATE: all eleven thresholds at the
     // paper's published cut-offs, one native walk per row — the
     // oracle filters the same panel it recomputes for q137
@@ -4064,6 +4084,18 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // decontamination: distinct 3-grams of the eval slice (doc_id %
     // 17 == 0) joined back against every other doc's distinct grams
+    "q145_eval_index_decontaminate" ->
+      s"""$shinglesCte, evg AS (
+         |  SELECT DISTINCT s FROM e WHERE doc_id % 10 IN (0, 5)
+         |), dirty AS (
+         |  SELECT e.doc_id FROM e JOIN evg USING (s)
+         |  WHERE e.doc_id % 10 NOT IN (0, 5)
+         |  GROUP BY e.doc_id HAVING count(*) >= 4
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 10 NOT IN (0, 5)
+         |  AND doc_id NOT IN (SELECT doc_id FROM dirty)
+         |ORDER BY doc_id""".stripMargin,
     "q72_decontaminate" ->
       s"""$shinglesCte, evg AS (
          |  SELECT DISTINCT s FROM e WHERE doc_id % 17 = 0
