@@ -294,10 +294,21 @@ private[graft] object HadoopFileIO extends FileIO {
 
   /** Schemes whose rename is copy+delete (no atomic rename): commits
     * go through a direct single-object PUT instead (atomic on close
-    * by the stores' own contract). */
+    * by the stores' own contract). Extensible per deployment via the
+    * Hadoop conf key `graft.fileio.direct-put-schemes` (comma-
+    * separated) — new object-store connectors appear (oci, ceph,
+    * custom gateways) and their schemes must route to the PUT commit
+    * without a code change; the fault-injection matrix also uses this
+    * to drive the whole store contract over an emulated
+    * no-atomic-rename filesystem. */
   private val DirectPutSchemes =
     Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "wasbs",
       "abfs", "abfss", "swift")
+
+  private def directPutSchemes: Set[String] =
+    DirectPutSchemes ++ Option(conf.get("graft.fileio.direct-put-schemes"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
   override def exists(path: String): Boolean = {
     val hp = new HPath(path)
@@ -328,7 +339,7 @@ private[graft] object HadoopFileIO extends FileIO {
       onStaged: () => Unit): Unit = {
     val hp = new HPath(path)
     val f = fs(hp)
-    if (DirectPutSchemes.contains(
+    if (directPutSchemes.contains(
         Option(hp.toUri.getScheme).getOrElse("file"))) {
       // object store: one PUT, published atomically on close — a
       // crash (or injected fault) before close leaves the old object

@@ -32,6 +32,12 @@ abstract class KillPointContract extends SparkSpec {
     * path too, not just java.nio. */
   def fsPrefix: String
   def tag: String
+  /** Whether a manifest-commit crash leaves a torn `.tmp` behind.
+    * True on the rename-capable backends (staging file = the litter);
+    * FALSE on the direct-PUT object-store leg, where an interrupted
+    * PUT is all-or-nothing — the crash leaves NOTHING, which is the
+    * superior property this flag lets the matrix pin instead. */
+  def manifestTmpLitter: Boolean = true
   private def storeDir(prefix: String): String = fsPrefix + tmpDir(prefix)
 
   private final class Injected(val point: String)
@@ -100,9 +106,16 @@ abstract class KillPointContract extends SparkSpec {
       assert(drain(re) == baseline, "committed reads changed by a crashed append")
 
       // every append kill point leaves DETECTABLE litter (orphan tmp
-      // dir, orphan data file, or torn manifest tmp) ...
+      // dir, orphan data file, or torn manifest tmp) — EXCEPT a
+      // manifest PUT crash on the object-store leg, whose
+      // all-or-nothing publish leaves nothing (the in-process guard
+      // already swept the fresh segments) ...
       val reported = re.checkConsistency(repair = false)
-      assert(reported.nonEmpty, s"$point crash left no fsck-visible litter")
+      if (point == "manifest.tmpWritten" && !manifestTmpLitter)
+        assert(reported.isEmpty,
+          s"direct-PUT manifest crash left litter: $reported")
+      else
+        assert(reported.nonEmpty, s"$point crash left no fsck-visible litter")
       // ... and none of it is a manifest-level problem (no gaps, no
       // missing committed segments — so repair never truncates data)
       assert(!reported.exists(_.contains("missing segment")), reported.toString)
@@ -265,9 +278,16 @@ abstract class KillPointContract extends SparkSpec {
       assert(re.version == v0, "crashed append advanced the committed version")
       assert(tableRows(re) == Set(("a", 1), ("b", 2)))
       // litter is reported against the ON-DISK manifest and swept
-      // (minAgeMs=0: in the crash model the writer is known dead)
-      assert(re.checkConsistency(repair = false, minAgeMs = 0L).nonEmpty,
-        s"$point crash left no fsck-visible litter")
+      // (minAgeMs=0: in the crash model the writer is known dead);
+      // the object-store leg's manifest PUT crash is all-or-nothing
+      // and leaves nothing to report
+      val treported = re.checkConsistency(repair = false, minAgeMs = 0L)
+      if (point == "manifest.tmpWritten" && !manifestTmpLitter)
+        assert(treported.isEmpty,
+          s"direct-PUT manifest crash left litter: $treported")
+      else
+        assert(treported.nonEmpty,
+          s"$point crash left no fsck-visible litter")
       re.checkConsistency(repair = true, minAgeMs = 0L)
       val after = re.checkConsistency(repair = false, minAgeMs = 0L)
       assert(after.isEmpty, s"fsck not clean after repair: $after")
@@ -358,4 +378,17 @@ class KillPointSpec extends KillPointContract {
 class KillPointHadoopSpec extends KillPointContract {
   def fsPrefix = "file:"
   def tag = "hadoopfs"
+}
+
+/** The same kill matrix over the emulated OBJECT STORE
+  * ([[graft.testfs.SinglePutFileSystem]]: single-PUT-on-close create,
+  * no append, recorded renames) — every crash window's recovery
+  * pinned on the direct-PUT commit path, where an interrupted
+  * metadata write must leave NOTHING visible rather than a `.tmp`
+  * staging file. */
+class KillPointObjectStoreSpec extends KillPointContract {
+  graft.testfs.SinglePutFileSystem.install(spark)
+  def fsPrefix = "graftput:"
+  def tag = "objectstore"
+  override def manifestTmpLitter = false
 }

@@ -447,3 +447,13 @@ class TableStoreSpec extends TableStoreContract {
 class TableStoreHadoopSpec extends TableStoreContract {
   def fsPrefix = "file:"
 }
+
+/** The OBJECT-STORE leg: the same contract over the emulated
+  * no-atomic-rename, single-PUT-on-close filesystem
+  * ([[graft.testfs.SinglePutFileSystem]]), so the direct-PUT commit
+  * path of FileIO.writeAtomic carries the whole matrix — not just the
+  * rename-capable schemes. */
+class TableStoreObjectStoreSpec extends TableStoreContract {
+  graft.testfs.SinglePutFileSystem.install(spark)
+  def fsPrefix = "graftput:"
+}
