@@ -324,6 +324,45 @@ object Bench {
         deterministic = false)
         .count()
     }
+    // the STEADY-STATE dsir path: one batch scored against a standing
+    // parquet dictionary (built untimed — amortized over every future
+    // batch, DsirProbe pins it flat). At 100 TB this is the per-ingest
+    // number; dsir_weights above is the once-ever model build.
+    graft.pipeline.Importance.dsirDict(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "text", buckets = 8192, portableHash = false).get
+      .write.mode("overwrite").parquet(s"$work/dsirdict")
+    locally {
+      val standing = spark.read.parquet(s"$work/dsirdict")
+      timed("dsir_score_batch") {
+        graft.pipeline.Importance.dsirScoreWith(
+          docs.where(col("doc_id") % 10 === 3), standing, "text",
+          "doc_id", deterministic = false, buckets = 8192,
+          portableHash = false)
+          .agg(sum("dsir_logw")).collect()
+      }
+    }
+    // the Gopher repetition GATE as a filter (repetition_stats above
+    // is the panel compute; this is the eleven-threshold admission
+    // decision a curation run actually pays)
+    timed("repetition_gate") {
+      graft.pipeline.Curation.repetitionGate(docs, "text")
+        .agg(count(lit(1))).collect()
+    }
+    // standing-EvalIndex decontamination: suites registered untimed
+    // (once per benchmark release), the timed leg is one corpus pass
+    // against the standing dictionary — the per-ingest cost
+    locally {
+      val evalIdx = graft.pipeline.EvalIndex.open(
+        spark, s"$work/evalidx", width = 3)
+      evalIdx.ingest("suite", docs.where(col("doc_id") % 17 === 0), "text")
+      timed("eval_decontaminate") {
+        evalIdx.decontaminate(
+          docs.where(col("doc_id") % 17 =!= 0), "text", "doc_id")
+          .agg(count(lit(1))).collect()
+      }
+    }
     // Production hash config (xxhash64, codegen'd): the md5 variant
     // exists solely so the DuckDB oracle can recompute signatures
     // bit-for-bit (exercised by q22/q24 in Verify); throughput is

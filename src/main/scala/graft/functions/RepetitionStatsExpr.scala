@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The eleven Gopher repetition signals (Rae et al. 2021 Table A1) in
@@ -172,4 +172,59 @@ object RepetitionStats {
     org.apache.spark.sql.GraftExprColumn.column(
       RepetitionStats(
         org.apache.spark.sql.GraftExprColumn.expression(text)))
+}
+
+/** The eleven-threshold Gopher admission decision as ONE boolean
+  * expression — one text walk per row by construction. Filtering on
+  * eleven `getField` reads of [[RepetitionStats]] plans eleven copies
+  * of the struct subtree inside FilterExec, and filter predicates sit
+  * OUTSIDE whole-stage subexpression elimination (which unifies
+  * Project/Aggregate expressions only) — the bench measured the
+  * composed gate at ~10× the one-walk panel cost from exactly this.
+  * `thresholds` in panel field order: dup_line_frac,
+  * dup_line_char_frac, top_{2..4}gram_char_frac,
+  * dup_{5..10}gram_char_frac. Null text → null (the filter drops it,
+  * matching the composed predicate's null semantics). */
+case class RepetitionGate(child: Expression, thresholds: Seq[Double])
+    extends UnaryExpression {
+  require(thresholds.size == 11,
+    s"RepetitionGate takes the 11 panel thresholds (got ${thresholds.size})")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "repetition_gate"
+  override def toString: String = s"repetition_gate($child)"
+
+  @transient private lazy val statsOf = RepetitionStats(child)
+  @transient private lazy val bar = thresholds.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    admit(input.asInstanceOf[UTF8String])
+
+  /** Public for the generated code path. */
+  def admit(input: UTF8String): Boolean = {
+    val row = statsOf.stats(input)
+    var i = 0
+    while (i < 11) {
+      if (row.getDouble(i) > bar(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("repetitionGateExpr", this,
+        classOf[RepetitionGate].getName)
+      s"${ev.value} = $ref.admit($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionGate {
+  def column(text: Column, thresholds: Seq[Double]): Column =
+    org.apache.spark.sql.GraftExprColumn.column(
+      RepetitionGate(
+        org.apache.spark.sql.GraftExprColumn.expression(text), thresholds))
 }

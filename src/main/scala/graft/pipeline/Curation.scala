@@ -67,18 +67,15 @@ object Curation {
       s"maxTopNgramCharFrac covers n in 2..4 (got ${maxTopNgramCharFrac.size} thresholds)")
     require(maxDupNgramCharFrac.size == 6,
       s"maxDupNgramCharFrac covers n in 5..10 (got ${maxDupNgramCharFrac.size} thresholds)")
-    val rs = TextFunctions.repetitionStats(col(textCol))
-    val checks =
-      Seq(
-        rs.getField("dup_line_frac") <= maxDupLineFrac,
-        rs.getField("dup_line_char_frac") <= maxDupLineCharFrac) ++
-        maxTopNgramCharFrac.zipWithIndex.map { case (t, i) =>
-          rs.getField(s"top_${i + 2}gram_char_frac") <= t
-        } ++
-        maxDupNgramCharFrac.zipWithIndex.map { case (t, i) =>
-          rs.getField(s"dup_${i + 5}gram_char_frac") <= t
-        }
-    df.where(checks.reduce(_ && _))
+    // ONE boolean expression, one text walk. The obvious composed
+    // predicate — eleven getField reads of repetitionStats AND-ed in
+    // a where() — plans eleven copies of the struct subtree inside
+    // FilterExec, and filter predicates sit outside whole-stage
+    // subexpression elimination (Project/Aggregate only): the bench
+    // measured that form at ~10× the one-walk panel cost.
+    df.where(graft.functions.RepetitionGate.column(col(textCol),
+      Seq(maxDupLineFrac, maxDupLineCharFrac) ++
+        maxTopNgramCharFrac ++ maxDupNgramCharFrac))
   }
 
   /** Returns the curated rows of `df` plus `n_tokens` and `quality`

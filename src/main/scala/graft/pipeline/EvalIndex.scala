@@ -83,6 +83,32 @@ final class EvalIndex private (
   def keys: DataFrame =
     store.read.where(col("kind") === "gram").select(col("g"))
 
+  /** The dictionary EXACTLY as of commit `version` — the handle a
+    * replaying consumer pins so a suite registered mid-crash-window
+    * cannot change a recorded gating decision
+    * ([[graft.streaming.IngestDaemon]]'s knobs of record). Fails
+    * loudly if a later [[compact]] folded that history away. */
+  def keysAsOf(version: Long): DataFrame =
+    store.readAsOf(version).drop("_ver")
+      .where(col("kind") === "gram").select(col("g"))
+
+  /** The dictionary collected for driver-side pinning (the
+    * count-gated narrow-expression scoring path), optionally at a
+    * pinned version. Refuses (loudly) a dictionary past `maxKeys` —
+    * one that big shouldn't be pinned on a driver across batches;
+    * use the frame-level [[decontaminate]] (join leg) instead. */
+  def gramKeys(
+      maxKeys: Long = 1000000L,
+      asOf: Option[Long] = None): Array[Long] = {
+    val dict = asOf.map(keysAsOf).getOrElse(keys).localCheckpoint(true)
+    val n = dict.count()
+    require(n <= maxKeys,
+      s"EvalIndex.gramKeys: $n distinct grams exceeds maxKeys=$maxKeys " +
+        "— use the frame-level decontaminate (join leg) instead of " +
+        "pinning the dictionary")
+    dict.collect().map(_.getLong(0))
+  }
+
   /** Per-document contamination counts of ANY frame against the
     * standing dictionary — [[Decontaminate.overlapCounts]] semantics
     * with the eval scan replaced by the standing state. Count-gated:

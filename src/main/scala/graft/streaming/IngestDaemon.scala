@@ -92,6 +92,23 @@ final case class IngestConfig(
     decontaminateDir: Option[String] = None,
     decontaminateWidth: Int = 3,
     decontaminateMinOverlap: Long = 1L,
+    // `Some(dir)` composes decontamination against a STANDING
+    // [[graft.pipeline.EvalIndex]] instead of a raw eval parquet —
+    // the VERSIONED form: suites accumulate in the artifact over
+    // time, and each fresh batch gates against the dictionary AS OF
+    // the index version current at its commit, with that version
+    // recorded on the journal row. A suite registered inside a crash
+    // window therefore cannot change a half-applied batch's replayed
+    // gating (the replay reads `keysAsOf` the recorded version) —
+    // a strictly stronger contract than `decontaminateDir`'s
+    // "the eval set must be immutable" convention. The gram width is
+    // the INDEX's pinned width; `decontaminateMinOverlap` applies.
+    // Mutually exclusive with `decontaminateDir`.
+    decontaminateIndexDir: Option[String] = None,
+    // the pinned index version for the record/replay path — leave
+    // None (the daemon resolves and records the current version per
+    // fresh batch); set only by the knobs-of-record parser
+    decontaminateIndexVer: Option[Long] = None,
     // true composes the Gopher REPETITION gate (Rae et al. 2021 Table
     // A1 — [[graft.pipeline.Curation.repetitionGate]]) into the gate
     // stage, after the language/quality gate and before
@@ -260,6 +277,24 @@ final class IngestDaemon private (
       graft.pipeline.Decontaminate.evalGramKeys(
         spark.read.parquet(edir).select(col(textCol)), textCol, width))
 
+  // the standing-EvalIndex variant: handles + collected dictionaries
+  // cached per (dir, version) — a replaying batch may pin an OLDER
+  // version than the live one, and both can be in play in one handle's
+  // lifetime; only read under processBatch's lock
+  @transient private val evalIdxCache =
+    scala.collection.mutable.Map.empty[String, graft.pipeline.EvalIndex]
+  @transient private val evalIdxKeysCache =
+    scala.collection.mutable.Map.empty[(String, Long), (Int, Array[Long])]
+  private def evalIdxFor(dir: String): graft.pipeline.EvalIndex =
+    evalIdxCache.getOrElseUpdate(dir,
+      graft.pipeline.EvalIndex.open(spark, dir))
+  /** (width, keys) of the standing eval dictionary at `ver`. */
+  private def evalIdxKeysFor(dir: String, ver: Long): (Int, Array[Long]) =
+    evalIdxKeysCache.getOrElseUpdate((dir, ver), {
+      val idx = evalIdxFor(dir)
+      (idx.width, idx.gramKeys(asOf = Some(ver)))
+    })
+
   /** Durable, batch-sized recomputation pin — the scale-safe stand-in
     * for `localCheckpoint` in the daemon's tier chain. Checkpoint
     * blocks are executor-local: on a preemptible cluster an executor
@@ -367,11 +402,21 @@ final class IngestDaemon private (
       // Index commits made by driving `index` directly (outside
       // processBatch) carry no record and fall back to the current
       // config.
-      val c =
+      val c0 =
         if (idxApplied.isDefined)
           index.recordedGates(batchId).map(IngestDaemon.parseGates(config, _))
             .getOrElse(config)
         else config
+      // resolve the standing-eval-dictionary version THIS batch gates
+      // under: the recorded one on a replay (a suite registered in
+      // the crash window must not change the replayed gating), the
+      // index's current version on a fresh run — recorded with the
+      // rest of the knobs at the index commit below
+      val c = c0.decontaminateIndexDir match {
+        case Some(eid) if c0.decontaminateIndexVer.isEmpty =>
+          c0.copy(decontaminateIndexVer = Some(evalIdxFor(eid).version))
+        case _ => c0
+      }
       val langGated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
         c.textCol, c.lang, c.minQuality, c.minTokens, c.maxTokens)
       // composed repetition gate: one more narrow predicate fused
@@ -388,13 +433,20 @@ final class IngestDaemon private (
       // composed decontamination: drop eval-overlapping docs before
       // any dedup tier sees them — under the knobs OF RECORD on a
       // half-applied replay, like every other gate
-      val gated = c.decontaminateDir match {
-        case Some(ed) =>
+      val gated = (c.decontaminateDir, c.decontaminateIndexDir) match {
+        case (Some(ed), _) =>
           graft.pipeline.Decontaminate.decontaminateWithKeys(
             rawGated, evalKeysFor(ed, c.decontaminateWidth, c.textCol),
             c.textCol, c.idCol,
             c.decontaminateWidth, c.decontaminateMinOverlap)
-        case None => rawGated
+        case (None, Some(eid)) =>
+          // standing EvalIndex, at the version of record; the gram
+          // width is the artifact's pinned width
+          val (w, keys) = evalIdxKeysFor(eid, c.decontaminateIndexVer.get)
+          graft.pipeline.Decontaminate.decontaminateWithKeys(
+            rawGated, keys, c.textCol, c.idCol, w,
+            c.decontaminateMinOverlap)
+        case _ => rawGated
       }
       if (idxApplied.isEmpty && gated.isEmpty) return None
       // Pin the GATED batch to a durable, batch-sized parquet under
@@ -721,6 +773,12 @@ object IngestDaemon {
       "driftWarnKs/driftAbortKs require the profile tier's value leg " +
         "(profileStrataCol + profileValueCol) — there is no standing " +
         "distribution to compare against otherwise")
+    require(
+      config.decontaminateDir.isEmpty ||
+        config.decontaminateIndexDir.isEmpty,
+      "decontaminateDir and decontaminateIndexDir are mutually " +
+        "exclusive — register the raw eval set into the EvalIndex " +
+        "and compose the index")
     val index =
       DedupIndex.open(spark, FileIO.join(dir, "index"), config.params)
     val seen = TableStore.open(
@@ -786,6 +844,10 @@ object IngestDaemon {
     c.decontaminateDir.foreach(v => kv += ("decontaminateDir" -> v))
     kv += ("decontaminateWidth" -> c.decontaminateWidth.toString)
     kv += ("decontaminateMinOverlap" -> c.decontaminateMinOverlap.toString)
+    c.decontaminateIndexDir.foreach(v =>
+      kv += ("decontaminateIndexDir" -> v))
+    c.decontaminateIndexVer.foreach(v =>
+      kv += ("decontaminateIndexVer" -> v.toString))
     kv += ("repetition" -> c.repetition.toString)
     kv += ("repMaxDupLineFrac" -> c.repMaxDupLineFrac.toString)
     kv += ("repMaxDupLineCharFrac" -> c.repMaxDupLineCharFrac.toString)
@@ -847,6 +909,8 @@ object IngestDaemon {
         .getOrElse(base.decontaminateWidth),
       decontaminateMinOverlap = opt("decontaminateMinOverlap").map(_.toLong)
         .getOrElse(base.decontaminateMinOverlap),
+      decontaminateIndexDir = opt("decontaminateIndexDir"),
+      decontaminateIndexVer = opt("decontaminateIndexVer").map(_.toLong),
       // absent = the record predates the tier: off (the batch ran
       // without it), matching the boilerplate convention
       repetition = opt("repetition").exists(_.toBoolean),

@@ -799,6 +799,72 @@ class IngestDaemonSpec extends SparkSpec {
       "a record without the tier must leave it off")
   }
 
+  test("daemon: standing-EvalIndex decontamination — the dictionary " +
+      "VERSION of record pins the replay") {
+    import graft.pipeline.{Decontaminate, EvalIndex}
+    val evalA = docs.where(col("doc_id") % 10 === 0)
+    val evalB = docs.where(col("doc_id") % 10 === 5)
+    val batch = docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val eDir = tmpDir("daemon-evalidx-")
+    val idx = EvalIndex.open(spark, eDir, width = 3)
+    idx.ingest("suite-a", evalA, "text")
+    val v1 = idx.version
+    // the two decontamination modes are mutually exclusive
+    intercept[IllegalArgumentException] {
+      IngestDaemon.open(spark, tmpDir("daemon-eexcl-"),
+        cfg.copy(decontaminateDir = Some(eDir),
+          decontaminateIndexDir = Some(eDir)))
+    }
+    val icfg = cfg.copy(decontaminateIndexDir = Some(eDir))
+
+    // composed == independent composition (gate → standing-index
+    // decontaminate → plain daemon)
+    val d = IngestDaemon.open(spark, tmpDir("daemon-eidx-"), icfg)
+    d.processBatch("b0", batch)
+    val ids = corpusIds(d)
+    assert(ids.nonEmpty && ids.size < batch.count(), "gate vacuous")
+    val gatedAll = Curation.gate(batch, "text", cfg.lang, cfg.minQuality,
+      cfg.minTokens, cfg.maxTokens)
+    val cleaned = idx.decontaminate(gatedAll, "text", "doc_id")
+    val twin = IngestDaemon.open(spark, tmpDir("daemon-eidx-t-"), cfg)
+    twin.processBatch("b0", cleaned.select("doc_id", "text"))
+    assert(ids == corpusIds(twin),
+      "composed EvalIndex decontamination != independent composition")
+    // the resolved dictionary version rides the record
+    assert(d.index.recordedGates("b0").get
+      .contains(s"decontaminateIndexVer=$v1"))
+
+    // version-of-record window: index commit lands gated at v1, then
+    // suite-b REGISTERS inside the crash window — the replay must
+    // still gate at v1 (same corpus as a clean v1 run), not at v2
+    val wDir = tmpDir("daemon-eidx-w-")
+    val dW = IngestDaemon.open(spark, wDir, icfg)
+    val keysV1 = idx.gramKeys(asOf = Some(v1))
+    val gatedV1 = Decontaminate.decontaminateWithKeys(
+      gatedAll, keysV1, "text", "doc_id", 3, 1L)
+    dW.index.ingest("b0", gatedV1.select("doc_id", "text"), "text",
+      "doc_id", corpusTexts = dW.seenTexts, threshold = icfg.threshold,
+      maxBucket = icfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(
+        icfg.copy(decontaminateIndexVer = Some(v1)))))
+    idx.ingest("suite-b", evalB, "text") // the mid-window registration
+    assert(idx.version > v1)
+    val dW2 = IngestDaemon.open(spark, wDir, icfg)
+    dW2.processBatch("b0", batch)
+    assert(corpusIds(dW2) == ids,
+      "replay gated against a dictionary version it did not record")
+
+    // a FRESH batch on the live daemon now gates at v2 — suite-b's
+    // grams drop additional docs
+    val d2 = IngestDaemon.open(spark, tmpDir("daemon-eidx-2-"), icfg)
+    d2.processBatch("b0", batch)
+    val idsV2 = corpusIds(d2)
+    assert(idsV2.size < ids.size,
+      "the newly registered suite dropped nothing — vacuous")
+    assert(d2.index.recordedGates("b0").get
+      .contains(s"decontaminateIndexVer=${idx.version}"))
+  }
+
   test("daemon: drift monitor — measured KS rides the journal row, " +
       "warn past threshold, abort refuses before any commit") {
     val full = Tables.load(spark, "/root/testdata/sf0.001", "documents")
