@@ -481,4 +481,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
       s"repetition gate must stay a narrow filter:\n$plan")
   }
+
+  test("native repetition gate ≡ the composed eleven-threshold panel " +
+      "filter on real and adversarial docs") {
+    import graft.text.TextFunctions
+    // real corpus + constructed near-threshold docs: the one-walk
+    // boolean (graft.functions.RepetitionGate) must admit EXACTLY the
+    // docs the panel-threshold predicate admits, at the defaults and
+    // at tight custom thresholds
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val edge = Seq(
+      900001L -> "x\nx\nx y z w v u t s r q p o n m l k j i h g f e d",
+      900002L -> Seq.fill(40)("loop the loop").mkString(" "),
+      900003L -> "",
+      900004L -> "one two three four five six seven eight nine ten"
+    ).toDF("doc_id", "text")
+    val corpus = real.unionByName(edge)
+    val families = Seq(
+      (0.30, 0.20, Seq(0.20, 0.18, 0.16),
+        Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)),
+      (0.05, 0.05, Seq(0.08, 0.06, 0.05),
+        Seq(0.10, 0.09, 0.08, 0.07, 0.06, 0.05)))
+    for ((dl, dlc, top, dup) <- families) {
+      val native = Curation.repetitionGate(corpus, "text", dl, dlc, top, dup)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val rs = TextFunctions.repetitionStats(col("text"))
+      val checks = Seq(
+        rs.getField("dup_line_frac") <= dl,
+        rs.getField("dup_line_char_frac") <= dlc) ++
+        top.zipWithIndex.map { case (t, i) =>
+          rs.getField(s"top_${i + 2}gram_char_frac") <= t
+        } ++
+        dup.zipWithIndex.map { case (t, i) =>
+          rs.getField(s"dup_${i + 5}gram_char_frac") <= t
+        }
+      val composed = corpus.where(checks.reduce(_ && _))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(native == composed,
+        s"native gate diverged at ($dl,$dlc,$top,$dup): " +
+          s"extra=${native -- composed}, missing=${composed -- native}")
+    }
+  }
 }
