@@ -301,6 +301,42 @@ object Demo {
     println(s"== boilerplate index: $bDict standing grams at df>=3, " +
       s"$bHot docs over 50% boilerplate, v${bIdx.version}")
 
+    // 16. The round-18 artifacts, driven across a reopen like their
+    // siblings: the standing DSIR model (target ingested once, raw
+    // accumulated in two waves, every batch scored against the
+    // standing dictionary) and the versioned eval-set dictionary
+    // (two suites registered, the corpus decontaminated against the
+    // union).
+    val dsirIdx = graft.pipeline.DsirIndex
+      .open(spark, s"$work/dsiridx", buckets = 256, alpha = 0.5)
+    dsirIdx.ingestTarget("tgt",
+      pdocs.where(col("doc_id") % 5 === 0), "text")
+    dsirIdx.ingestRaw("w1",
+      pdocs.where(col("doc_id") % 5 =!= 0 && col("doc_id") < 250), "text")
+    val dsirIdx2 = graft.pipeline.DsirIndex.open(spark, s"$work/dsiridx")
+    dsirIdx2.ingestRaw("w2",
+      pdocs.where(col("doc_id") % 5 =!= 0 && col("doc_id") >= 250), "text")
+    val scored = dsirIdx2.score(
+      pdocs.where(col("doc_id") % 5 =!= 0), "text", "doc_id")
+    require(scored.where(col("dsir_logw").isNull).count() == 0,
+      "unscored raw doc")
+    println(s"== dsir index: ${scored.count()} docs scored against the " +
+      s"standing dictionary across a reopen, v${dsirIdx2.version}")
+    val evIdx = graft.pipeline.EvalIndex
+      .open(spark, s"$work/evalidx", width = 3)
+    evIdx.ingest("suite-a", pdocs.where(col("doc_id") % 10 === 0), "text")
+    evIdx.ingest("suite-b", pdocs.where(col("doc_id") % 10 === 5), "text")
+    val evCorpus =
+      pdocs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val evClean = evIdx
+      .decontaminate(evCorpus, "text", "doc_id", minOverlap = 4)
+      .count()
+    require(evIdx.appliedVersion("suite-a").isDefined &&
+      evIdx.appliedVersion("suite-b").isDefined, "suite journal missing")
+    println(s"== eval index: ${evIdx.keys.count()} standing grams from " +
+      s"2 suites, corpus ${evCorpus.count()} -> $evClean clean at " +
+      s"overlap>=4, v${evIdx.version}")
+
     println("== DEMO OK")
     spark.stop()
   }

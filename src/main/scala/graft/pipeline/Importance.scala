@@ -111,10 +111,28 @@ object Importance {
   ): Option[DataFrame] = {
     require(buckets > 0, s"buckets must be > 0 (got $buckets)")
     require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
-    val tc = bucketCounts(target, textCol, buckets, bigrams, seed,
-      portableHash).withColumnRenamed("_c", "_ct").localCheckpoint(true)
-    val rc = bucketCounts(raw, textCol, buckets, bigrams, seed,
-      portableHash).withColumnRenamed("_c", "_cr").localCheckpoint(true)
+    // ONE side-tagged count pass instead of two: the union scans each
+    // side exactly once either way, but a single (side, bucket)
+    // groupBy is one shuffle + one job where the per-side form paid
+    // two of each — at 100 TB the shuffle is ≤ 2·buckets rows, the
+    // savings are the whole second corpus-scan job's scheduling
+    val tagged = target.select(lit("t").as("_side"),
+        col(textCol).as("_text"))
+      .unionByName(raw.select(lit("r").as("_side"),
+        col(textCol).as("_text")))
+    val counts = tagged
+      .where(length(trim(col("_text"))) > 0)
+      .select(col("_side"),
+        explode(featureGrams(col("_text"), bigrams)).as("_g"))
+      .select(col("_side"),
+        bucketOf(col("_g"), buckets, seed, portableHash).as("bucket"))
+      .groupBy(col("_side"), col("bucket"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val tc = counts.where(col("_side") === "t")
+      .select(col("bucket"), col("_c").as("_ct"))
+    val rc = counts.where(col("_side") === "r")
+      .select(col("bucket"), col("_c").as("_cr"))
     val tEmpty = tc.agg(sum("_ct")).collect().head.isNullAt(0)
     val rEmpty = rc.agg(sum("_cr")).collect().head.isNullAt(0)
     if (tEmpty || rEmpty) None
