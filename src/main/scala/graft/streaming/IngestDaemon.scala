@@ -103,7 +103,11 @@ final case class IngestConfig(
     // a strictly stronger contract than `decontaminateDir`'s
     // "the eval set must be immutable" convention. The gram width is
     // the INDEX's pinned width; `decontaminateMinOverlap` applies.
-    // Mutually exclusive with `decontaminateDir`.
+    // Mutually exclusive with `decontaminateDir`. Like that knob,
+    // the dictionary is driver-pinned per (dir, version) — past
+    // EvalIndex.gramKeys' 1M-key bound the open refuses loudly
+    // (benchmark suites are thousands of docs; a dictionary that big
+    // is a misconfiguration, not a scale path)
     decontaminateIndexDir: Option[String] = None,
     // the pinned index version for the record/replay path — leave
     // None (the daemon resolves and records the current version per
@@ -138,6 +142,13 @@ final case class IngestConfig(
     dsirAlpha: Double = 1.0,
     dsirSeed: String = "dsir",
     dsirPortable: Boolean = true,
+    // `Some(dir)` auto-registers the trusted TARGET corpus (a parquet
+    // of `textCol`) into the standing model at open, journaled as
+    // `target:<dir>` — idempotent, so every reopen no-ops and the
+    // target is scanned exactly once ever. Without it the operator
+    // calls `daemon.dsirIndex.get.ingestTarget(...)` manually before
+    // the first scored batch (scoring refuses loudly with no target)
+    dsirTargetDir: Option[String] = None,
     // true (default) sums each doc's log-ratios in sorted order —
     // bit-identical scores on a crash-window replay (and under the
     // oracle). false is the production scale knob: plain partial-agg
@@ -811,6 +822,9 @@ object IngestDaemon {
       else Some(graft.pipeline.DsirIndex.open(spark,
         FileIO.join(dir, "dsir"), config.dsirBuckets, config.dsirBigrams,
         config.dsirAlpha, config.dsirSeed, config.dsirPortable))
+    for (di <- dsir; td <- config.dsirTargetDir)
+      di.ingestTarget(s"target:$td",
+        spark.read.parquet(td).select(config.textCol), config.textCol)
     new IngestDaemon(spark, dir, index, seen, config, vec, sem, prof,
       fp, boil, dsir)
   }

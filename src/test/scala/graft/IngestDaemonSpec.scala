@@ -799,6 +799,28 @@ class IngestDaemonSpec extends SparkSpec {
       "a record without the tier must leave it off")
   }
 
+  test("daemon: dsirTargetDir auto-registers the target once, " +
+      "idempotent across reopens") {
+    val tDir = tmpDir("daemon-dsirtgt-")
+    docs.where(col("doc_id") % 3 === 0).select("text")
+      .write.mode("overwrite").parquet(tDir)
+    val tcfg = cfg.copy(dsir = true, dsirBuckets = 64, dsirAlpha = 0.5,
+      dsirTargetDir = Some(tDir))
+    val dDir = tmpDir("daemon-dsirtgt-d-")
+    val d = IngestDaemon.open(spark, dDir, tcfg)
+    val v = d.dsirIndex.get.version
+    assert(d.dsirIndex.get.appliedVersion("t", s"target:$tDir").isDefined,
+      "target not registered at open")
+    // a batch scores without any manual ingestTarget call
+    d.processBatch("b0", docs.where(col("doc_id") % 3 =!= 0))
+    assert(d.corpus.where(col("dsir_logw").isNull).count() == 0)
+    // reopen: the journaled registration no-ops, the target is
+    // scanned exactly once ever
+    val d2 = IngestDaemon.open(spark, dDir, tcfg)
+    assert(d2.dsirIndex.get.version == v + 1, // +1 = b0's raw commit
+      "reopen re-ingested the target")
+  }
+
   test("daemon: standing-EvalIndex decontamination — the dictionary " +
       "VERSION of record pins the replay") {
     import graft.pipeline.{Decontaminate, EvalIndex}
