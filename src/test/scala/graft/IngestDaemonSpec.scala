@@ -799,6 +799,31 @@ class IngestDaemonSpec extends SparkSpec {
       "a record without the tier must leave it off")
   }
 
+  test("daemon: the whole ingest plane runs on the object-store leg " +
+      "(single-PUT metadata, parquet pins, zero stage-then-rename)") {
+    graft.testfs.SinglePutFileSystem.install(spark)
+    graft.testfs.SinglePutFileSystem.renames.clear()
+    val w1 = docs.where(col("doc_id") < 250)
+    val w2 = docs.where(col("doc_id") >= 250)
+    // same two batches, local vs graftput: — decisions must match
+    val ref = IngestDaemon.open(spark, tmpDir("daemon-os-ref-"), cfg)
+    ref.processBatch("b0", w1)
+    ref.processBatch("b1", w2)
+    val d = IngestDaemon.open(spark, "graftput:" + tmpDir("daemon-os-"), cfg)
+    d.processBatch("b0", w1)
+    d.processBatch("b1", w2)
+    assert(corpusIds(d) == corpusIds(ref),
+      "object-store daemon corpus != local daemon corpus")
+    // redelivery is still a no-op across the PUT-commit metadata plane
+    assert(d.processBatch("b1", w2).isEmpty, "redelivery not skipped")
+    // and no metadata commit used the stage-then-rename pattern
+    import scala.jdk.CollectionConverters._
+    val staged = graft.testfs.SinglePutFileSystem.renames.asScala
+      .filter { case (src, dst) => src == dst + ".tmp" }
+    assert(staged.isEmpty,
+      s"daemon metadata stage-then-renamed on an object store: $staged")
+  }
+
   test("daemon: dsirTargetDir auto-registers the target once, " +
       "idempotent across reopens") {
     val tDir = tmpDir("daemon-dsirtgt-")
