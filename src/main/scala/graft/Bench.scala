@@ -133,12 +133,23 @@ object Bench {
     // so the capture is self-evidently clean or self-evidently
     // annotated — no forensic sentinel correlation needed after the
     // fact.
+    // The gate has PATIENCE (round-18 verdict task): the contention
+    // this host actually exhibits lasts minutes, not the 40 s the old
+    // 3×20 s schedule could out-wait — four of five rounds captured
+    // dirty. Exponential backoff (15 s, 30 s, 60 s, 120 s, …) up to a
+    // configurable total-wait cap (default 240 s, env
+    // GRAFT_BENCH_PREGATE_MAX_WAIT_SEC) buys one cheap early exit on
+    // a momentary blip AND a real chance to outlast an afternoon GC /
+    // neighbor burst, for the price of ~4 min once per capture.
     val gateAttempts = scala.collection.mutable.ListBuffer.empty[Double]
     val gateBar = 0.055
-    var gateTry = 0
+    val gateMaxWaitSec = sys.env.get("GRAFT_BENCH_PREGATE_MAX_WAIT_SEC")
+      .map(_.toLong).getOrElse(240L)
+    var gateWaitedSec = 0L
+    var gateSleepSec = 15L
     var gateClean = false
-    while (gateTry < 3 && !gateClean) {
-      if (gateTry > 0) Thread.sleep(20000)
+    var gateDone = false
+    while (!gateDone) {
       val reads = (0 until 11).map { _ =>
         val t0 = System.nanoTime()
         spark.range(0, 4000000L, 1, 8).agg(sum(col("id"))).collect()
@@ -147,7 +158,13 @@ object Bench {
       val med = reads(reads.size / 2)
       gateAttempts += med
       gateClean = med <= gateBar
-      gateTry += 1
+      if (gateClean || gateWaitedSec + gateSleepSec > gateMaxWaitSec)
+        gateDone = true
+      else {
+        Thread.sleep(gateSleepSec * 1000)
+        gateWaitedSec += gateSleepSec
+        gateSleepSec *= 2
+      }
     }
     // warm the WRITE path too (committer + parquet writer codegen):
     // the first append in a session otherwise pays ~2 s of one-time
@@ -599,6 +616,7 @@ object Bench {
         f""""median":${pct(0.5)}%.4f,"p90":${pct(0.9)}%.4f,""" +
         f""""max":${if (sv.isEmpty) 0.0 else sv.last}%.4f,""" +
         s""""pregate":{"bar":$gateBar,"clean":$gateClean,""" +
+        s""""waited_sec":$gateWaitedSec,""" +
         s""""attempt_medians":${
           gateAttempts.map(v => f"$v%.4f").mkString("[", ",", "]")}}}"""
     // diagnostics (per-run spreads + raw sentinel readings) go on their

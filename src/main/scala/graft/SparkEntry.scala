@@ -1057,6 +1057,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // AUTOMATED STORE MAINTENANCE inside the daemon loop: three
+    // ordered batches with compactEvery=1, so every standing store is
+    // FOLDED between batches — the corpus must still equal the
+    // one-shot composition over the union (the fold is layout, never
+    // semantics). The oracle is q144's gate+repetition+dedup pipeline
+    // over the same input
+    "q146_daemon_autocompact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val work = tempWorkDir("q146-daemon-")
+      val cfg = graft.streaming.IngestConfig(
+        lang = "en", minQuality = 0.5, minTokens = 10, maxTokens = 5000,
+        threshold = 0.35,
+        params = graft.dedup.DedupParams(numHashes = 8, bands = 4),
+        repetition = true,
+        compactEvery = Some(1), compactTargetPartitions = 2)
+      val d = graft.streaming.IngestDaemon.open(s, work, cfg)
+      val raw = docs.where(col("doc_id") % 3 =!= 0)
+      d.processBatch("b1", raw.where(col("doc_id") < 300))
+      d.processBatch("b2", raw.where(col("doc_id") >= 300 && col("doc_id") < 600))
+      d.processBatch("b3", raw.where(col("doc_id") >= 600))
+      d.corpus.select("doc_id", "n_tokens", "quality").orderBy("doc_id")
+    }),
+
+    // the SQL catalog surface: a log queried by PATH through plain
+    // SQL (`graft.log.`<dir>``) — no Scala API, no format() plumbing;
+    // the resolver hands back the same DSv2 table the format reader
+    // builds, so this oracles the whole name-resolution leg
+    "q147_catalog_sql" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftCatalog")
+      val nation = Tables.load(s, dir, "nation")
+      val work = tempWorkDir("q147-cat-") + "/log"
+      val packed = nation.select(struct(
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      val log = graft.storage.ParquetLog.open(
+        s, work, packed.schema.head.dataType)
+      log.append(packed)
+      s.sql(
+        s"""SELECT value.n_nationkey AS n_nationkey,
+           |       value.n_name AS n_name,
+           |       value.n_regionkey AS n_regionkey
+           |FROM graft.log.`$work`
+           |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // the Gopher repetition GATE: all eleven thresholds at the
     // paper's published cut-offs, one native walk per row — the
     // oracle filters the same panel it recomputes for q137
@@ -4084,6 +4129,49 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // decontamination: distinct 3-grams of the eval slice (doc_id %
     // 17 == 0) joined back against every other doc's distinct grams
+    // q144's gate + repetition + exact + LSH pipeline over the same
+    // input, WITHOUT the dsir leg: the daemon side splits it into
+    // three auto-compacted batches, and the fold must be invisible
+    "q146_daemon_autocompact" ->
+      ("WITH RECURSIVE " +
+        curationGateOracle(
+          "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)") +
+        s""", rep AS (
+           |  SELECT doc_id FROM ($repetitionPanelSql)
+           |  WHERE dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+           |    AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+           |    AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+           |    AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+           |    AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+           |    AND dup_10gram_char_frac <= 0.10
+           |), gated2 AS (
+           |  SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM rep)
+           |), exact AS (
+           |  SELECT * FROM (
+           |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canon
+           |    FROM gated2)
+           |  WHERE doc_id = canon
+           |), """.stripMargin +
+        lshPairsCtes.stripPrefix("WITH ")
+          .replace("FROM documents", "FROM exact") +
+        """, edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs
+          |), reach(id, r) AS (
+          |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          |  UNION
+          |  SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+          |), comp AS (
+          |  SELECT id, min(r) AS component FROM reach GROUP BY id
+          |)
+          |SELECT doc_id, n_tokens, quality FROM exact
+          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+          |ORDER BY doc_id""".stripMargin),
+
+    "q147_catalog_sql" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
     "q145_eval_index_decontaminate" ->
       s"""$shinglesCte, evg AS (
          |  SELECT DISTINCT s FROM e WHERE doc_id % 10 IN (0, 5)

@@ -96,8 +96,9 @@ final class DsirIndex private (
       }
     }
 
-  private def sideCounts(side: String, as: String): DataFrame =
-    store.read
+  private def sideCounts(
+      side: String, as: String, asOf: Option[Long]): DataFrame =
+    asOf.map(v => store.readAsOf(v).drop("_ver")).getOrElse(store.read)
       .where(col("kind") === "cnt" && col("side") === side)
       .groupBy(col("bucket"))
       .agg(sum(col("c")).as(as))
@@ -108,12 +109,22 @@ final class DsirIndex private (
     * `None` until the target side holds at least one gram: with no
     * target there is NO model, and scoring would be silent garbage —
     * refuse instead. An empty RAW side is the documented cold start
-    * (uniform raw model); it sharpens as batches accumulate. */
-  def dict: Option[DataFrame] = {
-    val tc = sideCounts("t", "_ct").localCheckpoint(true)
+    * (uniform raw model); it sharpens as batches accumulate.
+    *
+    * [[dictAsOf]] pins the dictionary to a store commit — the VERSION
+    * OF RECORD a replaying consumer scores under (see [[score]]);
+    * it fails loudly if a later [[compact]] folded that history
+    * away. */
+  def dict: Option[DataFrame] = dictAt(None)
+
+  /** The dictionary EXACTLY as of store commit `version`. */
+  def dictAsOf(version: Long): Option[DataFrame] = dictAt(Some(version))
+
+  private def dictAt(asOf: Option[Long]): Option[DataFrame] = {
+    val tc = sideCounts("t", "_ct", asOf).localCheckpoint(true)
     if (tc.agg(sum("_ct")).collect().head.isNullAt(0)) None
     else Some(Importance.dictFromCounts(
-      tc, sideCounts("r", "_cr").localCheckpoint(true),
+      tc, sideCounts("r", "_cr", asOf).localCheckpoint(true),
       buckets, bigrams, alpha, seed, portable))
   }
 
@@ -121,14 +132,23 @@ final class DsirIndex private (
     * join over the batch's grams ([[Importance.dsirScoreWith]]).
     * Refuses loudly when no target has been ingested.
     * `deterministic = false` is the production scale knob (plain
-    * partial-agg sum, ≤ last-ulp wobble vs the sorted sum). */
+    * partial-agg sum, ≤ last-ulp wobble vs the sorted sum).
+    *
+    * `asOf` scores against the dictionary EXACTLY as of store commit
+    * `asOf` — the version-of-record discipline: the daemon scores
+    * each batch at the version its own raw-side ingest committed
+    * (journaled, [[appliedVersion]]), so a crash-window replay —
+    * even one racing an [[ingestTarget]] registration — re-derives
+    * the persisted weights bit-for-bit, and every stored score is
+    * reproducible from the journal alone. */
   def score(
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      deterministic: Boolean = true
+      deterministic: Boolean = true,
+      asOf: Option[Long] = None
   ): DataFrame = {
-    val d = dict.getOrElse(throw new IllegalStateException(
+    val d = dictAt(asOf).getOrElse(throw new IllegalStateException(
       s"DsirIndex at $dir has no target-side counts — ingestTarget a " +
         "trusted corpus before scoring (a no-target model would score " +
         "every document as garbage)"))

@@ -44,6 +44,44 @@ final class EvalIndex private (
 
   def version: Long = store.version
 
+  /** Reload the on-disk manifest into this handle — cross-process
+    * (and cross-handle) visibility for long-lived consumers: a daemon
+    * resolving "the dictionary version current NOW" per fresh batch
+    * must see suites other handles registered since its open, or its
+    * documented as-of-commit contract silently freezes at the first
+    * batch. Returns the refreshed version. */
+  def refresh(): Long = store.refresh()
+
+  // the dictionary is immutable PER COMMIT VERSION (gram rows only
+  // ever accumulate; compaction re-lays but never changes the key
+  // set), so collected key arrays are cached on the handle keyed by
+  // version: the daemon's per-batch gating, a standalone
+  // decontaminate loop, and a replaying consumer pinning an older
+  // version all pay the dictionary job ONCE per version instead of
+  // once per call. Over-gate dictionaries (the join leg) are not
+  // cached — the join leg never collects.
+  @transient private val keyCache =
+    scala.collection.mutable.Map.empty[Long, Array[Long]]
+
+  /** The collected dictionary at `asOf` (default: current), or None
+    * when it exceeds `maxKeys` — ONE gate job (collect up to
+    * maxKeys+1, overflow row = too big), cached per version. */
+  private def collectedKeys(
+      asOf: Option[Long], maxKeys: Long): Option[Array[Long]] =
+    synchronized {
+      val ver = asOf.getOrElse(store.version)
+      keyCache.get(ver) match {
+        case Some(ks) if ks.length <= maxKeys => Some(ks)
+        case Some(_) => None
+        case None =>
+          val limit = math.min(maxKeys + 1, Int.MaxValue.toLong).toInt
+          val gathered = asOf.map(keysAsOf).getOrElse(keys)
+            .limit(limit).collect().map(_.getLong(0))
+          if (gathered.length > maxKeys) None
+          else { keyCache(ver) = gathered; Some(gathered) }
+      }
+    }
+
   /** The commit version that registered eval set `setId`, if any —
     * the "is my corpus clean against suite X?" audit handle. */
   def appliedVersion(setId: String): Option[Long] =
@@ -99,15 +137,12 @@ final class EvalIndex private (
     * use the frame-level [[decontaminate]] (join leg) instead. */
   def gramKeys(
       maxKeys: Long = 1000000L,
-      asOf: Option[Long] = None): Array[Long] = {
-    val dict = asOf.map(keysAsOf).getOrElse(keys).localCheckpoint(true)
-    val n = dict.count()
-    require(n <= maxKeys,
-      s"EvalIndex.gramKeys: $n distinct grams exceeds maxKeys=$maxKeys " +
-        "— use the frame-level decontaminate (join leg) instead of " +
-        "pinning the dictionary")
-    dict.collect().map(_.getLong(0))
-  }
+      asOf: Option[Long] = None): Array[Long] =
+    collectedKeys(asOf, maxKeys).getOrElse(
+      throw new IllegalArgumentException(
+        s"EvalIndex.gramKeys: distinct grams exceed maxKeys=$maxKeys " +
+          "— use the frame-level decontaminate (join leg) instead of " +
+          "pinning the dictionary"))
 
   /** Per-document contamination counts of ANY frame against the
     * standing dictionary — [[Decontaminate.overlapCounts]] semantics
@@ -122,24 +157,23 @@ final class EvalIndex private (
       maxCollectedKeys: Long = 1000000L): DataFrame = {
     require(minOverlap > 0,
       s"decontaminate minOverlap must be > 0 (got $minOverlap)")
-    val dict = keys.localCheckpoint(true)
-    if (dict.count() <= maxCollectedKeys) {
-      val ks = dict.collect().map(_.getLong(0))
-      val s = graft.functions.GramSetOverlap.column(col(textCol), width, ks)
-      corpus
-        .select(col(idCol), explode(array(s)).as("_s"))
-        .select(col(idCol), col("_s.n_hits").as("overlap"))
-        .where(col("overlap") >= minOverlap)
-    } else {
-      corpus
-        .select(col(idCol), explode(
-          Dedup.shinglesNative(corpus, col(textCol), width)).as("_gram"))
-        .select(col(idCol), xxhash64(col("_gram")).as("g"))
-        .distinct()
-        .join(dict, Seq("g"), "left_semi")
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("overlap"))
-        .where(col("overlap") >= minOverlap)
+    collectedKeys(None, maxCollectedKeys) match {
+      case Some(ks) =>
+        val s = graft.functions.GramSetOverlap.column(col(textCol), width, ks)
+        corpus
+          .select(col(idCol), explode(array(s)).as("_s"))
+          .select(col(idCol), col("_s.n_hits").as("overlap"))
+          .where(col("overlap") >= minOverlap)
+      case None =>
+        corpus
+          .select(col(idCol), explode(
+            Dedup.shinglesNative(corpus, col(textCol), width)).as("_gram"))
+          .select(col(idCol), xxhash64(col("_gram")).as("g"))
+          .distinct()
+          .join(keys, Seq("g"), "left_semi")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("overlap"))
+          .where(col("overlap") >= minOverlap)
     }
   }
 

@@ -69,6 +69,25 @@ private[graft] trait FileIO {
       bytes: Array[Byte],
       onStaged: () => Unit = () => ()): Unit
 
+  /** True when `path` lives on a backend whose commits go through
+    * direct single-object PUTs (object stores — no atomic rename, no
+    * cross-process locks). These backends commit manifests through
+    * the conditional-PUT marker protocol ([[Manifest.commit]]), which
+    * turns the cross-process single-writer contract into a mechanism. */
+  def isDirectPut(path: String): Boolean
+
+  /** Atomically publish a small whole file ONLY if `path` does not
+    * already exist — the object-store `If-None-Match: *` conditional
+    * PUT (supported by S3 since 2024-08, GCS `ifGenerationMatch=0`,
+    * ABFS ETag preconditions), an exclusive staged move locally.
+    * Returns false when the object already exists (the lost race);
+    * `onStaged` fires with the content staged but NOT yet published
+    * (the kill-matrix crash window, like [[writeAtomic]]). */
+  def createIfAbsent(
+      path: String,
+      bytes: Array[Byte],
+      onStaged: () => Unit = () => ()): Boolean
+
   /** Delete one file (idempotent — absent is fine). */
   def delete(path: String): Unit
   def deleteRecursively(path: String): Unit
@@ -167,6 +186,38 @@ private[graft] object LocalFileIO extends FileIO {
   override def exists(path: String): Boolean = Files.exists(p(path))
   override def mkdirs(dir: String): Unit = Files.createDirectories(p(dir))
   override def readBytes(path: String): Array[Byte] = Files.readAllBytes(p(path))
+
+  override def isDirectPut(path: String): Boolean = false
+
+  override def createIfAbsent(
+      path: String,
+      bytes: Array[Byte],
+      onStaged: () => Unit): Boolean = {
+    val target = p(path)
+    val tmp = p(path + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val ch = java.nio.channels.FileChannel.open(
+      tmp,
+      StandardOpenOption.CREATE,
+      StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+    onStaged()
+    try {
+      // hard-link publish: link(2) is atomic AND fails EEXIST when
+      // the target exists — a plain ATOMIC_MOVE would silently
+      // REPLACE on POSIX (rename(2) semantics), losing the race
+      // detection this method exists for
+      Files.createLink(target, tmp)
+      fsyncDir(target.getParent)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
 
   override def writeAtomic(
       path: String,
@@ -318,6 +369,57 @@ private[graft] object HadoopFileIO extends FileIO {
   override def mkdirs(dir: String): Unit = {
     val hp = new HPath(dir)
     fs(hp).mkdirs(hp)
+  }
+
+  override def isDirectPut(path: String): Boolean =
+    directPutSchemes.contains(
+      Option(new HPath(path).toUri.getScheme).getOrElse("file"))
+
+  override def createIfAbsent(
+      path: String,
+      bytes: Array[Byte],
+      onStaged: () => Unit): Boolean = {
+    val hp = new HPath(path)
+    val f = fs(hp)
+    if (isDirectPut(path)) {
+      // conditional PUT: create(overwrite = false) is the store's
+      // If-None-Match — the object either publishes exclusively on
+      // close or the create/close loses loudly (S3A with conditional
+      // writes, GCS generation preconditions; the graftput emulation
+      // enforces it at publish time). A lost race is `false`, any
+      // other failure propagates.
+      try {
+        val out = f.create(hp, false)
+        var published = false
+        try {
+          out.write(bytes)
+          onStaged()
+          out.close()
+          published = true
+        } finally if (!published) {
+          try out.abort() catch { case _: Exception => () }
+        }
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      // rename-capable backends: exclusive staged rename (HDFS's
+      // FileSystem.rename refuses an existing destination)
+      if (f.exists(hp)) return false
+      val tmp = new HPath(
+        path + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try {
+        out.write(bytes)
+        out.hflush()
+      } finally out.close()
+      onStaged()
+      val won = f.rename(tmp, hp)
+      if (!won) f.delete(tmp, false)
+      won
+    }
   }
 
   override def readBytes(path: String): Array[Byte] = {

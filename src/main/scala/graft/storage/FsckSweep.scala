@@ -14,7 +14,7 @@ package graft.storage
   * Hidden-by-convention names (`.crc` sidecars, `_SUCCESS` markers —
   * see [[FileIO.isHidden]]) are never litter: Hadoop filesystems own
   * them and delete them with their primary file. */
-private[storage] object FsckSweep {
+private[graft] object FsckSweep {
 
   /** Litter younger than `minAgeMs` is never deleted: it may be an
     * in-flight writer's (files landed, manifest not yet committed) —
@@ -31,18 +31,25 @@ private[storage] object FsckSweep {
     FileIO.forPath(path).deleteRecursively(path)
 
   /** Sweep ROOT-level crash litter common to both stores: `tmp-*`
-    * spill dirs (append died before cleanup) and `manifest.json.tmp`
+    * spill dirs (append died before cleanup), `manifest.json.tmp`
     * (commit died between staging and atomic publish — the committed
-    * manifest.json is untouched either way). Problems are reported via
-    * `report`; deletion happens only under `doRepair` AND the age
-    * gate. */
+    * manifest.json is untouched either way), and — on object-store
+    * backends — orphan `commit-v*.json` markers a crashed committer's
+    * skipped GC left behind (only markers at least two versions below
+    * the COMMITTED version are litter: the current and previous
+    * markers are live protocol state, and anything newer than the
+    * committed version would be another process's in-flight commit).
+    * Problems are reported via `report`; deletion happens only under
+    * `doRepair` AND the age gate. */
   def sweepRootLitter(
       dir: String,
       doRepair: Boolean,
       minAgeMs: Long,
-      report: String => Unit
+      report: String => Unit,
+      committedVersion: Long = Long.MinValue
   ): Unit = {
     val io = FileIO.forPath(dir)
+    val Marker = raw"commit-v(\d{20})\.json".r
     ls(dir).foreach { e =>
       if (e.name.startsWith("tmp-")) {
         report(s"orphan tmp dir: ${e.name}")
@@ -51,6 +58,11 @@ private[storage] object FsckSweep {
       } else if (e.name == "manifest.json.tmp") {
         report("torn manifest tmp (crash between write and rename)")
         if (doRepair && oldEnough(e.mtimeMs, minAgeMs)) io.delete(e.path)
+      } else if (committedVersion != Long.MinValue) e.name match {
+        case Marker(v) if v.toLong <= committedVersion - 2 =>
+          report(s"orphan commit marker: ${e.name}")
+          if (doRepair && oldEnough(e.mtimeMs, minAgeMs)) io.delete(e.path)
+        case _ => ()
       }
     }
   }

@@ -59,16 +59,45 @@ object Manifest {
 
   def manifestPath(dir: String): String = FileIO.join(dir, "manifest.json")
 
+  /** The versioned commit-marker object of the conditional-PUT
+    * protocol (object-store backends only): its exclusive creation IS
+    * the commit point, and it carries the full manifest JSON so a
+    * reader can roll forward over a crashed committer's stale
+    * pointer. Zero-padded so lexicographic listings sort by version. */
+  private[graft] def markerPath(dir: String, version: Long): String =
+    FileIO.join(dir, f"commit-v$version%020d.json")
+
   /** The committed manifest; None when no manifest file exists.
     * A PRESENT-but-unreadable manifest THROWS: callers like open()
     * must not mistake a torn/corrupt commit point for a fresh
     * directory and silently re-initialize over real data. Recovery
-    * tooling that wants graceful degradation uses [[tryLoad]]. */
+    * tooling that wants graceful degradation uses [[tryLoad]].
+    *
+    * On object-store backends the pointer (`manifest.json`) is a
+    * CACHE of the latest commit marker: a committer that crashed
+    * between the marker PUT (the commit point) and the pointer PUT
+    * leaves the pointer one-or-more versions stale, so the read
+    * ROLLS FORWARD through any markers above the pointer — read-only
+    * healing (the next successful commit repairs the pointer). The
+    * marker chain above the pointer is contiguous by construction:
+    * markers are only GC'd by a commit that has already advanced the
+    * pointer past them. */
   def load(dir: String): Option[Manifest] = {
     val p = manifestPath(dir)
     val io = FileIO.forPath(p)
-    if (!io.exists(p)) None
-    else Some(JsonMethods.parse(io.readString(p)).extract[Manifest])
+    val base =
+      if (!io.exists(p)) None
+      else Some(JsonMethods.parse(io.readString(p)).extract[Manifest])
+    if (!io.isDirectPut(dir)) base
+    else {
+      var cur = base
+      var next = markerPath(dir, cur.map(_.version).getOrElse(-1L) + 1L)
+      while (io.exists(next)) {
+        cur = Some(JsonMethods.parse(io.readString(next)).extract[Manifest])
+        next = markerPath(dir, cur.get.version + 1L)
+      }
+      cur
+    }
   }
 
   /** [[load]] that degrades a present-but-unreadable manifest to None
@@ -86,17 +115,32 @@ object Manifest {
       extends RuntimeException(
         s"manifest conflict in $dir: committing v$expected but disk has v$found — another writer is active; reopen the log")
 
-  /** Commit `m` as the new manifest — a real compare-and-swap where
-    * the backend has locks, an optimistic CAS elsewhere: the version
-    * test, staging and atomic publish all run inside
-    * [[FileIO.withDirLock]] (per-dir JVM monitor everywhere, plus an
-    * OS file lock on local disk), so two racing committers serialize
-    * and the loser gets [[ConcurrentWriteException]] instead of
-    * publishing over the winner. On shared filesystems without
-    * advisory locks (HDFS, object stores) cross-PROCESS serialization
-    * is the single-committer deployment contract; the CAS still turns
-    * a stale handle's commit into a loud refusal, never a silently
-    * dropped segment list.
+  /** Commit `m` as the new manifest — a real compare-and-swap on
+    * every backend:
+    *
+    *   - '''local disk''': the version test, staging and atomic
+    *     publish all run inside [[FileIO.withDirLock]] (per-dir JVM
+    *     monitor plus an OS file lock), so racing committers — same
+    *     process or not — serialize and the loser gets
+    *     [[ConcurrentWriteException]].
+    *   - '''object stores''': no cross-process lock exists, so the
+    *     CAS is a CONDITIONAL PUT — the mechanism modern stores
+    *     expose as `If-None-Match` (S3), generation preconditions
+    *     (GCS), ETag preconditions (ABFS). The committer exclusively
+    *     creates the versioned marker `commit-v<N>.json` (carrying
+    *     the full manifest); exactly one racer's create succeeds, the
+    *     loser gets [[ConcurrentWriteException]] instead of silently
+    *     clobbering — the former "single-committer deployment
+    *     contract" is now enforced by the store itself. The marker IS
+    *     the commit point: the pointer `manifest.json` is then
+    *     republished as a reader cache, best-effort (a crash between
+    *     the two leaves a stale pointer that [[load]] rolls forward
+    *     over), and the marker two versions back — which can no
+    *     longer win or decide any race — is GC'd so marker litter is
+    *     O(1), not O(commits).
+    *   - '''HDFS''': atomic-rename publish; same-process committers
+    *     serialize on the monitor, cross-process the version CAS
+    *     turns a stale handle's commit into a loud refusal.
     *
     * Durability is the backend's publish contract (see [[FileIO]]):
     * fsync + rename + dir-fsync locally, atomic rename on HDFS,
@@ -105,17 +149,44 @@ object Manifest {
     val io = FileIO.forPath(dir)
     io.withDirLock(dir) {
       // CAS: our version must be exactly disk+1 (or the initial
-      // commit) — checked INSIDE the lock, atomic with the publish
+      // commit) — checked INSIDE the lock (and, on object stores,
+      // re-checked BY the conditional marker PUT below, which is what
+      // makes it hold across processes)
       val diskVersion = load(dir).map(_.version).getOrElse(-1L)
       if (m.version != diskVersion + 1 &&
         !(m.version == 0 && diskVersion == -1L))
         throw ConcurrentWriteException(dir, m.version, diskVersion)
       val bytes = Serialization.writePretty(m)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      io.writeAtomic(
-        manifestPath(dir),
-        bytes,
-        () => FaultPoints.reach("manifest.tmpWritten"))
+      if (io.isDirectPut(dir)) {
+        // the conditional PUT both publishes and decides the race:
+        // an existing marker means another process committed this
+        // exact version first. The staged-hook fires INSIDE the
+        // marker PUT (content staged, publish not yet happened) —
+        // the same pre-commit crash window "manifest.tmpWritten"
+        // means on the rename backends, so the kill matrices cover
+        // this path with unchanged expectations.
+        val won = io.createIfAbsent(
+          markerPath(dir, m.version), bytes,
+          () => FaultPoints.reach("manifest.tmpWritten"))
+        if (!won)
+          throw ConcurrentWriteException(dir, m.version, m.version)
+        // ---- committed (the marker is durable) ----
+        // pointer republish + marker GC are cache maintenance: a
+        // failure here must NOT fail the commit (readers roll
+        // forward; the next commit repairs the pointer), and a
+        // process crash here is the crash window `load` heals
+        try {
+          FaultPoints.reach("manifest.markerPut")
+          io.writeAtomic(manifestPath(dir), bytes)
+          if (m.version >= 2) io.delete(markerPath(dir, m.version - 2))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      } else {
+        io.writeAtomic(
+          manifestPath(dir),
+          bytes,
+          () => FaultPoints.reach("manifest.tmpWritten"))
+      }
     }
   }
 }

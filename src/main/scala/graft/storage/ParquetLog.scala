@@ -588,7 +588,8 @@ final class ParquetLog private (
     // (minAgeMs = 0, previous writer known dead); under the default
     // gate young litter is reported but deliberately left for a
     // possibly-live writer.
-    FsckSweep.sweepRootLitter(dir, doRepair, minAgeMs, problems += _)
+    FsckSweep.sweepRootLitter(dir, doRepair, minAgeMs, problems += _,
+      committedVersion = trusted.version)
     problems.toList
   }
 }

@@ -39,6 +39,27 @@ final class TableStore private (
 
   def version: Long = manifest.version
 
+  /** Number of committed segment files — the O(1) planning-cost /
+    * maintenance-pressure signal an auto-compaction policy triggers
+    * on (reads are one parquet scan regardless, but plan-time file
+    * listing and merge-on-read fold cost grow with this). */
+  def segmentCount: Int = manifest.segments.length
+
+  /** Reload the ON-DISK manifest into this handle — cross-process
+    * (and cross-handle) visibility for long-lived readers. Writers
+    * never need it (every commit CAS-checks the disk), but a handle
+    * held across hours — a daemon resolving "the dictionary version
+    * current NOW" per fresh batch — would otherwise serve a snapshot
+    * frozen at its last own commit, silently missing everything other
+    * handles committed since. Monotonic: a torn/absent read leaves
+    * the handle at its last known state. Returns the refreshed
+    * version. */
+  def refresh(): Long = synchronized {
+    Manifest.tryLoad(dir).filter(_.version > manifest.version)
+      .foreach(m => manifest = m)
+    manifest.version
+  }
+
   /** Append one batch as a new segment; returns the commit version. */
   def append(df: DataFrame): Long = synchronized {
     val ver = manifest.version + 1
@@ -157,8 +178,10 @@ final class TableStore private (
     // crashed writer's litter only AGES; a live writer's commits
     // within minutes.
     // age-gate + listing + root-litter sweep shared with ParquetLog
-    // via FsckSweep (one copy, one discipline)
-    FsckSweep.sweepRootLitter(dir, doRepair, minAgeMs, issues += _)
+    // via FsckSweep (one copy, one discipline); the committed version
+    // bounds which commit markers are orphans
+    FsckSweep.sweepRootLitter(dir, doRepair, minAgeMs, issues += _,
+      committedVersion = committed.version)
     val dataDir = FileIO.join(dir, "data")
     FsckSweep.ls(dataDir)
       .filter(f => !listed.contains(s"data/${f.name}"))
@@ -235,11 +258,52 @@ object TableStore {
     // list — refuse loudly, like ParquetLog.append's value-type check.
     // Nullability is excluded from the comparison: it drifts benignly
     // across Spark plan shapes and never changes the physical layout.
+    //
+    // ONE widening is tolerated as an in-place migration: reopening
+    // with the stored columns (in order, types unchanged) PLUS new
+    // nullable fields (a software upgrade adding a column, e.g. the
+    // daemon's seen store gaining `dsir_logw`). Parquet reads are by
+    // NAME under a forced schema, so old segments simply yield null
+    // for the added columns — no data rewrite; the manifest's schema
+    // is upgraded in one commit so the store's pinned identity
+    // follows the new shape. Any other mismatch (renames, type
+    // changes, dropped or reordered stored columns) still refuses:
+    // those would misread real data.
     val stored = DataType.fromJson(m.valueSchemaJson).asInstanceOf[StructType]
-    require(normalize(stored) == normalize(schema),
-      s"table at $dir was created with schema ${stored.simpleString}; " +
-        s"reopening with ${schema.simpleString} would misread it")
-    new TableStore(spark, dir, schema, m)
+    val mig =
+      if (normalize(stored) == normalize(schema)) m
+      else if (isWidening(stored, schema)) {
+        val next = m.copy(version = m.version + 1,
+          valueSchemaJson = schema.json)
+        Manifest.commit(dir, next)
+        next
+      } else throw new IllegalArgumentException(
+        s"table at $dir was created with schema ${stored.simpleString}; " +
+          s"reopening with ${schema.simpleString} would misread it")
+    new TableStore(spark, dir, schema, mig)
+  }
+
+  /** True when `requested` is `stored` plus new NULLABLE fields — the
+    * one schema evolution a manifest-gated parquet store can absorb
+    * without rewriting data (by-name reads fill the added columns
+    * with null in pre-migration segments). Precisely: the stored
+    * fields must appear as an order-preserving subsequence of the
+    * requested fields with identical names and (normalized) types,
+    * and every field NOT in that subsequence must be nullable. A
+    * missing or reordered stored column is never a widening — that
+    * shape is indistinguishable from a rename and stays refused. */
+  private def isWidening(
+      stored: StructType, requested: StructType): Boolean = {
+    val st = stored.fields.map(f => (f.name, normalize(f.dataType)))
+    var i = 0
+    var addedOk = true
+    requested.fields.foreach { f =>
+      if (i < st.length && f.name == st(i)._1 &&
+        normalize(f.dataType) == st(i)._2) i += 1
+      else if (!f.nullable) addedOk = false
+    }
+    addedOk && i == st.length &&
+      requested.fields.length > stored.fields.length
   }
 
   /** Structural schema identity for the reopen check: nullability and

@@ -170,7 +170,29 @@ final case class IngestConfig(
     // differently, and it must decide before the first commit so an
     // abort leaves no partial state
     driftWarnKs: Option[Double] = None,
-    driftAbortKs: Option[Double] = None
+    driftAbortKs: Option[Double] = None,
+    // AUTOMATED STORE MAINTENANCE: without it every standing store
+    // (seen + up to seven tiers) grows segments, manifest entries and
+    // journal rows O(batches) FOREVER — merge-on-read and plan cost
+    // follow, and the operator is left running [[IngestDaemon.compact]]
+    // by hand (the reference runs persistence maintenance as a duty of
+    // the store itself: multilog/roaring/multilog.go:28-57's standing
+    // bitmap flusher). `compactEvery = Some(n)` folds ALL composed
+    // stores after every n fully-applied batches (counted per handle);
+    // `compactMaxSegments = Some(s)` triggers whenever the seen
+    // store's committed segment-file count reaches s (an O(1) manifest
+    // read — restart-robust where the batch counter is per-handle).
+    // Maintenance is policy-of-NOW, deliberately NOT a knob of record:
+    // it never changes any batch's gating or admission, only the
+    // layout, and it runs only before FRESH batches — a half-applied
+    // replay is never preceded by a fold that would refuse its
+    // pre-batch snapshot. Snapshot reads ([[IngestDaemon.corpusAsOf]])
+    // below the fold horizon refuse loudly, exactly as with manual
+    // compaction — pin exports you need long-term BEFORE enabling
+    // aggressive folding.
+    compactEvery: Option[Int] = None,
+    compactMaxSegments: Option[Int] = None,
+    compactTargetPartitions: Int = 8
 )
 
 /** The composed steady-state ingest-curation loop — the reference's
@@ -326,9 +348,52 @@ final class IngestDaemon private (
     * retry re-runs from the durable gated pin — they never bridge
     * commits the way the tier-chain pins do. */
   private def pinFrame(stage: String, df: DataFrame): DataFrame = {
-    val path = FileIO.join(FileIO.join(dir, "pins"), stage)
-    df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
+    // storage-plane discipline (same shape as TableStore's segment
+    // writes): Spark spills the parquet into a `tmp-*` staging dir,
+    // FileIO publishes it over the stage slot — so pin litter has the
+    // one sweepable shape ([[checkConsistency]] covers `dir/pins`),
+    // and the publish rides the same FS routing every other
+    // storage-plane write goes through. No atomicity is needed: pins
+    // are single-consumer within one processBatch call and a replay
+    // recomputes them from scratch.
+    val io = FileIO.forPath(dir)
+    val pins = FileIO.join(dir, "pins")
+    val tmp = FileIO.join(pins,
+      s"tmp-$stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(tmp)
+    val target = FileIO.join(pins, stage)
+    io.deleteRecursively(target)
+    io.rename(tmp, target)
+    spark.read.parquet(target)
+  }
+
+  /** Crash-litter sweep across the daemon's own storage plane: the
+    * seen store's fsck (orphan segments, torn manifests) plus the
+    * `dir/pins` recomputation pins — `tmp-*` staging litter from a
+    * crashed [[processBatch]] and aged stage slots (pins are never
+    * read across restarts: a replay recomputes them, so any pin older
+    * than `minAgeMs` is disposable). Tier artifacts fold their own
+    * hygiene into their stores' sweeps; this covers what only the
+    * daemon owns. Age-gated like every sweep here: young litter may
+    * be another process's in-flight batch. */
+  def checkConsistency(
+      repair: Boolean = false,
+      minAgeMs: Long = 600000L): List[String] = synchronized {
+    val issues = scala.collection.mutable.ListBuffer.empty[String]
+    issues ++= seen.checkConsistency(repair, minAgeMs).map("seen: " + _)
+    val io = FileIO.forPath(dir)
+    val pins = FileIO.join(dir, "pins")
+    io.list(pins).filterNot(e => FileIO.isHidden(e.name)).foreach { e =>
+      // stage slots (gated, admit-*) are NORMAL between-batch state —
+      // bounded by one batch, overwritten next call — not litter;
+      // only crashed-publish staging dirs are
+      if (e.name.startsWith("tmp-")) {
+        issues += s"pins: orphan staging dir ${e.name}"
+        if (repair && graft.storage.FsckSweep.oldEnough(e.mtimeMs, minAgeMs))
+          io.deleteRecursively(e.path)
+      }
+    }
+    issues.toList
   }
 
   /** Texts of every doc behind the standing index — the verify fetch
@@ -418,14 +483,26 @@ final class IngestDaemon private (
           index.recordedGates(batchId).map(IngestDaemon.parseGates(config, _))
             .getOrElse(config)
         else config
+      // AUTOMATED MAINTENANCE (fresh batches only): a half-applied
+      // replay must never be preceded by a fold — its index-side
+      // replay reads the PRE-batch snapshot, which a fold would
+      // refuse. A fresh batch has no committed state to replay, so
+      // folding the standing stores first is always safe.
+      if (idxApplied.isEmpty) maybeAutoCompact()
       // resolve the standing-eval-dictionary version THIS batch gates
       // under: the recorded one on a replay (a suite registered in
       // the crash window must not change the replayed gating), the
       // index's current version on a fresh run — recorded with the
-      // rest of the knobs at the index commit below
+      // rest of the knobs at the index commit below. The handle is
+      // REFRESHED from the on-disk manifest first: "current" means
+      // current across processes, not frozen at this handle's first
+      // batch — suites another handle registered during the daemon's
+      // lifetime must start gating from the next fresh batch.
       val c = c0.decontaminateIndexDir match {
         case Some(eid) if c0.decontaminateIndexVer.isEmpty =>
-          c0.copy(decontaminateIndexVer = Some(evalIdxFor(eid).version))
+          val idx = evalIdxFor(eid)
+          idx.refresh()
+          c0.copy(decontaminateIndexVer = Some(idx.version))
         case _ => c0
       }
       val langGated = Curation.gate(rawDocs.select(c.idCol, c.textCol),
@@ -625,18 +702,22 @@ final class IngestDaemon private (
       // bucket counts into the standing model (its own journaled
       // commit, idempotent by batchId, replay-window-free — the
       // counts depend on nothing but the gated batch under the knobs
-      // of record), then score the FINAL admitted set against the
-      // standing dictionary. The dict the score reads INCLUDES this
-      // batch's raw counts on a first run and on every replay alike
-      // (the ingest either just appended them or already had them),
-      // and batches are serial, so a crash-window replay re-derives
-      // bit-identical scores (dsirDeterministic pins the sum order).
+      // of record; the PIN feeds it, so the gate chain is not
+      // re-evaluated), then score the FINAL admitted set against the
+      // dictionary AT THE VERSION OF RECORD: the store commit that
+      // applied this batch's raw counts (journaled — `ingestRaw`
+      // returns it on a first run and a replay alike). A fresh run
+      // and every crash-window replay therefore read the IDENTICAL
+      // dictionary — even when an `ingestTarget` registration lands
+      // inside the crash window — so the persisted `dsir_logw` is
+      // reproducible from the journal alone (the eval tier's
+      // version-of-record discipline, applied here).
       val dsirScores = dsirHandleFor(c).map { di =>
-        di.ingestRaw(batchId, gated, c.textCol)
+        val rawVer = di.ingestRaw(batchId, gatedPinned, c.textCol)
         di.score(
           afterFp.select(col(c.idCol)).join(
             rawDocs.select(col(c.idCol), col(c.textCol)), Seq(c.idCol)),
-          c.textCol, c.idCol, c.dsirDeterministic)
+          c.textCol, c.idCol, c.dsirDeterministic, asOf = Some(rawVer))
           .select(col(c.idCol).cast("long").as("_dsir_id"),
             col("dsir_logw"))
       }
@@ -672,6 +753,7 @@ final class IngestDaemon private (
       // below only publishes after the segment files are written), so
       // the verify's fetch side stays the pre-batch snapshot
       seen.append(docRows.unionByName(journalRow))
+      batchesSinceCompact += 1
       Some(finalResult)
     }
 
@@ -739,6 +821,27 @@ final class IngestDaemon private (
     * history into few sorted segments so probe planning stays O(1) in
     * batch count. Journal rows survive; replaying a pre-fold batch is
     * refused loudly rather than recomputed against the wrong state. */
+  // fully-applied batches since this handle's last fold — the
+  // `compactEvery` trigger's counter (per-handle by design: a restart
+  // resets it, which at worst DELAYS one fold; the segment-count
+  // trigger is the restart-robust pressure valve)
+  private var batchesSinceCompact = 0
+
+  /** Fold the standing stores when the configured maintenance policy
+    * says so — called by [[processBatch]] before every FRESH batch
+    * (never before a replay, whose pre-batch snapshot a fold would
+    * refuse). The triggers are current-config policy, not knobs of
+    * record: maintenance changes layout, never any batch's admission. */
+  private def maybeAutoCompact(): Unit = {
+    val due =
+      config.compactEvery.exists(batchesSinceCompact >= _) ||
+        config.compactMaxSegments.exists(seen.segmentCount >= _)
+    if (due) {
+      compact(config.compactTargetPartitions)
+      batchesSinceCompact = 0
+    }
+  }
+
   def compact(targetPartitions: Int = 8): Unit = synchronized {
     index.compact(targetPartitions)
     vecIndex.foreach(_.compact(targetPartitions))
@@ -758,7 +861,13 @@ object IngestDaemon {
   /** `doc` rows carry the text tier; `batch` rows are the seen-store
     * journal. Same one-store-one-manifest trick as
     * [[graft.dedup.DedupIndex]]: the survivor rows and the journal
-    * row that marks them applied ride ONE atomic commit. */
+    * row that marks them applied ride ONE atomic commit.
+    *
+    * Upgrade note: `dsir_logw` was appended in a later build; daemon
+    * dirs created before it reopen via [[TableStore]]'s
+    * trailing-nullable-column widening (pre-migration doc rows read
+    * the column as null — exactly what a tier-less batch writes). Any
+    * FUTURE column must likewise be appended LAST and nullable. */
   private val seenSchema: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),
     StructField("id", LongType, nullable = true),
@@ -865,10 +974,16 @@ object IngestDaemon {
     kv += ("repetition" -> c.repetition.toString)
     kv += ("repMaxDupLineFrac" -> c.repMaxDupLineFrac.toString)
     kv += ("repMaxDupLineCharFrac" -> c.repMaxDupLineCharFrac.toString)
-    kv += ("repMaxTopNgramCharFrac" ->
-      c.repMaxTopNgramCharFrac.mkString(","))
-    kv += ("repMaxDupNgramCharFrac" ->
-      c.repMaxDupNgramCharFrac.mkString(","))
+    // empty threshold lists (legal while repetition=false) are NOT
+    // recorded: "".split(",") is Array("") and a replay's parse would
+    // throw — absence round-trips to the base config instead, exactly
+    // like every other optional knob
+    if (c.repMaxTopNgramCharFrac.nonEmpty)
+      kv += ("repMaxTopNgramCharFrac" ->
+        c.repMaxTopNgramCharFrac.mkString(","))
+    if (c.repMaxDupNgramCharFrac.nonEmpty)
+      kv += ("repMaxDupNgramCharFrac" ->
+        c.repMaxDupNgramCharFrac.mkString(","))
     kv += ("dsir" -> c.dsir.toString)
     kv += ("dsirDeterministic" -> c.dsirDeterministic.toString)
     c.driftWarnKs.foreach(v => kv += ("driftWarnKs" -> v.toString))
@@ -932,11 +1047,13 @@ object IngestDaemon {
         .getOrElse(base.repMaxDupLineFrac),
       repMaxDupLineCharFrac = opt("repMaxDupLineCharFrac").map(_.toDouble)
         .getOrElse(base.repMaxDupLineCharFrac),
+      // filter(_.nonEmpty) tolerates records older builds wrote with
+      // an empty list ("" splits to Array("")) — parse to Nil, not NFE
       repMaxTopNgramCharFrac = opt("repMaxTopNgramCharFrac")
-        .map(_.split(",").toSeq.map(_.toDouble))
+        .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
         .getOrElse(base.repMaxTopNgramCharFrac),
       repMaxDupNgramCharFrac = opt("repMaxDupNgramCharFrac")
-        .map(_.split(",").toSeq.map(_.toDouble))
+        .map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
         .getOrElse(base.repMaxDupNgramCharFrac),
       dsir = opt("dsir").exists(_.toBoolean),
       dsirDeterministic = opt("dsirDeterministic").map(_.toBoolean)

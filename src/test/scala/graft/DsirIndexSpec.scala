@@ -96,6 +96,35 @@ class DsirIndexSpec extends SparkSpec {
     assert(scored.count() > 0, "cold-start scoring returned nothing")
   }
 
+  test("dictAsOf pins the version of record: later ingests are " +
+      "invisible, scores reproduce bit-for-bit, folds refuse") {
+    val idx = openIdx(tmpDir("dsir-asof-"))
+    idx.ingestTarget("tgt", target.where(col("doc_id") % 2 === 0), "text")
+    val b0 = raw.where(col("doc_id") < 300)
+    val b1 = raw.where(col("doc_id") >= 300)
+    val v0 = idx.ingestRaw("b0", b0, "text")
+    val dictAtB0 = dictMap(idx.dict.get)
+    val scoreAtB0 = scoreMap(idx.score(b0, "text", "doc_id"))
+    // later raw AND target ingests shift the live dict...
+    idx.ingestRaw("b1", b1, "text")
+    idx.ingestTarget("tgt-late",
+      target.where(col("doc_id") % 2 === 1), "text")
+    assert(dictMap(idx.dict.get) != dictAtB0,
+      "later ingests shifted nothing — vacuous")
+    // ...but the pinned version reads the recorded state exactly
+    assert(dictMap(idx.dictAsOf(v0).get) == dictAtB0,
+      "dictAsOf != the dict observed at that commit")
+    assert(scoreMap(idx.score(b0, "text", "doc_id", asOf = Some(v0)))
+      == scoreAtB0,
+      "as-of scores not bit-identical to the recorded-version scores")
+    // the journal IS the version of record: appliedVersion round-trips
+    assert(idx.appliedVersion("r", "b0").contains(v0))
+    // a fold below the pin refuses loudly rather than approximating
+    idx.compact()
+    val e = intercept[Exception](idx.dictAsOf(v0).map(_.count()))
+    assert(e.getMessage.contains("folded"), e.getMessage)
+  }
+
   test("compact folds counts without changing the dictionary and " +
       "keeps the journal") {
     val idx = openIdx(tmpDir("dsir-cpt-"))

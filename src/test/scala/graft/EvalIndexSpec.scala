@@ -58,6 +58,48 @@ class EvalIndexSpec extends SparkSpec {
     assert(idx.keys.distinct().count() == idx.keys.count())
   }
 
+  test("the collected dictionary is cached on the handle per version: " +
+      "a repeat call at an unchanged version schedules ZERO jobs") {
+    val idx = EvalIndex.open(spark, tmpDir("eval-cache-"), width = 3)
+    idx.ingest("a", evalA, "text")
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(f: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try f finally sc.clearJobGroup()
+      // the status store is fed asynchronously — poll until stable
+      var last = -1
+      var n = sc.statusTracker.getJobIdsForGroup(group).length
+      var spins = 0
+      while (n != last && spins < 50) {
+        last = n; Thread.sleep(100)
+        n = sc.statusTracker.getJobIdsForGroup(group).length
+        spins += 1
+      }
+      n
+    }
+    val first = jobsIn("eval-dict-1")(idx.gramKeys())
+    assert(first > 0, "first collect scheduled no job — counter broken")
+    assert(jobsIn("eval-dict-2")(idx.gramKeys()) == 0,
+      "repeat gramKeys at an unchanged version re-ran the dictionary job")
+    // overlapCounts shares the cache: only the CORPUS job runs, never
+    // a dictionary job (one scoring pass = fewer jobs than the first
+    // dictionary collect + score would be)
+    val scoreJobs = jobsIn("eval-dict-3") {
+      idx.overlapCounts(corpus, "text", "doc_id").collect()
+      ()
+    }
+    assert(scoreJobs > 0, "scoring ran no job — vacuous")
+    // a NEW version invalidates: registration changes the dictionary
+    idx.ingest("b", evalB, "text")
+    assert(jobsIn("eval-dict-4")(idx.gramKeys()) > 0,
+      "a new version must re-collect")
+    // the as-of path caches per pinned version too
+    val v = idx.version
+    jobsIn("eval-dict-5")(idx.gramKeys(asOf = Some(v)))
+    assert(jobsIn("eval-dict-6")(idx.gramKeys(asOf = Some(v))) == 0,
+      "repeat as-of collect re-ran the dictionary job")
+  }
+
   test("pinned width: reopen restores it, mismatch refuses; compact " +
       "preserves the dictionary and the journal") {
     val dir = tmpDir("eval-pin-")

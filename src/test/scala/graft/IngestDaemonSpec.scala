@@ -962,4 +962,270 @@ class IngestDaemonSpec extends SparkSpec {
     val reparsed = IngestDaemon.parseGates(cfg, rec)
     assert(reparsed.profileStrataCol.contains("lang"))
   }
+
+  test("daemon: DSIR weights score at the VERSION OF RECORD — an " +
+      "ingestTarget landing mid-crash-window cannot change a replay") {
+    val target = docs.where(col("doc_id") % 5 === 0)
+    val lateTarget = docs.where(col("doc_id") % 5 === 1)
+    val raw = docs.where(col("doc_id") % 5 > 1)
+    val w0 = raw.where(col("doc_id") < 150)
+    val w1 = raw.where(col("doc_id") >= 150 && col("doc_id") < 300)
+    val w2 = raw.where(col("doc_id") >= 300)
+    val dcfg = cfg.copy(dsir = true, dsirBuckets = 64, dsirAlpha = 0.5)
+    def scoresOf(d: IngestDaemon, ws: DataFrame): Map[Long, Double] =
+      d.corpus.join(ws.select("doc_id"), Seq("doc_id"))
+        .select("doc_id", "dsir_logw").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // twin: never sees the late target
+    val twin = IngestDaemon.open(spark, tmpDir("daemon-dvor-t-"), dcfg)
+    twin.dsirIndex.get.ingestTarget("tgt", target, "text")
+    twin.processBatch("b0", w0)
+    twin.processBatch("b1", w1)
+    twin.processBatch("b2", w2)
+
+    // main: crash window between b1's dsir commit and its seen
+    // commit; the late target registers INSIDE the window
+    val dir = tmpDir("daemon-dvor-")
+    val d = IngestDaemon.open(spark, dir, dcfg)
+    d.dsirIndex.get.ingestTarget("tgt", target, "text")
+    d.processBatch("b0", w0)
+    val gatedW1 = Curation.gate(w1.select("doc_id", "text"), "text",
+      dcfg.lang, dcfg.minQuality, dcfg.minTokens, dcfg.maxTokens)
+    d.index.ingest("b1", gatedW1, "text", "doc_id",
+      corpusTexts = d.seenTexts, threshold = dcfg.threshold,
+      maxBucket = dcfg.maxBucket,
+      gates = Some(IngestDaemon.gatesString(d.config)))
+    d.dsirIndex.get.ingestRaw("b1", gatedW1, "text")
+    assert(d.appliedVersion("b1").isEmpty &&
+      d.dsirIndex.get.appliedVersion("r", "b1").isDefined,
+      "window setup broken")
+    d.dsirIndex.get.ingestTarget("tgt-late", lateTarget, "text")
+    // the replay must score b1 under the dict AS OF its recorded raw
+    // commit — bit-for-bit the no-late-target twin, NOT the current
+    // dict that now includes the late target
+    val d2 = IngestDaemon.open(spark, dir, dcfg)
+    d2.processBatch("b1", w1)
+    assert(scoresOf(d2, w1) == scoresOf(twin, w1),
+      "a mid-window ingestTarget changed a replayed batch's weights")
+    // ... while the NEXT fresh batch scores under the new model
+    d2.processBatch("b2", w2)
+    val b2Main = scoresOf(d2, w2)
+    val b2Twin = scoresOf(twin, w2)
+    assert(b2Main.keySet == b2Twin.keySet,
+      "the dict shift changed admissions — fixture broken")
+    assert(b2Main != b2Twin,
+      "the late target shifted nothing — vacuous")
+    // every persisted weight is reproducible from the journal alone:
+    // re-derive each batch's scores at its recorded raw-commit version
+    val di = d2.dsirIndex.get
+    for ((b, w) <- Seq(("b0", w0), ("b1", w1), ("b2", w2))) {
+      val ver = di.appliedVersion("r", b).getOrElse(fail(s"no journal: $b"))
+      val redo = di.score(
+        d2.corpus.join(w.select("doc_id"), Seq("doc_id"))
+          .select("doc_id", "text"),
+        "text", "doc_id", asOf = Some(ver))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(redo == scoresOf(d2, w),
+        s"$b: persisted weights not reproducible from the recorded version")
+    }
+  }
+
+  test("daemon: suites registered through ANOTHER handle gate from the " +
+      "next fresh batch (the resolve refreshes from disk)") {
+    import graft.pipeline.EvalIndex
+    val evalA = docs.where(col("doc_id") % 10 === 0)
+    val evalB = docs.where(col("doc_id") % 10 === 5)
+    val batch = docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val w0 = batch.where(col("doc_id") < 250)
+    val w1 = batch.where(col("doc_id") >= 250)
+    val eDir = tmpDir("daemon-exref-")
+    val idx = EvalIndex.open(spark, eDir, width = 3)
+    idx.ingest("suite-a", evalA, "text")
+    val v1 = idx.version
+    // one LONG-LIVED daemon handle across both registrations
+    val d = IngestDaemon.open(spark, tmpDir("daemon-exrefd-"),
+      cfg.copy(decontaminateIndexDir = Some(eDir)))
+    d.processBatch("b0", w0)
+    assert(d.index.recordedGates("b0").get
+      .contains(s"decontaminateIndexVer=$v1"))
+    // suite-b registers through a DIFFERENT handle (another process,
+    // in production) — the daemon handle is never told
+    EvalIndex.open(spark, eDir).ingest("suite-b", evalB, "text")
+    val v2 = EvalIndex.open(spark, eDir).version
+    assert(v2 > v1)
+    // the SAME daemon handle's next fresh batch must resolve v2, not
+    // its cached snapshot
+    d.processBatch("b1", w1)
+    assert(d.index.recordedGates("b1").get
+      .contains(s"decontaminateIndexVer=$v2"),
+      "fresh batch gated against a stale cached dictionary version")
+    // and actually dropped suite-b overlap: a twin running BOTH
+    // batches pinned at v1 admits MORE (same dedup history, so the
+    // only difference is the dictionary version)
+    val twin = IngestDaemon.open(spark, tmpDir("daemon-exreft-"),
+      cfg.copy(decontaminateIndexDir = Some(eDir),
+        decontaminateIndexVer = Some(v1)))
+    twin.processBatch("b0", w0)
+    twin.processBatch("b1", w1)
+    val admitted = corpusIds(d).toSet
+    val admittedV1 = corpusIds(twin).toSet
+    assert((admittedV1 -- admitted).nonEmpty,
+      "suite-b grams dropped nothing — vacuous")
+  }
+
+  private def seenDataFiles(dir: String): Int =
+    java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "seen", "data")).count().toInt
+
+  test("daemon: automated maintenance folds the stores inside the " +
+      "loop — admissions unchanged, crash-during-fold replays clean") {
+    val waves = (0 until 5).map(i => docs.where(col("doc_id") % 5 === i))
+    // twin without maintenance: every admit/drop decision must match
+    val plainDir = tmpDir("daemon-acplain-")
+    val plain = IngestDaemon.open(spark, plainDir, cfg)
+    waves.zipWithIndex.take(4).foreach { case (w, i) =>
+      plain.processBatch(s"b$i", w) }
+
+    val acfg = cfg.copy(compactEvery = Some(2), compactTargetPartitions = 2)
+    val dir = tmpDir("daemon-ac-")
+    val d = IngestDaemon.open(spark, dir, acfg)
+    d.processBatch("b0", waves(0))
+    val v0 = d.version
+    waves.zipWithIndex.slice(1, 4).foreach { case (w, i) =>
+      d.processBatch(s"b$i", w) }
+    assert(corpusIds(d) == corpusIds(plain),
+      "auto-compaction changed an admission decision")
+    // the fold ran: layout bounded (vs the un-maintained twin), the
+    // journal survived it, pre-fold snapshots refuse loudly, current
+    // snapshots still pin
+    assert(seenDataFiles(dir) < seenDataFiles(plainDir),
+      s"fold did not bound the seen layout: ${seenDataFiles(dir)} vs " +
+        s"${seenDataFiles(plainDir)}")
+    (0 until 4).foreach(i => assert(d.appliedVersion(s"b$i").isDefined,
+      s"journal row b$i lost across the fold"))
+    val foldE = intercept[Exception](d.corpusAsOf(v0).collect())
+    assert(foldE.getMessage.contains("folded"), foldE.getMessage)
+    assert(d.corpusAsOf(d.version).count() == corpusIds(d).size.toLong)
+
+    // crash DURING an auto-fold: the next call re-runs maintenance
+    // and the batch, nothing double-applied (the fold is pre-batch,
+    // so the kill touches no batch state at all)
+    @volatile var killed = false
+    graft.storage.FaultPoints.install { p =>
+      if (p == "table.rewrite.preCommit" && !killed) {
+        killed = true; throw new RuntimeException("kill: auto-compact")
+      }
+    }
+    try intercept[RuntimeException](d.processBatch("b4", waves(4)))
+    finally graft.storage.FaultPoints.clear()
+    assert(d.appliedVersion("b4").isEmpty, "killed batch left state")
+    d.processBatch("b4", waves(4))
+    plain.processBatch("b4", waves(4))
+    assert(corpusIds(d) == corpusIds(plain),
+      "crash-during-fold diverged the corpus")
+
+    // the segment-count trigger: layout pressure stays bounded with
+    // no per-handle counter (restart-robust)
+    val sDir = tmpDir("daemon-acseg-")
+    val s = IngestDaemon.open(spark, sDir,
+      cfg.copy(compactMaxSegments = Some(3), compactTargetPartitions = 1))
+    waves.zipWithIndex.foreach { case (w, i) => s.processBatch(s"b$i", w) }
+    assert(corpusIds(s) == corpusIds(plain),
+      "segment-trigger maintenance changed admissions")
+    assert(seenDataFiles(sDir) <= 3 + 4,
+      s"segment trigger never fired: ${seenDataFiles(sDir)} files")
+  }
+
+  test("daemon: a pre-dsir_logw seen store reopens via the widening " +
+      "migration — old rows read null, the loop continues") {
+    import graft.storage.TableStore
+    val dir = tmpDir("daemon-mig-")
+    // hand-construct the PRE-UPGRADE layout: a seen store created by
+    // a build without the dsir_logw column, one committed batch
+    val oldSchema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("id", LongType, nullable = true),
+      StructField("text", StringType, nullable = true),
+      StructField("n_tokens", LongType, nullable = true),
+      StructField("quality", DoubleType, nullable = true),
+      StructField("admitted", BooleanType, nullable = true),
+      StructField("batch_id", StringType, nullable = true)))
+    val old = TableStore.open(spark, dir + "/seen", oldSchema)
+    val nul = (t: String) => lit(null).cast(t)
+    val docRows = spark.range(2).select(
+      lit("doc").as("kind"), (col("id") + 1).as("id"),
+      lit("the cat sat on the mat").as("text"),
+      lit(6L).as("n_tokens"), lit(0.9).as("quality"),
+      lit(true).as("admitted"), nul("string").as("batch_id"))
+    val journal = spark.range(1).select(
+      lit("batch").as("kind"), nul("long").as("id"),
+      nul("string").as("text"), nul("long").as("n_tokens"),
+      nul("double").as("quality"), nul("boolean").as("admitted"),
+      lit("old-b0").as("batch_id"))
+    old.append(docRows.unionByName(journal))
+    // the upgrade build opens the same dir: must NOT refuse (ADVICE
+    // r18 — this used to brick every pre-dsir deployment)
+    val d = IngestDaemon.open(spark, dir, cfg)
+    assert(d.appliedVersion("old-b0").isDefined,
+      "pre-migration journal row unreadable")
+    val oldCorpus = d.corpus.orderBy("doc_id").collect()
+    assert(oldCorpus.length == 2 &&
+      oldCorpus.forall(_.isNullAt(4)),
+      "pre-migration rows must read dsir_logw as null")
+    // and the loop continues across the migration
+    d.processBatch("b1", docs.where(col("doc_id") < 100))
+    assert(corpusIds(d).size > 2, "post-migration batch admitted nothing")
+    assert(d.processBatch("old-b0", docs.limit(1)).isEmpty,
+      "pre-migration batch not recognized as applied")
+  }
+
+  test("daemon: checkConsistency sweeps pin staging litter, leaves " +
+      "live pins and young litter alone") {
+    val dir = tmpDir("daemon-pins-")
+    val d = IngestDaemon.open(spark, dir,
+      cfg.copy(dsir = true, dsirBuckets = 64,
+        dsirTargetDir = {
+          val t = tmpDir("daemon-pins-tgt-")
+          docs.where(col("doc_id") % 7 === 0).write.mode("overwrite")
+            .parquet(t); Some(t)
+        }))
+    d.processBatch("b0", docs.where(col("doc_id") % 7 =!= 0))
+    val pins = java.nio.file.Paths.get(dir, "pins")
+    assert(java.nio.file.Files.exists(pins.resolve("gated")),
+      "the gated pin should exist after a batch")
+    // plant a crashed pin publish
+    val litter = pins.resolve("tmp-gated-dead")
+    java.nio.file.Files.createDirectories(litter)
+    java.nio.file.Files.write(litter.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val report = d.checkConsistency()
+    assert(report.exists(_.contains("tmp-gated-dead")), report.toString)
+    // young litter survives the default age gate (a live writer may
+    // own it)
+    d.checkConsistency(repair = true)
+    assert(java.nio.file.Files.exists(litter))
+    // writer-known-dead repair removes it; live pins stay
+    d.checkConsistency(repair = true, minAgeMs = 0)
+    assert(!java.nio.file.Files.exists(litter))
+    assert(java.nio.file.Files.exists(pins.resolve("gated")),
+      "sweep must not delete live stage pins")
+    assert(corpusIds(d).nonEmpty)
+  }
+
+  test("gate records with empty repetition threshold lists round-trip") {
+    // recording skips empty lists (absence = fall back to base), and
+    // the parser tolerates old records that DID write an empty value
+    val c = cfg.copy(repMaxTopNgramCharFrac = Nil,
+      repMaxDupNgramCharFrac = Nil)
+    val s = IngestDaemon.gatesString(c)
+    assert(!s.contains("repMaxTopNgramCharFrac"),
+      "empty list recorded — replays would NFE")
+    val parsed = IngestDaemon.parseGates(cfg, s)
+    assert(parsed.repMaxTopNgramCharFrac == cfg.repMaxTopNgramCharFrac)
+    assert(IngestDaemon.parseGates(cfg,
+      "repMaxTopNgramCharFrac=\nrepMaxDupNgramCharFrac=")
+      .repMaxTopNgramCharFrac == Nil,
+      "an old empty-valued record must parse to Nil, not throw")
+  }
 }

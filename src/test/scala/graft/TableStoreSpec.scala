@@ -426,6 +426,70 @@ abstract class TableStoreContract extends SparkSpec {
     assert(re.read.count() == 1)
   }
 
+  test("reopening with trailing nullable columns widens in place (upgrade migration)") {
+    val dir = storeDir("ts-widen")
+    val store = TableStore.open(spark, dir, schema)
+    store.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    val verBefore = store.version
+    // a software upgrade appends a nullable column (the daemon's seen
+    // store gaining dsir_logw): the reopen must absorb it without a
+    // data rewrite — old rows read the column as null
+    val widened = StructType(schema.fields :+
+      StructField("w", DoubleType, nullable = true))
+    val up = TableStore.open(spark, dir, widened)
+    assert(up.version == verBefore + 1,
+      "the schema upgrade is one manifest commit")
+    val old = up.read.orderBy("v").collect()
+    assert(old.length == 2 && old.forall(_.isNullAt(2)),
+      s"pre-migration rows must read the added column as null: ${old.toSeq}")
+    // new appends carry the column; mixed-era reads see both
+    up.append(Seq(("c", 3L, 0.5)).toDF("k", "v", "w"))
+    val rows = up.read.orderBy("v").collect()
+    assert(rows.length == 3 && rows(2).getDouble(2) == 0.5)
+    assert(rows(0).isNullAt(2))
+    // the store's pinned identity follows the new shape: reopening
+    // with the ORIGINAL schema is now a (refused) narrowing
+    intercept[IllegalArgumentException] { TableStore.open(spark, dir, schema) }
+    // a NON-NULLABLE addition is refused — old rows cannot satisfy it
+    val nonNull = StructType(widened.fields :+
+      StructField("z", LongType, nullable = false))
+    intercept[IllegalArgumentException] { TableStore.open(spark, dir, nonNull) }
+    // a REORDER of stored columns is refused — indistinguishable from
+    // a rename-pair, it would misread real data
+    val reordered = StructType(widened.fields.reverse)
+    intercept[IllegalArgumentException] {
+      TableStore.open(spark, dir, reordered)
+    }
+    // inserting a nullable column BETWEEN stored columns is a legal
+    // widening too (the daemon's dsir_logw landed before batch_id):
+    // by-name reads make position irrelevant
+    val inserted = StructType(
+      widened.fields.take(1) ++
+        Seq(StructField("mid", StringType, nullable = true)) ++
+        widened.fields.drop(1))
+    val up2 = TableStore.open(spark, dir, inserted)
+    val r2 = up2.read.orderBy("v").collect()
+    assert(r2.length == 3 && r2.forall(_.isNullAt(1)),
+      s"inserted column must read null on pre-migration rows: ${r2.toSeq}")
+    assert(r2(2).getDouble(3) == 0.5, "stored columns misread after insert")
+  }
+
+  test("refresh() sees commits made through another handle") {
+    val dir = storeDir("ts-refresh")
+    val a = TableStore.open(spark, dir, schema)
+    val b = TableStore.open(spark, dir, schema)
+    a.append(Seq(("a", 1L)).toDF("k", "v"))
+    a.append(Seq(("b", 2L)).toDF("k", "v"))
+    // b's view is frozen at open (manifest-snapshot isolation) ...
+    assert(b.version == 0 && b.read.count() == 0)
+    // ... until it refreshes from disk
+    assert(b.refresh() == a.version)
+    assert(b.read.count() == 2)
+    assert(b.segmentCount == a.segmentCount)
+    // refresh is monotonic and idempotent
+    assert(b.refresh() == a.version)
+  }
+
   test("rewrite collapses history into one version") {
     val store = TableStore.open(spark, storeDir("ts-rw"), schema)
     (1 to 5).foreach(i => store.append(Seq(("a", i.toLong)).toDF("k", "v")))

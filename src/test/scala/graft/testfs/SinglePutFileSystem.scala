@@ -31,6 +31,28 @@ class SinglePutFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "graftput"
   override def getUri: URI = URI.create("graftput:///")
 
+  // `create(overwrite = false)` emulates the CONDITIONAL PUT
+  // (`If-None-Match: *`): the existence precondition is enforced AT
+  // PUBLISH TIME (close), atomically — not by the check-then-act
+  // upstream `exists` test — so a racing-committers spec exercises
+  // the same all-or-nothing decide-at-PUT contract the real stores
+  // give. The flag rides a ThreadLocal from the create overload into
+  // the stream (createOutputStreamWithMode does not see `overwrite`).
+  private val conditional = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  override def create(
+      f: Path, overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    conditional.set(!overwrite)
+    try super.create(f, overwrite, bufferSize, replication, blockSize,
+      progress)
+    finally conditional.set(java.lang.Boolean.FALSE)
+  }
+
   // EVERY RawLocalFileSystem create/append funnels through this hook
   // (the permission-variant `create` overloads do not — RawLocal's own
   // overloads bypass them), so this is the one interception point that
@@ -43,6 +65,7 @@ class SinglePutFileSystem extends RawLocalFileSystem {
         "graftput emulates an object store: append is not supported")
     val target = pathToFile(f)
     if (target.getParentFile != null) target.getParentFile.mkdirs()
+    val ifNoneMatch: Boolean = conditional.get()
     val buf = new ByteArrayOutputStream()
     new OutputStream {
       private var closed = false
@@ -57,9 +80,20 @@ class SinglePutFileSystem extends RawLocalFileSystem {
         val tmp = java.nio.file.Files.createTempFile(
           target.getParentFile.toPath, ".inflight-", ".put")
         java.nio.file.Files.write(tmp, buf.toByteArray)
-        java.nio.file.Files.move(tmp, target.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (ifNoneMatch) {
+          // conditional publish: hard-link creation is atomic AND
+          // refuses an existing target (If-None-Match semantics —
+          // a plain rename(2) would silently replace)
+          try java.nio.file.Files.createLink(target.toPath, tmp)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                s"conditional PUT lost: $f already exists")
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+        } else
+          java.nio.file.Files.move(tmp, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
   }

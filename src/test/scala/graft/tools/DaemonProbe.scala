@@ -58,6 +58,15 @@ object DaemonProbe {
     // seen in one exactly-once step per batch.
     val withRep = args.contains("rep")
     val withDsir = args.contains("dsir")
+    // `compactEvery=N` composes the AUTOMATED MAINTENANCE policy into
+    // the measured loop (r18 verdict task 1's long-run leg): the
+    // segment/journal growth story the 8-large-batch legs cannot show
+    // — run hundreds of SMALL batches with and without it and compare
+    // the per-batch slope, the corpus read cost and the seen-store
+    // file count at the end
+    val compactEvery = args.collectFirst {
+      case a if a.startsWith("compactEvery=") => a.split("=")(1).toInt
+    }
 
     // synthetic crawl: each doc is 40 hash-derived tokens (docs share
     // essentially NO shingles — a shared-boilerplate fixture would
@@ -133,7 +142,8 @@ object DaemonProbe {
       fpMaxHamming = 2, fpBands = 4, fpBits = 64,
       boilerplate = withBoil,
       repetition = withRep,
-      dsir = withDsir, dsirPortable = false, dsirDeterministic = false))
+      dsir = withDsir, dsirPortable = false, dsirDeterministic = false,
+      compactEvery = compactEvery, compactTargetPartitions = 4))
     // the DSIR target model: one out-of-band ingest of a synthetic
     // trusted corpus (distinct seed range), scanned exactly once ever
     if (withDsir)
@@ -148,14 +158,37 @@ object DaemonProbe {
       (if (withBoil) " + composed boilerplate tier (width=3)" else "") +
       (if (withRep) " + composed repetition gate (Gopher thresholds)" else "") +
       (if (withDsir) " + composed DSIR tier (B=8192, xxhash64)" else ""))
+    compactEvery.foreach(n => println(s"== auto-compact every $n batches"))
     println(f"${"batch"}%6s ${"corpus"}%9s ${"secs"}%7s ${"admitted"}%9s")
+    val perBatch = new Array[Double](batches)
+    // long runs (the maintenance leg) print every 10th batch; the
+    // classic short legs keep their per-batch rows
+    val stride = if (batches > 20) 10 else 1
     for (b <- 0 until batches) {
       val df = batchDf(b).localCheckpoint(true)
       val t0 = System.nanoTime()
       daemon.processBatch(s"b$b", df)
-      val secs = (System.nanoTime() - t0) / 1e9
+      perBatch(b) = (System.nanoTime() - t0) / 1e9
+      if (b % stride == 0 || b == batches - 1) {
+        val n = daemon.corpus.count()
+        println(f"$b%6d $n%9d ${perBatch(b)}%7.2f ${n}%9d")
+      }
+    }
+    if (batches > 20) {
+      def med(a: Seq[Double]) = a.sorted.apply(a.size / 2)
+      val q = batches / 4
+      println(f"== per-batch medians by quarter: " +
+        f"${med(perBatch.slice(0, q))}%.2f " +
+        f"${med(perBatch.slice(q, 2 * q))}%.2f " +
+        f"${med(perBatch.slice(2 * q, 3 * q))}%.2f " +
+        f"${med(perBatch.slice(3 * q, batches))}%.2f s")
+      val seenFiles = java.nio.file.Files
+        .list(java.nio.file.Paths.get(dir, "seen", "data")).count()
+      val t0 = System.nanoTime()
       val n = daemon.corpus.count()
-      println(f"$b%6d $n%9d $secs%7.2f ${n}%9d")
+      val readS = (System.nanoTime() - t0) / 1e9
+      println(f"== end state: $seenFiles seen segment files, " +
+        f"corpus read ($n docs) in $readS%.2f s")
     }
     println(s"== final index version ${daemon.index.version}, " +
       s"corpus ${daemon.corpus.count()} docs")
