@@ -505,6 +505,14 @@ object Dedup {
     val probeLimit =
       math.min(maxPushedFetchIds + 1, Int.MaxValue.toLong).toInt
     val gathered = candIds.limit(probeLimit).collect()
+    // `gathered` is TRUNCATED when it hit the probe limit — it is
+    // only the complete candidate-id set below the gate. The tier
+    // tests below must check overflow FIRST: with a small
+    // maxPushedFetchIds (< maxInLiteralIds) a truncated gather would
+    // otherwise slip into the IN-literal tier with an incomplete id
+    // list and silently drop candidate texts (caught by
+    // FetchTierProbe's pushed-vs-forced answer assert).
+    val overflow = gathered.length > maxPushedFetchIds
     // Three-tier text fetch, gates set from the round-10 InGateProbe
     // (100 k-row corpus, local[32]): a pushed IN literal costs
     // planning LINEAR in n (n=10k: 0.12 s plan / 0.40 s exec; n=100k:
@@ -517,9 +525,9 @@ object Dedup {
     // n=100k exec 0.46 s vs 2.99 s. Above the fetch gate: full scan,
     // one columnar pass.
     val prunedCorpusTexts =
-      if (gathered.length <= maxInLiteralIds)
+      if (!overflow && gathered.length <= maxInLiteralIds)
         corpusTexts.where(col(idCol).isin(gathered.map(_.get(0)): _*))
-      else if (gathered.length <= maxPushedFetchIds)
+      else if (!overflow)
         corpusTexts.join(
           broadcast(candIds.select(col("_cid").as(idCol))),
           Seq(idCol), "left_semi")

@@ -33,6 +33,14 @@ final class TableStore private (
 
   private val io: FileIO = FileIO.forPath(dir)
 
+  // target on-disk bytes per segment file for the small-append merge
+  // in [[writeSegmentFiles]] — session-tunable; the default keeps a
+  // micro-batch commit at 1–2 files while leaving any append whose
+  // staged bytes already justify its file count untouched
+  private val segmentTargetFileBytes: Long =
+    spark.conf.getOption("spark.graft.segmentTargetFileBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+
   /** On-disk schema: the logical columns plus the physical `_ver`. */
   private val diskSchema: StructType =
     StructType(schema.fields :+ StructField("_ver", LongType, nullable = false))
@@ -201,8 +209,34 @@ final class TableStore private (
   private def writeSegmentFiles(out: DataFrame, ver: Long): List[Segment] = {
     val tmp = FileIO.join(dir, s"tmp-${UUID.randomUUID()}")
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // Small-append coalescing: a batch that arrives with N partitions
+    // writes N files regardless of size (the write boundary is often
+    // narrow, so AQE never coalesces it), and a store advanced by
+    // thousands of small commits — the streaming-daemon shape — then
+    // pays O(files) listing/footer cost at EVERY plan. Judge staged
+    // bytes (real sizes, not a row guess) and fold a tiny multi-file
+    // stage into ceil(bytes/target) files before publishing; one
+    // extra small job per small append, large appends untouched.
+    val staged = io.list(tmp)
+      .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
+    val merged =
+      if (staged.length <= 1) tmp
+      else {
+        val totalBytes = staged.map(f => io.size(f.path)).sum
+        val target = math.max(1L,
+          (totalBytes + segmentTargetFileBytes - 1) / segmentTargetFileBytes)
+        if (target >= staged.length) tmp
+        else {
+          val tmp2 = FileIO.join(dir, s"tmp-${UUID.randomUUID()}")
+          spark.read.schema(diskSchema).parquet(tmp)
+            .coalesce(target.toInt)
+            .write.mode(SaveMode.Overwrite).parquet(tmp2)
+          FsckSweep.deleteRecursively(tmp)
+          tmp2
+        }
+      }
     FaultPoints.reach("table.segments.tmpWritten")
-    val files = io.list(tmp)
+    val files = io.list(merged)
       .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
     val dataDir = FileIO.join(dir, "data")
     io.mkdirs(dataDir)
@@ -222,7 +256,7 @@ final class TableStore private (
       FaultPoints.reach("table.segments.moved")
       Segment(s"data/$name", ver, ver, rows)
     }
-    FsckSweep.deleteRecursively(tmp)
+    FsckSweep.deleteRecursively(merged)
     segs
   }
 

@@ -294,6 +294,39 @@ class PipelineSpec extends SparkSpec {
       s"candidate ids must broadcast-semi-prune the text fetch:\n$plan")
   }
 
+  test("incremental LSH: forced text-fetch TOP tier equals the pushed tiers") {
+    // regression (r19, found by FetchTierProbe): `gathered` is
+    // TRUNCATED at maxPushedFetchIds+1, and the tier selection used
+    // to test `gathered.length <= maxInLiteralIds` FIRST — so a gate
+    // below maxInLiteralIds sent a truncated 2-id gather into the
+    // IN-literal tier with an incomplete candidate list and silently
+    // dropped every corpus-side text (pairs collapsed to the
+    // batch-internal ones). Overflow must route to the envelope-fenced
+    // full pass, and the answer must not change.
+    val corpus = docs.where(col("doc_id") < 250)
+    val fresh = docs.where(col("doc_id") >= 250)
+    val idxDir = tmpDir("graft-lshtop-")
+    Dedup.lshBandIndex(corpus, "text", "doc_id", 8, 4)
+      .write.mode("overwrite").partitionBy("band").parquet(idxDir)
+    def run(gate: Long) = Dedup.incrementalLshPairs(
+      fresh, "text", "doc_id",
+      corpusBands = spark.read.parquet(idxDir),
+      corpusTexts = corpus.select("doc_id", "text"),
+      numHashes = 8, bands = 4, threshold = 0.35,
+      maxPushedFetchIds = gate)
+    val top = run(gate = 1L)
+    val got = top.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = run(gate = 100000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"top tier diverges: extra=${got -- want}, " +
+      s"missing=${want -- got}")
+    assert(want.nonEmpty, "no batch-touching pairs — vacuous")
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("In(doc_id"),
+      s"top tier must not build an IN literal:\n$plan")
+  }
+
   test("incremental LSH: rolling ingest — probe, append bands, probe again") {
     // the full production cycle across TWO ingests: batch1 probes the
     // corpus index, its own bands are APPENDED to the index (the

@@ -38,6 +38,31 @@ abstract class TableStoreContract extends SparkSpec {
     assert(!plan.contains("Union"), s"plan still unions per-commit scans:\n$plan")
   }
 
+  test("a small multi-partition append publishes few files (byte-aware merge)") {
+    val store = TableStore.open(spark, storeDir("ts-merge"), schema)
+    val df = spark.range(2000).repartition(32)
+      .select(concat(lit("k"), (col("id") % 7).cast("string")).as("k"),
+        col("id").as("v"))
+    store.append(df)
+    // a ~40 KB staged write must not publish 32 files: the store pays
+    // O(files) listing/footer cost at every plan, and a streaming
+    // daemon advances it thousands of times
+    assert(store.segmentCount <= 2,
+      s"tiny 32-partition append published ${store.segmentCount} files")
+    assert(store.read.count() == 2000)
+    assert(store.read.agg(sum("v")).collect().head.getLong(0) ==
+      (0L until 2000L).sum)
+    // staged bytes that already justify their file count are left
+    // alone: a tiny per-file target disables the merge entirely
+    spark.conf.set("spark.graft.segmentTargetFileBytes", "1")
+    try {
+      val noMerge = TableStore.open(spark, storeDir("ts-nomerge"), schema)
+      noMerge.append(df)
+      assert(noMerge.segmentCount > 2)
+      assert(noMerge.read.count() == 2000)
+    } finally spark.conf.unset("spark.graft.segmentTargetFileBytes")
+  }
+
   test("table count/min/max(_ver) answered from the manifest — zero file IO") {
     import spark.implicits._
     val dir = storeDir("ts-agg")
