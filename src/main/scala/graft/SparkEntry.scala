@@ -1080,6 +1080,32 @@ object SparkEntry {
       d.corpus.select("doc_id", "n_tokens", "quality").orderBy("doc_id")
     }),
 
+    // MINOR (version-preserving) maintenance: same pipeline as q146
+    // but compactMinor=true, and the RESULT is a pre-fold snapshot —
+    // corpusAsOf at the version that applied b2, read AFTER b3 and
+    // two more folds landed. A full fold refuses this read; the minor
+    // fold must serve it bit-for-bit identical to the one-shot
+    // pipeline over the first two batches' slice.
+    "q148_daemon_minor_snapshot" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val work = tempWorkDir("q148-daemon-")
+      val cfg = graft.streaming.IngestConfig(
+        lang = "en", minQuality = 0.5, minTokens = 10, maxTokens = 5000,
+        threshold = 0.35,
+        params = graft.dedup.DedupParams(numHashes = 8, bands = 4),
+        repetition = true,
+        compactEvery = Some(1), compactTargetPartitions = 2,
+        compactMinor = true)
+      val d = graft.streaming.IngestDaemon.open(s, work, cfg)
+      val raw = docs.where(col("doc_id") % 3 =!= 0)
+      d.processBatch("b1", raw.where(col("doc_id") < 300))
+      d.processBatch("b2", raw.where(col("doc_id") >= 300 && col("doc_id") < 600))
+      val v2 = d.appliedVersion("b2").get
+      d.processBatch("b3", raw.where(col("doc_id") >= 600))
+      d.corpusAsOf(v2).select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    }),
+
     // the SQL catalog surface: a log queried by PATH through plain
     // SQL (`graft.log.`<dir>``) — no Scala API, no format() plumbing;
     // the resolver hands back the same DSv2 table the format reader
@@ -4136,6 +4162,47 @@ object SparkEntry {
       ("WITH RECURSIVE " +
         curationGateOracle(
           "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)") +
+        s""", rep AS (
+           |  SELECT doc_id FROM ($repetitionPanelSql)
+           |  WHERE dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+           |    AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+           |    AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+           |    AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+           |    AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+           |    AND dup_10gram_char_frac <= 0.10
+           |), gated2 AS (
+           |  SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM rep)
+           |), exact AS (
+           |  SELECT * FROM (
+           |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canon
+           |    FROM gated2)
+           |  WHERE doc_id = canon
+           |), """.stripMargin +
+        lshPairsCtes.stripPrefix("WITH ")
+          .replace("FROM documents", "FROM exact") +
+        """, edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs
+          |), reach(id, r) AS (
+          |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          |  UNION
+          |  SELECT reach.id, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+          |), comp AS (
+          |  SELECT id, min(r) AS component FROM reach GROUP BY id
+          |)
+          |SELECT doc_id, n_tokens, quality FROM exact
+          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+          |ORDER BY doc_id""".stripMargin),
+
+    // q148: the daemon side answers corpusAsOf(v applied b2) AFTER b3
+    // and two MINOR folds — so the oracle is the q146 pipeline over
+    // the first two batches' slice only (doc_id < 600): the snapshot
+    // must equal the one-shot run as if b3 never happened
+    "q148_daemon_minor_snapshot" ->
+      ("WITH RECURSIVE " +
+        curationGateOracle(
+          "(SELECT doc_id, text FROM documents " +
+            "WHERE doc_id % 3 <> 0 AND doc_id < 600)") +
         s""", rep AS (
            |  SELECT doc_id FROM ($repetitionPanelSql)
            |  WHERE dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20

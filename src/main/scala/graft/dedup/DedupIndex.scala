@@ -303,6 +303,20 @@ final class DedupIndex private (
         .sortWithinPartitions("kind", "band", "bucket", "fingerprint"))
   }
 
+  /** MINOR maintenance ([[graft.storage.TableStore.compactSmall]]):
+    * fold only the small (recent-commit) segments into the probe
+    * layout, PRESERVING every row's commit version — pre-fold batch
+    * replays and `readAsOf` snapshots keep working, and the fold cost
+    * is bounded by the small tail instead of the whole index. The
+    * in-loop policy a daemon can afford on every tick; [[compact]]
+    * remains the explicit offline full fold. */
+  def compactMinor(
+      targetPartitions: Int = 8,
+      maxSegmentBytes: Long = 256L << 20): Boolean = synchronized {
+    store.compactSmall(Seq("kind", "band", "bucket", "fingerprint"),
+      targetPartitions, maxSegmentBytes)
+  }
+
   /** The committed rows as of `pre` (None = current): the snapshot
     * read is the connector's `versionAsOf` planning-time prune. */
   private def stateAt(pre: Option[Long]): DataFrame = pre match {

@@ -192,6 +192,16 @@ final class FingerprintIndex private (
         .sortWithinPartitions("kind", "band", "bkey", "id"))
   }
 
+  /** MINOR maintenance — the [[DedupIndex.compactMinor]] contract:
+    * version-preserving small-tail fold, replays and snapshots keep
+    * working, cost bounded by the small tail. */
+  def compactMinor(
+      targetPartitions: Int = 8,
+      maxSegmentBytes: Long = 256L << 20): Boolean = synchronized {
+    store.compactSmall(Seq("kind", "band", "bkey"), targetPartitions,
+      maxSegmentBytes)
+  }
+
   private def stateAt(pre: Option[Long]): DataFrame = pre match {
     case Some(v) if v <= 0 =>
       spark.createDataFrame(

@@ -187,6 +187,16 @@ final class SemanticIndex private (
         .sortWithinPartitions("kind", "cell", "id"))
   }
 
+  /** MINOR maintenance — the [[DedupIndex.compactMinor]] contract:
+    * version-preserving small-tail fold, replays and snapshots keep
+    * working, cost bounded by the small tail. */
+  def compactMinor(
+      targetPartitions: Int = 8,
+      maxSegmentBytes: Long = 256L << 20): Boolean = synchronized {
+    store.compactSmall(Seq("kind", "cell"), targetPartitions,
+      maxSegmentBytes)
+  }
+
   private def stateAt(pre: Option[Long]): DataFrame = pre match {
     case Some(v) if v <= 0 =>
       spark.createDataFrame(

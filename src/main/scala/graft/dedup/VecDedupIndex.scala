@@ -194,6 +194,16 @@ final class VecDedupIndex private (
         .sortWithinPartitions("kind", "bucket", "id"))
   }
 
+  /** MINOR maintenance — the [[DedupIndex.compactMinor]] contract:
+    * version-preserving small-tail fold, replays and snapshots keep
+    * working, cost bounded by the small tail. */
+  def compactMinor(
+      targetPartitions: Int = 8,
+      maxSegmentBytes: Long = 256L << 20): Boolean = synchronized {
+    store.compactSmall(Seq("kind", "bucket"), targetPartitions,
+      maxSegmentBytes)
+  }
+
   private def stateAt(pre: Option[Long]): DataFrame = pre match {
     case Some(v) if v <= 0 =>
       spark.createDataFrame(

@@ -108,15 +108,27 @@ final class GraftTableScanBuilder(
     * zero files. `_ver` repeats across rows, so `count(distinct)` is
     * refused (MetaAgg keyUnique=false). Anything else plans the
     * normal scan. */
+  /** Metadata arithmetic is only exact when no selected segment
+    * SPANS the snapshot cut: a minor fold merges several versions
+    * into one segment, and a `versionAsOf` strictly inside its range
+    * would overcount from entry rows — such snapshots plan the real
+    * scan (whose reader row-cuts exactly) instead. Current-table
+    * reads are always exact (every selected segment is fully in). */
+  private def metaExact: Boolean = versionAsOf.forall { v =>
+    Manifest.load(dir).forall(
+      _.segments.filter(_.minSeq <= v).forall(_.maxSeq <= v))
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   ): Boolean =
-    MetaAgg.translate(agg, "_ver", keyUnique = false).isDefined
+    MetaAgg.translate(agg, "_ver", keyUnique = false).isDefined && metaExact
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   ): Boolean =
-    MetaAgg.translate(agg, "_ver", keyUnique = false) match {
+    MetaAgg.translate(agg, "_ver", keyUnique = false)
+      .filter(_ => metaExact) match {
       case some @ Some(_) => aggKinds = some; true
       case None => false
     }
@@ -202,11 +214,19 @@ final class GraftTableScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val segs = segments
+    // a snapshot that cuts INSIDE a minor-folded (version-spanning)
+    // segment needs a row-level `_ver <= v` cut; applied to EVERY
+    // partition of the scan (never a mix) so columnar support stays
+    // uniform across the scan, as Spark requires. Snapshots whose
+    // selected segments all lie fully below the cut — and all
+    // current-table reads — keep the uncut columnar fast path.
+    val vCut = versionAsOf.filter(v => segs.exists(_.maxSeq > v))
     SegmentPacking
       .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs),
         filterCol = "_ver", sharedRangeSplits = true)
       .map { g =>
         LogSegmentPartition(dir, g.paths, g.minSeq, g.maxSeq,
+          hiSeq = vCut.getOrElse(Long.MaxValue),
           splitStart = g.splitStart, splitEnd = g.splitEnd)
       }
       .toArray[InputPartition]
@@ -368,19 +388,28 @@ final class GraftTableMicroBatchStream(
           "concurrent rewrite (compact/delete); this stream cannot be " +
           "served exactly-once — restart it against the current table")
     }
-    val segs = m.segments.filter(s => s.minSeq > lo && s.minSeq <= hi)
+    // selection by CONTENT RANGE, not first version: a minor fold
+    // (TableStore.compactSmall) merges several versions into one
+    // segment with a spanning [minSeq, maxSeq] — its undelivered
+    // rows must still be served, and re-planning a crashed batch
+    // against the folded manifest must yield the identical rows
+    // (the fold preserves every row's `_ver`)
+    val segs = m.segments.filter(s => s.maxSeq > lo && s.minSeq <= hi)
+    // cutImplied: when every planned segment lies FULLY inside
+    // (lo, hi], present files need no row filtering and the batch may
+    // be served vectorized; a spanning (minor-folded) segment needs
+    // the row-level `_ver` cut — applied to EVERY partition of this
+    // batch (uniform columnar support, as Spark requires). The cut
+    // always scopes the vanished-file re-resolution fallback.
+    val implied = segs.forall(s => s.minSeq > lo && s.maxSeq <= hi)
     SegmentPacking
       .pack(dir, segs, SegmentPacking.maxBytes(maxPartitionBytesOpt, dir, segs),
         filterCol = "_ver", sharedRangeSplits = true)
       .map { g =>
-        // cutImplied: every planned segment's single _ver is inside
-        // (lo, hi] by the selection above — present files need no row
-        // filtering, so the batch may be served vectorized; the cut
-        // still scopes the vanished-file re-resolution fallback
         LogSegmentPartition(dir, g.paths, g.minSeq, g.maxSeq,
           loSeq = lo + 1, hiSeq = hi,
           splitStart = g.splitStart, splitEnd = g.splitEnd,
-          cutImplied = true)
+          cutImplied = implied)
       }
       .toArray[InputPartition]
   }

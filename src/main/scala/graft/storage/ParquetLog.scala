@@ -51,6 +51,13 @@ final class ParquetLog private (
 
   private val io: FileIO = FileIO.forPath(dir)
 
+  // target on-disk bytes per segment file for the small-append merge
+  // in [[writeSegments]] — same knob and default as
+  // [[TableStore]]'s (`spark.graft.segmentTargetFileBytes`)
+  private val segmentTargetFileBytes: Long =
+    spark.conf.getOption("spark.graft.segmentTargetFileBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+
   private def dataDir: String = FileIO.join(dir, "data")
 
   def valueType: DataType = DataType.fromJson(manifest.valueSchemaJson)
@@ -225,8 +232,39 @@ final class ParquetLog private (
       .option("parquet.page.row.count.limit", "1024")
       .mode(SaveMode.Overwrite)
       .parquet(tmp)
+    // Small-append coalescing (the TableStore.writeSegmentFiles
+    // discipline): a small batch arriving with N partitions writes N
+    // tiny seq-range files, and a log advanced by thousands of small
+    // streaming commits pays O(files) listing/footer cost at every
+    // plan. When the staged bytes justify fewer files, fold them —
+    // repartitionByRange on `seq` keeps every output file a dense
+    // contiguous seq range (each range-partition holds exactly the
+    // seqs in its bounds), which the positional point-read math and
+    // the fsck density check both require.
+    val staged0 = io.list(tmp)
+      .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
+    val merged =
+      if (staged0.length <= 1) tmp
+      else {
+        val totalBytes = staged0.map(f => io.size(f.path)).sum
+        val target = math.max(1L,
+          (totalBytes + segmentTargetFileBytes - 1) / segmentTargetFileBytes)
+        if (target >= staged0.length) tmp
+        else {
+          val tmp2 = FileIO.join(dir, s"tmp-${UUID.randomUUID()}")
+          spark.read.schema(df.schema).parquet(tmp)
+            .repartitionByRange(target.toInt, col("seq"))
+            .sortWithinPartitions("seq")
+            .write
+            .option("parquet.page.row.count.limit", "1024")
+            .mode(SaveMode.Overwrite)
+            .parquet(tmp2)
+          FsckSweep.deleteRecursively(tmp)
+          tmp2
+        }
+      }
     FaultPoints.reach("log.segments.tmpWritten")
-    val files = io.list(tmp)
+    val files = io.list(merged)
       .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
     io.mkdirs(dataDir)
     val segs = files.flatMap { src =>
@@ -240,7 +278,7 @@ final class ParquetLog private (
       } // zero-row part files are skipped (and cleaned with tmp)
     }
     FaultPoints.reach("log.segments.allMoved")
-    FsckSweep.deleteRecursively(tmp)
+    FsckSweep.deleteRecursively(merged)
     segs.sortBy(_.minSeq)
   }
 

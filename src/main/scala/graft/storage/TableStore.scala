@@ -133,6 +133,58 @@ final class TableStore private (
     old.foreach(s => io.delete(FileIO.join(dir, s.path)))
   }
 
+  /** MINOR compaction: fold only the SMALL segments (staged bytes
+    * below `maxSegmentBytes`) into `targetPartitions` range-laid-out
+    * files, PRESERVING each row's physical `_ver`. Unlike [[rewrite]]
+    * this never destroys history: snapshot reads (`readAsOf`) below
+    * the fold stay EXACT (merged segments carry a `[minVer, maxVer]`
+    * content range and the connector row-cuts inside them), streams
+    * keep delivering exactly-once across it, and replay consumers
+    * that need a pre-fold snapshot keep working. The cost is bounded
+    * by the small tail, not the corpus — the fold a standing store
+    * can afford on EVERY maintenance tick at 100 TB, with [[rewrite]]
+    * left for explicit offline folds. Large already-folded segments
+    * are never rewritten (their bytes amortize across many folds).
+    *
+    * `layout` is the range-partition + sort column list (the store's
+    * probe-pruning order). Returns false when fewer than two small
+    * segments exist (no-op, no commit). Same offline single-writer
+    * contract as [[rewrite]]; in-flight scans that lose a planned
+    * file re-resolve through the connector's fallback and emit the
+    * identical rows (the fold preserves the `_ver` key space). */
+  def compactSmall(
+      layout: Seq[String],
+      targetPartitions: Int = 8,
+      maxSegmentBytes: Long = 256L << 20
+  ): Boolean = synchronized {
+    val small = manifest.segments.filter(s =>
+      io.size(FileIO.join(dir, s.path)) < maxSegmentBytes)
+    if (small.length <= 1) return false
+    val smallSet = small.toSet
+    val big = manifest.segments.filterNot(smallSet)
+    // content version range from OCCUPIED inputs only: a 0-row commit
+    // records a version no row carries, and folding its entry bounds
+    // into the merged segment would break min/max(_ver) pushdown
+    val occupied = small.filter(_.rows > 0)
+    val basis = if (occupied.nonEmpty) occupied else small
+    val cMin = basis.map(_.minSeq).min
+    val cMax = basis.map(_.maxSeq).max
+    val ver = manifest.version + 1
+    val out = spark.read.schema(diskSchema)
+      .parquet(small.map(s => FileIO.join(dir, s.path)): _*)
+      .repartitionByRange(targetPartitions, layout.map(col): _*)
+      .sortWithinPartitions(layout.map(col): _*)
+    val segs = writeSegmentFiles(out, ver, content = Some((cMin, cMax)))
+    FaultPoints.reach("table.rewrite.preCommit")
+    commitOrCleanup(
+      manifest.copy(version = ver,
+        segments = (big ++ segs).sortBy(s => (s.minSeq, s.maxSeq, s.path))),
+      segs)
+    FaultPoints.reach("table.rewrite.preDelete")
+    small.foreach(s => io.delete(FileIO.join(dir, s.path)))
+    true
+  }
+
   /** Snapshot (time-travel) read: the committed table exactly as of
     * commit `version`, via the connector's `versionAsOf` option —
     * segments of versions `1..version`, pruned at planning time.
@@ -205,8 +257,15 @@ final class TableStore private (
   }
 
   /** Write `out` as new segment files under data/ and return their
-    * manifest entries (not yet committed). */
-  private def writeSegmentFiles(out: DataFrame, ver: Long): List[Segment] = {
+    * manifest entries (not yet committed). `content` overrides the
+    * per-file `[minSeq, maxSeq]` entry range — a MINOR fold's merged
+    * files carry the folded inputs' version range instead of the
+    * fold's own commit version. */
+  private def writeSegmentFiles(
+      out: DataFrame,
+      ver: Long,
+      content: Option[(Long, Long)] = None
+  ): List[Segment] = {
     val tmp = FileIO.join(dir, s"tmp-${UUID.randomUUID()}")
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
     // Small-append coalescing: a batch that arrives with N partitions
@@ -254,7 +313,8 @@ final class TableStore private (
       FaultPoints.reach("table.segments.beforeMove")
       io.rename(f.path, FileIO.join(dataDir, name))
       FaultPoints.reach("table.segments.moved")
-      Segment(s"data/$name", ver, ver, rows)
+      val (lo, hi) = content.getOrElse((ver, ver))
+      Segment(s"data/$name", lo, hi, rows)
     }
     FsckSweep.deleteRecursively(merged)
     segs

@@ -192,7 +192,27 @@ final case class IngestConfig(
     // aggressive folding.
     compactEvery: Option[Int] = None,
     compactMaxSegments: Option[Int] = None,
-    compactTargetPartitions: Int = 8
+    compactTargetPartitions: Int = 8,
+    // `compactMinor = true` makes the automated policy a MINOR fold
+    // (TableStore.compactSmall): only the small recent segments of the
+    // corpus-shaped stores (seen + text/vec/sem/fp indexes) are
+    // rewritten, PRESERVING every row's commit version — snapshot
+    // reads, corpusAsOf and crash-window replays keep working across
+    // it, and fold cost is bounded by the small tail instead of the
+    // corpus (a full fold rewrites O(corpus) bytes per trigger, which
+    // stops being viable as the standing corpus outgrows the batch
+    // rate). The count-folding artifact stores (profile, boilerplate,
+    // DSIR, eval) keep their aggregate full folds — those stores are
+    // bucket-bounded, never corpus-shaped, and their fold IS an
+    // aggregation, not a layout change.
+    compactMinor: Boolean = false,
+    // minor-fold graduation threshold: a segment at or above this
+    // size is never rewritten by the minor policy (its bytes
+    // amortize across every later fold). Lower it when batches are
+    // small so folded segments graduate sooner; at the default a
+    // store's minor-fold cost is bounded by ~256 MB of recent tail
+    // regardless of corpus size.
+    compactSmallBytes: Long = 256L << 20
 )
 
 /** The composed steady-state ingest-curation loop — the reference's
@@ -837,7 +857,10 @@ final class IngestDaemon private (
       config.compactEvery.exists(batchesSinceCompact >= _) ||
         config.compactMaxSegments.exists(seen.segmentCount >= _)
     if (due) {
-      compact(config.compactTargetPartitions)
+      if (config.compactMinor)
+        compactMinor(config.compactTargetPartitions,
+          config.compactSmallBytes)
+      else compact(config.compactTargetPartitions)
       batchesSinceCompact = 0
     }
   }
@@ -853,6 +876,26 @@ final class IngestDaemon private (
     seen.rewrite(
       _.repartitionByRange(targetPartitions, col("kind"), col("id"))
         .sortWithinPartitions("kind", "id"))
+  }
+
+  /** MINOR maintenance: version-preserving small-tail folds on the
+    * corpus-shaped stores (seen + composed dedup indexes), aggregate
+    * folds on the bucket-bounded artifact stores (their fold is an
+    * aggregation, not a layout change — and their size is bounded by
+    * buckets, not the corpus). Unlike [[compact]], nothing here
+    * destroys history: `corpusAsOf`, index snapshot replays and
+    * in-flight streams all keep working across it. */
+  def compactMinor(
+      targetPartitions: Int = 8,
+      maxSegmentBytes: Long = 256L << 20): Unit = synchronized {
+    index.compactMinor(targetPartitions, maxSegmentBytes)
+    vecIndex.foreach(_.compactMinor(targetPartitions, maxSegmentBytes))
+    semIndex.foreach(_.compactMinor(targetPartitions, maxSegmentBytes))
+    profileIndex.foreach(_.compact())
+    fpIndex.foreach(_.compactMinor(targetPartitions, maxSegmentBytes))
+    boilIndex.foreach(_.compact())
+    dsirIndex.foreach(_.compact())
+    seen.compactSmall(Seq("kind", "id"), targetPartitions, maxSegmentBytes)
   }
 }
 

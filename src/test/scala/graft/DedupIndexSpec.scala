@@ -147,6 +147,60 @@ class DedupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("folded"), e.getMessage)
   }
 
+  test("compactMinor folds the small tail; pre-fold replay stays exact") {
+    val corpus = docs.where(col("doc_id") < 250)
+    val batch1 = docs.where(col("doc_id") >= 250 && col("doc_id") < 375)
+    val batch2 = docs.where(col("doc_id") >= 375)
+    val dir = tmpDir("graft-didx-minor-")
+    val idx = DedupIndex.open(spark, dir, P)
+    idx.seed("corpus", corpus, "text", "doc_id")
+    val r1 = idx.ingest("b1", batch1, "text", "doc_id",
+      corpusTexts = corpus.select("doc_id", "text"),
+      threshold = 0.35, exactTier = false)
+    val pairs1 = r1.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val admitted1 = r1.admitted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val bandsBefore = idx.bands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val storeDir = java.nio.file.Paths.get(dir, "store").toString
+    val segsBefore =
+      graft.storage.Manifest.load(storeDir).get.segments.length
+    assert(idx.compactMinor(targetPartitions = 2))
+    val m = graft.storage.Manifest.load(storeDir).get
+    assert(m.segments.length < segsBefore && m.segments.length <= 2)
+    assert(m.foldedBelow.isEmpty, "a minor fold must not destroy history")
+    assert(idx.bands.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet == bandsBefore)
+    // REPLAYING the pre-fold batch works and reproduces the identical
+    // decision set — the property the full fold refuses loudly (its
+    // pre-batch snapshot is folded away; the minor fold preserves
+    // every row's commit version, so readAsOf stays exact)
+    val r1b = idx.ingest("b1", batch1, "text", "doc_id",
+      corpusTexts = corpus.select("doc_id", "text"),
+      threshold = 0.35, exactTier = false)
+    assert(r1b.replayed)
+    assert(r1b.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == pairs1)
+    assert(r1b.admitted.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == admitted1)
+    // a NEW batch probes the folded index identically to the unfolded
+    // run (rolling identity holds through the minor fold too)
+    val grown = corpus.unionByName(batch1)
+    val pairs2 = idx.ingest("b2", batch2, "text", "doc_id",
+        corpusTexts = grown.select("doc_id", "text"),
+        threshold = 0.35, exactTier = false)
+      .pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup
+      .minhashLshPairs(docs, "text", "doc_id", 8, 4, 3, 0.35)
+      .where(col("id_a") >= 375 || col("id_b") >= 375)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == want,
+      s"post-minor-fold probe diverged: extra=${pairs2 -- want}, " +
+        s"missing=${want -- pairs2}")
+  }
+
   test("exact tier drops indexed fingerprints; admitted set is " +
     "invariant to running it") {
     val corpus = Seq((500L, "the standing corpus document")).toDF("doc_id", "text")

@@ -1137,6 +1137,63 @@ class IngestDaemonSpec extends SparkSpec {
       s"segment trigger never fired: ${seenDataFiles(sDir)} files")
   }
 
+  test("daemon: MINOR maintenance — admissions unchanged, corpusAsOf " +
+      "and crash replays keep working across the folds") {
+    val waves = (0 until 5).map(i => docs.where(col("doc_id") % 5 === i))
+    val plainDir = tmpDir("daemon-mnplain-")
+    val plain = IngestDaemon.open(spark, plainDir, cfg)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      plain.processBatch(s"b$i", w) }
+
+    val mcfg = cfg.copy(compactEvery = Some(2),
+      compactTargetPartitions = 2, compactMinor = true)
+    val dir = tmpDir("daemon-mn-")
+    val d = IngestDaemon.open(spark, dir, mcfg)
+    d.processBatch("b0", waves(0))
+    val v0 = d.version
+    val corpus0 = d.corpusAsOf(v0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    waves.zipWithIndex.slice(1, 4).foreach { case (w, i) =>
+      d.processBatch(s"b$i", w) }
+    val plainThroughB3 = plain.corpusAsOf(plain.appliedVersion("b3").get)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(corpusIds(d) == plainThroughB3,
+      "minor maintenance changed an admission decision")
+    // the folds ran AND bounded the layout
+    assert(seenDataFiles(dir) < seenDataFiles(plainDir),
+      s"minor fold did not bound the seen layout: ${seenDataFiles(dir)} " +
+        s"vs ${seenDataFiles(plainDir)}")
+    // ...but UNLIKE the full fold, every pre-fold snapshot stays
+    // servable: corpusAsOf(v0) returns the identical pinned corpus
+    assert(d.corpusAsOf(v0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == corpus0,
+      "minor fold broke a pinned pre-fold snapshot")
+    (0 until 4).foreach(i => assert(d.appliedVersion(s"b$i").isDefined,
+      s"journal row b$i lost across the minor fold"))
+
+    // crash mid-batch AFTER the index commit (the classic half-applied
+    // window), with a minor fold having landed earlier: the replay
+    // reads its pre-batch snapshot THROUGH the folded store and
+    // finishes the batch exactly
+    // the batch's FIRST table.append commit is the index's own (band
+    // rows + journal); the SECOND is the seen store's — kill there
+    @volatile var appends = 0
+    graft.storage.FaultPoints.install { p =>
+      if (p == "table.append.preCommit") {
+        appends += 1
+        if (appends == 2) throw new RuntimeException("kill: seen commit")
+      }
+    }
+    try intercept[RuntimeException](d.processBatch("b4", waves(4)))
+    finally graft.storage.FaultPoints.clear()
+    assert(d.index.appliedVersion("b4").isDefined,
+      "kill landed before the index commit — wrong window")
+    assert(d.appliedVersion("b4").isEmpty, "seen commit survived the kill")
+    d.processBatch("b4", waves(4)) // replay finishes the half-applied batch
+    assert(corpusIds(d) == corpusIds(plain),
+      "half-applied replay across a minor fold diverged the corpus")
+  }
+
   test("daemon: a pre-dsir_logw seen store reopens via the widening " +
       "migration — old rows read null, the loop continues") {
     import graft.storage.TableStore

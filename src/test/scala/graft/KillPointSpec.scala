@@ -43,6 +43,22 @@ abstract class KillPointContract extends SparkSpec {
   private final class Injected(val point: String)
       extends RuntimeException(s"injected fault at $point")
 
+  /** Open with the small-append merge DISABLED (a tiny per-file
+    * target makes every staged write "already justified"): this
+    * matrix pins the MULTI-file move/commit crash windows, which a
+    * production-sized append still exercises — the merge would fold
+    * the fixture's small batches to one file and half the vectors
+    * (beforeMove#2, partial-move) could never fire. The merge path's
+    * own crash windows are identical (same tmp-staging, same
+    * fault points) and its semantics are pinned by TableStoreSpec /
+    * LogSpec. The conf is captured at open, so unsetting right after
+    * leaks nothing to sibling suites. */
+  private def noMerge[T](open: => T): T = {
+    spark.conf.set("spark.graft.segmentTargetFileBytes", "1")
+    try open
+    finally spark.conf.unset("spark.graft.segmentTargetFileBytes")
+  }
+
   /** Throw at the nth time `point` is reached (crash simulation: the
     * throw propagates out of the op and nothing after the boundary
     * runs — except where a step sits inside the in-process
@@ -91,7 +107,7 @@ abstract class KillPointContract extends SparkSpec {
     test(s"[$tag] append killed at $point#$nth: reopen=pre-op, fsck repairs, replay exact") {
       import spark.implicits._
       val dir = storeDir("kp-append")
-      val log = ParquetLog.open(spark, dir, IntegerType)
+      val log = noMerge(ParquetLog.open(spark, dir, IntegerType))
       log.appendValues(0 until 10) // baseline: seqs 0..9
       val baseline = drain(log)
       assert(baseline == (0 until 10).map(i => (i.toLong, i)))
@@ -101,7 +117,7 @@ abstract class KillPointContract extends SparkSpec {
       finally FaultPoints.clear()
 
       // crash model: discard the handle, reopen from disk
-      val re = ParquetLog.open(spark, dir, IntegerType)
+      val re = noMerge(ParquetLog.open(spark, dir, IntegerType))
       assert(re.seq == 9L, s"reopened seq after $point crash")
       assert(drain(re) == baseline, "committed reads changed by a crashed append")
 
@@ -145,14 +161,14 @@ abstract class KillPointContract extends SparkSpec {
     test(s"[$tag] nullAt killed at $point#$nth: pre-op reads intact, replay redacts") {
       import spark.implicits._
       val dir = storeDir("kp-null")
-      val log = ParquetLog.open(spark, dir, IntegerType)
+      val log = noMerge(ParquetLog.open(spark, dir, IntegerType))
       log.appendValues(0 until 10)
 
       killAt(point, nth)
       try expectInjected(log.nullAt(3))
       finally FaultPoints.clear()
 
-      val re = ParquetLog.open(spark, dir, IntegerType)
+      val re = noMerge(ParquetLog.open(spark, dir, IntegerType))
       // pre-op state: seq 3 still readable with its original value
       assert(re.get(3).getInt(1) == 3, "crashed nullAt leaked into reads")
       assert(re.checkConsistency(repair = false).nonEmpty)
@@ -170,14 +186,14 @@ abstract class KillPointContract extends SparkSpec {
   test(s"[$tag] nullAt killed at log.rewrite.preDelete: post-op reads, old file swept, idempotent replay") {
     import spark.implicits._
     val dir = storeDir("kp-null-post")
-    val log = ParquetLog.open(spark, dir, IntegerType)
+    val log = noMerge(ParquetLog.open(spark, dir, IntegerType))
     log.appendValues(0 until 10)
 
     killAt("log.rewrite.preDelete")
     try expectInjected(log.nullAt(3))
     finally FaultPoints.clear()
 
-    val re = ParquetLog.open(spark, dir, IntegerType)
+    val re = noMerge(ParquetLog.open(spark, dir, IntegerType))
     // the commit happened: reads serve the POST-op state
     intercept[GraftErrors.ErrNulled](re.get(3))
     assert(re.get(2).getInt(1) == 2)
@@ -197,7 +213,7 @@ abstract class KillPointContract extends SparkSpec {
   test(s"[$tag] compact killed at log.compact.preCommit: segments unchanged, replay compacts") {
     import spark.implicits._
     val dir = storeDir("kp-compact")
-    val log = ParquetLog.open(spark, dir, IntegerType)
+    val log = noMerge(ParquetLog.open(spark, dir, IntegerType))
     (0 until 5).foreach(i => log.appendValues(i * 3 until (i + 1) * 3))
     val baseline = drain(log)
     val filesBefore = dataFiles(dir)
@@ -206,7 +222,7 @@ abstract class KillPointContract extends SparkSpec {
     try expectInjected(log.compact(targetRows = 1000000L))
     finally FaultPoints.clear()
 
-    val re = ParquetLog.open(spark, dir, IntegerType)
+    val re = noMerge(ParquetLog.open(spark, dir, IntegerType))
     assert(drain(re) == baseline)
     assert(re.checkConsistency(repair = false).nonEmpty) // orphan merged files
     re.checkConsistency(repair = true, minAgeMs = 0L)
@@ -223,7 +239,7 @@ abstract class KillPointContract extends SparkSpec {
   test(s"[$tag] compact killed at log.compact.preDelete: compacted view, old files swept") {
     import spark.implicits._
     val dir = storeDir("kp-compact-post")
-    val log = ParquetLog.open(spark, dir, IntegerType)
+    val log = noMerge(ParquetLog.open(spark, dir, IntegerType))
     (0 until 5).foreach(i => log.appendValues(i * 3 until (i + 1) * 3))
     val baseline = drain(log)
     val filesBefore = dataFiles(dir).length
@@ -232,7 +248,7 @@ abstract class KillPointContract extends SparkSpec {
     try expectInjected(log.compact(targetRows = 1000000L))
     finally FaultPoints.clear()
 
-    val re = ParquetLog.open(spark, dir, IntegerType)
+    val re = noMerge(ParquetLog.open(spark, dir, IntegerType))
     assert(drain(re) == baseline) // post-op state IS the same data
     val reported = re.checkConsistency(repair = false)
     assert(reported.exists(_.contains("orphan data file")), reported.toString)
@@ -266,7 +282,7 @@ abstract class KillPointContract extends SparkSpec {
     test(s"[$tag] table append killed at $point#$nth: pre-op reads, sweep, replay exact") {
       import spark.implicits._
       val dir = storeDir("kp-table")
-      val t = TableStore.open(spark, dir, tableSchema)
+      val t = noMerge(TableStore.open(spark, dir, tableSchema))
       t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
       val v0 = t.version
 
@@ -274,7 +290,7 @@ abstract class KillPointContract extends SparkSpec {
       try expectInjected(t.append(Seq(("c", 3), ("d", 4)).toDF("k", "v")))
       finally FaultPoints.clear()
 
-      val re = TableStore.open(spark, dir, tableSchema)
+      val re = noMerge(TableStore.open(spark, dir, tableSchema))
       assert(re.version == v0, "crashed append advanced the committed version")
       assert(tableRows(re) == Set(("a", 1), ("b", 2)))
       // litter is reported against the ON-DISK manifest and swept
@@ -300,7 +316,7 @@ abstract class KillPointContract extends SparkSpec {
   test(s"[$tag] table rewrite killed at table.rewrite.preCommit: pre-op table intact, replay folds") {
     import spark.implicits._
     val dir = storeDir("kp-table-rw")
-    val t = TableStore.open(spark, dir, tableSchema)
+    val t = noMerge(TableStore.open(spark, dir, tableSchema))
     t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
     t.append(Seq(("c", 3)).toDF("k", "v"))
 
@@ -308,7 +324,7 @@ abstract class KillPointContract extends SparkSpec {
     try expectInjected(t.rewrite(df => df.where(col("k") =!= "b")))
     finally FaultPoints.clear()
 
-    val re = TableStore.open(spark, dir, tableSchema)
+    val re = noMerge(TableStore.open(spark, dir, tableSchema))
     assert(tableRows(re) == Set(("a", 1), ("b", 2), ("c", 3)))
     assert(re.checkConsistency(repair = false, minAgeMs = 0L).nonEmpty)
     re.checkConsistency(repair = true, minAgeMs = 0L)
@@ -322,7 +338,7 @@ abstract class KillPointContract extends SparkSpec {
   test(s"[$tag] table rewrite killed at table.rewrite.preDelete: folded view, old files swept") {
     import spark.implicits._
     val dir = storeDir("kp-table-rwpost")
-    val t = TableStore.open(spark, dir, tableSchema)
+    val t = noMerge(TableStore.open(spark, dir, tableSchema))
     t.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
     t.append(Seq(("c", 3)).toDF("k", "v"))
 
@@ -330,7 +346,7 @@ abstract class KillPointContract extends SparkSpec {
     try expectInjected(t.rewrite(df => df.where(col("k") =!= "b")))
     finally FaultPoints.clear()
 
-    val re = TableStore.open(spark, dir, tableSchema)
+    val re = noMerge(TableStore.open(spark, dir, tableSchema))
     assert(tableRows(re) == Set(("a", 1), ("c", 3))) // post-op state
     val reported = re.checkConsistency(repair = false, minAgeMs = 0L)
     assert(reported.exists(_.contains("orphan segment")), reported.toString)
@@ -346,7 +362,7 @@ abstract class KillPointContract extends SparkSpec {
   test(s"[$tag] in-process commit failure sweeps its own fresh segments (no orphans)") {
     import spark.implicits._
     val dir = storeDir("kp-inproc")
-    val log = ParquetLog.open(spark, dir, IntegerType)
+    val log = noMerge(ParquetLog.open(spark, dir, IntegerType))
     log.appendValues(0 until 5)
     val filesBefore = dataFiles(dir)
 

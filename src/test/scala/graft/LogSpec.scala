@@ -163,6 +163,38 @@ abstract class ParquetLogContract extends LogContractSpec {
       s"exact pushdown should plan no residual filter:\n$plan")
   }
 
+  test("a small multi-partition append publishes few DENSE segment files (byte-aware merge)") {
+    import spark.implicits._
+    val dir = logDir("log-merge")
+    val log = ParquetLog.open(spark, dir,
+      org.apache.spark.sql.types.LongType)
+    // 32 partitions of a tiny batch: without the merge this publishes
+    // 32 seq-range files per append and a streaming sink's log goes
+    // O(files) at every plan
+    log.append(spark.range(2000).repartition(32)
+      .select(org.apache.spark.sql.functions.col("id").as("value")))
+    val m = graft.storage.Manifest.load(dir).get
+    assert(m.segments.length <= 2,
+      s"tiny 32-partition append published ${m.segments.length} files")
+    // the merged files stay DENSE contiguous ranges covering [0,1999]
+    val sorted = m.segments.sortBy(_.minSeq)
+    assert(sorted.head.minSeq == 0L && sorted.last.maxSeq == 1999L)
+    sorted.sliding(2).foreach {
+      case List(a, b) => assert(b.minSeq == a.maxSeq + 1,
+        s"gap between segments: $a -> $b")
+      case _ => ()
+    }
+    sorted.foreach(s => assert(s.rows == s.maxSeq - s.minSeq + 1,
+      s"segment not dense: $s"))
+    // point reads and drains still serve every value exactly once
+    // (repartition shuffled the arrival order; seqs are dense anyway)
+    val all = log.query().collect().map(_.getLong(0))
+    assert(all.length == 2000 && all.toSet == (0L until 2000L).toSet)
+    assert(Set(log.get(0L).getLong(1), log.get(1999L).getLong(1))
+      .subsetOf((0L until 2000L).toSet))
+    assert(log.checkConsistency().isEmpty)
+  }
+
   test("getMany tiers: direct reads, range runs, literal isin, broadcast semi-join — same rows") {
     import spark.implicits._
     val log = openLog(org.apache.spark.sql.types.IntegerType)

@@ -63,6 +63,85 @@ abstract class TableStoreContract extends SparkSpec {
     } finally spark.conf.unset("spark.graft.segmentTargetFileBytes")
   }
 
+  test("minor compaction: small-tail fold preserves rows, _ver, snapshots and pushdown exactness") {
+    val dir = storeDir("ts-minor")
+    val store = TableStore.open(spark, dir, schema)
+    (1 to 5).foreach(i => store.append(Seq((s"k$i", i.toLong)).toDF("k", "v")))
+    val preAll = store.readVersioned.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val preSnap = store.readAsOf(3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(store.segmentCount == 5)
+    assert(store.compactSmall(Seq("k"), targetPartitions = 2))
+    assert(store.segmentCount <= 2)
+    assert(store.version == 6L)
+    // rows AND each row's physical commit version survive the fold
+    assert(store.readVersioned.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == preAll)
+    // a snapshot INSIDE the merged segment's version range stays
+    // EXACT: the connector row-cuts `_ver <= v` inside merged files
+    assert(store.readAsOf(3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == preSnap)
+    // aggregate pushdown refuses the inside-the-merge snapshot (entry
+    // arithmetic would overcount) but the real scan stays correct...
+    val snap = spark.read.format("graft-table")
+      .option("versionAsOf", 3L).load(dir)
+    assert(snap.count() == 3L)
+    assert(snap.agg(max("_ver")).collect().head.getLong(0) == 3L)
+    // ...and CURRENT-table pushdown stays exact over merged entries
+    val cur = spark.read.format("graft-table").load(dir)
+    assert(cur.count() == 5L)
+    val mm = cur.agg(min("_ver"), max("_ver")).collect().head
+    assert((mm.getLong(0), mm.getLong(1)) == ((1L, 5L)))
+    // nothing small enough to fold -> no-op, no commit
+    assert(!store.compactSmall(Seq("k"), 2, maxSegmentBytes = 1L))
+    assert(store.version == 6L)
+    // history is never destroyed by a minor fold
+    store.append(Seq(("k6", 6L)).toDF("k", "v"))
+    assert(store.read.count() == 6L)
+    assert(store.readAsOf(2L).count() == 2L)
+  }
+
+  test("stream keeps delivering exactly-once across a minor fold — even from an offset inside the merged range") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val store = TableStore.open(spark, storeDir("ts-minstr"), schema)
+    store.append(Seq(("a", 1L)).toDF("k", "v")) // v1
+    store.append(Seq(("b", 2L)).toDF("k", "v")) // v2
+    val ck = tmpDir("ts-minstr-ck")
+    val rows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def runStream(): Unit = {
+      val q = store.stream
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(0))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r =>
+            rows.add((r.getString(0), r.getLong(1), r.getLong(2))))
+          (): Unit
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runStream() // delivers v1, v2; offset now 2
+    assert(rows.asScala.toSet == Set(("a", 1L, 1L), ("b", 2L, 2L)))
+    // v3 lands UNDELIVERED, then a minor fold merges v1..v3 into one
+    // spanning segment (commit v4), then v5 lands
+    store.append(Seq(("c", 3L)).toDF("k", "v")) // v3
+    assert(store.compactSmall(Seq("k"), targetPartitions = 1))
+    store.append(Seq(("d", 4L)).toDF("k", "v")) // v5
+    // the resumed stream's offset (2) is strictly INSIDE the merged
+    // segment's [1,3] range: the row-level _ver cut must deliver
+    // exactly v3's rows from the merged file, then v5's — the full
+    // fold refuses this resume; the minor fold serves it exactly-once
+    runStream()
+    assert(rows.asScala.toSet == Set(
+      ("a", 1L, 1L), ("b", 2L, 2L), ("c", 3L, 3L), ("d", 4L, 5L)),
+      s"got ${rows.asScala.toSet}")
+    assert(rows.size == 4, s"duplicate delivery: ${rows.asScala.toSeq}")
+  }
+
   test("table count/min/max(_ver) answered from the manifest — zero file IO") {
     import spark.implicits._
     val dir = storeDir("ts-agg")

@@ -67,6 +67,18 @@ object DaemonProbe {
     val compactEvery = args.collectFirst {
       case a if a.startsWith("compactEvery=") => a.split("=")(1).toInt
     }
+    // `minor` switches the policy to version-preserving small-tail
+    // folds (TableStore.compactSmall) — the fold cost should stay
+    // batch-bound as the corpus grows, where the full fold's cost is
+    // corpus-bound per trigger
+    val minor = args.contains("minor")
+    // `smallBytes=N` sets the minor-fold graduation threshold: folded
+    // segments past it are never rewritten again, so fold cost
+    // flattens once the standing corpus outgrows it (the property the
+    // default 256 MB can't show at probe scale)
+    val smallBytes = args.collectFirst {
+      case a if a.startsWith("smallBytes=") => a.split("=")(1).toLong
+    }
 
     // synthetic crawl: each doc is 40 hash-derived tokens (docs share
     // essentially NO shingles — a shared-boilerplate fixture would
@@ -143,7 +155,9 @@ object DaemonProbe {
       boilerplate = withBoil,
       repetition = withRep,
       dsir = withDsir, dsirPortable = false, dsirDeterministic = false,
-      compactEvery = compactEvery, compactTargetPartitions = 4))
+      compactEvery = compactEvery, compactTargetPartitions = 4,
+      compactMinor = minor,
+      compactSmallBytes = smallBytes.getOrElse(256L << 20)))
     // the DSIR target model: one out-of-band ingest of a synthetic
     // trusted corpus (distinct seed range), scanned exactly once ever
     if (withDsir)
@@ -158,7 +172,8 @@ object DaemonProbe {
       (if (withBoil) " + composed boilerplate tier (width=3)" else "") +
       (if (withRep) " + composed repetition gate (Gopher thresholds)" else "") +
       (if (withDsir) " + composed DSIR tier (B=8192, xxhash64)" else ""))
-    compactEvery.foreach(n => println(s"== auto-compact every $n batches"))
+    compactEvery.foreach(n => println(s"== auto-compact every $n batches" +
+      (if (minor) " (MINOR: version-preserving small-tail folds)" else "")))
     println(f"${"batch"}%6s ${"corpus"}%9s ${"secs"}%7s ${"admitted"}%9s")
     val perBatch = new Array[Double](batches)
     // long runs (the maintenance leg) print every 10th batch; the
@@ -169,7 +184,8 @@ object DaemonProbe {
       val t0 = System.nanoTime()
       daemon.processBatch(s"b$b", df)
       perBatch(b) = (System.nanoTime() - t0) / 1e9
-      if (b % stride == 0 || b == batches - 1) {
+      if (b % stride == 0 || b == batches - 1 ||
+          compactEvery.exists(b % _ == 0)) {
         val n = daemon.corpus.count()
         println(f"$b%6d $n%9d ${perBatch(b)}%7.2f ${n}%9d")
       }
