@@ -453,6 +453,39 @@ object Bench {
           "text", "doc_id")
         boilRun += 1
       }
+      // the r19 maintenance path: one MINOR fold over a store built
+      // from 8 small commits (each run folds a FRESH store — a
+      // refolded store is a no-op and would measure nothing), and the
+      // small-append commit itself (staging + byte-aware merge +
+      // manifest CAS — the per-micro-batch floor of every store the
+      // daemon advances)
+      val mSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      def smallBatch(b: Int) =
+        spark.range(b * 2000L, b * 2000L + 2000L)
+          .repartition(32)
+          .select((col("id") % 97).as("k"), col("id").as("v"))
+      val mStores = (0 until 3).map { s =>
+        val st = graft.storage.TableStore.open(
+          spark, s"$work/minor$s", mSchema)
+        (0 until 8).foreach(b => st.append(smallBatch(b)))
+        st
+      }
+      var mRun = 0
+      timed("minor_compact") {
+        mStores(mRun % 3).compactSmall(Seq("k"), targetPartitions = 2)
+        mRun += 1
+      }
+      val saStore = graft.storage.TableStore.open(
+        spark, s"$work/smallappend", mSchema)
+      var saRun = 0
+      timed("small_append") {
+        saStore.append(smallBatch(saRun))
+        saRun += 1
+      }
     }
     timed("simhash")(Dedup.simhash32(docs, "text", "doc_id").count())
     // the 100 TB fingerprint tier: 64 conditional-sum columns (the
