@@ -1042,21 +1042,27 @@ final class GraftLogReaderFactory(
           .getOrElse(throw new java.io.FileNotFoundException(
             s"${seg.paths.mkString(",")} vanished and no manifest remains in ${seg.dir}"))
         // The fallback re-resolve is only sound when the rewrite
-        // preserved the filter-key space — true for log seqs
-        // (compaction merges files, null/replace rewrites in place).
-        // A TableStore rewrite does NOT preserve versions: it folds
-        // all history into one NEW version and deletes the old files,
-        // so a planned `_ver ∈ [lo, hi]` read racing it would find no
-        // covering segments and silently emit nothing — data loss for
-        // an exactly-once stream, a wrong table for a snapshot. Fail
-        // loudly instead; the caller re-runs against the current table.
+        // preserved the filter-key space AND this partition uniquely
+        // owns its [lo, hi] key range — true for log seqs (dense seqs
+        // give segments disjoint ranges; splits carry exact per-row-
+        // group bounds; compaction merges files, null/replace rewrites
+        // in place). NEITHER holds for `_ver`: a full TableStore
+        // rewrite destroys versions outright (folds all history into
+        // one NEW version), and even the version-PRESERVING minor fold
+        // (compactSmall) merges files whose version ranges span
+        // several planned partitions — shared-bounds splits and
+        // multi-file commits give sibling partitions overlapping
+        // [lo, hi], so each sibling re-resolving the merged
+        // replacement would re-emit rows the others also emit: silent
+        // row duplication multiplied by the sibling count (or, for the
+        // full fold, silently missing rows). No partial re-resolution
+        // of a `_ver` plan is sound — fail loudly; the caller re-runs
+        // against the current table.
         if (filterCol == "_ver")
-          m.foldedBelow.filter(_ > hi).foreach { f =>
-            throw new IllegalStateException(
-              s"segments for _ver in [$lo, $hi] were folded into version $f " +
-                "by a concurrent rewrite (compact/delete); this planned read " +
-                "cannot be served exactly-once — re-run against the current table")
-          }
+          throw new IllegalStateException(
+            s"segments for _ver in [$lo, $hi] were folded by a concurrent " +
+              "rewrite (compact/delete); this planned read cannot be " +
+              "served exactly-once — re-run against the current table")
         m.segments
           .filter(s => s.maxSeq >= lo && s.minSeq <= hi)
           .map(s => graft.storage.FileIO.join(seg.dir, s.path))

@@ -101,6 +101,16 @@ final class GraftTableScanBuilder(
   private var pruned: StructType = schema
   private var aggKinds: Option[Seq[MetaAgg.Kind]] = None
 
+  // ONE manifest snapshot per ScanBuilder: `metaExact` (pushdown
+  // admission) and `build()` (the MetaAgg arithmetic / the scan's
+  // planning) must read the SAME segment list — a compactSmall
+  // committing between pushAggregation and build() could otherwise
+  // let a versionAsOf count/min/max(_ver) be answered from a merged
+  // entry whose version range straddles the snapshot cut (silent
+  // overcount). Readers are concurrent with the single writer by
+  // design, so the race is real.
+  private lazy val manifestSnap: Option[Manifest] = Manifest.load(dir)
+
   /** COMPLETE aggregate pushdown from the manifest: the (snapshot-
     * scoped) segment list carries exact row counts and per-segment
     * `_ver` stats, so count(*) / min/max(_ver) are metadata
@@ -115,7 +125,7 @@ final class GraftTableScanBuilder(
     * scan (whose reader row-cuts exactly) instead. Current-table
     * reads are always exact (every selected segment is fully in). */
   private def metaExact: Boolean = versionAsOf.forall { v =>
-    Manifest.load(dir).forall(
+    manifestSnap.forall(
       _.segments.filter(_.minSeq <= v).forall(_.maxSeq <= v))
   }
 
@@ -140,7 +150,8 @@ final class GraftTableScanBuilder(
   override def build(): Scan = {
     aggKinds.foreach { kinds =>
       val scan = new GraftTableScan(dir, schema, maxPartitionBytesOpt,
-        maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf)
+        maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf,
+        manifestSnapshot = Some(manifestSnap))
       // min/max over segments that CARRY rows only: a zero-row commit
       // (empty append, limit(0) rewrite) records a version no row
       // has — including it would report a min/max the scan never
@@ -153,7 +164,8 @@ final class GraftTableScanBuilder(
         max = occupied.map(_.maxSeq).max)
     }
     new GraftTableScan(dir, pruned, maxPartitionBytesOpt,
-      maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf)
+      maxBytesPerTrigger, maxSegmentsPerTrigger, versionAsOf,
+      manifestSnapshot = Some(manifestSnap))
   }
 }
 
@@ -163,11 +175,18 @@ final class GraftTableScan(
     maxPartitionBytesOpt: Option[String],
     maxBytesPerTrigger: Option[Long],
     maxSegmentsPerTrigger: Option[Int],
-    versionAsOf: Option[Long] = None
+    versionAsOf: Option[Long] = None,
+    manifestSnapshot: Option[Option[Manifest]] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = scanSchema
   override def toBatch: Batch = this
+
+  // one manifest per Scan: statistics, the pushed-agg arithmetic and
+  // the planned partitions all answer from the SAME snapshot (and a
+  // plan stops re-listing the manifest once per consumer)
+  private lazy val manifest: Option[Manifest] =
+    manifestSnapshot.getOrElse(Manifest.load(dir))
 
   /** Snapshot (time-travel) reads: `versionAsOf = v` serves exactly
     * the segments of commit versions `1..v`, pruned at PLANNING time
@@ -178,7 +197,7 @@ final class GraftTableScan(
     * must fail loudly: a raw `_ver <= v` filter would silently return
     * a wrong (empty or partial) table instead. */
   private def segments: List[graft.storage.Segment] = {
-    val m = Manifest.load(dir) match {
+    val m = manifest match {
       case Some(m) => m
       case None => return Nil
     }
@@ -308,27 +327,38 @@ final class GraftTableMicroBatchStream(
     val hi = availableNowTarget
       .map(math.min(_, m.version)).getOrElse(m.version)
     if (hi <= lo) return VerOffset(lo)
-    // pending versions ascending, with their aggregate cost
-    val byVer = m.segments.filter(_.minSeq > lo).groupBy(_.minSeq).toSeq
+    // pending work selected by CONTENT RANGE, matching what
+    // planInputPartitions will actually scan: a minor-folded segment
+    // SPANNING `lo` still has undelivered versions (and its whole
+    // file is re-scanned by every batch that overlaps it), so its
+    // cost must count against the trigger budget — selecting by first
+    // version (`minSeq > lo`) would admit all its undelivered
+    // versions in one free jump right after a fold. Each pending
+    // segment is charged at its FIRST undelivered version.
+    val byVer = m.segments.filter(s => s.maxSeq > lo)
+      .groupBy(s => math.max(s.minSeq, lo + 1)).toSeq
       .sortBy(_._1)
     def admit(cost: graft.storage.Segment => Long, budget: Long): Long = {
       var end = lo
       var left = budget
       var first = true
       var stopped = false
+      var stopVer = hi + 1
       byVer.foreach { case (ver, segs) =>
         if (!stopped) {
           val c = segs.map(cost).sum
           if (first || c <= left) { end = ver; left -= c }
-          else stopped = true
+          else { stopped = true; stopVer = ver }
           first = false
         }
       }
       // versions with no segments (empty commits) advance freely up
-      // to the next costed version; if nothing was admitted past the
-      // last segment, the offset still reaches `hi` when no segments
-      // remain beyond it
-      if (byVer.isEmpty || (!stopped && end == byVer.last._1)) hi else end
+      // to the next costed version: when admission stopped, the
+      // offset may still advance to just below the first UNADMITTED
+      // segment's version (already-charged spanning segments and
+      // empty commits fill the gap); when nothing stopped it, all
+      // pending content is admitted and the offset reaches `hi`
+      if (!stopped) hi else math.max(end, stopVer - 1)
     }
     def clamp(l: ReadLimit): Long = l match {
       case b: ReadMaxBytes =>

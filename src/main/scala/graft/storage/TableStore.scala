@@ -149,9 +149,12 @@ final class TableStore private (
     * `layout` is the range-partition + sort column list (the store's
     * probe-pruning order). Returns false when fewer than two small
     * segments exist (no-op, no commit). Same offline single-writer
-    * contract as [[rewrite]]; in-flight scans that lose a planned
-    * file re-resolve through the connector's fallback and emit the
-    * identical rows (the fold preserves the `_ver` key space). */
+    * contract as [[rewrite]]; an in-flight scan that loses a planned
+    * file to the fold fails LOUDLY and re-runs against the current
+    * table (partial re-resolution of a `_ver` plan is never sound:
+    * merged files span several planned partitions' version ranges, so
+    * sibling-by-sibling re-resolution would silently duplicate rows —
+    * the connector refuses instead). */
   def compactSmall(
       layout: Seq[String],
       targetPartitions: Int = 8,

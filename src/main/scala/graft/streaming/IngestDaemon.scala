@@ -882,9 +882,15 @@ final class IngestDaemon private (
     * corpus-shaped stores (seen + composed dedup indexes), aggregate
     * folds on the bucket-bounded artifact stores (their fold is an
     * aggregation, not a layout change — and their size is bounded by
-    * buckets, not the corpus). Unlike [[compact]], nothing here
-    * destroys history: `corpusAsOf`, index snapshot replays and
-    * in-flight streams all keep working across it. */
+    * buckets, not the corpus). The CORPUS-SHAPED stores never lose
+    * history: `corpusAsOf`, index snapshot replays and in-flight
+    * streams all keep working across it. The artifact-store aggregate
+    * folds (profile/boilerplate/DSIR) DO fold their own store history
+    * — `profileAsOf`/`dictAsOf` pins to pre-fold versions fail loudly
+    * after a maintenance tick. Crash-window replays stay safe because
+    * maintenance runs strictly BETWEEN batches and replays resolve
+    * their version of record from the journal, never from a floating
+    * "latest". */
   def compactMinor(
       targetPartitions: Int = 8,
       maxSegmentBytes: Long = 256L << 20): Unit = synchronized {

@@ -102,6 +102,31 @@ abstract class TableStoreContract extends SparkSpec {
     assert(store.readAsOf(2L).count() == 2L)
   }
 
+  test("a scan losing a planned file to a minor fold fails loudly, never duplicates") {
+    val dir = storeDir("ts-minorrace")
+    val store = TableStore.open(spark, dir, schema)
+    (1 to 4).foreach(i =>
+      store.append(Seq((s"k$i", i.toLong)).toDF("k", "v")))
+    // commit the plan to the pre-fold file set...
+    val rdd = spark.read.format("graft-table").load(dir).rdd
+    assert(rdd.getNumPartitions >= 1)
+    // ...then a minor fold merges (and DELETES) the planned files.
+    // compactSmall preserves every row's _ver but merges files whose
+    // version ranges span several planned partitions: sibling-by-
+    // sibling re-resolution against the folded manifest would emit
+    // overlapping row sets (silent duplication) — the reader must
+    // refuse loudly instead, like the full-fold refusal.
+    assert(store.compactSmall(Seq("k"), targetPartitions = 1))
+    val e = intercept[Exception] { rdd.collect() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(msgs.contains("re-run against the current table"), msgs)
+    // a fresh plan against the folded table serves the exact rows
+    assert(spark.read.format("graft-table").load(dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      (1 to 4).map(i => (s"k$i", i.toLong, i.toLong)).toSet)
+  }
+
   test("stream keeps delivering exactly-once across a minor fold — even from an offset inside the merged range") {
     import org.apache.spark.sql.streaming.Trigger
     import scala.jdk.CollectionConverters._
@@ -140,6 +165,34 @@ abstract class TableStoreContract extends SparkSpec {
       ("a", 1L, 1L), ("b", 2L, 2L), ("c", 3L, 3L), ("d", 4L, 5L)),
       s"got ${rows.asScala.toSet}")
     assert(rows.size == 4, s"duplicate delivery: ${rows.asScala.toSeq}")
+  }
+
+  test("admission budgets charge a minor-folded spanning segment, not free-ride it") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = storeDir("ts-minadm")
+    val store = TableStore.open(spark, dir, schema)
+    (1 to 3).foreach(i =>
+      store.append(Seq((s"k$i", i.toLong)).toDF("k", "v"))) // v1..v3
+    assert(store.compactSmall(Seq("k"), targetPartitions = 1)) // v4 = fold, spans [1,3]
+    store.append(Seq(("k5", 5L)).toDF("k", "v")) // v5
+    store.append(Seq(("k6", 6L)).toDF("k", "v")) // v6
+    val stream = new graft.sources.GraftTableMicroBatchStream(dir,
+      spark.read.format("graft-table").load(dir).schema, None, None, None)
+    // the merged segment spans [1,3] and still owes versions 2..3; a
+    // batch over them re-scans its whole file, so a 1-byte budget
+    // admits it ALONE (at-least-one liveness) and stops BELOW v5 —
+    // selecting pending work by first version would instead free-ride
+    // the fold's bytes and jump straight into v5's batch
+    val end = stream.latestOffset(
+      stream.deserializeOffset("1"), ReadLimit.maxBytes(1))
+    assert(end.json() == "4", s"expected offset 4, got ${end.json()}")
+    // subsequent batches pace one costed version at a time
+    val end2 = stream.latestOffset(
+      stream.deserializeOffset("4"), ReadLimit.maxBytes(1))
+    assert(end2.json() == "5", end2.json())
+    val end3 = stream.latestOffset(
+      stream.deserializeOffset("5"), ReadLimit.maxBytes(1))
+    assert(end3.json() == "6", end3.json())
   }
 
   test("table count/min/max(_ver) answered from the manifest — zero file IO") {
