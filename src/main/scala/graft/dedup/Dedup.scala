@@ -677,18 +677,32 @@ object Dedup {
     //    64-bit collisions (~n²/2^65 within one doc — unobservable;
     //    output equality across both configs on identical candidates
     //    is spec-pinned).
-    def side(sfx: String): DataFrame =
-      if (portableHash)
-        df.select(col(idCol).as(s"id_$sfx"), col(textCol).as(s"_text_$sfx"))
+    // Production sides share ONE materialized hashed frame: the text
+    // source is semi-joined to the union of candidate ids, hash-
+    // walked once, and checkpointed — evaluating each side separately
+    // re-ran the text fetch AND the shingle-hash walk twice (the r20
+    // plan audit: two corpus-text scans per verify). Bounded by the
+    // distinct candidate ids, like the per-side semi-joins it fuses.
+    val hashedOnce: Option[DataFrame] =
+      if (portableHash) None
       else {
-        val ids = slim.select(col(s"id_$sfx")).distinct()
-        df.select(col(idCol).as(s"id_$sfx"), col(textCol).as("_t"))
-          .join(if (fits) broadcast(ids) else ids, Seq(s"id_$sfx"),
-            "left_semi")
-          .select(col(s"id_$sfx"),
+        val ids = slim
+          .select(explode(array(col("id_a"), col("id_b"))).as("_vid"))
+          .distinct()
+        Some(df
+          .select(col(idCol).as("_vid"), col(textCol).as("_t"))
+          .join(if (fits) broadcast(ids) else ids, Seq("_vid"), "left_semi")
+          .select(col("_vid"),
             graft.functions.ShingleHashes
-              .column(col("_t"), shingleWidth).as(s"_sh_$sfx"))
+              .column(col("_t"), shingleWidth).as("_sh"))
+          .localCheckpoint(true))
       }
+    def side(sfx: String): DataFrame = hashedOnce match {
+      case Some(h) =>
+        h.select(col("_vid").as(s"id_$sfx"), col("_sh").as(s"_sh_$sfx"))
+      case None =>
+        df.select(col(idCol).as(s"id_$sfx"), col(textCol).as(s"_text_$sfx"))
+    }
     val a = side("a")
     val b = side("b")
     val withA = a.join(if (fits) broadcast(slim) else slim, Seq("id_a"))
@@ -872,25 +886,29 @@ object Dedup {
     val raw = pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
     // Contract: every node mentioned in `pairs` appears in the output,
-    // including self-loop-only nodes the edge canonicalization drops.
-    val nodes = raw
-      .select(col("u").as("id"))
-      .union(raw.select(col("v").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    var edges = raw
-      .where(col("u") =!= col("v"))
+    // including self-loop-only nodes, so canonicalization KEEPS
+    // self-loops as (u, u) rows — one materialization carries both
+    // the edge set and the node set. ONE gate job, not
+    // count-then-collect (the gathered-gate discipline): fetch up to
+    // threshold+1 canonical rows from the checkpointed blocks; an
+    // overflow row means "too big — distributed star contraction",
+    // otherwise the gathered set IS the graph and the labels come
+    // back as a driver-local relation (zero further jobs, and the
+    // caller's downstream joins auto-broadcast it). The old shape ran
+    // four jobs before the union-find even started (nodes checkpoint,
+    // edges checkpoint, count, collect) plus a distributed
+    // nodes×labels join after it.
+    val canon = raw
       .select(
         greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    val nEdges = edges.count()
-    // nEdges == 0 falls through to the loop header (already
-    // converged), so `localThreshold = 0` really does bypass the
-    // driver path for every non-trivial input.
-    if (nEdges != 0 && nEdges <= localThreshold) {
-      // driver union-find over the collected canonical edges; unions
+    val gateLimit =
+      math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+    val gathered = canon.limit(gateLimit).collect()
+    if (gathered.length <= localThreshold) {
+      // driver union-find over the gathered canonical edges; unions
       // attach the larger root under the smaller, so every root is
       // its component minimum — the same label the star state carries
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -908,20 +926,30 @@ object Dedup {
         while (c != r) { val next = parent(c); parent(c) = r; c = next }
         r
       }
-      edges.collect().foreach { e =>
-        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+      gathered.foreach { e =>
+        val (u, v) = (e.getLong(0), e.getLong(1))
+        // find() registers self-loop-only nodes too, so parent's key
+        // set is exactly the node set
+        val (ra, rb) = (find(u), find(v))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      edges.unpersist(blocking = false) // dead after the collect
+      canon.unpersist(blocking = false) // dead after the gather
       val spark = pairs.sparkSession
       import spark.implicits._
-      val labels = parent.keys.toSeq.map(k => (k, find(k)))
+      return parent.keys.toSeq.map(k => (k, find(k)))
         .toDF("id", "component")
-      return nodes
-        .join(labels, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("component"), col("id")).as("component"))
     }
+    // distributed path: nodes and the initial edge set both derive
+    // from the one checkpointed canonical frame (cheap block-local
+    // re-evaluation, no second materialization)
+    val nodes = canon
+      .select(col("u").as("id"))
+      .union(canon.select(col("v").as("id")))
+      .distinct()
+    var edges = canon
+      .where(col("u") =!= col("v"))
+      .localCheckpoint(true)
+    val nEdges = edges.count()
     var converged = nEdges == 0L
     var i = 0
     while (!converged && i < maxIter) {
@@ -1695,15 +1723,21 @@ object Dedup {
     // instead of hard-failing the driver. Both legs are spec-pinned
     // identical (PipelinePropSpec, both hash configs).
     val dict = dupKeys.localCheckpoint(true)
-    val nKeys = dict.count()
-    if (nKeys <= maxBroadcastKeys) {
+    // ONE gate job, not count-then-collect (the incrementalFromBands
+    // gathered-gate discipline): fetch up to gate+1 keys from the
+    // checkpointed blocks; an overflow row means "too many — join
+    // leg", otherwise the gathered set IS the dictionary
+    val gateLimit =
+      math.min(maxBroadcastKeys + 1, Int.MaxValue.toLong).toInt
+    val gathered = dict.limit(gateLimit).collect()
+    if (gathered.length <= maxBroadcastKeys) {
       val keys: Array[Long] =
         if (portableHash)
-          dict.collect().map(r =>
+          gathered.map(r =>
             // first 16 md5-hex chars == first 8 digest bytes, the
             // exact truncation DedupLinesRewrite recomputes per line
             java.lang.Long.parseUnsignedLong(r.getString(0).take(16), 16))
-        else dict.collect().map(_.getLong(0))
+        else gathered.map(_.getLong(0))
       val rw = graft.functions.DedupLinesRewrite
         .rewriteColumn(col(textCol), portableHash, keys)
       // explode(array(...)) so the rewrite evaluates ONCE per row (a

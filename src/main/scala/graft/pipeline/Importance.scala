@@ -25,19 +25,33 @@ import graft.text.TextFunctions
   */
 object Importance {
 
-  /** Per-doc feature grams: unigrams, plus word bigrams when
-    * `bigrams` (the paper's feature set). Single-token docs get no
-    * bigram (ngramsAll would fold them to the full text — a unigram
-    * duplicate, not a bigram). */
-  private def featureGrams(text: Column, bigrams: Boolean): Column = {
-    val toks = TextFunctions.tokens(text)
+  /** Per-doc feature grams from a PRE-PROJECTED token array:
+    * unigrams, plus word bigrams when `bigrams` (the paper's feature
+    * set). Single-token docs get no bigram (folding them to the full
+    * text would be a unigram duplicate, not a bigram).
+    *
+    * Callers must project `TextFunctions.tokens(text)` into a column
+    * first and pass THAT here: the gram tree references the token
+    * array several times, and `Generate` gets no codegen
+    * subexpression elimination — inlining `tokens(text)` re-ran
+    * `split(lower(text))` once per reference, ~8 full-text regex
+    * splits per row on the bigram path (the r20 plan audit; same
+    * lesson as [[TextFunctions.ngramsAll]]'s per-element-capture
+    * note). */
+  private def featureGramsOfToks(toks: Column, bigrams: Boolean): Column =
     if (!bigrams) toks
-    else
+    else {
+      // ngramsAll(n=2) under the size>=2 guard, over the projected
+      // token array: two shifted slices zipped pairwise
+      val width = greatest(size(toks) - 1, lit(0))
+      val bi = zip_with(
+        slice(toks, lit(1), width), slice(toks, lit(2), width),
+        (a, b) => concat_ws(" ", a, b))
       concat(
         toks,
-        when(size(toks) >= 2, TextFunctions.ngramsAll(text, 2))
+        when(size(toks) >= 2, bi)
           .otherwise(typedLit(Array.empty[String])))
-  }
+    }
 
   private def bucketOf(
       gram: Column, buckets: Int, seed: String, portable: Boolean): Column =
@@ -112,32 +126,72 @@ object Importance {
     require(buckets > 0, s"buckets must be > 0 (got $buckets)")
     require(alpha > 0.0, s"alpha must be > 0 (got $alpha)")
     // ONE side-tagged count pass instead of two: the union scans each
-    // side exactly once either way, but a single (side, bucket)
+    // side exactly once either way, but a single PIVOTED per-bucket
     // groupBy is one shuffle + one job where the per-side form paid
-    // two of each — at 100 TB the shuffle is ≤ 2·buckets rows, the
-    // savings are the whole second corpus-scan job's scheduling
+    // two of each — at 100 TB the shuffle is ≤ buckets rows, the
+    // savings are the whole second corpus-scan job's scheduling.
+    // Pivoting (conditional sums per side) instead of grouping by
+    // (side, bucket) also removes the FullOuter join the per-side
+    // frames needed downstream — the r20 plan audit showed it as a
+    // SortMergeJoin (2 exchanges + 2 sorts) evaluated once per dict
+    // consumer.
     val tagged = target.select(lit("t").as("_side"),
         col(textCol).as("_text"))
       .unionByName(raw.select(lit("r").as("_side"),
         col(textCol).as("_text")))
     val counts = tagged
       .where(length(trim(col("_text"))) > 0)
+      .select(col("_side"), TextFunctions.tokens(col("_text")).as("_toks"))
       .select(col("_side"),
-        explode(featureGrams(col("_text"), bigrams)).as("_g"))
+        explode(featureGramsOfToks(col("_toks"), bigrams)).as("_g"))
       .select(col("_side"),
         bucketOf(col("_g"), buckets, seed, portableHash).as("bucket"))
-      .groupBy(col("_side"), col("bucket"))
-      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("_side") === "t", 1L).otherwise(0L)).as("_ct"),
+        sum(when(col("_side") === "r", 1L).otherwise(0L)).as("_cr"))
       .localCheckpoint(true)
-    val tc = counts.where(col("_side") === "t")
-      .select(col("bucket"), col("_c").as("_ct"))
-    val rc = counts.where(col("_side") === "r")
-      .select(col("bucket"), col("_c").as("_cr"))
-    val tEmpty = tc.agg(sum("_ct")).collect().head.isNullAt(0)
-    val rEmpty = rc.agg(sum("_cr")).collect().head.isNullAt(0)
-    if (tEmpty || rEmpty) None
-    else Some(dictFromCounts(tc, rc, buckets, bigrams, alpha, seed,
-      portableHash))
+    // ONE totals job (the old shape ran four: two emptiness probes
+    // here plus two totals aggs inside dictFromCounts)
+    val tot = counts.agg(sum("_ct"), sum("_cr")).collect().head
+    val tTot = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    val rTot = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    if (tTot == 0L || rTot == 0L) None
+    else Some(dictFromPivot(counts, tTot, rTot, buckets, bigrams, alpha,
+      seed, portableHash))
+  }
+
+  /** The log-ratio dictionary from ONE pivoted per-bucket count frame
+    * (`(bucket, _ct, _cr)`, zero where a side never saw the bucket)
+    * with pre-aggregated side totals — the fused fast path of
+    * [[dictFromCounts]]; identical values by construction (same
+    * formula, same HALF_UP 6-dp rounding, `0 + alpha` ==
+    * `coalesce(null, 0) + alpha`). */
+  private def dictFromPivot(
+      counts: DataFrame,
+      tTot: Long,
+      rTot: Long,
+      buckets: Int,
+      bigrams: Boolean,
+      alpha: Double,
+      seed: String,
+      portableHash: Boolean
+  ): DataFrame = {
+    val tDen = tTot.toDouble + alpha * buckets
+    val rDen = rTot.toDouble + alpha * buckets
+    val defaultLr =
+      round6(math.log(alpha / tDen) - math.log(alpha / rDen))
+    counts.select(
+      col("bucket"),
+      round(
+        log((col("_ct").cast("double") + alpha) / tDen) -
+          log((col("_cr").cast("double") + alpha) / rDen),
+        6).as("lr"),
+      lit(defaultLr).as("default_lr"),
+      lit(buckets).as("buckets"),
+      lit(bigrams).as("bigrams"),
+      lit(seed).as("seed"),
+      lit(portableHash).as("portable"))
   }
 
   /** Per-bucket gram counts of `df` — the mergeable half of a DSIR
@@ -153,16 +207,18 @@ object Importance {
       portableHash: Boolean
   ): DataFrame =
     df.where(length(trim(col(textCol))) > 0)
-      .select(explode(featureGrams(col(textCol), bigrams)).as("_g"))
+      .select(TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(explode(featureGramsOfToks(col("_toks"), bigrams)).as("_g"))
       .select(bucketOf(col("_g"), buckets, seed, portableHash).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("_c"))
 
   /** The add-`alpha` log-ratio dictionary from two bucket-count
-    * frames (`tc`: (bucket, _ct); `rc`: (bucket, _cr)) — the shared
-    * math of [[dsirDict]] and [[DsirIndex.dict]], so the standing
-    * artifact's dictionary is bit-identical to the one-shot build at
-    * equal counts. An absent raw side (zero rows) is a UNIFORM raw
+    * frames (`tc`: (bucket, _ct); `rc`: (bucket, _cr)) — the
+    * [[DsirIndex.dict]] math, value-identical to [[dsirDict]]'s fused
+    * [[dictFromPivot]] at equal counts (same formula, same rounding),
+    * so the standing artifact's dictionary is bit-identical to the
+    * one-shot build. An absent raw side (zero rows) is a UNIFORM raw
     * model (every bucket at the smoothing floor) — the standing
     * artifact's cold start; [[dsirDict]] still refuses it (a one-shot
     * build with no raw corpus is a caller bug, not a cold start). */
@@ -255,7 +311,9 @@ object Importance {
     val default = head.map(_.getDouble(0))
     val withDefault = batch
       .where(nonBlank)
-      .select(col(idCol), explode(featureGrams(col(textCol), bigrams)).as("_g"))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(featureGramsOfToks(col("_toks"), bigrams)).as("_g"))
       .select(col(idCol), bucketOf(col("_g"), buckets, seed, portableHash).as("bucket"))
       .join(broadcast(dict.select(col("bucket"), col("lr"))), Seq("bucket"), "left")
       .withColumn("_lr", coalesce(col("lr"), lit(default.getOrElse(0.0))))

@@ -108,6 +108,11 @@ private[graft] trait FileIO {
     * footer reads, DirectRead point reads, executor segment scans. */
   def inputFile(path: String): org.apache.parquet.io.InputFile
 
+  /** A NEW file as a parquet-mr [[org.apache.parquet.io.OutputFile]]
+    * — the driver-side small-append row-group concat
+    * ([[ParquetConcat]]) writes through this. */
+  def outputFile(path: String): org.apache.parquet.io.OutputFile
+
   /** Critical section for a manifest commit on `dir`: serializes
     * same-process committers always, cross-process committers where
     * the backend has locks (local OS file lock); elsewhere the
@@ -277,6 +282,9 @@ private[graft] object LocalFileIO extends FileIO {
 
   override def inputFile(path: String): org.apache.parquet.io.InputFile =
     new org.apache.parquet.io.LocalInputFile(p(path))
+
+  override def outputFile(path: String): org.apache.parquet.io.OutputFile =
+    new org.apache.parquet.io.LocalOutputFile(p(path))
 
   // per-directory JVM monitor: serializes same-process committers on
   // one dir (and prevents OverlappingFileLockException on the OS lock
@@ -526,6 +534,10 @@ private[graft] object HadoopFileIO extends FileIO {
 
   override def inputFile(path: String): org.apache.parquet.io.InputFile =
     org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new HPath(path), conf)
+
+  override def outputFile(path: String): org.apache.parquet.io.OutputFile =
+    org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
       new HPath(path), conf)
 
   // no OS advisory locks on shared filesystems: same-process

@@ -41,6 +41,17 @@ final class TableStore private (
     spark.conf.getOption("spark.graft.segmentTargetFileBytes")
       .map(_.toLong).getOrElse(32L << 20)
 
+  // staged-bytes ceiling for the DRIVER-SIDE row-group-copy merge: a
+  // merge under it skips the read-back Spark job entirely (the
+  // per-micro-batch floor); above it — many mid-size files, a rare
+  // shape for a "small" append — the parallel coalesce rewrite is
+  // worth its scheduling cost and the driver never streams large
+  // byte volumes through itself (guide §5: the driver does no data
+  // work)
+  private val segmentMergeDriverMaxBytes: Long =
+    spark.conf.getOption("spark.graft.segmentMergeDriverMaxBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+
   /** On-disk schema: the logical columns plus the physical `_ver`. */
   private val diskSchema: StructType =
     StructType(schema.fields :+ StructField("_ver", LongType, nullable = false))
@@ -277,22 +288,39 @@ final class TableStore private (
     // thousands of small commits — the streaming-daemon shape — then
     // pays O(files) listing/footer cost at EVERY plan. Judge staged
     // bytes (real sizes, not a row guess) and fold a tiny multi-file
-    // stage into ceil(bytes/target) files before publishing; one
-    // extra small job per small append, large appends untouched.
+    // stage into ceil(bytes/target) files before publishing — by
+    // DRIVER-SIDE row-group copy ([[ParquetConcat]]), not a read-back
+    // coalesce job: the bytes moved are bounded by the small-append
+    // threshold, and skipping the second Spark job removes its fixed
+    // scheduling cost from every micro-batch commit. Large appends
+    // untouched.
     val staged = io.list(tmp)
       .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
     val merged =
       if (staged.length <= 1) tmp
       else {
-        val totalBytes = staged.map(f => io.size(f.path)).sum
+        val sizes = staged.map(f => f.path -> io.size(f.path)).toMap
+        val totalBytes = sizes.valuesIterator.sum
         val target = math.max(1L,
           (totalBytes + segmentTargetFileBytes - 1) / segmentTargetFileBytes)
         if (target >= staged.length) tmp
         else {
           val tmp2 = FileIO.join(dir, s"tmp-${UUID.randomUUID()}")
-          spark.read.schema(diskSchema).parquet(tmp)
-            .coalesce(target.toInt)
-            .write.mode(SaveMode.Overwrite).parquet(tmp2)
+          if (totalBytes <= segmentMergeDriverMaxBytes) {
+            io.mkdirs(tmp2)
+            // name order = the write job's partition order, so the
+            // merged content order matches what the coalesce
+            // read-back produced
+            ParquetConcat
+              .packGroups(staged.sortBy(_.name), sizes, target.toInt)
+              .zipWithIndex.foreach { case (group, i) =>
+                ParquetConcat.concat(io, group.map(_.path),
+                  FileIO.join(tmp2, f"part-$i%05d.parquet"))
+              }
+          } else
+            spark.read.schema(diskSchema).parquet(tmp)
+              .coalesce(target.toInt)
+              .write.mode(SaveMode.Overwrite).parquet(tmp2)
           FsckSweep.deleteRecursively(tmp)
           tmp2
         }

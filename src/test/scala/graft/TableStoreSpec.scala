@@ -39,7 +39,8 @@ abstract class TableStoreContract extends SparkSpec {
   }
 
   test("a small multi-partition append publishes few files (byte-aware merge)") {
-    val store = TableStore.open(spark, storeDir("ts-merge"), schema)
+    val mergeDir = storeDir("ts-merge")
+    val store = TableStore.open(spark, mergeDir, schema)
     val df = spark.range(2000).repartition(32)
       .select(concat(lit("k"), (col("id") % 7).cast("string")).as("k"),
         col("id").as("v"))
@@ -52,6 +53,21 @@ abstract class TableStoreContract extends SparkSpec {
     assert(store.read.count() == 2000)
     assert(store.read.agg(sum("v")).collect().head.getLong(0) ==
       (0L until 2000L).sum)
+    // the driver-side row-group concat must carry the writer's
+    // key-value footer metadata onto the merged file — INT96 rebase
+    // provenance keys on org.apache.spark.version, and a merged file
+    // without it would refuse ancient timestamps as "foreign"
+    val io = FileIO.forPath(mergeDir)
+    val dataDir = FileIO.join(mergeDir, "data")
+    io.list(dataDir).filter(_.name.endsWith(".parquet")).foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        io.inputFile(f.path))
+      try assert(
+        r.getFooter.getFileMetaData.getKeyValueMetaData
+          .containsKey("org.apache.spark.version"),
+        s"merged segment ${f.name} lost its Spark writer provenance")
+      finally r.close()
+    }
     // staged bytes that already justify their file count are left
     // alone: a tiny per-file target disables the merge entirely
     spark.conf.set("spark.graft.segmentTargetFileBytes", "1")
