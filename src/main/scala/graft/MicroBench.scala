@@ -182,6 +182,28 @@ object MicroBench {
         }
       }
     }
+    if (want.isEmpty || want("multilog_build") || want("kvindex_build")) {
+      val valueType = EngineFixtures.eventValue(events).schema.head.dataType
+      val log = graft.storage.ParquetLog.open(spark, s"$work/mblog", valueType)
+      log.append(EngineFixtures.eventValue(events))
+      val mlogs = (0 until 3).map(i =>
+        graft.multilog.MultiLog.open(spark, s"$work/mlog$i"))
+      val mcurs = (0 until 3).map(i =>
+        graft.indexes.KVIndex.open(spark, s"$work/mcur$i"))
+      timedStateful("multilog_build") { i =>
+        graft.indexes.MultiLogSink.pump(
+          log, mlogs(i), mcurs(i),
+          b => b.select(col("value.event_type").as("addr"), col("seq")))
+      }
+      val kvs = (0 until 3).map(i =>
+        graft.indexes.KVIndex.open(spark, s"$work/kv$i"))
+      timedStateful("kvindex_build") { i =>
+        graft.indexes.SinkIndex.pump(
+          log, kvs(i),
+          b => b.select(col("value.user_id").as("addr"),
+            col("value.props").as("value"), col("seq").as("useq")))
+      }
+    }
     timed("zorder_write") {
       graft.pipeline.Layout.writeZOrdered(
         li, Seq("l_partkey", "l_suppkey"),

@@ -66,15 +66,24 @@ final class MultiLog(val spark: SparkSession, val dir: String)
     * harmless — strictly stronger than the reference's at-most-once
     * cursor-first discipline (multilog/sink.go:50-57). */
   def appendBatch(df: DataFrame): Unit = synchronized {
-    store.append(
-      df.select(
+    // ONE exchange, not two: bucket is a function of addr, so hash-
+    // partitioning by bucket co-locates every (addr, seq) duplicate —
+    // a distinct over (addr, seq, bucket) is then satisfied by the
+    // bucket exchange (HashPartitioning(bucket) ⊆ the distinct's
+    // clustering) and plans with NO second shuffle, where the old
+    // dropDuplicates-then-repartition shape shuffled the batch twice
+    val routed = df.select(
         col(df.columns(0)).cast(StringType).as("addr"),
         col(df.columns(1)).cast(LongType).as("seq")
       ).where(col("addr").isNotNull) // null route = "don't index"
-        .dropDuplicates("addr", "seq")
-        .withColumn("bucket", pmod(xxhash64(col("addr")), lit(NumBuckets)).cast("int"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("addr")), lit(NumBuckets)).cast("int"))
+    store.append(
+      routed
         .repartition(col("bucket"))
+        .distinct()
         .sortWithinPartitions("bucket", "addr", "seq")
+        .select("addr", "seq", "bucket")
     )
     epoch.incrementAndGet()
     (): Unit

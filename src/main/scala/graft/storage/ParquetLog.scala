@@ -174,12 +174,47 @@ final class ParquetLog private (
         StructField("nulled", BooleanType, nullable = false)
       )
     )
-    val rdd = values
-      .select(col(vCol))
-      .rdd
-      .zipWithIndex()
-      .map { case (r, i) => Row(base + i, r.get(0), false) }
-    val df = spark.createDataFrame(rdd, schema)
+    // Dense-seq stamping WITHOUT leaving Tungsten: the old
+    // rdd.zipWithIndex discipline deserialized every value to a Row
+    // and re-encoded it through createDataFrame's per-row converters
+    // — for struct values that round-trip dominated append cost
+    // (guide §1.4's rdd-conversion warning, measured on the r20
+    // append_events leg). Same two passes, native form: count rows
+    // per input partition (job 1), broadcast the cumulative offsets,
+    // stamp `base + offset(pid) + withinPartitionCounter` in the
+    // write job. monotonically_increasing_id is partitionId·2^33 +
+    // counter, so the within-partition counter recovers by
+    // subtraction; both passes plan the same deterministic scan —
+    // the exact property zipWithIndex relied on.
+    val src = values.select(col(vCol).as("value"))
+    val partCounts = src
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = partCounts.map { case (pid, n) =>
+      val o = (pid, acc); acc += n; o
+    }
+    val offDf = org.apache.spark.sql.functions.broadcast(
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          offsets.map(o => Row(o._1, o._2)): _*),
+        StructType(Seq(
+          StructField("_pid", org.apache.spark.sql.types.IntegerType,
+            nullable = false),
+          StructField("_off", LongType, nullable = false)))))
+    val df = src
+      .select(col("value"), spark_partition_id().as("_pid"),
+        monotonically_increasing_id().as("_mid"))
+      .join(offDf, Seq("_pid"))
+      .select(
+        (lit(base) + col("_off") +
+          (col("_mid") - col("_pid").cast("long") * lit(1L << 33)))
+          .as("seq"),
+        col("value"),
+        lit(false).as("nulled"))
     val segs = writeSegments(df)
     if (segs.isEmpty && batchId.isEmpty) return base // nothing to commit
     // an empty STREAMING batch still commits: the batch id must
