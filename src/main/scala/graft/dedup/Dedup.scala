@@ -1027,14 +1027,17 @@ object Dedup {
       batchIds.select(col(idCol).cast("long").as("id"),
         lit(true).as("_new")),
       Seq("id"), "left")
-    val byCluster = tagged
-      .groupBy("component")
-      .agg(
-        max(when(col("_new").isNull, lit(1)).otherwise(lit(0)))
-          .as("_has_corpus"),
-        min(when(col("_new").isNotNull, col("id"))).as("_min_new"))
+    // per-component corpus presence / min batch id as WINDOW
+    // aggregates: one exchange on component (plus its sort) where the
+    // old groupBy-then-join-back shape planned the same exchange PLUS
+    // a join (a SortMergeJoin whenever size estimates were unknown —
+    // the r20 plan audit flagged it on q116)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
     tagged
-      .join(byCluster, Seq("component"))
+      .withColumn("_has_corpus",
+        max(when(col("_new").isNull, lit(1)).otherwise(lit(0))).over(w))
+      .withColumn("_min_new",
+        min(when(col("_new").isNotNull, col("id"))).over(w))
       .where(col("_new").isNotNull &&
         (col("_has_corpus") === 1 || col("id") =!= col("_min_new")))
       .select(col("id").as("_dup_id"))
@@ -1509,8 +1512,28 @@ object Dedup {
     require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
     require(bands > maxHamming,
       s"pigeonhole recall needs bands > maxHamming (got $bands <= $maxHamming)")
-    val newBands = hammingBandIndex(newDocs, hashCol, idCol, bands, bits)
-      .localCheckpoint(true) // probe keys + tagged union reuse it
+    incrementalHammingFromBands(
+      hammingBandIndex(newDocs, hashCol, idCol, bands, bits)
+        .localCheckpoint(true), // probe keys + tagged union reuse it
+      corpusIndex, maxHamming, maxBucket, maxBroadcastProbeKeys,
+      minProbeExchangeRows)
+  }
+
+  /** The probe/pair core of [[incrementalHammingPairsDiag]] over an
+    * ALREADY-banded, already-materialized batch (`newBands` must be a
+    * localCheckpointed `(id, band, bkey, h)` frame) — exposed
+    * package-private so [[FingerprintIndex.ingest]] can band the
+    * batch ONCE and reuse the same checkpointed frame for its index
+    * commit (the commit's range-partitioner sampling pass otherwise
+    * re-ran the banding a third time per ingest). */
+  private[graft] def incrementalHammingFromBands(
+      newBands: DataFrame,
+      corpusIndex: DataFrame,
+      maxHamming: Int,
+      maxBucket: Long = 100000L,
+      maxBroadcastProbeKeys: Long = 4000000L,
+      minProbeExchangeRows: Long = 50000L
+  ): (DataFrame, DataFrame) = {
     val nRows = newBands.count()
     val probe = newBands.select("band", "bkey").distinct()
     val probeSide =

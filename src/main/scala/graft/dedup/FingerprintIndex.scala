@@ -108,9 +108,16 @@ final class FingerprintIndex private (
   ): FingerprintIngestResult = synchronized {
     val applied = appliedVersion(batchId)
     val pre = applied.map(_ - 1)
-    val (pairs, capped) = Dedup.incrementalHammingPairsDiag(
+    // band the batch ONCE: the probe, the cap union AND the commit
+    // (whose range-partitioner sampling evaluates its child twice)
+    // all reuse the same checkpointed frame — the old shape re-ran
+    // the banding three times per ingest
+    val banded = Dedup.hammingBandIndex(
       docs.select(col(idCol).as("id"), col(hashCol).as("h")),
-      "h", "id", bandsAt(pre), maxHamming, bands, maxBucket, bits)
+      "h", "id", bands, bits)
+      .localCheckpoint(true)
+    val (pairs, capped) = Dedup.incrementalHammingFromBands(
+      banded, bandsAt(pre), maxHamming, maxBucket)
     val drops = Dedup.incrementalDropIds(
       pairs.select("id_a", "id_b"),
       docs.select(col(idCol).cast("long").as(idCol)), idCol, maxIter)
@@ -122,7 +129,7 @@ final class FingerprintIndex private (
         "left_anti")
     val ver = applied.getOrElse {
       commit(
-        Dedup.hammingBandIndex(docs, hashCol, idCol, bands, bits)
+        banded
           .join(drops.select(col("_dup_id")),
             col("id") === col("_dup_id"), "left")
           .select(col("id"), col("band"), col("bkey"), col("h"),

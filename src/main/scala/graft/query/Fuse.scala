@@ -42,14 +42,17 @@ object Fuse {
           .cast("long")
           .as(rankName))
     }
-    ranked(a, "_ra")
-      .join(ranked(b, "_rb"), Seq(idCol), "full_outer")
-      .select(
-        col(idCol),
-        round(
-          coalesce(lit(1.0) / (lit(k) + col("_ra")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(k) + col("_rb")), lit(0.0)),
-          6).as("rrf"))
+    // union + sum instead of a full-outer join: the two contributions
+    // per id are summed by ONE aggregate (the r20 plan audit flagged
+    // the join as a SortMergeJoin — full outer cannot broadcast).
+    // Value-identical: IEEE addition is commutative, so the ≤ 2-term
+    // sum is the same double in either arrival order, and a
+    // single-list id's sum equals its old `term + 0.0`.
+    ranked(a, "_r").select(col(idCol), (lit(1.0) / (lit(k) + col("_r"))).as("_c"))
+      .unionByName(ranked(b, "_r")
+        .select(col(idCol), (lit(1.0) / (lit(k) + col("_r"))).as("_c")))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_c")), 6).as("rrf"))
       .orderBy(col("rrf").desc, col(idCol).asc)
   }
 }
