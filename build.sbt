@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// per-test durations in the report: a verify run that dies to an
+// external timeout leaves evidence of WHERE the time went
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Pass the forked JVM's stdout through verbatim: the bench contract is
 // ONE parseable JSON line on stdout, and sbt's default logger prefixes
 // every line with "[info] " (BENCH_r{1,2,3}.json all show parsed:null

@@ -106,6 +106,16 @@ final class FingerprintIndex private (
       maxBucket: Long = 100000L,
       maxIter: Int = 50
   ): FingerprintIngestResult = synchronized {
+    // the direct hammingBandIndex + incrementalHammingFromBands path
+    // bypasses incrementalHammingPairsDiag's guards — re-assert them
+    // here against the PINNED bands, or an ingest with maxHamming >=
+    // bands silently loses near-dup recall (pairs spreading their
+    // differing bits one per band share no band) instead of failing
+    // fast
+    require(maxHamming >= 0, s"maxHamming must be >= 0 (got $maxHamming)")
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands > maxHamming " +
+        s"(pinned bands=$bands <= $maxHamming)")
     val applied = appliedVersion(batchId)
     val pre = applied.map(_ - 1)
     // band the batch ONCE: the probe, the cap union AND the commit
@@ -157,6 +167,13 @@ final class FingerprintIndex private (
     // not only after one (the Ann.writeBucketedIndex discipline).
     // The range shuffle is batch-sized; nulls (the journal row) sort
     // first, keeping journal lookups one row group deep.
+    // (r21 probe: a deterministic hash-by-band partitioner removes
+    // the range sampler's second eval of this child, but the merge
+    // concatenates staged files in PARTITION order, and hash order
+    // breaks the per-file (kind, band, bkey) monotonicity the tiling
+    // exists for — FingerprintIndexSpec pins it. The sampler's extra
+    // eval reads two localCheckpoints + a broadcast join; measured
+    // cost in OPTIMIZATION_r21.md.)
     store.append(
       v.unionByName(j)
         .repartitionByRange(FingerprintIndex.SegmentsPerCommit,

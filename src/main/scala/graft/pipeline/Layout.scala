@@ -87,13 +87,29 @@ object Layout {
       bits: Int = 20): Unit = {
     require(cols.nonEmpty, "writeZOrdered needs at least one column")
     require(numFiles > 0, s"numFiles must be > 0 (got $numFiles)")
-    df.withColumn("_zkey", zvalue(cols.map(col), bits))
-      .repartitionByRange(numFiles, col("_zkey"))
-      .sortWithinPartitions("_zkey")
-      .drop("_zkey")
-      .write
-      .mode("overwrite")
-      .parquet(outDir)
+    val keyed = df.withColumn("_zkey", zvalue(cols.map(col), bits))
+    // OPT-IN double-eval cut (spark.graft.zorder.materializeKeys):
+    // repartitionByRange's boundary sampler evaluates its child once
+    // more than the shuffle does, so the source scan + key compute
+    // run twice per rewrite. Materializing the keyed frame
+    // (localCheckpoint) trades that second scan for one
+    // memory-and-disk copy of the frame — a win when the input scan
+    // is expensive relative to a local copy, but at 100 TB the copy
+    // is a full extra materialization of the corpus on executor
+    // storage, so the default stays off and the knob is a
+    // per-deployment call (probe numbers in OPTIMIZATION_r21.md).
+    val mat = df.sparkSession.conf
+      .getOption("spark.graft.zorder.materializeKeys")
+      .exists(_.toBoolean)
+    val src = if (mat) keyed.localCheckpoint(true) else keyed
+    try {
+      src.repartitionByRange(numFiles, col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write
+        .mode("overwrite")
+        .parquet(outDir)
+    } finally if (mat) { src.unpersist(blocking = false); () }
   }
 
   /** Append `_zrank`: the z-order key over ARBITRARY orderable

@@ -516,13 +516,18 @@ private[sources] object SegmentPacking {
     * auto-broadcast. */
   val FallbackBytesPerRow: Long = 128L
 
-  /** File size of a committed segment; manifest-rows estimate (never
-    * 0) when the file is momentarily unreadable mid-rewrite. */
+  /** File size of a committed segment: the manifest's commit-time
+    * record when present (zero stat calls at plan time — the 100 TB
+    * path), a one-off stat for pre-field manifests, manifest-rows
+    * estimate (never 0) when the file is momentarily unreadable
+    * mid-rewrite. */
   def segmentSize(dir: String, s: graft.storage.Segment): Long =
-    try graft.storage.FileIO.forPath(dir)
-      .size(graft.storage.FileIO.join(dir, s.path))
-    catch {
-      case _: Exception => math.max(s.rows, 1L) * FallbackBytesPerRow
+    s.bytes.getOrElse {
+      try graft.storage.FileIO.forPath(dir)
+        .size(graft.storage.FileIO.join(dir, s.path))
+      catch {
+        case _: Exception => math.max(s.rows, 1L) * FallbackBytesPerRow
+      }
     }
 
   /** One planned partition's worth of segment bytes: whole files

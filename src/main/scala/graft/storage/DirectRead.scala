@@ -109,23 +109,32 @@ private[graft] object DirectRead {
         if (b < 0) b = -b - 2
         if (b >= seg.blocks.size) return None
         val rowInBlock = rowIdx - seg.firstRows(b)
-        // page containing rowInBlock (offset index = page first-rows)
+        // page containing rowInBlock (offset index = page first-rows).
+        // A file produced by the driver-side row-group concat
+        // (ParquetConcat — appendRowGroup drops page indexes) has NO
+        // offset index: fall back to decoding the ONE containing row
+        // group, which for concat-merged small appends is micro-batch-
+        // sized; the next compact() rewrite restores the indexes.
         val oi = seg.offsetIndexOf(b)
-        var p = 0
-        var lo = 0
-        var hi = oi.getPageCount - 1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (oi.getFirstRowIndex(mid) <= rowInBlock) { p = mid; lo = mid + 1 }
-          else hi = mid - 1
-        }
-        val ranges = RowRanges.create(
-          seg.blocks(b).getRowCount,
-          java.util.stream.IntStream.of(p).iterator(),
-          oi
-        )
         val pages: org.apache.parquet.column.page.PageReadStore =
-          seg.reader.readFilteredRowGroup(b, ranges)
+          if (oi == null) seg.reader.readRowGroup(b)
+          else {
+            var p = 0
+            var lo = 0
+            var hi = oi.getPageCount - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (oi.getFirstRowIndex(mid) <= rowInBlock) {
+                p = mid; lo = mid + 1
+              } else hi = mid - 1
+            }
+            val ranges = RowRanges.create(
+              seg.blocks(b).getRowCount,
+              java.util.stream.IntStream.of(p).iterator(),
+              oi
+            )
+            seg.reader.readFilteredRowGroup(b, ranges)
+          }
         val rr = seg.columnIO.getRecordReader(
           pages,
           new GroupRecordConverter(seg.schema)

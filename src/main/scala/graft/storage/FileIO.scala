@@ -131,6 +131,12 @@ private[graft] object FileIO {
       isDir: Boolean,
       mtimeMs: Long)
 
+  /** Diagnostic counter of per-file stat (`size`) calls, incremented
+    * by every backend impl — tests assert that PLANNING an N-segment
+    * store issues zero of these (segment bytes ride the manifest;
+    * guide §5/§6 driver-side planning tax). */
+  private[graft] val sizeCalls = new java.util.concurrent.atomic.AtomicLong()
+
   /** URI-scheme sniff: `hdfs://…`, `s3a://…`, `file:/…` route to
     * Hadoop; bare POSIX paths stay on java.nio. (Single-letter
     * prefixes are excluded so Windows-style `C:` never parses as a
@@ -273,7 +279,10 @@ private[graft] object LocalFileIO extends FileIO {
     finally s.close()
   }
 
-  override def size(path: String): Long = Files.size(p(path))
+  override def size(path: String): Long = {
+    FileIO.sizeCalls.incrementAndGet()
+    Files.size(p(path))
+  }
   override def mtimeMs(path: String): Long =
     Files.getLastModifiedTime(p(path)).toMillis
 
@@ -517,6 +526,7 @@ private[graft] object HadoopFileIO extends FileIO {
   }
 
   override def size(path: String): Long = {
+    FileIO.sizeCalls.incrementAndGet()
     val hp = new HPath(path)
     fs(hp).getFileStatus(hp).getLen
   }

@@ -6,8 +6,21 @@ import org.json4s.jackson.Serialization
 
 /** One committed data segment: a single parquet file holding a dense,
   * contiguous seq range [minSeq, maxSeq].
+  *
+  * `bytes` is the file's on-disk size, recorded AT COMMIT so that
+  * planning (statistics, partition packing, small-segment folds,
+  * stream admission) never stats the file again — at 100 TB segment
+  * counts, per-plan `io.size` calls are a driver-side planning tax on
+  * every query (guide §5/§6). `None` on manifests written before the
+  * field existed; consumers stat-fallback exactly once per plan for
+  * those.
   */
-final case class Segment(path: String, minSeq: Long, maxSeq: Long, rows: Long)
+final case class Segment(
+    path: String,
+    minSeq: Long,
+    maxSeq: Long,
+    rows: Long,
+    bytes: Option[Long] = None)
 
 /** The log's transaction manifest — the Spark-world analogue of the
   * reference's `jrnl` file (offset2/journal.go:20-66): a single small

@@ -58,6 +58,25 @@ final class ParquetLog private (
     spark.conf.getOption("spark.graft.segmentTargetFileBytes")
       .map(_.toLong).getOrElse(32L << 20)
 
+  // staged-bytes ceiling for the DRIVER-SIDE row-group-copy merge
+  // (same knob and default as [[TableStore]]'s): under it the
+  // small-append fold is a driver-side parquet row-group byte copy —
+  // no second Spark job per commit; above it the range-repartition
+  // rewrite is worth its scheduling cost and the driver never
+  // streams large byte volumes through itself (guide §5)
+  private val segmentMergeDriverMaxBytes: Long =
+    spark.conf.getOption("spark.graft.segmentMergeDriverMaxBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+
+  // plan-estimate ceiling under which an append is coalesced to one
+  // task BEFORE the two stamping passes (same knob and rationale as
+  // [[TableStore]]'s small-append task-floor cut): a tiny micro-batch
+  // then pays 1+1 tasks instead of 2×N, and stages a single file so
+  // the post-write merge never fires at all
+  private val smallAppendCoalesceMaxBytes: Long =
+    spark.conf.getOption("spark.graft.smallAppendCoalesceMaxBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+
   private def dataDir: String = FileIO.join(dir, "data")
 
   def valueType: DataType = DataType.fromJson(manifest.valueSchemaJson)
@@ -186,7 +205,19 @@ final class ParquetLog private (
     // counter, so the within-partition counter recovers by
     // subtraction; both passes plan the same deterministic scan —
     // the exact property zipWithIndex relied on.
-    val src = values.select(col(vCol).as("value"))
+    val src0 = values.select(col(vCol).as("value"))
+    // tiny-batch task-floor cut (see smallAppendCoalesceMaxBytes):
+    // applied before BOTH passes, so count and stamp plan the same
+    // single-partition scan — the dense-seq gate below still verifies
+    val src = {
+      lazy val est = src0.queryExecution.optimizedPlan.stats.sizeInBytes
+      // tiny AND justifying a single target file (a deliberately tiny
+      // per-file target means "never fold" — honor it here too)
+      if (segmentTargetFileBytes > 0 &&
+        est <= BigInt(smallAppendCoalesceMaxBytes) &&
+        est <= BigInt(segmentTargetFileBytes)) src0.coalesce(1)
+      else src0
+    }
     val partCounts = src
       .groupBy(spark_partition_id().as("_pid"))
       .agg(count(lit(1)).as("_n"))
@@ -216,6 +247,38 @@ final class ParquetLog private (
         col("value"),
         lit(false).as("nulled"))
     val segs = writeSegments(df)
+    // DENSE-SEQ INTEGRITY GATE (pre-commit, driver-side arithmetic
+    // over footer stats writeSegments already read): the two-pass
+    // stamping assumes both jobs plan the same deterministic scan —
+    // the same assumption rdd.zipWithIndex made, but here it is
+    // VERIFIED instead of trusted. If the row-to-partition assignment
+    // diverged between the count job and the write job (source
+    // re-listed under a concurrent writer, nondeterministic input),
+    // offsets no longer match partition counts and seqs would collide
+    // or gap — this refuses the append LOUDLY before the manifest
+    // commit, so the positional point-read math and the fsck density
+    // check can never be silently corrupted.
+    locally {
+      val sorted = segs.sortBy(_.minSeq)
+      var expect = base
+      var total = 0L
+      val dense = sorted.forall { s =>
+        val ok = s.minSeq == expect && s.rows == s.maxSeq - s.minSeq + 1
+        expect = s.maxSeq + 1
+        total += s.rows
+        ok
+      }
+      if (!dense || total != acc) {
+        segs.foreach(s => io.delete(FileIO.join(dir, s.path)))
+        throw new IllegalStateException(
+          s"append to $dir produced a non-dense seq range (expected " +
+            s"[$base, ${base + acc - 1}], got ${sorted.map(s =>
+              s"[${s.minSeq},${s.maxSeq}]x${s.rows}").mkString(" ")}): " +
+            "the input's partitioning diverged between the count and " +
+            "write passes (nondeterministic source?); nothing was " +
+            "committed — retry the append with a deterministic input")
+      }
+    }
     if (segs.isEmpty && batchId.isEmpty) return base // nothing to commit
     // an empty STREAMING batch still commits: the batch id must
     // advance or a replay after restart could double-apply a later
@@ -278,22 +341,64 @@ final class ParquetLog private (
     // the fsck density check both require.
     val staged0 = io.list(tmp)
       .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
+    // segmentTargetFileBytes <= 0 = merge-free mode (latency-critical
+    // logs keep one file per input partition; documented knob — the
+    // old code divided by it and crashed)
     val merged =
-      if (staged0.length <= 1) tmp
+      if (staged0.length <= 1 || segmentTargetFileBytes <= 0) tmp
       else {
-        val totalBytes = staged0.map(f => io.size(f.path)).sum
+        val sizes = staged0.map(f => f.path -> io.size(f.path)).toMap
+        val totalBytes = sizes.valuesIterator.sum
         val target = math.max(1L,
           (totalBytes + segmentTargetFileBytes - 1) / segmentTargetFileBytes)
         if (target >= staged0.length) tmp
         else {
           val tmp2 = FileIO.join(dir, s"tmp-${UUID.randomUUID()}")
-          spark.read.schema(df.schema).parquet(tmp)
-            .repartitionByRange(target.toInt, col("seq"))
-            .sortWithinPartitions("seq")
-            .write
-            .option("parquet.page.row.count.limit", "1024")
-            .mode(SaveMode.Overwrite)
-            .parquet(tmp2)
+          // DRIVER-SIDE row-group copy when the staged bytes are small
+          // (the TableStore.writeSegmentFiles discipline, extended to
+          // the log): no decode, no re-encode, and no second Spark job
+          // per micro-batch commit. The log's extra obligation is the
+          // DENSE-SEQ layout — every merged file must hold a dense,
+          // seq-sorted range — so inputs are ordered by their FOOTER
+          // seq stats and the copy only proceeds when they tile
+          // contiguously (each staged file is one partition's dense
+          // range, so they always do for an append; a rewrite whose
+          // scan split order interleaved falls back to the range job).
+          // Page-level offset indexes are dropped by the row-group
+          // copy; DirectRead point reads fall back to decoding the ONE
+          // containing row group (staged row groups are micro-batch-
+          // sized), and the next compact() restores the indexes.
+          var footerErr = false
+          val stats = staged0.flatMap(f =>
+            try ParquetLog.seqStatsFromFooter(io.inputFile(f.path))
+              .map(st => (f, st._1, st._2, st._3))
+            catch { case _: Exception => footerErr = true; None })
+          // zero-row staged files (empty input partitions) carry no
+          // rows and are simply left out of the copy; an unreadable
+          // footer falls back to the range job instead
+          val ordered = stats.sortBy(_._2)
+          val contiguous = !footerErr && ordered.nonEmpty &&
+            ordered.sliding(2).forall {
+              case Seq((_, _, hi, _), (_, lo2, _, _)) => lo2 == hi + 1
+              case _ => true
+            } &&
+            ordered.forall { case (_, lo, hi, n) => n == hi - lo + 1 }
+          if (totalBytes <= segmentMergeDriverMaxBytes && contiguous) {
+            io.mkdirs(tmp2)
+            ParquetConcat
+              .packGroups(ordered.map(_._1), sizes, target.toInt)
+              .zipWithIndex.foreach { case (group, i) =>
+                ParquetConcat.concat(io, group.map(_.path),
+                  FileIO.join(tmp2, f"part-$i%05d.parquet"))
+              }
+          } else
+            spark.read.schema(df.schema).parquet(tmp)
+              .repartitionByRange(target.toInt, col("seq"))
+              .sortWithinPartitions("seq")
+              .write
+              .option("parquet.page.row.count.limit", "1024")
+              .mode(SaveMode.Overwrite)
+              .parquet(tmp2)
           FsckSweep.deleteRecursively(tmp)
           tmp2
         }
@@ -306,10 +411,15 @@ final class ParquetLog private (
       ParquetLog.seqStatsFromFooter(io.inputFile(src.path)).map {
         case (minSeq, maxSeq, rows) =>
           val name = f"seg-$minSeq%012d-${UUID.randomUUID().toString.take(8)}.parquet"
+          // on-disk size recorded at commit so planning never stats
+          // the file again (statistics / packing / admission)
+          val fbytes = try Some(io.size(src.path)) catch {
+            case _: Exception => None
+          }
           FaultPoints.reach("log.segments.beforeMove")
           io.rename(src.path, FileIO.join(dataDir, name))
           FaultPoints.reach("log.segments.moved")
-          Segment(s"data/$name", minSeq, maxSeq, rows)
+          Segment(s"data/$name", minSeq, maxSeq, rows, fbytes)
       } // zero-row part files are skipped (and cleaned with tmp)
     }
     FaultPoints.reach("log.segments.allMoved")

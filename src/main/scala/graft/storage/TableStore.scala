@@ -52,6 +52,16 @@ final class TableStore private (
     spark.conf.getOption("spark.graft.segmentMergeDriverMaxBytes")
       .map(_.toLong).getOrElse(128L << 20)
 
+  // PLAN-ESTIMATE ceiling under which an append's write job is
+  // coalesced to one task (the small-append task-floor cut in
+  // [[append]]). In-memory plan estimates run ~2-4x the on-disk
+  // parquet bytes, so 8 MB here gates to roughly one target segment
+  // file of real data — small enough that single-task compute is
+  // trivial, large enough to catch every micro-batch commit.
+  private val smallAppendCoalesceMaxBytes: Long =
+    spark.conf.getOption("spark.graft.smallAppendCoalesceMaxBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+
   /** On-disk schema: the logical columns plus the physical `_ver`. */
   private val diskSchema: StructType =
     StructType(schema.fields :+ StructField("_ver", LongType, nullable = false))
@@ -82,11 +92,34 @@ final class TableStore private (
   /** Append one batch as a new segment; returns the commit version. */
   def append(df: DataFrame): Long = synchronized {
     val ver = manifest.version + 1
-    val segs = writeSegmentFiles(
-      df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        .withColumn("_ver", lit(ver)),
-      ver
-    )
+    val out = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("_ver", lit(ver))
+    // SMALL-APPEND TASK-FLOOR CUT: a micro-batch that arrives with N
+    // partitions schedules N write tasks (then the post-write merge
+    // folds the N tiny files anyway) — pure per-commit scheduling
+    // overhead at any scale (guide §2.6/§6). Judge the batch by the
+    // optimizer's size estimate (plan stats over-estimate on-disk
+    // parquet, so the gate errs toward NOT narrowing) and coalesce
+    // the write job to ONE task. coalesce is a narrow dependency:
+    // upstream stages keep their parallelism past any exchange; only
+    // the post-shuffle final stage narrows — which is also why the
+    // gate must stay TINY: any real per-row work left in that final
+    // stage (a distinct, a sort) serializes with it, so only batches
+    // whose estimate says "trivial" qualify. Scale-adaptive by
+    // construction — a big append's estimate leaves it untouched;
+    // merge-free mode (target <= 0) skips the cut too.
+    val shaped =
+      if (segmentTargetFileBytes <= 0) out
+      else {
+        val est = out.queryExecution.optimizedPlan.stats.sizeInBytes
+        // only when the batch is tiny AND its bytes justify a single
+        // target file (a deliberately tiny per-file target means
+        // "never fold" — honor it here too)
+        if (est <= BigInt(smallAppendCoalesceMaxBytes) &&
+          est <= BigInt(segmentTargetFileBytes)) out.coalesce(1)
+        else out
+      }
+    val segs = writeSegmentFiles(shaped, ver)
     FaultPoints.reach("table.append.preCommit")
     commitOrCleanup(
       manifest.copy(version = ver, segments = manifest.segments ++ segs),
@@ -172,7 +205,7 @@ final class TableStore private (
       maxSegmentBytes: Long = 256L << 20
   ): Boolean = synchronized {
     val small = manifest.segments.filter(s =>
-      io.size(FileIO.join(dir, s.path)) < maxSegmentBytes)
+      s.bytes.getOrElse(io.size(FileIO.join(dir, s.path))) < maxSegmentBytes)
     if (small.length <= 1) return false
     val smallSet = small.toSet
     val big = manifest.segments.filterNot(smallSet)
@@ -297,7 +330,7 @@ final class TableStore private (
     val staged = io.list(tmp)
       .filter(f => f.name.endsWith(".parquet") && !FileIO.isHidden(f.name))
     val merged =
-      if (staged.length <= 1) tmp
+      if (staged.length <= 1 || segmentTargetFileBytes <= 0) tmp
       else {
         val sizes = staged.map(f => f.path -> io.size(f.path)).toMap
         val totalBytes = sizes.valuesIterator.sum
@@ -341,11 +374,17 @@ final class TableStore private (
             io.inputFile(f.path))
           try r.getRecordCount finally r.close()
         } catch { case _: Exception => 0L }
+      // on-disk size recorded at commit: planning (statistics,
+      // packing, compactSmall, admission) reads it from the manifest
+      // instead of stat-ing every segment on every plan
+      val fbytes = try Some(io.size(f.path)) catch {
+        case _: Exception => None
+      }
       FaultPoints.reach("table.segments.beforeMove")
       io.rename(f.path, FileIO.join(dataDir, name))
       FaultPoints.reach("table.segments.moved")
       val (lo, hi) = content.getOrElse((ver, ver))
-      Segment(s"data/$name", lo, hi, rows)
+      Segment(s"data/$name", lo, hi, rows, fbytes)
     }
     FsckSweep.deleteRecursively(merged)
     segs

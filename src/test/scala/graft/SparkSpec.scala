@@ -24,6 +24,16 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // JVM-exit ordering guard: stop any still-active streaming query
+    // BEFORE SparkContext's own shutdown hook tears the executor pool
+    // down. A query alive at exit (a leak, or an external timeout
+    // SIGTERM-ing a long run) otherwise races the pool shutdown and
+    // storms RejectedExecutionException / lost-task warnings — the
+    // r20 driver verify's red tail.
+    org.apache.spark.graftcompat.TestShutdown.beforeSparkStops { () =>
+      s.streams.active.foreach(q =>
+        try q.stop() catch { case _: Throwable => () })
+    }
     s
   }
 }
