@@ -159,26 +159,39 @@ final class FingerprintIndex private (
       lit("batch").as("kind"), nul("long").as("id"), nul("int").as("band"),
       nul("long").as("bkey"), nul("long").as("h"),
       nul("boolean").as("admitted"), lit(batchId).as("batch_id"))
-    // Fresh segments land (band, bkey)-range-laid-out and sorted, not
-    // as shuffle.partitions unsorted shards: each commit writes a few
-    // range-tiled files whose row groups carry tight (kind, band,
-    // bkey) stats — so the probe's standing-side scan and the
-    // journal's pushed kind="batch" lookup prune BETWEEN compacts,
-    // not only after one (the Ann.writeBucketedIndex discipline).
-    // The range shuffle is batch-sized; nulls (the journal row) sort
-    // first, keeping journal lookups one row group deep.
-    // (r21 probe: a deterministic hash-by-band partitioner removes
-    // the range sampler's second eval of this child, but the merge
-    // concatenates staged files in PARTITION order, and hash order
-    // breaks the per-file (kind, band, bkey) monotonicity the tiling
-    // exists for — FingerprintIndexSpec pins it. The sampler's extra
-    // eval reads two localCheckpoints + a broadcast join; measured
-    // cost in OPTIMIZATION_r21.md.)
+    // Fresh segments land band-tiled and (kind, band, bkey)-sorted,
+    // not as shuffle.partitions unsorted shards: each commit writes a
+    // few tiled files whose row groups carry tight (kind, band, bkey)
+    // stats — so the probe's standing-side scan and the journal's
+    // pushed kind="batch" lookup prune BETWEEN compacts, not only
+    // after one (the Ann.writeBucketedIndex discipline).
+    //
+    // DETERMINISTIC routing, not repartitionByRange: the range
+    // partitioner's boundary sampler ran 2 extra jobs per ingest and
+    // re-evaluated this whole child (FpCommitProbe: 5 jobs / 224 ms
+    // task time vs 3 jobs / 189 ms). Bands are a tiny, KNOWN domain,
+    // so boundaries need no sampling — band b routes to partition
+    // floor(b·n/bands) via a literal whose Spark Murmur3 hash lands
+    // on exactly that partition index ([[FingerprintIndex.routing]]).
+    // Partition order == band order, so staged-file name order (and a
+    // small commit's coalesce/concat fold) keeps every file's
+    // (kind, band, bkey) run monotone — FingerprintIndexSpec pins the
+    // tiling, so a Spark hash change fails loudly, never silently.
+    // The journal row (null band) routes to partition 0 and sorts
+    // first (kind "batch" < "fp"), keeping journal lookups one row
+    // group deep. The shuffle stays batch-sized.
+    val n = FingerprintIndex.SegmentsPerCommit
+    val route = FingerprintIndex.routing(n)
+    val tgt = (col("band") * lit(n) / lit(bands)).cast("int")
     store.append(
       v.unionByName(j)
-        .repartitionByRange(FingerprintIndex.SegmentsPerCommit,
-          col("kind"), col("band"), col("bkey"))
-        .sortWithinPartitions("kind", "band", "bkey", "id"))
+        .withColumn("_pt",
+          when(col("band").isNull, lit(route(0)))
+            .otherwise(element_at(typedLit(route.toSeq),
+              least(lit(n - 1), tgt) + 1)))
+        .repartition(n, col("_pt"))
+        .sortWithinPartitions("kind", "band", "bkey", "id")
+        .drop("_pt"))
   }
 
   /** Checkpointed streaming leg — the family's [[VecDedupIndex.start]]
@@ -245,6 +258,27 @@ object FingerprintIndex {
     * open cost stay O(commits), not O(commits × shuffle.partitions))
     * with tight per-file (band, bkey) stats. */
   val SegmentsPerCommit: Int = 4
+
+  /** Routing literals for the commit's deterministic band tiling:
+    * `routing(n)(t)` is an int whose Spark Murmur3 hash (seed 42 —
+    * what HashPartitioning applies to an int column) pmods to
+    * partition exactly `t` of `n`, so `repartition(n, lit-mapped
+    * band)` places band-block t in partition t WITHOUT the range
+    * partitioner's sampling job. Found by scanning small ints —
+    * a handful of hash evaluations, once per n. */
+  private[graft] def routing(n: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var i = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, 42)
+      val t = ((h % n) + n) % n
+      if (!found(t)) { found(t) = true; out(t) = i; remaining -= 1 }
+      i += 1
+    }
+    out
+  }
 
   private[dedup] val storeSchema: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),

@@ -210,7 +210,10 @@ final class ParquetLog private (
     // applied before BOTH passes, so count and stamp plan the same
     // single-partition scan — the dense-seq gate below still verifies
     val src = {
-      lazy val est = src0.queryExecution.optimizedPlan.stats.sizeInBytes
+      // analyzed-plan stats, not optimizedPlan — see the TableStore
+      // append gate: an optimizer pass per append is real per-commit
+      // cost, and the coarser estimate only errs toward not narrowing
+      lazy val est = src0.queryExecution.analyzed.stats.sizeInBytes
       // tiny AND justifying a single target file (a deliberately tiny
       // per-file target means "never fold" — honor it here too)
       if (segmentTargetFileBytes > 0 &&

@@ -111,7 +111,13 @@ final class TableStore private (
     val shaped =
       if (segmentTargetFileBytes <= 0) out
       else {
-        val est = out.queryExecution.optimizedPlan.stats.sizeInBytes
+        // stats over the ANALYZED plan (already materialized — Datasets
+        // analyze eagerly at creation), NOT optimizedPlan: forcing the
+        // optimizer here would run a full rule pass per append on top
+        // of the one the write itself plans (measured +60% on
+        // kvindex_build). The un-optimized estimate is only coarser
+        // upward, which errs toward not narrowing — the safe side.
+        val est = out.queryExecution.analyzed.stats.sizeInBytes
         // only when the batch is tiny AND its bytes justify a single
         // target file (a deliberately tiny per-file target means
         // "never fold" — honor it here too)
