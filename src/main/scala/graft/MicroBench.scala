@@ -30,6 +30,12 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // probe aid: GRAFT_MB_CONF="k=v;k=v" applies session confs before
+    // timing, so a flag-gated variant can be A/B'd without code edits
+    sys.env.get("GRAFT_MB_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
+    })
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def once[A](name: String)(f: => A): Double = {
