@@ -69,10 +69,16 @@ final class ParquetLog private (
       .map(_.toLong).getOrElse(128L << 20)
 
   // plan-estimate ceiling under which an append is coalesced to one
-  // task BEFORE the two stamping passes (same knob and rationale as
-  // [[TableStore]]'s small-append task-floor cut): a tiny micro-batch
-  // then pays 1+1 tasks instead of 2×N, and stages a single file so
-  // the post-write merge never fires at all
+  // task BEFORE the two stamping passes (same knob and max-node
+  // semantics as [[TableStore]]'s small-append task-floor cut): a
+  // small batch then pays 1+1 tasks instead of 2×N, stages ONE file
+  // (no post-write merge, no per-file footer reads), and a
+  // single-partition append cannot even in principle diverge between
+  // the passes. The LOG's default is 8 MB where the table store's is
+  // 1 MB: a log append's post-shuffle work is a per-byte-cheap
+  // sort-merge + encode (50 ms single-task at this ceiling), while
+  // the table stores commit pump AGGREGATIONS whose serialized
+  // compute is the regression the 1 MB default exists to avoid.
   private val smallAppendCoalesceMaxBytes: Long =
     spark.conf.getOption("spark.graft.smallAppendCoalesceMaxBytes")
       .map(_.toLong).getOrElse(8L << 20)
@@ -209,46 +215,109 @@ final class ParquetLog private (
     // tiny-batch task-floor cut (see smallAppendCoalesceMaxBytes):
     // applied before BOTH passes, so count and stamp plan the same
     // single-partition scan — the dense-seq gate below still verifies
-    val src = {
-      // analyzed-plan stats, not optimizedPlan — see the TableStore
-      // append gate: an optimizer pass per append is real per-commit
-      // cost, and the coarser estimate only errs toward not narrowing
-      lazy val est = src0.queryExecution.analyzed.stats.sizeInBytes
+    val src1 = {
+      // analyzed-plan MAX-node stats, not optimizedPlan — see the
+      // TableStore append gate: an optimizer pass per append is real
+      // per-commit cost, and the max-node estimate keeps the cut off
+      // any append computed FROM something big
+      lazy val est = TableStore.maxPlanEstimate(src0)
       // tiny AND justifying a single target file (a deliberately tiny
       // per-file target means "never fold" — honor it here too)
-      if (segmentTargetFileBytes > 0 &&
+      if (segmentTargetFileBytes > 0 && smallAppendCoalesceMaxBytes > 0 &&
         est <= BigInt(smallAppendCoalesceMaxBytes) &&
         est <= BigInt(segmentTargetFileBytes)) src0.coalesce(1)
       else src0
     }
-    val partCounts = src
-      .groupBy(spark_partition_id().as("_pid"))
-      .agg(count(lit(1)).as("_n"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets = partCounts.map { case (pid, n) =>
-      val o = (pid, acc); acc += n; o
-    }
-    val offDf = org.apache.spark.sql.functions.broadcast(
-      spark.createDataFrame(
-        java.util.Arrays.asList(
-          offsets.map(o => Row(o._1, o._2)): _*),
-        StructType(Seq(
-          StructField("_pid", org.apache.spark.sql.types.IntegerType,
-            nullable = false),
-          StructField("_off", LongType, nullable = false)))))
-    val df = src
-      .select(col("value"), spark_partition_id().as("_pid"),
-        monotonically_increasing_id().as("_mid"))
-      .join(offDf, Seq("_pid"))
-      .select(
-        (lit(base) + col("_off") +
-          (col("_mid") - col("_pid").cast("long") * lit(1L << 33)))
-          .as("seq"),
-        col("value"),
-        lit(false).as("nulled"))
+    // PIN ONE EVALUATION SHAPE for both stamping passes. They are
+    // separate actions, and an input whose partitioning is decided at
+    // RUNTIME — a range exchange's sampled boundaries, an
+    // AQE-coalesced shuffle — can legitimately partition DIFFERENTLY
+    // across separate query executions; the old rdd.zipWithIndex was
+    // immune only because both its jobs shared one RDD lineage. NOT
+    // theoretical: the r20 two-execution shape SILENTLY COMMITTED
+    // 31,198 of 100,000 rows on an orderBy-fed append at
+    // sf0.1/local[32], deterministically (the count execution's
+    // AQE-coalesced pids disagreed with the write execution's, and
+    // the offset inner join dropped the unmatched partitions) — found
+    // when the r21 integrity gate below turned it loud.
+    //
+    // Two pinned forms, chosen by the input's plan:
+    //  - DETERMINISTIC NARROW (a scan under only deterministic
+    //    projections/filters — the common micro-batch shape): the
+    //    two-execution SQL form is safe (partitioning comes from the
+    //    file listing) and its count pass prunes every column, so the
+    //    count job is metadata-cheap. Kept.
+    //  - RUNTIME-PARTITIONED (sort/repartition/aggregate/join/limit
+    //    in the lineage): both passes run over ONE toRdd lineage —
+    //    the adaptive plan finalizes once, its shuffle stages execute
+    //    once and BOTH jobs reuse that shuffle output with identical
+    //    partitioning (zipWithIndex's safety), while the stamping
+    //    stays in Tungsten (InternalRow, no Row codec round-trip —
+    //    the r20 rewrite's point, now without its divergence hole).
+    val narrow = ParquetLog.deterministicNarrow(src1.queryExecution.analyzed)
+    val (df, acc) =
+      if (narrow) {
+        val partCounts = src1
+          .groupBy(spark_partition_id().as("_pid"))
+          .agg(count(lit(1)).as("_n"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)))
+          .sortBy(_._1)
+        var acc0 = 0L
+        val offsets = partCounts.map { case (pid, n) =>
+          val o = (pid, acc0); acc0 += n; o
+        }
+        val offDf = org.apache.spark.sql.functions.broadcast(
+          spark.createDataFrame(
+            java.util.Arrays.asList(
+              offsets.map(o => Row(o._1, o._2)): _*),
+            StructType(Seq(
+              StructField("_pid", org.apache.spark.sql.types.IntegerType,
+                nullable = false),
+              StructField("_off", LongType, nullable = false)))))
+        val stamped = src1
+          .select(col("value"), spark_partition_id().as("_pid"),
+            monotonically_increasing_id().as("_mid"))
+          .join(offDf, Seq("_pid"))
+          .select(
+            (lit(base) + col("_off") +
+              (col("_mid") - col("_pid").cast("long") * lit(1L << 33)))
+              .as("seq"),
+            col("value"),
+            lit(false).as("nulled"))
+        (stamped, acc0)
+      } else {
+        val rdd = src1.queryExecution.toRdd
+        val counts = rdd
+          .mapPartitionsWithIndex((pid, it) => {
+            var n = 0L
+            while (it.hasNext) { it.next(); n += 1 }
+            Iterator((pid, n))
+          }, preservesPartitioning = true)
+          .collect().sortBy(_._1).map(_._2)
+        var acc0 = 0L
+        val offsets = counts.map { n => val o = acc0; acc0 += n; o }
+        val bc = spark.sparkContext.broadcast(offsets)
+        val vTypeLocal = vType
+        val baseLocal = base
+        val stampedRdd = rdd.mapPartitionsWithIndex({ (pid, it) =>
+          var seqNo = baseLocal + bc.value(pid)
+          it.map { row =>
+            val out = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(3)
+            out.update(0, seqNo)
+            out.update(1, row.get(0, vTypeLocal))
+            out.update(2, false)
+            seqNo += 1
+            // the inner value may view a reused Unsafe buffer: every
+            // consumer below (sortWithinPartitions' unsafe projection,
+            // the parquet writer's) copies per row before advancing
+            out: org.apache.spark.sql.catalyst.InternalRow
+          }
+        }, preservesPartitioning = true)
+        (org.apache.spark.sql.graftshim.InternalRows.toDF(
+          spark, stampedRdd, schema), acc0)
+      }
     val segs = writeSegments(df)
     // DENSE-SEQ INTEGRITY GATE (pre-commit, driver-side arithmetic
     // over footer stats writeSegments already read): the two-pass
@@ -788,6 +857,31 @@ object ParquetLog {
     * this; kept conservative so a large batch's parallelism isn't
     * forfeited. */
   val MaxDirectReads: Int = 128
+
+  /** True when `p` partitions deterministically and identically on
+    * every execution: a leaf (scan partitioning comes from the file
+    * listing; local/rdd relations are materialized) under only
+    * deterministic projections/filters and narrow coalesces. Anything
+    * with a shuffle in it — sort, repartition-by-expression,
+    * aggregate, join, window, limit — is runtime-partitioned (sampled
+    * boundaries, AQE coalescing) and must be pinned before the
+    * two-pass stamping (see appendInternal). Conservative: unknown
+    * nodes are NOT narrow. */
+  private[storage] def deterministicNarrow(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode => true
+      case pr: Project =>
+        pr.projectList.forall(_.deterministic) &&
+          deterministicNarrow(pr.child)
+      case f: Filter =>
+        f.condition.deterministic && deterministicNarrow(f.child)
+      case a: SubqueryAlias => deterministicNarrow(a.child)
+      case r: Repartition if !r.shuffle => deterministicNarrow(r.child)
+      case _ => false
+    }
+  }
 
   /** [[ParquetLog.getMany]] tiering (see BASELINE.md's IN-literal
     * ceiling probe): up to this many coalesced seq RUNS, the filter is

@@ -54,13 +54,17 @@ final class TableStore private (
 
   // PLAN-ESTIMATE ceiling under which an append's write job is
   // coalesced to one task (the small-append task-floor cut in
-  // [[append]]). In-memory plan estimates run ~2-4x the on-disk
-  // parquet bytes, so 8 MB here gates to roughly one target segment
-  // file of real data — small enough that single-task compute is
-  // trivial, large enough to catch every micro-batch commit.
+  // [[append]]). Judged as the MAX estimate over every plan node —
+  // not the output estimate — so an aggregation's INPUT counts:
+  // coalesce collapses the whole post-shuffle stage, and a pump's
+  // "small" change table computed from a big scan must keep its
+  // parallelism (an 8 MB output-only gate serialized the KV/multilog
+  // pump aggregations and cost 40-100% on those builds). 1 MB of
+  // in-memory estimate ≈ a few thousand rows — the micro-commit
+  // shape and nothing else.
   private val smallAppendCoalesceMaxBytes: Long =
     spark.conf.getOption("spark.graft.smallAppendCoalesceMaxBytes")
-      .map(_.toLong).getOrElse(8L << 20)
+      .map(_.toLong).getOrElse(1L << 20)
 
   /** On-disk schema: the logical columns plus the physical `_ver`. */
   private val diskSchema: StructType =
@@ -109,7 +113,7 @@ final class TableStore private (
     // construction — a big append's estimate leaves it untouched;
     // merge-free mode (target <= 0) skips the cut too.
     val shaped =
-      if (segmentTargetFileBytes <= 0) out
+      if (segmentTargetFileBytes <= 0 || smallAppendCoalesceMaxBytes <= 0) out
       else {
         // stats over the ANALYZED plan (already materialized — Datasets
         // analyze eagerly at creation), NOT optimizedPlan: forcing the
@@ -117,7 +121,7 @@ final class TableStore private (
         // of the one the write itself plans (measured +60% on
         // kvindex_build). The un-optimized estimate is only coarser
         // upward, which errs toward not narrowing — the safe side.
-        val est = out.queryExecution.analyzed.stats.sizeInBytes
+        val est = TableStore.maxPlanEstimate(out)
         // only when the batch is tiny AND its bytes justify a single
         // target file (a deliberately tiny per-file target means
         // "never fold" — honor it here too)
@@ -413,6 +417,20 @@ final class TableStore private (
 }
 
 object TableStore {
+
+  /** Size estimate for the small-append gate: the MAX analyzed-plan
+    * node estimate, so the cut only fires when everything the write
+    * stage would serialize — scans, aggregate inputs, join sides —
+    * is itself tiny. Shared with [[ParquetLog]]'s append gate. */
+  private[storage] def maxPlanEstimate(df: DataFrame): BigInt = {
+    var m = BigInt(0)
+    df.queryExecution.analyzed.foreach { p =>
+      val s = p.stats.sizeInBytes
+      if (s > m) m = s
+    }
+    m
+  }
+
   def open(spark: SparkSession, dir: String, schema: StructType): TableStore = {
     // data/ exists from open so `stream` can subscribe before the
     // first committed batch

@@ -85,6 +85,24 @@ class SegmentMergeSpec extends SparkSpec {
       s"17 groups must stamp seqs 0..16 densely, got ${seqs.toSeq}")
   }
 
+  test("append of a RANGE-EXCHANGE-fed (orderBy) frame loses nothing " +
+      "— the r20 silent-truncation shape") {
+    // the r20 two-pass stamping committed 31,198 of 100,000 rows on
+    // exactly this shape at sf0.1/local[32]: the count and write
+    // executions AQE-coalesced the sort's shuffle differently and the
+    // offset inner join dropped the unmatched partitions. r21 pins
+    // one evaluation (localCheckpoint for runtime-partitioned inputs)
+    // and verifies density before the commit.
+    val dir = tmpDir("sm-sorted-") + "/log"
+    val log = ParquetLog.open(spark, dir, LongType)
+    val sorted = spark.range(0L, 60000L)
+      .select((col("id") * 7919L % 60000L).as("k"))
+      .orderBy("k").select(col("k").as("value"))
+    log.append(sorted)
+    assert(log.seq == 59999L, s"append truncated: maxSeq ${log.seq}")
+    assert(log.toDF.count() == 60000L)
+  }
+
   test("segmentTargetFileBytes = 0 is merge-free mode on both stores") {
     spark.conf.set("spark.graft.segmentTargetFileBytes", "0")
     try {
